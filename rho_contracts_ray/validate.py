@@ -1,0 +1,247 @@
+"""Dataset-level contract validation — the engine's flagship operator.
+
+Where the reference's `check(contract, data)` validates ONE value and throws
+(reference src/contract.impl.js:265-269), `validate(ds, contract)` validates
+every row of a `ray.data.Dataset` and emits violation rows whose `message`
+column reproduces the reference's ContractError wording.
+
+Design (Ray-Data-first, scales to ~100 TB):
+  * verdicts: one vectorized Arrow kernel pass per batch
+    (`compile.eval_table_mask`) — zero-copy, no Python row loop;
+  * messages: failing rows are sparse, so only they are pulled out of the
+    batch (capped per batch) and run through the faithful row interpreter;
+  * the stage is a callable CLASS → `map_batches` actor pool; the contract
+    is deserialized once per actor in `__init__`, not per batch;
+  * output is violations + per-batch summary rows only (tiny), so the
+    input streams through with backpressure and is never materialized.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .contracts import ast, compile as cc, interp
+from .contracts.errors import RowContractError
+
+
+def arrow_value_to_js(v, t: pa.DataType):
+    """Convert one to_pylist() value into the Python shape the row
+    interpreter expects (maps become dicts, like JS objects)."""
+    if v is None:
+        return None
+    if pa.types.is_map(t):
+        return {k: arrow_value_to_js(x, t.item_type) for k, x in v}
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return [arrow_value_to_js(x, t.value_type) for x in v]
+    if pa.types.is_fixed_size_list(t):
+        return [arrow_value_to_js(x, t.value_type) for x in v]
+    if pa.types.is_struct(t):
+        return {f.name: arrow_value_to_js(v.get(f.name), f.type) for f in t}
+    return v
+
+
+def arrow_rows_to_js(table: pa.Table) -> list:
+    rows = table.to_pylist()
+    types = {f.name: f.type for f in table.schema}
+    return [
+        {k: arrow_value_to_js(v, types[k]) for k, v in row.items()}
+        for row in rows
+    ]
+
+VIOLATION_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),          # 'violation' | 'summary'
+        ("row_pos", pa.int64()),        # index within the batch (-1 for summary)
+        ("row_key", pa.string()),       # joined id-column values, if id_cols given
+        ("path", pa.string()),          # short-frame path, e.g. ".playunit.ladders[1].size"
+        ("contract_name", pa.string()),
+        ("expected", pa.string()),
+        ("got", pa.string()),
+        ("blame", pa.string()),
+        ("message", pa.string()),
+        ("batch_rows", pa.int64()),
+        ("batch_failed", pa.int64()),
+    ]
+)
+
+
+class ValidatorStage:
+    """Actor-pool stage: compiled contract held per actor
+    (setup once in __init__ — see SURVEY.md §4)."""
+
+    def __init__(self, contract: ast.Contract, name: Optional[str] = None,
+                 id_cols: Optional[Sequence[str]] = None,
+                 capture_limit: int = 1000, fail_fast: bool = False):
+        self.contract = ast.auto_to_contract(contract)
+        self.name = name
+        self.id_cols = list(id_cols) if id_cols else []
+        self.capture_limit = capture_limit
+        self.fail_fast = fail_fast
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        mask = cc.eval_table_mask(self.contract, batch)
+        failed = np.nonzero(~mask)[0]
+        n_failed = int(failed.size)
+
+        cols: dict[str, list] = {k.name: [] for k in VIOLATION_SCHEMA}
+        if n_failed:
+            cap = failed[: self.capture_limit]
+            sub = batch.take(pa.array(cap, type=pa.int64()))
+            rows = arrow_rows_to_js(sub)
+            keys = self._row_keys(sub) if self.id_cols else [None] * len(rows)
+            for pos, row, key in zip(cap.tolist(), rows, keys):
+                ok, viol = interp.check_verdict(self.contract, row, self.name)
+                if ok:
+                    # mask/interp disagreement — surface loudly, never hide
+                    msg = (f"INTERNAL: vectorized kernel rejected row {pos} "
+                           f"but interpreter accepted it")
+                    viol_fields = ("", self.contract.contract_name, None, None,
+                                   "", msg)
+                else:
+                    v = viol
+                    viol_fields = (v.path, v.contract_name, v.expected,
+                                   v.got, v.blame, v.message)
+                if self.fail_fast and not ok:
+                    raise RowContractError(viol)
+                path, cname, exp, got, blame, msg = viol_fields
+                cols["kind"].append("violation")
+                cols["row_pos"].append(int(pos))
+                cols["row_key"].append(key)
+                cols["path"].append(path)
+                cols["contract_name"].append(cname)
+                cols["expected"].append(exp)
+                cols["got"].append(got)
+                cols["blame"].append(blame)
+                cols["message"].append(msg)
+                cols["batch_rows"].append(0)
+                cols["batch_failed"].append(0)
+        # per-batch summary row (exact counts even when capture is capped)
+        cols["kind"].append("summary")
+        cols["row_pos"].append(-1)
+        cols["row_key"].append(None)
+        cols["path"].append("")
+        cols["contract_name"].append(self.contract.contract_name)
+        cols["expected"].append(None)
+        cols["got"].append(None)
+        cols["blame"].append("")
+        cols["message"].append("")
+        cols["batch_rows"].append(n)
+        cols["batch_failed"].append(n_failed)
+        return pa.Table.from_pydict(cols, schema=VIOLATION_SCHEMA)
+
+    def _row_keys(self, sub: pa.Table) -> list[str]:
+        parts = [pc.cast(sub[c], pa.string()).to_pylist() for c in self.id_cols
+                 if c in sub.column_names]
+        if not parts:
+            return [None] * sub.num_rows
+        return ["|".join("" if p is None else p for p in tup)
+                for tup in zip(*parts)]
+
+
+def _cluster_cpus() -> int:
+    try:
+        import ray
+        return max(1, int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 4
+
+
+@dataclass
+class ValidationReport:
+    """Materialized (small) validation output."""
+
+    output: Any  # ray Dataset or pa.Table of VIOLATION_SCHEMA rows
+    contract: ast.Contract
+    name: Optional[str]
+
+    def _table(self) -> pa.Table:
+        if isinstance(self.output, pa.Table):
+            return self.output
+        parts = []
+        for b in self.output.iter_batches(batch_format="pyarrow"):
+            parts.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
+        if not parts:
+            return VIOLATION_SCHEMA.empty_table()
+        return pa.concat_tables(parts)
+
+    def violations(self) -> pa.Table:
+        t = self._table()
+        return t.filter(pc.equal(t["kind"], "violation"))
+
+    def summary(self) -> dict:
+        t = self._table()
+        s = t.filter(pc.equal(t["kind"], "summary"))
+        rows = pc.sum(s["batch_rows"]).as_py() or 0
+        failed = pc.sum(s["batch_failed"]).as_py() or 0
+        return {
+            "contract": self.contract.to_string(),
+            "name": self.name,
+            "rows": int(rows),
+            "violations": int(failed),
+            "captured": int(self.violations().num_rows),
+            "passed": int(rows) - int(failed),
+            "ok": failed == 0,
+        }
+
+
+def validate(data, contract, name: Optional[str] = None,
+             id_cols: Optional[Sequence[str]] = None,
+             capture_limit: int = 1000,
+             batch_size: Union[int, None] = 65536,
+             concurrency: Optional[int] = None,
+             fail_fast: bool = False) -> ValidationReport:
+    """Validate a Dataset (or a pyarrow Table, for local use) against a
+    contract.  Returns a report whose output contains only violation +
+    summary rows — the input itself streams through and is never collected."""
+    contract = ast.auto_to_contract(contract)
+    if isinstance(data, (pa.Table, pa.RecordBatch)):
+        stage = ValidatorStage(contract, name, id_cols, capture_limit, fail_fast)
+        t = data if isinstance(data, pa.Table) else pa.Table.from_batches([data])
+        return ValidationReport(stage(t), contract, name)
+
+    kwargs = dict(
+        fn_constructor_kwargs=dict(contract=contract, name=name,
+                                   id_cols=id_cols,
+                                   capture_limit=capture_limit,
+                                   fail_fast=fail_fast),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        # callable class => actor pool; Ray requires explicit concurrency.
+        # Default: autoscale from 1 up to the cluster's CPU count so small
+        # inputs don't over-provision and large ones use every core.
+        concurrency=concurrency if concurrency is not None
+        else (1, _cluster_cpus()),
+    )
+    out = data.map_batches(ValidatorStage, **kwargs)
+    # the output is tiny (violations+summaries); materialize so the report
+    # can be inspected repeatedly without re-running the pipeline
+    return ValidationReport(out.materialize(), contract, name)
+
+
+def tag_valid(ds, contract, col: str = "_valid"):
+    """Append a boolean verdict column to every row — streaming, for
+    pipelines that filter/partition on validity at scale."""
+    contract = ast.auto_to_contract(contract)
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        mask = cc.eval_table_mask(contract, batch)
+        return batch.append_column(col, pa.array(mask))
+
+    return ds.map_batches(_tag, batch_format="pyarrow")
+
+
+def filter_valid(ds, contract, keep: bool = True):
+    """Keep only rows that pass (or fail, keep=False) — streaming."""
+    contract = ast.auto_to_contract(contract)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = cc.eval_table_mask(contract, batch)
+        return batch.filter(pa.array(mask if keep else ~mask))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -1,0 +1,18 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    """ONE Ray session for the whole pytest run (driver instruction)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    try:
+        from ray.data import DataContext
+        DataContext.get_current().enable_progress_bars = False
+    except Exception:
+        pass
+    yield ray
+    ray.shutdown()
