@@ -1,0 +1,107 @@
+"""Distribution-drift checks between two snapshots (SURVEY.md §2.6).
+
+Numeric columns: a KS-style statistic — sup |CDF_a(x) - CDF_b(x)| evaluated
+on a quantile grid of the two snapshots' merged t-digests (so each side of
+a 100 TB comparison is a kilobyte sketch, not data).
+Categorical columns: total-variation distance between the two frequency
+tables (value counts shuffled as small partials, like unique()).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .stats import ColumnStats, column_stats, column_stats_table
+
+
+@dataclass
+class DriftReport:
+    column: str
+    kind: str              # 'numeric-ks' | 'categorical-tv'
+    statistic: float
+    threshold: float
+    drifted: bool
+    detail: dict
+
+    def as_dict(self) -> dict:
+        return {
+            "column": self.column, "kind": self.kind,
+            "statistic": self.statistic, "threshold": self.threshold,
+            "drifted": self.drifted, **self.detail,
+        }
+
+
+def ks_statistic(a: ColumnStats, b: ColumnStats, grid: int = 201) -> float:
+    """sup-norm distance of the two sketched CDFs on a shared grid."""
+    if a.tdigest is None or b.tdigest is None:
+        return float("nan")
+    lo = min(a.vmin, b.vmin)
+    hi = max(a.vmax, b.vmax)
+    if not math.isfinite(lo) or not math.isfinite(hi) or hi <= lo:
+        return 0.0
+    xs = np.linspace(lo, hi, grid)
+    d = 0.0
+    for x in xs:
+        d = max(d, abs(a.tdigest.cdf(float(x)) - b.tdigest.cdf(float(x))))
+    return float(d)
+
+
+def numeric_drift(ds_a, ds_b, col: str, threshold: float = 0.1) -> DriftReport:
+    sa = column_stats(ds_a, [col])[col]
+    sb = column_stats(ds_b, [col])[col]
+    return numeric_drift_from_stats(sa, sb, col, threshold)
+
+
+def numeric_drift_from_stats(sa: ColumnStats, sb: ColumnStats, col: str,
+                             threshold: float = 0.1) -> DriftReport:
+    ks = ks_statistic(sa, sb)
+    return DriftReport(
+        column=col, kind="numeric-ks", statistic=ks, threshold=threshold,
+        drifted=bool(ks > threshold),
+        detail={"mean_a": sa.mean, "mean_b": sb.mean,
+                "p50_a": sa.quantile(0.5), "p50_b": sb.quantile(0.5)},
+    )
+
+
+def _value_freqs(ds_or_table, col: str) -> dict[str, float]:
+    if isinstance(ds_or_table, pa.Table):
+        t = ds_or_table.select([col]).group_by([col]).aggregate([([], "count_all")])
+        t = t.rename_columns([col, "cnt"])
+    else:
+        def partial(batch: pa.Table) -> pa.Table:
+            g = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
+            return g.rename_columns([col, "cnt"])
+
+        agg = ds_or_table.map_batches(partial, batch_format="pyarrow") \
+                         .groupby(col).sum("cnt")
+        parts = []
+        for b in agg.iter_batches(batch_format="pyarrow"):
+            parts.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
+        t = pa.concat_tables(parts).rename_columns([col, "cnt"]) if parts else None
+        if t is None:
+            return {}
+    total = pc.sum(t["cnt"]).as_py() or 1
+    return {
+        (k if k is not None else "\\N"): c / total
+        for k, c in zip(t[col].to_pylist(), t["cnt"].to_pylist())
+    }
+
+
+def categorical_drift(ds_a, ds_b, col: str, threshold: float = 0.05
+                      ) -> DriftReport:
+    """Total-variation distance: 0.5 * sum |p_a - p_b| over all categories."""
+    fa = _value_freqs(ds_a, col)
+    fb = _value_freqs(ds_b, col)
+    cats = set(fa) | set(fb)
+    tv = 0.5 * sum(abs(fa.get(c, 0.0) - fb.get(c, 0.0)) for c in cats)
+    return DriftReport(
+        column=col, kind="categorical-tv", statistic=float(tv),
+        threshold=threshold, drifted=bool(tv > threshold),
+        detail={"categories": len(cats)},
+    )

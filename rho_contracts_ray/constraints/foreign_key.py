@@ -1,0 +1,98 @@
+"""Referential-integrity constraint — `foreign_key(child -> dim)`
+(SURVEY.md §2.6).
+
+Scale design: the dimension side (repos_dim / commits_dim / customer...) is
+orders of magnitude smaller than the fact side, so this is a BROADCAST
+semi/anti join: the dim key set is `ray.put` into the object store ONCE and
+each validator actor reads it ONCE in `__init__` — never re-shipped per
+batch, no shuffle of the child table at all.  A both-sides-large join would
+instead bucket by key hash (see stages/dedup for the bucketing pattern).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import combine_key
+
+
+def _dim_key_array(dim, dim_cols: Sequence[str]) -> pa.Array:
+    if isinstance(dim, pa.Table):
+        t = dim
+    else:  # ray Dataset — dimension tables are small; collect once
+        import pyarrow as _pa
+        parts = []
+        for b in dim.iter_batches(batch_format="pyarrow"):
+            parts.append(b if isinstance(b, _pa.Table) else _pa.Table.from_batches([b]))
+        t = _pa.concat_tables(parts) if parts else None
+    if t is None:
+        return pa.array([], type=pa.string())
+    return pc.unique(combine_key(t, list(dim_cols)))
+
+
+class FKCheckStage:
+    """Actor-pool stage holding the broadcast dim-key set (fetched from the
+    object store once per actor)."""
+
+    def __init__(self, keys_ref, child_cols: Sequence[str]):
+        import ray
+
+        keys = ray.get(keys_ref[0]) if isinstance(keys_ref, list) else keys_ref
+        self.value_set = keys  # pa.Array of combined dim keys
+        self.child_cols = list(child_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        key = combine_key(batch, self.child_cols)
+        dangling = pc.invert(pc.is_in(key, value_set=self.value_set))
+        # null child keys are not FK violations (nullability is the row
+        # contract's job) — mask out rows with any null key column
+        for c in self.child_cols:
+            dangling = pc.and_(dangling, pc.is_valid(batch[c]))
+        sub = batch.select(self.child_cols).filter(pc.fill_null(dangling, False))
+        return sub.group_by(self.child_cols).aggregate([([], "count_all")]) \
+                  .rename_columns(self.child_cols + ["cnt"])
+
+
+def fk_violations(child_ds, child_cols: Sequence[str], dim,
+                  dim_cols: Optional[Sequence[str]] = None,
+                  concurrency=None):
+    """Child rows whose key is absent from the dimension ->
+    Dataset[child_cols..., cnt] of distinct dangling keys with counts."""
+    import ray
+
+    dim_cols = list(dim_cols or child_cols)
+    keys = _dim_key_array(dim, dim_cols)
+    keys_ref = ray.put(keys)  # broadcast once
+
+    from ..validate import _cluster_cpus
+
+    partial = child_ds.map_batches(
+        FKCheckStage,
+        fn_constructor_kwargs=dict(keys_ref=[keys_ref], child_cols=child_cols),
+        batch_format="pyarrow",
+        concurrency=concurrency if concurrency is not None else (1, _cluster_cpus()),
+    )
+    total = partial.groupby(list(child_cols)).sum("cnt")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(list(child_cols) + ["cnt"])
+
+    return total.map_batches(finish, batch_format="pyarrow")
+
+
+def fk_violations_table(child: pa.Table, child_cols: Sequence[str],
+                        dim: pa.Table, dim_cols: Optional[Sequence[str]] = None
+                        ) -> pa.Table:
+    """Local pyarrow path."""
+    dim_cols = list(dim_cols or child_cols)
+    keys = pc.unique(combine_key(dim, dim_cols))
+    key = combine_key(child, list(child_cols))
+    dangling = pc.invert(pc.is_in(key, value_set=keys))
+    for c in child_cols:
+        dangling = pc.and_(dangling, pc.is_valid(child[c]))
+    sub = child.select(list(child_cols)).filter(pc.fill_null(dangling, False))
+    return sub.group_by(list(child_cols)).aggregate([([], "count_all")]) \
+              .rename_columns(list(child_cols) + ["cnt"])

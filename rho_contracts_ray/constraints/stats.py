@@ -1,0 +1,183 @@
+"""Column statistics — exact moments + t-digest quantiles + HLL distinct
+(SURVEY.md §2.6).
+
+Scale design: one partial per (batch, column) — a handful of floats plus a
+few KB of serialized sketch — produced inside `map_batches` with NO shuffle;
+partials merge associatively on the driver (they are tiny: #batches rows),
+which is exactly the partial+final aggregate shape, so at 100 TB the
+reduction input is still kilobytes per column.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import stable_hash64
+from ..functions.sketches import HyperLogLog, TDigest
+
+PARTIAL_SCHEMA = pa.schema([
+    ("column", pa.string()),
+    ("count", pa.int64()),
+    ("nulls", pa.int64()),
+    ("vmin", pa.float64()),
+    ("vmax", pa.float64()),
+    ("vsum", pa.float64()),
+    ("vsum2", pa.float64()),
+    ("smin", pa.string()),
+    ("smax", pa.string()),
+    ("tdigest", pa.binary()),
+    ("hll", pa.binary()),
+])
+
+
+class StatsPartialStage:
+    """Per-batch partial sketches for a set of columns."""
+
+    def __init__(self, cols: Sequence[str], compression: float = 200.0,
+                 hll_p: int = 14):
+        self.cols = list(cols)
+        self.compression = compression
+        self.hll_p = hll_p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {name.name: [] for name in PARTIAL_SCHEMA}
+        for col_name in self.cols:
+            if col_name not in batch.column_names:
+                continue
+            col = batch[col_name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n = len(col)
+            nulls = col.null_count
+            is_num = (pa.types.is_integer(col.type)
+                      or pa.types.is_floating(col.type))
+            vmin = vmax = vsum = vsum2 = None
+            smin = smax = None
+            td = b""
+            if is_num:
+                v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+                v = v[~np.isnan(v)]
+                if v.size:
+                    vmin, vmax = float(v.min()), float(v.max())
+                    vsum, vsum2 = float(v.sum()), float((v * v).sum())
+                    d = TDigest(self.compression)
+                    d.add(v)
+                    td = d.to_bytes()
+            elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                mm = pc.min_max(col)
+                smin = mm["min"].as_py()
+                smax = mm["max"].as_py()
+            hll = HyperLogLog(self.hll_p)
+            hll.add_hashes(stable_hash64(col.drop_null()))
+            rows["column"].append(col_name)
+            rows["count"].append(n - nulls)
+            rows["nulls"].append(nulls)
+            rows["vmin"].append(vmin)
+            rows["vmax"].append(vmax)
+            rows["vsum"].append(vsum)
+            rows["vsum2"].append(vsum2)
+            rows["smin"].append(smin)
+            rows["smax"].append(smax)
+            rows["tdigest"].append(td)
+            rows["hll"].append(hll.to_bytes())
+        return pa.Table.from_pydict(rows, schema=PARTIAL_SCHEMA)
+
+
+@dataclass
+class ColumnStats:
+    column: str
+    count: int = 0
+    nulls: int = 0
+    vmin: Optional[float] = None
+    vmax: Optional[float] = None
+    vsum: float = 0.0
+    vsum2: float = 0.0
+    smin: Optional[str] = None
+    smax: Optional[str] = None
+    tdigest: Optional[TDigest] = None
+    hll: Optional[HyperLogLog] = None
+
+    @property
+    def mean(self) -> Optional[float]:
+        return self.vsum / self.count if self.count and self.vmin is not None else None
+
+    @property
+    def std(self) -> Optional[float]:
+        if not self.count or self.vmin is None:
+            return None
+        var = self.vsum2 / self.count - (self.vsum / self.count) ** 2
+        return math.sqrt(max(var, 0.0))
+
+    def quantile(self, q: float) -> Optional[float]:
+        return self.tdigest.quantile(q) if self.tdigest else None
+
+    def approx_distinct(self) -> Optional[float]:
+        return self.hll.estimate() if self.hll else None
+
+    def summary(self, quantiles=(0.5, 0.95, 0.99)) -> dict:
+        out = {
+            "column": self.column, "count": self.count, "nulls": self.nulls,
+            "min": self.vmin if self.vmin is not None else self.smin,
+            "max": self.vmax if self.vmax is not None else self.smax,
+            "mean": self.mean, "std": self.std,
+            "approx_distinct": self.approx_distinct(),
+        }
+        for q in quantiles:
+            out[f"p{int(q * 100)}"] = self.quantile(q)
+        return out
+
+
+def _merge_partials(table: pa.Table) -> dict[str, ColumnStats]:
+    out: dict[str, ColumnStats] = {}
+    for row in table.to_pylist():
+        c = row["column"]
+        s = out.setdefault(c, ColumnStats(c))
+        s.count += row["count"]
+        s.nulls += row["nulls"]
+        if row["vmin"] is not None:
+            s.vmin = row["vmin"] if s.vmin is None else min(s.vmin, row["vmin"])
+            s.vmax = row["vmax"] if s.vmax is None else max(s.vmax, row["vmax"])
+            s.vsum += row["vsum"]
+            s.vsum2 += row["vsum2"]
+        if row["smin"] is not None:
+            s.smin = row["smin"] if s.smin is None else min(s.smin, row["smin"])
+            s.smax = row["smax"] if s.smax is None else max(s.smax, row["smax"])
+        if row["tdigest"]:
+            d = TDigest.from_bytes(row["tdigest"])
+            s.tdigest = d if s.tdigest is None else s.tdigest.merge(d)
+        if row["hll"]:
+            h = HyperLogLog.from_bytes(row["hll"])
+            s.hll = h if s.hll is None else s.hll.merge(h)
+    return out
+
+
+def column_stats(ds, cols: Sequence[str], concurrency=None
+                 ) -> dict[str, ColumnStats]:
+    """Streaming per-column stats over a Dataset.  The only driver-side
+    materialization is the partials table (#batches x #cols tiny rows)."""
+    from ..validate import _cluster_cpus
+
+    partials = ds.map_batches(
+        StatsPartialStage,
+        fn_constructor_kwargs=dict(cols=list(cols)),
+        batch_format="pyarrow",
+        concurrency=concurrency if concurrency is not None else (1, _cluster_cpus()),
+    )
+    parts = []
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        parts.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
+    t = pa.concat_tables(parts) if parts else PARTIAL_SCHEMA.empty_table()
+    return _merge_partials(t)
+
+
+def column_stats_table(table: pa.Table, cols: Sequence[str]
+                       ) -> dict[str, ColumnStats]:
+    """Local pyarrow path."""
+    stage = StatsPartialStage(cols)
+    return _merge_partials(stage(table))

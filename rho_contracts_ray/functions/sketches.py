@@ -1,0 +1,215 @@
+"""Mergeable streaming sketches for dataset-level column statistics.
+
+The reference validates single values and has no cross-row operators at all;
+these sketches are the scale path for the `column_stats` / `drift`
+constraints (SURVEY.md §2.6): each Ray Data batch produces a small partial
+(t-digest centroids + HLL registers), partials merge associatively, so a
+100 TB column reduces to kilobytes without any shuffle.
+
+Both are from-scratch implementations of published algorithms:
+  * t-digest — Dunning & Ertl, "Computing Extremely Accurate Quantiles
+    Using t-Digests" (arXiv:1902.04023), the size-limited merging variant;
+  * HyperLogLog — Flajolet et al. 2007, with the standard bias correction
+    and linear-counting small-range regime.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+
+
+class TDigest:
+    """Mergeable quantile sketch (merging/size-limited variant)."""
+
+    def __init__(self, compression: float = 200.0):
+        self.compression = float(compression)
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf: list[np.ndarray] = []
+        self._buf_n = 0
+        self.count = 0.0
+        self.min = math.inf
+        self.max = -math.inf
+
+    # -- updates ------------------------------------------------------------
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return
+        self.count += v.size
+        self.min = min(self.min, float(v.min()))
+        self.max = max(self.max, float(v.max()))
+        self._buf.append(v)
+        self._buf_n += v.size
+        if self._buf_n > 10 * self.compression:
+            self._compress()
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        other._compress()
+        self._compress()
+        if other.count == 0:
+            return self
+        self.count += other.count
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._force_compress()
+        return self
+
+    def _compress(self) -> None:
+        if not self._buf:
+            return
+        v = np.concatenate(self._buf)
+        self._buf = []
+        self._buf_n = 0
+        self.means = np.concatenate([self.means, v])
+        self.weights = np.concatenate([self.weights, np.ones(v.size)])
+        self._force_compress()
+
+    def _force_compress(self) -> None:
+        if self.means.size == 0:
+            return
+        order = np.argsort(self.means, kind="stable")
+        means = self.means[order]
+        weights = self.weights[order]
+        total = weights.sum()
+        out_means: list[float] = []
+        out_weights: list[float] = []
+        cum = 0.0
+        cur_m, cur_w = means[0], weights[0]
+        for m, w in zip(means[1:], weights[1:]):
+            q = (cum + cur_w / 2.0) / total
+            limit = 4.0 * total * q * (1.0 - q) / self.compression
+            if cur_w + w <= max(limit, 1.0):
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                out_means.append(cur_m)
+                out_weights.append(cur_w)
+                cum += cur_w
+                cur_m, cur_w = m, w
+        out_means.append(cur_m)
+        out_weights.append(cur_w)
+        self.means = np.asarray(out_means)
+        self.weights = np.asarray(out_weights)
+
+    # -- queries ------------------------------------------------------------
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if self.means.size == 0:
+            return float("nan")
+        if q <= 0:
+            return self.min
+        if q >= 1:
+            return self.max
+        target = q * self.weights.sum()
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        i = int(np.searchsorted(cum, target))
+        if i == 0:
+            return float(self.means[0])
+        if i >= self.means.size:
+            return float(self.means[-1])
+        lo_c, hi_c = cum[i - 1], cum[i]
+        frac = (target - lo_c) / (hi_c - lo_c) if hi_c > lo_c else 0.0
+        return float(self.means[i - 1] + frac * (self.means[i] - self.means[i - 1]))
+
+    def cdf(self, x: float) -> float:
+        """P(value <= x), interpolated — used by the KS drift check."""
+        self._compress()
+        if self.count == 0:
+            return float("nan")
+        if x < self.min:
+            return 0.0
+        if x >= self.max:
+            return 1.0
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        i = int(np.searchsorted(self.means, x))
+        if i == 0:
+            return float(cum[0] / self.count) * (x - self.min) / max(self.means[0] - self.min, 1e-12)
+        if i >= self.means.size:
+            return 1.0
+        m0, m1 = self.means[i - 1], self.means[i]
+        frac = (x - m0) / (m1 - m0) if m1 > m0 else 0.0
+        c = cum[i - 1] + frac * (cum[i] - cum[i - 1])
+        return float(min(max(c / self.weights.sum(), 0.0), 1.0))
+
+    # -- serialization (object-store friendly) ------------------------------
+
+    def to_bytes(self) -> bytes:
+        self._compress()
+        return pickle.dumps(
+            (self.compression, self.means, self.weights, self.count,
+             self.min, self.max), protocol=4,
+        )
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "TDigest":
+        comp, means, weights, count, mn, mx = pickle.loads(b)
+        d = cls(comp)
+        d.means, d.weights, d.count, d.min, d.max = means, weights, count, mn, mx
+        return d
+
+
+class HyperLogLog:
+    """Mergeable approximate-distinct sketch (2^p registers, ~1.04/sqrt(m)
+    relative error; p=14 -> ~0.8%)."""
+
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """Update from stable 64-bit hashes (see functions.hashing)."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if h.size == 0:
+            return
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rho = leading-zero count of the remaining bits + 1, vectorized:
+        # position of the highest set bit via log2 on the float mantissa is
+        # unsafe; use a bit-twiddling loop over the 64 bit positions instead.
+        rho = np.ones(h.size, dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        cur = rest
+        unresolved = np.ones(h.size, dtype=bool)
+        for k in range(1, 64 - self.p + 2):
+            topset = (cur & mask) != 0
+            newly = unresolved & topset
+            rho[newly] = k
+            unresolved &= ~topset
+            if not unresolved.any():
+                break
+            cur = cur << np.uint64(1)
+        np.maximum.at(self.registers, idx, rho)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-self.registers.astype(np.float64)))
+        if est <= 2.5 * m:
+            zeros = int(np.count_nonzero(self.registers == 0))
+            if zeros:
+                est = m * math.log(m / zeros)  # linear counting
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        h = cls(b[0])
+        h.registers = np.frombuffer(b[1:], dtype=np.uint8).copy()
+        return h

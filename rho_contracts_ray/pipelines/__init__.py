@@ -1,0 +1,1 @@
+from .repo_files_suite import run_suite, run_suite_checkpointed  # noqa: F401

@@ -1,0 +1,87 @@
+"""Flagship suite + checkpoint/resume (FIXTURES F5 t_resume)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from rho_contracts_ray.pipelines import run_suite, run_suite_checkpointed
+from rho_contracts_ray.sources import write_repo_files
+from rho_contracts_ray.state import CheckpointManager, plan_partitions
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    files = write_repo_files(str(d), n_rows=16_000, n_shards=8, seed=42)
+    return files
+
+
+def test_run_suite_end_to_end(ray_session, corpus, tmp_path):
+    out = str(tmp_path / "out")
+    s = run_suite(corpus, out_dir=out)
+    assert s["rows"] == 16_000
+    assert s["contract_violations"] > 0          # injected violations found
+    assert s["duplicate_keys"] > 0               # injected dup triples found
+    assert s["fk_dangling_repo"] >= 1            # org_999/repo_999
+    assert s["fk_dangling_commit"] >= 1          # DEADBEEF / abc123
+    assert len(s["sha256_rollup"]) == 16
+    assert s["content_len_p50"] is not None
+    v = pq.read_table(os.path.join(out, "violations.parquet"))
+    assert v.num_rows > 0
+    assert "message" in v.column_names
+    # a malformed commit produces the and/matches message
+    msgs = " ".join(v["message"].to_pylist()[:500])
+    assert "matches(/^[0-9a-f]{40}$/)" in msgs
+
+
+def test_suite_deterministic_rollup(ray_session, corpus):
+    s1 = run_suite(corpus)
+    s2 = run_suite(list(reversed(corpus)))   # order must not matter
+    assert s1["sha256_rollup"] == s2["sha256_rollup"]
+    assert s1["rows"] == s2["rows"]
+    assert s1["contract_violations"] == s2["contract_violations"]
+
+
+def test_checkpoint_resume(ray_session, corpus, tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    # "kill" after 2 of 4 partitions
+    s1 = run_suite_checkpointed(corpus, ckpt, out, group_size=2,
+                                max_partitions=2)
+    assert len(s1["ran"]) == 2 and len(s1["skipped"]) == 0
+    # resume: must skip the 2 completed partitions and run the rest
+    s2 = run_suite_checkpointed(corpus, ckpt, out, group_size=2)
+    assert sorted(s2["skipped"]) == sorted(s1["ran"])
+    assert len(s2["ran"]) == 2
+    assert s2["rows"] == 16_000
+    # lineage records carry metrics
+    rec = CheckpointManager(ckpt).completed()
+    assert len(rec) == 4
+    for pid, r in rec.items():
+        assert r["rows"] > 0 and "sha256_rollup" in r and r["wall_ms"] >= 0
+    # re-resume: nothing left to do, totals unchanged
+    s3 = run_suite_checkpointed(corpus, ckpt, out, group_size=2)
+    assert s3["ran"] == [] and len(s3["skipped"]) == 4
+    assert s3["rows"] == s2["rows"] and s3["violations"] == s2["violations"]
+
+
+def test_partition_plan_stable():
+    frags = [f"/x/part-{i}.parquet" for i in (3, 1, 2, 0)]
+    p1 = plan_partitions(frags, 2)
+    p2 = plan_partitions(list(reversed(frags)), 2)
+    assert p1 == p2
+    assert p1[0][0] == "p00000"
+
+
+def test_torn_checkpoint_ignored(tmp_path):
+    ckpt = str(tmp_path / "ck")
+    m = CheckpointManager(ckpt)
+    m.record("p1", {"rows": 5})
+    with open(os.path.join(ckpt, "p2.json"), "w") as fh:
+        fh.write('{"rows": 5')  # torn write
+    done = m.completed()
+    assert "p1" in done and "p2" not in done
