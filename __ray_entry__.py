@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship validation suite over /root/testdata/sf0.001.
+queries(): one callable per implemented operator (SURVEY.md §2 + the
+training-data pipeline stages); each takes sf_dir and returns a
+Dataset / pandas DataFrame / pyarrow Table.
+oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query,
+with IDENTICAL column names (the driver hashes values after sorting
+columns by name).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,577 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _collect(ds) -> pa.Table:
+    parts = []
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        parts.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts)
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship pipeline at sf0.001
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Contract-validate the events table and return the violation rows
+    (stable schema; >=0 rows)."""
+    from rho_contracts_ray import c, validate
+
+    ds = _read("/root/testdata/sf0.001", "events")
+    contract = c.object({
+        "event_id": c.integer,
+        "ts": c.date,
+        "user_id": c.integer,
+        "event_type": c.oneOf("click", "view", "purchase", "signup"),
+        "value": c.number,
+        "props": c.optional(c.string),
+    })
+    rep = validate(ds, contract, name="events", id_cols=["event_id"])
+    return rep.violations()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_contract_oneof_violations(sf_dir: str):
+    from rho_contracts_ray import c, filter_valid
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    contract = c.object({
+        "event_type": c.oneOf("click", "view", "purchase", "signup"),
+    })
+    return filter_valid(ds, contract, keep=False).select_columns(
+        ["event_id", "event_type"])
+
+
+def _q_contract_matches_violations(sf_dir: str):
+    from rho_contracts_ray import c, filter_valid
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    contract = c.object({"text": c.matches("spark")})
+    return filter_valid(ds, contract, keep=False).select_columns(["doc_id"])
+
+
+def _q_contract_and_violations(sf_dir: str):
+    from rho_contracts_ray import c, filter_valid
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag"])
+    contract = c.object({"l_returnflag": c.and_(c.string, c.oneOf("A", "N"))})
+    return filter_valid(ds, contract, keep=False)
+
+
+def _q_contract_integer_violations(sf_dir: str):
+    from rho_contracts_ray import c, filter_valid
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    contract = c.object({"value": c.integer})
+    return filter_valid(ds, contract, keep=False)
+
+
+def _q_contract_pred_violations(sf_dir: str):
+    from rho_contracts_ray import c, filter_valid
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    contract = c.object({
+        "o_totalprice": c.pred(
+            lambda v: v is not None and v >= 50_000,
+            vectorized=lambda col: pc.greater_equal(col, 50_000.0)),
+    })
+    return filter_valid(ds, contract, keep=False).select_columns(["o_orderkey"])
+
+
+def _q_contract_or_optional_verdicts(sf_dir: str):
+    """or/optional/value kernels: count rows passing
+    object({o_orderstatus: or(value('F'), value('O')),
+            o_orderpriority: optional(string)})."""
+    from rho_contracts_ray import c
+    from rho_contracts_ray.contracts import compile as cc
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_orderpriority"])
+    contract = c.object({
+        "o_orderstatus": c.or_(c.value("F"), c.value("O")),
+        "o_orderpriority": c.optional(c.string),
+    })
+
+    def agg(batch: pa.Table) -> pa.Table:
+        mask = cc.eval_table_mask(contract, batch)
+        return pa.table({"n_rows": pa.array([batch.num_rows], pa.int64()),
+                         "n_pass": pa.array([int(mask.sum())], pa.int64())})
+
+    parts = _collect(ds.map_batches(agg, batch_format="pyarrow"))
+    return pa.table({
+        "n_rows": pa.array([pc.sum(parts["n_rows"]).as_py() or 0], pa.int64()),
+        "n_pass": pa.array([pc.sum(parts["n_pass"]).as_py() or 0], pa.int64()),
+    })
+
+
+def _q_contract_tuple_embeddings(sf_dir: str):
+    """tuple/array kernels over a list<float> column: strict 64-tuple of
+    numbers."""
+    from rho_contracts_ray import c
+    from rho_contracts_ray.contracts import compile as cc
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    contract = c.object({
+        "embedding": c.tuple(*([c.number] * 64)).strict(),
+    })
+
+    def agg(batch: pa.Table) -> pa.Table:
+        mask = cc.eval_table_mask(contract, batch)
+        return pa.table({"n_rows": pa.array([batch.num_rows], pa.int64()),
+                         "n_pass": pa.array([int(mask.sum())], pa.int64())})
+
+    parts = _collect(ds.map_batches(agg, batch_format="pyarrow"))
+    return pa.table({
+        "n_rows": pa.array([pc.sum(parts["n_rows"]).as_py() or 0], pa.int64()),
+        "n_pass": pa.array([pc.sum(parts["n_pass"]).as_py() or 0], pa.int64()),
+    })
+
+
+def _q_unique_orders_custkey(sf_dir: str):
+    from rho_contracts_ray.constraints import unique_violations
+
+    return unique_violations(_read(sf_dir, "orders", columns=["o_custkey"]),
+                             ["o_custkey"])
+
+
+def _q_unique_lineitem_pk(sf_dir: str):
+    from rho_contracts_ray.constraints import unique_violations
+
+    out = unique_violations(
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"]),
+        ["l_orderkey", "l_linenumber"])
+    return _with_schema(out, pa.schema([("l_orderkey", pa.int64()),
+                                        ("l_linenumber", pa.int64()),
+                                        ("cnt", pa.int64())]))
+
+
+def _with_schema(ds, schema: pa.Schema) -> pa.Table:
+    """Collect a (possibly empty) Dataset into a Table with a guaranteed
+    schema — an empty Ray groupby result has no columns otherwise."""
+    t = _collect(ds)
+    if t.num_columns == 0 or t.num_rows == 0:
+        return schema.empty_table()
+    return t.cast(schema)
+
+
+def _q_fk_lineitem_orders(sf_dir: str):
+    from rho_contracts_ray.constraints import fk_violations
+
+    out = fk_violations(
+        _read(sf_dir, "lineitem", columns=["l_orderkey"]), ["l_orderkey"],
+        _read(sf_dir, "orders", columns=["o_orderkey"]), ["o_orderkey"])
+    return _with_schema(out, pa.schema([("l_orderkey", pa.int64()),
+                                        ("cnt", pa.int64())]))
+
+
+def _q_fk_events_customer(sf_dir: str):
+    from rho_contracts_ray.constraints import fk_violations
+
+    out = fk_violations(
+        _read(sf_dir, "events", columns=["user_id"]), ["user_id"],
+        _read(sf_dir, "customer", columns=["c_custkey"]), ["c_custkey"])
+    return _with_schema(out, pa.schema([("user_id", pa.int64()),
+                                        ("cnt", pa.int64())]))
+
+
+def _q_column_stats_lineitem(sf_dir: str):
+    from rho_contracts_ray.constraints import column_stats
+
+    s = column_stats(_read(sf_dir, "lineitem", columns=["l_quantity"]),
+                     ["l_quantity"])["l_quantity"]
+    # l_quantity is integer-valued: sums are exact in double regardless of
+    # order.  vavg is floor(avg*1e4) so both sides do the identical IEEE ops
+    # (round() would hit half-even vs half-away library differences).
+    return pa.table({
+        "cnt": pa.array([s.count], pa.int64()),
+        "nulls": pa.array([s.nulls], pa.int64()),
+        "vmin": pa.array([s.vmin], pa.float64()),
+        "vmax": pa.array([s.vmax], pa.float64()),
+        "vsum": pa.array([s.vsum], pa.float64()),
+        "vavg_floor4": pa.array(
+            [int(np.floor(10000.0 * (s.vsum / s.count)))], pa.int64()),
+    })
+
+
+def _q_sha256_documents(sf_dir: str):
+    from rho_contracts_ray.constraints import with_sha256
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return with_sha256(ds, "text", "sha").select_columns(["doc_id", "sha"])
+
+
+def _q_dedup_exact_documents(sf_dir: str):
+    from rho_contracts_ray.stages import exact_dup_groups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+    return exact_dup_groups(ds, ["lang", "source"], "doc_id", min_count=1)
+
+
+def _q_token_counts_documents(sf_dir: str):
+    from rho_contracts_ray.stages import token_counts
+
+    return token_counts(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def _q_text_len_check_documents(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ln = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text_len": ln,
+            "len_ok": pc.equal(ln, batch["n_chars"]),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_agg_pricing_summary(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ([], "count_all")])
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sq", "sb", "n"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"])
+
+    import pandas as pd
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sq=("sq", "sum"), sb=("sb", "sum"), n=("n", "sum"))
+        return pd.DataFrame({
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": out["sq"].round(2),
+            "sum_base_price": out["sb"].round(2),
+            "avg_qty": (out["sq"] / out["n"]).round(4),
+            "cnt": out["n"].astype("int64"),
+        })
+
+    return agg.map_groups(finish, batch_format="pandas")
+
+
+def _q_events_hourly_counts(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+        })
+        g = t.group_by(["user_id", "hour"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "hour", "n"])
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["user_id", "hour"]).sum("n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["user_id", "hour", "n"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_distinct_event_types(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def _q_filter_purchases(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type",
+                                          "value"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(batch["event_type"], "purchase"),
+                       pc.greater(batch["value"], 100.0))
+        return batch.filter(keep).select(["event_id", "user_id", "value"])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _q_top10_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    # deterministic ties: negative orderkey as secondary ascending key
+    def neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column("negkey", pc.negate(batch["o_orderkey"]))
+
+    out = ds.map_batches(neg, batch_format="pyarrow") \
+        .sort(["o_totalprice", "negkey"], descending=[True, True]).limit(10)
+    return out.select_columns(["o_orderkey", "o_totalprice"])
+
+
+# -- rows-only (non-SQL-expressible) ops -------------------------------------
+
+
+def _q_minhash_pairs_documents(sf_dir: str):
+    from rho_contracts_ray.stages import minhash_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dup_pairs(ds, threshold=0.5)
+
+
+def _q_simhash_documents(sf_dir: str):
+    from rho_contracts_ray.stages import simhash64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash64(ds)
+
+
+def _q_text_quality_documents(sf_dir: str):
+    from rho_contracts_ray.stages import text_features
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_features(ds).select_columns(
+        ["doc_id", "lang_id", "quality", "punct_ratio"])
+
+
+def _q_fingerprints_documents(sf_dir: str):
+    from rho_contracts_ray.stages import doc_fingerprints
+
+    return doc_fingerprints(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
+def _q_knn_embeddings(sf_dir: str):
+    from rho_contracts_ray.stages import knn_brute_force
+
+    t = _collect(_read(sf_dir, "embeddings").limit(3))
+    q = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in t["embedding"].to_pylist()])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_brute_force(ds, q, k=5)
+    return out.select(["query_id", "rank", "vec_id"])
+
+
+def _q_knn_ivf_embeddings(sf_dir: str):
+    from rho_contracts_ray.stages import knn_ivf
+
+    t = _collect(_read(sf_dir, "embeddings").limit(3))
+    q = np.stack([np.asarray(v, dtype=np.float32)
+                  for v in t["embedding"].to_pylist()])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivf(ds, q, k=5, n_clusters=8, nprobe=4) \
+        .select(["query_id", "rank", "vec_id"])
+
+
+def _q_embedding_dup_pairs(sf_dir: str):
+    from rho_contracts_ray.stages import embedding_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=0.99)
+
+
+def _q_drift_events_value(sf_dir: str):
+    """KS drift between early-half and late-half event values."""
+    from rho_contracts_ray.constraints.stats import column_stats
+    from rho_contracts_ray.constraints.drift import numeric_drift_from_stats
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    t = _collect(ds)
+    mid = pc.quantile(t["ts"].cast(pa.int64()), 0.5)[0].as_py()
+    lo = t.filter(pc.less(t["ts"].cast(pa.int64()), mid))
+    hi = t.filter(pc.greater_equal(t["ts"].cast(pa.int64()), mid))
+    from rho_contracts_ray.constraints.stats import column_stats_table
+    sa = column_stats_table(lo.select(["value"]), ["value"])["value"]
+    sb = column_stats_table(hi.select(["value"]), ["value"])["value"]
+    r = numeric_drift_from_stats(sa, sb, "value")
+    return pa.table({"column": ["value"],
+                     "ks": [round(r.statistic, 4)],
+                     "drifted": [r.drifted]})
+
+
+def _q_validate_events_summary(sf_dir: str):
+    """Full validate() report path (summary counts)."""
+    from rho_contracts_ray import c, validate
+
+    ds = _read(sf_dir, "events")
+    contract = c.object({
+        "event_id": c.integer,
+        "event_type": c.oneOf("click", "view", "purchase", "signup"),
+        "value": c.number,
+        "props": c.optional(c.string),
+    })
+    rep = validate(ds, contract, name="events")
+    s = rep.summary()
+    return pa.table({"n_rows": pa.array([s["rows"]], pa.int64()),
+                     "n_violations": pa.array([s["violations"]], pa.int64())})
+
+
+def _q_media_decode(sf_dir: str):
+    """Multimodal plumbing on the deterministic synthetic media table."""
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import make_media_table
+    from rho_contracts_ray.stages.multimodal import decode_images
+
+    ds = rd.from_arrow(make_media_table(200))
+    return decode_images(ds).select_columns(
+        ["media_id", "detected_format", "payload_bytes"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # row-contract kernels
+        "contract_oneof_violations": _q_contract_oneof_violations,
+        "contract_matches_violations": _q_contract_matches_violations,
+        "contract_and_violations": _q_contract_and_violations,
+        "contract_integer_violations": _q_contract_integer_violations,
+        "contract_pred_violations": _q_contract_pred_violations,
+        "contract_or_optional_verdicts": _q_contract_or_optional_verdicts,
+        "contract_tuple_embeddings": _q_contract_tuple_embeddings,
+        "validate_events_summary": _q_validate_events_summary,
+        # dataset-level constraints
+        "unique_orders_custkey": _q_unique_orders_custkey,
+        "unique_lineitem_pk": _q_unique_lineitem_pk,
+        "fk_lineitem_orders": _q_fk_lineitem_orders,
+        "fk_events_customer": _q_fk_events_customer,
+        "column_stats_lineitem": _q_column_stats_lineitem,
+        "sha256_documents": _q_sha256_documents,
+        "drift_events_value": _q_drift_events_value,
+        # relational / pipeline ops
+        "dedup_exact_documents": _q_dedup_exact_documents,
+        "token_counts_documents": _q_token_counts_documents,
+        "text_len_check_documents": _q_text_len_check_documents,
+        "agg_pricing_summary": _q_agg_pricing_summary,
+        "events_hourly_counts": _q_events_hourly_counts,
+        "distinct_event_types": _q_distinct_event_types,
+        "filter_purchases": _q_filter_purchases,
+        "top10_orders": _q_top10_orders,
+        # training-data stages (rows-only where non-SQL)
+        "minhash_pairs_documents": _q_minhash_pairs_documents,
+        "simhash_documents": _q_simhash_documents,
+        "text_quality_documents": _q_text_quality_documents,
+        "fingerprints_documents": _q_fingerprints_documents,
+        "knn_embeddings": _q_knn_embeddings,
+        "knn_ivf_embeddings": _q_knn_ivf_embeddings,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "media_decode": _q_media_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "contract_oneof_violations": (
+            "SELECT event_id, event_type FROM events "
+            "WHERE event_type NOT IN ('click','view','purchase','signup')"
+        ),
+        "contract_matches_violations": (
+            "SELECT doc_id FROM documents WHERE NOT regexp_matches(text, 'spark')"
+        ),
+        "contract_and_violations": (
+            "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem "
+            "WHERE l_returnflag NOT IN ('A','N')"
+        ),
+        "contract_integer_violations": (
+            "SELECT event_id, value FROM events "
+            "WHERE value IS NULL OR value <> floor(value)"
+        ),
+        "contract_pred_violations": (
+            "SELECT o_orderkey FROM orders WHERE NOT (o_totalprice >= 50000)"
+        ),
+        "contract_or_optional_verdicts": (
+            "SELECT count(*)::BIGINT AS n_rows, "
+            "count(*) FILTER (WHERE o_orderstatus IN ('F','O'))::BIGINT AS n_pass "
+            "FROM orders"
+        ),
+        "contract_tuple_embeddings": (
+            "SELECT count(*)::BIGINT AS n_rows, "
+            "count(*) FILTER (WHERE len(embedding) = 64)::BIGINT AS n_pass "
+            "FROM embeddings"
+        ),
+        "validate_events_summary": (
+            "SELECT count(*)::BIGINT AS n_rows, count(*) FILTER (WHERE NOT ("
+            " event_id IS NOT NULL AND value IS NOT NULL AND "
+            " event_type IN ('click','view','purchase','signup')"
+            "))::BIGINT AS n_violations FROM events"
+        ),
+        "unique_orders_custkey": (
+            "SELECT o_custkey, count(*) AS cnt FROM orders "
+            "GROUP BY o_custkey HAVING count(*) >= 2"
+        ),
+        "unique_lineitem_pk": (
+            "SELECT l_orderkey, l_linenumber, count(*) AS cnt FROM lineitem "
+            "GROUP BY 1, 2 HAVING count(*) >= 2"
+        ),
+        "fk_lineitem_orders": (
+            "SELECT l_orderkey, count(*) AS cnt FROM lineitem "
+            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders) GROUP BY 1"
+        ),
+        "fk_events_customer": (
+            "SELECT user_id, count(*) AS cnt FROM events "
+            "WHERE user_id NOT IN (SELECT c_custkey FROM customer) GROUP BY 1"
+        ),
+        "column_stats_lineitem": (
+            "SELECT count(l_quantity)::BIGINT AS cnt, "
+            "(count(*) - count(l_quantity))::BIGINT AS nulls, "
+            "min(l_quantity)::DOUBLE AS vmin, max(l_quantity)::DOUBLE AS vmax, "
+            "sum(l_quantity)::DOUBLE AS vsum, "
+            "floor(10000.0 * (sum(l_quantity) / count(l_quantity)))::BIGINT "
+            "AS vavg_floor4 FROM lineitem"
+        ),
+        "sha256_documents": (
+            "SELECT doc_id, sha256(text) AS sha FROM documents"
+        ),
+        "dedup_exact_documents": (
+            "SELECT lang, source, min(doc_id) AS keep_id, count(*) AS cnt "
+            "FROM documents GROUP BY lang, source"
+        ),
+        "token_counts_documents": (
+            "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), "
+            "x -> x <> ''))::BIGINT AS n_tokens FROM documents"
+        ),
+        "text_len_check_documents": (
+            "SELECT doc_id, length(text)::BIGINT AS text_len, "
+            "length(text) = n_chars AS len_ok FROM documents"
+        ),
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_quantity) / count(*), 4) AS avg_qty, "
+            "count(*)::BIGINT AS cnt "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "events_hourly_counts": (
+            "SELECT user_id, date_trunc('hour', ts) AS hour, "
+            "count(*)::BIGINT AS n FROM events GROUP BY 1, 2"
+        ),
+        "distinct_event_types": (
+            "SELECT DISTINCT event_type FROM events"
+        ),
+        "filter_purchases": (
+            "SELECT event_id, user_id, value FROM events "
+            "WHERE event_type = 'purchase' AND value > 100"
+        ),
+        "top10_orders": (
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+        # minhash/simhash/quality/fingerprints/knn/drift/media: rows-only
+    }

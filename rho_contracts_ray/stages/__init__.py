@@ -1,0 +1,16 @@
+"""Data-pipeline operator stages for large-scale training-data work:
+text analysis, deduplication (exact / MinHash-LSH / SimHash / n-gram
+Jaccard / embedding), similarity search, multimodal plumbing."""
+
+from .text import (  # noqa: F401
+    TextFeaturesStage, doc_fingerprints, text_features, token_counts,
+    winnowing_fingerprints,
+)
+from .dedup import (  # noqa: F401
+    exact_dup_groups, exact_dedup, minhash_signatures, minhash_dup_pairs,
+    simhash64, simhash_dup_pairs, ngram_jaccard, connected_components,
+)
+from .ann import knn_brute_force, knn_ivf, embedding_dup_pairs  # noqa: F401
+from .multimodal import (  # noqa: F401
+    DecodeImageStage, FrameSampleStage, decode_images, make_media_table,
+)

@@ -1,0 +1,233 @@
+"""Similarity search over an embedding column (list<float>).
+
+  * knn_brute_force — exact cosine top-k: the query matrix is `ray.put`
+    ONCE (broadcast), each batch does one numpy matmul and keeps only its
+    local top-k per query; the driver merges #batches x k tiny partials.
+    No shuffle, no materialization of the vectors.
+  * knn_ivf — the scale path: coarse k-means centroids trained on a seeded
+    sample; each batch prunes to vectors whose centroid is probed by at
+    least one query, then scores only those.  Same output contract.
+  * embedding_dup_pairs — near-duplicate pairs via random-hyperplane LSH
+    buckets + in-bucket exact cosine.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
+    dim = len(flat) // max(batch.num_rows, 1)
+    return flat.reshape(batch.num_rows, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+class _TopKStage:
+    """Per-batch local top-k against the broadcast query matrix."""
+
+    def __init__(self, q_ref, k: int, emb_col: str, id_col: str):
+        import ray
+
+        self.q = _normalize(ray.get(q_ref[0]).astype(np.float32))  # once per actor
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float32())})
+        v = _normalize(_batch_matrix(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        scores = self.q @ v.T  # (n_q, n_batch)
+        k = min(self.k, v.shape[0])
+        top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        qid, vid, sc = [], [], []
+        for qi in range(self.q.shape[0]):
+            sel = top[qi]
+            qid.extend([qi] * len(sel))
+            vid.extend(ids[sel].tolist())
+            sc.extend(scores[qi, sel].tolist())
+        return pa.table({"query_id": pa.array(qid, pa.int64()),
+                         "vec_id": pa.array(vid, pa.int64()),
+                         "score": pa.array(sc, pa.float32())})
+
+
+def _merge_topk(partials, k: int) -> pa.Table:
+    best: dict[int, list] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for q, v, s in zip(t["query_id"].to_pylist(), t["vec_id"].to_pylist(),
+                           t["score"].to_pylist()):
+            heap = best.setdefault(q, [])
+            # tie-break on smaller vec_id for determinism
+            item = (s, -v)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    qid, rank, vid, sc = [], [], [], []
+    for q in sorted(best):
+        items = sorted(best[q], key=lambda x: (-x[0], -x[1]))
+        for r, (s, nv) in enumerate(items):
+            qid.append(q)
+            rank.append(r + 1)
+            vid.append(-nv)
+            sc.append(round(float(s), 6))
+    return pa.table({"query_id": pa.array(qid, pa.int64()),
+                     "rank": pa.array(rank, pa.int64()),
+                     "vec_id": pa.array(vid, pa.int64()),
+                     "score": pa.array(sc, pa.float64())})
+
+
+def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
+                    emb_col: str = "embedding", id_col: str = "vec_id",
+                    concurrency=None) -> pa.Table:
+    """Exact cosine top-k of each query row against every dataset vector."""
+    import ray
+
+    from ..validate import _cluster_cpus
+
+    q_ref = ray.put(np.asarray(queries, dtype=np.float32))
+    partials = ds.map_batches(
+        _TopKStage,
+        fn_constructor_kwargs=dict(q_ref=[q_ref], k=k, emb_col=emb_col,
+                                   id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency if concurrency is not None else (1, _cluster_cpus()),
+    )
+    return _merge_topk(partials, k)
+
+
+def _kmeans(x: np.ndarray, n_clusters: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(x.shape[0], size=min(n_clusters, x.shape[0]), replace=False)
+    cent = x[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(_normalize(x) @ _normalize(cent).T, axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+class _IVFStage(_TopKStage):
+    def __init__(self, q_ref, cent_ref, probed_ref, k, emb_col, id_col):
+        super().__init__(q_ref, k, emb_col, id_col)
+        import ray
+
+        self.centroids = _normalize(ray.get(cent_ref[0]).astype(np.float32))
+        self.probed = ray.get(probed_ref[0])  # set of probed centroid ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return super().__call__(batch)
+        v = _normalize(_batch_matrix(batch, self.emb_col))
+        assign = np.argmax(v @ self.centroids.T, axis=1)
+        keep = np.isin(assign, list(self.probed))
+        return super().__call__(batch.filter(pa.array(keep)))
+
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+            nprobe: int = 4, sample_size: int = 2000,
+            emb_col: str = "embedding", id_col: str = "vec_id",
+            seed: int = 42, concurrency=None) -> pa.Table:
+    """IVF-pruned cosine top-k: train coarse centroids on a seeded sample,
+    probe the nprobe nearest centroids per query, score only vectors
+    assigned to probed centroids."""
+    import ray
+
+    from ..validate import _cluster_cpus
+
+    sample = ds.limit(sample_size)
+    parts = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in sample.iter_batches(batch_format="pyarrow")
+    ]
+    x = np.concatenate([_batch_matrix(t, emb_col) for t in parts])
+    cent = _kmeans(x, n_clusters, seed=seed)
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe_scores = q @ _normalize(cent).T
+    probed = set()
+    for qi in range(q.shape[0]):
+        probed.update(np.argsort(-probe_scores[qi])[:nprobe].tolist())
+
+    partials = ds.map_batches(
+        _IVFStage,
+        fn_constructor_kwargs=dict(
+            q_ref=[ray.put(q)], cent_ref=[ray.put(cent)],
+            probed_ref=[ray.put(probed)], k=k, emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency if concurrency is not None else (1, _cluster_cpus()),
+    )
+    return _merge_topk(partials, k)
+
+
+def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
+                        emb_col: str = "embedding", id_col: str = "vec_id",
+                        seed: int = 42, max_bucket: int = 500) -> pa.Table:
+    """Near-duplicate vector pairs: random-hyperplane sign buckets
+    (seeded), exact cosine within buckets."""
+    import ray
+
+    planes_holder = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        if "planes" not in planes_holder:
+            dim = _batch_matrix(batch.slice(0, 1), emb_col).shape[1]
+            rng = np.random.default_rng(seed)
+            planes_holder["planes"] = rng.standard_normal((dim, n_planes)) \
+                .astype(np.float32)
+        planes = planes_holder["planes"]
+        v = _normalize(_batch_matrix(batch, emb_col))
+        signs = (v @ planes) > 0
+        bucket = (signs.astype(np.uint32)
+                  * (1 << np.arange(n_planes, dtype=np.uint32))).sum(axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "bucket": pa.array(bucket.astype(np.int64)),
+            "vec": pa.array(list(v.astype(np.float32))),
+        })
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
+        ids = sub[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float32) for v in sub["vec"]]) \
+            if len(sub) else np.empty((0, 1))
+        rows = []
+        if len(sub) > 1:
+            s = m @ m.T
+            iu = np.triu_indices(len(ids), 1)
+            for i, j in zip(*iu):
+                if s[i, j] >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]),
+                                 round(float(s[i, j]), 6)))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+    pairs = ds.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pdf = pairs.to_pandas()
+    if pdf.empty:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    pdf = pdf.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    return pa.Table.from_pandas(pdf.reset_index(drop=True),
+                                preserve_index=False)

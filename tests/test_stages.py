@@ -1,0 +1,194 @@
+"""Training-data pipeline stages: text analysis, dedup family, ANN,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from rho_contracts_ray.stages import (
+    DecodeImageStage, connected_components, embedding_dup_pairs,
+    exact_dup_groups, knn_brute_force, knn_ivf, make_media_table,
+    minhash_dup_pairs, ngram_jaccard, simhash_dup_pairs, text_features,
+    token_counts,
+)
+from rho_contracts_ray.stages.multimodal import decode_images
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    """documents + planted near-dups and exact dups."""
+    t = pq.read_table(f"{SF}/documents.parquet")
+    texts = t["text"].to_pylist()
+    ids = t["doc_id"].to_pylist()
+    next_id = max(ids) + 1
+    add_texts, add_ids = [], []
+    # exact dups of docs 0..4
+    for i in range(5):
+        add_texts.append(texts[i])
+        add_ids.append(next_id); next_id += 1
+    # near dups of docs 10..14: change one word
+    for i in range(10, 15):
+        words = texts[i].split()
+        words[len(words) // 2] = "MUTATED"
+        add_texts.append(" ".join(words))
+        add_ids.append(next_id); next_id += 1
+    full = pa.table({
+        "doc_id": pa.array(ids + add_ids, pa.int64()),
+        "text": pa.array(texts + add_texts, pa.string()),
+    })
+    return full, ids, add_ids
+
+
+def test_token_counts_matches_python_split():
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["a b  c", "  x ", "", "one"]})
+    out = token_counts(t)
+    expect = [len(s.split()) for s in t["text"].to_pylist()]
+    assert out["n_tokens"].to_pylist() == expect
+
+
+def test_text_features_deterministic(ray_session):
+    ds = rd.read_parquet(f"{SF}/documents.parquet")
+    out = text_features(ds).to_pandas().sort_values("doc_id")
+    out2 = text_features(rd.read_parquet(f"{SF}/documents.parquet")) \
+        .to_pandas().sort_values("doc_id")
+    assert (out["quality"].values == out2["quality"].values).all()
+    assert (out["lang_id"].values == out2["lang_id"].values).all()
+    assert (out["n_tokens"] > 0).all()
+    assert out["quality"].between(0, 1).all()
+
+
+def test_exact_dedup(ray_session, docs_with_dups):
+    full, ids, add_ids = docs_with_dups
+    groups = exact_dup_groups(full, ["text"], "doc_id")
+    # 5 exact-dup groups, each keeping the original (smaller) id
+    assert groups.num_rows == 5
+    assert sorted(groups["keep_id"].to_pylist()) == [0, 1, 2, 3, 4]
+    assert all(c == 2 for c in groups["cnt"].to_pylist())
+    # Dataset flavor agrees
+    ds = rd.from_arrow(full)
+    g2 = exact_dup_groups(ds, ["text"], "doc_id").to_pandas()
+    assert sorted(g2["keep_id"].tolist()) == [0, 1, 2, 3, 4]
+
+
+def test_minhash_finds_near_dups(ray_session, docs_with_dups):
+    full, ids, add_ids = docs_with_dups
+    ds = rd.from_arrow(full)
+    pairs = minhash_dup_pairs(ds, threshold=0.6)
+    got = {(a, b) for a, b in zip(pairs["id_a"].to_pylist(),
+                                  pairs["id_b"].to_pylist())}
+    # all 10 planted pairs (5 exact + 5 near) recovered
+    expected = {(i, add_ids[i]) for i in range(5)}
+    expected |= {(i, add_ids[5 + (i - 10)]) for i in range(10, 15)}
+    assert expected <= got, expected - got
+    # no wild false positives: all reported pairs verify with real jaccard
+    texts = dict(zip(full["doc_id"].to_pylist(), full["text"].to_pylist()))
+    for a, b in got:
+        assert ngram_jaccard(texts[a], texts[b], 1) > 0.4
+
+
+def test_simhash_finds_near_dups(ray_session, docs_with_dups):
+    full, ids, add_ids = docs_with_dups
+    ds = rd.from_arrow(full)
+    pairs = simhash_dup_pairs(ds, max_hamming=6)
+    got = {(a, b) for a, b in zip(pairs["id_a"].to_pylist(),
+                                  pairs["id_b"].to_pylist())}
+    exact_expected = {(i, add_ids[i]) for i in range(5)}
+    assert exact_expected <= got
+    # hamming 0 for exact dups
+    ham = dict(((a, b), h) for a, b, h in zip(
+        pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist(),
+        pairs["hamming"].to_pylist()))
+    for p in exact_expected:
+        assert ham[p] == 0
+
+
+def test_connected_components():
+    assert connected_components([(1, 2), (2, 3), (7, 8)]) == [[1, 2, 3], [7, 8]]
+    assert connected_components([]) == []
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+@pytest.fixture(scope="module")
+def embeddings(ray_session):
+    return pq.read_table(f"{SF}/embeddings.parquet")
+
+
+def test_knn_brute_force_matches_numpy(ray_session, embeddings):
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = np.stack([np.asarray(v, dtype=np.float32)
+                    for v in embeddings["embedding"].to_pylist()])
+    ids = np.asarray(embeddings["vec_id"].to_pylist())
+    queries = emb[:3]
+    out = knn_brute_force(ds, queries, k=5)
+    # exact numpy oracle
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    vn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    scores = qn @ vn.T
+    for qi in range(3):
+        order = np.lexsort((ids, -scores[qi]))[:5]
+        expect = ids[order].tolist()
+        got = out.filter(pa.compute.equal(out["query_id"], qi)) \
+                 .sort_by("rank")["vec_id"].to_pylist()
+        assert got == expect, (qi, got, expect)
+        # query vector's own row must be rank 1 with score ~1
+        assert got[0] == ids[qi]
+
+
+def test_knn_ivf_recall(ray_session, embeddings):
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = np.stack([np.asarray(v, dtype=np.float32)
+                    for v in embeddings["embedding"].to_pylist()])
+    queries = emb[:5]
+    bf = knn_brute_force(ds, queries, k=3)
+    ivf = knn_ivf(rd.read_parquet(f"{SF}/embeddings.parquet"), queries, k=3,
+                  n_clusters=8, nprobe=4)
+    # top-1 recall: the query's own vector lives in its probed cluster
+    for qi in range(5):
+        top_bf = bf.filter(pa.compute.equal(bf["query_id"], qi)) \
+                   .sort_by("rank")["vec_id"][0].as_py()
+        ivf_q = ivf.filter(pa.compute.equal(ivf["query_id"], qi))
+        assert ivf_q.num_rows > 0
+        assert ivf_q.sort_by("rank")["vec_id"][0].as_py() == top_bf
+
+
+def test_embedding_dup_pairs(ray_session, embeddings):
+    # plant an exact duplicate vector
+    t = embeddings
+    dup = pa.table({
+        "vec_id": pa.array([9999], pa.int64()),
+        "embedding": t["embedding"].slice(0, 1),
+        "label": t["label"].slice(0, 1),
+    })
+    full = pa.concat_tables([t.select(["vec_id", "embedding", "label"]), dup])
+    ds = rd.from_arrow(full)
+    pairs = embedding_dup_pairs(ds, threshold=0.999)
+    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    assert (0, 9999) in got
+
+
+def test_multimodal_plumbing(ray_session):
+    t = make_media_table(50)
+    ds = rd.from_arrow(t)
+    out = decode_images(ds).to_pandas().sort_values("media_id")
+    assert len(out) == 50
+    assert set(out["detected_format"]) <= {"png", "jpg", "unknown"}
+    assert (out["payload_bytes"] > 0).all()
+    assert len(out["features"].iloc[0]) == 64
+    # deterministic across runs
+    out2 = decode_images(rd.from_arrow(t)).to_pandas().sort_values("media_id")
+    assert (out["features"].iloc[0] == out2["features"].iloc[0]).all()
+    # real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        DecodeImageStage(decoder="real")
