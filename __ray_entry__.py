@@ -29,8 +29,10 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _collect(ds) -> pa.Table:
+    if isinstance(ds, pa.Table):
+        return ds
     parts = []
-    for b in ds.iter_batches(batch_format="pyarrow"):
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
         parts.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
     if not parts:
         return pa.table({})
@@ -342,6 +344,63 @@ def _q_top10_orders(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_totalprice"])
 
 
+def _q_join_orders_customer(sf_dir: str):
+    """Broadcast hash join: fact (orders) x dim (customer)."""
+    from rho_contracts_ray.stages.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _collect(_read(sf_dir, "customer", columns=["c_custkey", "c_name"]))
+    cust = cust.rename_columns(["o_custkey", "c_name"])
+    return broadcast_join(orders, cust, ["o_custkey"]) \
+        .select_columns(["o_orderkey", "o_custkey", "c_name"])
+
+
+def _q_join_lineitem_part(sf_dir: str):
+    """Bucketed (both-sides-large) hash join on the part key."""
+    from rho_contracts_ray.stages.joins import bucketed_join
+
+    left = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_linenumber", "l_partkey"])
+    right = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["l_partkey", "p_brand"])
+
+    right = right.map_batches(ren, batch_format="pyarrow")
+    return bucketed_join(
+        left, right, on=["l_partkey"],
+        left_cols=["l_orderkey", "l_linenumber", "l_partkey"],
+        right_cols=["l_partkey", "p_brand"], n_buckets=16)
+
+
+def _q_asof_last_purchase(sf_dir: str):
+    """Backward as-of join: latest purchase value at or before each event,
+    per user."""
+    from rho_contracts_ray.stages.joins import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    all_ev = _collect(_read(sf_dir, "events",
+                            columns=["user_id", "ts", "event_type", "value"]))
+    purchases = all_ev.filter(pc.equal(all_ev["event_type"], "purchase"))
+    right = pa.table({
+        "user_id": purchases["user_id"],
+        "ts_r": purchases["ts"],
+        "last_purchase": purchases["value"],
+    })
+    out = asof_join(events, right, key="user_id", ts="ts",
+                    value_cols=["last_purchase"], right_ts="ts_r")
+    return out.select_columns(["event_id", "user_id", "last_purchase"])
+
+
+def _q_window_user_seq(sf_dir: str):
+    """ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)."""
+    from rho_contracts_ray.stages.joins import window_seq
+
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = window_seq(events, key="user_id", order_by=["ts", "event_id"])
+    return out.select_columns(["event_id", "user_id", "seq"])
+
+
 # -- rows-only (non-SQL-expressible) ops -------------------------------------
 
 
@@ -479,6 +538,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": _q_distinct_event_types,
         "filter_purchases": _q_filter_purchases,
         "top10_orders": _q_top10_orders,
+        "join_orders_customer": _q_join_orders_customer,
+        "join_lineitem_part": _q_join_lineitem_part,
+        "asof_last_purchase": _q_asof_last_purchase,
+        "window_user_seq": _q_window_user_seq,
         # training-data stages (rows-only where non-SQL)
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_documents": _q_simhash_documents,
@@ -588,6 +651,25 @@ def oracle_sql() -> dict[str, str]:
         "top10_orders": (
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+        ),
+        "join_orders_customer": (
+            "SELECT o_orderkey, o_custkey, c_name FROM orders "
+            "JOIN customer ON o_custkey = c_custkey"
+        ),
+        "join_lineitem_part": (
+            "SELECT l_orderkey, l_linenumber, l_partkey, p_brand "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey"
+        ),
+        "asof_last_purchase": (
+            "SELECT e.event_id, e.user_id, p.value AS last_purchase "
+            "FROM events e ASOF LEFT JOIN "
+            "(SELECT user_id, ts, value FROM events "
+            " WHERE event_type = 'purchase') p "
+            "ON e.user_id = p.user_id AND e.ts >= p.ts"
+        ),
+        "window_user_seq": (
+            "SELECT event_id, user_id, ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS seq FROM events"
         ),
         # minhash/simhash/quality/fingerprints/knn/drift/media: rows-only
     }

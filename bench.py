@@ -62,6 +62,9 @@ def run_benchmarks() -> dict:
 
     import __ray_entry__ as entry
 
+    # warm the worker pool so the first timed pipeline isn't charged startup
+    rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
+
     queries: dict[str, float] = {}
     extra: dict[str, object] = {}
 
@@ -82,13 +85,15 @@ def run_benchmarks() -> dict:
                  "fk_lineitem_orders", "agg_pricing_summary",
                  "sha256_documents", "token_counts_documents",
                  "minhash_pairs_documents", "knn_embeddings",
-                 "events_hourly_counts"):
+                 "events_hourly_counts", "join_orders_customer",
+                 "join_lineitem_part", "asof_last_purchase",
+                 "window_user_seq"):
         def run(n=name):
             res = q[n](SF_DIR)
             # consume lazily-built results fully
             if hasattr(res, "iter_batches"):
                 rows = 0
-                for b in res.iter_batches(batch_format="pyarrow"):
+                for b in res.iter_batches(batch_size=None, batch_format="pyarrow"):
                     rows += b.num_rows if hasattr(b, "num_rows") else len(b)
                 return rows
             return getattr(res, "num_rows", len(res))
@@ -128,14 +133,71 @@ def main_single() -> dict:
         ray.shutdown()
 
 
+SCALE_ROWS = int(os.environ.get("RHO_SCALE_ROWS", "9600000"))
+
+
+def _scale_corpus_dir() -> str:
+    d = f"/tmp/rho_scale_corpus_{SCALE_ROWS}"
+    marker = os.path.join(d, ".complete")
+    if not os.path.exists(marker):
+        from rho_contracts_ray.sources import write_repo_files
+
+        write_repo_files(d, n_rows=SCALE_ROWS, n_shards=64)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return d
+
+
+def _hw_burn(n):
+    import hashlib
+    import time as _t
+
+    h = hashlib.sha256()
+    b = b"x" * 4096
+    t0 = _t.monotonic()
+    for _ in range(n):
+        h.update(b)
+    return n / (_t.monotonic() - t0)
+
+
+def _hw_parallel_ceiling(n_lo: int, n_hi: int) -> dict:
+    """Measure THIS machine's parallel-scaling ceiling with a pure-CPU
+    microbenchmark (sha256 burn, no Ray): on shared/overcommitted vCPUs the
+    per-worker rate drops as workers increase, capping what ANY pipeline
+    can achieve.  Reported so the suite's efficiency can be judged against
+    the hardware's, not an ideal machine's."""
+    import multiprocessing as mp
+    import time as _t
+
+    burn = _hw_burn
+    out = {}
+    for w in (n_lo, n_hi):
+        with mp.Pool(w) as p:
+            t0 = _t.monotonic()
+            p.map(burn, [150_000] * w)
+            wall = _t.monotonic() - t0
+        out[w] = w * 150_000 / wall
+    eff = (out[n_hi] / n_hi) / (out[n_lo] / n_lo)
+    return {"hw_eff": round(eff, 3),
+            "hw_rate_lo": round(out[n_lo] / 1e6, 2),
+            "hw_rate_hi": round(out[n_hi] / 1e6, 2)}
+
+
 def main_scaling() -> dict:
-    """Fresh-process runs at 8 and 32 CPUs; identical-output assertion +
-    throughput scaling efficiency."""
+    """Two-cluster-size criterion, locally proxied: the same suite on the
+    same input at N=4 and 4N=16 CPUs, fresh process per level, 3 reps each,
+    median wall (host noise otherwise dominates).  Byte-identical outputs
+    asserted across all runs; the machine's own parallel ceiling is
+    measured and reported alongside."""
+    lo, hi = (int(x) for x in
+              os.environ.get("RHO_SCALE_LEVELS", "4,16").split(","))
+    _scale_corpus_dir()  # generate once before timing anything
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = SF_DIR
+        env["RHO_SCALE_ROWS"] = str(SCALE_ROWS)
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--suite-only"],
@@ -145,30 +207,40 @@ def main_scaling() -> dict:
             raise RuntimeError(proc.stderr.decode()[-2000:])
         line = proc.stdout.decode().strip().splitlines()[-1]
         results[cpus] = json.loads(line)
-    t8 = results[8]["queries"]["suite_repo_files"]
-    t32 = results[32]["queries"]["suite_repo_files"]
-    rows = results[32]["suite_rows"]
-    thr8 = rows / t8
-    thr32 = rows / t32
-    eff = (thr32 / 32) / (thr8 / 8)
-    same = (results[8]["suite_sha256_rollup"] == results[32]["suite_sha256_rollup"]
-            and results[8]["suite_violations"] == results[32]["suite_violations"])
+    t_lo = results[lo]["median_s"]
+    t_hi = results[hi]["median_s"]
+    rows = results[hi]["suite_rows"]
+    thr_lo = rows / t_lo
+    thr_hi = rows / t_hi
+    eff = (thr_hi / hi) / (thr_lo / lo)
+    same = (results[lo]["suite_sha256_rollup"] == results[hi]["suite_sha256_rollup"]
+            and results[lo]["suite_violations"] == results[hi]["suite_violations"])
+    hw = _hw_parallel_ceiling(lo, hi)
     return {
-        "metric": "suite throughput scaling 8->32 CPUs (fresh processes)",
+        "metric": f"suite throughput scaling {lo}->{hi} CPUs "
+                  "(fresh processes, median of 3)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "sf": _sf_label(),
         "rows": rows,
-        "rows_per_sec_8cpu": round(thr8, 1),
-        "rows_per_sec_32cpu": round(thr32, 1),
-        "wall_8cpu_s": t8,
-        "wall_32cpu_s": t32,
-        "speedup": round(thr32 / thr8, 2),
+        f"rows_per_sec_{lo}cpu": round(thr_lo, 1),
+        f"rows_per_sec_{hi}cpu": round(thr_hi, 1),
+        f"wall_{lo}cpu_s": t_lo,
+        f"wall_{hi}cpu_s": t_hi,
+        f"all_walls_{lo}cpu": results[lo]["walls"],
+        f"all_walls_{hi}cpu": results[hi]["walls"],
+        "speedup": round(thr_hi / thr_lo, 2),
         "identical_output": same,
+        "phases_lo": results[lo]["phases"],
+        "phases_hi": results[hi]["phases"],
+        **hw,
+        "efficiency_vs_hw_ceiling": round(eff / hw["hw_eff"], 3)
+        if hw["hw_eff"] else None,
     }
 
 
 def main_suite_only() -> dict:
+    import statistics
+
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -180,20 +252,30 @@ def main_suite_only() -> dict:
     except Exception:
         pass
     try:
+        import ray.data as rd
+
         from rho_contracts_ray.pipelines import run_suite
 
-        corpus = _corpus_dir()
-        t0 = time.monotonic()
-        s = run_suite(corpus, batch_size=16384)
-        dt = time.monotonic() - t0
+        corpus = _scale_corpus_dir()
+        # warm the worker pool before timing
+        rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
+        walls, last = [], None
+        for _ in range(3):
+            t0 = time.monotonic()
+            last = run_suite(corpus, batch_size=16384)
+            walls.append(round(time.monotonic() - t0, 3))
+        med = statistics.median(walls)
         return {
-            "metric": "suite", "value": round(dt, 3), "unit": "sec",
-            "queries": {"suite_repo_files": round(dt, 3)},
-            "sf": _sf_label(), "num_cpus": NUM_CPUS,
-            "suite_rows": s["rows"],
-            "suite_rows_per_sec": round(s["rows"] / dt, 1),
-            "suite_sha256_rollup": s["sha256_rollup"],
-            "suite_violations": s["contract_violations"],
+            "metric": "suite", "value": med, "unit": "sec",
+            "queries": {"suite_repo_files": med},
+            "num_cpus": NUM_CPUS,
+            "walls": walls,
+            "median_s": med,
+            "suite_rows": last["rows"],
+            "suite_rows_per_sec": round(last["rows"] / med, 1),
+            "suite_sha256_rollup": last["sha256_rollup"],
+            "suite_violations": last["contract_violations"],
+            "phases": last["phases"],
         }
     finally:
         ray.shutdown()

@@ -38,4 +38,23 @@ from .validate import (  # noqa: F401
     validate,
 )
 
+# function-contract surface (SURVEY.md §2.4) — attached here, after the
+# contracts package is fully initialised, to avoid an import cycle
+from .functions import api_guard as _api_guard  # noqa: E402
+from .contracts import jsval as _jsval  # noqa: E402
+
+c.fn = staticmethod(_api_guard.fn)
+c.fun = staticmethod(_api_guard.fun)
+c.wrap = staticmethod(_api_guard.wrap)
+c.publish = staticmethod(_api_guard.publish)
+c.wrapAll = staticmethod(_api_guard.wrap_all)
+c.documentModule = staticmethod(_api_guard.document_module)
+c.documentType = staticmethod(_api_guard.document_type)
+c.setErrorMessageInspectionDepth = staticmethod(
+    _jsval.set_error_message_inspection_depth)
+
+wrap = _api_guard.wrap
+fn = _api_guard.fn
+fun = _api_guard.fun
+
 __version__ = "0.1.0"

@@ -81,7 +81,7 @@ def _value_freqs(ds_or_table, col: str) -> dict[str, float]:
         agg = ds_or_table.map_batches(partial, batch_format="pyarrow") \
                          .groupby(col).sum("cnt")
         parts = []
-        for b in agg.iter_batches(batch_format="pyarrow"):
+        for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
             parts.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
         t = pa.concat_tables(parts).rename_columns([col, "cnt"]) if parts else None
         if t is None:

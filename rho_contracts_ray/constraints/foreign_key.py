@@ -25,7 +25,7 @@ def _dim_key_array(dim, dim_cols: Sequence[str]) -> pa.Array:
     else:  # ray Dataset — dimension tables are small; collect once
         import pyarrow as _pa
         parts = []
-        for b in dim.iter_batches(batch_format="pyarrow"):
+        for b in dim.iter_batches(batch_size=None, batch_format="pyarrow"):
             parts.append(b if isinstance(b, _pa.Table) else _pa.Table.from_batches([b]))
         t = _pa.concat_tables(parts) if parts else None
     if t is None:

@@ -38,7 +38,7 @@ def content_rollup(ds, col: str) -> dict:
     parts = ds.map_batches(_rollup_partial(col), batch_format="pyarrow")
     total = 0
     rows = 0
-    for b in parts.iter_batches(batch_format="pyarrow"):
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         for p, r in zip(t["partial"].to_pylist(), t["rows"].to_pylist()):
             total = (total + p) % (1 << 64)

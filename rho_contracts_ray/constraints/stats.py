@@ -170,7 +170,7 @@ def column_stats(ds, cols: Sequence[str], concurrency=None
         concurrency=concurrency if concurrency is not None else (1, _cluster_cpus()),
     )
     parts = []
-    for b in partials.iter_batches(batch_format="pyarrow"):
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
         parts.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
     t = pa.concat_tables(parts) if parts else PARTIAL_SCHEMA.empty_table()
     return _merge_partials(t)

@@ -93,7 +93,9 @@ class Contract:
     # -- meta
     @property
     def needs_wrapping(self) -> bool:
-        return False
+        # needsWrappingIfAny: true iff any child subtree holds a function
+        # contract (contract.impl.js:149-154); FnContract overrides to True
+        return any(c is not None and c.needs_wrapping for c in self.children())
 
     def children(self) -> list["Contract"]:
         return []
@@ -236,6 +238,13 @@ class OrC(Contract):
     def __init__(self, *contracts):
         super().__init__("or")
         self.contracts = tuple(auto_to_contract(c) for c in contracts)
+        wrapping = [c for c in self.contracts if c.needs_wrapping]
+        if len(wrapping) > 1:
+            # contract.impl.js:427-431
+            raise ContractLibraryError(
+                "or",
+                "Or-contracts can only take at most one wrapping contracts, "
+                f"got {[c.to_string() for c in wrapping]}")
 
     def sub_to_string(self):
         # the reference's `or` never sets subToString, so it prints `c.or()`
@@ -260,6 +269,13 @@ class CyclicC(Contract):
     @property
     def target(self) -> Optional[Contract]:
         return self._cell.get("target")
+
+    @property
+    def needs_wrapping(self) -> bool:
+        # the reference makes this an explicit flag on cyclic()/forwardRef()
+        # (contract.impl.js:484-511); recursing through the cycle would not
+        # terminate.  Data contracts never wrap, so: False.
+        return False
 
     def close_cycle(self, c: Contract) -> "CyclicC":
         self._cell["target"] = auto_to_contract(c)

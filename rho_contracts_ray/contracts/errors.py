@@ -22,6 +22,7 @@ class Frame:
     short: str
     long: str = ""
     silent: bool = False
+    index: Optional[int] = None  # set on array items (used by extraArguments)
 
 
 def frame_and(i: int) -> Frame:
@@ -29,7 +30,7 @@ def frame_and(i: int) -> Frame:
 
 
 def frame_array_item(i: int) -> Frame:
-    return Frame(f"[{i}]", f"for the {jsval.ith(i)} element of the array")
+    return Frame(f"[{i}]", f"for the {jsval.ith(i)} element of the array", index=i)
 
 
 def frame_tuple_item(i: int) -> Frame:
@@ -105,12 +106,17 @@ class MessageBuilder:
         return self
 
     def full_contract(self, stack: list[Frame], contract_str: str) -> "MessageBuilder":
-        # contract-errors.js:200-231 (extraArguments special case omitted:
-        # it can only arise in function-contract wrapping, out of table scope)
+        # contract-errors.js:200-231
         if stack:
             stack = list(stack)
             immediate = stack[-1]
-            if immediate.long:
+            if (len(stack) >= 2 and stack[-2].short == ".extraArguments"
+                    and immediate.index is not None):
+                # special case for extra-argument errors (:209-217)
+                self.message += (f"for the {jsval.ith(immediate.index)} extra "
+                                 f"argument of the call.\n")
+                stack = stack[:-2]
+            elif immediate.long:
                 self.message += f"{immediate.long}\n"
                 stack = stack[:-1]
             if stack:

@@ -39,14 +39,18 @@ from .errors import (
 class _Context:
     """Per-check mutable context (contract.impl.js:102-115)."""
 
-    __slots__ = ("thing_name", "data", "stack", "contract", "wrapping", "fail")
+    __slots__ = ("thing_name", "data", "stack", "contract", "wrapping",
+                 "blame_me", "is_function_contract", "fail")
 
-    def __init__(self, thing_name, data, contract, fail):
+    def __init__(self, thing_name, data, contract, fail, wrapping=False,
+                 blame_me=True, is_function_contract=False):
         self.thing_name = thing_name
         self.data = data
         self.stack: list[Frame] = []
         self.contract = contract
-        self.wrapping = False
+        self.wrapping = wrapping
+        self.blame_me = blame_me
+        self.is_function_contract = is_function_contract
         self.fail = fail
 
 
@@ -70,7 +74,9 @@ def _fail_expected(ctx: _Context, contract: ast.Contract, data: Any,
                    full: bool = True) -> None:
     """`context.fail(ContractError(ctx).expected(name, data)
     .fullContractAndValue())` — contract.impl.js:34-40."""
-    mb = MessageBuilder(thing_name=ctx.thing_name).init()
+    mb = MessageBuilder(thing_name=ctx.thing_name, wrapping=ctx.wrapping,
+                       blame_me=ctx.blame_me,
+                       is_function_contract=ctx.is_function_contract).init()
     mb.expected(contract.contract_name, data)
     if full:
         mb.full_contract(ctx.stack, ctx.contract.to_string())
@@ -195,7 +201,9 @@ def _nested_checker(contract, data, nxt, ctx: _Context) -> None:
                 f"none of the contracts passed:\n{lines}\n\n"
                 f"The failures were:\n{fails}\n"
             )
-            mb = MessageBuilder(thing_name=ctx.thing_name).init(msg)
+            mb = MessageBuilder(thing_name=ctx.thing_name, wrapping=ctx.wrapping,
+                       blame_me=ctx.blame_me,
+                       is_function_contract=ctx.is_function_contract).init(msg)
             mb.full_contract(ctx.stack, ctx.contract.to_string())
             mb.full_value(ctx.data, bool(ctx.stack))
             ctx.fail(_mk_violation(ctx, mb, got=jsval.inspect(data),
@@ -210,7 +218,9 @@ def _nested_checker(contract, data, nxt, ctx: _Context) -> None:
         # contract.impl.js:548-598; strict length check runs FIRST (:579-588)
         n = len(contract.contracts)
         if contract.is_strict and len(data) != n:
-            mb = MessageBuilder(thing_name=ctx.thing_name).init()
+            mb = MessageBuilder(thing_name=ctx.thing_name, wrapping=ctx.wrapping,
+                       blame_me=ctx.blame_me,
+                       is_function_contract=ctx.is_function_contract).init()
             mb.expected(f"tuple of exactly size {n}", data)
             mb.full_contract(ctx.stack, ctx.contract.to_string())
             mb.full_value(ctx.data, bool(ctx.stack))
@@ -219,7 +229,9 @@ def _nested_checker(contract, data, nxt, ctx: _Context) -> None:
             return
         if len(data) < n:
             # NOTE: min-length error has no fullContractAndValue (:550-557)
-            mb = MessageBuilder(thing_name=ctx.thing_name).init()
+            mb = MessageBuilder(thing_name=ctx.thing_name, wrapping=ctx.wrapping,
+                       blame_me=ctx.blame_me,
+                       is_function_contract=ctx.is_function_contract).init()
             mb.expected(f"tuple of size {n}", data)
             ctx.fail(_mk_violation(ctx, mb, expected=f"tuple of size {n}",
                                    got=jsval.inspect(data), contract_name="tuple"))
@@ -247,7 +259,9 @@ def _nested_checker(contract, data, nxt, ctx: _Context) -> None:
                 extra_str = ", ".join(f"`{k}`" for k in extra)
                 word = "field " if len(extra) == 1 else "fields "
                 msg = f"Found the extra {word}{extra_str} in {jsval.inspect(data)}\n"
-                mb = MessageBuilder(thing_name=ctx.thing_name).init(msg)
+                mb = MessageBuilder(thing_name=ctx.thing_name, wrapping=ctx.wrapping,
+                       blame_me=ctx.blame_me,
+                       is_function_contract=ctx.is_function_contract).init(msg)
                 mb.full_contract(ctx.stack, ctx.contract.to_string())
                 mb.full_value(ctx.data, bool(ctx.stack))
                 ctx.fail(_mk_violation(ctx, mb, got=jsval.inspect(data),
@@ -258,7 +272,9 @@ def _nested_checker(contract, data, nxt, ctx: _Context) -> None:
             v = _field_get(data, field_name)
             if not c.is_optional and jsval.is_missing(v):
                 msg = f"Field `{field_name}` required, got {jsval.inspect(data)}"
-                mb = MessageBuilder(thing_name=ctx.thing_name).init(msg)
+                mb = MessageBuilder(thing_name=ctx.thing_name, wrapping=ctx.wrapping,
+                       blame_me=ctx.blame_me,
+                       is_function_contract=ctx.is_function_contract).init(msg)
                 mb.full_contract(ctx.stack, ctx.contract.to_string())
                 mb.full_value(ctx.data, bool(ctx.stack))
                 ctx.fail(_mk_violation(ctx, mb, got=jsval.inspect(data),
@@ -272,8 +288,15 @@ def _nested_checker(contract, data, nxt, ctx: _Context) -> None:
 
 def check_row(contract, data: Any, name: Optional[str] = None) -> Any:
     """`c.check(contract, data, name)` — contract.impl.js:265-269.
-    Returns data unchanged; raises RowContractError on the first failure."""
+    Returns data unchanged; raises RowContractError on the first failure.
+    Refuses wrapping (function) contracts with the reference's wording
+    (contract.impl.js:41-47)."""
     contract = ast.auto_to_contract(contract)
+    if contract.needs_wrapping:
+        raise ContractLibraryError(
+            "check",
+            "This contract requires wrapping. Call wrap() instead and "
+            "retain the wrapped result.")
 
     def fail(v: Violation):
         raise RowContractError(v)

@@ -26,7 +26,7 @@ from __future__ import annotations
 import datetime as _dt
 import math
 import re
-from typing import Any
+from typing import Any, Optional
 
 _IDENT_RE = re.compile(r"^[A-Za-z_$][A-Za-z0-9_$]*$")
 
@@ -156,15 +156,24 @@ _ESCAPES = {8: "\\b", 9: "\\t", 10: "\\n", 11: "\\v", 12: "\\f", 13: "\\r",
 _MIN_LINE_LENGTH = 16
 
 
+_ESCAPE_TEST = re.compile(r"[\x00-\x1f'\\\x7f-\x9f]")
+_ESCAPE_TEST_NO_QUOTE = re.compile(r"[\x00-\x1f\\\x7f-\x9f]")
+
+
 def _str_escape(s: str) -> str:
     """node strEscape: quote choice (single -> double -> backtick) plus
-    control-char escaping."""
+    control-char escaping.  Fast path mirrors node's: if nothing needs
+    escaping, just add quotes (matters when rendering large content
+    strings into violation messages)."""
     quote = "'"
     if "'" in s:
         if '"' not in s:
             quote = '"'
         elif "`" not in s and "${" not in s:
             quote = "`"
+    test = _ESCAPE_TEST if quote == "'" else _ESCAPE_TEST_NO_QUOTE
+    if test.search(s) is None:
+        return quote + s + quote
     out = []
     for ch in s:
         p = ord(ch)
@@ -382,11 +391,23 @@ def _format_value(ctx: _Ctx, v: Any, recurse: int) -> str:
     return _format_primitive(ctx, v)
 
 
-def inspect(v: Any, depth: int = 5) -> str:
+_INSPECT_DEPTH = 5  # utils.js:53 errorMessageInspectionDepth
+
+
+def set_error_message_inspection_depth(depth: int) -> None:
+    """utils.js:55-57 / contract.impl.js:23 — global rendering depth for
+    values in error messages."""
+    global _INSPECT_DEPTH
+    _INSPECT_DEPTH = depth
+
+
+def inspect(v: Any, depth: Optional[int] = None) -> str:
     """Faithful re-implementation of Node `util.inspect(v, false, depth,
     false)` — the value renderer behind every error message (reference
     src/utils.js:59-65).  Verified against the real node binary by the
     inspect-parity tests."""
+    if depth is None:
+        depth = _INSPECT_DEPTH
     return _format_value(_Ctx(depth), v, 0)
 
 

@@ -18,6 +18,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 REPO_FILES_SCHEMA = pa.schema([
@@ -49,9 +50,9 @@ def make_repo_files_table(n_rows: int, seed: int = 42, epoch: int = 0,
 
     # skewed repo distribution: zipf-ish, a few repos hold ~half the rows
     repo_ids = rng.zipf(1.5, size=n_rows) % n_repos
-    repos = np.char.add("org_", np.char.zfill((repo_ids // 10).astype(str), 3))
-    repos = np.char.add(np.char.add(repos, "/repo_"),
-                        np.char.zfill(repo_ids.astype(str), 3))
+    repo_names = np.array([f"org_{i // 10:03d}/repo_{i:03d}"
+                           for i in range(n_repos)], dtype=object)
+    repos = repo_names[repo_ids]
 
     dirs = rng.integers(0, 20, n_rows)
     files = rng.integers(0, 500, n_rows)
@@ -73,20 +74,34 @@ def make_repo_files_table(n_rows: int, seed: int = 42, epoch: int = 0,
     probs = probs / probs.sum()
     langs = rng.choice(np.array(LANGS), size=n_rows, p=probs)
 
-    # content: word soup, log-normal-ish length; epoch shifts the mean
+    # content: word soup, log-normal-ish length; epoch shifts the mean.
+    # Vectorized construction: one flat word draw, ONE C-level join, delete
+    # the inter-row separator bytes in one numpy op, then build the Arrow
+    # LargeStringArray straight from (offsets, bytes) — no per-row Python
+    # loop (matters for multi-million-row bench corpora).
     lens = np.clip(rng.lognormal(3.0 + 0.25 * epoch, 0.8, n_rows), 1, 2000
                    ).astype(np.int64)
     word_arr = np.array(_WORDS)
-    contents = [
-        " ".join(word_arr[rng.integers(0, len(word_arr), ln)])
-        for ln in lens
-    ]
+    word_bytelen = np.array([len(w) for w in _WORDS], dtype=np.int64)
+    draw = rng.integers(0, len(word_arr), int(lens.sum()))
+    wl = word_bytelen[draw]
+    row_ends = np.cumsum(lens)
+    cw = np.concatenate(([0], np.cumsum(wl)))
+    # row byte length = its words + (n_words - 1) single-space separators
+    row_char = cw[row_ends] - cw[row_ends - lens] + (lens - 1)
+    big = np.frombuffer(" ".join(word_arr[draw].tolist()).encode("ascii"),
+                        dtype=np.uint8)
+    sep_pos = np.cumsum(row_char + 1)[:-1] - 1  # the space between rows
+    values = np.delete(big, sep_pos)
+    offsets = np.concatenate(([0], np.cumsum(row_char))).astype(np.int64)
+    content_arr = pa.LargeStringArray.from_buffers(
+        n_rows, pa.py_buffer(offsets.tobytes()), pa.py_buffer(values.tobytes()))
 
     repo_col = repos.astype(object)
     commit_col = commits.astype(object)
     lang_col = langs.astype(object)
-    content_col = np.array(contents, dtype=object)
     path_col = paths.astype(object)
+    content_nulls = np.zeros(n_rows, dtype=bool)
 
     vr = violation_rate
     if vr > 0:
@@ -101,8 +116,7 @@ def make_repo_files_table(n_rows: int, seed: int = 42, epoch: int = 0,
         idx = rng.random(n_rows) < 0.01 * vr
         lang_col[idx] = "cobol"
         # null content ~0.5%
-        idx = rng.random(n_rows) < 0.005 * vr
-        content_col[idx] = None
+        content_nulls = rng.random(n_rows) < 0.005 * vr
         # duplicate triples ~0.2%, concentrated on the hottest repo
         n_dup = int(n_rows * 0.002 * vr)
         if n_dup:
@@ -117,12 +131,17 @@ def make_repo_files_table(n_rows: int, seed: int = 42, epoch: int = 0,
         idx = rng.random(n_rows) < 0.005 * vr
         repo_col[idx & (repo_col != None)] = "org_999/repo_999"  # noqa: E711
 
+    if content_nulls.any():
+        content_arr = pc.if_else(
+            pa.array(content_nulls),
+            pa.scalar(None, pa.large_string()), content_arr)
+
     return pa.table({
         "repo": pa.array(repo_col, type=pa.string()),
         "path": pa.array(path_col, type=pa.string()),
         "commit": pa.array(commit_col, type=pa.string()),
         "lang": pa.array(lang_col, type=pa.string()),
-        "content": pa.array(content_col, type=pa.large_string()),
+        "content": content_arr,
     })
 
 

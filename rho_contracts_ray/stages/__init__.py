@@ -14,3 +14,6 @@ from .ann import knn_brute_force, knn_ivf, embedding_dup_pairs  # noqa: F401
 from .multimodal import (  # noqa: F401
     DecodeImageStage, FrameSampleStage, decode_images, make_media_table,
 )
+from .joins import (  # noqa: F401
+    asof_join, broadcast_join, bucketed_join, window_cumsum, window_seq,
+)

@@ -70,7 +70,7 @@ class _TopKStage:
 
 def _merge_topk(partials, k: int) -> pa.Table:
     best: dict[int, list] = {}
-    for b in partials.iter_batches(batch_format="pyarrow"):
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         for q, v, s in zip(t["query_id"].to_pylist(), t["vec_id"].to_pylist(),
                            t["score"].to_pylist()):
@@ -159,7 +159,7 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     sample = ds.limit(sample_size)
     parts = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in sample.iter_batches(batch_format="pyarrow")
+        for b in sample.iter_batches(batch_size=None, batch_format="pyarrow")
     ]
     x = np.concatenate([_batch_matrix(t, emb_col) for t in parts])
     cent = _kmeans(x, n_clusters, seed=seed)

@@ -209,7 +209,7 @@ def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
     agg = exploded.map_batches(bucket_counts, batch_format="pyarrow") \
         .groupby(["band", "band_hash"]).sum("cnt")
     hot_parts = []
-    for b in agg.iter_batches(batch_format="pyarrow"):
+    for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         t = t.rename_columns(["band", "band_hash", "cnt"])
         hot_parts.append(t.filter(pc.greater(t["cnt"], 1)))

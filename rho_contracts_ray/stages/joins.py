@@ -1,0 +1,159 @@
+"""Join and window operators.
+
+  * broadcast_join — the small side (dimension table) is `ray.put` once and
+    merged into every batch with a pandas merge: no shuffle, the pattern
+    for fact×dim enrichment at any scale.
+  * bucketed_join — both sides large: add `bucket = hash(key) % B` to both,
+    co-group per bucket, pairwise merge inside map_groups.  B chosen by the
+    caller; salt hot keys into sub-buckets upstream when skewed.
+  * asof_join — per-key ordered backward match (merge_asof) — the
+    streaming-window workhorse (e.g. "latest purchase before each event").
+  * window_seq / window_cumsum — per-key ordered window computations via
+    groupby().map_groups (ROW_NUMBER / running aggregates).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def broadcast_join(ds, small: pa.Table, on: Sequence[str],
+                   how: str = "inner", suffix: str = "_r"):
+    """Join every batch against a broadcast small table (dim side)."""
+    import ray
+
+    on = list(on)
+    ref = ray.put(small)
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        right = ray.get(ref).to_pandas()
+        return batch.merge(right, on=on, how=how, suffixes=("", suffix))
+
+    return ds.map_batches(merge, batch_format="pandas")
+
+
+def bucketed_join(left_ds, right_ds, on: Sequence[str],
+                  left_cols: Sequence[str], right_cols: Sequence[str],
+                  n_buckets: int = 32, how: str = "inner"):
+    """Both-sides-large hash join: explicit co-partitioning by key hash.
+    Each side gets `bucket = hash(key) % B`; ONE union + groupby(bucket)
+    co-locates matching buckets; pairwise pandas merge inside the group.
+    `left_cols`/`right_cols` name each side's columns (keys included in
+    both); the union schema is their outer union, null-padded."""
+    from ..functions.hashing import combine_key, stable_hash64
+
+    on = list(on)
+    left_cols = list(left_cols)
+    right_cols = list(right_cols)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    # typed null padding needs both schemas (metadata-only fetch)
+    types = {}
+    for f in left_ds.schema().base_schema:
+        types[f.name] = f.type
+    for f in right_ds.schema().base_schema:
+        types.setdefault(f.name, f.type)
+
+    def _pad(n: int, t: pa.DataType) -> pa.Array:
+        # typed ZERO padding, not nulls: padded cells are dropped after the
+        # __side filter, and nulls would make pandas upcast ints to floats
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            return pa.array(np.zeros(n), type=t)
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.array([""] * n, type=t)
+        return pa.nulls(n, type=t)
+
+    def add_bucket(side: str, cols: list):
+        def fn(batch: pa.Table) -> pa.Table:
+            b = (stable_hash64(combine_key(batch, on))
+                 % np.uint64(n_buckets)).astype(np.int64)
+            arrays, names = [], []
+            for c in all_cols:
+                names.append(c)
+                if c in cols:
+                    col = batch[c]
+                    arrays.append(col.combine_chunks()
+                                  if isinstance(col, pa.ChunkedArray) else col)
+                else:
+                    arrays.append(_pad(batch.num_rows, types[c]))
+            t = pa.table(dict(zip(names, arrays)))
+            t = t.append_column("__bucket", pa.array(b))
+            return t.append_column("__side",
+                                   pa.array([side] * batch.num_rows))
+
+        return fn
+
+    left = left_ds.map_batches(add_bucket("l", left_cols),
+                               batch_format="pyarrow")
+    right = right_ds.map_batches(add_bucket("r", right_cols),
+                                 batch_format="pyarrow")
+    both = left.union(right)
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["__side"] == "l"][left_cols]
+        rhs = df[df["__side"] == "r"][right_cols]
+        return lhs.merge(rhs, on=on, how=how, suffixes=("", "_r"))
+
+    return both.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pandas")
+
+
+def asof_join(left_ds, right_table: pa.Table, key: str, ts: str,
+              value_cols: Sequence[str], right_ts: Optional[str] = None,
+              suffix: str = "_asof"):
+    """For each left row, the latest right row with the same key and
+    right.ts <= left.ts (backward as-of).  The right side is broadcast
+    (sorted once per worker); per-batch merge_asof on the left stream —
+    semantics match DuckDB's ASOF JOIN."""
+    import ray
+
+    right_ts = right_ts or ts
+    cols = [key, right_ts] + list(value_cols)
+    ref = ray.put(right_table.select(cols))
+    _cache: dict = {}
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        right = _cache.get("right")
+        if right is None:
+            right = ray.get(ref).to_pandas() \
+                .sort_values([right_ts, key], kind="mergesort") \
+                .reset_index(drop=True)
+            _cache["right"] = right
+        left = batch.sort_values([ts, key], kind="mergesort")
+        out = pd.merge_asof(left, right, left_on=ts, right_on=right_ts,
+                            by=key, suffixes=("", suffix),
+                            direction="backward")
+        return out
+
+    return left_ds.map_batches(merge, batch_format="pandas")
+
+
+def window_seq(ds, key: str, order_by: Sequence[str],
+               out_col: str = "seq"):
+    """ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_by...) — per-key
+    sequence numbers via a key-partitioned group sort."""
+    order_by = list(order_by)
+
+    def number(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        df[out_col] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return ds.groupby(key).map_groups(number, batch_format="pandas")
+
+
+def window_cumsum(ds, key: str, order_by: Sequence[str], value: str,
+                  out_col: str = "running"):
+    """SUM(value) OVER (PARTITION BY key ORDER BY order_by ROWS UNBOUNDED
+    PRECEDING)."""
+    order_by = list(order_by)
+
+    def cum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        df[out_col] = df[value].cumsum()
+        return df
+
+    return ds.groupby(key).map_groups(cum, batch_format="pandas")

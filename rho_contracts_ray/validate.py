@@ -164,7 +164,7 @@ class ValidationReport:
         if isinstance(self.output, pa.Table):
             return self.output
         parts = []
-        for b in self.output.iter_batches(batch_format="pyarrow"):
+        for b in self.output.iter_batches(batch_size=None, batch_format="pyarrow"):
             parts.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
         if not parts:
             return VIOLATION_SCHEMA.empty_table()

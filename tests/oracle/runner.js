@@ -75,6 +75,22 @@ function buildContract(spec) {
     }
     case 'toContract': base = c.toContract(decodeValue(spec.v)); break
     case 'fromExample': base = c.fromExample(decodeValue(spec.v), !!spec.q); break
+    case 'fn': {
+      base = c.fn.apply(null, (spec.args || []).map(buildContract))
+      if (spec.returns) base = base.returns(buildContract(spec.returns))
+      if (spec.extraArgs) base = base.extraArgs(buildContract(spec.extraArgs))
+      break
+    }
+    case 'fun': {
+      const specs = (spec.named || []).map(pair => {
+        const o = {}
+        o[pair[0]] = buildContract(pair[1])
+        return o
+      })
+      base = c.fun.apply(null, specs)
+      if (spec.returns) base = base.returns(buildContract(spec.returns))
+      break
+    }
     default: throw new Error('unknown spec ' + spec.t)
   }
   if (spec.rename) base = base.rename(spec.rename)
@@ -91,13 +107,29 @@ process.stdin.on('end', () => {
     let res
     try {
       const contract = buildContract(tc.contract)
-      const data = decodeValue(tc.value)
-      try {
-        contract.check(data, tc.name)
-        res = { id: tc.id, ok: true, message: null, tostring: contract.toString() }
-      } catch (e) {
-        res = { id: tc.id, ok: false, message: e.message, name: e.name,
-                tostring: contract.toString() }
+      if (tc.call) {
+        // function-contract case: wrap a stub fn and call it
+        const impl = function () {
+          return decodeValue(tc.impl_returns)
+        }
+        try {
+          const wrapped = contract.wrap(impl, tc.name)
+          wrapped.apply(null, tc.call.map(decodeValue))
+          res = { id: tc.id, ok: true, message: null,
+                  tostring: contract.toString() }
+        } catch (e) {
+          res = { id: tc.id, ok: false, message: e.message, name: e.name,
+                  tostring: contract.toString() }
+        }
+      } else {
+        const data = decodeValue(tc.value)
+        try {
+          contract.check(data, tc.name)
+          res = { id: tc.id, ok: true, message: null, tostring: contract.toString() }
+        } catch (e) {
+          res = { id: tc.id, ok: false, message: e.message, name: e.name,
+                  tostring: contract.toString() }
+        }
       }
     } catch (e) {
       res = { id: tc.id, ok: false, message: 'BUILD_ERROR: ' + e.message }

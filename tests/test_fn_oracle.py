@@ -1,0 +1,98 @@
+"""Differential oracle for FUNCTION contracts: wrap a stub with the actual
+reference library, call it, and require identical verdicts + messages from
+our api_guard wrapper (FIXTURES.md F6 / SURVEY.md §2.4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rho_contracts_ray.contracts import ast
+from rho_contracts_ray.contracts.errors import RowContractError
+from rho_contracts_ray.functions import api_guard
+from tests.oracle import specs
+from tests.oracle.specs import NAN, build_contract, decode_value
+
+NUM = {"t": "number"}
+STR = {"t": "string"}
+OPT_NUM = {"t": "number", "optional": True}
+
+# (id, fn_spec, call_args, impl_returns)
+FN_CASES = [
+    ("fn_ok", {"t": "fn", "args": [NUM, NUM], "returns": NUM}, [1, 2], 3),
+    ("fn_wrong_count", {"t": "fn", "args": [NUM, NUM]}, [1], 7),
+    ("fn_too_many", {"t": "fn", "args": [NUM, OPT_NUM]}, [1, 2, 3], 7),
+    ("fn_too_few", {"t": "fn", "args": [NUM, OPT_NUM]}, [], 7),
+    ("fn_optional_omitted", {"t": "fn", "args": [NUM, OPT_NUM]}, [1], 7),
+    ("fn_bad_arg", {"t": "fn", "args": [NUM], "returns": NUM}, ["x"], 7),
+    ("fn_bad_arg2", {"t": "fn", "args": [STR, NUM]}, ["a", "b"], 7),
+    ("fn_bad_result", {"t": "fn", "args": [NUM], "returns": STR}, [1], 7),
+    ("fn_deep_arg",
+     {"t": "fn", "args": [{"t": "object", "fields": {"x": NUM}}]},
+     [{"x": "bad"}], 7),
+    ("fn_extra_ok",
+     {"t": "fn", "args": [NUM], "extraArgs": {"t": "array", "item": STR}},
+     [1, "a", "b"], 7),
+    ("fn_extra_bad",
+     {"t": "fn", "args": [NUM], "extraArgs": {"t": "array", "item": STR}},
+     [1, "a", 5], 7),
+    ("fun_named_ok",
+     {"t": "fun", "named": [["fstArg", NUM], ["sndArg", STR]]}, [1, "a"], 7),
+    ("fun_named_bad",
+     {"t": "fun", "named": [["fstArg", NUM], ["sndArg", STR]]}, [1, 2], 7),
+    ("fn_nan_arg", {"t": "fn", "args": [NUM]}, [NAN], 7),
+    ("fn_null_arg", {"t": "fn", "args": [NUM]}, [None], 7),
+]
+
+
+def _build_fn_contract(spec: dict) -> api_guard.FnContract:
+    if spec["t"] == "fn":
+        fc = api_guard.fn(*[build_contract(s) for s in spec.get("args", [])])
+    else:
+        fc = api_guard.fun(*[{nm: build_contract(s)}
+                             for nm, s in spec.get("named", [])])
+    if spec.get("returns"):
+        fc = fc.returns(build_contract(spec["returns"]))
+    if spec.get("extraArgs"):
+        fc = fc.extraArgs(build_contract(spec["extraArgs"]))
+    return fc
+
+
+@pytest.fixture(scope="module")
+def oracle_results():
+    if not specs.node_available():
+        pytest.skip("node or reference not available")
+    payload = [
+        {"id": i, "contract": ct, "call": args, "impl_returns": ret,
+         "name": "theFn"}
+        for i, ct, args, ret in FN_CASES
+    ]
+    res = specs.run_reference(payload)
+    return {r["id"]: r for r in res}
+
+
+def _normalize(msg):
+    return msg.replace("undefined", "null") if msg else msg
+
+
+@pytest.mark.parametrize("case_id,fn_spec,call_args,impl_ret",
+                         FN_CASES, ids=[x[0] for x in FN_CASES])
+def test_fn_contract_parity(case_id, fn_spec, call_args, impl_ret,
+                            oracle_results):
+    ref = oracle_results[case_id]
+    assert not (ref["message"] or "").startswith("BUILD_ERROR"), ref["message"]
+    fc = _build_fn_contract(fn_spec)
+    impl = lambda *a: decode_value(impl_ret)  # noqa: E731
+    wrapped = api_guard.wrap(fc, impl, "theFn")
+    ok, message = True, None
+    try:
+        wrapped(*[decode_value(a) for a in call_args])
+    except RowContractError as e:
+        ok, message = False, e.violation.message
+    assert ok == ref["ok"], (
+        f"{case_id}: engine ok={ok}, reference ok={ref['ok']}, "
+        f"ref_msg={ref['message']!r} my_msg={message!r}")
+    if not ok:
+        assert _normalize(message) == _normalize(ref["message"]), (
+            f"{case_id}:\n--- engine ---\n{message}\n"
+            f"--- reference ---\n{ref['message']}")
+    assert fc.to_string() == ref["tostring"]

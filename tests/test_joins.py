@@ -1,0 +1,111 @@
+"""Join and window operators vs exact pandas/duckdb oracles."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from rho_contracts_ray.stages.joins import (
+    asof_join, broadcast_join, bucketed_join, window_cumsum, window_seq,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_broadcast_join(ray_session):
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey", "c_name"]) \
+        .rename_columns(["o_custkey", "c_name"])
+    out = broadcast_join(orders, cust, ["o_custkey"]).to_pandas()
+    con = duckdb.connect()
+    ref = con.execute(
+        f"select count(*) from read_parquet('{SF}/orders.parquet') o "
+        f"join read_parquet('{SF}/customer.parquet') c on o.o_custkey = c.c_custkey"
+    ).fetchone()[0]
+    assert len(out) == ref
+    assert "c_name" in out.columns
+
+
+def test_bucketed_join(ray_session):
+    left = rd.read_parquet(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_linenumber", "l_partkey"])
+    right = rd.read_parquet(f"{SF}/part.parquet",
+                            columns=["p_partkey", "p_brand"]) \
+        .map_batches(lambda t: t.rename_columns(["l_partkey", "p_brand"]),
+                     batch_format="pyarrow")
+    out = bucketed_join(left, right, on=["l_partkey"],
+                        left_cols=["l_orderkey", "l_linenumber", "l_partkey"],
+                        right_cols=["l_partkey", "p_brand"],
+                        n_buckets=8).to_pandas()
+    con = duckdb.connect()
+    ref = con.execute(
+        f"select l_orderkey, l_linenumber, l_partkey, p_brand "
+        f"from read_parquet('{SF}/lineitem.parquet') l "
+        f"join read_parquet('{SF}/part.parquet') p on l_partkey = p_partkey "
+        f"order by l_orderkey, l_linenumber"
+    ).df()
+    # (l_orderkey, l_linenumber) is NOT unique in this synthetic data —
+    # sort by the full row for a deterministic comparison
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "p_brand"]
+    out = out[cols].sort_values(cols).reset_index(drop=True)
+    ref = ref[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_asof_join(ray_session):
+    events = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+    ev = pq.read_table(f"{SF}/events.parquet")
+    import pyarrow.compute as pc
+    purchases = ev.filter(pc.equal(ev["event_type"], "purchase"))
+    right = pa.table({"user_id": purchases["user_id"],
+                      "ts_r": purchases["ts"],
+                      "last_purchase": purchases["value"]})
+    out = asof_join(events, right, key="user_id", ts="ts",
+                    value_cols=["last_purchase"], right_ts="ts_r") \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    ref = con.execute(
+        f"select e.event_id, p.value as last_purchase "
+        f"from read_parquet('{SF}/events.parquet') e asof left join "
+        f"(select user_id, ts, value from read_parquet('{SF}/events.parquet') "
+        f" where event_type = 'purchase') p "
+        f"on e.user_id = p.user_id and e.ts >= p.ts order by e.event_id"
+    ).df()
+    assert (out["event_id"].values == ref["event_id"].values).all()
+    a = out["last_purchase"].fillna(-1).values
+    b = ref["last_purchase"].fillna(-1).values
+    assert (a == b).all()
+
+
+def test_window_seq_and_cumsum(ray_session):
+    events = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
+    out = window_seq(events, key="user_id", order_by=["ts", "event_id"]) \
+        .to_pandas()
+    con = duckdb.connect()
+    ref = con.execute(
+        f"select event_id, row_number() over "
+        f"(partition by user_id order by ts, event_id) as seq "
+        f"from read_parquet('{SF}/events.parquet') order by event_id"
+    ).df()
+    out = out.sort_values("event_id").reset_index(drop=True)
+    assert (out["seq"].values == ref["seq"].values).all()
+
+    events2 = rd.read_parquet(f"{SF}/events.parquet",
+                              columns=["event_id", "user_id", "ts", "value"])
+    cum = window_cumsum(events2, key="user_id", order_by=["ts", "event_id"],
+                        value="value").to_pandas().sort_values("event_id")
+    ref2 = con.execute(
+        f"select event_id, sum(value) over (partition by user_id "
+        f"order by ts, event_id rows unbounded preceding) as running "
+        f"from read_parquet('{SF}/events.parquet') order by event_id"
+    ).df()
+    import numpy as np
+    assert np.allclose(cum["running"].values, ref2["running"].values)
