@@ -498,6 +498,20 @@ def _q_validate_events_summary(sf_dir: str):
                      "n_violations": pa.array([s["violations"]], pa.int64())})
 
 
+def _q_corpus_prep(sf_dir: str):
+    """End-to-end training-data prep: contract gate -> quality filter ->
+    exact dedup -> MinHash near-dedup -> kept ids (rows-only check:
+    deterministic composite)."""
+    from rho_contracts_ray.pipelines import prep_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    s = prep_documents(ds, min_quality=0.3, near_dup_threshold=0.85)
+    kept = s.pop("kept_ids")
+    return kept.append_column(
+        "stage_summary",
+        pa.array([str(sorted(s.items()))] * kept.num_rows, pa.string()))
+
+
 def _q_media_decode(sf_dir: str):
     """Multimodal plumbing on the deterministic synthetic media table."""
     import ray.data as rd
@@ -551,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_embeddings": _q_knn_ivf_embeddings,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "media_decode": _q_media_decode,
+        "corpus_prep_documents": _q_corpus_prep,
     }
 
 

@@ -139,6 +139,24 @@ def _field_get(data: Any, field: str) -> Any:
     return jsval.MISSING  # JS `arr.someName` is undefined
 
 
+def _nested_safe_in_js(contract: ast.Contract, data: Any) -> bool:
+    """After a non-throwing fail (or-collection mode) the reference STILL
+    runs nestedChecker (contract.impl.js:34-49).  On mismatched data some
+    structural checkers then CRASH with a raw TypeError (`data.forEach is
+    not a function`, `null[f]`…) — a latent reference bug we do not
+    reproduce.  This predicate marks the paths that do NOT crash in JS, so
+    collection mode matches the reference exactly on every non-crash
+    input."""
+    t = type(contract)
+    if t is ast.ArrayC:
+        return jsval.is_array(data)  # forEach exists only on arrays
+    if t is ast.TupleC:
+        return jsval.is_array(data) or isinstance(data, str)  # .length/.slice
+    if t is ast.ObjectC:
+        return not jsval.is_missing(data)  # null[f] throws
+    return True
+
+
 def check_w_context(contract: ast.Contract, data: Any, ctx: _Context) -> None:
     """contract.impl.js:30-63."""
     if isinstance(contract, ast.CyclicC):
@@ -147,7 +165,11 @@ def check_w_context(contract: ast.Contract, data: Any, ctx: _Context) -> None:
         return
     if not first_checker(contract, data):
         _fail_expected(ctx, contract, data)
-        return  # fail() raised unless a collector swallowed it
+        # fail() raised unless an or-collector swallowed it; the reference
+        # then continues into nestedChecker (collecting more failures) on
+        # every path that doesn't crash in JS
+        if not _nested_safe_in_js(contract, data):
+            return
 
     def nxt(next_contract: ast.Contract, next_v: Any, frame: Frame) -> None:
         # the push/recurse/pop discipline at contract.impl.js:49-61
@@ -171,11 +193,19 @@ def _nested_checker(contract, data, nxt, ctx: _Context) -> None:
             nxt(c, data, FRAME_SILENT if contract.silent else frame_and(i))
 
     elif t is ast.OrC:
-        # contract.impl.js:434-473 — try each, collect failures, compose
+        # contract.impl.js:434-473 — try each, collect failures, compose.
+        # `_.union` identity-dedupes the branch list (shared singletons like
+        # c.integer appear once).
+        seen_ids = set()
+        branches = []
+        for c in contract.contracts:
+            if id(c) not in seen_ids:
+                seen_ids.add(id(c))
+                branches.append(c)
         exceptions: list[tuple[ast.Contract, Violation]] = []
         success = False
         old_fail = ctx.fail
-        for c in contract.contracts:
+        for c in branches:
             if success:
                 break
             failed = [False]
@@ -192,7 +222,7 @@ def _nested_checker(contract, data, nxt, ctx: _Context) -> None:
             if not failed[0]:
                 success = True
         if not success:
-            lines = "\n".join(f" - {c.to_string()}" for c in contract.contracts)
+            lines = "\n".join(f" - {c.to_string()}" for c in branches)
             fails = "\n\n".join(
                 f"[{i + 1}] --\n{c.to_string()}: {v.message}"
                 for i, (c, v) in enumerate(exceptions)
@@ -216,6 +246,8 @@ def _nested_checker(contract, data, nxt, ctx: _Context) -> None:
 
     elif t is ast.TupleC:
         # contract.impl.js:548-598; strict length check runs FIRST (:579-588)
+        # and neither fail returns — in or-collection mode the reference
+        # continues into the positional checks (zip pads with undefined)
         n = len(contract.contracts)
         if contract.is_strict and len(data) != n:
             mb = MessageBuilder(thing_name=ctx.thing_name, wrapping=ctx.wrapping,
@@ -226,7 +258,6 @@ def _nested_checker(contract, data, nxt, ctx: _Context) -> None:
             mb.full_value(ctx.data, bool(ctx.stack))
             ctx.fail(_mk_violation(ctx, mb, expected=f"tuple of exactly size {n}",
                                    got=jsval.inspect(data), contract_name="tuple.strict"))
-            return
         if len(data) < n:
             # NOTE: min-length error has no fullContractAndValue (:550-557)
             mb = MessageBuilder(thing_name=ctx.thing_name, wrapping=ctx.wrapping,
@@ -235,21 +266,24 @@ def _nested_checker(contract, data, nxt, ctx: _Context) -> None:
             mb.expected(f"tuple of size {n}", data)
             ctx.fail(_mk_violation(ctx, mb, expected=f"tuple of size {n}",
                                    got=jsval.inspect(data), contract_name="tuple"))
-            return
         for i, c in enumerate(contract.contracts):
-            nxt(c, data[i], frame_tuple_item(i))
+            v = data[i] if i < len(data) else jsval.MISSING
+            nxt(c, v, frame_tuple_item(i))
 
     elif t is ast.HashC:
-        # contract.impl.js:615-620
+        # contract.impl.js:615-620 (underscore's each also iterates
+        # array-likes — strings included — by index)
         if isinstance(data, dict):
-            for k, v in data.items():
-                nxt(contract.value_contract, v, frame_hash_item(k))
-        elif isinstance(data, (list, tuple)):
+            for k in jsval.js_key_order(data.keys()):
+                nxt(contract.value_contract, data[k], frame_hash_item(k))
+        elif isinstance(data, (list, tuple, str)):
             for i, v in enumerate(data):
                 nxt(contract.value_contract, v, frame_hash_item(str(i)))
 
     elif t is ast.ObjectC:
-        # strict extra-field check first (contract.impl.js:695-711)
+        # strict extra-field check first (contract.impl.js:695-711).  After
+        # a collected (non-throwing) fail the reference CONTINUES into the
+        # field checks — no early returns anywhere in this branch.
         if contract.is_strict:
             keys = list(data.keys()) if isinstance(data, dict) else [
                 str(i) for i in range(len(data))
@@ -266,7 +300,6 @@ def _nested_checker(contract, data, nxt, ctx: _Context) -> None:
                 mb.full_value(ctx.data, bool(ctx.stack))
                 ctx.fail(_mk_violation(ctx, mb, got=jsval.inspect(data),
                                        contract_name="object.strict"))
-                return
         # field presence + recursion (contract.impl.js:653-664)
         for field_name, c in contract.fields.items():
             v = _field_get(data, field_name)
@@ -279,7 +312,6 @@ def _nested_checker(contract, data, nxt, ctx: _Context) -> None:
                 mb.full_value(ctx.data, bool(ctx.stack))
                 ctx.fail(_mk_violation(ctx, mb, got=jsval.inspect(data),
                                        contract_name=contract.contract_name))
-                return
             if not jsval.is_missing(v):
                 nxt(c, v, frame_object_field(field_name))
 

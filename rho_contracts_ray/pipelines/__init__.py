@@ -1,1 +1,2 @@
 from .repo_files_suite import run_suite, run_suite_checkpointed  # noqa: F401
+from .corpus_prep import prep_documents  # noqa: F401

@@ -1,0 +1,103 @@
+"""End-to-end training-data preparation pipeline over a documents table.
+
+The composite every large-scale text corpus needs, streaming throughout:
+
+  1. contract gate   — schema/row contracts on the raw table;
+  2. text features   — token counts, quality score, language ID
+                       (vectorized regex kernels);
+  3. quality filter  — drop low-quality rows (threshold);
+  4. exact dedup     — keep min-id per identical text (hash groups);
+  5. near dedup      — MinHash+LSH candidate pairs, union-find clusters,
+                       drop all but the smallest id of each cluster;
+  6. report          — kept/dropped counts per stage + kept id list.
+
+Returns a summary dict plus the kept (doc_id) table so downstream stages
+(tokenization, packing) can semi-join against it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..contracts import c
+from ..stages.dedup import connected_components, exact_dup_groups, minhash_dup_pairs
+from ..stages.text import text_features
+from ..validate import filter_valid
+
+
+def prep_documents(ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_quality: float = 0.3, near_dup_threshold: float = 0.85,
+                   contract=None) -> dict:
+    import ray.data as rd
+
+    n_input = ds.count()
+
+    # 1. contract gate
+    gate = contract or c.object({
+        id_col: c.integer,
+        text_col: c.and_(c.string, c.truthy),  # non-null, non-empty
+    })
+    valid = filter_valid(ds, gate)
+
+    # 2+3. features + quality filter (single streaming stage chain)
+    feats = text_features(valid, text_col=text_col)
+
+    def qfilter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["quality"], min_quality))
+
+    good = feats.map_batches(qfilter, batch_format="pyarrow").materialize()
+    n_good = good.count()
+
+    # 4. exact dedup: drop all but keep_id of each identical-text group
+    groups = exact_dup_groups(good, [text_col], id_col, min_count=2)
+    gt = groups if isinstance(groups, pa.Table) else pa.Table.from_pandas(
+        groups.to_pandas(), preserve_index=False)
+    drop_exact: set = set()
+    if gt.num_rows:
+        # members of each group except keep_id
+        import pandas as pd
+        keys = set(gt[text_col].to_pylist())
+        keep = dict(zip(gt[text_col].to_pylist(), gt["keep_id"].to_pylist()))
+        small = good.select_columns([id_col, text_col]).to_pandas()
+        dup_rows = small[small[text_col].isin(keys)]
+        for t, i in zip(dup_rows[text_col], dup_rows[id_col]):
+            if i != keep[t]:
+                drop_exact.add(int(i))
+
+    # 5. near-dup clusters via MinHash+LSH
+    pairs = minhash_dup_pairs(good, text_col=text_col, id_col=id_col,
+                              threshold=near_dup_threshold)
+    clusters = connected_components(
+        list(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist())))
+    drop_near: set = set()
+    for cl in clusters:
+        drop_near.update(cl[1:])  # keep the smallest id
+
+    dropped = drop_exact | drop_near
+
+    def keep_filter(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        mask = pc.invert(pc.is_in(ids, value_set=pa.array(sorted(dropped),
+                                                          type=ids.type)))
+        return batch.select([id_col]).filter(mask)
+
+    kept = good.map_batches(keep_filter, batch_format="pyarrow")
+    kept_ids = pa.concat_tables([
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in kept.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]) if n_good else pa.table({id_col: pa.array([], pa.int64())})
+
+    return {
+        "input_rows": n_input,
+        "after_contract_and_quality": n_good,
+        "dropped_low_quality_or_invalid": n_input - n_good,
+        "exact_dup_groups": gt.num_rows,
+        "dropped_exact_dups": len(drop_exact),
+        "near_dup_clusters": len(clusters),
+        "dropped_near_dups": len(drop_near - drop_exact),
+        "kept_rows": kept_ids.num_rows,
+        "kept_ids": kept_ids,
+    }
