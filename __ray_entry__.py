@@ -344,6 +344,35 @@ def _q_top10_orders(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_totalprice"])
 
 
+def _q_revenue_filter_agg(sf_dir: str):
+    """TPC-H Q6 shape: predicate pushdown + single-row aggregate, all
+    inside one streaming map_batches + driver sum."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_shipdate", "l_discount", "l_quantity",
+                        "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch["l_shipdate"],
+                                 pa.scalar(np.datetime64("1996-01-01", "us"))),
+                pc.less(batch["l_shipdate"],
+                        pa.scalar(np.datetime64("1998-01-01", "us")))),
+            pc.and_(pc.greater_equal(batch["l_discount"], 0.02),
+                    pc.less(batch["l_quantity"], 24.0)))
+        sub = batch.filter(keep)
+        rev = pc.sum(pc.multiply(sub["l_extendedprice"],
+                                 sub["l_discount"])).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], pa.float64()),
+                         "n": pa.array([sub.num_rows], pa.int64())})
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    total = float(pc.sum(t["rev"]).as_py() or 0.0)
+    n = int(pc.sum(t["n"]).as_py() or 0)
+    return pa.table({"revenue": pa.array([round(total, 2)], pa.float64()),
+                     "n_rows": pa.array([n], pa.int64())})
+
+
 def _q_join_orders_customer(sf_dir: str):
     """Broadcast hash join: fact (orders) x dim (customer)."""
     from rho_contracts_ray.stages.joins import broadcast_join
@@ -498,6 +527,62 @@ def _q_validate_events_summary(sf_dir: str):
                      "n_violations": pa.array([s["violations"]], pa.int64())})
 
 
+_TABLE_TYPES = {
+    "region": {"r_regionkey": "int", "r_name": "str"},
+    "nation": {"n_nationkey": "int", "n_name": "str", "n_regionkey": "int"},
+    "customer": {"c_custkey": "int", "c_name": "str", "c_nationkey": "int",
+                 "c_acctbal": "num", "c_mktsegment": "str"},
+    "supplier": {"s_suppkey": "int", "s_name": "str", "s_nationkey": "int",
+                 "s_acctbal": "num"},
+    "part": {"p_partkey": "int", "p_name": "str", "p_brand": "str",
+             "p_type": "str", "p_size": "int", "p_retailprice": "num"},
+    "orders": {"o_orderkey": "int", "o_custkey": "int", "o_orderstatus": "str",
+               "o_totalprice": "num", "o_orderdate": "ts",
+               "o_orderpriority": "str"},
+    "lineitem": {"l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+                 "l_linenumber": "int", "l_quantity": "num",
+                 "l_extendedprice": "num", "l_discount": "num", "l_tax": "num",
+                 "l_returnflag": "str", "l_linestatus": "str",
+                 "l_shipdate": "ts"},
+    "events": {"event_id": "int", "ts": "ts", "user_id": "int",
+               "event_type": "str", "value": "num", "props": "str"},
+    "documents": {"doc_id": "int", "text": "str", "lang": "str",
+                  "source": "str", "n_chars": "int"},
+    "embeddings": {"vec_id": "int", "embedding": "vec", "label": "int"},
+}
+
+
+def _q_schema_validate_all(sf_dir: str):
+    """Typed schema contracts over EVERY driver table in one report:
+    (tbl, n_rows, n_violations) — the whole-warehouse validation sweep."""
+    from rho_contracts_ray import c, validate
+
+    kind_map = {"int": c.integer, "num": c.number, "str": c.string,
+                "ts": c.date, "vec": c.array(c.number)}
+    tbls, rows, viols = [], [], []
+    for tbl, cols in _TABLE_TYPES.items():
+        contract = c.object({name: kind_map[k] for name, k in cols.items()})
+        rep = validate(_read(sf_dir, tbl), contract, name=tbl)
+        s = rep.summary()
+        tbls.append(tbl)
+        rows.append(s["rows"])
+        viols.append(s["violations"])
+    return pa.table({"tbl": pa.array(tbls, pa.string()),
+                     "n_rows": pa.array(rows, pa.int64()),
+                     "n_violations": pa.array(viols, pa.int64())})
+
+
+def _schema_validate_sql() -> str:
+    parts = []
+    for tbl, cols in _TABLE_TYPES.items():
+        null_conds = " OR ".join(f"{name} IS NULL" for name in cols)
+        parts.append(
+            f"SELECT '{tbl}' AS tbl, count(*)::BIGINT AS n_rows, "
+            f"count(*) FILTER (WHERE {null_conds})::BIGINT AS n_violations "
+            f"FROM {tbl}")
+    return " UNION ALL ".join(parts)
+
+
 def _q_corpus_prep(sf_dir: str):
     """End-to-end training-data prep: contract gate -> quality filter ->
     exact dedup -> MinHash near-dedup -> kept ids (rows-only check:
@@ -552,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": _q_distinct_event_types,
         "filter_purchases": _q_filter_purchases,
         "top10_orders": _q_top10_orders,
+        "revenue_filter_agg": _q_revenue_filter_agg,
         "join_orders_customer": _q_join_orders_customer,
         "join_lineitem_part": _q_join_lineitem_part,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -566,6 +652,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "media_decode": _q_media_decode,
         "corpus_prep_documents": _q_corpus_prep,
+        "schema_validate_all_tables": _q_schema_validate_all,
     }
 
 
@@ -667,6 +754,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_totalprice FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
         ),
+        "revenue_filter_agg": (
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, "
+            "count(*)::BIGINT AS n_rows FROM lineitem "
+            "WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01' "
+            "AND l_discount >= 0.02 AND l_quantity < 24"
+        ),
         "join_orders_customer": (
             "SELECT o_orderkey, o_custkey, c_name FROM orders "
             "JOIN customer ON o_custkey = c_custkey"
@@ -686,5 +779,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, ROW_NUMBER() OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS seq FROM events"
         ),
-        # minhash/simhash/quality/fingerprints/knn/drift/media: rows-only
+        "schema_validate_all_tables": _schema_validate_sql(),
+        # minhash/simhash/quality/fingerprints/knn/drift/media/corpus_prep:
+        # rows-only (non-SQL-expressible)
     }
