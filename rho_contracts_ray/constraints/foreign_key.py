@@ -69,11 +69,12 @@ def fk_violations(child_ds, child_cols: Sequence[str], dim,
 
     from ..validate import _cluster_cpus
 
+    from ..validate import stateless_stage
+
     partial = child_ds.map_batches(
-        FKCheckStage,
-        fn_constructor_kwargs=dict(keys_ref=[keys_ref], child_cols=child_cols),
+        stateless_stage(FKCheckStage, keys_ref=[keys_ref],
+                        child_cols=child_cols),
         batch_format="pyarrow",
-        concurrency=concurrency if concurrency is not None else (1, _cluster_cpus()),
     )
     total = partial.groupby(list(child_cols)).sum("cnt")
 

@@ -163,11 +163,11 @@ def column_stats(ds, cols: Sequence[str], concurrency=None
     materialization is the partials table (#batches x #cols tiny rows)."""
     from ..validate import _cluster_cpus
 
+    from ..validate import stateless_stage
+
     partials = ds.map_batches(
-        StatsPartialStage,
-        fn_constructor_kwargs=dict(cols=list(cols)),
+        stateless_stage(StatsPartialStage, cols=list(cols)),
         batch_format="pyarrow",
-        concurrency=concurrency if concurrency is not None else (1, _cluster_cpus()),
     )
     parts = []
     for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):

@@ -103,13 +103,13 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
 
     from ..validate import _cluster_cpus
 
+    from ..validate import stateless_stage
+
     q_ref = ray.put(np.asarray(queries, dtype=np.float32))
     partials = ds.map_batches(
-        _TopKStage,
-        fn_constructor_kwargs=dict(q_ref=[q_ref], k=k, emb_col=emb_col,
-                                   id_col=id_col),
+        stateless_stage(_TopKStage, q_ref=[q_ref], k=k, emb_col=emb_col,
+                        id_col=id_col),
         batch_format="pyarrow",
-        concurrency=concurrency if concurrency is not None else (1, _cluster_cpus()),
     )
     return _merge_topk(partials, k)
 
@@ -169,13 +169,13 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     for qi in range(q.shape[0]):
         probed.update(np.argsort(-probe_scores[qi])[:nprobe].tolist())
 
+    from ..validate import stateless_stage
+
     partials = ds.map_batches(
-        _IVFStage,
-        fn_constructor_kwargs=dict(
-            q_ref=[ray.put(q)], cent_ref=[ray.put(cent)],
-            probed_ref=[ray.put(probed)], k=k, emb_col=emb_col, id_col=id_col),
+        stateless_stage(_IVFStage, q_ref=[ray.put(q)], cent_ref=[ray.put(cent)],
+                        probed_ref=[ray.put(probed)], k=k, emb_col=emb_col,
+                        id_col=id_col),
         batch_format="pyarrow",
-        concurrency=concurrency if concurrency is not None else (1, _cluster_cpus()),
     )
     return _merge_topk(partials, k)
 

@@ -139,12 +139,12 @@ def minhash_signatures(ds, text_col="text", id_col="doc_id", num_perm=128,
                        k=5, seed=42, concurrency=None):
     from ..validate import _cluster_cpus
 
+    from ..validate import stateless_stage
+
     return ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
-                                   num_perm=num_perm, k=k, seed=seed),
+        stateless_stage(MinHashStage, text_col=text_col, id_col=id_col,
+                        num_perm=num_perm, k=k, seed=seed),
         batch_format="pyarrow",
-        concurrency=concurrency if concurrency is not None else (1, _cluster_cpus()),
     )
 
 
@@ -301,11 +301,11 @@ class SimHashStage:
 def simhash64(ds, text_col="text", id_col="doc_id", concurrency=None):
     from ..validate import _cluster_cpus
 
+    from ..validate import stateless_stage
+
     return ds.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        stateless_stage(SimHashStage, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=concurrency if concurrency is not None else (1, _cluster_cpus()),
     )
 
 

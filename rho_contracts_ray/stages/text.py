@@ -94,11 +94,11 @@ class TextFeaturesStage:
 def text_features(ds, text_col: str = "text", concurrency=None):
     from ..validate import _cluster_cpus
 
+    from ..validate import stateless_stage
+
     return ds.map_batches(
-        TextFeaturesStage,
-        fn_constructor_kwargs=dict(text_col=text_col),
+        stateless_stage(TextFeaturesStage, text_col=text_col),
         batch_format="pyarrow",
-        concurrency=concurrency if concurrency is not None else (1, _cluster_cpus()),
     )
 
 

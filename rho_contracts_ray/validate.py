@@ -152,6 +152,30 @@ def _cluster_cpus() -> int:
         return 4
 
 
+_WORKER_STAGE_CACHE: dict = {}
+
+
+def stateless_stage(cls, **ctor_kwargs):
+    """Wrap a callable-class stage as a stateless map_batches function with
+    a per-worker-process instance cache: tasks reuse Ray's prestarted
+    workers (no actor-pool spin-up — measured ~3.5 s/pipeline at small
+    scale) while construction still happens once per worker.  Use the
+    actor-pool form instead when per-actor state is heavy (models, big
+    broadcast sets) and the pipeline is long-lived."""
+    import uuid
+
+    key = uuid.uuid4().hex  # unique per pipeline; workers build once each
+
+    def fn(batch):
+        st = _WORKER_STAGE_CACHE.get(key)
+        if st is None:
+            st = _WORKER_STAGE_CACHE[key] = cls(**ctor_kwargs)
+        return st(batch)
+
+    fn.__name__ = f"stateless_{cls.__name__}"
+    return fn
+
+
 @dataclass
 class ValidationReport:
     """Materialized (small) validation output."""
