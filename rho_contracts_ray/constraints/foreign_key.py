@@ -67,8 +67,6 @@ def fk_violations(child_ds, child_cols: Sequence[str], dim,
     keys = _dim_key_array(dim, dim_cols)
     keys_ref = ray.put(keys)  # broadcast once
 
-    from ..validate import _cluster_cpus
-
     from ..validate import stateless_stage
 
     partial = child_ds.map_batches(

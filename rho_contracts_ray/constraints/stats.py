@@ -161,8 +161,6 @@ def column_stats(ds, cols: Sequence[str], concurrency=None
                  ) -> dict[str, ColumnStats]:
     """Streaming per-column stats over a Dataset.  The only driver-side
     materialization is the partials table (#batches x #cols tiny rows)."""
-    from ..validate import _cluster_cpus
-
     from ..validate import stateless_stage
 
     partials = ds.map_batches(

@@ -367,24 +367,6 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     return summary
 
 
-def _collect_keys(ds, col: str) -> pa.Table:
-    """Distinct keys of one column, collected small: per-batch unique ->
-    driver unique.  (Dim-side anti-join input; keys are low-cardinality.)"""
-    def uniq(batch: pa.Table) -> pa.Table:
-        return pa.table({col: pc.unique(batch[col].combine_chunks()
-                                        if isinstance(batch[col], pa.ChunkedArray)
-                                        else batch[col])})
-
-    parts = []
-    for b in ds.map_batches(uniq, batch_format="pyarrow") \
-               .iter_batches(batch_size=None, batch_format="pyarrow"):
-        parts.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
-    t = pa.concat_tables(parts) if parts else pa.table({col: []})
-    return pa.table({col: pc.unique(t[col].combine_chunks()
-                                    if isinstance(t[col], pa.ChunkedArray)
-                                    else t[col])})
-
-
 def run_suite_checkpointed(fragments: Sequence[str], ckpt_dir: str,
                            out_dir: str, group_size: int = 2,
                            max_partitions: Optional[int] = None,

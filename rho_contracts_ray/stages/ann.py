@@ -101,8 +101,6 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
     """Exact cosine top-k of each query row against every dataset vector."""
     import ray
 
-    from ..validate import _cluster_cpus
-
     from ..validate import stateless_stage
 
     q_ref = ray.put(np.asarray(queries, dtype=np.float32))

@@ -118,7 +118,9 @@ class MinHashStage:
         self.k = k
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.k)
+        # min over the shingle SET — dedupe first (typical text repeats
+        # shingles 3-5x, and min() is set-semantics anyway)
+        h = np.unique(_shingle_hashes(text, self.k))
         # universal-ish hash family with uint64 wraparound; min per perm
         vals = self.a[:, None] * h[None, :] + self.b[:, None]
         return vals.min(axis=1)
@@ -137,8 +139,6 @@ class MinHashStage:
 
 def minhash_signatures(ds, text_col="text", id_col="doc_id", num_perm=128,
                        k=5, seed=42, concurrency=None):
-    from ..validate import _cluster_cpus
-
     from ..validate import stateless_stage
 
     return ds.map_batches(
@@ -299,8 +299,6 @@ class SimHashStage:
 
 
 def simhash64(ds, text_col="text", id_col="doc_id", concurrency=None):
-    from ..validate import _cluster_cpus
-
     from ..validate import stateless_stage
 
     return ds.map_batches(

@@ -92,8 +92,6 @@ class TextFeaturesStage:
 
 
 def text_features(ds, text_col: str = "text", concurrency=None):
-    from ..validate import _cluster_cpus
-
     from ..validate import stateless_stage
 
     return ds.map_batches(
