@@ -1,0 +1,91 @@
+"""CLI entry point — the `ray job submit` surface.
+
+    python -m rho_contracts_ray suite --input DIR [--out DIR] [--strict]
+    python -m rho_contracts_ray suite --input DIR --ckpt DIR --out DIR \
+        [--group-size N]                     # checkpointed / resumable
+    python -m rho_contracts_ray gen --out DIR --rows N [--shards N] [--epoch E]
+
+On a cluster:  ray job submit -- python -m rho_contracts_ray suite --input ...
+Owns its Ray session (guarded init) per the driver contract — library code
+never calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rho_contracts_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("suite", help="run the full validation suite")
+    ps.add_argument("--input", required=True,
+                    help="parquet directory of (repo,path,commit,lang,content)")
+    ps.add_argument("--out", default=None)
+    ps.add_argument("--ckpt", default=None,
+                    help="checkpoint dir: enables resumable partitioned mode")
+    ps.add_argument("--group-size", type=int, default=2)
+    ps.add_argument("--strict", action="store_true")
+    ps.add_argument("--num-cpus", type=int, default=None)
+
+    pg = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
+    pg.add_argument("--out", required=True)
+    pg.add_argument("--rows", type=int, required=True)
+    pg.add_argument("--shards", type=int, default=16)
+    pg.add_argument("--epoch", type=int, default=0)
+    pg.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .sources import write_repo_files
+
+        paths = write_repo_files(args.out, n_rows=args.rows,
+                                 n_shards=args.shards, seed=args.seed,
+                                 epoch=args.epoch)
+        print(json.dumps({"written": len(paths), "dir": args.out}))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True,
+                      logging_level="ERROR")
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+            kwargs["address"] = "local"
+        ray.init(**kwargs)
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    except Exception:
+        pass
+
+    try:
+        if args.ckpt:
+            from .pipelines import run_suite_checkpointed
+
+            frags = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+            s = run_suite_checkpointed(frags, args.ckpt,
+                                       args.out or os.path.join(args.ckpt, "out"),
+                                       group_size=args.group_size,
+                                       strict=args.strict)
+            s.pop("records", None)
+        else:
+            from .pipelines import run_suite
+
+            s = run_suite(args.input, out_dir=args.out, strict=args.strict)
+        print(json.dumps(s, default=str))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
