@@ -46,7 +46,7 @@ def _collect(ds) -> pa.Table:
 
 def entry() -> Any:
     """Contract-validate the events table and return the violation rows
-    (stable schema; >=0 rows)."""
+    (stable schema; >=0 rows) as a pandas DataFrame per the driver spec."""
     from rho_contracts_ray import c, validate
 
     ds = _read("/root/testdata/sf0.001", "events")
@@ -59,7 +59,7 @@ def entry() -> Any:
         "props": c.optional(c.string),
     })
     rep = validate(ds, contract, name="events", id_cols=["event_id"])
-    return rep.violations()
+    return rep.violations().to_pandas()
 
 
 # ---------------------------------------------------------------------------
