@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import os
 import time
+
+import ray
 from typing import Optional, Sequence
 
 import numpy as np
@@ -28,6 +30,19 @@ from ..constraints.unique import unique_violations
 from ..functions.hashing import combine_key, sha256_hex_array, stable_hash64
 from ..sources.repo_files import commits_dim_table, repo_contract, repos_dim_table
 from ..validate import ValidatorStage, VIOLATION_SCHEMA, _cluster_cpus
+
+
+_UNIQ_BUCKETS = 16
+# interior edges: bucket r covers uint64 hashes with top-4 bits == r
+_BUCKET_INNER_EDGES = (np.arange(1, _UNIQ_BUCKETS, dtype=np.uint64)
+                       << np.uint64(60))
+
+
+def _bucket_bounds(sorted_hashes: np.ndarray) -> np.ndarray:
+    """Slice boundaries of a SORTED uint64 hash array into the 16 top-bit
+    buckets: [0, ...15 interior searchsorted positions..., n]."""
+    inner = np.searchsorted(sorted_hashes, _BUCKET_INNER_EDGES)
+    return np.concatenate(([0], inner, [sorted_hashes.size]))
 
 
 class SuiteStage:
@@ -76,10 +91,17 @@ class SuiteStage:
                                 else batch["commit"]).drop_null(),
         })
         # uniqueness partial: (key-hash, count) per distinct key in batch —
-        # 16 bytes per key; the driver merges these with one vectorized
-        # numpy reduction, so NO second scan and NO row shuffle
+        # 16 bytes per key, PRE-BUCKETED by the hash's top bits so the
+        # reduce can ship each bucket's blobs straight into a parallel Ray
+        # task: the driver never concatenates or sorts the hash stream
         kh = stable_hash64(combine_key(batch, self.key_cols))
-        uh, uc = np.unique(kh, return_counts=True)
+        uh, uc = np.unique(kh, return_counts=True)  # sorted by hash
+        bounds = _bucket_bounds(uh)
+        uniq_blobs = [
+            (uh[bounds[r]:bounds[r + 1]].view(np.int64).tobytes()
+             + uc[bounds[r]:bounds[r + 1]].astype(np.int64).tobytes())
+            for r in range(_UNIQ_BUCKETS)
+        ]
         # pack the partials into one mixed table via serialization
         failed = int(pc.sum(viol.filter(
             pc.equal(viol["kind"], "summary"))["batch_failed"]).as_py() or 0)
@@ -89,8 +111,10 @@ class SuiteStage:
             "stats": [_serialize(stats)],
             "repo_keys": [_serialize(keys)],
             "commit_keys": [_serialize(ckeys)],
-            "uniq_h": [uh.view(np.int64).tobytes()],
-            "uniq_c": [uc.astype(np.int64).tobytes()],
+            "uniq_buckets": [_serialize(pa.table({
+                "bucket": pa.array(range(_UNIQ_BUCKETS), pa.int32()),
+                "blob": pa.array(uniq_blobs, pa.binary()),
+            }))],
             "rows": [batch.num_rows],
             "failed": [failed],
             # explicit uint64 — the rollup exceeds int64 and inference overflows
@@ -98,53 +122,44 @@ class SuiteStage:
         })
 
 
-def _finish_unique(input_path, ds, key_cols, h_parts, c_parts) -> pa.Table:
-    import ray
+@ray.remote
+def _reduce_uniq_bucket(blobs: list):
+    """Merge one hash-range bucket's (hash, count) blobs -> duplicated
+    (hashes, counts).  Each blob is n int64 hashes followed by n int64
+    counts."""
+    hs, cs = [], []
+    for b in blobs:
+        n = len(b) // 16
+        arr = np.frombuffer(b, dtype=np.int64)
+        hs.append(arr[:n].view(np.uint64))
+        cs.append(arr[n:])
+    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+    c = np.concatenate(cs) if cs else np.empty(0, np.int64)
+    if h.size == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    u, inv = np.unique(h, return_inverse=True)
+    sums = np.bincount(inv, weights=c)
+    keep = sums >= 2
+    return u[keep], sums[keep].astype(np.int64)
+
+
+def _finish_unique(input_path, ds, key_cols, bucket_blobs) -> pa.Table:
     import ray.data as rd
     import pyarrow.compute as _pc
 
     empty = pa.table({**{c: pa.array([], pa.string()) for c in key_cols},
                       "cnt": pa.array([], pa.int64())})
-    if not h_parts:
+    if not any(bucket_blobs):
         return empty
-    h = np.concatenate(h_parts)
-    c = np.concatenate(c_parts)
-    # distributed range-partitioned reduce: hashes are uniform, so the top
-    # bits split them into R balanced buckets; each bucket reduces in its
-    # own Ray task and returns only its (tiny) duplicated hashes.  The
-    # driver's only O(rows) work is vectorized masking — the O(n log n)
-    # sort runs in parallel.  (A driver-local unique() here would cap the
-    # whole suite's scaling efficiency at ~0.6.)
-    if h.size > 500_000:
-        R = 16
-        bucket = (h.view(np.uint64) >> np.uint64(64 - 4)).astype(np.int8)
-
-        @ray.remote
-        def reduce_bucket(hb: np.ndarray, cb: np.ndarray):
-            u, inv = np.unique(hb, return_inverse=True)
-            sums = np.bincount(inv, weights=cb)
-            keep = sums >= 2
-            return u[keep], sums[keep].astype(np.int64)
-
-        # one stable sort by bucket, then contiguous slices — cheaper than
-        # R boolean-mask passes over the full array
-        order = np.argsort(bucket, kind="stable")
-        hs, cs2, bs = h[order], c[order], bucket[order]
-        bounds = np.searchsorted(bs, np.arange(R + 1))
-        futs = [
-            reduce_bucket.remote(hs[bounds[r]:bounds[r + 1]],
-                                 cs2[bounds[r]:bounds[r + 1]])
-            for r in range(R)
-        ]
-        outs = ray.get(futs)
-        dup_hashes = np.concatenate([o[0] for o in outs])
-        dup_counts = np.concatenate([o[1] for o in outs])
-    else:
-        uniq, inv = np.unique(h, return_inverse=True)
-        sums = np.bincount(inv, weights=c)
-        keep = sums >= 2
-        dup_hashes = uniq[keep]
-        dup_counts = sums[keep].astype(np.int64)
+    # distributed range-partitioned reduce: the main pass pre-bucketed every
+    # partial by the hash's top bits, so the driver ships each bucket's
+    # blob list into its own Ray task — no driver-side concat or sort at
+    # all.  (A driver-local unique() here capped the whole suite's scaling
+    # efficiency at ~0.6.)
+    futs = [_reduce_uniq_bucket.remote(blobs) for blobs in bucket_blobs]
+    outs = ray.get(futs)
+    dup_hashes = np.concatenate([o[0] for o in outs]).view(np.int64)
+    dup_counts = np.concatenate([o[1] for o in outs])
     if dup_hashes.size == 0:
         return empty
     order0 = np.argsort(dup_hashes)
@@ -266,7 +281,7 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     # hash partials per batch into Python objects)
     viol_tables, stats_tables = [], []
     repo_key_tables, commit_key_tables = [], []
-    uniq_h_parts, uniq_c_parts = [], []
+    bucket_blobs = [[] for _ in range(_UNIQ_BUCKETS)]
     rows = failed = 0
     rollup = 0
     for b in part_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
@@ -275,17 +290,18 @@ def run_suite(input_path, out_dir: Optional[str] = None,
         stats_col = t["stats"].combine_chunks()
         rk_col = t["repo_keys"].combine_chunks()
         ck_col = t["commit_keys"].combine_chunks()
-        uh_col = t["uniq_h"].combine_chunks()
-        uc_col = t["uniq_c"].combine_chunks()
+        ub_col = t["uniq_buckets"].combine_chunks()
         for i in range(t.num_rows):
             viol_tables.append(_deserialize(viol_col[i].as_buffer()))
             stats_tables.append(_deserialize(stats_col[i].as_buffer()))
             repo_key_tables.append(_deserialize(rk_col[i].as_buffer()))
             commit_key_tables.append(_deserialize(ck_col[i].as_buffer()))
-            uniq_h_parts.append(np.frombuffer(uh_col[i].as_buffer(),
-                                              dtype=np.int64))
-            uniq_c_parts.append(np.frombuffer(uc_col[i].as_buffer(),
-                                              dtype=np.int64))
+            bt = _deserialize(ub_col[i].as_buffer())
+            blob_col = bt["blob"].combine_chunks()
+            for r in range(_UNIQ_BUCKETS):
+                b = blob_col[r].as_buffer()
+                if len(b):
+                    bucket_blobs[r].append(b.to_pybytes())
         rows += int(pc.sum(t["rows"]).as_py() or 0)
         failed += int(pc.sum(t["failed"]).as_py() or 0)
         for v in t["sha_rollup"].to_pylist():
@@ -295,8 +311,7 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     # uniqueness finish: one vectorized reduction over the (hash, count)
     # partials; if any hash repeats, ONE key-projected extraction scan
     # recovers the real key values (collision-proof — real keys re-grouped)
-    dup_ds = _finish_unique(input_path, ds, key_cols,
-                            uniq_h_parts, uniq_c_parts)
+    dup_ds = _finish_unique(input_path, ds, key_cols, bucket_blobs)
     t_uniq = time.monotonic()
 
     violations = (pa.concat_tables(viol_tables) if viol_tables
