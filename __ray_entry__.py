@@ -421,6 +421,28 @@ def _q_asof_last_purchase(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "last_purchase"])
 
 
+def _q_salted_groupby_events(sf_dir: str):
+    """Skew-safe two-phase salted groupby count (event_type is low-cardinality
+    and hot — the salt spreads each value over 8 reducers)."""
+    from rho_contracts_ray.stages import salted_groupby_count
+
+    out = salted_groupby_count(
+        _read(sf_dir, "events", columns=["event_type"]), ["event_type"],
+        n_salt=8)
+    return _with_schema(out, pa.schema([("event_type", pa.string()),
+                                        ("cnt", pa.int64())]))
+
+
+def _q_sessionize_events(sf_dir: str):
+    """Session ids per user: new session when the gap exceeds 30 min."""
+    from rho_contracts_ray.stages import sessionize
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = sessionize(ds, key="user_id", ts="ts", gap_seconds=1800,
+                     order_tiebreak=["event_id"])
+    return out.select_columns(["event_id", "user_id", "session_id"])
+
+
 def _q_window_user_seq(sf_dir: str):
     """ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)."""
     from rho_contracts_ray.stages.joins import window_seq
@@ -642,6 +664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_lineitem_part": _q_join_lineitem_part,
         "asof_last_purchase": _q_asof_last_purchase,
         "window_user_seq": _q_window_user_seq,
+        "salted_groupby_events": _q_salted_groupby_events,
+        "sessionize_events": _q_sessionize_events,
         # training-data stages (rows-only where non-SQL)
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_documents": _q_simhash_documents,
@@ -778,6 +802,19 @@ def oracle_sql() -> dict[str, str]:
         "window_user_seq": (
             "SELECT event_id, user_id, ROW_NUMBER() OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS seq FROM events"
+        ),
+        "salted_groupby_events": (
+            "SELECT event_type, count(*)::BIGINT AS cnt FROM events "
+            "GROUP BY event_type"
+        ),
+        "sessionize_events": (
+            "SELECT event_id, user_id, "
+            "SUM(CASE WHEN prev_ts IS NULL OR "
+            "epoch(ts - prev_ts) > 1800 THEN 1 ELSE 0 END) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)::BIGINT AS session_id "
+            "FROM (SELECT event_id, user_id, ts, LAG(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+            "FROM events)"
         ),
         "schema_validate_all_tables": _schema_validate_sql(),
         # minhash/simhash/quality/fingerprints/knn/drift/media/corpus_prep:

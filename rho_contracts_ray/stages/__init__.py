@@ -17,3 +17,4 @@ from .multimodal import (  # noqa: F401
 from .joins import (  # noqa: F401
     asof_join, broadcast_join, bucketed_join, window_cumsum, window_seq,
 )
+from .skew import salted_groupby_count, sessionize  # noqa: F401

@@ -1,0 +1,67 @@
+"""Skew handling for wide operations (north_rule: "skewed repos are salted
+before groupby").
+
+`salted_groupby_count` is the explicit two-phase salt pattern: phase 1
+groups by (key, salt=hash(row)%k) so one hot key becomes k groups spread
+across reducers; phase 2 sums the k partials per key.  The per-batch
+combine used elsewhere in this repo (pyarrow group_by inside map_batches)
+achieves the same effect one level earlier; this operator exists for
+pipelines that must use Ray's groupby directly on skewed keys (e.g. when
+the downstream step is a per-group UDF, not a count)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def salted_groupby_count(ds, cols: Sequence[str], n_salt: int = 8):
+    """Count rows per key with hot keys salted into n_salt sub-groups.
+    -> Dataset[cols..., cnt]."""
+    cols = list(cols)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        # row-position salt: spreads a hot key evenly without any hashing
+        salt = (np.arange(batch.num_rows) % n_salt).astype(np.int32)
+        return batch.select(cols).append_column("__salt", pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    # phase 1: (key, salt) partial counts — a hot key occupies n_salt
+    # reducers instead of one
+    phase1 = salted.groupby(cols + ["__salt"]).count()
+
+    def strip(batch: pa.Table) -> pa.Table:
+        t = batch.rename_columns(cols + ["__salt", "cnt"])
+        return t.select(cols + ["cnt"])
+
+    # phase 2: tiny per-key sum of the n_salt partials
+    phase2 = phase1.map_batches(strip, batch_format="pyarrow") \
+        .groupby(cols).sum("cnt")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(cols + ["cnt"])
+
+    return phase2.map_batches(finish, batch_format="pyarrow")
+
+
+def sessionize(ds, key: str, ts: str, gap_seconds: int = 1800,
+               order_tiebreak: Sequence[str] = ()):
+    """Assign session ids per key: a new session starts when the gap to the
+    previous event exceeds gap_seconds.  Matches the SQL
+    LAG/SUM-OVER-window formulation."""
+    import pandas as pd
+
+    order_by = [ts] + list(order_tiebreak)
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by, kind="mergesort").reset_index(drop=True)
+        prev = df[ts].shift(1)
+        new_session = (prev.isna()
+                       | ((df[ts] - prev).dt.total_seconds() > gap_seconds))
+        df["session_id"] = new_session.cumsum().astype("int64")
+        return df
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
