@@ -87,7 +87,8 @@ def run_benchmarks() -> dict:
                  "minhash_pairs_documents", "knn_embeddings",
                  "events_hourly_counts", "join_orders_customer",
                  "join_lineitem_part", "asof_last_purchase",
-                 "window_user_seq"):
+                 "window_user_seq", "salted_groupby_events",
+                 "sessionize_events"):
         def run(n=name):
             res = q[n](SF_DIR)
             # consume lazily-built results fully

@@ -13,7 +13,7 @@ from tests.oracle import specs
 from tests.oracle.specs import build_contract, decode_value
 
 SEED = 20260817
-N_CASES = 400
+N_CASES = 600
 
 LEAF_SPECS = [
     {"t": "string"}, {"t": "number"}, {"t": "integer"}, {"t": "bool"},
