@@ -182,58 +182,106 @@ def _explode_bands(bands: int):
     return fn
 
 
+class MinHashExplodeStage(MinHashStage):
+    """Fused signature + band-explode stage: one pass from raw text to
+    (doc_id, bkey, sig) rows, where bkey is a single int64 per (band,
+    band-content) — cheaper to shuffle and to count than a two-column
+    key."""
+
+    def __init__(self, bands: int = 32, **kw):
+        super().__init__(**kw)
+        self.bands = bands
+        r = self.num_perm // bands
+        self._mix = np.power(np.uint64(1099511628211),
+                             np.arange(r, dtype=np.uint64), dtype=np.uint64)
+        self._band_salt = _splitmix64_np(
+            np.arange(1, bands + 1, dtype=np.uint64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[self.text_col], "").to_pylist()
+        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        n = len(texts)
+        bands, r = self.bands, self.num_perm // self.bands
+        sigs = np.stack([self.signature(t) for t in texts]) if n else \
+            np.empty((0, self.num_perm), dtype=np.uint64)
+        band_view = sigs[:, : bands * r].reshape(n, bands, r)
+        bh = (band_view * self._mix).sum(axis=2, dtype=np.uint64)
+        bkey = _splitmix64_np(bh ^ self._band_salt[None, :]).view(np.int64)
+        sig_bytes = [sigs[i].tobytes() for i in range(n) for _ in range(bands)]
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, bands)),
+            "bkey": pa.array(bkey.reshape(-1)),
+            "sig": pa.array(sig_bytes, pa.binary()),
+        })
+
+
+def _splitmix64_np(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x + np.uint64(0x9E3779B97F4A7C15))
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+
 def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
                       bands=32, k=5, threshold=0.7, seed=42,
                       max_bucket: int = 200) -> pa.Table:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
     Almost every LSH bucket holds ONE doc; shuffling those through a
-    per-group UDF is pure overhead.  So: (1) vectorized count per
-    (band, band_hash), (2) keep only COLLIDED bucket keys (tiny — that's
-    where near-dups live), broadcast them, (3) semi-join the exploded rows
-    against hot keys, (4) pairwise-verify only inside hot buckets.
-    Buckets larger than max_bucket are truncated (flagged in the output's
-    `truncated` column) — the no-silent-caps rule."""
+    per-group UDF is pure overhead.  So: (1) ONE fused pass from text to
+    (doc_id, band-key, sig) rows; (2) collided band-keys found with a
+    vectorized hash count (no groupby); (3) broadcast the (sorted) hot
+    keys, semi-join by binary search; (4) pairwise-verify only inside hot
+    buckets.  Buckets larger than max_bucket are truncated (flagged in the
+    output's `truncated` column) — the no-silent-caps rule."""
     import ray
 
-    sigs = minhash_signatures(ds, text_col, id_col, num_perm, k, seed)
-    exploded = sigs.map_batches(_explode_bands(bands),
-                                batch_format="pyarrow").materialize()
+    from ..validate import stateless_stage
 
-    # (1)+(2) find collided buckets with a vectorized count, no row UDFs
-    def bucket_counts(batch: pa.Table) -> pa.Table:
-        g = batch.select(["band", "band_hash"]) \
-            .group_by(["band", "band_hash"]).aggregate([([], "count_all")])
-        return g.rename_columns(["band", "band_hash", "cnt"])
+    exploded = ds.map_batches(
+        stateless_stage(MinHashExplodeStage, bands=bands, text_col=text_col,
+                        id_col=id_col, num_perm=num_perm, k=k, seed=seed),
+        batch_format="pyarrow",
+    ).materialize()
 
-    agg = exploded.map_batches(bucket_counts, batch_format="pyarrow") \
-        .groupby(["band", "band_hash"]).sum("cnt")
-    hot_parts = []
-    for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
+    # (2) collided keys via per-batch unique counts + driver numpy reduce
+    def key_counts(batch: pa.Table) -> pa.Table:
+        kk = batch["bkey"].to_numpy(zero_copy_only=False)
+        u, c = np.unique(kk, return_counts=True)
+        return pa.table({"k": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+
+    kp, cp = [], []
+    for b in exploded.map_batches(key_counts, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        t = t.rename_columns(["band", "band_hash", "cnt"])
-        hot_parts.append(t.filter(pc.greater(t["cnt"], 1)))
-    hot = pa.concat_tables(hot_parts) if hot_parts else None
-    if hot is None or hot.num_rows == 0:
+        kp.append(t["k"].to_numpy(zero_copy_only=False))
+        cp.append(t["cnt"].to_numpy(zero_copy_only=False))
+    if not kp:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
                          "est_jaccard": pa.array([], pa.float64()),
                          "truncated": pa.array([], pa.bool_())})
-    hot_keys = pc.binary_join_element_wise(
-        pc.cast(hot["band"], pa.string()),
-        pc.cast(hot["band_hash"], pa.string()), ":")
-    hot_ref = ray.put(hot_keys.combine_chunks()
-                      if isinstance(hot_keys, pa.ChunkedArray) else hot_keys)
+    kk = np.concatenate(kp)
+    cc = np.concatenate(cp)
+    u, inv = np.unique(kk, return_inverse=True)
+    hot = u[np.bincount(inv, weights=cc) >= 2]
+    if hot.size == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "est_jaccard": pa.array([], pa.float64()),
+                         "truncated": pa.array([], pa.bool_())})
+    hot_ref = ray.put(hot)  # already sorted by np.unique
 
-    # (3) keep only rows in collided buckets (broadcast semi-join)
+    # (3) keep only rows in collided buckets (broadcast binary search)
     def only_hot(batch: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(batch["band"], pa.string()),
-            pc.cast(batch["band_hash"], pa.string()), ":")
-        return batch.filter(pc.is_in(key, value_set=ray.get(hot_ref)))
+        kb = batch["bkey"].to_numpy(zero_copy_only=False)
+        sh = ray.get(hot_ref)
+        pos = np.clip(np.searchsorted(sh, kb), 0, sh.size - 1)
+        return batch.filter(pa.array(sh[pos] == kb))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # one bucket = identical (band, band_hash)
+        # one bucket = identical bkey
         sub = df.drop_duplicates("doc_id").sort_values("doc_id")
         trunc = len(sub) > max_bucket
         sub = sub.head(max_bucket)
@@ -250,7 +298,7 @@ def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
                                            "truncated"])
 
     pairs = exploded.map_batches(only_hot, batch_format="pyarrow") \
-        .groupby(["band", "band_hash"]) \
+        .groupby("bkey") \
         .map_groups(bucket_pairs, batch_format="pandas")
     pdf = pairs.to_pandas()
     if pdf.empty:

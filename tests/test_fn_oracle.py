@@ -74,6 +74,65 @@ def _normalize(msg):
     return msg.replace("undefined", "null") if msg else msg
 
 
+def test_fn_contract_fuzz():
+    """Random function contracts + calls vs the actual reference: arg
+    counts, optional tails, extraArgs, nested arg contracts, result
+    contracts — byte-identical messages."""
+    import random
+
+    if not specs.node_available():
+        pytest.skip("node or reference not available")
+    rng = random.Random(77)
+    leafs = [NUM, STR, {"t": "bool"}, {"t": "oneOf", "vs": ["x", 3]},
+             {"t": "object", "fields": {"q": NUM}},
+             {"t": "array", "item": NUM}]
+    arg_vals = [1, 2.5, "a", "x", True, None, {"q": 1}, {"q": "bad"},
+                [1, 2], ["a"], 3]
+    cases = []
+    for i in range(250):
+        n_req = rng.randint(0, 3)
+        n_opt = rng.randint(0, 2)
+        args = [dict(rng.choice(leafs)) for _ in range(n_req)]
+        for _ in range(n_opt):
+            a = dict(rng.choice(leafs))
+            a["optional"] = True
+            args.append(a)
+        spec = {"t": "fn", "args": args}
+        if rng.random() < 0.5:
+            spec["returns"] = dict(rng.choice(leafs))
+        if rng.random() < 0.3:
+            spec["extraArgs"] = {"t": "array", "item": rng.choice([NUM, STR])}
+        call = [rng.choice(arg_vals)
+                for _ in range(rng.randint(0, n_req + n_opt + 2))]
+        ret = rng.choice(arg_vals)
+        cases.append({"id": f"ff{i}", "contract": spec, "call": call,
+                      "impl_returns": ret, "name": "theFn"})
+    refs = {r["id"]: r for r in specs.run_reference(cases)}
+    mismatches = 0
+    for case in cases:
+        ref = refs[case["id"]]
+        if (ref["message"] or "").startswith("BUILD_ERROR"):
+            continue
+        if not ref["ok"] and ref.get("name") not in ("ContractError",
+                                                     "ContractLibraryError"):
+            continue  # reference crash class (documented divergence)
+        fc = _build_fn_contract(case["contract"])
+        impl = lambda *a: decode_value(case["impl_returns"])  # noqa: E731
+        wrapped = api_guard.wrap(fc, impl, "theFn")
+        ok, message = True, None
+        try:
+            wrapped(*[decode_value(a) for a in case["call"]])
+        except RowContractError as e:
+            ok, message = False, e.violation.message
+        if ok != ref["ok"] or (
+                not ok and _normalize(message) != _normalize(ref["message"])):
+            mismatches += 1
+            if mismatches == 1:
+                print("MISMATCH", case, "\n--- ref ---\n", ref["message"],
+                      "\n--- mine ---\n", message, "ok:", ok, ref["ok"])
+    assert mismatches == 0
+
+
 @pytest.mark.parametrize("case_id,fn_spec,call_args,impl_ret",
                          FN_CASES, ids=[x[0] for x in FN_CASES])
 def test_fn_contract_parity(case_id, fn_spec, call_args, impl_ret,
