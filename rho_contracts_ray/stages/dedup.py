@@ -359,30 +359,64 @@ def simhash_dup_pairs(ds, text_col="text", id_col="doc_id",
                       max_hamming: int = 3, max_bucket: int = 500) -> pa.Table:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found via
     4x16-bit band buckets (a pair within Hamming 3 shares at least one
-    exact 16-bit band — pigeonhole)."""
+    exact 16-bit band — pigeonhole).  Like minhash_dup_pairs, singleton
+    buckets are filtered out by a vectorized count + broadcast binary
+    search before any per-group UDF runs."""
+    import ray
+
     sh = simhash64(ds, text_col, id_col)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        out_i, out_b, out_v, out_h = [], [], [], []
-        for bnd in range(4):
-            part = (h >> np.uint64(16 * bnd)) & np.uint64(0xFFFF)
-            out_i.extend(ids)
-            out_b.extend([bnd] * len(ids))
-            out_v.extend(part.tolist())
-            out_h.extend(h.tolist())
+        n = len(ids)
+        bands = np.arange(4, dtype=np.uint64)
+        parts = (h[:, None] >> (bands[None, :] * np.uint64(16))) \
+            & np.uint64(0xFFFF)
+        # single int64 bucket key per (band, 16-bit value)
+        bkey = ((bands[None, :] << np.uint64(16)) | parts).astype(np.int64)
         return pa.table({
-            id_col: pa.array(out_i),
-            "band": pa.array(out_b, type=pa.int32()),
-            "bval": pa.array(out_v, type=pa.uint64()),
-            "simhash": pa.array(out_h, type=pa.uint64()),
+            id_col: pa.array(np.repeat(ids, 4)),
+            "bkey": pa.array(bkey.reshape(-1)),
+            "simhash": pa.array(np.repeat(h, 4).view(np.int64)),
         })
+
+    exploded = sh.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def key_counts(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch["bkey"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"k": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+
+    kp, cp = [], []
+    for b in exploded.map_batches(key_counts, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        kp.append(t["k"].to_numpy(zero_copy_only=False))
+        cp.append(t["cnt"].to_numpy(zero_copy_only=False))
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    if not kp:
+        return empty
+    kk = np.concatenate(kp)
+    cc = np.concatenate(cp)
+    u, inv = np.unique(kk, return_inverse=True)
+    hot = u[np.bincount(inv, weights=cc) >= 2]
+    if hot.size == 0:
+        return empty
+    hot_ref = ray.put(hot)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        kb = batch["bkey"].to_numpy(zero_copy_only=False)
+        shs = ray.get(hot_ref)
+        pos = np.clip(np.searchsorted(shs, kb), 0, shs.size - 1)
+        return batch.filter(pa.array(shs[pos] == kb))
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         sub = df.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
         ids = sub[id_col].to_numpy()
-        hs = sub["simhash"].to_numpy().astype(np.uint64)
+        hs = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         rows = []
         for i in range(len(ids)):
             x = hs[i] ^ hs[i + 1:]
@@ -392,8 +426,8 @@ def simhash_dup_pairs(ds, text_col="text", id_col="doc_id",
                 rows.append((int(ids[i]), int(ids[j]), int(d[off])))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
-    pairs = sh.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["band", "bval"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = exploded.map_batches(only_hot, batch_format="pyarrow") \
+        .groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
     pdf = pairs.to_pandas()
     if pdf.empty:
         return pa.table({"id_a": pa.array([], pa.int64()),

@@ -23,7 +23,8 @@ LEAF_SPECS = [
 ]
 
 SCALARS = [0, 1, -2, 5, 2.5, "", "a", "ab", "abb", "x", True, False, None,
-           {"__nan__": 1}, 45.2]
+           {"__nan__": 1}, 45.2, "it's", 'say "hi"', "tab\there",
+           "line\nbreak", "x" * 95]
 
 
 def _rand_contract(rng: random.Random, depth: int) -> dict:
