@@ -514,18 +514,30 @@ def _q_embedding_dup_pairs(sf_dir: str):
 
 
 def _q_drift_events_value(sf_dir: str):
-    """KS drift between early-half and late-half event values."""
+    """KS drift between early-half and late-half event values — fully
+    streaming: the split point comes from a t-digest of ts (no collect),
+    then each half's stats stream through filtered passes."""
     from rho_contracts_ray.constraints.stats import column_stats
     from rho_contracts_ray.constraints.drift import numeric_drift_from_stats
 
-    ds = _read(sf_dir, "events", columns=["ts", "value"])
-    t = _collect(ds)
-    mid = pc.quantile(t["ts"].cast(pa.int64()), 0.5)[0].as_py()
-    lo = t.filter(pc.less(t["ts"].cast(pa.int64()), mid))
-    hi = t.filter(pc.greater_equal(t["ts"].cast(pa.int64()), mid))
-    from rho_contracts_ray.constraints.stats import column_stats_table
-    sa = column_stats_table(lo.select(["value"]), ["value"])["value"]
-    sb = column_stats_table(hi.select(["value"]), ["value"])["value"]
+    def to_int_ts(batch: pa.Table) -> pa.Table:
+        return pa.table({"tsi": pc.cast(batch["ts"], pa.int64()),
+                         "value": batch["value"]})
+
+    base = _read(sf_dir, "events", columns=["ts", "value"]) \
+        .map_batches(to_int_ts, batch_format="pyarrow").materialize()
+    mid = column_stats(base, ["tsi"])["tsi"].quantile(0.5)
+
+    def half(keep_lo: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.less(batch["tsi"], mid) if keep_lo \
+                else pc.greater_equal(batch["tsi"], mid)
+            return batch.filter(m).select(["value"])
+
+        return base.map_batches(f, batch_format="pyarrow")
+
+    sa = column_stats(half(True), ["value"])["value"]
+    sb = column_stats(half(False), ["value"])["value"]
     r = numeric_drift_from_stats(sa, sb, "value")
     return pa.table({"column": ["value"],
                      "ks": [round(r.statistic, 4)],
