@@ -191,3 +191,35 @@ def test_sha256_vs_duckdb():
     docs_sorted = docs.sort_by("doc_id")
     mine_sorted = sha256_hex_array(docs_sorted["text"]).to_pylist()
     assert mine_sorted == [r[0] for r in ref]
+
+
+def test_numeric_and_categorical_drift_on_datasets(ray_session):
+    """The Dataset-flavored drift APIs (streaming sketch passes)."""
+    import ray.data as rd
+
+    from rho_contracts_ray.constraints import categorical_drift, numeric_drift
+    from rho_contracts_ray.sources import make_repo_files_table
+
+    a = rd.from_arrow(make_repo_files_table(20_000, seed=42, epoch=0,
+                                            violation_rate=0))
+    b = rd.from_arrow(make_repo_files_table(20_000, seed=42, epoch=2,
+                                            violation_rate=0))
+
+    def with_len(batch):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        return _pa.table({"n": _pc.cast(_pc.utf8_length(
+            batch["content"].combine_chunks()
+            if isinstance(batch["content"], _pa.ChunkedArray)
+            else batch["content"]), _pa.int64())})
+
+    la = a.map_batches(with_len, batch_format="pyarrow")
+    lb = b.map_batches(with_len, batch_format="pyarrow")
+    r = numeric_drift(la, lb, "n")
+    assert r.drifted and r.statistic > 0.1
+    c = categorical_drift(
+        rd.from_arrow(make_repo_files_table(20_000, seed=42, epoch=0,
+                                            violation_rate=0)),
+        rd.from_arrow(make_repo_files_table(20_000, seed=42, epoch=2,
+                                            violation_rate=0)), "lang")
+    assert c.drifted
