@@ -60,13 +60,22 @@ class SuiteStage:
         self.key_cols = list(key_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         # row contracts
         viol = self.validator(batch)
-        # sha256 rollup partial over content
-        sha = sha256_hex_array(batch["content"])
-        rollup = int(np.sum(stable_hash64(pa.array(
-            [s for s in sha.to_pylist() if s is not None])), dtype=np.uint64)) \
-            if batch.num_rows else 0
+        # sha256 rollup partial over content: order-independent sum of the
+        # first 8 digest bytes per row — no intermediate hex strings
+        sha = hashlib.sha256
+        content_col = batch["content"]
+        if isinstance(content_col, pa.ChunkedArray):
+            content_col = content_col.combine_chunks()
+        rollup = 0
+        for s in content_col.to_pylist():
+            if s is not None:
+                rollup += int.from_bytes(
+                    sha(s.encode("utf-8")).digest()[:8], "little")
+        rollup &= (1 << 64) - 1
         # stats partials over content length + key columns
         lens = pc.utf8_length(batch["content"].combine_chunks()
                               if isinstance(batch["content"], pa.ChunkedArray)
