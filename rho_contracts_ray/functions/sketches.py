@@ -74,29 +74,33 @@ class TDigest:
         self._force_compress()
 
     def _force_compress(self) -> None:
+        """Cluster-wise greedy merge: walk CLUSTER boundaries (≈2δ of them)
+        instead of items, finding each boundary with a binary search over
+        the cumulative weights — O(δ log n) after the sort, not O(n)
+        Python-loop iterations."""
         if self.means.size == 0:
             return
         order = np.argsort(self.means, kind="stable")
         means = self.means[order]
         weights = self.weights[order]
-        total = weights.sum()
+        total = float(weights.sum())
+        W = np.cumsum(weights)
+        WM = np.cumsum(means * weights)
         out_means: list[float] = []
         out_weights: list[float] = []
-        cum = 0.0
-        cur_m, cur_w = means[0], weights[0]
-        for m, w in zip(means[1:], weights[1:]):
-            q = (cum + cur_w / 2.0) / total
-            limit = 4.0 * total * q * (1.0 - q) / self.compression
-            if cur_w + w <= max(limit, 1.0):
-                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
-                cur_w += w
-            else:
-                out_means.append(cur_m)
-                out_weights.append(cur_w)
-                cum += cur_w
-                cur_m, cur_w = m, w
-        out_means.append(cur_m)
-        out_weights.append(cur_w)
+        n = means.size
+        start = 0
+        while start < n:
+            cum = float(W[start - 1]) if start else 0.0
+            q = cum / total
+            limit = max(4.0 * total * q * (1.0 - q) / self.compression, 1.0)
+            j = int(np.searchsorted(W, cum + limit, side="right"))
+            j = max(j, start + 1)
+            w = float(W[j - 1]) - cum
+            wm = float(WM[j - 1]) - (float(WM[start - 1]) if start else 0.0)
+            out_means.append(wm / w)
+            out_weights.append(w)
+            start = j
         self.means = np.asarray(out_means)
         self.weights = np.asarray(out_weights)
 
