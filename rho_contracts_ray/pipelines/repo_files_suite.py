@@ -27,7 +27,7 @@ from ..contracts import ast
 from ..constraints.foreign_key import fk_violations_table
 from ..constraints.stats import StatsPartialStage, _merge_partials, PARTIAL_SCHEMA
 from ..constraints.unique import unique_violations
-from ..functions.hashing import combine_key, sha256_hex_array, stable_hash64
+from ..functions.hashing import combine_key, stable_hash64
 from ..sources.repo_files import commits_dim_table, repo_contract, repos_dim_table
 from ..validate import ValidatorStage, VIOLATION_SCHEMA, _cluster_cpus
 
