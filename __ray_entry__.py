@@ -421,6 +421,18 @@ def _q_asof_last_purchase(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "last_purchase"])
 
 
+def _q_top3_orders_per_status(sf_dir: str):
+    """Top-3 orders by total price within each order status (top-k per
+    group via key-partitioned sort)."""
+    from rho_contracts_ray.stages.joins import top_k_per_group
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    out = top_k_per_group(ds, key="o_orderstatus",
+                          order_by=["o_totalprice", "o_orderkey"], k=3)
+    return out.select_columns(["o_orderstatus", "o_orderkey", "o_totalprice"])
+
+
 def _q_salted_groupby_events(sf_dir: str):
     """Skew-safe two-phase salted groupby count (event_type is low-cardinality
     and hot — the salt spreads each value over 8 reducers)."""
@@ -678,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_user_seq": _q_window_user_seq,
         "salted_groupby_events": _q_salted_groupby_events,
         "sessionize_events": _q_sessionize_events,
+        "top3_orders_per_status": _q_top3_orders_per_status,
         # training-data stages (rows-only where non-SQL)
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_documents": _q_simhash_documents,
@@ -818,6 +831,12 @@ def oracle_sql() -> dict[str, str]:
         "salted_groupby_events": (
             "SELECT event_type, count(*)::BIGINT AS cnt FROM events "
             "GROUP BY event_type"
+        ),
+        "top3_orders_per_status": (
+            "SELECT o_orderstatus, o_orderkey, o_totalprice FROM ("
+            "SELECT o_orderstatus, o_orderkey, o_totalprice, ROW_NUMBER() "
+            "OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, "
+            "o_orderkey DESC) AS rn FROM orders) WHERE rn <= 3"
         ),
         "sessionize_events": (
             "SELECT event_id, user_id, "

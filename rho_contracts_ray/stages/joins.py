@@ -145,6 +145,20 @@ def window_seq(ds, key: str, order_by: Sequence[str],
     return ds.groupby(key).map_groups(number, batch_format="pandas")
 
 
+def top_k_per_group(ds, key: str, order_by: Sequence[str], k: int,
+                    descending: bool = True):
+    """Top-k rows per group by order_by (ties broken by the trailing
+    order_by columns — pass an id column last for determinism)."""
+    order_by = list(order_by)
+
+    def take(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order_by, ascending=not descending,
+                            kind="mergesort")
+        return df.head(k)
+
+    return ds.groupby(key).map_groups(take, batch_format="pandas")
+
+
 def window_cumsum(ds, key: str, order_by: Sequence[str], value: str,
                   out_col: str = "running"):
     """SUM(value) OVER (PARTITION BY key ORDER BY order_by ROWS UNBOUNDED
