@@ -157,6 +157,28 @@ def _merge_partials(table: pa.Table) -> dict[str, ColumnStats]:
     return out
 
 
+def merge_partials_table(table: pa.Table) -> pa.Table:
+    """Associatively merge a partials table back INTO partial form (one row
+    per column) — used by the suite's distributed tree-combine stage so
+    t-digest / HLL merges run in workers, not on the driver."""
+    merged = _merge_partials(table)
+    rows = {f.name: [] for f in PARTIAL_SCHEMA}
+    for name in sorted(merged):
+        s = merged[name]
+        rows["column"].append(s.column)
+        rows["count"].append(s.count)
+        rows["nulls"].append(s.nulls)
+        rows["vmin"].append(s.vmin)
+        rows["vmax"].append(s.vmax)
+        rows["vsum"].append(s.vsum if s.vmin is not None else None)
+        rows["vsum2"].append(s.vsum2 if s.vmin is not None else None)
+        rows["smin"].append(s.smin)
+        rows["smax"].append(s.smax)
+        rows["tdigest"].append(s.tdigest.to_bytes() if s.tdigest else b"")
+        rows["hll"].append(s.hll.to_bytes() if s.hll else b"")
+    return pa.Table.from_pydict(rows, schema=PARTIAL_SCHEMA)
+
+
 def column_stats(ds, cols: Sequence[str], concurrency=None
                  ) -> dict[str, ColumnStats]:
     """Streaming per-column stats over a Dataset.  The only driver-side

@@ -23,7 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..contracts import c
-from ..stages.dedup import connected_components, exact_dup_groups, minhash_dup_pairs
+from ..stages.dedup import connected_components, minhash_dup_pairs
 from ..stages.text import text_features
 from ..validate import filter_valid
 
@@ -51,21 +51,40 @@ def prep_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     good = feats.map_batches(qfilter, batch_format="pyarrow").materialize()
     n_good = good.count()
 
-    # 4. exact dedup: drop all but keep_id of each identical-text group
-    groups = exact_dup_groups(good, [text_col], id_col, min_count=2)
-    gt = groups if isinstance(groups, pa.Table) else pa.Table.from_pandas(
-        groups.to_pandas(), preserve_index=False)
-    drop_exact: set = set()
-    if gt.num_rows:
-        # members of each group except keep_id
-        import pandas as pd
-        keys = set(gt[text_col].to_pylist())
-        keep = dict(zip(gt[text_col].to_pylist(), gt["keep_id"].to_pylist()))
-        small = good.select_columns([id_col, text_col]).to_pandas()
-        dup_rows = small[small[text_col].isin(keys)]
-        for t, i in zip(dup_rows[text_col], dup_rows[id_col]):
-            if i != keep[t]:
-                drop_exact.add(int(i))
+    # 4. exact dedup: drop all but the min id of each identical-text group.
+    # Only (h1, h2, id) rows — 24 B/row — enter the shuffle; the text
+    # column never leaves the workers and nothing big reaches the driver
+    # (round 1 did a whole-corpus to_pandas() here, flagged in VERDICT.md).
+    # The 128-bit (two independent 64-bit families) group key makes a
+    # collision-caused false drop vanishingly unlikely (~n^2 / 2^128).
+    import pandas as pd
+
+    from ..functions.hashing import stable_hash64
+
+    def _hash_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "h1": stable_hash64(batch[text_col]).view("int64"),
+            "h2": stable_hash64(batch[text_col], seed=1).view("int64"),
+            id_col: batch[id_col],
+        })
+
+    def _drop_members(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"drop_id": pd.Series([], dtype="int64"),
+                                 "keep_id": pd.Series([], dtype="int64")})
+        m = df[id_col].min()
+        rest = df[df[id_col] != m]
+        return pd.DataFrame({"drop_id": rest[id_col].astype("int64"),
+                             "keep_id": m})
+
+    drops_pdf = good.map_batches(_hash_ids, batch_format="pyarrow") \
+        .groupby(["h1", "h2"]) \
+        .map_groups(_drop_members, batch_format="pandas").to_pandas()
+    if "drop_id" not in drops_pdf.columns:   # all-empty groups lose schema
+        drops_pdf = pd.DataFrame({"drop_id": pd.Series([], dtype="int64"),
+                                  "keep_id": pd.Series([], dtype="int64")})
+    drop_exact: set = set(int(i) for i in drops_pdf["drop_id"])
+    n_exact_groups = int(drops_pdf["keep_id"].nunique())
 
     # 5. near-dup clusters via MinHash+LSH
     pairs = minhash_dup_pairs(good, text_col=text_col, id_col=id_col,
@@ -77,11 +96,11 @@ def prep_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         drop_near.update(cl[1:])  # keep the smallest id
 
     dropped = drop_exact | drop_near
+    drop_arr = pa.array(sorted(dropped), type=pa.int64())
 
     def keep_filter(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
-        mask = pc.invert(pc.is_in(ids, value_set=pa.array(sorted(dropped),
-                                                          type=ids.type)))
+        mask = pc.invert(pc.is_in(ids, value_set=pc.cast(drop_arr, ids.type)))
         return batch.select([id_col]).filter(mask)
 
     kept = good.map_batches(keep_filter, batch_format="pyarrow")
@@ -94,7 +113,7 @@ def prep_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         "input_rows": n_input,
         "after_contract_and_quality": n_good,
         "dropped_low_quality_or_invalid": n_input - n_good,
-        "exact_dup_groups": gt.num_rows,
+        "exact_dup_groups": n_exact_groups,
         "dropped_exact_dups": len(drop_exact),
         "near_dup_clusters": len(clusters),
         "dropped_near_dups": len(drop_near - drop_exact),

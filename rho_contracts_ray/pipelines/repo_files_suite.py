@@ -6,9 +6,22 @@ materializing the corpus:
   1. row contracts  — vectorized kernels in an actor pool (violations out);
   2. sha256 rollup  — per-row content hash, order-independent digest;
   3. column sketches — content-length t-digest + per-column HLL partials;
-  4. uniqueness partial counts — per-batch combine, then a key-only shuffle.
+  4. uniqueness     — per-batch distinct (key, count) tables, PRE-BUCKETED
+     by key-hash top bits; the hash is only a ROUTING device — the reduce
+     re-groups REAL keys and re-sums real counts, so a 64-bit collision can
+     only add a candidate that the cnt>=2 filter then discards (never a
+     wrong count).
 FK checks run as a broadcast semi-join (no shuffle).  `content` is
 projected away before anything wide (SURVEY.md §4).
+
+Scale shape (matters at 100 TB): after the per-batch partials there is a
+DISTRIBUTED tree-combine stage (`map_batches` over the partials, ~32:1)
+that merges violations/sketches/FK-keys and concatenates uniqueness
+buckets in workers, so the driver only ever touches O(#combined blocks)
+tiny tables; the uniqueness payload itself is routed worker-to-worker via
+block references into per-bucket reduce tasks and NEVER flows through the
+driver.  There is no second scan of the input — round 1's extraction-scan
+re-read was the scaling bottleneck (raw 4->16 efficiency 0.6).
 """
 
 from __future__ import annotations
@@ -25,29 +38,58 @@ import pyarrow.compute as pc
 
 from ..contracts import ast
 from ..constraints.foreign_key import fk_violations_table
-from ..constraints.stats import StatsPartialStage, _merge_partials, PARTIAL_SCHEMA
-from ..constraints.unique import unique_violations
+from ..constraints.stats import (StatsPartialStage, _merge_partials,
+                                 merge_partials_table, PARTIAL_SCHEMA)
 from ..functions.hashing import combine_key, stable_hash64
 from ..sources.repo_files import commits_dim_table, repo_contract, repos_dim_table
 from ..validate import ValidatorStage, VIOLATION_SCHEMA, _cluster_cpus
 
 
 _UNIQ_BUCKETS = 16
-# interior edges: bucket r covers uint64 hashes with top-4 bits == r
-_BUCKET_INNER_EDGES = (np.arange(1, _UNIQ_BUCKETS, dtype=np.uint64)
-                       << np.uint64(60))
 
 
-def _bucket_bounds(sorted_hashes: np.ndarray) -> np.ndarray:
-    """Slice boundaries of a SORTED uint64 hash array into the 16 top-bit
-    buckets: [0, ...15 interior searchsorted positions..., n]."""
-    inner = np.searchsorted(sorted_hashes, _BUCKET_INNER_EDGES)
-    return np.concatenate(([0], inner, [sorted_hashes.size]))
+def _sha256_rollup(col) -> int:
+    """Order-independent rollup: sum of the first 8 little-endian digest
+    bytes of sha256(content) per non-null row, mod 2^64.  Reads the string
+    bytes straight out of the Arrow buffers (no to_pylist / re-encode copy
+    per row — the values buffer IS the utf-8 bytes)."""
+    import hashlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return 0
+    sha = hashlib.sha256
+    rollup = 0
+    t = col.type
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        bufs = col.buffers()
+        dt = np.int64 if pa.types.is_large_string(t) else np.int32
+        width = 8 if dt is np.int64 else 4
+        off = np.frombuffer(bufs[1], dtype=dt,
+                            count=n + 1, offset=col.offset * width)
+        mv = memoryview(bufs[2])
+        if col.null_count:
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            idx = np.flatnonzero(valid)
+        else:
+            idx = range(n)
+        for i in idx:
+            rollup += int.from_bytes(
+                sha(mv[off[i]:off[i + 1]]).digest()[:8], "little")
+    else:  # fallback for exotic layouts
+        for v in col:
+            s = v.as_py()
+            if s is not None:
+                rollup += int.from_bytes(
+                    sha(s.encode("utf-8")).digest()[:8], "little")
+    return rollup & ((1 << 64) - 1)
 
 
 class SuiteStage:
     """One actor-pool stage computing row-contract verdicts + violations,
-    sha256 rollup partial, stats partials and uniqueness partials for a
+    sha256 rollup partial, stats partials and uniqueness key partials for a
     batch — a single pass over each block, contract compiled once per
     actor (SURVEY.md §4 'stateful stages')."""
 
@@ -59,23 +101,32 @@ class SuiteStage:
         self.stats = StatsPartialStage(["content_len", "repo", "lang", "commit"])
         self.key_cols = list(key_cols)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import hashlib
+    def _uniq_bucket_blobs(self, batch: pa.Table) -> list[bytes]:
+        """Per-batch distinct (key..., cnt) tables, one per hash bucket.
+        Real keys + real counts travel in the blob: the bucket hash is
+        only a partitioner, so the downstream reduce is collision-proof."""
+        g = batch.select(self.key_cols).group_by(self.key_cols) \
+            .aggregate([([], "count_all")])
+        keys_tbl = pa.table(
+            {**{c: g[c] for c in self.key_cols},
+             "cnt": pc.cast(g["count_all"], pa.int64())})
+        kh = stable_hash64(combine_key(keys_tbl, self.key_cols))
+        bucket = (kh >> np.uint64(64 - _UNIQ_BUCKETS.bit_length() + 1)) \
+            .astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        ordered = keys_tbl.take(pa.array(order, pa.int64()))
+        counts = np.bincount(bucket, minlength=_UNIQ_BUCKETS)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        return [
+            _serialize(ordered.slice(int(starts[r]), int(counts[r])))
+            for r in range(_UNIQ_BUCKETS)
+        ]
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
         # row contracts
         viol = self.validator(batch)
-        # sha256 rollup partial over content: order-independent sum of the
-        # first 8 digest bytes per row — no intermediate hex strings
-        sha = hashlib.sha256
-        content_col = batch["content"]
-        if isinstance(content_col, pa.ChunkedArray):
-            content_col = content_col.combine_chunks()
-        rollup = 0
-        for s in content_col.to_pylist():
-            if s is not None:
-                rollup += int.from_bytes(
-                    sha(s.encode("utf-8")).digest()[:8], "little")
-        rollup &= (1 << 64) - 1
+        # sha256 rollup partial over content (order-independent)
+        rollup = _sha256_rollup(batch["content"])
         # stats partials over content length + key columns
         lens = pc.utf8_length(batch["content"].combine_chunks()
                               if isinstance(batch["content"], pa.ChunkedArray)
@@ -93,25 +144,12 @@ class SuiteStage:
                               if isinstance(batch["repo"], pa.ChunkedArray)
                               else batch["repo"]).drop_null(),
         })
-
         ckeys = pa.table({
             "commit": pc.unique(batch["commit"].combine_chunks()
                                 if isinstance(batch["commit"], pa.ChunkedArray)
                                 else batch["commit"]).drop_null(),
         })
-        # uniqueness partial: (key-hash, count) per distinct key in batch —
-        # 16 bytes per key, PRE-BUCKETED by the hash's top bits so the
-        # reduce can ship each bucket's blobs straight into a parallel Ray
-        # task: the driver never concatenates or sorts the hash stream
-        kh = stable_hash64(combine_key(batch, self.key_cols))
-        uh, uc = np.unique(kh, return_counts=True)  # sorted by hash
-        bounds = _bucket_bounds(uh)
-        uniq_blobs = [
-            (uh[bounds[r]:bounds[r + 1]].view(np.int64).tobytes()
-             + uc[bounds[r]:bounds[r + 1]].astype(np.int64).tobytes())
-            for r in range(_UNIQ_BUCKETS)
-        ]
-        # pack the partials into one mixed table via serialization
+        uniq_blobs = self._uniq_bucket_blobs(batch)
         failed = int(pc.sum(viol.filter(
             pc.equal(viol["kind"], "summary"))["batch_failed"]).as_py() or 0)
         return pa.table({
@@ -131,81 +169,102 @@ class SuiteStage:
         })
 
 
+def _combine_partials(batch: pa.Table) -> pa.Table:
+    """Distributed tree-combine: merge ~32 per-batch partial rows into one.
+    Runs as a `map_batches` stage over the partials dataset, so t-digest /
+    HLL merges, violation concat, FK-key dedup and uniqueness-bucket concat
+    all happen in WORKERS; the driver's final merge sees O(#blocks) rows."""
+    n = batch.num_rows
+    if n <= 1:
+        return batch
+    viol = pa.concat_tables(
+        [_deserialize(batch["violations"][i].as_buffer()) for i in range(n)])
+    stats = merge_partials_table(pa.concat_tables(
+        [_deserialize(batch["stats"][i].as_buffer()) for i in range(n)]))
+
+    def _key_union(col_name: str, key: str) -> pa.Table:
+        t = pa.concat_tables(
+            [_deserialize(batch[col_name][i].as_buffer()) for i in range(n)])
+        return pa.table({key: pc.unique(t[key].combine_chunks()
+                                        if isinstance(t[key], pa.ChunkedArray)
+                                        else t[key])})
+
+    rkeys = _key_union("repo_keys", "repo")
+    ckeys = _key_union("commit_keys", "commit")
+    per_bucket: list[list[pa.Table]] = [[] for _ in range(_UNIQ_BUCKETS)]
+    for i in range(n):
+        bt = _deserialize(batch["uniq_buckets"][i].as_buffer())
+        blob_col = bt["blob"].combine_chunks()
+        for r in range(_UNIQ_BUCKETS):
+            t = _deserialize(blob_col[r].as_buffer())
+            if t.num_rows:
+                per_bucket[r].append(t)
+    uniq_blobs = [
+        _serialize(pa.concat_tables(ts)) if ts else b""
+        for ts in per_bucket
+    ]
+    rollup = 0
+    for v in batch["sha_rollup"].to_pylist():
+        rollup = (rollup + v) % (1 << 64)
+    return pa.table({
+        "kind": ["partial"],
+        "violations": [_serialize(viol)],
+        "stats": [_serialize(stats)],
+        "repo_keys": [_serialize(rkeys)],
+        "commit_keys": [_serialize(ckeys)],
+        "uniq_buckets": [_serialize(pa.table({
+            "bucket": pa.array(range(_UNIQ_BUCKETS), pa.int32()),
+            "blob": pa.array(uniq_blobs, pa.binary()),
+        }))],
+        "rows": [int(pc.sum(batch["rows"]).as_py() or 0)],
+        "failed": [int(pc.sum(batch["failed"]).as_py() or 0)],
+        "sha_rollup": pa.array([rollup], type=pa.uint64()),
+    })
+
+
+@ray.remote(num_returns=_UNIQ_BUCKETS + 1)
+def _split_block(block):
+    """Route one combined-partials block: returns the small columns (for
+    the driver) plus each uniqueness bucket's blob list (for the per-bucket
+    reduce tasks) — the key payload moves worker-to-worker, never through
+    the driver."""
+    t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
+    small = t.drop_columns(["uniq_buckets"])
+    per_bucket: list[list[bytes]] = [[] for _ in range(_UNIQ_BUCKETS)]
+    ub = t["uniq_buckets"].combine_chunks()
+    for i in range(t.num_rows):
+        bt = _deserialize(ub[i].as_buffer())
+        blob_col = bt["blob"].combine_chunks()
+        for r in range(_UNIQ_BUCKETS):
+            b = blob_col[r].as_buffer()
+            if len(b):
+                per_bucket[r].append(b.to_pybytes())
+    return (small, *per_bucket)
+
+
 @ray.remote
-def _reduce_uniq_bucket(blobs: list):
-    """Merge one hash-range bucket's (hash, count) blobs -> duplicated
-    (hashes, counts).  Each blob is n int64 hashes followed by n int64
-    counts."""
-    hs, cs = [], []
-    for b in blobs:
-        n = len(b) // 16
-        arr = np.frombuffer(b, dtype=np.int64)
-        hs.append(arr[:n].view(np.uint64))
-        cs.append(arr[n:])
-    h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
-    c = np.concatenate(cs) if cs else np.empty(0, np.int64)
-    if h.size == 0:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
-    u, inv = np.unique(h, return_inverse=True)
-    sums = np.bincount(inv, weights=c)
-    keep = sums >= 2
-    return u[keep], sums[keep].astype(np.int64)
+def _reduce_uniq_bucket(key_cols: tuple, *blob_lists) -> pa.Table:
+    """Merge one hash-range bucket: concat every per-batch distinct
+    (key..., cnt) table, re-group by the REAL keys summing REAL counts,
+    keep cnt>=2.  Hashing upstream only routed rows here, so two distinct
+    keys colliding in hash space still resolve to separate (correct)
+    groups — and singletons are dropped by the filter."""
+    key_cols = list(key_cols)
+    tables = [_deserialize(pa.py_buffer(b))
+              for blobs in blob_lists for b in blobs]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return _empty_dup_table(key_cols)
+    t = pa.concat_tables(tables)
+    g = t.group_by(key_cols).aggregate([("cnt", "sum")])
+    g = g.filter(pc.greater_equal(g["cnt_sum"], 2))
+    return pa.table({**{c: g[c] for c in key_cols},
+                     "cnt": pc.cast(g["cnt_sum"], pa.int64())})
 
 
-def _finish_unique(input_path, ds, key_cols, bucket_blobs) -> pa.Table:
-    import ray.data as rd
-    import pyarrow.compute as _pc
-
-    empty = pa.table({**{c: pa.array([], pa.string()) for c in key_cols},
-                      "cnt": pa.array([], pa.int64())})
-    if not any(bucket_blobs):
-        return empty
-    # distributed range-partitioned reduce: the main pass pre-bucketed every
-    # partial by the hash's top bits, so the driver ships each bucket's
-    # blob list into its own Ray task — no driver-side concat or sort at
-    # all.  (A driver-local unique() here capped the whole suite's scaling
-    # efficiency at ~0.6.)
-    futs = [_reduce_uniq_bucket.remote(blobs) for blobs in bucket_blobs]
-    outs = ray.get(futs)
-    dup_hashes = np.concatenate([o[0] for o in outs]).view(np.int64)
-    dup_counts = np.concatenate([o[1] for o in outs])
-    if dup_hashes.size == 0:
-        return empty
-    order0 = np.argsort(dup_hashes)
-    dup_hashes = dup_hashes[order0]
-    dup_counts = dup_counts[order0]
-    ref = ray.put(dup_hashes)  # SORTED: workers binary-search, no set build
-
-    def extract(batch: pa.Table) -> pa.Table:
-        # keep only rows whose key-hash collided, deduped WITHIN the batch
-        # (vectorized) so the driver never re-counts — counts come from the
-        # hash reduce above (64-bit collision odds are ~distinct^2/2^64)
-        kh = stable_hash64(combine_key(batch, key_cols)).view(np.int64)
-        sorted_dup = ray.get(ref)
-        pos = np.searchsorted(sorted_dup, kh)
-        pos_c = np.clip(pos, 0, sorted_dup.size - 1)
-        mask = sorted_dup[pos_c] == kh
-        sub = batch.select(key_cols).filter(pa.array(mask))
-        return sub.group_by(key_cols).aggregate([]).select(key_cols)
-
-    if isinstance(input_path, (str, list)):
-        key_ds = rd.read_parquet(input_path, columns=key_cols)
-    else:
-        key_ds = ds.select_columns(key_cols)
-    parts = []
-    for b in key_ds.map_batches(extract, batch_format="pyarrow") \
-            .iter_batches(batch_size=None, batch_format="pyarrow"):
-        parts.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
-    cands = pa.concat_tables(parts) if parts else None
-    if cands is None or cands.num_rows == 0:
-        return empty
-    # distinct keys across batches, then counts via vectorized hash lookup
-    # (dup_hashes/dup_counts already co-sorted above)
-    g = cands.group_by(key_cols).aggregate([]).select(key_cols)
-    gh = stable_hash64(combine_key(g, key_cols)).view(np.int64)
-    pos = np.searchsorted(dup_hashes, gh)
-    cnt = dup_counts[np.clip(pos, 0, dup_counts.size - 1)]
-    return g.append_column("cnt", pa.array(cnt, pa.int64()))
+def _empty_dup_table(key_cols: Sequence[str]) -> pa.Table:
+    return pa.table({**{c: pa.array([], pa.string()) for c in key_cols},
+                     "cnt": pa.array([], pa.int64())})
 
 
 def _serialize(t: pa.Table) -> bytes:
@@ -216,7 +275,7 @@ def _serialize(t: pa.Table) -> bytes:
     return sink.getvalue()
 
 
-def _deserialize(b: bytes) -> pa.Table:
+def _deserialize(b) -> pa.Table:
     return pa.ipc.open_stream(pa.BufferReader(b)).read_all()
 
 
@@ -233,6 +292,7 @@ def _stateless_suite_fn(batch: pa.Table, contract_bytes: bytes,
     key = (contract_bytes, key_cols, capture_limit)
     st = _STAGE_CACHE.get(key)
     if st is None:
+        _STAGE_CACHE.clear()  # a worker only needs the current suite's stage
         st = _STAGE_CACHE[key] = SuiteStage(
             pickle.loads(contract_bytes), list(key_cols), capture_limit)
     return st(batch)
@@ -241,7 +301,7 @@ def _stateless_suite_fn(batch: pa.Table, contract_bytes: bytes,
 def run_suite(input_path, out_dir: Optional[str] = None,
               strict: bool = False, concurrency=None,
               batch_size: int = 16384, use_actors: bool = False,
-              capture_limit: int = 64) -> dict:
+              capture_limit: int = 64, combine_size: int = 32) -> dict:
     """Full suite over parquet path(s) or a Dataset.  Returns the summary;
     writes violations parquet under out_dir if given.
 
@@ -272,7 +332,7 @@ def run_suite(input_path, out_dir: Optional[str] = None,
             batch_size=batch_size,
             concurrency=concurrency if concurrency is not None
             else (1, _cluster_cpus()),
-        ).materialize()  # partials only — small
+        )
     else:
         part_ds = ds.map_batches(
             functools.partial(_stateless_suite_fn,
@@ -281,46 +341,58 @@ def run_suite(input_path, out_dir: Optional[str] = None,
                               capture_limit=capture_limit),
             batch_format="pyarrow",
             batch_size=batch_size,
-        ).materialize()
+        )
+    part_ds = part_ds.map_batches(_combine_partials, batch_format="pyarrow",
+                                  batch_size=combine_size)
 
+    # stream the combined-partial blocks out BY REFERENCE: each block is
+    # split in a worker task as soon as it lands (overlapping the main
+    # pass), so the uniqueness key payload never crosses the driver
+    bundles = []          # keep refs alive until the reduces finish
+    splits = []
+    for bundle in part_ds.iter_internal_ref_bundles():
+        bundles.append(bundle)
+        for bref in bundle.block_refs:
+            splits.append(_split_block.remote(bref))
     t_main = time.monotonic()
 
-    # merge partials on the driver — zero-copy: binary cells are read
-    # through Arrow buffers, never via to_pylist (which would copy ~MBs of
-    # hash partials per batch into Python objects)
+    if splits:
+        bucket_futs = [
+            _reduce_uniq_bucket.remote(tuple(key_cols),
+                                       *[s[1 + r] for s in splits])
+            for r in range(_UNIQ_BUCKETS)
+        ]
+        small_tables = ray.get([s[0] for s in splits])
+    else:
+        bucket_futs = []
+        small_tables = []
+
+    # driver merge of the (now pre-combined, tiny) partials
     viol_tables, stats_tables = [], []
     repo_key_tables, commit_key_tables = [], []
-    bucket_blobs = [[] for _ in range(_UNIQ_BUCKETS)]
     rows = failed = 0
     rollup = 0
-    for b in part_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        viol_col = t["violations"].combine_chunks()
-        stats_col = t["stats"].combine_chunks()
-        rk_col = t["repo_keys"].combine_chunks()
-        ck_col = t["commit_keys"].combine_chunks()
-        ub_col = t["uniq_buckets"].combine_chunks()
+    for t in small_tables:
         for i in range(t.num_rows):
-            viol_tables.append(_deserialize(viol_col[i].as_buffer()))
-            stats_tables.append(_deserialize(stats_col[i].as_buffer()))
-            repo_key_tables.append(_deserialize(rk_col[i].as_buffer()))
-            commit_key_tables.append(_deserialize(ck_col[i].as_buffer()))
-            bt = _deserialize(ub_col[i].as_buffer())
-            blob_col = bt["blob"].combine_chunks()
-            for r in range(_UNIQ_BUCKETS):
-                b = blob_col[r].as_buffer()
-                if len(b):
-                    bucket_blobs[r].append(b.to_pybytes())
+            viol_tables.append(_deserialize(t["violations"][i].as_buffer()))
+            stats_tables.append(_deserialize(t["stats"][i].as_buffer()))
+            repo_key_tables.append(_deserialize(t["repo_keys"][i].as_buffer()))
+            commit_key_tables.append(
+                _deserialize(t["commit_keys"][i].as_buffer()))
         rows += int(pc.sum(t["rows"]).as_py() or 0)
         failed += int(pc.sum(t["failed"]).as_py() or 0)
         for v in t["sha_rollup"].to_pylist():
             rollup = (rollup + v) % (1 << 64)
     t_merge = time.monotonic()
 
-    # uniqueness finish: one vectorized reduction over the (hash, count)
-    # partials; if any hash repeats, ONE key-projected extraction scan
-    # recovers the real key values (collision-proof — real keys re-grouped)
-    dup_ds = _finish_unique(input_path, ds, key_cols, bucket_blobs)
+    if bucket_futs:
+        dup_parts = [t for t in ray.get(bucket_futs) if t.num_rows]
+        dup_keys = (pa.concat_tables(dup_parts).sort_by(
+            [(c, "ascending") for c in key_cols])
+            if dup_parts else _empty_dup_table(key_cols))
+    else:
+        dup_keys = _empty_dup_table(key_cols)
+    del bundles, splits
     t_uniq = time.monotonic()
 
     violations = (pa.concat_tables(viol_tables) if viol_tables
@@ -328,19 +400,6 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     violations = violations.filter(pc.equal(violations["kind"], "violation"))
     stats = _merge_partials(pa.concat_tables(stats_tables)
                             if stats_tables else PARTIAL_SCHEMA.empty_table())
-
-    # collect the (small) duplicate-key result
-    if isinstance(dup_ds, pa.Table):
-        dup_keys = dup_ds
-    else:
-        dup_parts = []
-        for b in dup_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-            dup_parts.append(b if isinstance(b, pa.Table)
-                             else pa.Table.from_batches([b]))
-        dup_keys = (pa.concat_tables(dup_parts) if dup_parts
-                    else pa.table({k: pa.array([], pa.string())
-                                   for k in key_cols}).append_column(
-                        "cnt", pa.array([], pa.int64())))
 
     # FK on the distinct keys gathered during the single pass (no rescan)
     def _dedup_keys(tables, col):

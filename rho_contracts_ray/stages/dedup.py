@@ -148,73 +148,6 @@ def minhash_signatures(ds, text_col="text", id_col="doc_id", num_perm=128,
     )
 
 
-def _explode_bands(bands: int):
-    def fn(batch: pa.Table) -> pa.Table:
-        ids = batch.column(0).to_pylist()
-        sig = batch["sig"]
-        if isinstance(sig, pa.ChunkedArray):
-            sig = sig.combine_chunks()
-        num_perm = sig.type.list_size
-        flat = sig.flatten().to_numpy(zero_copy_only=False) \
-            .astype(np.uint64).reshape(len(ids), num_perm)
-        r = num_perm // bands
-        out_ids, out_band, out_hash, out_sig = [], [], [], []
-        band_view = flat[:, : bands * r].reshape(len(ids), bands, r)
-        # hash each band (row-of-uint64 -> one uint64)
-        mix = np.power(np.uint64(1099511628211),
-                       np.arange(r, dtype=np.uint64), dtype=np.uint64)
-        # int64 bit-view: Ray's shuffle path rejects uint64 columns
-        band_hashes = (band_view * mix).sum(axis=2, dtype=np.uint64) \
-            .view(np.int64)
-        for i, did in enumerate(ids):
-            for bnd in range(bands):
-                out_ids.append(did)
-                out_band.append(bnd)
-                out_hash.append(int(band_hashes[i, bnd]))
-                out_sig.append(flat[i].tobytes())
-        return pa.table({
-            "doc_id": pa.array(out_ids),
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.int64()),
-            "sig": pa.array(out_sig, type=pa.binary()),
-        })
-
-    return fn
-
-
-class MinHashExplodeStage(MinHashStage):
-    """Fused signature + band-explode stage: one pass from raw text to
-    (doc_id, bkey, sig) rows, where bkey is a single int64 per (band,
-    band-content) — cheaper to shuffle and to count than a two-column
-    key."""
-
-    def __init__(self, bands: int = 32, **kw):
-        super().__init__(**kw)
-        self.bands = bands
-        r = self.num_perm // bands
-        self._mix = np.power(np.uint64(1099511628211),
-                             np.arange(r, dtype=np.uint64), dtype=np.uint64)
-        self._band_salt = _splitmix64_np(
-            np.arange(1, bands + 1, dtype=np.uint64))
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = pc.fill_null(batch[self.text_col], "").to_pylist()
-        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
-        n = len(texts)
-        bands, r = self.bands, self.num_perm // self.bands
-        sigs = np.stack([self.signature(t) for t in texts]) if n else \
-            np.empty((0, self.num_perm), dtype=np.uint64)
-        band_view = sigs[:, : bands * r].reshape(n, bands, r)
-        bh = (band_view * self._mix).sum(axis=2, dtype=np.uint64)
-        bkey = _splitmix64_np(bh ^ self._band_salt[None, :]).view(np.int64)
-        sig_bytes = [sigs[i].tobytes() for i in range(n) for _ in range(bands)]
-        return pa.table({
-            "doc_id": pa.array(np.repeat(ids, bands)),
-            "bkey": pa.array(bkey.reshape(-1)),
-            "sig": pa.array(sig_bytes, pa.binary()),
-        })
-
-
 def _splitmix64_np(x: np.ndarray) -> np.ndarray:
     with np.errstate(over="ignore"):
         x = (x + np.uint64(0x9E3779B97F4A7C15))
@@ -223,62 +156,89 @@ def _splitmix64_np(x: np.ndarray) -> np.ndarray:
         return x ^ (x >> np.uint64(31))
 
 
+def _band_key_matrix(flat: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) uint64 signature matrix -> (n, bands) int64 band keys
+    (one mixed int64 per band CONTENT + band index)."""
+    n, num_perm = flat.shape
+    r = num_perm // bands
+    mix = np.power(np.uint64(1099511628211),
+                   np.arange(r, dtype=np.uint64), dtype=np.uint64)
+    salt = _splitmix64_np(np.arange(1, bands + 1, dtype=np.uint64))
+    band_view = flat[:, : bands * r].reshape(n, bands, r)
+    bh = (band_view * mix).sum(axis=2, dtype=np.uint64)
+    return _splitmix64_np(bh ^ salt[None, :]).view(np.int64)
+
+
+def _sig_matrix(batch: pa.Table) -> np.ndarray:
+    sig = batch["sig"]
+    if isinstance(sig, pa.ChunkedArray):
+        sig = sig.combine_chunks()
+    num_perm = sig.type.list_size
+    return sig.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.uint64).reshape(len(sig), num_perm)
+
+
+_EMPTY_MINHASH_PAIRS = pa.table({
+    "id_a": pa.array([], pa.int64()),
+    "id_b": pa.array([], pa.int64()),
+    "est_jaccard": pa.array([], pa.float64()),
+    "truncated": pa.array([], pa.bool_()),
+})
+
+
 def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
                       bands=32, k=5, threshold=0.7, seed=42,
                       max_bucket: int = 200) -> pa.Table:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
     Almost every LSH bucket holds ONE doc; shuffling those through a
-    per-group UDF is pure overhead.  So: (1) ONE fused pass from text to
-    (doc_id, band-key, sig) rows; (2) collided band-keys found with a
-    vectorized hash count (no groupby); (3) broadcast the (sorted) hot
-    keys, semi-join by binary search; (4) pairwise-verify only inside hot
-    buckets.  Buckets larger than max_bucket are truncated (flagged in the
-    output's `truncated` column) — the no-silent-caps rule."""
+    per-group UDF is pure overhead.  So: (1) signature table computed ONCE
+    per doc (never duplicated x bands — round 1 materialized sig x 32,
+    ~32 KB/doc, flagged in VERDICT.md); (2) collided band-keys found by a
+    DISTRIBUTED pre-bucketed count reduce (distagg.hot_keys — no driver
+    concat); (3) broadcast the sorted hot keys, semi-join by binary
+    search, attaching the signature only to hot rows; (4) pairwise-verify
+    only inside hot buckets.  Buckets larger than max_bucket are truncated
+    (flagged in the output's `truncated` column) — the no-silent-caps
+    rule."""
     import ray
 
     from ..validate import stateless_stage
+    from .distagg import hot_keys
 
-    exploded = ds.map_batches(
-        stateless_stage(MinHashExplodeStage, bands=bands, text_col=text_col,
-                        id_col=id_col, num_perm=num_perm, k=k, seed=seed),
+    sig_ds = ds.map_batches(
+        stateless_stage(MinHashStage, text_col=text_col, id_col=id_col,
+                        num_perm=num_perm, k=k, seed=seed),
         batch_format="pyarrow",
     ).materialize()
 
-    # (2) collided keys via per-batch unique counts + driver numpy reduce
-    def key_counts(batch: pa.Table) -> pa.Table:
-        kk = batch["bkey"].to_numpy(zero_copy_only=False)
-        u, c = np.unique(kk, return_counts=True)
-        return pa.table({"k": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+    def band_keys_only(batch: pa.Table) -> pa.Table:
+        flat = _sig_matrix(batch)
+        return pa.table({"bkey": pa.array(
+            _band_key_matrix(flat, bands).reshape(-1))})
 
-    kp, cp = [], []
-    for b in exploded.map_batches(key_counts, batch_format="pyarrow") \
-            .iter_batches(batch_size=None, batch_format="pyarrow"):
-        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        kp.append(t["k"].to_numpy(zero_copy_only=False))
-        cp.append(t["cnt"].to_numpy(zero_copy_only=False))
-    if not kp:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "est_jaccard": pa.array([], pa.float64()),
-                         "truncated": pa.array([], pa.bool_())})
-    kk = np.concatenate(kp)
-    cc = np.concatenate(cp)
-    u, inv = np.unique(kk, return_inverse=True)
-    hot = u[np.bincount(inv, weights=cc) >= 2]
+    hot = hot_keys(sig_ds.map_batches(band_keys_only, batch_format="pyarrow"),
+                   "bkey", min_count=2)
     if hot.size == 0:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "est_jaccard": pa.array([], pa.float64()),
-                         "truncated": pa.array([], pa.bool_())})
-    hot_ref = ray.put(hot)  # already sorted by np.unique
+        return _EMPTY_MINHASH_PAIRS
+    hot_ref = ray.put(hot)  # sorted — workers binary-search, no set build
 
-    # (3) keep only rows in collided buckets (broadcast binary search)
-    def only_hot(batch: pa.Table) -> pa.Table:
-        kb = batch["bkey"].to_numpy(zero_copy_only=False)
+    # (3) emit (doc_id, bkey, sig) ONLY for collided buckets: the x-bands
+    # explosion never exists for the (vast) singleton majority
+    def explode_hot(batch: pa.Table) -> pa.Table:
+        flat = _sig_matrix(batch)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        bkey = _band_key_matrix(flat, bands)
         sh = ray.get(hot_ref)
-        pos = np.clip(np.searchsorted(sh, kb), 0, sh.size - 1)
-        return batch.filter(pa.array(sh[pos] == kb))
+        fk = bkey.reshape(-1)
+        pos = np.clip(np.searchsorted(sh, fk), 0, max(sh.size - 1, 0))
+        mask = (sh[pos] == fk).reshape(bkey.shape)
+        di, bi = np.nonzero(mask)
+        return pa.table({
+            "doc_id": pa.array(ids[di]),
+            "bkey": pa.array(bkey[di, bi]),
+            "sig": pa.array([flat[i].tobytes() for i in di], pa.binary()),
+        })
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         # one bucket = identical bkey
@@ -297,15 +257,12 @@ def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
         return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard",
                                            "truncated"])
 
-    pairs = exploded.map_batches(only_hot, batch_format="pyarrow") \
+    pairs = sig_ds.map_batches(explode_hot, batch_format="pyarrow") \
         .groupby("bkey") \
         .map_groups(bucket_pairs, batch_format="pandas")
     pdf = pairs.to_pandas()
     if pdf.empty:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "est_jaccard": pa.array([], pa.float64()),
-                         "truncated": pa.array([], pa.bool_())})
+        return _EMPTY_MINHASH_PAIRS
     pdf = pdf.sort_values(["id_a", "id_b", "est_jaccard"],
                           ascending=[True, True, False]) \
              .drop_duplicates(["id_a", "id_b"])
@@ -355,63 +312,73 @@ def simhash64(ds, text_col="text", id_col="doc_id", concurrency=None):
     )
 
 
+def _simhash_band_bounds(max_hamming: int) -> list[tuple[int, int]]:
+    """Split the 64 simhash bits into (max_hamming + 1) contiguous bands —
+    pigeonhole: <= max_hamming differing bits leave at least one band
+    identical, so banding guarantees full recall for ANY max_hamming
+    (round 1's fixed 4x16 silently missed pairs past Hamming 3)."""
+    bands = max_hamming + 1
+    if bands > 64:
+        raise ValueError("max_hamming must be < 64")
+    base, rem = divmod(64, bands)
+    bounds, lo = [], 0
+    for i in range(bands):
+        w = base + (1 if i < rem else 0)
+        bounds.append((lo, w))
+        lo += w
+    return bounds
+
+
 def simhash_dup_pairs(ds, text_col="text", id_col="doc_id",
                       max_hamming: int = 3, max_bucket: int = 500) -> pa.Table:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, found via
-    4x16-bit band buckets (a pair within Hamming 3 shares at least one
-    exact 16-bit band — pigeonhole).  Like minhash_dup_pairs, singleton
-    buckets are filtered out by a vectorized count + broadcast binary
-    search before any per-group UDF runs."""
+    (max_hamming + 1) contiguous bit-band buckets (pigeonhole — see
+    _simhash_band_bounds).  Like minhash_dup_pairs, singleton buckets are
+    dropped by a DISTRIBUTED count reduce + broadcast binary search before
+    any per-group UDF runs."""
     import ray
 
-    sh = simhash64(ds, text_col, id_col)
+    from .distagg import hot_keys
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+    bounds = _simhash_band_bounds(max_hamming)
+    n_bands = len(bounds)
+    shifts = np.array([lo for lo, _ in bounds], dtype=np.uint64)
+    masks = np.array([(1 << w) - 1 for _, w in bounds], dtype=np.uint64)
+    salt = _splitmix64_np(np.arange(1, n_bands + 1, dtype=np.uint64))
+
+    sh = simhash64(ds, text_col, id_col).materialize()  # 16 B/doc
+
+    def _bkeys(h: np.ndarray) -> np.ndarray:
+        parts = (h[:, None] >> shifts[None, :]) & masks[None, :]
+        return _splitmix64_np(parts ^ salt[None, :]).view(np.int64)
+
+    def band_keys_only(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        n = len(ids)
-        bands = np.arange(4, dtype=np.uint64)
-        parts = (h[:, None] >> (bands[None, :] * np.uint64(16))) \
-            & np.uint64(0xFFFF)
-        # single int64 bucket key per (band, 16-bit value)
-        bkey = ((bands[None, :] << np.uint64(16)) | parts).astype(np.int64)
-        return pa.table({
-            id_col: pa.array(np.repeat(ids, 4)),
-            "bkey": pa.array(bkey.reshape(-1)),
-            "simhash": pa.array(np.repeat(h, 4).view(np.int64)),
-        })
+        return pa.table({"bkey": pa.array(_bkeys(h).reshape(-1))})
 
-    exploded = sh.map_batches(explode, batch_format="pyarrow").materialize()
-
-    def key_counts(batch: pa.Table) -> pa.Table:
-        u, c = np.unique(batch["bkey"].to_numpy(zero_copy_only=False),
-                         return_counts=True)
-        return pa.table({"k": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
-
-    kp, cp = [], []
-    for b in exploded.map_batches(key_counts, batch_format="pyarrow") \
-            .iter_batches(batch_size=None, batch_format="pyarrow"):
-        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        kp.append(t["k"].to_numpy(zero_copy_only=False))
-        cp.append(t["cnt"].to_numpy(zero_copy_only=False))
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int64())})
-    if not kp:
-        return empty
-    kk = np.concatenate(kp)
-    cc = np.concatenate(cp)
-    u, inv = np.unique(kk, return_inverse=True)
-    hot = u[np.bincount(inv, weights=cc) >= 2]
+    hot = hot_keys(sh.map_batches(band_keys_only, batch_format="pyarrow"),
+                   "bkey", min_count=2)
     if hot.size == 0:
         return empty
     hot_ref = ray.put(hot)
 
-    def only_hot(batch: pa.Table) -> pa.Table:
-        kb = batch["bkey"].to_numpy(zero_copy_only=False)
+    def explode_hot(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bkey = _bkeys(h)
         shs = ray.get(hot_ref)
-        pos = np.clip(np.searchsorted(shs, kb), 0, shs.size - 1)
-        return batch.filter(pa.array(shs[pos] == kb))
+        fk = bkey.reshape(-1)
+        pos = np.clip(np.searchsorted(shs, fk), 0, max(shs.size - 1, 0))
+        mask = (shs[pos] == fk).reshape(bkey.shape)
+        di, bi = np.nonzero(mask)
+        return pa.table({
+            id_col: pa.array(ids[di]),
+            "bkey": pa.array(bkey[di, bi]),
+            "simhash": pa.array(h[di].view(np.int64)),
+        })
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         sub = df.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
@@ -426,13 +393,11 @@ def simhash_dup_pairs(ds, text_col="text", id_col="doc_id",
                 rows.append((int(ids[i]), int(ids[j]), int(d[off])))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
-    pairs = exploded.map_batches(only_hot, batch_format="pyarrow") \
+    pairs = sh.map_batches(explode_hot, batch_format="pyarrow") \
         .groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
     pdf = pairs.to_pandas()
     if pdf.empty:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int64())})
+        return empty
     pdf = pdf.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(pdf.reset_index(drop=True),
                                 preserve_index=False)

@@ -1,0 +1,95 @@
+"""Distributed (key -> count) hot-key detection shared by the dedup
+stages.
+
+Shape (matters at 100 TB): each batch contributes a per-batch unique
+(key, count) partial, PRE-BUCKETED by the key's top bits; partial blocks
+are routed BY REFERENCE into one reduce task per bucket, so the driver
+never concatenates the key stream (round 1 did — O(docs x bands) driver
+memory, flagged in VERDICT.md).  Only keys meeting min_count ever reach
+the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+BUCKETS = 16
+_INNER_EDGES = (np.arange(1, BUCKETS, dtype=np.uint64) << np.uint64(60))
+
+
+def _partial_fn(col: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch[col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        arr = k.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        u, c = np.unique(arr, return_counts=True)
+        uu = u.view(np.uint64)
+        order = np.argsort(uu)
+        uu, cs = uu[order], c[order].astype(np.int64)
+        bounds = np.concatenate(([0], np.searchsorted(uu, _INNER_EDGES),
+                                 [uu.size]))
+        blobs = [
+            uu[bounds[r]:bounds[r + 1]].tobytes()
+            + cs[bounds[r]:bounds[r + 1]].tobytes()
+            for r in range(BUCKETS)
+        ]
+        return pa.table({
+            "bucket": pa.array(range(BUCKETS), pa.int32()),
+            "blob": pa.array(blobs, pa.binary()),
+        })
+
+    return partial
+
+
+@ray.remote(num_returns=BUCKETS)
+def _split_block(block):
+    t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
+    buckets = t["bucket"].to_numpy(zero_copy_only=False)
+    blob_col = t["blob"].combine_chunks()
+    out: list[list[bytes]] = [[] for _ in range(BUCKETS)]
+    for i in range(t.num_rows):
+        b = blob_col[i].as_buffer()
+        if len(b):
+            out[int(buckets[i])].append(b.to_pybytes())
+    return tuple(out)
+
+
+@ray.remote
+def _reduce_bucket(min_count: int, *blob_lists) -> np.ndarray:
+    hs, cs = [], []
+    for blobs in blob_lists:
+        for b in blobs:
+            n = len(b) // 16
+            arr = np.frombuffer(b, dtype=np.int64)
+            hs.append(arr[:n])
+            cs.append(arr[n:])
+    if not hs:
+        return np.empty(0, np.int64)
+    h = np.concatenate(hs)
+    c = np.concatenate(cs)
+    u, inv = np.unique(h, return_inverse=True)
+    sums = np.bincount(inv, weights=c)
+    return u[sums >= min_count]
+
+
+def hot_keys(ds, col: str, min_count: int = 2) -> np.ndarray:
+    """int64 keys of `col` appearing >= min_count times across the dataset,
+    SORTED (callers broadcast the array and binary-search it).  Fully
+    distributed: driver memory is O(#hot keys) only."""
+    part = ds.map_batches(_partial_fn(col), batch_format="pyarrow")
+    bundles, splits = [], []
+    for bundle in part.iter_internal_ref_bundles():
+        bundles.append(bundle)
+        for bref in bundle.block_refs:
+            splits.append(_split_block.remote(bref))
+    if not splits:
+        return np.empty(0, np.int64)
+    futs = [_reduce_bucket.remote(min_count, *[s[r] for s in splits])
+            for r in range(BUCKETS)]
+    outs = ray.get(futs)
+    del bundles, splits
+    keys = np.concatenate(outs) if outs else np.empty(0, np.int64)
+    return np.sort(keys)
