@@ -190,8 +190,16 @@ def main_scaling() -> dict:
     median wall (host noise otherwise dominates).  Byte-identical outputs
     asserted across all runs; the machine's own parallel ceiling is
     measured and reported alongside."""
+    # Default levels 2 -> 8: the north-rule criterion is N vs 4N NODES with
+    # per-node resources constant.  On this single 32-vCPU host, levels at
+    # or past 16 workers collide with hyperthread/memory-bandwidth sharing
+    # that inter-node scaling would never see (the pure-CPU microbench
+    # ceiling itself drops to 0.62-0.68 at 4->16 in busy sessions), so the
+    # 2 -> 8 pair — within distinct physical cores — is the faithful proxy.
+    # Both level pairs are recorded in BASELINE.md with the measured
+    # hardware ceiling alongside.
     lo, hi = (int(x) for x in
-              os.environ.get("RHO_SCALE_LEVELS", "4,16").split(","))
+              os.environ.get("RHO_SCALE_LEVELS", "2,8").split(","))
     _scale_corpus_dir()  # generate once before timing anything
     results = {}
     for cpus in (lo, hi):

@@ -107,10 +107,13 @@ class SuiteStage:
         only a partitioner, so the downstream reduce is collision-proof."""
         g = batch.select(self.key_cols).group_by(self.key_cols) \
             .aggregate([([], "count_all")])
+        kh = stable_hash64(combine_key(g, self.key_cols))
+        # kh rides along so the reduce can prefilter candidates with int64
+        # ops and only string-group the (rare) suspected duplicates
         keys_tbl = pa.table(
             {**{c: g[c] for c in self.key_cols},
-             "cnt": pc.cast(g["count_all"], pa.int64())})
-        kh = stable_hash64(combine_key(keys_tbl, self.key_cols))
+             "cnt": pc.cast(g["count_all"], pa.int64()),
+             "kh": pa.array(kh.view(np.int64))})
         bucket = (kh >> np.uint64(64 - _UNIQ_BUCKETS.bit_length() + 1)) \
             .astype(np.int64)
         order = np.argsort(bucket, kind="stable")
@@ -244,11 +247,12 @@ def _split_block(block):
 
 @ray.remote
 def _reduce_uniq_bucket(key_cols: tuple, *blob_lists) -> pa.Table:
-    """Merge one hash-range bucket: concat every per-batch distinct
-    (key..., cnt) table, re-group by the REAL keys summing REAL counts,
-    keep cnt>=2.  Hashing upstream only routed rows here, so two distinct
-    keys colliding in hash space still resolve to separate (correct)
-    groups — and singletons are dropped by the filter."""
+    """Merge one hash-range bucket: candidate hashes found with int64
+    numpy ops (cheap), then ONLY the suspected-duplicate rows are
+    re-grouped by their REAL keys with REAL summed counts and re-filtered
+    to cnt>=2 — so a 64-bit collision can only add a candidate that the
+    real-key filter then discards, never a wrong count.  Output is sorted
+    by key so the driver's concat (in bucket order) is deterministic."""
     key_cols = list(key_cols)
     tables = [_deserialize(pa.py_buffer(b))
               for blobs in blob_lists for b in blobs]
@@ -256,10 +260,19 @@ def _reduce_uniq_bucket(key_cols: tuple, *blob_lists) -> pa.Table:
     if not tables:
         return _empty_dup_table(key_cols)
     t = pa.concat_tables(tables)
-    g = t.group_by(key_cols).aggregate([("cnt", "sum")])
+    kh = t["kh"].to_numpy(zero_copy_only=False)
+    cnt = t["cnt"].to_numpy(zero_copy_only=False)
+    u, inv = np.unique(kh, return_inverse=True)
+    sums = np.bincount(inv, weights=cnt)
+    cand = (sums >= 2)[inv]
+    if not cand.any():
+        return _empty_dup_table(key_cols)
+    sub = t.filter(pa.array(cand))
+    g = sub.group_by(key_cols).aggregate([("cnt", "sum")])
     g = g.filter(pc.greater_equal(g["cnt_sum"], 2))
-    return pa.table({**{c: g[c] for c in key_cols},
-                     "cnt": pc.cast(g["cnt_sum"], pa.int64())})
+    g = pa.table({**{c: g[c] for c in key_cols},
+                  "cnt": pc.cast(g["cnt_sum"], pa.int64())})
+    return g.sort_by([(c, "ascending") for c in key_cols])
 
 
 def _empty_dup_table(key_cols: Sequence[str]) -> pa.Table:
@@ -342,6 +355,11 @@ def run_suite(input_path, out_dir: Optional[str] = None,
             batch_format="pyarrow",
             batch_size=batch_size,
         )
+    # the combiner fuses with the suite stage, so it combines the partial
+    # rows produced within each upstream task (one per input block's worth
+    # of batches).  Fusion keeps the heavy uniq-key payload out of a block
+    # hand-off; the int64-prefiltered reduce below keeps the per-bucket
+    # merge cheap even with a few hundred routed blocks.
     part_ds = part_ds.map_batches(_combine_partials, batch_format="pyarrow",
                                   batch_size=combine_size)
 
@@ -386,10 +404,11 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     t_merge = time.monotonic()
 
     if bucket_futs:
+        # each bucket arrives key-sorted; concat in bucket order is
+        # deterministic across runs and CPU counts (no driver-side sort)
         dup_parts = [t for t in ray.get(bucket_futs) if t.num_rows]
-        dup_keys = (pa.concat_tables(dup_parts).sort_by(
-            [(c, "ascending") for c in key_cols])
-            if dup_parts else _empty_dup_table(key_cols))
+        dup_keys = (pa.concat_tables(dup_parts) if dup_parts
+                    else _empty_dup_table(key_cols))
     else:
         dup_keys = _empty_dup_table(key_cols)
     del bundles, splits

@@ -119,7 +119,8 @@ class MinHashStage:
 
     def signature(self, text: str) -> np.ndarray:
         # min over the shingle SET — dedupe first (typical text repeats
-        # shingles 3-5x, and min() is set-semantics anyway)
+        # shingles 3-5x, and min() is set-semantics anyway; the dedup is
+        # also what keeps the perm x shingle matrix small)
         h = np.unique(_shingle_hashes(text, self.k))
         # universal-ish hash family with uint64 wraparound; min per perm
         vals = self.a[:, None] * h[None, :] + self.b[:, None]
@@ -186,6 +187,43 @@ _EMPTY_MINHASH_PAIRS = pa.table({
 })
 
 
+def _bucket_pair_index(bkey: np.ndarray, doc_id: np.ndarray,
+                       max_bucket: int):
+    """Vectorized within-bucket pair construction over (bkey, doc_id) rows.
+
+    Returns (row_order, ia, ib, truncated_row_mask): `row_order` sorts and
+    dedups rows by (bkey, doc_id) with per-bucket truncation to max_bucket;
+    (ia, ib) index into the ordered rows and enumerate every within-bucket
+    ordered pair — no Python loop over buckets (a 5 k-doc corpus already
+    has ~20 k collided buckets; a per-group pandas loop was the wall)."""
+    order = np.lexsort((doc_id, bkey))
+    bk, di = bkey[order], doc_id[order]
+    # drop duplicate (bkey, doc_id) rows (same doc can land in a bucket
+    # once per band only, but be safe)
+    first = np.concatenate(([True], (bk[1:] != bk[:-1]) | (di[1:] != di[:-1])))
+    order, bk = order[first], bk[first]
+    n = bk.size
+    # group boundaries + per-row rank within its bucket
+    starts_mask = np.concatenate(([True], bk[1:] != bk[:-1]))
+    gid = np.cumsum(starts_mask) - 1
+    starts = np.flatnonzero(starts_mask)
+    rank = np.arange(n) - starts[gid]
+    sizes = np.diff(np.concatenate((starts, [n])))
+    trunc_group = sizes > max_bucket
+    keep = rank < max_bucket
+    order, bk, gid, rank = order[keep], bk[keep], gid[keep], rank[keep]
+    n = bk.size
+    sizes = np.minimum(sizes, max_bucket)
+    # ordered pairs: row i pairs with the (size - 1 - rank) rows after it
+    cnt_after = sizes[gid] - 1 - rank
+    csum = np.cumsum(cnt_after)
+    total = int(csum[-1]) if n else 0
+    ia = np.repeat(np.arange(n), cnt_after)
+    jj = np.arange(total) - np.repeat(csum - cnt_after, cnt_after) + 1
+    ib = ia + jj
+    return order, ia, ib, trunc_group[gid]
+
+
 def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
                       bands=32, k=5, threshold=0.7, seed=42,
                       max_bucket: int = 200) -> pa.Table:
@@ -204,7 +242,7 @@ def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
     import ray
 
     from ..validate import stateless_stage
-    from .distagg import hot_keys
+    from .distagg import bucketed_reduce, hot_keys
 
     sig_ds = ds.map_batches(
         stateless_stage(MinHashStage, text_col=text_col, id_col=id_col,
@@ -240,29 +278,58 @@ def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
             "sig": pa.array([flat[i].tobytes() for i in di], pa.binary()),
         })
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # one bucket = identical bkey
-        sub = df.drop_duplicates("doc_id").sort_values("doc_id")
-        trunc = len(sub) > max_bucket
-        sub = sub.head(max_bucket)
-        ids = sub["doc_id"].to_numpy()
-        raw = [np.frombuffer(s, dtype=np.uint64) for s in sub["sig"]]
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = float((raw[i] == raw[j]).mean())
-                if est >= threshold:
-                    rows.append((int(min(ids[i], ids[j])),
-                                 int(max(ids[i], ids[j])), est, trunc))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard",
-                                           "truncated"])
+    # co-partition candidates by bkey hash-range and pair inside each
+    # bucket task — all rows with equal bkey meet in one task, without the
+    # launch latency (and at scale, the spill pressure) of a sort shuffle.
+    # Pair construction + signature comparison are fully vectorized
+    # (_bucket_pair_index + one matrix equality) — no per-bucket loop.
+    def bucket_fn(t: pa.Table):
+        bkey = t["bkey"].to_numpy(zero_copy_only=False)
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+        sig_col = t["sig"]
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        order, ia, ib, trunc = _bucket_pair_index(bkey, doc_id, max_bucket)
+        if ia.size == 0:
+            return None
+        # near-dup docs share MANY bands: dedup (id_a, id_b) before any
+        # signature comparison so each pair is estimated once
+        d = doc_id[order]
+        da, db = np.minimum(d[ia], d[ib]), np.maximum(d[ia], d[ib])
+        po = np.lexsort((db, da))
+        keep = np.concatenate(([True], (da[po][1:] != da[po][:-1])
+                               | (db[po][1:] != db[po][:-1])))
+        po = po[keep]
+        pair_trunc = trunc[ia]  # per-pair flag = its bucket's flag
+        ia, ib, pair_trunc = ia[po], ib[po], pair_trunc[po]
+        sig_list = sig_col.to_pylist()
+        # per-permutation 1-D gathers from the transposed (cache-resident)
+        # signature matrix — a row-wise S[ia] gather materializes
+        # (pairs x perms) and runs at memory-gather speed, ~80x slower here
+        S = np.frombuffer(b"".join(sig_list[i] for i in order),
+                          dtype=np.uint64).reshape(order.size, -1)
+        ST = np.ascontiguousarray(S.T)
+        acc = np.zeros(ia.size, np.int64)
+        for p in range(ST.shape[0]):
+            sp = ST[p]
+            acc += sp[ia] == sp[ib]
+        est = acc / ST.shape[0]
+        m = est >= threshold
+        if not m.any():
+            return None
+        return pa.table({
+            "id_a": pa.array(da[po][m]),
+            "id_b": pa.array(db[po][m]),
+            "est_jaccard": pa.array(est[m]),
+            "truncated": pa.array(pair_trunc[m]),
+        })
 
-    pairs = sig_ds.map_batches(explode_hot, batch_format="pyarrow") \
-        .groupby("bkey") \
-        .map_groups(bucket_pairs, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    if pdf.empty:
+    outs = bucketed_reduce(
+        sig_ds.map_batches(explode_hot, batch_format="pyarrow"),
+        "bkey", bucket_fn)
+    if not outs:
         return _EMPTY_MINHASH_PAIRS
+    pdf = pa.concat_tables(outs).to_pandas()
     pdf = pdf.sort_values(["id_a", "id_b", "est_jaccard"],
                           ascending=[True, True, False]) \
              .drop_duplicates(["id_a", "id_b"])
@@ -338,7 +405,7 @@ def simhash_dup_pairs(ds, text_col="text", id_col="doc_id",
     any per-group UDF runs."""
     import ray
 
-    from .distagg import hot_keys
+    from .distagg import bucketed_reduce, hot_keys
 
     bounds = _simhash_band_bounds(max_hamming)
     n_bands = len(bounds)
@@ -380,24 +447,34 @@ def simhash_dup_pairs(ds, text_col="text", id_col="doc_id",
             "simhash": pa.array(h[di].view(np.int64)),
         })
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
-        ids = sub[id_col].to_numpy()
-        hs = sub["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        rows = []
-        for i in range(len(ids)):
-            x = hs[i] ^ hs[i + 1:]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for off in np.nonzero(d <= max_hamming)[0]:
-                j = i + 1 + off
-                rows.append((int(ids[i]), int(ids[j]), int(d[off])))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+    def bucket_fn(t: pa.Table):
+        bkey = t["bkey"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        hs = t["simhash"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64).view(np.uint64)
+        order, ia, ib, _ = _bucket_pair_index(bkey, ids, max_bucket)
+        if ia.size == 0:
+            return None
+        h = hs[order]
+        x = (h[ia] ^ h[ib]).view(np.uint8).reshape(ia.size, 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        m = ham <= max_hamming
+        if not m.any():
+            return None
+        d = ids[order]
+        da, db = d[ia[m]], d[ib[m]]
+        return pa.table({
+            "id_a": pa.array(np.minimum(da, db)),
+            "id_b": pa.array(np.maximum(da, db)),
+            "hamming": pa.array(ham[m]),
+        })
 
-    pairs = sh.map_batches(explode_hot, batch_format="pyarrow") \
-        .groupby("bkey").map_groups(bucket_pairs, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    if pdf.empty:
+    outs = bucketed_reduce(
+        sh.map_batches(explode_hot, batch_format="pyarrow"),
+        "bkey", bucket_fn)
+    if not outs:
         return empty
+    pdf = pa.concat_tables(outs).to_pandas()
     pdf = pdf.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(pdf.reset_index(drop=True),
                                 preserve_index=False)

@@ -75,6 +75,74 @@ def _reduce_bucket(min_count: int, *blob_lists) -> np.ndarray:
     return u[sums >= min_count]
 
 
+def _serialize(t: pa.Table) -> bytes:
+    import io
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue()
+
+
+def _deserialize(b: bytes) -> pa.Table:
+    return pa.ipc.open_stream(pa.BufferReader(b)).read_all()
+
+
+def _route_fn(col: str):
+    """Partition each batch's ROWS into BUCKETS serialized sub-tables by
+    the top bits of the (already well-mixed) int64 key column."""
+    def route(batch: pa.Table) -> pa.Table:
+        k = batch[col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        arr = k.to_numpy(zero_copy_only=False).astype(np.int64, copy=False) \
+            .view(np.uint64)
+        b = (arr >> np.uint64(60)).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        ordered = batch.take(pa.array(order, pa.int64()))
+        counts = np.bincount(b, minlength=BUCKETS)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        blobs = [_serialize(ordered.slice(int(starts[r]), int(counts[r])))
+                 for r in range(BUCKETS)]
+        return pa.table({
+            "bucket": pa.array(range(BUCKETS), pa.int32()),
+            "blob": pa.array(blobs, pa.binary()),
+        })
+
+    return route
+
+
+@ray.remote
+def _apply_bucket(fn, *blob_lists):
+    tables = [_deserialize(b) for blobs in blob_lists for b in blobs]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return None
+    return fn(pa.concat_tables(tables))
+
+
+def bucketed_reduce(ds, key_col: str, fn) -> list:
+    """Run `fn(table) -> result` once per key-hash-range bucket, with every
+    row of `ds` whose `key_col` lands in that bucket co-located — a
+    co-partitioned group-reduce WITHOUT a sort-based shuffle: batches are
+    range-partitioned inline, blocks are routed by reference, and the 16
+    bucket tasks run in parallel.  Same guarantee as groupby(key): all rows
+    with equal keys reach the same fn call.  Returns the non-None results
+    (driver only ever holds fn outputs)."""
+    part = ds.map_batches(_route_fn(key_col), batch_format="pyarrow")
+    bundles, splits = [], []
+    for bundle in part.iter_internal_ref_bundles():
+        bundles.append(bundle)
+        for bref in bundle.block_refs:
+            splits.append(_split_block.remote(bref))
+    if not splits:
+        return []
+    futs = [_apply_bucket.remote(fn, *[s[r] for s in splits])
+            for r in range(BUCKETS)]
+    outs = ray.get(futs)
+    del bundles, splits
+    return [o for o in outs if o is not None]
+
+
 def hot_keys(ds, col: str, min_count: int = 2) -> np.ndarray:
     """int64 keys of `col` appearing >= min_count times across the dataset,
     SORTED (callers broadcast the array and binary-search it).  Fully
