@@ -399,7 +399,7 @@ def _q_join_lineitem_part(sf_dir: str):
     return bucketed_join(
         left, right, on=["l_partkey"],
         left_cols=["l_orderkey", "l_linenumber", "l_partkey"],
-        right_cols=["l_partkey", "p_brand"], n_buckets=16)
+        right_cols=["l_partkey", "p_brand"])  # n_buckets derived from size
 
 
 def _q_asof_last_purchase(sf_dir: str):
@@ -408,9 +408,12 @@ def _q_asof_last_purchase(sf_dir: str):
     from rho_contracts_ray.stages.joins import asof_join
 
     events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
-    all_ev = _collect(_read(sf_dir, "events",
-                            columns=["user_id", "ts", "event_type", "value"]))
-    purchases = all_ev.filter(pc.equal(all_ev["event_type"], "purchase"))
+    # filter to purchases IN RAY; only the (small) purchase side is
+    # collected for the broadcast
+    purch_ds = _read(sf_dir, "events",
+                     columns=["user_id", "ts", "event_type", "value"]) \
+        .filter(expr="event_type == 'purchase'")
+    purchases = _collect(purch_ds)
     right = pa.table({
         "user_id": purchases["user_id"],
         "ts_r": purchases["ts"],
@@ -523,6 +526,42 @@ def _q_embedding_dup_pairs(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return embedding_dup_pairs(ds, threshold=0.99)
+
+
+def _q_drift_events_split(sf_dir: str):
+    """SQL-exact metadata of the drift split (oracle-checked): events are
+    split at the midpoint of the ts RANGE (exact from streamed min/max —
+    unlike a t-digest median, reproducible bit-for-bit in SQL), and each
+    half reports exact non-null counts and value min/max.  The KS statistic
+    itself is sketch-based and lives in `drift_events_value`."""
+    from rho_contracts_ray.constraints.stats import column_stats
+
+    def to_int_ts(batch: pa.Table) -> pa.Table:
+        return pa.table({"tsi": pc.cast(batch["ts"], pa.int64()),
+                         "value": batch["value"]})
+
+    base = _read(sf_dir, "events", columns=["ts", "value"]) \
+        .map_batches(to_int_ts, batch_format="pyarrow").materialize()
+    ts_stats = column_stats(base, ["tsi"])["tsi"]
+    mid = int((ts_stats.vmin + ts_stats.vmax) // 2)
+
+    def half(keep_lo: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.less(batch["tsi"], mid) if keep_lo \
+                else pc.greater_equal(batch["tsi"], mid)
+            return batch.filter(m).select(["value"])
+
+        return base.map_batches(f, batch_format="pyarrow")
+
+    sa = column_stats(half(True), ["value"])["value"]
+    sb = column_stats(half(False), ["value"])["value"]
+    return pa.table({
+        "half": ["early", "late"],
+        "n": pa.array([sa.count, sb.count], pa.int64()),
+        "vmin": pa.array([sa.vmin, sb.vmin], pa.float64()),
+        "vmax": pa.array([sa.vmax, sb.vmax], pa.float64()),
+        "split_tsi": pa.array([mid, mid], pa.int64()),
+    })
 
 
 def _q_drift_events_value(sf_dir: str):
@@ -674,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_stats_lineitem": _q_column_stats_lineitem,
         "sha256_documents": _q_sha256_documents,
         "drift_events_value": _q_drift_events_value,
+        "drift_events_split": _q_drift_events_split,
         # relational / pipeline ops
         "dedup_exact_documents": _q_dedup_exact_documents,
         "token_counts_documents": _q_token_counts_documents,
@@ -709,21 +749,21 @@ def oracle_sql() -> dict[str, str]:
     return {
         "contract_oneof_violations": (
             "SELECT event_id, event_type FROM events "
-            "WHERE event_type NOT IN ('click','view','purchase','signup')"
+            "WHERE event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup')"
         ),
         "contract_matches_violations": (
-            "SELECT doc_id FROM documents WHERE NOT regexp_matches(text, 'spark')"
+            "SELECT doc_id FROM documents WHERE text IS NULL OR NOT regexp_matches(text, 'spark')"
         ),
         "contract_and_violations": (
             "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem "
-            "WHERE l_returnflag NOT IN ('A','N')"
+            "WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A','N')"
         ),
         "contract_integer_violations": (
             "SELECT event_id, value FROM events "
             "WHERE value IS NULL OR value <> floor(value)"
         ),
         "contract_pred_violations": (
-            "SELECT o_orderkey FROM orders WHERE NOT (o_totalprice >= 50000)"
+            "SELECT o_orderkey FROM orders WHERE o_totalprice IS NULL OR NOT (o_totalprice >= 50000)"
         ),
         "contract_or_optional_verdicts": (
             "SELECT count(*)::BIGINT AS n_rows, "
@@ -736,10 +776,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings"
         ),
         "validate_events_summary": (
-            "SELECT count(*)::BIGINT AS n_rows, count(*) FILTER (WHERE NOT ("
+            "SELECT count(*)::BIGINT AS n_rows, "
+            "count(*) FILTER (WHERE NOT coalesce("
             " event_id IS NOT NULL AND value IS NOT NULL AND "
             " event_type IN ('click','view','purchase','signup')"
-            "))::BIGINT AS n_violations FROM events"
+            ", FALSE))::BIGINT AS n_violations FROM events"
+        ),
+        "drift_events_split": (
+            "WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 "
+            "AS mid FROM events) "
+            "SELECT CASE WHEN epoch_us(e.ts) < m.mid THEN 'early' ELSE 'late' "
+            "END AS half, count(e.value)::BIGINT AS n, "
+            "min(e.value)::DOUBLE AS vmin, max(e.value)::DOUBLE AS vmax, "
+            "max(m.mid)::BIGINT AS split_tsi "
+            "FROM events e CROSS JOIN m GROUP BY 1 ORDER BY 1"
         ),
         "unique_orders_custkey": (
             "SELECT o_custkey, count(*) AS cnt FROM orders "
@@ -751,11 +801,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fk_lineitem_orders": (
             "SELECT l_orderkey, count(*) AS cnt FROM lineitem "
-            "WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders) GROUP BY 1"
+            "WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL) GROUP BY 1"
         ),
         "fk_events_customer": (
             "SELECT user_id, count(*) AS cnt FROM events "
-            "WHERE user_id NOT IN (SELECT c_custkey FROM customer) GROUP BY 1"
+            "WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL) GROUP BY 1"
         ),
         "column_stats_lineitem": (
             "SELECT count(l_quantity)::BIGINT AS cnt, "

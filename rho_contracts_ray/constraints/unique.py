@@ -91,44 +91,51 @@ def _collect(ds) -> pa.Table:
 
 
 def _unique_violations_hashed(ds, cols: list, min_count: int) -> pa.Table:
+    """One streaming pass, no rescan, no driver-side key stream (the round-1
+    form merged hash partials on the driver — ~1 GB per 10^8 distinct keys,
+    flagged in VERDICT.md): per-batch distinct (key..., cnt, key-hash) rows
+    are range-partitioned by the hash and routed BY BLOCK REFERENCE into
+    parallel bucket reduces (stages/distagg.bucketed_reduce — the same
+    machinery as the flagship suite).  In each bucket, candidate hashes are
+    found with int64 numpy ops, then only suspected duplicates are
+    re-grouped by their REAL key values — a hash collision can only add a
+    candidate that the real-key cnt filter then discards."""
     import numpy as np
-    import ray
 
     from ..functions.hashing import combine_key, stable_hash64
+    from ..stages.distagg import bucketed_reduce
+
+    schema = ds.schema().base_schema
+    empty = pa.table({**{c: pa.array([], schema.field(c).type) for c in cols},
+                      "cnt": pa.array([], pa.int64())})
 
     def partial(batch: pa.Table) -> pa.Table:
-        kh = stable_hash64(combine_key(batch, cols))
-        h, c = np.unique(kh, return_counts=True)
-        return pa.table({"h": pa.array(h.view(np.int64)),
-                         "cnt": pa.array(c.astype(np.int64))})
+        g = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
+        kh = stable_hash64(combine_key(g, cols)).view(np.int64)
+        return pa.table({**{c: g[c] for c in cols},
+                         "cnt": pc.cast(g["count_all"], pa.int64()),
+                         "kh": pa.array(kh)})
 
-    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
-    empty = pa.table({**{c: pa.array([], pa.string()) for c in cols},
-                      "cnt": pa.array([], pa.int64())})
-    if parts is None or parts.num_rows == 0:
-        return empty
-    h = parts["h"].to_numpy(zero_copy_only=False)
-    c = parts["cnt"].to_numpy(zero_copy_only=False)
-    order = np.argsort(h, kind="stable")
-    h, c = h[order], c[order]
-    uniq, idx = np.unique(h, return_index=True)
-    sums = np.add.reduceat(c, idx)
-    dup_hashes = uniq[sums >= min_count]
-    if dup_hashes.size == 0:
-        return empty
-    ref = ray.put(pa.array(dup_hashes))
+    def reduce_fn(t: pa.Table):
+        kh = t["kh"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(kh, return_inverse=True)
+        sums = np.bincount(inv, weights=cnt)
+        cand = (sums >= min_count)[inv]
+        if not cand.any():
+            return None
+        sub = t.filter(pa.array(cand))
+        g = sub.group_by(cols).aggregate([("cnt", "sum")])
+        g = g.filter(pc.greater_equal(g["cnt_sum"], min_count))
+        if g.num_rows == 0:
+            return None
+        out = pa.table({**{c: g[c] for c in cols},
+                        "cnt": pc.cast(g["cnt_sum"], pa.int64())})
+        return out.sort_by([(c, "ascending") for c in cols])
 
-    def extract(batch: pa.Table) -> pa.Table:
-        kh = stable_hash64(combine_key(batch, cols)).view(np.int64)
-        mask = pc.is_in(pa.array(kh), value_set=ray.get(ref))
-        return batch.select(cols).filter(mask)
-
-    cands = _collect(ds.map_batches(extract, batch_format="pyarrow"))
-    if cands is None or cands.num_rows == 0:
-        return empty
-    g = cands.group_by(cols).aggregate([([], "count_all")])
-    g = g.rename_columns(cols + ["cnt"])
-    return g.filter(pc.greater_equal(g["cnt"], min_count))
+    outs = bucketed_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                           "kh", reduce_fn)
+    return pa.concat_tables(outs) if outs else empty
 
 
 def unique_violations_table(table: pa.Table, cols: Sequence[str],

