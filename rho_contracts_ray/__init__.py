@@ -45,6 +45,7 @@ from .contracts import jsval as _jsval  # noqa: E402
 
 c.fn = staticmethod(_api_guard.fn)
 c.fun = staticmethod(_api_guard.fun)
+c.method = staticmethod(_api_guard.method)
 c.wrap = staticmethod(_api_guard.wrap)
 c.publish = staticmethod(_api_guard.publish)
 c.wrapAll = staticmethod(_api_guard.wrap_all)
@@ -56,5 +57,6 @@ c.setErrorMessageInspectionDepth = staticmethod(
 wrap = _api_guard.wrap
 fn = _api_guard.fn
 fun = _api_guard.fun
+method = _api_guard.method
 
 __version__ = "0.1.0"

@@ -130,6 +130,8 @@ def first_checker(contract: ast.Contract, data: Any) -> bool:
         return first_checker(contract.resolved(), data)
     if t in (ast.AndC, ast.OrC):
         return True  # combinators defer to nestedChecker
+    if getattr(contract, "is_function_contract", False):
+        return callable(data)  # fn/fun/method: firstChecker _.isFunction
     return True
 
 

@@ -388,6 +388,13 @@ def _format_raw(ctx: _Ctx, v: Any, recurse: int) -> str:
 def _format_value(ctx: _Ctx, v: Any, recurse: int) -> str:
     if isinstance(v, (dict, list, tuple)):
         return _format_raw(ctx, v, recurse)
+    if callable(v) and not isinstance(v, type):
+        # node util.inspect function rendering; Python lambdas and
+        # name-stripped stubs render as anonymous
+        name = getattr(v, "__name__", "")
+        if not name or name == "<lambda>":
+            return "[Function (anonymous)]"
+        return f"[Function: {name}]"
     return _format_primitive(ctx, v)
 
 

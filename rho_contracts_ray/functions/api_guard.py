@@ -11,11 +11,21 @@ What carries over 1:1:
   * `.arg(i)` / named-argument path frames and `for the return value of
     the call.` long frames (contract-errors.js:12-23);
   * check() refuses wrapping contracts with the reference's exact wording
-    (contract.impl.js:41-47).
+    (contract.impl.js:41-47);
+  * container-recursive wrap — callables inside arrays / tuples / hashes /
+    objects / or-branches get guard proxies (contract.impl.js:65-87
+    wrapWContext; the per-container wrappers at :528-534, :565-573,
+    :621-632, :666-681), with the reference's call-time frame semantics
+    (container frames unwind before the call; object fields become the
+    thingName) and even its or-wrap first-branch quirk (:475-478);
+  * method(thisC, ...) / .thisArg(c) — the `this` value is checked before
+    the arguments with the `.this` frame (function-contracts.js:105-119,
+    167-171, 437-451).  Python has no implicit `this`, so a contracted
+    `this` is passed to the implementation as its first parameter and
+    callers bind it via `wrapped.with_this(obj)(...)`.
 
-Out of scope (documented, not built): `constructs` prototype surgery and
-`this`-contract wrapping — Python methods guard `self` via a plain
-argument contract instead.
+Out of scope (documented, not built): `constructs` prototype surgery —
+no Python analogue for JS prototype chains.
 """
 
 from __future__ import annotations
@@ -25,8 +35,9 @@ from typing import Any, Callable, Optional
 
 from ..contracts import ast, interp, jsval
 from ..contracts.errors import (
-    ContractLibraryError, Frame, FRAME_RESULT, MessageBuilder,
-    RowContractError, Violation, frame_argument,
+    ContractLibraryError, Frame, FRAME_RESULT, FRAME_THIS, MessageBuilder,
+    RowContractError, Violation, frame_argument, frame_array_item,
+    frame_hash_item, frame_object_field, frame_tuple_item,
 )
 
 CHECK_NEEDS_WRAPPING_MSG = (
@@ -38,6 +49,8 @@ CHECK_NEEDS_WRAPPING_MSG = (
 class FnContract(ast.Contract):
     """fn(...argContracts) / fun({name: c}, ...) — a contract on a callable."""
 
+    is_function_contract = True
+
     def __init__(self, *argument_contracts, name: str = "fn",
                  arg_names: Optional[list] = None):
         super().__init__(name)
@@ -47,6 +60,8 @@ class FnContract(ast.Contract):
             self.argument_contracts)
         self.result_contract: ast.Contract = ast.AnyC()
         self.extra_argument_contract: Optional[ast.Contract] = None
+        self.this_contract: ast.Contract = ast.AnyC()
+        self.thing_name: Optional[str] = None  # set by object-field wrap
         # formal check: no required argument right of an optional one
         # (function-contracts.js:13-26)
         options_only = False
@@ -65,6 +80,13 @@ class FnContract(ast.Contract):
     def returns(self, c) -> "FnContract":
         return self._clone(result_contract=ast.auto_to_contract(c))
 
+    def thisArg(self, c) -> "FnContract":
+        """Contract on the `this` value of the call
+        (function-contracts.js:167-171)."""
+        return self._clone(this_contract=ast.auto_to_contract(c))
+
+    ths = thisArg  # reference back-compat alias (function-contracts.js:171)
+
     def extraArgs(self, c=None) -> "FnContract":
         return self._clone(
             extra_argument_contract=ast.auto_to_contract(c)
@@ -80,9 +102,11 @@ class FnContract(ast.Contract):
                 args.append(f"{{ {nm}: {c.to_string()} }}")
             else:
                 args.append(c.to_string())
+        this = ("" if isinstance(self.this_contract, ast.AnyC)
+                else f"this: {self.this_contract.to_string()}, ")
         extra = (f"...{self.extra_argument_contract.to_string()}"
                  if self.extra_argument_contract else "")
-        return (f"c.{self.contract_name}({', '.join(args)}{extra}"
+        return (f"c.{self.contract_name}({this}{', '.join(args)}{extra}"
                 f" -> {self.result_contract.to_string()})")
 
 
@@ -91,41 +115,59 @@ def fn(*argument_contracts) -> FnContract:
     return FnContract(*argument_contracts, name="fn")
 
 
-def fun(*arg_specs) -> FnContract:
-    """Named-argument contracts: fun({'x': c.number}, {'y': c.string})
+def method(ths, *arg_specs) -> FnContract:
+    """`c.method(thisC, {name: c}, ...)` — a fun whose `this` is contracted
+    (function-contracts.js:437-451; the 'by got' typo is the reference's)."""
+    if not isinstance(ths, ast.Contract):
+        raise ContractLibraryError(
+            "method",
+            f"expected a Contract for the `this` argument, by got "
+            f"{jsval.inspect(ths)}")
+    return _fun_helper("method", arg_specs).thisArg(ths)
+
+
+def _fun_helper(who: str, arg_specs) -> FnContract:
+    """Named-argument parsing shared by fun/method
     (function-contracts.js:375-435, incl. its exactly-one-key checks)."""
     names, contracts = [], []
     for i, spec in enumerate(arg_specs):
         if isinstance(spec, ast.Contract):
             raise ContractLibraryError(
-                "fun",
+                who,
                 f"expected a one-field object specifying the name and the "
                 f"contract of the {jsval.ith(i)} argument, but got a "
                 f"contract {spec.to_string()}")
         if not isinstance(spec, dict):
             raise ContractLibraryError(
-                "fun",
+                who,
                 f"expected an object with exactly one field to specify the "
                 f"name of the {jsval.ith(i)} argument, but got "
                 f"{jsval.inspect(spec)}")
         if len(spec) != 1:
             raise ContractLibraryError(
-                "fun",
+                who,
                 f"expected exactly one key to specify the name of the "
                 f"{jsval.ith(i)} arguments, but got {jsval.inspect(len(spec))}")
         ((nm, c),) = spec.items()
         names.append(nm)
         contracts.append(c)
-    out = FnContract(*contracts, name="fun", arg_names=names)
-    return out
+    return FnContract(*contracts, name=who, arg_names=names)
+
+
+def fun(*arg_specs) -> FnContract:
+    """Named-argument contracts: fun({'x': c.number}, {'y': c.string})."""
+    return _fun_helper("fun", arg_specs)
 
 
 class _WrapContext:
-    def __init__(self, thing_name, contract):
+    def __init__(self, thing_name, contract, data=None):
         self.thing_name = thing_name
         self.blame_me = True
         self.stack: list[Frame] = []
         self.contract = contract
+        # the ORIGINAL top-level wrapped value: `fullValue` renders it in
+        # call-time errors (skipped when it is itself a function)
+        self.data = data if data is not None else _the_function_marker
 
 
 def _fail(ctx: _WrapContext, msg: Optional[str]) -> None:
@@ -133,7 +175,9 @@ def _fail(ctx: _WrapContext, msg: Optional[str]) -> None:
     note NO fullValue (the context data is the function itself, which the
     reference never prints)."""
     mb = MessageBuilder(thing_name=ctx.thing_name, wrapping=True,
-                        blame_me=ctx.blame_me, is_function_contract=True)
+                        blame_me=ctx.blame_me,
+                        is_function_contract=isinstance(ctx.contract,
+                                                        FnContract))
     mb.init(msg)
     mb.full_contract(ctx.stack, ctx.contract.to_string())
     raise RowContractError(Violation(
@@ -161,61 +205,186 @@ def _check_argument_count(fc: FnContract, n_actual: int,
                    f"{n_required + n_optional} but got {n_actual}")
 
 
-def _check_value(contract: ast.Contract, value: Any, ctx: _WrapContext,
-                 frame: Frame) -> None:
-    """Run the row interpreter with a context seeded with the call-site
-    frame and wrap-mode blame — failures carry the reference's exact frames
-    (`.arg(0).x` etc.).  The context `data` is the wrapped FUNCTION, which
-    the reference never renders (contract-errors.js:186)."""
-
-    def fail(v: Violation):
-        raise RowContractError(v)
-
-    ictx = interp._Context(ctx.thing_name, _the_function_marker, ctx.contract,
-                           fail, wrapping=True, blame_me=ctx.blame_me,
-                           is_function_contract=True)
-    ictx.stack = list(ctx.stack) + [frame]
-    interp.check_w_context(ast.auto_to_contract(contract), value, ictx)
-
-
 def _the_function_marker():  # callable sentinel: full_value always skips it
     raise AssertionError("never called")
 
 
-def wrap(contract, f: Callable, name: Optional[str] = None) -> Callable:
-    """`c.wrap(fnContract, f)` — returns a guarded callable that validates
-    arguments (blaming the caller) and the result (blaming `f`) on every
-    call (function-contracts.js:79-160)."""
-    fc = contract
-    if not isinstance(fc, FnContract):
-        # plain data contract: eager check, return the value unchanged
-        interp.check_row(fc, f, name)
-        return f
-    thing = name or getattr(f, "__name__", None)
+_FRAME_EXTRA = Frame(".extraArguments",
+                     "for the extra argument array of the call")
+
+
+def _check_for_wrap(contract: ast.Contract, value: Any,
+                    ctx: _WrapContext) -> None:
+    """The CHECK half of checkWrapWContext (contract.impl.js:88-101) run in
+    wrap mode — unlike interp.check_row it does not refuse wrapping
+    contracts, and the context stack/blame come from the wrap context."""
+
+    def fail(v: Violation):
+        raise RowContractError(v)
+
+    ictx = interp._Context(ctx.thing_name, ctx.data, ctx.contract,
+                           fail, wrapping=True, blame_me=ctx.blame_me,
+                           is_function_contract=isinstance(
+                               ctx.contract, FnContract))
+    ictx.stack = list(ctx.stack)
+    interp.check_w_context(ast.auto_to_contract(contract), value, ictx)
+
+
+def _wrap_w_context(c: ast.Contract, v: Any, ctx: _WrapContext):
+    """The WRAP half (contract.impl.js:65-87): recursively clone containers,
+    replacing values under function contracts with guarded callables whose
+    closures capture the container frames — e.g. a failing call to
+    `wrap(c.hash(c.fn()), x).thk(5)` blames `.thk` exactly like the
+    reference (contract.spec.js:259-265)."""
+    c = ast.auto_to_contract(c)
+    if c.is_optional and jsval.is_missing(v):
+        return v
+
+    def nxt(sub: ast.Contract, val: Any, frame: Frame):
+        sub = ast.auto_to_contract(sub)
+        if not sub.needs_wrapping:
+            return val
+        if not frame.silent:
+            ctx.stack.append(frame)
+        try:
+            return _wrap_w_context(sub, val, ctx)
+        finally:
+            if not frame.silent:
+                ctx.stack.pop()
+
+    if isinstance(c, FnContract):
+        return _make_guarded(c, v, ctx)
+    if isinstance(c, ast.CyclicC):
+        return _wrap_w_context(c.resolved(), v, ctx)
+    if isinstance(c, ast.AndC):
+        # contract.impl.js:393-398
+        raise ContractLibraryError("wrap", "Cannot wrap an `and` contract")
+    if isinstance(c, ast.OrC):
+        # the reference re-runs its nestedChecker with a NOOP `next`
+        # (contract.impl.js:475-478 "this is a bit of a hack"), so nothing
+        # can fail and the FIRST branch in union(non-wrapping, wrapping)
+        # order always "succeeds": or-wrap wraps only when every branch is
+        # a wrapping contract (i.e. the single allowed fn branch) —
+        # replicated verbatim, quirk and all
+        non_wrap = [b for b in c.contracts
+                    if not ast.auto_to_contract(b).needs_wrapping]
+        wrapping = [b for b in c.contracts
+                    if ast.auto_to_contract(b).needs_wrapping]
+        ordered = non_wrap + wrapping
+        if not ordered:
+            return v
+        return nxt(ordered[0], v, Frame(".or", ""))
+    if isinstance(c, ast.ArrayC):
+        return [nxt(c.item, item, frame_array_item(i))
+                for i, item in enumerate(v)]
+    if isinstance(c, ast.TupleC):
+        # tuple wrapper truncates to the contracted arity
+        # (contract.impl.js:565-573)
+        return [nxt(sub, item, frame_tuple_item(i))
+                for i, (sub, item) in enumerate(
+                    zip(c.contracts, v[:len(c.contracts)]))]
+    if isinstance(c, ast.HashC):
+        out = dict(v)
+        for k in out:
+            out[k] = nxt(c.value_contract, out[k], frame_hash_item(k))
+        return out
+    if isinstance(c, ast.ObjectC):
+        out = dict(v)
+        for field, sub in c.fields.items():
+            sub = ast.auto_to_contract(sub)
+            if sub.needs_wrapping:
+                # thingName becomes the field name
+                # (contract.impl.js:674-678)
+                named = sub._clone(thing_name=field) \
+                    if isinstance(sub, FnContract) else sub
+                out[field] = nxt(named, v.get(field),
+                                 frame_object_field(field))
+        return out
+    return v
+
+
+def _make_guarded(fc: FnContract, f: Callable, wrap_ctx: _WrapContext):
+    """The fn-contract wrapper (function-contracts.js:79-160): returns a
+    guarded callable whose closure captures the wrap-time frame stack and
+    the TOP-LEVEL contract for error rendering."""
+    thing = fc.thing_name or wrap_ctx.thing_name \
+        or getattr(f, "__name__", None)
+    top_contract = wrap_ctx.contract
+    top_data = wrap_ctx.data
+    # NOTE: the reference's fn wrapper closes over the MUTABLE wrap context
+    # whose container frames are popped again by the time the wrapped
+    # function is called — so call-time error stacks start EMPTY; only
+    # thingName (field name for object fields) survives
+    # (contract.impl.js:65-87 push/pop + function-contracts.js:86-89 clone).
+
+    def _call(this, args):
+        ctx = _WrapContext(thing, top_contract, top_data)
+        # reverseBlame around the arg-count check: blame the caller
+        ctx.blame_me = False
+        _check_argument_count(fc, len(args), ctx)
+        ctx.blame_me = True
+
+        def nxt(sub, val, frame: Frame, reverse_blame: bool):
+            sub = ast.auto_to_contract(sub)
+            ctx.stack.append(frame)
+            if reverse_blame:
+                ctx.blame_me = not ctx.blame_me
+            try:
+                _check_for_wrap(sub, val, ctx)
+                if sub.needs_wrapping:
+                    val = _wrap_w_context(sub, val, ctx)
+                return val
+            finally:
+                if reverse_blame:
+                    ctx.blame_me = not ctx.blame_me
+                ctx.stack.pop()
+
+        if not isinstance(fc.this_contract, ast.AnyC):
+            nxt(fc.this_contract, this, FRAME_THIS, True)
+        final_args = []
+        for i, (c, nm) in enumerate(zip(fc.argument_contracts, fc.arg_names)):
+            if i < len(args):
+                final_args.append(
+                    nxt(c, args[i], frame_argument(nm if nm else i), True))
+            elif not c.is_optional:
+                nxt(c, None, frame_argument(nm if nm else i), True)
+        extras = list(args[len(fc.argument_contracts):])
+        if fc.extra_argument_contract is not None:
+            extras = nxt(fc.extra_argument_contract, extras,
+                         _FRAME_EXTRA, True)
+        # Python has no implicit `this`: when the contract declares one,
+        # the implementation receives it as its first parameter
+        if not isinstance(fc.this_contract, ast.AnyC):
+            result = f(this, *(final_args + extras))
+        else:
+            result = f(*(final_args + extras))
+        return nxt(fc.result_contract, result, FRAME_RESULT, False)
 
     @functools.wraps(f)
     def guarded(*args):
-        ctx = _WrapContext(thing, fc)
-        ctx.blame_me = False  # argument errors blame the caller
-        _check_argument_count(fc, len(args), ctx)
-        for i, (c, nm) in enumerate(zip(fc.argument_contracts, fc.arg_names)):
-            if i < len(args):
-                _check_value(c, args[i], ctx, frame_argument(nm if nm else i))
-            elif not c.is_optional:
-                _check_value(c, None, ctx, frame_argument(nm if nm else i))
-        if fc.extra_argument_contract is not None:
-            extras = list(args[len(fc.argument_contracts):])
-            from ..contracts.errors import Frame as _F
-            _check_value(fc.extra_argument_contract, extras, ctx,
-                         _F(".extraArguments",
-                            "for the extra argument array of the call"))
-        result = f(*args)
-        ctx.blame_me = True  # result errors blame the function
-        _check_value(fc.result_contract, result, ctx, FRAME_RESULT)
-        return result
+        return _call(None, args)
 
+    guarded.with_this = lambda this: (lambda *args: _call(this, args))
     guarded.__contract__ = fc
     return guarded
+
+
+def wrap(contract, f: Callable, name: Optional[str] = None) -> Callable:
+    """`c.wrap(contract, value)` — check, then recursively install guard
+    proxies wherever the contract holds a function contract: bare
+    callables, and callables inside arrays / tuples / hashes / objects /
+    or-branches (contract.impl.js:88-101 checkWrapWContext)."""
+    fc = ast.auto_to_contract(contract) if not isinstance(contract,
+                                                          ast.Contract) \
+        else contract
+    thing = name
+    if thing is None and isinstance(fc, FnContract) and callable(f):
+        thing = getattr(f, "__name__", None)
+    ctx = _WrapContext(thing, fc, f)
+    _check_for_wrap(fc, f, ctx)
+    if not fc.needs_wrapping:
+        return f
+    return _wrap_w_context(fc, f, ctx)
 
 
 def contract_fn(*argument_contracts, returns=None, name=None):

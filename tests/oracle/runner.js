@@ -21,6 +21,14 @@ function decodeValue(v) {
   if (v.__undef__) return undefined
   if (v.__inf__) return v.__inf__ > 0 ? Infinity : -Infinity
   if (v.__date__) return new Date(v.__date__)
+  if (v.__fn_this__ !== undefined) {
+    // a stub whose result reads a field off `this`
+    return function () { return this[v.__fn_this__] }
+  }
+  if (v.__fn__ !== undefined) {
+    const r = decodeValue(v.__fn__)
+    return function () { return r }
+  }
   if (Array.isArray(v)) return v.map(decodeValue)
   const out = {}
   for (const k of Object.keys(v)) out[k] = decodeValue(v[k])
@@ -79,16 +87,23 @@ function buildContract(spec) {
       base = c.fn.apply(null, (spec.args || []).map(buildContract))
       if (spec.returns) base = base.returns(buildContract(spec.returns))
       if (spec.extraArgs) base = base.extraArgs(buildContract(spec.extraArgs))
+      if (spec.thisArg) base = base.thisArg(buildContract(spec.thisArg))
       break
     }
-    case 'fun': {
+    case 'fun':
+    case 'method': {
       const specs = (spec.named || []).map(pair => {
         const o = {}
         o[pair[0]] = buildContract(pair[1])
         return o
       })
-      base = c.fun.apply(null, specs)
+      base =
+        spec.t === 'method'
+          ? c.method.apply(null, [buildContract(spec.ths)].concat(specs))
+          : c.fun.apply(null, specs)
       if (spec.returns) base = base.returns(buildContract(spec.returns))
+      if (spec.extraArgs) base = base.extraArgs(buildContract(spec.extraArgs))
+      if (spec.thisArg) base = base.thisArg(buildContract(spec.thisArg))
       break
     }
     default: throw new Error('unknown spec ' + spec.t)
@@ -107,14 +122,36 @@ process.stdin.on('end', () => {
     let res
     try {
       const contract = buildContract(tc.contract)
-      if (tc.call) {
-        // function-contract case: wrap a stub fn and call it
-        const impl = function () {
-          return decodeValue(tc.impl_returns)
+      if (tc.invoke) {
+        // container-wrap case: wrap a data value holding functions, then
+        // call the member at `path` with `args` (and optional this)
+        const data = decodeValue(tc.value)
+        try {
+          const wrapped = contract.wrap(data, tc.name)
+          let target = wrapped
+          for (const p of tc.invoke.path) target = target[p]
+          const ths =
+            tc.invoke.this_obj !== undefined
+              ? decodeValue(tc.invoke.this_obj)
+              : null
+          target.apply(ths, (tc.invoke.args || []).map(decodeValue))
+          res = { id: tc.id, ok: true, message: null,
+                  tostring: contract.toString() }
+        } catch (e) {
+          res = { id: tc.id, ok: false, message: e.message, name: e.name,
+                  tostring: contract.toString() }
         }
+      } else if (tc.call) {
+        // function-contract case: wrap a stub fn and call it
+        const impl =
+          tc.impl_this_field !== undefined
+            ? function () { return this[tc.impl_this_field] }
+            : function () { return decodeValue(tc.impl_returns) }
         try {
           const wrapped = contract.wrap(impl, tc.name)
-          wrapped.apply(null, tc.call.map(decodeValue))
+          const ths =
+            tc.this_obj !== undefined ? decodeValue(tc.this_obj) : null
+          wrapped.apply(ths, tc.call.map(decodeValue))
           res = { id: tc.id, ok: true, message: null,
                   tostring: contract.toString() }
         } catch (e) {

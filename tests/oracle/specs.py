@@ -54,6 +54,22 @@ def decode_value(v: Any) -> Any:
     if "__date__" in v:
         s = v["__date__"].replace("Z", "+00:00")
         return dt.datetime.fromisoformat(s).replace(tzinfo=None)
+    if "__fn_this__" in v:
+        field = v["__fn_this__"]
+
+        def _stub_this(this, *args, _f=field):
+            return this[_f] if isinstance(this, dict) else getattr(this, _f)
+
+        _stub_this.__name__ = ""  # JS side is an anonymous function
+        return _stub_this
+    if "__fn__" in v:
+        ret = decode_value(v["__fn__"])
+
+        def _stub(*args, _r=ret):
+            return _r
+
+        _stub.__name__ = ""  # JS side is an anonymous function
+        return _stub
     return {k: decode_value(x) for k, x in v.items()}
 
 
@@ -115,6 +131,25 @@ def build_contract(spec: dict) -> ast.Contract:
         base = c.toContract(decode_value(spec["v"]))
     elif t == "fromExample":
         base = c.fromExample(decode_value(spec["v"]), bool(spec.get("q")))
+    elif t in ("fn", "fun", "method"):
+        from rho_contracts_ray.functions import api_guard
+
+        if t == "fn":
+            base = api_guard.fn(*[build_contract(s)
+                                  for s in spec.get("args", [])])
+        elif t == "fun":
+            base = api_guard.fun(*[{nm: build_contract(s)}
+                                   for nm, s in spec.get("named", [])])
+        else:
+            base = api_guard.method(
+                build_contract(spec["ths"]),
+                *[{nm: build_contract(s)} for nm, s in spec.get("named", [])])
+        if spec.get("returns"):
+            base = base.returns(build_contract(spec["returns"]))
+        if spec.get("extraArgs"):
+            base = base.extraArgs(build_contract(spec["extraArgs"]))
+        if spec.get("thisArg"):
+            base = base.thisArg(build_contract(spec["thisArg"]))
     else:
         raise ValueError(f"unknown spec {t}")
     if spec.get("rename"):

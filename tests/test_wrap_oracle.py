@@ -1,0 +1,210 @@
+"""Differential oracle for CONTAINER-recursive wrap and method/thisArg:
+wrap data structures holding functions with the ACTUAL reference library,
+invoke members, and require identical verdicts + byte-identical messages
+(reference contract.impl.js:65-87 wrapWContext; contract.spec.js:259-265
+hash wrap; function-contracts.js:167-171,437-451 thisArg/method)."""
+
+from __future__ import annotations
+
+import pytest
+
+from rho_contracts_ray.contracts.errors import (ContractLibraryError,
+                                                RowContractError)
+from rho_contracts_ray.functions import api_guard
+from tests.oracle import specs
+from tests.oracle.specs import build_contract, decode_value
+
+NUM = {"t": "number"}
+STR = {"t": "string"}
+FN0 = {"t": "fn"}
+FN_NUM = {"t": "fn", "args": [NUM], "returns": NUM}
+
+# (id, contract_spec, value, invoke{path,args,this_obj?}) — container cases
+INVOKE_CASES = [
+    ("hash_wrap_wrong_count", {"t": "hash", "value": FN0},
+     {"thk": {"__fn__": 1}}, {"path": ["thk"], "args": [5]}),
+    ("hash_wrap_ok", {"t": "hash", "value": FN0},
+     {"thk": {"__fn__": 1}}, {"path": ["thk"], "args": []}),
+    ("obj_field_bad_arg",
+     {"t": "object", "fields": {"x": STR, "cb": FN_NUM}},
+     {"x": "foo", "cb": {"__fn__": 3}}, {"path": ["cb"], "args": ["bad"]}),
+    ("obj_field_bad_result",
+     {"t": "object", "fields": {"cb": {"t": "fn", "args": [NUM],
+                                       "returns": STR}}},
+     {"cb": {"__fn__": 3}}, {"path": ["cb"], "args": [1]}),
+    ("obj_field_ok",
+     {"t": "object", "fields": {"x": STR, "cb": FN_NUM}},
+     {"x": "foo", "cb": {"__fn__": 3}}, {"path": ["cb"], "args": [2]}),
+    ("array_item_bad_arg", {"t": "array", "item": FN_NUM},
+     [{"__fn__": 1}, {"__fn__": 2}], {"path": [1], "args": ["bad"]}),
+    ("tuple_item_wrong_count",
+     {"t": "tuple", "cs": [STR, FN_NUM]},
+     ["a", {"__fn__": 1}], {"path": [1], "args": [1, 2]}),
+    ("nested_obj_fn",
+     {"t": "object",
+      "fields": {"inner": {"t": "object", "fields": {"cb": FN_NUM}}}},
+     {"inner": {"cb": {"__fn__": 1}}},
+     {"path": ["inner", "cb"], "args": ["bad"]}),
+    ("or_fn_branch_bad_arg",
+     {"t": "or", "cs": [STR, FN_NUM]},
+     {"__fn__": 1}, {"path": [], "args": ["bad"]}),
+    ("hash_of_obj_fn",
+     {"t": "hash", "value": {"t": "object", "fields": {"cb": FN0}}},
+     {"k1": {"cb": {"__fn__": 1}}}, {"path": ["k1", "cb"], "args": [9]}),
+]
+
+# (id, contract_spec, value) — wrap-time failures on data
+WRAP_FAIL_CASES = [
+    ("wrap_non_function", FN_NUM, 5),
+    ("wrap_hash_bad_data", {"t": "hash", "value": FN0}, {"thk": 5}),
+    ("wrap_obj_missing_fn_field",
+     {"t": "object", "fields": {"cb": FN0}}, {}),
+]
+
+# (id, fn_spec, call_args, impl, this_obj|None) — this/method cases
+THIS_CASES = [
+    ("thisarg_ok",
+     {"t": "fn", "args": [NUM], "returns": STR,
+      "thisArg": {"t": "object", "fields": {"x": STR}}},
+     [4], {"__fn_this__": "x"}, {"x": "w"}),
+    ("thisarg_bad_this",
+     {"t": "fn", "args": [NUM], "returns": STR,
+      "thisArg": {"t": "object", "fields": {"x": STR}}},
+     [4], {"__fn_this__": "x"}, {"x": 50}),
+    ("thisarg_missing_this",
+     {"t": "fn", "args": [NUM],
+      "thisArg": {"t": "object", "fields": {"x": STR}}},
+     [4], {"__fn_this__": "x"}, None),
+    ("method_ok",
+     {"t": "method", "ths": {"t": "object", "fields": {"x": STR}},
+      "named": [["y", NUM]], "returns": STR},
+     [4], {"__fn_this__": "x"}, {"x": "w"}),
+    ("method_bad_this",
+     {"t": "method", "ths": {"t": "object", "fields": {"x": STR}},
+      "named": [["y", NUM]], "returns": STR},
+     [4], {"__fn_this__": "x"}, {"x": 5}),
+    ("method_bad_arg",
+     {"t": "method", "ths": {"t": "object", "fields": {"x": STR}},
+      "named": [["y", NUM]], "returns": STR},
+     ["bad"], {"__fn_this__": "x"}, {"x": "w"}),
+    ("method_bad_result",
+     {"t": "method", "ths": {"t": "object", "fields": {"x": STR}},
+      "named": [["y", NUM]], "returns": NUM},
+     [4], {"__fn_this__": "x"}, {"x": "w"}),
+    ("fun_thisarg_bad_this",
+     {"t": "fun", "named": [["y", NUM]], "returns": STR,
+      "thisArg": {"t": "object", "fields": {"x": STR}}},
+     [4], {"__fn_this__": "x"}, {"x": 50}),
+]
+
+
+def _normalize(msg):
+    return msg.replace("undefined", "null") if msg else msg
+
+
+@pytest.fixture(scope="module")
+def oracle_results():
+    if not specs.node_available():
+        pytest.skip("node or reference not available")
+    payload = []
+    for i, ct, val, invoke in INVOKE_CASES:
+        payload.append({"id": i, "contract": ct, "value": val,
+                        "invoke": invoke, "name": "theThing"})
+    for i, ct, val in WRAP_FAIL_CASES:
+        payload.append({"id": i, "contract": ct, "value": val,
+                        "invoke": {"path": [], "args": []},
+                        "name": "theThing"})
+    for i, ct, args, impl, this_obj in THIS_CASES:
+        case = {"id": i, "contract": ct, "call": args, "name": "theFn"}
+        if "__fn_this__" in impl:
+            case["impl_this_field"] = impl["__fn_this__"]
+        else:
+            case["impl_returns"] = impl.get("__fn__")
+        if this_obj is not None:
+            case["this_obj"] = this_obj
+        payload.append(case)
+    res = specs.run_reference(payload)
+    return {r["id"]: r for r in res}
+
+
+def _run_invoke(ct, val, invoke):
+    contract = build_contract(ct)
+    data = decode_value(val)
+    wrapped = api_guard.wrap(contract, data, "theThing")
+    target = wrapped
+    for p in invoke["path"]:
+        target = target[p]
+    args = [decode_value(a) for a in invoke.get("args", [])]
+    target(*args)
+
+
+@pytest.mark.parametrize("cid,ct,val,invoke",
+                         INVOKE_CASES, ids=[c[0] for c in INVOKE_CASES])
+def test_container_wrap_matches_reference(oracle_results, cid, ct, val,
+                                          invoke):
+    ref = oracle_results[cid]
+    try:
+        _run_invoke(ct, val, invoke)
+        ok, msg = True, None
+    except RowContractError as e:
+        ok, msg = False, e.violation.message
+    assert ok == ref["ok"], (cid, msg, ref["message"])
+    if not ok:
+        assert msg == _normalize(ref["message"]), (
+            f"{cid}\nOURS:\n{msg}\nREF:\n{ref['message']}")
+
+
+@pytest.mark.parametrize("cid,ct,val",
+                         WRAP_FAIL_CASES, ids=[c[0] for c in WRAP_FAIL_CASES])
+def test_wrap_time_failures_match_reference(oracle_results, cid, ct, val):
+    ref = oracle_results[cid]
+    try:
+        api_guard.wrap(build_contract(ct), decode_value(val), "theThing")
+        ok, msg = True, None
+    except RowContractError as e:
+        ok, msg = False, e.violation.message
+    assert ok == ref["ok"], (cid, msg, ref["message"])
+    if not ok:
+        assert msg == _normalize(ref["message"]), (
+            f"{cid}\nOURS:\n{msg}\nREF:\n{ref['message']}")
+
+
+@pytest.mark.parametrize("cid,ct,args,impl,this_obj",
+                         THIS_CASES, ids=[c[0] for c in THIS_CASES])
+def test_this_and_method_match_reference(oracle_results, cid, ct, args,
+                                         impl, this_obj):
+    ref = oracle_results[cid]
+    contract = build_contract(ct)
+    f = decode_value(impl)
+    wrapped = api_guard.wrap(contract, f, "theFn")
+    call = wrapped if this_obj is None else \
+        wrapped.with_this(decode_value(this_obj))
+    try:
+        call(*[decode_value(a) for a in args])
+        ok, msg = True, None
+    except RowContractError as e:
+        ok, msg = False, e.violation.message
+    assert ok == ref["ok"], (cid, msg, ref["message"])
+    if not ok:
+        assert msg == _normalize(ref["message"]), (
+            f"{cid}\nOURS:\n{msg}\nREF:\n{ref['message']}")
+    # toString parity for this/method contracts
+    assert contract.to_string() == ref["tostring"], (
+        contract.to_string(), ref["tostring"])
+
+
+def test_wrap_returns_plain_data_unchanged():
+    contract = build_contract({"t": "object", "fields": {"x": STR}})
+    v = {"x": "foo"}
+    assert api_guard.wrap(contract, v) is v
+
+
+def test_and_wrap_refused():
+    fc = build_contract({"t": "and", "cs": [FN0, FN0]})
+    with pytest.raises(ContractLibraryError):
+        api_guard.wrap(fc, decode_value({"__fn__": 1}))
+
+
+def test_method_requires_contract_this():
+    with pytest.raises(ContractLibraryError):
+        api_guard.method("not a contract")
