@@ -694,6 +694,63 @@ def _q_media_decode(sf_dir: str):
         ["media_id", "detected_format", "payload_bytes"])
 
 
+_SAMPLE_THRESHOLD_10PCT = 429496729      # floor(0.1 * 2^32)
+_STRAT_THRESHOLDS = {"click": 214748364,  # ~5%
+                     "view": 85899345}    # ~2%; other types kept fully
+
+
+def _q_sample_documents(sf_dir: str):
+    """Deterministic 10% hash sample (same predicate as the SQL oracle:
+    (doc_id * 2654435761) % 2^32 < threshold) — pure streaming filter."""
+    from rho_contracts_ray.stages import hash_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return hash_sample(ds, "doc_id", threshold=_SAMPLE_THRESHOLD_10PCT)
+
+
+def _q_stratified_sample_events(sf_dir: str):
+    """Per-stratum hash sampling: hot event types downsampled, the rest
+    kept — the boilerplate-downweighting move of corpus curation."""
+    from rho_contracts_ray.stages.sampling import _KNUTH, _MOD
+    import numpy as np
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def fil(batch: pa.Table) -> pa.Table:
+        ids = batch["event_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        thr = np.fromiter(
+            (_STRAT_THRESHOLDS.get(s, 1 << 32) for s in et.to_pylist()),
+            np.int64, batch.num_rows)
+        return batch.filter(pa.array((ids_np * _KNUTH) % _MOD < thr))
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
+def _q_ngram_top20(sf_dir: str):
+    """Corpus-wide top-20 word bigrams (per-batch combine before the
+    shuffle; only distinct-ngram partials move)."""
+    from rho_contracts_ray.stages import ngram_top_k
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return ngram_top_k(ds, n=2, k=20)
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Greedy first-fit-decreasing sequence packing at a 512-token budget
+    (rows-only check: bin layout depends on batch partitioning, which is
+    pinned here via batch_size)."""
+    from rho_contracts_ray.stages import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(ds, capacity=512).drop_columns(["doc_ids"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # row-contract kernels
@@ -742,6 +799,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "corpus_prep_documents": _q_corpus_prep,
         "schema_validate_all_tables": _q_schema_validate_all,
+        # sampling / corpus-statistics / packing operators
+        "sample_documents": _q_sample_documents,
+        "stratified_sample_events": _q_stratified_sample_events,
+        "ngram_top20_documents": _q_ngram_top20,
+        "pack_sequences_documents": _q_pack_sequences,
     }
 
 
@@ -781,6 +843,19 @@ def oracle_sql() -> dict[str, str]:
             " event_id IS NOT NULL AND value IS NOT NULL AND "
             " event_type IN ('click','view','purchase','signup')"
             ", FALSE))::BIGINT AS n_violations FROM events"
+        ),
+        "sample_documents": (
+            "SELECT doc_id, text FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 < 429496729"
+        ),
+        "stratified_sample_events": (
+            "SELECT event_id, event_type FROM events "
+            "WHERE (event_id * 2654435761) % 4294967296 < "
+            "CASE event_type WHEN 'click' THEN 214748364 "
+            "WHEN 'view' THEN 85899345 ELSE 4294967296 END"
+        ),
+        "ngram_top20_documents": (
+            "WITH toks AS ( SELECT doc_id, string_split(text, ' ') AS arr FROM documents), grams AS ( SELECT arr[i] || ' ' || arr[i+1] AS g FROM toks, UNNEST(range(1, len(arr))) AS t(i)) SELECT g AS ngram, count(*)::BIGINT AS cnt FROM grams GROUP BY g ORDER BY cnt DESC, g LIMIT 20"
         ),
         "drift_events_split": (
             "WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 "

@@ -15,6 +15,12 @@ from .multimodal import (  # noqa: F401
     DecodeImageStage, FrameSampleStage, decode_images, make_media_table,
 )
 from .joins import (  # noqa: F401
-    asof_join, broadcast_join, bucketed_join, window_cumsum, window_seq,
+    asof_join, asof_join_partitioned, broadcast_join, bucketed_join,
+    window_cumsum, window_seq,
 )
 from .skew import salted_groupby_count, sessionize  # noqa: F401
+from .sampling import (  # noqa: F401
+    hash_sample, sample_threshold, split_train_holdout, stratified_sample,
+)
+from .packing import pack_sequences  # noqa: F401
+from .text import ngram_top_k  # noqa: F401

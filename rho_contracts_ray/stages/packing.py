@@ -1,0 +1,93 @@
+"""Sequence packing — grouping documents into fixed-token-budget training
+sequences (the step between dedup/filter and the trainer's data loader).
+
+Scale shape: packing is greedy WITHIN each batch (first-fit over a
+token-sorted batch) — a per-partition operation with NO shuffle; bins
+never span batches, so the operator streams and resumes like any map.
+Cross-batch packing would need a global sort for marginal fill gains; the
+local form loses only the final partial bin per batch (fill ratios >0.9
+at realistic batch sizes).  Deterministic: same input rows -> same bins.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _pack_batch(ids: np.ndarray, tokens: np.ndarray,
+                capacity: int) -> list[list[int]]:
+    """First-fit-decreasing over one batch: indexes of rows per bin."""
+    order = np.lexsort((ids, -tokens))  # big docs first; ties by id
+    bins: list[list[int]] = []
+    remaining = np.empty(len(order), np.int64)  # capacity slack per bin
+    n_bins = 0
+    for idx in order:
+        t = int(tokens[idx])
+        if t > capacity:
+            continue  # over-long docs are the chunker's job, not ours
+        fits = remaining[:n_bins] >= t  # vectorized first-fit probe
+        if fits.any():
+            b = int(np.argmax(fits))
+            bins[b].append(int(idx))
+            remaining[b] -= t
+        else:
+            bins.append([int(idx)])
+            remaining[n_bins] = capacity - t
+            n_bins += 1
+    return bins
+
+
+def pack_sequences(ds, capacity: int, id_col: str = "doc_id",
+                   tokens_col: Optional[str] = None,
+                   text_col: str = "text",
+                   batch_size: Optional[int] = 4096):
+    """-> Dataset[seq_key, doc_ids(list<int64>), n_docs, total_tokens,
+    fill_ratio].  tokens_col overrides the default whitespace token count
+    of text_col.  seq_key is (first doc id, bin index) packed into one
+    int64 so output is globally unique and deterministic without any
+    cross-batch coordination."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids_arr = batch[id_col]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        ids = ids_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        if tokens_col is not None:
+            toks = batch[tokens_col]
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            tokens = toks.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            col = batch[text_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # whitespace token count, vectorized (runs + 1)
+            tokens = pc.count_substring_regex(
+                pc.fill_null(col, ""), r"\S+") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        bins = _pack_batch(ids, tokens, capacity)
+        out_key, out_ids, out_n, out_tok = [], [], [], []
+        for b, members in enumerate(bins):
+            members_ids = sorted(int(ids[i]) for i in members)
+            total = int(tokens[members].sum()) if members else 0
+            out_key.append((members_ids[0] << 20) | (b & 0xFFFFF))
+            out_ids.append(members_ids)
+            out_n.append(len(members))
+            out_tok.append(total)
+        return pa.table({
+            "seq_key": pa.array(out_key, pa.int64()),
+            "doc_ids": pa.array(out_ids, pa.list_(pa.int64())),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "total_tokens": pa.array(out_tok, pa.int64()),
+            "fill_ratio": pa.array(
+                [t / capacity for t in out_tok], pa.float64()),
+        })
+
+    # explicit batch_size pins bin boundaries: output is identical across
+    # cluster sizes and read parallelism, not just within one session
+    return ds.map_batches(pack, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -1,0 +1,96 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Sampling at 100 TB must be (a) a pure per-row predicate — no global state,
+no shuffle, resumable across retries — and (b) exactly reproducible.  Both
+operators therefore decide membership from a multiplicative hash of the id
+column (Knuth's 2654435761 mod 2^32), which is also expressible in ANSI
+SQL, so the driver's DuckDB oracle can verify the sample EXACTLY:
+
+    (id * 2654435761) % 4294967296 < threshold       -- threshold/2^32 = rate
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence, Union
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_KNUTH = np.int64(2654435761)
+_MOD = np.int64(1 << 32)
+
+
+def sample_threshold(rate: float) -> int:
+    """Integer threshold for a target rate (floor, so engine and SQL agree
+    bit-for-bit)."""
+    return int(rate * (1 << 32))
+
+
+def _hash_mask(ids: np.ndarray, threshold: int) -> np.ndarray:
+    return (ids.astype(np.int64) * _KNUTH) % _MOD < np.int64(threshold)
+
+
+def hash_sample(ds, id_col: str, rate: Optional[float] = None,
+                threshold: Optional[int] = None):
+    """Keep rows where hash(id) falls under the threshold — a streaming
+    filter, deterministic across runs/partitionings/cluster sizes."""
+    if threshold is None:
+        if rate is None:
+            raise ValueError("pass rate or threshold")
+        threshold = sample_threshold(rate)
+
+    def fil(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        m = _hash_mask(ids.to_numpy(zero_copy_only=False), threshold)
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
+def stratified_sample(ds, id_col: str, stratum_col: str,
+                      rates: Mapping[str, float],
+                      default_rate: float = 0.0):
+    """Per-stratum hash sampling: each stratum value gets its own rate
+    (e.g. downsample boilerplate languages, keep all rare ones).  Still a
+    pure per-row predicate — the stratum only selects the threshold."""
+    thresholds = {k: sample_threshold(v) for k, v in rates.items()}
+    default_threshold = sample_threshold(default_rate)
+
+    def fil(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        strata = batch[stratum_col]
+        if isinstance(strata, pa.ChunkedArray):
+            strata = strata.combine_chunks()
+        thr = np.fromiter(
+            (thresholds.get(s, default_threshold)
+             for s in strata.to_pylist()),
+            np.int64, batch.num_rows)
+        m = (ids_np.astype(np.int64) * _KNUTH) % _MOD < thr
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(fil, batch_format="pyarrow")
+
+
+def split_train_holdout(ds, id_col: str, holdout_rate: float = 0.01):
+    """(train_ds, holdout_ds) by the same hash — disjoint and exhaustive,
+    stable across reruns (the property that matters for decontamination)."""
+    threshold = sample_threshold(holdout_rate)
+
+    def keep(hold: bool):
+        def fil(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            m = _hash_mask(ids.to_numpy(zero_copy_only=False), threshold)
+            return batch.filter(pa.array(m if hold else ~m))
+
+        return fil
+
+    return (ds.map_batches(keep(False), batch_format="pyarrow"),
+            ds.map_batches(keep(True), batch_format="pyarrow"))

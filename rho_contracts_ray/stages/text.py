@@ -153,3 +153,43 @@ def token_counts(ds_or_table, text_col: str = "text", id_col: str = "doc_id"):
     if isinstance(ds_or_table, pa.Table):
         return fn(ds_or_table)
     return ds_or_table.map_batches(fn, batch_format="pyarrow")
+
+
+def ngram_top_k(ds, n: int = 2, k: int = 20, text_col: str = "text",
+                sep: str = " "):
+    """Corpus-wide top-k word n-grams with counts -> Dataset[ngram, cnt].
+
+    Scale shape: each batch emits its LOCAL (ngram, cnt) combine — the
+    all-to-all groupby only ever moves one row per distinct n-gram per
+    batch, never tokens — then a tiny sort+limit.  Tokenization is exactly
+    `split(sep)` (empties kept) so a SQL oracle using string_split can
+    reproduce the counts bit-for-bit."""
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts: Counter = Counter()
+        for s in pc.fill_null(col, "").to_pylist():
+            toks = s.split(sep)
+            if len(toks) >= n:
+                counts.update(
+                    sep.join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1))
+        if not counts:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        items = list(counts.items())
+        return pa.table({"ngram": pa.array([g for g, _ in items]),
+                         "cnt": pa.array([c for _, c in items],
+                                         pa.int64())})
+
+    total = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("ngram").sum("cnt")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["ngram", "cnt"])
+
+    return total.map_batches(finish, batch_format="pyarrow") \
+        .sort(key=["cnt", "ngram"], descending=[True, False]).limit(k)

@@ -1,0 +1,116 @@
+"""Sampling, n-gram statistics and sequence-packing operators."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from rho_contracts_ray.stages import (
+    hash_sample, ngram_top_k, pack_sequences, sample_threshold,
+    split_train_holdout, stratified_sample,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _collect(ds) -> pa.Table:
+    parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in ds.iter_batches(batch_size=None, batch_format="pyarrow")]
+    return pa.concat_tables(parts) if parts else pa.table({})
+
+
+def test_hash_sample_matches_sql(ray_session):
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = _collect(hash_sample(ds, "doc_id", threshold=429496729))
+    ref = duckdb.connect().execute(
+        f"SELECT doc_id FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE (doc_id * 2654435761) % 4294967296 < 429496729 "
+        "ORDER BY doc_id").df()
+    assert sorted(out["doc_id"].to_pylist()) == ref["doc_id"].tolist()
+    # roughly 10%
+    n_total = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert 0.02 < out.num_rows / n_total < 0.25
+
+
+def test_hash_sample_stable_across_partitionings(ray_session):
+    ds1 = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    ds2 = rd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id"]).repartition(7)
+    a = sorted(_collect(hash_sample(ds1, "doc_id", rate=0.2))["doc_id"].to_pylist())
+    b = sorted(_collect(hash_sample(ds2, "doc_id", rate=0.2))["doc_id"].to_pylist())
+    assert a == b
+
+
+def test_stratified_sample_rates(ray_session):
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "event_type"])
+    out = _collect(stratified_sample(
+        ds, "event_id", "event_type",
+        rates={"click": 0.0}, default_rate=1.0))
+    assert "click" not in set(out["event_type"].to_pylist())
+    full = pq.read_metadata(f"{SF}/events.parquet").num_rows
+    assert 0 < out.num_rows < full
+
+
+def test_split_train_holdout_disjoint_exhaustive(ray_session):
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    train, hold = split_train_holdout(ds, "doc_id", holdout_rate=0.2)
+    a = set(_collect(train)["doc_id"].to_pylist())
+    b = set(_collect(hold)["doc_id"].to_pylist())
+    assert not (a & b)
+    n_total = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(a) + len(b) == n_total
+    assert len(b) > 0
+
+
+def test_ngram_top_k_matches_sql(ray_session):
+    ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    out = _collect(ngram_top_k(ds, n=2, k=10))
+    con = duckdb.connect()
+    ref = con.execute(
+        "WITH toks AS ("
+        " SELECT doc_id, string_split(text, ' ') AS arr "
+        f" FROM read_parquet('{SF}/documents.parquet')"
+        "), grams AS ("
+        " SELECT arr[i] || ' ' || arr[i+1] AS g"
+        " FROM toks, UNNEST(range(1, len(arr))) AS t(i)"
+        ") SELECT g AS ngram, count(*)::BIGINT AS cnt FROM grams "
+        "GROUP BY g ORDER BY cnt DESC, g LIMIT 10"
+    ).df()
+    assert out["ngram"].to_pylist() == ref["ngram"].tolist()
+    assert out["cnt"].to_pylist() == ref["cnt"].tolist()
+
+
+@pytest.fixture(scope="module")
+def packed(ray_session):
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return _collect(pack_sequences(ds, capacity=256))
+
+
+def test_pack_sequences_capacity_and_coverage(ray_session, packed):
+    assert (np.array(packed["total_tokens"].to_pylist()) <= 256).all()
+    # every doc with <= capacity tokens appears in exactly one bin
+    all_ids = [i for ids in packed["doc_ids"].to_pylist() for i in ids]
+    assert len(all_ids) == len(set(all_ids))
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    import pyarrow.compute as pc
+    tok = pc.count_substring_regex(pc.fill_null(docs["text"], ""), r"\S+")
+    eligible = {i for i, t in zip(docs["doc_id"].to_pylist(), tok.to_pylist())
+                if t <= 256}
+    assert set(all_ids) == eligible
+    # packing should be reasonably tight on the full bins
+    fills = packed["fill_ratio"].to_pylist()
+    assert sum(fills) / len(fills) > 0.5
+
+
+def test_pack_sequences_deterministic(ray_session, packed):
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    again = _collect(pack_sequences(ds, capacity=256))
+    assert packed.sort_by("seq_key").equals(again.sort_by("seq_key"))
