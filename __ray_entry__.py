@@ -741,6 +741,16 @@ def _q_ngram_top20(sf_dir: str):
     return ngram_top_k(ds, n=2, k=20)
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (64-token windows, 8 overlap) —
+    pure flat-map; every chunk string reproduced exactly by the SQL
+    oracle."""
+    from rho_contracts_ray.stages import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, max_tokens=64, overlap=8)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Greedy first-fit-decreasing sequence packing at a 512-token budget
     (rows-only check: bin layout depends on batch partitioning, which is
@@ -803,6 +813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": _q_sample_documents,
         "stratified_sample_events": _q_stratified_sample_events,
         "ngram_top20_documents": _q_ngram_top20,
+        "chunk_documents": _q_chunk_documents,
         "pack_sequences_documents": _q_pack_sequences,
     }
 
@@ -856,6 +867,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_top20_documents": (
             "WITH toks AS ( SELECT doc_id, string_split(text, ' ') AS arr FROM documents), grams AS ( SELECT arr[i] || ' ' || arr[i+1] AS g FROM toks, UNNEST(range(1, len(arr))) AS t(i)) SELECT g AS ngram, count(*)::BIGINT AS cnt FROM grams GROUP BY g ORDER BY cnt DESC, g LIMIT 20"
+        ),
+        "chunk_documents": (
+            # stride = 64 - 8 = 56; chunk k = tokens [k*56, k*56+64)
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr "
+            "FROM documents), chunks AS ("
+            " SELECT doc_id, k AS chunk_id,"
+            " array_to_string(arr[k*56+1 : k*56+64], ' ') AS chunk_text,"
+            " len(arr[k*56+1 : k*56+64])::BIGINT AS n_tokens"
+            " FROM toks, UNNEST(range(0,"
+            " (greatest(len(arr)-8,1) + 55) // 56)) AS t(k)"
+            ") SELECT * FROM chunks"
         ),
         "drift_events_split": (
             "WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 "

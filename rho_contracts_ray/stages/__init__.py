@@ -22,5 +22,5 @@ from .skew import salted_groupby_count, sessionize  # noqa: F401
 from .sampling import (  # noqa: F401
     hash_sample, sample_threshold, split_train_holdout, stratified_sample,
 )
-from .packing import pack_sequences  # noqa: F401
+from .packing import chunk_documents, pack_sequences  # noqa: F401
 from .text import ngram_top_k  # noqa: F401

@@ -91,3 +91,49 @@ def pack_sequences(ds, capacity: int, id_col: str = "doc_id",
     # cluster sizes and read parallelism, not just within one session
     return ds.map_batches(pack, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+def chunk_documents(ds, max_tokens: int, overlap: int = 0,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    sep: str = " "):
+    """Split long documents into overlapping token windows ->
+    Dataset[doc_id, chunk_id, chunk_text, n_tokens] — the step before
+    pack_sequences for documents over the budget.
+
+    Chunk k covers tokens [k*stride, k*stride + max_tokens) with
+    stride = max_tokens - overlap; the chunk count is
+    ceil(max(n_tokens - overlap, 1) / stride).  Tokenization is exactly
+    `split(sep)` (empties kept), so a SQL oracle reproduces every chunk
+    string bit-for-bit (array_slice + array_to_string).  A pure per-row
+    flat-map: streams, no shuffle, deterministic."""
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids_arr = batch[id_col]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        out_id, out_chunk, out_text, out_n = [], [], [], []
+        for did, s in zip(ids_arr.to_pylist(),
+                          pc.fill_null(col, "").to_pylist()):
+            toks = s.split(sep)
+            n = len(toks)
+            n_chunks = (max(n - overlap, 1) + stride - 1) // stride
+            for k in range(n_chunks):
+                piece = toks[k * stride: k * stride + max_tokens]
+                out_id.append(did)
+                out_chunk.append(k)
+                out_text.append(sep.join(piece))
+                out_n.append(len(piece))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "chunk_id": pa.array(out_chunk, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

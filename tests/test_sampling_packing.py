@@ -114,3 +114,30 @@ def test_pack_sequences_deterministic(ray_session, packed):
                          columns=["doc_id", "text"])
     again = _collect(pack_sequences(ds, capacity=256))
     assert packed.sort_by("seq_key").equals(again.sort_by("seq_key"))
+
+
+def test_chunk_documents_matches_sql(ray_session):
+    from rho_contracts_ray.stages import chunk_documents
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = _collect(chunk_documents(ds, max_tokens=16, overlap=4)) \
+        .sort_by([("doc_id", "ascending"), ("chunk_id", "ascending")])
+    ref = duckdb.connect().execute(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr "
+        f"FROM read_parquet('{SF}/documents.parquet')), chunks AS ("
+        " SELECT doc_id, k AS chunk_id,"
+        " array_to_string(arr[k*12+1 : k*12+16], ' ') AS chunk_text,"
+        " len(arr[k*12+1 : k*12+16])::BIGINT AS n_tokens"
+        " FROM toks, UNNEST(range(0, (greatest(len(arr)-4,1) + 11) // 12))"
+        " AS t(k)) SELECT * FROM chunks ORDER BY doc_id, chunk_id").df()
+    assert out["doc_id"].to_pylist() == ref["doc_id"].tolist()
+    assert out["chunk_id"].to_pylist() == ref["chunk_id"].tolist()
+    assert out["chunk_text"].to_pylist() == ref["chunk_text"].tolist()
+    assert out["n_tokens"].to_pylist() == ref["n_tokens"].tolist()
+    # overlap property: consecutive chunks share the overlap tokens
+    rows = list(zip(out["doc_id"].to_pylist(), out["chunk_id"].to_pylist(),
+                    out["chunk_text"].to_pylist()))
+    for (d1, c1, t1), (d2, c2, t2) in zip(rows, rows[1:]):
+        if d1 == d2 and c2 == c1 + 1 and len(t2.split(" ")) == 16:
+            assert t1.split(" ")[12:] == t2.split(" ")[:4]
