@@ -741,6 +741,29 @@ def _q_ngram_top20(sf_dir: str):
     return ngram_top_k(ds, n=2, k=20)
 
 
+def _q_decontam_documents(sf_dir: str):
+    """Decontamination: train docs (hash-split complement) sharing >= 3
+    distinct trigrams with the 10% holdout — broadcast holdout gram set,
+    one streaming pass over train."""
+    from rho_contracts_ray.stages import decontaminate_ngrams, hash_sample
+    from rho_contracts_ray.stages.sampling import _KNUTH, _MOD
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    hold = hash_sample(docs, "doc_id", threshold=_SAMPLE_THRESHOLD_10PCT)
+
+    def train_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (ids_np * _KNUTH) % _MOD >= _SAMPLE_THRESHOLD_10PCT
+        return batch.filter(pa.array(m))
+
+    train = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(train_only, batch_format="pyarrow")
+    return decontaminate_ngrams(train, hold, n=3, min_shared=3)
+
+
 def _q_chunk_documents(sf_dir: str):
     """Overlapping token-window chunking (64-token windows, 8 overlap) —
     pure flat-map; every chunk string reproduced exactly by the SQL
@@ -813,6 +836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": _q_sample_documents,
         "stratified_sample_events": _q_stratified_sample_events,
         "ngram_top20_documents": _q_ngram_top20,
+        "decontam_documents": _q_decontam_documents,
         "chunk_documents": _q_chunk_documents,
         "pack_sequences_documents": _q_pack_sequences,
     }
@@ -867,6 +891,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_top20_documents": (
             "WITH toks AS ( SELECT doc_id, string_split(text, ' ') AS arr FROM documents), grams AS ( SELECT arr[i] || ' ' || arr[i+1] AS g FROM toks, UNNEST(range(1, len(arr))) AS t(i)) SELECT g AS ngram, count(*)::BIGINT AS cnt FROM grams GROUP BY g ORDER BY cnt DESC, g LIMIT 20"
+        ),
+        "decontam_documents": (
+            "WITH hold AS (SELECT string_split(text, ' ') AS arr "
+            "FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 < 429496729), "
+            "hg AS (SELECT DISTINCT arr[i] || ' ' || arr[i+1] || ' ' || "
+            "arr[i+2] AS g FROM hold, UNNEST(range(1, len(arr)-1)) AS t(i)), "
+            "train AS (SELECT doc_id, string_split(text, ' ') AS arr "
+            "FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 >= 429496729), "
+            "tg AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || "
+            "' ' || arr[i+2] AS g FROM train, "
+            "UNNEST(range(1, len(arr)-1)) AS t(i)) "
+            "SELECT tg.doc_id, count(*)::BIGINT AS n_shared "
+            "FROM tg JOIN hg USING (g) GROUP BY 1 HAVING count(*) >= 3"
         ),
         "chunk_documents": (
             # stride = 64 - 8 = 56; chunk k = tokens [k*56, k*56+64)

@@ -193,3 +193,58 @@ def ngram_top_k(ds, n: int = 2, k: int = 20, text_col: str = "text",
 
     return total.map_batches(finish, batch_format="pyarrow") \
         .sort(key=["cnt", "ngram"], descending=[True, False]).limit(k)
+
+
+def decontaminate_ngrams(train_ds, holdout_ds, n: int = 3,
+                         min_shared: int = 1, text_col: str = "text",
+                         id_col: str = "doc_id", sep: str = " "):
+    """Training-set decontamination: flag train docs sharing >= min_shared
+    DISTINCT word n-grams with the holdout set ->
+    Dataset[doc_id, n_shared].
+
+    Scale shape: the holdout side (always the small side — eval sets) is
+    reduced to its distinct n-gram set ONCE and broadcast via ray.put;
+    each train batch then counts per-doc overlap locally — no join, no
+    shuffle, one streaming pass over the training corpus.  Tokenization is
+    exactly `split(sep)` so a SQL oracle reproduces the counts."""
+    import ray
+
+    def grams(s: str):
+        toks = s.split(sep)
+        return {sep.join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)} if len(toks) >= n else set()
+
+    # 1. distinct holdout n-grams (small) — per-batch combine, driver union
+    def hold_partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out: set = set()
+        for s in pc.fill_null(col, "").to_pylist():
+            out |= grams(s)
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    hold_set: set = set()
+    for b in holdout_ds.map_batches(hold_partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        hold_set.update(t["gram"].to_pylist())
+    ref = ray.put(frozenset(hold_set))
+
+    # 2. per-doc distinct-overlap count over the train stream
+    def overlap(batch: pa.Table) -> pa.Table:
+        hs = ray.get(ref)
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = batch[id_col].to_pylist()
+        out_id, out_n = [], []
+        for did, s in zip(ids, pc.fill_null(col, "").to_pylist()):
+            k = len(grams(s) & hs)
+            if k >= min_shared:
+                out_id.append(did)
+                out_n.append(k)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "n_shared": pa.array(out_n, pa.int64())})
+
+    return train_ds.map_batches(overlap, batch_format="pyarrow")

@@ -141,3 +141,43 @@ def test_chunk_documents_matches_sql(ray_session):
     for (d1, c1, t1), (d2, c2, t2) in zip(rows, rows[1:]):
         if d1 == d2 and c2 == c1 + 1 and len(t2.split(" ")) == 16:
             assert t1.split(" ")[12:] == t2.split(" ")[:4]
+
+
+def test_decontaminate_ngrams_matches_sql(ray_session):
+    from rho_contracts_ray.stages import decontaminate_ngrams, hash_sample
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    hold = hash_sample(docs, "doc_id", threshold=429496729)
+
+    def train_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].combine_chunks() \
+            if isinstance(batch["doc_id"], pa.ChunkedArray) \
+            else batch["doc_id"]
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (ids_np * 2654435761) % (1 << 32) >= 429496729
+        return batch.filter(pa.array(m))
+
+    train = rd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"]) \
+        .map_batches(train_only, batch_format="pyarrow")
+    out = _collect(decontaminate_ngrams(train, hold, n=3, min_shared=3)) \
+        .sort_by("doc_id")
+    ref = duckdb.connect().execute(
+        "WITH hold AS (SELECT string_split(text, ' ') AS arr "
+        f"FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE (doc_id * 2654435761) % 4294967296 < 429496729), "
+        "hg AS (SELECT DISTINCT arr[i] || ' ' || arr[i+1] || ' ' || "
+        "arr[i+2] AS g FROM hold, UNNEST(range(1, len(arr)-1)) AS t(i)), "
+        "train AS (SELECT doc_id, string_split(text, ' ') AS arr "
+        f"FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE (doc_id * 2654435761) % 4294967296 >= 429496729), "
+        "tg AS (SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || "
+        "' ' || arr[i+2] AS g FROM train, "
+        "UNNEST(range(1, len(arr)-1)) AS t(i)) "
+        "SELECT tg.doc_id, count(*)::BIGINT AS n_shared "
+        "FROM tg JOIN hg USING (g) GROUP BY 1 HAVING count(*) >= 3 "
+        "ORDER BY doc_id").df()
+    assert out["doc_id"].to_pylist() == ref["doc_id"].tolist()
+    assert out["n_shared"].to_pylist() == ref["n_shared"].tolist()
+    assert out.num_rows > 0  # word-soup corpus overlaps heavily
