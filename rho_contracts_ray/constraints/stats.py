@@ -74,7 +74,10 @@ class StatsPartialStage:
                 smin = mm["min"].as_py()
                 smax = mm["max"].as_py()
             hll = HyperLogLog(self.hll_p)
-            hll.add_hashes(stable_hash64(col.drop_null()))
+            # HLL registers are set-semantic: hashing the batch-DISTINCT
+            # values gives identical registers and skips ~50x of the
+            # (expensive) string hashing on low-cardinality columns
+            hll.add_hashes(stable_hash64(pc.unique(col.drop_null())))
             rows["column"].append(col_name)
             rows["count"].append(n - nulls)
             rows["nulls"].append(nulls)
