@@ -386,11 +386,14 @@ def _q_join_orders_customer(sf_dir: str):
 
 def _q_join_lineitem_part(sf_dir: str):
     """Bucketed (both-sides-large) hash join on the part key."""
-    from rho_contracts_ray.stages.joins import bucketed_join
+    from rho_contracts_ray.stages.joins import auto_buckets, bucketed_join
 
     left = _read(sf_dir, "lineitem",
                  columns=["l_orderkey", "l_linenumber", "l_partkey"])
     right = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    # size B from the RAW reads (metadata-only count); the renamed right
+    # side is a transformed Dataset whose count() would execute it
+    n_buckets = auto_buckets(left, right)
 
     def ren(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["l_partkey", "p_brand"])
@@ -399,7 +402,7 @@ def _q_join_lineitem_part(sf_dir: str):
     return bucketed_join(
         left, right, on=["l_partkey"],
         left_cols=["l_orderkey", "l_linenumber", "l_partkey"],
-        right_cols=["l_partkey", "p_brand"])  # n_buckets derived from size
+        right_cols=["l_partkey", "p_brand"], n_buckets=n_buckets)
 
 
 def _q_asof_last_purchase(sf_dir: str):

@@ -88,7 +88,9 @@ def run_benchmarks() -> dict:
                  "events_hourly_counts", "join_orders_customer",
                  "join_lineitem_part", "asof_last_purchase",
                  "window_user_seq", "salted_groupby_events",
-                 "sessionize_events"):
+                 "sessionize_events", "sample_documents",
+                 "ngram_top20_documents", "chunk_documents",
+                 "decontam_documents"):
         def run(n=name):
             res = q[n](SF_DIR)
             # consume lazily-built results fully

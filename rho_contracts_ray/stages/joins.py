@@ -41,12 +41,15 @@ def broadcast_join(ds, small: pa.Table, on: Sequence[str],
     return ds.map_batches(merge, batch_format="pandas")
 
 
-def _auto_buckets(left_ds, right_ds, target_rows: int = 250_000) -> int:
+def auto_buckets(left_ds, right_ds, target_rows: int = 250_000) -> int:
     """Derive the bucket count from the input size so each bucket's pandas
     merge stays ~target_rows: B grows with the data instead of being a
-    fixed constant that would make buckets balloon at 1000x scale.  Row
-    counts come from parquet/dataset metadata (cheap, no execution for
-    parquet sources)."""
+    fixed constant that would make buckets balloon at 1000x scale.
+    CAVEAT: .count() is metadata-only for untouched parquet reads but
+    EXECUTES a transformed Dataset — call this on the raw reads (or pass
+    n_buckets explicitly) when the join inputs are mapped."""
+    from ..validate import _cluster_cpus
+
     try:
         total = (left_ds.count() or 0) + (right_ds.count() or 0)
     except Exception:
@@ -54,7 +57,8 @@ def _auto_buckets(left_ds, right_ds, target_rows: int = 250_000) -> int:
     if not total:
         return 32
     b = int(np.ceil(total / target_rows))
-    return int(min(max(b, 8), 4096))
+    # at least one bucket per core so small inputs still use the cluster
+    return int(min(max(b, _cluster_cpus(), 8), 4096))
 
 
 def bucketed_join(left_ds, right_ds, on: Sequence[str],
@@ -66,7 +70,7 @@ def bucketed_join(left_ds, right_ds, on: Sequence[str],
     `left_cols`/`right_cols` name each side's columns (keys included in
     both); the union schema is their outer union, null-padded.
 
-    n_buckets=None derives B from the input row counts (see _auto_buckets)
+    n_buckets=None derives B from the input row counts (see auto_buckets)
     so per-bucket memory stays bounded as data grows.  Hot-key skew hook:
     salt the key upstream (append `salt = hash(row) % S` to `on` on the
     fact side and replicate the dim side S times) — see stages/skew.py for
@@ -75,7 +79,7 @@ def bucketed_join(left_ds, right_ds, on: Sequence[str],
 
     on = list(on)
     if n_buckets is None:
-        n_buckets = _auto_buckets(left_ds, right_ds)
+        n_buckets = auto_buckets(left_ds, right_ds)
     left_cols = list(left_cols)
     right_cols = list(right_cols)
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
@@ -177,7 +181,7 @@ def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
     right_ts = right_ts or ts
     value_cols = list(value_cols)
     if n_buckets is None:
-        n_buckets = _auto_buckets(left_ds, right_ds)
+        n_buckets = auto_buckets(left_ds, right_ds)
 
     left_names = [f.name for f in left_ds.schema().base_schema]
     rcols = [key, right_ts] + value_cols
