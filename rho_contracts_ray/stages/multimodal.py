@@ -1,14 +1,18 @@
 """Multimodal column plumbing (image/audio/video as opaque binary + typed
 metadata).
 
-The image/audio codec libraries are NOT in this container, so the decode
-kernels are STUBS — `DecodeImageStage(decoder="real")` raises
-NotImplementedError with the dependency named, while
-`decoder="deterministic-fake"` parses only what raw bytes allow (length,
-leading magic) and emits a deterministic feature vector.  Everything
-Ray-side — schema, actor-pool signature, batch sizing for large payloads,
-output layout — is real and tested, so swapping in a real codec is a
-one-function change.
+Decode support is tiered by what this container allows:
+  * REAL, lib-free: uncompressed 24-bit BMP pixel decode, PNG header
+    (IHDR width/height) parsing, and PCM-16 WAV decode — pure numpy /
+    struct, fully implemented and tested (encode_bmp/decode_bmp,
+    encode_wav/decode_wav);
+  * STUBBED with the dependency named: PNG/JPEG PIXEL decode needs
+    Pillow/opencv (not present) — `DecodeImageStage(decoder="real")`
+    raises NotImplementedError when it meets such a payload;
+  * `decoder="deterministic-fake"` emits a seeded feature vector for
+    plumbing tests regardless of format.
+Everything Ray-side — schema, actor-pool signature, batch sizing for
+large payloads, output layout — is real and tested.
 """
 
 from __future__ import annotations
@@ -41,41 +45,189 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
             % 1000) / 1000.0
 
 
+# -- lib-free codecs (numpy/struct only) ------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    bottom-up rows padded to 4 bytes) — valid for any BMP viewer."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        bgr = pixels[y, :, ::-1].tobytes()
+        body += bgr + b"\x00" * pad
+    data_off = 14 + 40
+    size = data_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, data_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB."""
+    import struct
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    hdr_sz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported "
+                         f"(got bpp={bpp}, compression={comp})")
+    stride = (w * 3 + 3) & ~3
+    flip = h > 0
+    h = abs(h)
+    raw = np.frombuffer(b, np.uint8, count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]
+    return rgb[::-1] if flip else rgb
+
+
+def png_header_dims(b: bytes):
+    """(width, height) from a PNG IHDR chunk — header-only, no codec."""
+    import struct
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n" or len(b) < 24:
+        return None
+    return struct.unpack_from(">II", b, 16)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """1-D int16 PCM -> WAV (RIFF, PCM-16 mono)."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data),
+                      b"WAVE", b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+                      b"data", len(data))
+    return hdr + data
+
+
+def decode_wav(b: bytes):
+    """WAV PCM-16 mono -> (samples int16 ndarray, rate)."""
+    import struct
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    fmt, ch, rate = struct.unpack_from("<HHI", b, 20)
+    if fmt != 1:
+        raise ValueError(f"only PCM WAV supported (fmt={fmt})")
+    # find the data chunk
+    off = 12
+    while off + 8 <= len(b):
+        cid, sz = struct.unpack_from("<4sI", b, off)
+        if cid == b"data":
+            return np.frombuffer(b, "<i2", count=sz // 2, offset=off + 8), rate
+        off += 8 + sz + (sz & 1)
+    raise ValueError("WAV data chunk not found")
+
+
+def _bmp_features(pixels: np.ndarray, dim: int) -> np.ndarray:
+    """Real image features without a codec lib: normalized grayscale
+    histogram over `dim` bins."""
+    gray = pixels.astype(np.float64).mean(axis=2)
+    hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
+    return hist / max(gray.size, 1)
+
+
 class DecodeImageStage:
     """Actor-pool stage: payload bytes -> feature vector + basic header
     metadata.  Large binary payloads => SMALL batch_size (callers should
     pass batch_size<=256 for multi-MB images so batch x concurrency fits
-    worker heap)."""
+    worker heap).
+
+    decoder="real": BMP payloads are pixel-decoded (lib-free) and get real
+    histogram features + width/height; PNG payloads get header-parsed
+    dimensions but RAISE NotImplementedError for pixel features (needs
+    Pillow, not in this container); JPEG likewise."""
 
     def __init__(self, decoder: str = "deterministic-fake", feature_dim: int = 64):
         if decoder not in ("deterministic-fake", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
-        if decoder == "real":
-            raise NotImplementedError(
-                "real image decode requires Pillow/opencv, not present in "
-                "this container — use decoder='deterministic-fake' for "
-                "pipeline plumbing tests"
-            )
+        self.decoder = decoder
         self.feature_dim = feature_dim
 
+    def _detect(self, p: bytes) -> str:
+        if p[:2] == b"BM":
+            return "bmp"
+        if p[:4] == b"\x89PNG":
+            return "png"
+        if p[:2] == b"\xff\xd8":
+            return "jpg"
+        return "unknown"
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["payload"].to_pylist()
-        feats = np.stack([
-            _fake_features(p or b"", self.feature_dim) for p in payloads
-        ]) if payloads else np.empty((0, self.feature_dim))
-        magics = [
-            ("png" if (p or b"")[:4] == b"\x89PNG" else
-             "jpg" if (p or b"")[:2] == b"\xff\xd8" else "unknown")
-            for p in payloads
-        ]
+        payloads = [p or b"" for p in batch["payload"].to_pylist()]
+        magics = [self._detect(p) for p in payloads]
+        widths: list = [None] * len(payloads)
+        heights: list = [None] * len(payloads)
+        if self.decoder == "real":
+            feats_rows = []
+            for i, (p, m) in enumerate(zip(payloads, magics)):
+                if m == "bmp":
+                    px = decode_bmp(p)
+                    heights[i], widths[i] = px.shape[0], px.shape[1]
+                    feats_rows.append(_bmp_features(px, self.feature_dim))
+                elif m == "png":
+                    dims = png_header_dims(p)
+                    if dims:
+                        widths[i], heights[i] = int(dims[0]), int(dims[1])
+                    raise NotImplementedError(
+                        "PNG pixel decode requires Pillow, not present in "
+                        "this container (header dims parsed lib-free; use "
+                        "BMP payloads or decoder='deterministic-fake')")
+                elif m == "jpg":
+                    raise NotImplementedError(
+                        "JPEG decode requires Pillow/opencv, not present "
+                        "in this container")
+                else:
+                    feats_rows.append(np.zeros(self.feature_dim))
+            feats = (np.stack(feats_rows) if feats_rows
+                     else np.empty((0, self.feature_dim)))
+        else:
+            feats = np.stack([
+                _fake_features(p, self.feature_dim) for p in payloads
+            ]) if payloads else np.empty((0, self.feature_dim))
         return pa.table({
             "media_id": batch["media_id"],
             "detected_format": pa.array(magics, type=pa.string()),
-            "payload_bytes": pa.array([len(p or b"") for p in payloads],
+            "payload_bytes": pa.array([len(p) for p in payloads],
                                       type=pa.int64()),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
             "features": pa.FixedSizeListArray.from_arrays(
                 pa.array(feats.reshape(-1), type=pa.float32()),
                 self.feature_dim),
+        })
+
+
+class AudioFeaturesStage:
+    """Real (lib-free) audio features for PCM-16 WAV payloads: sample
+    rate, duration, RMS level, zero-crossing rate."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": batch["media_id"].to_pylist(), "rate": [],
+               "duration_ms": [], "rms": [], "zero_crossings": []}
+        for p in batch["payload"].to_pylist():
+            samples, rate = decode_wav(p or b"")
+            x = samples.astype(np.float64) / 32768.0
+            out["rate"].append(rate)
+            out["duration_ms"].append(int(1000 * samples.size / rate))
+            out["rms"].append(float(np.sqrt((x * x).mean()))
+                              if samples.size else 0.0)
+            out["zero_crossings"].append(
+                int((np.diff(np.signbit(x)) != 0).sum()))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "rate": pa.array(out["rate"], pa.int32()),
+            "duration_ms": pa.array(out["duration_ms"], pa.int32()),
+            "rms": pa.array(out["rms"], pa.float64()),
+            "zero_crossings": pa.array(out["zero_crossings"], pa.int64()),
         })
 
 

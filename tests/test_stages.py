@@ -189,6 +189,54 @@ def test_multimodal_plumbing(ray_session):
     # deterministic across runs
     out2 = decode_images(rd.from_arrow(t)).to_pandas().sort_values("media_id")
     assert (out["features"].iloc[0] == out2["features"].iloc[0]).all()
-    # real decoder is an explicit stub
+    # real decoder raises (with the missing dependency named) when it
+    # meets a codec format it cannot decode lib-free
+    stage = DecodeImageStage(decoder="real")
     with pytest.raises(NotImplementedError):
-        DecodeImageStage(decoder="real")
+        stage(t.slice(0, 50))
+
+
+def test_real_bmp_roundtrip_and_features(ray_session):
+    import numpy as np
+
+    from rho_contracts_ray.stages.multimodal import (
+        AudioFeaturesStage, decode_bmp, decode_wav, encode_bmp, encode_wav,
+        png_header_dims)
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+
+    samples = (np.sin(np.linspace(0, 80, 16000)) * 20000).astype(np.int16)
+    got, rate = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000 and (got == samples).all()
+
+    # PNG header dims parse lib-free
+    import struct
+    fake_png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                + struct.pack(">IIBBBBB", 640, 480, 8, 2, 0, 0, 0))
+    assert png_header_dims(fake_png) == (640, 480)
+
+    # real image decode end-to-end over a BMP media table
+    media = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([encode_bmp(px), encode_bmp(px[:5, :5])],
+                            pa.large_binary()),
+    })
+    out = DecodeImageStage(decoder="real")(media)
+    assert out["detected_format"].to_pylist() == ["bmp", "bmp"]
+    assert out["width"].to_pylist() == [17, 5]
+    assert out["height"].to_pylist() == [13, 5]
+    f = np.array(out["features"].to_pylist()[0])
+    assert abs(f.sum() - 1.0) < 1e-6  # normalized histogram
+
+    # real audio features end-to-end
+    audio = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([encode_wav(samples, 8000)], pa.large_binary()),
+    })
+    a = AudioFeaturesStage()(audio)
+    assert a["rate"].to_pylist() == [8000]
+    assert a["duration_ms"].to_pylist() == [2000]
+    assert 0.3 < a["rms"].to_pylist()[0] < 0.8
+    assert a["zero_crossings"].to_pylist()[0] > 10
