@@ -543,9 +543,13 @@ def _q_drift_events_split(sf_dir: str):
         return pa.table({"tsi": pc.cast(batch["ts"], pa.int64()),
                          "value": batch["value"]})
 
-    base = _read(sf_dir, "events", columns=["ts", "value"]) \
-        .map_batches(to_int_ts, batch_format="pyarrow").materialize()
-    ts_stats = column_stats(base, ["tsi"])["tsi"]
+    def base():
+        # re-read the pruned parquet per pass (100-TB-safe: no pinned
+        # materialization between passes)
+        return _read(sf_dir, "events", columns=["ts", "value"]) \
+            .map_batches(to_int_ts, batch_format="pyarrow")
+
+    ts_stats = column_stats(base(), ["tsi"])["tsi"]
     mid = int((ts_stats.vmin + ts_stats.vmax) // 2)
 
     def half(keep_lo: bool):
@@ -554,7 +558,7 @@ def _q_drift_events_split(sf_dir: str):
                 else pc.greater_equal(batch["tsi"], mid)
             return batch.filter(m).select(["value"])
 
-        return base.map_batches(f, batch_format="pyarrow")
+        return base().map_batches(f, batch_format="pyarrow")
 
     sa = column_stats(half(True), ["value"])["value"]
     sb = column_stats(half(False), ["value"])["value"]
@@ -578,9 +582,14 @@ def _q_drift_events_value(sf_dir: str):
         return pa.table({"tsi": pc.cast(batch["ts"], pa.int64()),
                          "value": batch["value"]})
 
-    base = _read(sf_dir, "events", columns=["ts", "value"]) \
-        .map_batches(to_int_ts, batch_format="pyarrow").materialize()
-    mid = column_stats(base, ["tsi"])["tsi"].quantile(0.5)
+    # each pass RE-READS the pruned parquet (2 columns) instead of
+    # materializing the projection — the 100-TB-safe form: nothing is
+    # pinned in the object store between passes
+    def base():
+        return _read(sf_dir, "events", columns=["ts", "value"]) \
+            .map_batches(to_int_ts, batch_format="pyarrow")
+
+    mid = column_stats(base(), ["tsi"])["tsi"].quantile(0.5)
 
     def half(keep_lo: bool):
         def f(batch: pa.Table) -> pa.Table:
@@ -588,7 +597,7 @@ def _q_drift_events_value(sf_dir: str):
                 else pc.greater_equal(batch["tsi"], mid)
             return batch.filter(m).select(["value"])
 
-        return base.map_batches(f, batch_format="pyarrow")
+        return base().map_batches(f, batch_format="pyarrow")
 
     sa = column_stats(half(True), ["value"])["value"]
     sb = column_stats(half(False), ["value"])["value"]
