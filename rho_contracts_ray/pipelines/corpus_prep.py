@@ -46,7 +46,8 @@ def prep_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     feats = text_features(valid, text_col=text_col)
 
     def qfilter(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater_equal(batch["quality"], min_quality))
+        return batch.filter(pc.greater_equal(batch["quality"], min_quality)) \
+            .select([id_col, text_col])  # features not needed downstream
 
     good = feats.map_batches(qfilter, batch_format="pyarrow").materialize()
     n_good = good.count()
