@@ -62,6 +62,7 @@ class FnContract(ast.Contract):
         self.extra_argument_contract: Optional[ast.Contract] = None
         self.this_contract: ast.Contract = ast.AnyC()
         self.thing_name: Optional[str] = None  # set by object-field wrap
+        self.constructs_fields: Optional[dict] = None  # set by .constructs()
         # formal check: no required argument right of an optional one
         # (function-contracts.js:13-26)
         options_only = False
@@ -86,6 +87,20 @@ class FnContract(ast.Contract):
         return self._clone(this_contract=ast.auto_to_contract(c))
 
     ths = thisArg  # reference back-compat alias (function-contracts.js:171)
+
+    def constructs(self, prototype_fields: dict) -> "FnContract":
+        """Constructor contract (function-contracts.js:177-357), mapped to
+        Python CLASS wrapping: wrap() returns a SUBCLASS whose __init__
+        checks the constructor arguments and whose listed methods are
+        guarded (their `this` defaults to isA(cls), mirroring
+        function-contracts.js:315-335).  `instanceof`/isA hold against
+        both the wrapped and the original class because the wrapper IS a
+        subclass — the Python analogue of the reference's prototype-chain
+        construction.  Message parity is kept for the argument/this/result
+        checks (same fun machinery); the prototype-surgery corner cases of
+        JS have no Python analogue and are not claimed."""
+        return self._clone(constructs_fields={
+            k: ast.auto_to_contract(v) for k, v in prototype_fields.items()})
 
     def extraArgs(self, c=None) -> "FnContract":
         return self._clone(
@@ -253,6 +268,8 @@ def _wrap_w_context(c: ast.Contract, v: Any, ctx: _WrapContext):
                 ctx.stack.pop()
 
     if isinstance(c, FnContract):
+        if c.constructs_fields is not None and isinstance(v, type):
+            return _make_wrapped_class(c, v, ctx)
         return _make_guarded(c, v, ctx)
     if isinstance(c, ast.CyclicC):
         return _wrap_w_context(c.resolved(), v, ctx)
@@ -367,6 +384,55 @@ def _make_guarded(fc: FnContract, f: Callable, wrap_ctx: _WrapContext):
     guarded.with_this = lambda this: (lambda *args: _call(this, args))
     guarded.__contract__ = fc
     return guarded
+
+
+def _make_wrapped_class(fc: FnContract, cls: type, wrap_ctx: _WrapContext):
+    """constructs() wrapper: a subclass whose __init__ runs the fun
+    argument checks and whose contracted methods are guarded with
+    `this` = isA(cls) by default."""
+    thing = fc.thing_name or wrap_ctx.thing_name or cls.__name__
+    # missing-method check (function-contracts.js:184-201, message kept)
+    missing = [k for k in fc.constructs_fields if not hasattr(cls, k)]
+    if missing:
+        whose = f"{thing}'s" if thing else "the"
+        raise RowContractError(Violation(
+            message=(f"constructs: some fields present in {whose} prototype "
+                     f"contract are missing on the prototype: "
+                     f"{', '.join(missing)}"),
+            expected=None, got=None, path="",
+            contract_name=fc.contract_name, blame=""))
+
+    init_fc = fc._clone(constructs_fields=None,
+                        thing_name=fc.thing_name or thing)
+    ctx = _WrapContext(thing, wrap_ctx.contract, wrap_ctx.data)
+    check_args = _make_guarded(init_fc, lambda *a: a, ctx)
+
+    namespace = {}
+
+    def __init__(self, *args):
+        final = check_args(*args)
+        cls.__init__(self, *final)
+
+    namespace["__init__"] = __init__
+    for mname, mc in fc.constructs_fields.items():
+        if not isinstance(mc, FnContract):
+            continue  # non-function prototype fields: presence-checked only
+        mc2 = mc if not isinstance(mc.this_contract, ast.AnyC) \
+            else mc.thisArg(ast.IsAC(cls, cls.__name__))
+        mc2 = mc2._clone(thing_name=mname)
+        orig = getattr(cls, mname)
+        guarded = _make_guarded(mc2, orig, ctx)
+
+        def make_method(_g=guarded):
+            def m(self, *args):
+                return _g.with_this(self)(*args)
+            return m
+
+        namespace[mname] = make_method()
+
+    wrapped = type(cls.__name__, (cls,), namespace)
+    wrapped.__qualname__ = cls.__qualname__
+    return wrapped
 
 
 def wrap(contract, f: Callable, name: Optional[str] = None) -> Callable:

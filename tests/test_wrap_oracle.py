@@ -208,3 +208,104 @@ def test_and_wrap_refused():
 def test_method_requires_contract_this():
     with pytest.raises(ContractLibraryError):
         api_guard.method("not a contract")
+
+
+# -- constructs(): Python class-wrapping analogue ---------------------------
+# (reference function-contracts.js:177-357 + contract-es6.spec.js; no
+# byte-parity claim for prototype-surgery itself — argument/this/method
+# messages reuse the node-diffed fun machinery)
+
+
+def _example_contract(c):
+    return c.fun({"initial": c.number}).constructs({
+        "inc": c.fn(c.number).returns(c.number),
+    })
+
+
+class _ExampleImpl:
+    def __init__(self, initial):
+        self.x = initial
+
+    def inc(self, n):
+        self.x += n
+        return self.x
+
+    def _dec(self, n):  # not in the contract: stays unguarded
+        self.x -= n
+        return self.x
+
+
+def test_constructs_builds_usable_instances():
+    from rho_contracts_ray import c
+
+    Example = c.wrap(_example_contract(c), _ExampleImpl)
+    inst = Example(10)
+    assert inst.x == 10
+    assert inst.inc(2) == 12
+    assert inst._dec(3) == 9  # uncontracted methods work normally
+
+
+def test_constructs_isinstance_and_isa():
+    from rho_contracts_ray import c
+
+    Example = c.wrap(_example_contract(c), _ExampleImpl)
+    inst = Example(5)
+    assert isinstance(inst, Example)
+    assert isinstance(inst, _ExampleImpl)
+    c.check(c.isA(Example), inst)
+    c.check(c.isA(_ExampleImpl), inst)
+
+
+def test_constructs_checks_constructor_and_method_args():
+    from rho_contracts_ray import c
+
+    Example = c.wrap(_example_contract(c), _ExampleImpl)
+    with pytest.raises(RowContractError, match="number"):
+        Example("nope")
+    inst = Example(1)
+    with pytest.raises(RowContractError, match="number.*'nope'"):
+        inst.inc("nope")
+    with pytest.raises(RowContractError, match="Wrong number of arg"):
+        inst.inc(1, 2)
+
+
+def test_constructs_checks_this_isa():
+    from rho_contracts_ray import c
+
+    Example = c.wrap(_example_contract(c), _ExampleImpl)
+    unbound = Example.__dict__["inc"]
+    with pytest.raises(RowContractError) as ei:
+        unbound(object(), 2)  # wrong `this`
+    assert "isA(_ExampleImpl)" in ei.value.violation.message
+    assert "`this` argument" in ei.value.violation.message
+    # a proper instance passes through the same unbound path
+    assert unbound(Example(3), 2) == 5
+
+
+def test_constructs_missing_prototype_field():
+    from rho_contracts_ray import c
+
+    bad = c.fun({"i": c.number}).constructs({"nope": c.fn()})
+    with pytest.raises(RowContractError) as ei:
+        c.wrap(bad, _ExampleImpl, "Example")
+    assert ("constructs: some fields present in Example's prototype "
+            "contract are missing on the prototype: nope"
+            ) in ei.value.violation.message
+
+
+def test_constructs_method_result_checked():
+    from rho_contracts_ray import c
+
+    class Bad:
+        def __init__(self, initial):
+            self.x = initial
+
+        def inc(self, n):
+            return "not a number"
+
+    Example = c.wrap(c.fun({"initial": c.number}).constructs({
+        "inc": c.fn(c.number).returns(c.number),
+    }), Bad)
+    inst = Example(1)
+    with pytest.raises(RowContractError, match="number"):
+        inst.inc(2)
