@@ -24,8 +24,10 @@ What carries over 1:1:
     `this` is passed to the implementation as its first parameter and
     callers bind it via `wrapped.with_this(obj)(...)`.
 
-Out of scope (documented, not built): `constructs` prototype surgery —
-no Python analogue for JS prototype chains.
+Analogues rather than ports (Python has no JS prototype chains and no
+mustache templating in scope): `.constructs()` wraps CLASSES via a
+guarded subclass (see its docstring), and `generate_docs()` renders the
+documentationTable to markdown instead of generateHTML's HTML.
 """
 
 from __future__ import annotations
@@ -516,3 +518,48 @@ def document_type(module_name: str, contract: ast.Contract) -> None:
             f"`documentType` called with a contract whose name that is "
             f"already documented: {contract.to_string()}")
     entry["types"][contract.contract_name] = contract
+
+
+def generate_docs(module_name: Optional[str] = None) -> str:
+    """Markdown analogue of the reference's generateHTML
+    (generateHTML.js:133-160): render the documentationTable — module doc,
+    categories, documented types and contracted values with their
+    toString() signatures and doc lines.  Markdown instead of the
+    mustache/HTML pipeline (no template engine in scope); same source
+    registry, same grouping."""
+    names = [module_name] if module_name is not None \
+        else [k for k in documentation_table if k is not False]
+    out: list[str] = []
+    for name in names:
+        mod = documentation_table.get(name)
+        if mod is None:
+            continue
+        out.append(f"# {name}")
+        for line in mod["doc"]:
+            out.append(line)
+        cats = {c["name"]: c for c in mod["categories"]}
+
+        def emit(types: dict, values: dict) -> None:
+            if types:
+                out.append("")
+                out.append("## Types")
+                for tname, tcon in types.items():
+                    out.append(f"- **{tname}**: `{tcon.to_string()}`")
+                    for d in getattr(tcon, "the_doc", ()):
+                        out.append(f"  - {d}")
+            if values:
+                out.append("")
+                out.append("## Values")
+                for vname, vcon in values.items():
+                    out.append(f"- **{vname}**: `{vcon.to_string()}`")
+                    for d in getattr(vcon, "the_doc", ()):
+                        out.append(f"  - {d}")
+
+        emit(mod["types"], mod["values"])
+        for cat in cats.values():
+            out.append("")
+            out.append(f"## {cat['name']}")
+            for line in cat["doc"]:
+                out.append(line)
+        out.append("")
+    return "\n".join(out)

@@ -309,3 +309,20 @@ def test_constructs_method_result_checked():
     inst = Example(1)
     with pytest.raises(RowContractError, match="number"):
         inst.inc(2)
+
+
+def test_generate_docs_renders_registry():
+    from rho_contracts_ray import c
+    from rho_contracts_ray.functions import api_guard
+
+    api_guard.document_module("DocsDemo", "A demo module.")
+    api_guard.document_category("DocsDemo", "Numbers", "numeric helpers")
+    api_guard.document_type("DocsDemo", c.integer.rename("count_t"))
+    api_guard.publish("DocsDemo", {"add": lambda a, b: a + b},
+                      {"add": c.fn(c.number, c.number).returns(c.number)})
+    md = api_guard.generate_docs("DocsDemo")
+    assert "# DocsDemo" in md
+    assert "A demo module." in md
+    assert "**add**: `c.fn(c.number, c.number -> c.number)`" in md
+    assert "## Numbers" in md and "numeric helpers" in md
+    assert "count_t" in md
