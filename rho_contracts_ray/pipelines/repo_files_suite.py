@@ -238,6 +238,10 @@ def _split_block(block):
     reduce tasks) — the key payload moves worker-to-worker, never through
     the driver."""
     t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
+    if "uniq_buckets" not in t.column_names:
+        # an empty input block passes through map_batches with the INPUT
+        # schema (the UDF never ran) — nothing to split
+        return (t.slice(0, 0), *[[] for _ in range(_UNIQ_BUCKETS)])
     small = t.drop_columns(["uniq_buckets"])
     per_bucket: list[list[bytes]] = [[] for _ in range(_UNIQ_BUCKETS)]
     ub = t["uniq_buckets"].combine_chunks()
@@ -397,6 +401,8 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     rows = failed = 0
     rollup = 0
     for t in small_tables:
+        if "rows" not in t.column_names:   # passed-through empty block
+            continue
         for i in range(t.num_rows):
             viol_tables.append(_deserialize(t["violations"][i].as_buffer()))
             stats_tables.append(_deserialize(t["stats"][i].as_buffer()))

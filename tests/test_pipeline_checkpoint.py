@@ -85,3 +85,25 @@ def test_torn_checkpoint_ignored(tmp_path):
         fh.write('{"rows": 5')  # torn write
     done = m.completed()
     assert "p1" in done and "p2" not in done
+
+
+def test_run_suite_dataset_input_and_empty(ray_session, corpus):
+    import pyarrow as pa
+    import ray.data as rd
+
+    # Dataset input (not a path list): same totals as the path form
+    ds = rd.read_parquet(corpus)
+    s = run_suite(ds)
+    s_path = run_suite(corpus)
+    assert s["rows"] == s_path["rows"] == 16_000
+    assert s["sha256_rollup"] == s_path["sha256_rollup"]
+    assert s["duplicate_keys"] == s_path["duplicate_keys"]
+
+    # empty input: zero rows, no crash, empty outputs
+    from rho_contracts_ray.sources.repo_files import REPO_FILES_SCHEMA
+
+    empty = rd.from_arrow(REPO_FILES_SCHEMA.empty_table())
+    se = run_suite(empty)
+    assert se["rows"] == 0
+    assert se["contract_violations"] == 0
+    assert se["duplicate_keys"] == 0
