@@ -47,6 +47,10 @@ def _partial_fn(col: str):
 @ray.remote(num_returns=BUCKETS)
 def _split_block(block):
     t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
+    if "bucket" not in t.column_names:
+        # empty input blocks pass through map_batches with the input
+        # schema (the partial fn never ran on them)
+        return tuple([] for _ in range(BUCKETS))
     buckets = t["bucket"].to_numpy(zero_copy_only=False)
     blob_col = t["blob"].combine_chunks()
     out: list[list[bytes]] = [[] for _ in range(BUCKETS)]

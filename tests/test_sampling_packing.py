@@ -181,3 +181,19 @@ def test_decontaminate_ngrams_matches_sql(ray_session):
     assert out["doc_id"].to_pylist() == ref["doc_id"].tolist()
     assert out["n_shared"].to_pylist() == ref["n_shared"].tolist()
     assert out.num_rows > 0  # word-soup corpus overlaps heavily
+
+
+def test_hot_keys_and_bucketed_reduce_empty_input(ray_session):
+    from rho_contracts_ray.stages.distagg import bucketed_reduce, hot_keys
+
+    empty = rd.from_arrow(pa.table({"bkey": pa.array([], pa.int64())}))
+    assert hot_keys(empty, "bkey").size == 0
+    assert bucketed_reduce(empty, "bkey", lambda t: t) == []
+
+    # dedup pair finders over an empty corpus return empty, no crash
+    from rho_contracts_ray.stages import minhash_dup_pairs, simhash_dup_pairs
+
+    edocs = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+    assert minhash_dup_pairs(edocs).num_rows == 0
+    assert simhash_dup_pairs(edocs).num_rows == 0
