@@ -707,8 +707,6 @@ def _q_media_decode(sf_dir: str):
 
 
 _SAMPLE_THRESHOLD_10PCT = 429496729      # floor(0.1 * 2^32)
-_STRAT_THRESHOLDS = {"click": 214748364,  # ~5%
-                     "view": 85899345}    # ~2%; other types kept fully
 
 
 def _q_sample_documents(sf_dir: str):
@@ -722,26 +720,15 @@ def _q_sample_documents(sf_dir: str):
 
 def _q_stratified_sample_events(sf_dir: str):
     """Per-stratum hash sampling: hot event types downsampled, the rest
-    kept — the boilerplate-downweighting move of corpus curation."""
-    from rho_contracts_ray.stages.sampling import _KNUTH, _MOD
-    import numpy as np
+    kept — the boilerplate-downweighting move of corpus curation.
+    sample_threshold(0.05/0.02) floors to the exact integer thresholds in
+    the SQL oracle (214748364 / 85899345)."""
+    from rho_contracts_ray.stages import stratified_sample
 
     ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
-
-    def fil(batch: pa.Table) -> pa.Table:
-        ids = batch["event_id"]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
-        et = batch["event_type"]
-        if isinstance(et, pa.ChunkedArray):
-            et = et.combine_chunks()
-        thr = np.fromiter(
-            (_STRAT_THRESHOLDS.get(s, 1 << 32) for s in et.to_pylist()),
-            np.int64, batch.num_rows)
-        return batch.filter(pa.array((ids_np * _KNUTH) % _MOD < thr))
-
-    return ds.map_batches(fil, batch_format="pyarrow")
+    return stratified_sample(ds, "event_id", "event_type",
+                             rates={"click": 0.05, "view": 0.02},
+                             default_rate=1.0)
 
 
 def _q_ngram_top20(sf_dir: str):
@@ -756,23 +743,13 @@ def _q_ngram_top20(sf_dir: str):
 def _q_decontam_documents(sf_dir: str):
     """Decontamination: train docs (hash-split complement) sharing >= 3
     distinct trigrams with the 10% holdout — broadcast holdout gram set,
-    one streaming pass over train."""
-    from rho_contracts_ray.stages import decontaminate_ngrams, hash_sample
-    from rho_contracts_ray.stages.sampling import _KNUTH, _MOD
+    one streaming pass over train.  split_train_holdout(0.1) floors to
+    the SQL oracle's threshold 429496729."""
+    from rho_contracts_ray.stages import decontaminate_ngrams, \
+        split_train_holdout
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    hold = hash_sample(docs, "doc_id", threshold=_SAMPLE_THRESHOLD_10PCT)
-
-    def train_only(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
-        m = (ids_np * _KNUTH) % _MOD >= _SAMPLE_THRESHOLD_10PCT
-        return batch.filter(pa.array(m))
-
-    train = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
-        .map_batches(train_only, batch_format="pyarrow")
+    train, hold = split_train_holdout(docs, "doc_id", holdout_rate=0.1)
     return decontaminate_ngrams(train, hold, n=3, min_shared=3)
 
 

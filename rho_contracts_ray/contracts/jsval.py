@@ -388,9 +388,14 @@ def _format_raw(ctx: _Ctx, v: Any, recurse: int) -> str:
 def _format_value(ctx: _Ctx, v: Any, recurse: int) -> str:
     if isinstance(v, (dict, list, tuple)):
         return _format_raw(ctx, v, recurse)
-    if callable(v) and not isinstance(v, type):
-        # node util.inspect function rendering; Python lambdas and
-        # name-stripped stubs render as anonymous
+    import types as _types
+
+    if isinstance(v, (_types.FunctionType, _types.BuiltinFunctionType,
+                      _types.MethodType)):
+        # node util.inspect function rendering — actual functions only
+        # (an OBJECT with __call__ is not `_.isFunction` in JS and keeps
+        # its object rendering); lambdas / name-stripped stubs are
+        # anonymous
         name = getattr(v, "__name__", "")
         if not name or name == "<lambda>":
             return "[Function (anonymous)]"

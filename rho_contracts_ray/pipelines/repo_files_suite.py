@@ -313,11 +313,15 @@ def _stateless_suite_fn(batch: pa.Table, contract_bytes: bytes,
     import pickle
 
     key = (contract_bytes, key_cols, capture_limit)
-    st = _STAGE_CACHE.get(key)
+    st = _STAGE_CACHE.pop(key, None)
     if st is None:
-        _STAGE_CACHE.clear()  # a worker only needs the current suite's stage
-        st = _STAGE_CACHE[key] = SuiteStage(
-            pickle.loads(contract_bytes), list(key_cols), capture_limit)
+        # bounded LRU (pop+reinsert keeps hot entries): two interleaved
+        # suites with different contracts must not thrash each other
+        while len(_STAGE_CACHE) >= 4:
+            _STAGE_CACHE.pop(next(iter(_STAGE_CACHE)))
+        st = SuiteStage(pickle.loads(contract_bytes), list(key_cols),
+                        capture_limit)
+    _STAGE_CACHE[key] = st
     return st(batch)
 
 

@@ -78,12 +78,21 @@ class _TopKStage:
         k = min(self.k, v.shape[0])
         qid, vid, sc = [], [], []
         for qi in range(self.q.shape[0]):
-            # deterministic local top-k: ties at the k-th boundary break on
-            # smaller vec_id, so output cannot depend on batch partitioning
-            sel = np.lexsort((ids, -scores[qi]))[:k]
+            # deterministic local top-k at O(n): argpartition to k, widen
+            # to every row tied with the k-th score, then order only that
+            # small candidate set by (-score, vec_id) — ties at the
+            # boundary break on smaller vec_id, so output cannot depend
+            # on batch partitioning
+            row = scores[qi]
+            if k >= row.size:
+                cand = np.arange(row.size)
+            else:
+                kth = row[np.argpartition(-row, k - 1)[:k]].min()
+                cand = np.flatnonzero(row >= kth)
+            sel = cand[np.lexsort((ids[cand], -row[cand]))][:k]
             qid.extend([qi] * len(sel))
             vid.extend(ids[sel].tolist())
-            sc.extend(scores[qi, sel].tolist())
+            sc.extend(row[sel].tolist())
         return pa.table({"query_id": pa.array(qid, pa.int64()),
                          "vec_id": pa.array(vid, pa.int64()),
                          "score": pa.array(sc, pa.float32())})

@@ -45,15 +45,31 @@ def auto_buckets(left_ds, right_ds, target_rows: int = 250_000) -> int:
     """Derive the bucket count from the input size so each bucket's pandas
     merge stays ~target_rows: B grows with the data instead of being a
     fixed constant that would make buckets balloon at 1000x scale.
-    CAVEAT: .count() is metadata-only for untouched parquet reads but
-    EXECUTES a transformed Dataset — call this on the raw reads (or pass
-    n_buckets explicitly) when the join inputs are mapped."""
+
+    Row counts are taken ONLY when available without executing the
+    dataset (.count() is metadata-only for untouched reads, but runs the
+    whole pipeline for a transformed Dataset — a silent 2x cost the
+    auto-default must never impose).  Transformed inputs fall back to a
+    CPU-count-scaled default; pass n_buckets to override."""
     from ..validate import _cluster_cpus
 
-    try:
-        total = (left_ds.count() or 0) + (right_ds.count() or 0)
-    except Exception:
-        total = 0
+    def _meta_count(ds):
+        try:
+            if ds._plan.has_computed_output():   # already materialized
+                return ds.count()
+            from ray.data._internal.logical.operators.read_operator import \
+                Read
+            dag = ds._logical_plan.dag
+            if isinstance(dag, Read) and not dag.input_dependencies:
+                return ds.count()                # metadata-only
+        except Exception:
+            pass
+        return None
+
+    lc, rc = _meta_count(left_ds), _meta_count(right_ds)
+    if lc is None or rc is None:
+        return int(max(_cluster_cpus(), 32))
+    total = (lc or 0) + (rc or 0)
     if not total:
         return 32
     b = int(np.ceil(total / target_rows))

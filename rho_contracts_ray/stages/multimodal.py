@@ -109,22 +109,37 @@ def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
 
 
 def decode_wav(b: bytes):
-    """WAV PCM-16 mono -> (samples int16 ndarray, rate)."""
+    """WAV PCM-16 mono -> (samples int16 ndarray, rate).  Walks the RIFF
+    chunk list (real files often carry JUNK/LIST chunks before `fmt `),
+    and REFUSES multi-channel or non-16-bit payloads instead of silently
+    mis-decoding them."""
     import struct
 
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    fmt, ch, rate = struct.unpack_from("<HHI", b, 20)
-    if fmt != 1:
-        raise ValueError(f"only PCM WAV supported (fmt={fmt})")
-    # find the data chunk
+    fmt = None
     off = 12
+    data = None
     while off + 8 <= len(b):
         cid, sz = struct.unpack_from("<4sI", b, off)
-        if cid == b"data":
-            return np.frombuffer(b, "<i2", count=sz // 2, offset=off + 8), rate
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", b, off + 8)
+        elif cid == b"data":
+            data = (off + 8, sz)
         off += 8 + sz + (sz & 1)
-    raise ValueError("WAV data chunk not found")
+    if fmt is None:
+        raise ValueError("WAV fmt chunk not found")
+    audio_fmt, ch, rate, _brate, _align, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"only PCM WAV supported (fmt={audio_fmt})")
+    if ch != 1:
+        raise ValueError(f"only mono WAV supported (channels={ch})")
+    if bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (bits={bits})")
+    if data is None:
+        raise ValueError("WAV data chunk not found")
+    d_off, d_sz = data
+    return np.frombuffer(b, "<i2", count=d_sz // 2, offset=d_off), rate
 
 
 def _bmp_features(pixels: np.ndarray, dim: int) -> np.ndarray:

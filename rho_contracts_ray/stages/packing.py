@@ -18,17 +18,21 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _pack_batch(ids: np.ndarray, tokens: np.ndarray,
-                capacity: int) -> list[list[int]]:
-    """First-fit-decreasing over one batch: indexes of rows per bin."""
+def _pack_batch(ids: np.ndarray, tokens: np.ndarray, capacity: int):
+    """First-fit-decreasing over one batch: (bins, oversized) where bins
+    hold row indexes and oversized lists rows whose token count exceeds
+    the capacity (surfaced, never silently dropped — the no-silent-caps
+    rule)."""
     order = np.lexsort((ids, -tokens))  # big docs first; ties by id
     bins: list[list[int]] = []
+    oversized: list[int] = []
     remaining = np.empty(len(order), np.int64)  # capacity slack per bin
     n_bins = 0
     for idx in order:
         t = int(tokens[idx])
         if t > capacity:
-            continue  # over-long docs are the chunker's job, not ours
+            oversized.append(int(idx))  # chunk_documents is the fix
+            continue
         fits = remaining[:n_bins] >= t  # vectorized first-fit probe
         if fits.any():
             b = int(np.argmax(fits))
@@ -38,7 +42,7 @@ def _pack_batch(ids: np.ndarray, tokens: np.ndarray,
             bins.append([int(idx)])
             remaining[n_bins] = capacity - t
             n_bins += 1
-    return bins
+    return bins, oversized
 
 
 def pack_sequences(ds, capacity: int, id_col: str = "doc_id",
@@ -69,8 +73,8 @@ def pack_sequences(ds, capacity: int, id_col: str = "doc_id",
             tokens = pc.count_substring_regex(
                 pc.fill_null(col, ""), r"\S+") \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
-        bins = _pack_batch(ids, tokens, capacity)
-        out_key, out_ids, out_n, out_tok = [], [], [], []
+        bins, oversized = _pack_batch(ids, tokens, capacity)
+        out_key, out_ids, out_n, out_tok, out_over = [], [], [], [], []
         for b, members in enumerate(bins):
             members_ids = sorted(int(ids[i]) for i in members)
             total = int(tokens[members].sum()) if members else 0
@@ -78,6 +82,15 @@ def pack_sequences(ds, capacity: int, id_col: str = "doc_id",
             out_ids.append(members_ids)
             out_n.append(len(members))
             out_tok.append(total)
+            out_over.append(False)
+        # over-capacity docs surface as their own flagged rows (route them
+        # through chunk_documents) instead of silently vanishing
+        for i in oversized:
+            out_key.append((int(ids[i]) << 20) | 0xFFFFF)
+            out_ids.append([int(ids[i])])
+            out_n.append(1)
+            out_tok.append(int(tokens[i]))
+            out_over.append(True)
         return pa.table({
             "seq_key": pa.array(out_key, pa.int64()),
             "doc_ids": pa.array(out_ids, pa.list_(pa.int64())),
@@ -85,6 +98,7 @@ def pack_sequences(ds, capacity: int, id_col: str = "doc_id",
             "total_tokens": pa.array(out_tok, pa.int64()),
             "fill_ratio": pa.array(
                 [t / capacity for t in out_tok], pa.float64()),
+            "oversized": pa.array(out_over, pa.bool_()),
         })
 
     # explicit batch_size pins bin boundaries: output is identical across

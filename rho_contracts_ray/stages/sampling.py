@@ -19,6 +19,10 @@ import pyarrow.compute as pc
 
 _KNUTH = np.int64(2654435761)
 _MOD = np.int64(1 << 32)
+# ids above this overflow id * 2654435761 past int64 (both here and in the
+# SQL oracle); negative ids flip the sign of `%` in SQL vs numpy.  The
+# exact-SQL-parity claim therefore REQUIRES 0 <= id <= _MAX_ID, enforced.
+_MAX_ID = (2**63 - 1) // 2654435761
 
 
 def sample_threshold(rate: float) -> int:
@@ -27,8 +31,18 @@ def sample_threshold(rate: float) -> int:
     return int(rate * (1 << 32))
 
 
+def _validate_ids(ids: np.ndarray) -> np.ndarray:
+    ids = ids.astype(np.int64)
+    if ids.size and (int(ids.min()) < 0 or int(ids.max()) > _MAX_ID):
+        raise ValueError(
+            f"hash sampling requires 0 <= id <= {_MAX_ID}: negative ids "
+            f"make SQL % and numpy % disagree and larger ids overflow "
+            f"int64 in the oracle predicate")
+    return ids
+
+
 def _hash_mask(ids: np.ndarray, threshold: int) -> np.ndarray:
-    return (ids.astype(np.int64) * _KNUTH) % _MOD < np.int64(threshold)
+    return (_validate_ids(ids) * _KNUTH) % _MOD < np.int64(threshold)
 
 
 def hash_sample(ds, id_col: str, rate: Optional[float] = None,
@@ -63,7 +77,7 @@ def stratified_sample(ds, id_col: str, stratum_col: str,
         ids = batch[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        ids_np = ids.to_numpy(zero_copy_only=False)
+        ids_np = _validate_ids(ids.to_numpy(zero_copy_only=False))
         strata = batch[stratum_col]
         if isinstance(strata, pa.ChunkedArray):
             strata = strata.combine_chunks()
@@ -71,7 +85,7 @@ def stratified_sample(ds, id_col: str, stratum_col: str,
             (thresholds.get(s, default_threshold)
              for s in strata.to_pylist()),
             np.int64, batch.num_rows)
-        m = (ids_np.astype(np.int64) * _KNUTH) % _MOD < thr
+        m = (ids_np * _KNUTH) % _MOD < thr
         return batch.filter(pa.array(m))
 
     return ds.map_batches(fil, batch_format="pyarrow")

@@ -231,9 +231,16 @@ def decontaminate_ngrams(train_ds, holdout_ds, n: int = 3,
         hold_set.update(t["gram"].to_pylist())
     ref = ray.put(frozenset(hold_set))
 
-    # 2. per-doc distinct-overlap count over the train stream
+    # 2. per-doc distinct-overlap count over the train stream.  The gram
+    # set deserializes ONCE PER WORKER (closure cache) — a frozenset is
+    # not zero-copy, so a per-batch ray.get would re-unpickle it every
+    # batch.
+    _cache: dict = {}
+
     def overlap(batch: pa.Table) -> pa.Table:
-        hs = ray.get(ref)
+        hs = _cache.get("grams")
+        if hs is None:
+            hs = _cache["grams"] = ray.get(ref)
         col = batch[text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()

@@ -167,15 +167,18 @@ def stateless_stage(cls, **ctor_kwargs):
     key = uuid.uuid4().hex  # unique per pipeline; workers build once each
 
     def fn(batch):
-        st = _WORKER_STAGE_CACHE.get(key)
+        st = _WORKER_STAGE_CACHE.pop(key, None)
         if st is None:
-            # bounded cache: a long-lived worker only needs the stages of
-            # pipelines that are currently running — evict the oldest
-            # entries instead of accumulating one instance (compiled
-            # contracts, broadcast key sets...) per pipeline ever run
-            while len(_WORKER_STAGE_CACHE) >= 8:
+            # bounded LRU: a long-lived worker only needs the stages of
+            # pipelines that are currently running — evict the LEAST
+            # RECENTLY USED entry instead of accumulating one instance
+            # (compiled contracts, broadcast key sets...) per pipeline
+            # ever run.  pop+reinsert keeps hot entries at the tail, so
+            # interleaved pipelines don't thrash.
+            while len(_WORKER_STAGE_CACHE) >= 16:
                 _WORKER_STAGE_CACHE.pop(next(iter(_WORKER_STAGE_CACHE)))
-            st = _WORKER_STAGE_CACHE[key] = cls(**ctor_kwargs)
+            st = cls(**ctor_kwargs)
+        _WORKER_STAGE_CACHE[key] = st  # (re)insert at LRU tail
         return st(batch)
 
     fn.__name__ = f"stateless_{cls.__name__}"

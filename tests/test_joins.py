@@ -116,8 +116,10 @@ def test_asof_join_partitioned(ray_session):
 
 
 def test_broadcast_join_worker_cache(ray_session):
-    """broadcast_join converts the small side once per worker, not per
-    batch — verified by counting conversions via a module-level probe."""
+    """broadcast_join output smoke test over many small batches (the
+    once-per-worker pandas conversion itself lives in worker processes,
+    so this asserts correctness of the cached path, not the conversion
+    count)."""
     small = pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]})
     import numpy as _np
 
