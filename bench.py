@@ -200,15 +200,19 @@ def main_scaling() -> dict:
     # 2 -> 8 pair — within distinct physical cores — is the faithful proxy.
     # Both level pairs are recorded in BASELINE.md with the measured
     # hardware ceiling alongside.
+    import statistics
+
     lo, hi = (int(x) for x in
               os.environ.get("RHO_SCALE_LEVELS", "2,8").split(","))
+    reps = int(os.environ.get("RHO_SCALE_REPS", "3"))
     _scale_corpus_dir()  # generate once before timing anything
-    results = {}
-    for cpus in (lo, hi):
+
+    def run_level(cpus: int) -> dict:
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = SF_DIR
         env["RHO_SCALE_ROWS"] = str(SCALE_ROWS)
+        env["RHO_SUITE_REPS"] = "1"
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), "--suite-only"],
@@ -217,19 +221,34 @@ def main_scaling() -> dict:
         if proc.returncode != 0:
             raise RuntimeError(proc.stderr.decode()[-2000:])
         line = proc.stdout.decode().strip().splitlines()[-1]
-        results[cpus] = json.loads(line)
-    t_lo = results[lo]["median_s"]
-    t_hi = results[hi]["median_s"]
-    rows = results[hi]["suite_rows"]
+        return json.loads(line)
+
+    # INTERLEAVED pairs (lo, hi, lo, hi, ...): this host's background load
+    # drifts on a minutes scale, so timing all lo reps then all hi reps
+    # lets a load swing masquerade as (anti-)scaling.  Each adjacent pair
+    # samples the same noise window; the reported efficiency is the MEDIAN
+    # of per-pair efficiencies, with every wall listed.
+    pairs = []
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        r_lo = run_level(lo)
+        r_hi = run_level(hi)
+        lo_runs.append(r_lo)
+        hi_runs.append(r_hi)
+        pairs.append(((r_lo["median_s"] / r_hi["median_s"])) / (hi / lo))
+    eff = statistics.median(pairs)
+    t_lo = statistics.median([r["median_s"] for r in lo_runs])
+    t_hi = statistics.median([r["median_s"] for r in hi_runs])
+    rows = hi_runs[0]["suite_rows"]
     thr_lo = rows / t_lo
     thr_hi = rows / t_hi
-    eff = (thr_hi / hi) / (thr_lo / lo)
-    same = (results[lo]["suite_sha256_rollup"] == results[hi]["suite_sha256_rollup"]
-            and results[lo]["suite_violations"] == results[hi]["suite_violations"])
+    same = all(r["suite_sha256_rollup"] == lo_runs[0]["suite_sha256_rollup"]
+               and r["suite_violations"] == lo_runs[0]["suite_violations"]
+               for r in lo_runs + hi_runs)
     hw = _hw_parallel_ceiling(lo, hi)
     return {
         "metric": f"suite throughput scaling {lo}->{hi} CPUs "
-                  "(fresh processes, median of 3)",
+                  f"(fresh processes, median of {reps} interleaved pairs)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "rows": rows,
@@ -237,12 +256,13 @@ def main_scaling() -> dict:
         f"rows_per_sec_{hi}cpu": round(thr_hi, 1),
         f"wall_{lo}cpu_s": t_lo,
         f"wall_{hi}cpu_s": t_hi,
-        f"all_walls_{lo}cpu": results[lo]["walls"],
-        f"all_walls_{hi}cpu": results[hi]["walls"],
+        f"all_walls_{lo}cpu": [r["median_s"] for r in lo_runs],
+        f"all_walls_{hi}cpu": [r["median_s"] for r in hi_runs],
+        "pair_efficiencies": [round(p, 3) for p in pairs],
         "speedup": round(thr_hi / thr_lo, 2),
         "identical_output": same,
-        "phases_lo": results[lo]["phases"],
-        "phases_hi": results[hi]["phases"],
+        "phases_lo": lo_runs[-1]["phases"],
+        "phases_hi": hi_runs[-1]["phases"],
         **hw,
         "efficiency_vs_hw_ceiling": round(eff / hw["hw_eff"], 3)
         if hw["hw_eff"] else None,
@@ -271,7 +291,7 @@ def main_suite_only() -> dict:
         # warm the worker pool before timing
         rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
         walls, last = [], None
-        for _ in range(3):
+        for _ in range(int(os.environ.get("RHO_SUITE_REPS", "3"))):
             t0 = time.monotonic()
             last = run_suite(corpus, batch_size=16384)
             walls.append(round(time.monotonic() - t0, 3))
