@@ -243,7 +243,7 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
     def bucket_fn(t: pa.Table):
         bkey = t["bkey"].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        order, ia, ib, _tr = _bucket_pair_index(bkey, ids, max_bucket)
+        order, ia, ib, trunc = _bucket_pair_index(bkey, ids, max_bucket)
         if ia.size == 0:
             return None
         V = _batch_matrix(t.select(["vec"]).rename_columns(["vec"]), "vec")
@@ -258,6 +258,8 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
             "id_a": pa.array(np.minimum(da, db)),
             "id_b": pa.array(np.maximum(da, db)),
             "cosine": pa.array(np.round(cos[m].astype(np.float64), 6)),
+            # no-silent-caps: pairs from a capped bucket are flagged
+            "truncated": pa.array(trunc[ia][m]),
         })
 
     outs = bucketed_reduce(ds.map_batches(bucketize, batch_format="pyarrow"),
@@ -265,7 +267,8 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
     if not outs:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64())})
+                         "cosine": pa.array([], pa.float64()),
+                         "truncated": pa.array([], pa.bool_())})
     pdf = pa.concat_tables(outs).to_pandas()
     pdf = pdf.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(pdf.reset_index(drop=True),
