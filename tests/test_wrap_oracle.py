@@ -326,3 +326,84 @@ def test_generate_docs_renders_registry():
     assert "**add**: `c.fn(c.number, c.number -> c.number)`" in md
     assert "## Numbers" in md and "numeric helpers" in md
     assert "count_t" in md
+
+
+def test_container_wrap_fuzz():
+    """Random container contracts holding fn contracts + random member
+    invocations vs the actual reference — byte-identical messages.  Covers
+    hash/object/array/tuple nesting, optional fn fields, arg/result
+    violations and arg-count failures that the hand-picked matrix above
+    cannot enumerate."""
+    import random
+
+    if not specs.node_available():
+        pytest.skip("node or reference not available")
+    rng = random.Random(1234)
+    fn_specs = [
+        {"t": "fn"},
+        {"t": "fn", "args": [NUM]},
+        {"t": "fn", "args": [NUM, STR], "returns": NUM},
+        {"t": "fn", "args": [{"t": "object", "fields": {"q": NUM}}]},
+        {"t": "fn", "args": [NUM], "returns": STR},
+    ]
+    call_pools = [[], [1], [2.5, "a"], ["bad"], [{"q": 1}], [{"q": "no"}],
+                  [1, "x"], [None], [1, 2, 3]]
+
+    cases = []
+    for i in range(120):
+        fn_spec = dict(rng.choice(fn_specs))
+        ret = rng.choice([1, "s", None, 2.5])
+        shape = rng.choice(["hash", "object", "array", "tuple",
+                            "obj_nested", "obj_opt"])
+        if shape == "hash":
+            ct = {"t": "hash", "value": fn_spec}
+            val = {"k": {"__fn__": ret}}
+            path = ["k"]
+        elif shape == "object":
+            ct = {"t": "object", "fields": {"x": STR, "cb": fn_spec}}
+            val = {"x": "v", "cb": {"__fn__": ret}}
+            path = ["cb"]
+        elif shape == "array":
+            ct = {"t": "array", "item": fn_spec}
+            val = [{"__fn__": ret}, {"__fn__": ret}]
+            path = [rng.randint(0, 1)]
+        elif shape == "tuple":
+            ct = {"t": "tuple", "cs": [NUM, fn_spec]}
+            val = [7, {"__fn__": ret}]
+            path = [1]
+        elif shape == "obj_nested":
+            ct = {"t": "object",
+                  "fields": {"in": {"t": "hash", "value": fn_spec}}}
+            val = {"in": {"z": {"__fn__": ret}}}
+            path = ["in", "z"]
+        else:  # optional fn field, present
+            opt = dict(fn_spec)
+            opt["optional"] = True
+            ct = {"t": "object", "fields": {"cb": opt}}
+            val = {"cb": {"__fn__": ret}}
+            path = ["cb"]
+        args = rng.choice(call_pools)
+        cases.append({"id": f"wf{i}", "contract": ct, "value": val,
+                      "invoke": {"path": path, "args": args},
+                      "name": "theThing"})
+    refs = {r["id"]: r for r in specs.run_reference(cases)}
+    mismatches = 0
+    first = None
+    for case in cases:
+        ref = refs[case["id"]]
+        if (ref["message"] or "").startswith("BUILD_ERROR"):
+            continue
+        if not ref["ok"] and ref.get("name") not in ("ContractError",
+                                                     "ContractLibraryError"):
+            continue  # reference crash class (documented divergence)
+        ok, msg = True, None
+        try:
+            _run_invoke(case["contract"], case["value"], case["invoke"])
+        except RowContractError as e:
+            ok, msg = False, e.violation.message
+        if ok != ref["ok"] or (
+                not ok and _normalize(msg) != _normalize(ref["message"])):
+            mismatches += 1
+            if first is None:
+                first = (case, ref["message"], msg, ok, ref["ok"])
+    assert mismatches == 0, first
