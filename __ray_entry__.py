@@ -476,7 +476,11 @@ def _q_window_user_seq(sf_dir: str):
 def _q_minhash_pairs_documents(sf_dir: str):
     from rho_contracts_ray.stages import minhash_dup_pairs
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # the sf documents table is a single parquet block: repartition so the
+    # signature stage parallelizes (at real scale the read is already
+    # many-blocked and this line is unnecessary)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .repartition(16)
     return minhash_dup_pairs(ds, threshold=0.5)
 
 
