@@ -487,14 +487,16 @@ def _q_minhash_pairs_documents(sf_dir: str):
 def _q_simhash_documents(sf_dir: str):
     from rho_contracts_ray.stages import simhash64
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .repartition(16)
     return simhash64(ds)
 
 
 def _q_text_quality_documents(sf_dir: str):
     from rho_contracts_ray.stages import text_features
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .repartition(16)
     return text_features(ds).select_columns(
         ["doc_id", "lang_id", "quality", "punct_ratio"])
 
@@ -690,7 +692,8 @@ def _q_corpus_prep(sf_dir: str):
     deterministic composite)."""
     from rho_contracts_ray.pipelines import prep_documents
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .repartition(16)
     s = prep_documents(ds, min_quality=0.3, near_dup_threshold=0.85)
     kept = s.pop("kept_ids")
     return kept.append_column(
@@ -740,7 +743,7 @@ def _q_ngram_top20(sf_dir: str):
     shuffle; only distinct-ngram partials move)."""
     from rho_contracts_ray.stages import ngram_top_k
 
-    ds = _read(sf_dir, "documents", columns=["text"])
+    ds = _read(sf_dir, "documents", columns=["text"]).repartition(16)
     return ngram_top_k(ds, n=2, k=20)
 
 
@@ -752,7 +755,8 @@ def _q_decontam_documents(sf_dir: str):
     from rho_contracts_ray.stages import decontaminate_ngrams, \
         split_train_holdout
 
-    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .repartition(16)
     train, hold = split_train_holdout(docs, "doc_id", holdout_rate=0.1)
     return decontaminate_ngrams(train, hold, n=3, min_shared=3)
 
