@@ -390,16 +390,18 @@ def _format_value(ctx: _Ctx, v: Any, recurse: int) -> str:
         return _format_raw(ctx, v, recurse)
     import types as _types
 
-    if isinstance(v, (_types.FunctionType, _types.BuiltinFunctionType,
-                      _types.MethodType)):
-        # node util.inspect function rendering — actual functions only
-        # (an OBJECT with __call__ is not `_.isFunction` in JS and keeps
-        # its object rendering); lambdas / name-stripped stubs are
-        # anonymous
-        name = getattr(v, "__name__", "")
-        if not name or name == "<lambda>":
-            return "[Function (anonymous)]"
-        return f"[Function: {name}]"
+    if callable(v) and not isinstance(v, type):
+        # node util.inspect function rendering.  JS has no callable
+        # non-function objects, so for a Python instance with __call__
+        # parity is undefined — render it as an anonymous function, which
+        # is DETERMINISTIC (the repr fallback would embed a memory
+        # address, breaking byte-identical violation outputs).
+        if isinstance(v, (_types.FunctionType, _types.BuiltinFunctionType,
+                          _types.MethodType)):
+            name = getattr(v, "__name__", "")
+            if name and name != "<lambda>":
+                return f"[Function: {name}]"
+        return "[Function (anonymous)]"
     return _format_primitive(ctx, v)
 
 

@@ -270,7 +270,7 @@ def _wrap_w_context(c: ast.Contract, v: Any, ctx: _WrapContext):
                 ctx.stack.pop()
 
     if isinstance(c, FnContract):
-        if c.constructs_fields is not None and isinstance(v, type):
+        if c.constructs_fields is not None:
             return _make_wrapped_class(c, v, ctx)
         return _make_guarded(c, v, ctx)
     if isinstance(c, ast.CyclicC):
@@ -392,8 +392,11 @@ def _make_wrapped_class(fc: FnContract, cls: type, wrap_ctx: _WrapContext):
     """constructs() wrapper: a subclass whose __init__ runs the fun
     argument checks and whose contracted methods are guarded with
     `this` = isA(cls) by default."""
-    thing = fc.thing_name or wrap_ctx.thing_name or cls.__name__
-    # missing-method check (function-contracts.js:184-201, message kept)
+    thing = fc.thing_name or wrap_ctx.thing_name \
+        or getattr(cls, "__name__", None)
+    # missing-method check (function-contracts.js:184-201, message kept).
+    # A non-class value has none of the prototype fields, so it fails here
+    # too instead of silently dropping the prototype contract.
     missing = [k for k in fc.constructs_fields if not hasattr(cls, k)]
     if missing:
         whose = f"{thing}'s" if thing else "the"
@@ -403,9 +406,17 @@ def _make_wrapped_class(fc: FnContract, cls: type, wrap_ctx: _WrapContext):
                      f"{', '.join(missing)}"),
             expected=None, got=None, path="",
             contract_name=fc.contract_name, blame=""))
+    if not isinstance(cls, type):
+        raise ContractLibraryError(
+            "wrap", "constructs() requires a class to wrap")
 
+    # the constructor's .returns() applies to the constructed INSTANCE
+    # (reference checks the constructor result), so the argument checker
+    # must NOT result-check the intermediate args tuple
     init_fc = fc._clone(constructs_fields=None,
+                        result_contract=ast.AnyC(),
                         thing_name=fc.thing_name or thing)
+    result_contract = fc.result_contract
     ctx = _WrapContext(thing, wrap_ctx.contract, wrap_ctx.data)
     check_args = _make_guarded(init_fc, lambda *a: a, ctx)
 
@@ -414,6 +425,10 @@ def _make_wrapped_class(fc: FnContract, cls: type, wrap_ctx: _WrapContext):
     def __init__(self, *args):
         final = check_args(*args)
         cls.__init__(self, *final)
+        if not isinstance(result_contract, ast.AnyC):
+            rctx = _WrapContext(thing, wrap_ctx.contract, wrap_ctx.data)
+            rctx.stack = [FRAME_RESULT]
+            _check_for_wrap(result_contract, self, rctx)
 
     namespace["__init__"] = __init__
     for mname, mc in fc.constructs_fields.items():

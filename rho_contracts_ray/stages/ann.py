@@ -270,6 +270,11 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
                          "cosine": pa.array([], pa.float64()),
                          "truncated": pa.array([], pa.bool_())})
     pdf = pa.concat_tables(outs).to_pandas()
-    pdf = pdf.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+    # a pair can surface from several LSH buckets: cosine is identical in
+    # each, but `truncated` must OR across discoveries (a capped bucket
+    # anywhere means the pair's neighborhood was capped somewhere)
+    pdf = pdf.groupby(["id_a", "id_b"], as_index=False).agg(
+        cosine=("cosine", "max"), truncated=("truncated", "max")) \
+        .sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(pdf.reset_index(drop=True),
                                 preserve_index=False)

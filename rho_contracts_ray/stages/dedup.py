@@ -330,9 +330,11 @@ def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
     if not outs:
         return _EMPTY_MINHASH_PAIRS
     pdf = pa.concat_tables(outs).to_pandas()
-    pdf = pdf.sort_values(["id_a", "id_b", "est_jaccard"],
-                          ascending=[True, True, False]) \
-             .drop_duplicates(["id_a", "id_b"])
+    # est_jaccard is identical for every discovery of a pair (same sigs);
+    # `truncated` ORs across buckets so a cap anywhere is never hidden
+    pdf = pdf.groupby(["id_a", "id_b"], as_index=False).agg(
+        est_jaccard=("est_jaccard", "max"),
+        truncated=("truncated", "max")).sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(pdf.reset_index(drop=True),
                                 preserve_index=False)
 

@@ -68,7 +68,15 @@ def auto_buckets(left_ds, right_ds, target_rows: int = 250_000) -> int:
 
     lc, rc = _meta_count(left_ds), _meta_count(right_ds)
     if lc is None or rc is None:
-        return int(max(_cluster_cpus(), 32))
+        import warnings
+
+        b = int(max(_cluster_cpus(), 32))
+        warnings.warn(
+            f"auto_buckets: input row counts unknown without executing a "
+            f"transformed Dataset; defaulting to n_buckets={b}.  Pass "
+            f"n_buckets explicitly for large piped inputs so per-bucket "
+            f"memory stays bounded.", stacklevel=3)
+        return b
     total = (lc or 0) + (rc or 0)
     if not total:
         return 32

@@ -157,14 +157,21 @@ class DecodeImageStage:
     worker heap).
 
     decoder="real": BMP payloads are pixel-decoded (lib-free) and get real
-    histogram features + width/height; PNG payloads get header-parsed
-    dimensions but RAISE NotImplementedError for pixel features (needs
-    Pillow, not in this container); JPEG likewise."""
+    histogram features + width/height.  PNG/JPEG pixel decode needs Pillow
+    (not in this container): with on_undecodable="raise" (default) the
+    batch raises NotImplementedError naming the dependency; with
+    "flag", undecodable rows are emitted with header-parsed dimensions
+    (PNG), zero features and decoded=False, so mixed-format batches keep
+    their decodable rows."""
 
-    def __init__(self, decoder: str = "deterministic-fake", feature_dim: int = 64):
+    def __init__(self, decoder: str = "deterministic-fake",
+                 feature_dim: int = 64, on_undecodable: str = "raise"):
         if decoder not in ("deterministic-fake", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        if on_undecodable not in ("raise", "flag"):
+            raise ValueError(f"unknown on_undecodable {on_undecodable!r}")
         self.decoder = decoder
+        self.on_undecodable = on_undecodable
         self.feature_dim = feature_dim
 
     def _detect(self, p: bytes) -> str:
@@ -181,6 +188,7 @@ class DecodeImageStage:
         magics = [self._detect(p) for p in payloads]
         widths: list = [None] * len(payloads)
         heights: list = [None] * len(payloads)
+        decoded = [True] * len(payloads)
         if self.decoder == "real":
             feats_rows = []
             for i, (p, m) in enumerate(zip(payloads, magics)):
@@ -188,20 +196,20 @@ class DecodeImageStage:
                     px = decode_bmp(p)
                     heights[i], widths[i] = px.shape[0], px.shape[1]
                     feats_rows.append(_bmp_features(px, self.feature_dim))
-                elif m == "png":
+                    continue
+                if m == "png":
                     dims = png_header_dims(p)
                     if dims:
                         widths[i], heights[i] = int(dims[0]), int(dims[1])
+                if m in ("png", "jpg") and self.on_undecodable == "raise":
                     raise NotImplementedError(
-                        "PNG pixel decode requires Pillow, not present in "
-                        "this container (header dims parsed lib-free; use "
-                        "BMP payloads or decoder='deterministic-fake')")
-                elif m == "jpg":
-                    raise NotImplementedError(
-                        "JPEG decode requires Pillow/opencv, not present "
-                        "in this container")
-                else:
-                    feats_rows.append(np.zeros(self.feature_dim))
+                        f"{m.upper()} pixel decode requires Pillow/opencv, "
+                        f"not present in this container (PNG header dims "
+                        f"parse lib-free; use BMP payloads, "
+                        f"decoder='deterministic-fake', or "
+                        f"on_undecodable='flag')")
+                decoded[i] = False
+                feats_rows.append(np.zeros(self.feature_dim))
             feats = (np.stack(feats_rows) if feats_rows
                      else np.empty((0, self.feature_dim)))
         else:
@@ -215,6 +223,7 @@ class DecodeImageStage:
                                       type=pa.int64()),
             "width": pa.array(widths, type=pa.int32()),
             "height": pa.array(heights, type=pa.int32()),
+            "decoded": pa.array(decoded, type=pa.bool_()),
             "features": pa.FixedSizeListArray.from_arrays(
                 pa.array(feats.reshape(-1), type=pa.float32()),
                 self.feature_dim),

@@ -32,17 +32,26 @@ def sample_threshold(rate: float) -> int:
 
 
 def _validate_ids(ids: np.ndarray) -> np.ndarray:
+    """int64 view + a ONE-TIME warning when ids leave the SQL-parity range.
+    Sampling stays deterministic for ANY int64 id (uint64 wraparound), but
+    the documented SQL oracle predicate only reproduces it for
+    0 <= id <= _MAX_ID — never crash a long job, just say so."""
+    import warnings
+
     ids = ids.astype(np.int64)
     if ids.size and (int(ids.min()) < 0 or int(ids.max()) > _MAX_ID):
-        raise ValueError(
-            f"hash sampling requires 0 <= id <= {_MAX_ID}: negative ids "
-            f"make SQL % and numpy % disagree and larger ids overflow "
-            f"int64 in the oracle predicate")
+        warnings.warn(
+            f"hash sampling ids outside [0, {_MAX_ID}]: membership is "
+            f"still deterministic (uint64 wraparound) but the SQL oracle "
+            f"predicate no longer reproduces it — remap ids for SQL "
+            f"parity", stacklevel=3)
     return ids
 
 
 def _hash_mask(ids: np.ndarray, threshold: int) -> np.ndarray:
-    return (_validate_ids(ids) * _KNUTH) % _MOD < np.int64(threshold)
+    with np.errstate(over="ignore"):
+        prod = _validate_ids(ids).view(np.uint64) * np.uint64(2654435761)
+    return (prod % np.uint64(1 << 32)) < np.uint64(threshold)
 
 
 def hash_sample(ds, id_col: str, rate: Optional[float] = None,
@@ -84,8 +93,10 @@ def stratified_sample(ds, id_col: str, stratum_col: str,
         thr = np.fromiter(
             (thresholds.get(s, default_threshold)
              for s in strata.to_pylist()),
-            np.int64, batch.num_rows)
-        m = (ids_np * _KNUTH) % _MOD < thr
+            np.uint64, batch.num_rows)
+        with np.errstate(over="ignore"):
+            prod = ids_np.view(np.uint64) * np.uint64(2654435761)
+        m = (prod % np.uint64(1 << 32)) < thr
         return batch.filter(pa.array(m))
 
     return ds.map_batches(fil, batch_format="pyarrow")

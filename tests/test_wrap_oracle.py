@@ -407,3 +407,30 @@ def test_container_wrap_fuzz():
             if first is None:
                 first = (case, ref["message"], msg, ok, ref["ok"])
     assert mismatches == 0, first
+
+
+def test_constructs_result_checks_instance_not_args():
+    from rho_contracts_ray import c
+
+    ok_contract = c.fun({"initial": c.number}) \
+        .returns(c.isA(_ExampleImpl)) \
+        .constructs({"inc": c.fn(c.number).returns(c.number)})
+    Example = c.wrap(ok_contract, _ExampleImpl)
+    inst = Example(3)          # must NOT trip on the args tuple
+    assert inst.x == 3
+
+    bad_contract = c.fun({"initial": c.number}) \
+        .returns(c.pred(lambda inst: isinstance(inst.x, str),
+                        name="x_is_str")) \
+        .constructs({"inc": c.fn(c.number).returns(c.number)})
+    Example2 = c.wrap(bad_contract, _ExampleImpl)
+    with pytest.raises(RowContractError, match="x_is_str"):
+        Example2(3)            # constructed instance violates .returns
+
+
+def test_constructs_rejects_non_class():
+    from rho_contracts_ray import c
+
+    fc = c.fun({"i": c.number}).constructs({"inc": c.fn()})
+    with pytest.raises(RowContractError, match="missing on the prototype"):
+        c.wrap(fc, lambda i: i, "factory")
