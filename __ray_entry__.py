@@ -716,6 +716,42 @@ def _q_media_decode(sf_dir: str):
 _SAMPLE_THRESHOLD_10PCT = 429496729      # floor(0.1 * 2^32)
 
 
+def _q_media_real_decode(sf_dir: str):
+    """REAL lib-free decode path end-to-end: BMP images pixel-decoded to
+    histogram features + dimensions, PCM WAV audio to rate/duration/RMS,
+    over a deterministic synthetic media table (rows-only check)."""
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import (AudioFeaturesStage, decode_images,
+                                          make_media_table)
+
+    media = make_media_table(200, seed=7, real=True)
+    images = media.filter(pc.equal(media["kind"], "image"))
+    audio = media.filter(pc.equal(media["kind"], "audio"))
+    img = _collect(decode_images(rd.from_arrow(images), decoder="real",
+                                 on_undecodable="flag"))
+    aud = AudioFeaturesStage()(audio)
+    return pa.table({
+        "media_id": pa.concat_arrays([
+            img["media_id"].combine_chunks().cast(pa.int64()),
+            aud["media_id"].combine_chunks().cast(pa.int64())]),
+        "kind": pa.array(["image"] * img.num_rows
+                         + ["audio"] * aud.num_rows),
+        "width": pa.concat_arrays([
+            img["width"].combine_chunks().cast(pa.int64()),
+            pa.nulls(aud.num_rows, pa.int64())]),
+        "height": pa.concat_arrays([
+            img["height"].combine_chunks().cast(pa.int64()),
+            pa.nulls(aud.num_rows, pa.int64())]),
+        "rate": pa.concat_arrays([
+            pa.nulls(img.num_rows, pa.int64()),
+            aud["rate"].combine_chunks().cast(pa.int64())]),
+        "duration_ms": pa.concat_arrays([
+            pa.nulls(img.num_rows, pa.int64()),
+            aud["duration_ms"].combine_chunks().cast(pa.int64())]),
+    })
+
+
 def _q_sample_documents(sf_dir: str):
     """Deterministic 10% hash sample (same predicate as the SQL oracle:
     (doc_id * 2654435761) % 2^32 < threshold) — pure streaming filter."""
@@ -827,6 +863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_embeddings": _q_knn_ivf_embeddings,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "media_decode": _q_media_decode,
+        "media_real_decode": _q_media_real_decode,
         "corpus_prep_documents": _q_corpus_prep,
         "schema_validate_all_tables": _q_schema_validate_all,
         # sampling / corpus-statistics / packing operators

@@ -279,24 +279,42 @@ class FrameSampleStage:
 
 
 def decode_images(ds, feature_dim: int = 64, batch_size: int = 256,
-                  concurrency=None):
+                  decoder: str = "deterministic-fake",
+                  on_undecodable: str = "raise", concurrency=None):
     from ..validate import _cluster_cpus
 
     return ds.map_batches(
         DecodeImageStage,
-        fn_constructor_kwargs=dict(feature_dim=feature_dim),
+        fn_constructor_kwargs=dict(feature_dim=feature_dim, decoder=decoder,
+                                   on_undecodable=on_undecodable),
         batch_format="pyarrow",
         batch_size=batch_size,   # small: payloads are large binaries
         concurrency=concurrency if concurrency is not None else (1, _cluster_cpus()),
     )
 
 
-def make_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table for plumbing tests."""
+def make_media_table(n: int, seed: int = 42, real: bool = False) -> pa.Table:
+    """Deterministic synthetic media table.  real=False emits magic-header
+    random bytes (plumbing tests); real=True emits genuinely decodable
+    payloads — 24-bit BMP images and PCM-16 WAV audio — so the lib-free
+    real decoders run end-to-end."""
     rng = np.random.default_rng(seed)
     kinds = rng.choice(["image", "audio", "video"], n)
     payloads = []
     for i, k in enumerate(kinds):
+        if real and k == "image":
+            h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+            payloads.append(encode_bmp(
+                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+            continue
+        if real and k == "audio":
+            secs = float(rng.uniform(0.05, 0.4))
+            t = np.arange(int(8000 * secs))
+            freq = float(rng.uniform(100, 900))
+            payloads.append(encode_wav(
+                (np.sin(2 * np.pi * freq * t / 8000) * 12000)
+                .astype(np.int16), 8000))
+            continue
         body = rng.integers(0, 256, int(rng.integers(64, 2048)),
                             dtype=np.uint8).tobytes()
         head = b"\x89PNG" if k == "image" and i % 2 == 0 else \
