@@ -243,6 +243,16 @@ def _q_dedup_exact_documents(sf_dir: str):
     return exact_dup_groups(ds, ["lang", "source"], "doc_id", min_count=1)
 
 
+def _q_dedup_groups_lang(sf_dir: str):
+    """Exact dup groups with min_count=2 — exercises the 2-pass hash
+    path: key values never shuffle, only the (small) duplicated-hash set
+    broadcasts before the pruned extraction scan."""
+    from rho_contracts_ray.stages import exact_dup_groups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return exact_dup_groups(ds, ["lang"], "doc_id", min_count=2)
+
+
 def _q_token_counts_documents(sf_dir: str):
     from rho_contracts_ray.stages import token_counts
 
@@ -839,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_events_split": _q_drift_events_split,
         # relational / pipeline ops
         "dedup_exact_documents": _q_dedup_exact_documents,
+        "dedup_groups_lang": _q_dedup_groups_lang,
         "token_counts_documents": _q_token_counts_documents,
         "text_len_check_documents": _q_text_len_check_documents,
         "agg_pricing_summary": _q_agg_pricing_summary,
@@ -991,6 +1002,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": (
             "SELECT lang, source, min(doc_id) AS keep_id, count(*) AS cnt "
             "FROM documents GROUP BY lang, source"
+        ),
+        "dedup_groups_lang": (
+            "SELECT lang, min(doc_id) AS keep_id, count(*) AS cnt "
+            "FROM documents GROUP BY lang HAVING count(*) >= 2"
         ),
         "token_counts_documents": (
             "SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), "

@@ -56,9 +56,93 @@ def exact_dup_groups(ds_or_table, cols: Sequence[str], id_col: str,
 
 def exact_dup_groups_ds(ds, cols: Sequence[str], id_col: str,
                         min_count: int = 2):
-    """Dataset flavor of exact_dup_groups (separate to keep both paths
-    obvious): per-batch combine then key-only groupby."""
+    """Dataset flavor of exact_dup_groups.
+
+    For min_count >= 2 the key VALUES (which for document dedup are the
+    texts themselves) never enter a shuffle: pass 1 reduces per-batch
+    (key-hash, min_id, cnt) partials — 24 B per batch-distinct key — to
+    the duplicated hashes; pass 2 re-scans and collects only rows whose
+    hash is in that (small) set, re-grouped by the REAL key values so a
+    hash collision can only add a candidate that the cnt filter drops.
+    Shipping every batch-distinct text through a sort shuffle (the naive
+    form, kept for min_count=1 keep-lists where all keys are output
+    anyway) is a corpus-sized exchange at 100 TB.
+
+    NOTE: the 2-pass path scans `ds` twice — pass a re-readable Dataset
+    (a parquet read) rather than an expensive transformed pipeline."""
+    import ray
+
     cols = list(cols)
+    if min_count < 2:
+        return _exact_dup_groups_shuffle(ds, cols, id_col, min_count)
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(cols + [id_col]).group_by(cols).aggregate(
+            [(id_col, "min"), ([], "count_all")])
+        kh = stable_hash64(
+            _combine_for_hash(g, cols)).view(np.int64)
+        return pa.table({
+            "kh": pa.array(kh),
+            "min_id": pc.cast(g[f"{id_col}_min"], pa.int64()),
+            "cnt": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    from .distagg import bucketed_reduce
+
+    def reduce_fn(t: pa.Table):
+        kh = t["kh"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(kh, return_inverse=True)
+        sums = np.bincount(inv, weights=cnt)
+        dup = u[sums >= min_count]
+        return pa.table({"kh": pa.array(dup)}) if dup.size else None
+
+    outs = bucketed_reduce(
+        ds.map_batches(hash_partial, batch_format="pyarrow"),
+        "kh", reduce_fn)
+    schema = ds.schema().base_schema
+    empty = pa.table({
+        **{c: pa.array([], schema.field(c).type) for c in cols},
+        "keep_id": pa.array([], pa.int64()),
+        "cnt": pa.array([], pa.int64())})
+    if not outs:
+        return empty
+    dup_hashes = np.sort(np.concatenate(
+        [t["kh"].to_numpy(zero_copy_only=False) for t in outs]))
+    ref = ray.put(dup_hashes)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        g = batch.select(cols + [id_col]).group_by(cols).aggregate(
+            [(id_col, "min"), ([], "count_all")])
+        kh = stable_hash64(_combine_for_hash(g, cols)).view(np.int64)
+        sd = ray.get(ref)
+        pos = np.clip(np.searchsorted(sd, kh), 0, max(sd.size - 1, 0))
+        sub = g.filter(pa.array(sd[pos] == kh))
+        return pa.table({**{c: sub[c] for c in cols},
+                         "keep_id": pc.cast(sub[f"{id_col}_min"],
+                                            pa.int64()),
+                         "cnt": pc.cast(sub["count_all"], pa.int64())})
+
+    parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in ds.map_batches(extract, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")]
+    cands = pa.concat_tables(parts) if parts else None
+    if cands is None or cands.num_rows == 0:
+        return empty
+    g = cands.group_by(cols).aggregate([("keep_id", "min"), ("cnt", "sum")])
+    g = g.rename_columns(cols + ["keep_id", "cnt"])
+    return g.filter(pc.greater_equal(g["cnt"], min_count))
+
+
+def _combine_for_hash(table: pa.Table, cols: list):
+    from ..functions.hashing import combine_key
+
+    return combine_key(table, cols)
+
+
+def _exact_dup_groups_shuffle(ds, cols: list, id_col: str, min_count: int):
+    """All-keys form (keep-lists): per-batch combine then key groupby —
+    every batch-distinct key ships once."""
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.select(cols + [id_col]).group_by(cols).aggregate(
