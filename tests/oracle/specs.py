@@ -58,7 +58,11 @@ def decode_value(v: Any) -> Any:
         field = v["__fn_this__"]
 
         def _stub_this(this, *args, _f=field):
-            return this[_f] if isinstance(this, dict) else getattr(this, _f)
+            # JS property access: missing key -> undefined (None), like
+            # `this.x` on an object without x
+            if isinstance(this, dict):
+                return this.get(_f)
+            return getattr(this, _f, None)
 
         _stub_this.__name__ = ""  # JS side is an anonymous function
         return _stub_this

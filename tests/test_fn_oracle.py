@@ -155,3 +155,67 @@ def test_fn_contract_parity(case_id, fn_spec, call_args, impl_ret,
             f"{case_id}:\n--- engine ---\n{message}\n"
             f"--- reference ---\n{ref['message']}")
     assert fc.to_string() == ref["tostring"]
+
+
+def test_this_and_method_fuzz():
+    """Random thisArg/method contracts + calls with random `this` values
+    vs the actual reference — byte-identical messages."""
+    import random
+
+    if not specs.node_available():
+        pytest.skip("node or reference not available")
+    rng = random.Random(4242)
+    this_specs = [
+        {"t": "object", "fields": {"x": STR}},
+        {"t": "object", "fields": {"x": NUM, "y": STR}},
+        {"t": "hash", "value": NUM},
+    ]
+    this_vals = [{"x": "w"}, {"x": 5}, {"x": 1, "y": "s"}, {"k": 2},
+                 {"k": "bad"}, None]
+    arg_vals = [1, "a", None, 2.5]
+    cases = []
+    for i in range(120):
+        kind = rng.choice(["fn_this", "method"])
+        ths = rng.choice(this_specs)
+        if kind == "fn_this":
+            spec = {"t": "fn", "args": [NUM], "thisArg": dict(ths)}
+        else:
+            spec = {"t": "method", "ths": dict(ths),
+                    "named": [["y", rng.choice([NUM, STR])]]}
+        if rng.random() < 0.5:
+            spec["returns"] = rng.choice([NUM, STR])
+        call = [rng.choice(arg_vals) for _ in range(rng.randint(0, 2))]
+        tv = rng.choice(this_vals)
+        case = {"id": f"tf{i}", "contract": spec, "call": call,
+                "impl_this_field": "x", "name": "theFn"}
+        if tv is not None:
+            case["this_obj"] = tv
+        cases.append(case)
+    refs = {r["id"]: r for r in specs.run_reference(cases)}
+    mismatches = 0
+    first = None
+    for case in cases:
+        ref = refs[case["id"]]
+        if (ref["message"] or "").startswith("BUILD_ERROR"):
+            continue
+        if not ref["ok"] and ref.get("name") not in ("ContractError",
+                                                     "ContractLibraryError"):
+            continue  # reference crash class (documented divergence)
+        contract = specs.build_contract(case["contract"])
+        impl = decode_value({"__fn_this__": "x"})
+        wrapped = api_guard.wrap(contract, impl, "theFn")
+        call = wrapped if "this_obj" not in case else \
+            wrapped.with_this(decode_value(case["this_obj"]))
+        ok, msg = True, None
+        try:
+            call(*[decode_value(a) for a in case["call"]])
+        except api_guard.RowContractError as e:
+            ok, msg = False, e.violation.message
+        except Exception:
+            ok, msg = False, "PYTHON_CRASH"
+        ref_msg = _normalize(ref["message"]) if ref["message"] else None
+        if ok != ref["ok"] or (not ok and _normalize(msg) != ref_msg):
+            mismatches += 1
+            if first is None:
+                first = (case, ref["message"], msg, ok, ref["ok"])
+    assert mismatches == 0, first
