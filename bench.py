@@ -163,17 +163,24 @@ def _hw_burn(n):
     return n / (_t.monotonic() - t0)
 
 
+_MEMBW_BUF = None
+
+
 def _membw_burn(n):
     """Streaming-sum over a 40 MB buffer — a memory-BANDWIDTH-bound proxy
     for the suite's Arrow string scans/hashing (vs the cache-resident
-    sha256 burn, a pure-CPU proxy)."""
+    sha256 burn, a pure-CPU proxy).  The buffer is built ONCE per worker
+    process (outside any timed region — callers warm the pool first) so
+    the measurement is the streaming sums, not buffer setup."""
+    global _MEMBW_BUF
     import numpy as np
 
-    rng = np.random.default_rng(0)
-    a = rng.integers(0, 255, 40_000_000, dtype=np.uint8)
+    if _MEMBW_BUF is None:
+        _MEMBW_BUF = (np.arange(40_000_000, dtype=np.int64) % 251) \
+            .astype(np.uint8)
     acc = 0
     for _ in range(n):
-        acc += int(a.view(np.uint64).sum()) & 0xFFFF
+        acc += int(_MEMBW_BUF.view(np.uint64).sum()) & 0xFFFF
     return acc
 
 
@@ -193,9 +200,10 @@ def _hw_parallel_ceiling(n_lo: int, n_hi: int) -> dict:
             p.map(_hw_burn, [150_000] * w)
             out_cpu[w] = w * 150_000 / (_t.monotonic() - t0)
         with mp.Pool(w) as p:
+            p.map(_membw_burn, [1] * w)   # warm: build per-worker buffers
             t0 = _t.monotonic()
-            p.map(_membw_burn, [40] * w)
-            out_bw[w] = w * 40 / (_t.monotonic() - t0)
+            p.map(_membw_burn, [60] * w)
+            out_bw[w] = w * 60 / (_t.monotonic() - t0)
     eff_cpu = (out_cpu[n_hi] / n_hi) / (out_cpu[n_lo] / n_lo)
     eff_bw = (out_bw[n_hi] / n_hi) / (out_bw[n_lo] / n_lo)
     return {"hw_eff": round(eff_cpu, 3),

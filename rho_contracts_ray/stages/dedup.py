@@ -77,13 +77,13 @@ def exact_dup_groups_ds(ds, cols: Sequence[str], id_col: str,
         return _exact_dup_groups_shuffle(ds, cols, id_col, min_count)
 
     def hash_partial(batch: pa.Table) -> pa.Table:
-        g = batch.select(cols + [id_col]).group_by(cols).aggregate(
-            [(id_col, "min"), ([], "count_all")])
+        # 16 B per batch-distinct key — keep_id is re-derived from real
+        # key values in pass 2, so it does NOT ride the pass-1 exchange
+        g = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
         kh = stable_hash64(
             _combine_for_hash(g, cols)).view(np.int64)
         return pa.table({
             "kh": pa.array(kh),
-            "min_id": pc.cast(g[f"{id_col}_min"], pa.int64()),
             "cnt": pc.cast(g["count_all"], pa.int64()),
         })
 
@@ -123,15 +123,18 @@ def exact_dup_groups_ds(ds, cols: Sequence[str], id_col: str,
                                             pa.int64()),
                          "cnt": pc.cast(sub["count_all"], pa.int64())})
 
+    import ray.data as rd
+
     parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
              for b in ds.map_batches(extract, batch_format="pyarrow")
              .iter_batches(batch_size=None, batch_format="pyarrow")]
     cands = pa.concat_tables(parts) if parts else None
     if cands is None or cands.num_rows == 0:
-        return empty
+        return rd.from_arrow(empty)
     g = cands.group_by(cols).aggregate([("keep_id", "min"), ("cnt", "sum")])
     g = g.rename_columns(cols + ["keep_id", "cnt"])
-    return g.filter(pc.greater_equal(g["cnt"], min_count))
+    # Dataset out, matching the min_count=1 branch's return type
+    return rd.from_arrow(g.filter(pc.greater_equal(g["cnt"], min_count)))
 
 
 def _combine_for_hash(table: pa.Table, cols: list):

@@ -193,7 +193,16 @@ class DecodeImageStage:
             feats_rows = []
             for i, (p, m) in enumerate(zip(payloads, magics)):
                 if m == "bmp":
-                    px = decode_bmp(p)
+                    try:
+                        px = decode_bmp(p)
+                    except ValueError:
+                        # corrupt/unsupported BMP: raise-vs-flag follows
+                        # the same policy as the codec-less formats
+                        if self.on_undecodable == "raise":
+                            raise
+                        decoded[i] = False
+                        feats_rows.append(np.zeros(self.feature_dim))
+                        continue
                     heights[i], widths[i] = px.shape[0], px.shape[1]
                     feats_rows.append(_bmp_features(px, self.feature_dim))
                     continue

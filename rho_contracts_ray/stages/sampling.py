@@ -19,9 +19,12 @@ import pyarrow.compute as pc
 
 _KNUTH = np.int64(2654435761)
 _MOD = np.int64(1 << 32)
-# ids above this overflow id * 2654435761 past int64 (both here and in the
-# SQL oracle); negative ids flip the sign of `%` in SQL vs numpy.  The
-# exact-SQL-parity claim therefore REQUIRES 0 <= id <= _MAX_ID, enforced.
+# ids above this overflow id * 2654435761 past int64 in the SQL oracle;
+# negative ids flip the sign of `%` in SQL vs numpy.  The exact-SQL-parity
+# claim therefore only holds for 0 <= id <= _MAX_ID: out-of-range ids
+# still sample deterministically (uint64 wraparound) but a ONE-TIME
+# warning flags that the documented SQL predicate no longer reproduces
+# the membership.
 _MAX_ID = (2**63 - 1) // 2654435761
 
 
