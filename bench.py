@@ -166,6 +166,18 @@ def _hw_burn(n):
 _MEMBW_BUF = None
 
 
+def _membw_init():
+    """Pool initializer: build the 40 MB buffer in EVERY worker before any
+    task runs — `p.map([1] * w)` warm-up did not guarantee each worker got
+    a warm task (greedy distribution), so a cold worker could pay buffer
+    setup inside the timed region (ADVICE r2)."""
+    global _MEMBW_BUF
+    import numpy as np
+
+    _MEMBW_BUF = (np.arange(40_000_000, dtype=np.int64) % 251) \
+        .astype(np.uint8)
+
+
 def _membw_burn(n):
     """Streaming-sum over a 40 MB buffer — a memory-BANDWIDTH-bound proxy
     for the suite's Arrow string scans/hashing (vs the cache-resident
@@ -199,8 +211,8 @@ def _hw_parallel_ceiling(n_lo: int, n_hi: int) -> dict:
             t0 = _t.monotonic()
             p.map(_hw_burn, [150_000] * w)
             out_cpu[w] = w * 150_000 / (_t.monotonic() - t0)
-        with mp.Pool(w) as p:
-            p.map(_membw_burn, [1] * w)   # warm: build per-worker buffers
+        with mp.Pool(w, initializer=_membw_init) as p:
+            p.map(_membw_burn, [1] * w)   # sync: all workers up + warm
             t0 = _t.monotonic()
             p.map(_membw_burn, [60] * w)
             out_bw[w] = w * 60 / (_t.monotonic() - t0)

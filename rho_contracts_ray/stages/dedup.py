@@ -386,9 +386,17 @@ def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
         po = np.lexsort((db, da))
         keep = np.concatenate(([True], (da[po][1:] != da[po][:-1])
                                | (db[po][1:] != db[po][:-1])))
+        # `truncated` must OR across every discovery of a pair WITHIN this
+        # task too — a pair can surface from both a truncated and an intact
+        # bucket in one hash range, and keeping the first occurrence's flag
+        # could report truncated=False (ADVICE r2).  Segment-OR over the
+        # (da, db)-sorted runs, mirroring the cross-task groupby max().
+        pt_sorted = trunc[ia][po].astype(np.uint8)
+        run_starts = np.flatnonzero(keep)
+        pair_trunc = (np.maximum.reduceat(pt_sorted, run_starts).astype(bool)
+                      if pt_sorted.size else np.zeros(0, bool))
         po = po[keep]
-        pair_trunc = trunc[ia]  # per-pair flag = its bucket's flag
-        ia, ib, pair_trunc = ia[po], ib[po], pair_trunc[po]
+        ia, ib = ia[po], ib[po]
         sig_list = sig_col.to_pylist()
         # per-permutation 1-D gathers from the transposed (cache-resident)
         # signature matrix — a row-wise S[ia] gather materializes

@@ -49,11 +49,13 @@ def pack_sequences(ds, capacity: int, id_col: str = "doc_id",
                    tokens_col: Optional[str] = None,
                    text_col: str = "text",
                    batch_size: Optional[int] = 4096):
-    """-> Dataset[seq_key, doc_ids(list<int64>), n_docs, total_tokens,
-    fill_ratio].  tokens_col overrides the default whitespace token count
-    of text_col.  seq_key is (first doc id, bin index) packed into one
-    int64 so output is globally unique and deterministic without any
-    cross-batch coordination."""
+    """-> Dataset[first_doc_id, bin_idx, doc_ids(list<int64>), n_docs,
+    total_tokens, fill_ratio, oversized].  tokens_col overrides the default
+    whitespace token count of text_col.  (first_doc_id, bin_idx) is the
+    globally unique, deterministic sequence key — two columns rather than a
+    bit-packed int64, which overflowed for doc_id >= 2^43 and misbehaved
+    for negative ids (ADVICE r2); any int64 id is valid.  Oversized rows
+    (token count > capacity) carry bin_idx = -1 and oversized = True."""
 
     def pack(batch: pa.Table) -> pa.Table:
         ids_arr = batch[id_col]
@@ -74,11 +76,13 @@ def pack_sequences(ds, capacity: int, id_col: str = "doc_id",
                 pc.fill_null(col, ""), r"\S+") \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
         bins, oversized = _pack_batch(ids, tokens, capacity)
-        out_key, out_ids, out_n, out_tok, out_over = [], [], [], [], []
+        out_first, out_bin, out_ids, out_n, out_tok, out_over = \
+            [], [], [], [], [], []
         for b, members in enumerate(bins):
             members_ids = sorted(int(ids[i]) for i in members)
             total = int(tokens[members].sum()) if members else 0
-            out_key.append((members_ids[0] << 20) | (b & 0xFFFFF))
+            out_first.append(members_ids[0])
+            out_bin.append(b)
             out_ids.append(members_ids)
             out_n.append(len(members))
             out_tok.append(total)
@@ -86,13 +90,15 @@ def pack_sequences(ds, capacity: int, id_col: str = "doc_id",
         # over-capacity docs surface as their own flagged rows (route them
         # through chunk_documents) instead of silently vanishing
         for i in oversized:
-            out_key.append((int(ids[i]) << 20) | 0xFFFFF)
+            out_first.append(int(ids[i]))
+            out_bin.append(-1)
             out_ids.append([int(ids[i])])
             out_n.append(1)
             out_tok.append(int(tokens[i]))
             out_over.append(True)
         return pa.table({
-            "seq_key": pa.array(out_key, pa.int64()),
+            "first_doc_id": pa.array(out_first, pa.int64()),
+            "bin_idx": pa.array(out_bin, pa.int64()),
             "doc_ids": pa.array(out_ids, pa.list_(pa.int64())),
             "n_docs": pa.array(out_n, pa.int64()),
             "total_tokens": pa.array(out_tok, pa.int64()),

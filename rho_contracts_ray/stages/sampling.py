@@ -51,6 +51,22 @@ def _validate_ids(ids: np.ndarray) -> np.ndarray:
     return ids
 
 
+def _ids_from_arrow(ids_col) -> tuple[np.ndarray, Optional[np.ndarray]]:
+    """int64 ids + validity mask (None when null-free).  Null ids are
+    EXCLUDED from every sample — matching the SQL oracle, where
+    `NULL * k % m < t` is NULL and filters the row out.  (Previously
+    int64-with-nulls converted via float64 NaN, and astype(int64) turned
+    NaN into INT64_MIN: platform-defined membership diverging silently
+    from the oracle — ADVICE r2.)"""
+    if isinstance(ids_col, pa.ChunkedArray):
+        ids_col = ids_col.combine_chunks()
+    if ids_col.null_count:
+        valid = pc.is_valid(ids_col).to_numpy(zero_copy_only=False)
+        ids = pc.fill_null(ids_col, 0).to_numpy(zero_copy_only=False)
+        return ids.astype(np.int64), valid
+    return ids_col.to_numpy(zero_copy_only=False).astype(np.int64), None
+
+
 def _hash_mask(ids: np.ndarray, threshold: int) -> np.ndarray:
     with np.errstate(over="ignore"):
         prod = _validate_ids(ids).view(np.uint64) * np.uint64(2654435761)
@@ -67,10 +83,10 @@ def hash_sample(ds, id_col: str, rate: Optional[float] = None,
         threshold = sample_threshold(rate)
 
     def fil(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        m = _hash_mask(ids.to_numpy(zero_copy_only=False), threshold)
+        ids_np, valid = _ids_from_arrow(batch[id_col])
+        m = _hash_mask(ids_np, threshold)
+        if valid is not None:
+            m &= valid
         return batch.filter(pa.array(m))
 
     return ds.map_batches(fil, batch_format="pyarrow")
@@ -86,10 +102,8 @@ def stratified_sample(ds, id_col: str, stratum_col: str,
     default_threshold = sample_threshold(default_rate)
 
     def fil(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        ids_np = _validate_ids(ids.to_numpy(zero_copy_only=False))
+        ids_raw, valid = _ids_from_arrow(batch[id_col])
+        ids_np = _validate_ids(ids_raw)
         strata = batch[stratum_col]
         if isinstance(strata, pa.ChunkedArray):
             strata = strata.combine_chunks()
@@ -100,23 +114,29 @@ def stratified_sample(ds, id_col: str, stratum_col: str,
         with np.errstate(over="ignore"):
             prod = ids_np.view(np.uint64) * np.uint64(2654435761)
         m = (prod % np.uint64(1 << 32)) < thr
+        if valid is not None:
+            m &= valid
         return batch.filter(pa.array(m))
 
     return ds.map_batches(fil, batch_format="pyarrow")
 
 
 def split_train_holdout(ds, id_col: str, holdout_rate: float = 0.01):
-    """(train_ds, holdout_ds) by the same hash — disjoint and exhaustive,
-    stable across reruns (the property that matters for decontamination)."""
+    """(train_ds, holdout_ds) by the same hash — disjoint, exhaustive over
+    non-null ids (null-id rows land in neither half, like the SQL
+    predicate), stable across reruns (the property that matters for
+    decontamination)."""
     threshold = sample_threshold(holdout_rate)
 
     def keep(hold: bool):
         def fil(batch: pa.Table) -> pa.Table:
-            ids = batch[id_col]
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            m = _hash_mask(ids.to_numpy(zero_copy_only=False), threshold)
-            return batch.filter(pa.array(m if hold else ~m))
+            ids_np, valid = _ids_from_arrow(batch[id_col])
+            m = _hash_mask(ids_np, threshold)
+            m = m if hold else ~m
+            if valid is not None:
+                # null ids belong to NEITHER half (SQL predicate semantics)
+                m &= valid
+            return batch.filter(pa.array(m))
 
         return fil
 

@@ -113,7 +113,45 @@ def test_pack_sequences_deterministic(ray_session, packed):
     ds = rd.read_parquet(f"{SF}/documents.parquet",
                          columns=["doc_id", "text"])
     again = _collect(pack_sequences(ds, capacity=256))
-    assert packed.sort_by("seq_key").equals(again.sort_by("seq_key"))
+    key = [("first_doc_id", "ascending"), ("bin_idx", "ascending")]
+    assert packed.sort_by(key).equals(again.sort_by(key))
+    # (first_doc_id, bin_idx) is globally unique for ANY int64 id — the
+    # r2 bit-packed seq_key overflowed at doc_id >= 2^43
+    keys = list(zip(packed["first_doc_id"].to_pylist(),
+                    packed["bin_idx"].to_pylist()))
+    assert len(keys) == len(set(keys))
+
+
+def test_hash_sample_null_ids_excluded(ray_session):
+    # null ids must land in NO sample/half — the SQL predicate's NULL
+    # semantics (previously NaN -> INT64_MIN gave arbitrary membership)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, None, 2, None, 3], pa.int64()),
+        "text": pa.array(list("abcde")),
+    }))
+    full = _collect(hash_sample(ds, "doc_id", rate=1.0))
+    assert full["doc_id"].null_count == 0
+    assert sorted(full["doc_id"].to_pylist()) == [1, 2, 3]
+    train, hold = split_train_holdout(ds, "doc_id", holdout_rate=0.5)
+    t = _collect(train)["doc_id"].to_pylist()
+    h = _collect(hold)["doc_id"].to_pylist()
+    assert None not in t and None not in h
+    assert sorted(t + h) == [1, 2, 3]
+    strat = _collect(stratified_sample(
+        ds, "doc_id", "text", rates={}, default_rate=1.0))
+    assert strat["doc_id"].null_count == 0
+
+
+def test_pack_sequences_huge_ids(ray_session):
+    # ids past 2^43 (64-bit hashed ids) must not overflow the sequence key
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([2**62, 2**62 + 1, 5], pa.int64()),
+        "text": pa.array(["a b c", "d e", "f g h i"]),
+    }))
+    out = _collect(pack_sequences(ds, capacity=4))
+    ids = [i for ids in out["doc_ids"].to_pylist() for i in ids]
+    assert set(ids) == {2**62, 2**62 + 1, 5}
+    assert not any(out["oversized"].to_pylist())
 
 
 def test_chunk_documents_matches_sql(ray_session):
