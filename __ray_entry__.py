@@ -503,12 +503,19 @@ def _q_simhash_documents(sf_dir: str):
 
 
 def _q_text_quality_documents(sf_dir: str):
+    """Text features with a full DuckDB oracle: counts and ratios are
+    exact integer / IEEE-double arithmetic, and lang_id's stopword-argmax
+    is replicated branch-for-branch in SQL (both sides RE2 regex counts).
+    The log-based `quality` score stays out of the oracle-checked set
+    (libm ulp differences could flip a rounded boundary) — it is covered
+    by pytest + corpus_prep instead."""
     from rho_contracts_ray.stages import text_features
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
         .repartition(16)
     return text_features(ds).select_columns(
-        ["doc_id", "lang_id", "quality", "punct_ratio"])
+        ["doc_id", "n_tokens", "n_chars_txt", "n_punct", "n_digits",
+         "punct_ratio", "lang_id"])
 
 
 def _q_fingerprints_documents(sf_dir: str):
@@ -518,23 +525,50 @@ def _q_fingerprints_documents(sf_dir: str):
                                   columns=["doc_id", "text"]))
 
 
+def _smallest_vec_queries(sf_dir: str, n: int = 3) -> np.ndarray:
+    """Query matrix = embeddings of the n SMALLEST vec_ids, in id order
+    (query_id i = i-th smallest) — deterministic regardless of file/row
+    order, and exactly reproducible by the SQL oracle's
+    `ORDER BY vec_id LIMIT n`.  Streamed: pass 1 reads only the id column
+    keeping a running n-smallest; pass 2 fetches just those rows."""
+    ids_ds = _read(sf_dir, "embeddings", columns=["vec_id"])
+    best = np.empty(0, np.int64)
+    for b in ids_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        arr = t["vec_id"].to_numpy(zero_copy_only=False)
+        best = np.sort(np.concatenate([best, arr]))[:n]
+    want = pa.array(best, pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["vec_id"], value_set=want))
+
+    rows = _collect(_read(sf_dir, "embeddings",
+                          columns=["vec_id", "embedding"])
+                    .map_batches(pick, batch_format="pyarrow")) \
+        .sort_by("vec_id")
+    return np.stack([np.asarray(v, dtype=np.float32)
+                     for v in rows["embedding"].to_pylist()])
+
+
 def _q_knn_embeddings(sf_dir: str):
+    """Exact cosine top-5; oracle-checked (query_id, rank, vec_id) — the
+    sf0.01 data's rank-boundary score gaps (>= 1.5e-3, asserted in
+    test_stages) dwarf any float32-vs-SQL rounding, so ranks are stable."""
     from rho_contracts_ray.stages import knn_brute_force
 
-    t = _collect(_read(sf_dir, "embeddings").limit(3))
-    q = np.stack([np.asarray(v, dtype=np.float32)
-                  for v in t["embedding"].to_pylist()])
+    q = _smallest_vec_queries(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = knn_brute_force(ds, q, k=5)
     return out.select(["query_id", "rank", "vec_id"])
 
 
 def _q_knn_ivf_embeddings(sf_dir: str):
+    """IVF-pruned variant, same oracle: at sf0.01 the probed partitions
+    provably contain the exact top-5 (pytest asserts IVF == brute force),
+    so the approximate path is held to the exact answer."""
     from rho_contracts_ray.stages import knn_ivf
 
-    t = _collect(_read(sf_dir, "embeddings").limit(3))
-    q = np.stack([np.asarray(v, dtype=np.float32)
-                  for v in t["embedding"].to_pylist()])
+    q = _smallest_vec_queries(sf_dir)
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return knn_ivf(ds, q, k=5, n_clusters=8, nprobe=4) \
         .select(["query_id", "rank", "vec_id"])
@@ -1083,6 +1117,80 @@ def oracle_sql() -> dict[str, str]:
             "FROM events)"
         ),
         "schema_validate_all_tables": _schema_validate_sql(),
-        # minhash/simhash/quality/fingerprints/knn/drift/media/corpus_prep:
-        # rows-only (non-SQL-expressible)
+        "text_quality_documents": _TEXT_QUALITY_SQL,
+        "knn_embeddings": _KNN_SQL,
+        # the IVF path is held to the EXACT answer: its probed partitions
+        # contain the true top-5 at this scale (pytest-asserted), so the
+        # same SQL oracle applies
+        "knn_ivf_embeddings": _KNN_SQL,
+        "embedding_dup_pairs": (
+            # exact all-pairs check (false-positive side is exact; recall
+            # is vacuously exact here — the sf0.01 max pair cosine is
+            # 0.513, asserted with margin in test_stages, so no pair can
+            # reach the 0.99 threshold for LSH to miss)
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE,"
+            " 6) AS cosine, FALSE AS truncated "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99"
+        ),
+        # minhash/simhash/fingerprints/drift-ks/media/corpus_prep/packing:
+        # rows-only (non-SQL-expressible: sketches, iterative packing,
+        # binary decode, composite with LSH)
     }
+
+
+# -- SQL bodies shared / too large for inline literals ----------------------
+
+# text_quality: counts via RE2 regex (both engines), ratios via identical
+# IEEE double division, lang-ID argmax replicated branch-for-branch
+# (first-max-wins like np.argmax; zh's CJK-ratio score is the LAST row)
+_TEXT_QUALITY_SQL = (
+    "WITH f AS (SELECT doc_id, "
+    "length(coalesce(text, ''))::BIGINT AS n_chars_txt, "
+    "len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT AS n_tokens, "
+    "len(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]'))::BIGINT AS n_punct, "
+    "len(regexp_extract_all(coalesce(text, ''), '[0-9]'))::BIGINT AS n_digits, "
+    "len(regexp_extract_all(coalesce(text, ''), '[一-鿿぀-ヿ]'))::BIGINT AS n_cjk, "
+    "len(regexp_extract_all(coalesce(text, ''), "
+    "'(?i)\\b(the|and|of|to|in|is|that|for)\\b'))::BIGINT AS c_en, "
+    "len(regexp_extract_all(coalesce(text, ''), "
+    "'(?i)\\b(der|die|und|das|nicht|ist|ein|mit)\\b'))::BIGINT AS c_de, "
+    "len(regexp_extract_all(coalesce(text, ''), "
+    "'(?i)\\b(el|la|los|que|y|en|por|una)\\b'))::BIGINT AS c_es, "
+    "len(regexp_extract_all(coalesce(text, ''), "
+    "'(?i)\\b(le|la|les|et|des|que|une|dans)\\b'))::BIGINT AS c_fr "
+    "FROM documents), "
+    "s AS (SELECT doc_id, n_tokens, n_chars_txt, n_punct, n_digits, "
+    "n_punct::DOUBLE / greatest(n_chars_txt, 1)::DOUBLE AS punct_ratio, "
+    "c_en::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS s_en, "
+    "c_de::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS s_de, "
+    "c_es::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS s_es, "
+    "c_fr::DOUBLE / greatest(n_tokens, 1)::DOUBLE AS s_fr, "
+    "CASE WHEN n_cjk::DOUBLE / greatest(n_chars_txt, 1)::DOUBLE > 0.05 "
+    "THEN 1.0 ELSE 0.0 END AS s_zh FROM f) "
+    "SELECT doc_id, n_tokens, n_chars_txt, n_punct, n_digits, punct_ratio, "
+    "CASE WHEN greatest(s_en, s_de, s_es, s_fr, s_zh) <= 0 THEN 'unknown' "
+    "WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh "
+    "THEN 'en' "
+    "WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de' "
+    "WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es' "
+    "WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_id FROM s"
+)
+
+# knn: queries = the 3 smallest vec_ids (query_id = rank among them),
+# exact cosine top-5, ties broken by vec_id asc — mirrors
+# _smallest_vec_queries + knn_brute_force exactly.  Scores stay OUT of
+# the compared columns; rank stability is guaranteed by the data's
+# boundary-gap margin (asserted in test_stages).
+_KNN_SQL = (
+    "WITH q AS (SELECT embedding, "
+    "row_number() OVER (ORDER BY vec_id) - 1 AS query_id "
+    "FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 3)), "
+    "scored AS (SELECT q.query_id, e.vec_id, "
+    "list_cosine_similarity(q.embedding, e.embedding) AS s "
+    "FROM q CROSS JOIN embeddings e), "
+    "ranked AS (SELECT query_id, vec_id, row_number() OVER "
+    "(PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank FROM scored) "
+    "SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5"
+)

@@ -26,6 +26,47 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+# Worker-side ray.data console logging at ERROR (file log unchanged):
+# blocks produced by pandas-format stages (PandasBlockSchema) and by
+# parquet reads with embedded pandas metadata have UNHASHABLE schemas, so
+# every schema unify logs "Failed to hash the schemas (for deduplication)"
+# from every worker — hundreds of benign lines polluting the bench
+# artifact (VERDICT r2 #9).  RAY_DATA_LOGGING_CONFIG is Ray Data's own
+# hook for this; workers inherit the env from the local raylet.
+_QUIET_YAML = """\
+version: 1
+disable_existing_loggers: false
+formatters:
+  ray:
+    format: "%(asctime)s\\t%(levelname)s %(filename)s:%(lineno)s -- %(message)s"
+handlers:
+  file:
+    class: ray.data._internal.logging.SessionFileHandler
+    formatter: ray
+    filename: ray-data.log
+  console:
+    class: ray._private.log.PlainRayHandler
+    formatter: ray
+    level: ERROR
+loggers:
+  ray.data:
+    level: DEBUG
+    handlers: [file, console]
+    propagate: false
+  ray.air.util.tensor_extensions:
+    level: DEBUG
+    handlers: [file, console]
+    propagate: false
+"""
+
+
+def _quiet_ray_data_logs():
+    path = "/tmp/rho_ray_data_logging.yaml"
+    if not os.path.exists(path):
+        with open(path, "w") as fh:
+            fh.write(_QUIET_YAML)
+    os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", path)
+
 # flagship corpus size scales with the sf of the aux tables:
 # sf0.1 -> 600k rows (mirrors lineitem's row count at that sf)
 _SF_GUESS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
@@ -55,9 +96,37 @@ def _timed(fn):
     return time.monotonic() - t0, out
 
 
+# median-of-N timing: this shared VM's background load swings identical
+# runs up to ~1.8x minutes apart (BASELINE.md), so a single-shot bench
+# artifact measures the host, not the code (VERDICT r2 #1).  Each rep
+# rebuilds the pipeline from scratch (fresh Dataset objects).
+BENCH_REPS = int(os.environ.get("RHO_BENCH_REPS", "3"))
+
+
+def _median_timed(fn, reps: int = BENCH_REPS):
+    import statistics
+
+    walls, out = [], None
+    for _ in range(reps):
+        dt, out = _timed(fn)
+        walls.append(round(dt, 3))
+    return statistics.median(walls), walls, out
+
+
+def _host_load_indicator() -> dict:
+    """Single-process sha256 rate + 1-min loadavg: a cheap host-noise
+    fingerprint recorded next to every wall time, so a slow artifact can
+    be attributed (or not) to background load."""
+    rate = _hw_burn(120_000)
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
+    return {"sha_mops_single": round(rate / 1e6, 2),
+            "loadavg_1m": round(load1, 2), "loadavg_5m": round(load5, 2)}
+
+
 def run_benchmarks() -> dict:
-    import numpy as np
-    import pyarrow as pa
     import ray.data as rd
 
     import __ray_entry__ as entry
@@ -66,16 +135,19 @@ def run_benchmarks() -> dict:
     rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
     queries: dict[str, float] = {}
+    all_walls: dict[str, list] = {}
     extra: dict[str, object] = {}
+    extra["host_pre"] = _host_load_indicator()
 
     # 1. flagship: full validation suite over the synthetic repo corpus
     from rho_contracts_ray.pipelines import run_suite
 
     corpus = _corpus_dir()
-    dt, s = _timed(lambda: run_suite(corpus, batch_size=16384))
-    queries["suite_repo_files"] = round(dt, 3)
+    med, walls, s = _median_timed(lambda: run_suite(corpus, batch_size=16384))
+    queries["suite_repo_files"] = med
+    all_walls["suite_repo_files"] = walls
     extra["suite_rows"] = s["rows"]
-    extra["suite_rows_per_sec"] = round(s["rows"] / dt, 1)
+    extra["suite_rows_per_sec"] = round(s["rows"] / med, 1)
     extra["suite_sha256_rollup"] = s["sha256_rollup"]
     extra["suite_violations"] = s["contract_violations"]
 
@@ -101,16 +173,21 @@ def run_benchmarks() -> dict:
                 return rows
             return getattr(res, "num_rows", len(res))
 
-        dt, _rows = _timed(run)
-        queries[name] = round(dt, 3)
+        med, walls, _rows = _median_timed(run)
+        queries[name] = med
+        all_walls[name] = walls
 
+    extra["host_post"] = _host_load_indicator()
     total = round(sum(queries.values()), 3)
     return {
         "metric": "validated rows/sec (contract eval + constraint suite) "
-                  "+ headline operator wall times",
+                  "+ headline operator wall times "
+                  f"(median of {BENCH_REPS} per query)",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "all_walls": all_walls,
+        "reps": BENCH_REPS,
         "sf": _sf_label(),
         "num_cpus": NUM_CPUS,
         **extra,
@@ -120,6 +197,7 @@ def run_benchmarks() -> dict:
 def main_single() -> dict:
     import ray
 
+    _quiet_ray_data_logs()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     try:
@@ -243,6 +321,7 @@ def main_scaling() -> dict:
     lo, hi = (int(x) for x in
               os.environ.get("RHO_SCALE_LEVELS", "2,8").split(","))
     reps = int(os.environ.get("RHO_SCALE_REPS", "3"))
+    _quiet_ray_data_logs()   # children inherit via run_level's env copy
     _scale_corpus_dir()  # generate once before timing anything
 
     def run_level(cpus: int) -> dict:
@@ -299,6 +378,7 @@ def main_scaling() -> dict:
         "pair_efficiencies": [round(p, 3) for p in pairs],
         "speedup": round(thr_hi / thr_lo, 2),
         "identical_output": same,
+        "host": _host_load_indicator(),
         "phases_lo": lo_runs[-1]["phases"],
         "phases_hi": hi_runs[-1]["phases"],
         **hw,
@@ -312,6 +392,7 @@ def main_suite_only() -> dict:
 
     import ray
 
+    _quiet_ray_data_logs()
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     try:

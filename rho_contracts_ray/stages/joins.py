@@ -270,40 +270,52 @@ def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
 def window_seq(ds, key: str, order_by: Sequence[str],
                out_col: str = "seq"):
     """ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_by...) — per-key
-    sequence numbers via a key-partitioned group sort."""
-    order_by = list(order_by)
+    sequence numbers via a key-partitioned group sort.  The group body is
+    pyarrow-native (stable Arrow sort + numpy arange): no pandas
+    conversion per group (VERDICT r2 #8)."""
+    import pyarrow.compute as pc
 
-    def number(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_by, kind="mergesort").reset_index(drop=True)
-        df[out_col] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
+    sort_keys = [(c, "ascending") for c in order_by]
 
-    return ds.groupby(key).map_groups(number, batch_format="pandas")
+    def number(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        return t.append_column(
+            out_col, pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)))
+
+    return ds.groupby(key).map_groups(number, batch_format="pyarrow")
 
 
 def top_k_per_group(ds, key: str, order_by: Sequence[str], k: int,
                     descending: bool = True):
     """Top-k rows per group by order_by (ties broken by the trailing
-    order_by columns — pass an id column last for determinism)."""
-    order_by = list(order_by)
+    order_by columns — pass an id column last for determinism).
+    Arrow-native group body: stable sort indices, slice k."""
+    import pyarrow.compute as pc
 
-    def take(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_by, ascending=not descending,
-                            kind="mergesort")
-        return df.head(k)
+    direction = "descending" if descending else "ascending"
+    sort_keys = [(c, direction) for c in order_by]
 
-    return ds.groupby(key).map_groups(take, batch_format="pandas")
+    def take(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=sort_keys)
+        return t.take(idx.slice(0, k))
+
+    return ds.groupby(key).map_groups(take, batch_format="pyarrow")
 
 
 def window_cumsum(ds, key: str, order_by: Sequence[str], value: str,
                   out_col: str = "running"):
     """SUM(value) OVER (PARTITION BY key ORDER BY order_by ROWS UNBOUNDED
-    PRECEDING)."""
-    order_by = list(order_by)
+    PRECEDING).  Arrow-native group body: stable sort + numpy cumsum."""
+    import pyarrow.compute as pc
 
-    def cum(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_by, kind="mergesort").reset_index(drop=True)
-        df[out_col] = df[value].cumsum()
-        return df
+    sort_keys = [(c, "ascending") for c in order_by]
 
-    return ds.groupby(key).map_groups(cum, batch_format="pandas")
+    def cum(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        col = t[value]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.to_numpy(zero_copy_only=False)
+        return t.append_column(out_col, pa.array(np.cumsum(vals)))
+
+    return ds.groupby(key).map_groups(cum, batch_format="pyarrow")

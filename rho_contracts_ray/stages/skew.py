@@ -51,17 +51,23 @@ def sessionize(ds, key: str, ts: str, gap_seconds: int = 1800,
                order_tiebreak: Sequence[str] = ()):
     """Assign session ids per key: a new session starts when the gap to the
     previous event exceeds gap_seconds.  Matches the SQL
-    LAG/SUM-OVER-window formulation."""
-    import pandas as pd
+    LAG/SUM-OVER-window formulation.  Arrow-native group body (stable
+    Arrow sort + integer-microsecond diffs in numpy) — the per-group
+    pandas conversion was the window ops' perf tax (VERDICT r2 #8); the
+    gap compare divides microseconds by 1e6 exactly like pandas'
+    total_seconds(), so verdicts are bit-identical."""
+    sort_keys = [(c, "ascending") for c in [ts] + list(order_tiebreak)]
 
-    order_by = [ts] + list(order_tiebreak)
+    def per_key(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        col = t[ts]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tsv = col.to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(tsv) / 1e6
+        new_session = np.concatenate(([True], gaps > gap_seconds))
+        return t.append_column(
+            "session_id", pa.array(np.cumsum(new_session).astype(np.int64)))
 
-    def per_key(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(order_by, kind="mergesort").reset_index(drop=True)
-        prev = df[ts].shift(1)
-        new_session = (prev.isna()
-                       | ((df[ts] - prev).dt.total_seconds() > gap_seconds))
-        df["session_id"] = new_session.cumsum().astype("int64")
-        return df
-
-    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")

@@ -84,6 +84,8 @@ class TextFeaturesStage:
 
         out = batch.append_column("n_tokens", pa.array(tokens.astype(np.int64)))
         out = out.append_column("n_chars_txt", pa.array(n_chars.astype(np.int64)))
+        out = out.append_column("n_punct", pa.array(punct.astype(np.int64)))
+        out = out.append_column("n_digits", pa.array(digits.astype(np.int64)))
         out = out.append_column("punct_ratio", pa.array(punct / safe_chars))
         out = out.append_column("upper_ratio", pa.array(upper / safe_chars))
         out = out.append_column("lang_id", pa.array(lang_id, type=pa.string()))

@@ -38,6 +38,17 @@ def test_run_suite_end_to_end(ray_session, corpus, tmp_path):
     assert "matches(/^[0-9a-f]{40}$/)" in msgs
 
 
+def test_suite_invariant_across_bucket_counts(ray_session, corpus):
+    """The uniqueness-reduce fan-out (cluster-derived) is a scheduling
+    knob only: every reported output is identical at 16/32/128 buckets
+    (VERDICT r2 #2)."""
+    outs = [run_suite(corpus, n_uniq_buckets=n) for n in (16, 32, 128)]
+    for k in ("rows", "contract_violations", "duplicate_keys",
+              "sha256_rollup", "fk_dangling_repo", "fk_dangling_commit",
+              "violations_captured"):
+        assert outs[0][k] == outs[1][k] == outs[2][k], k
+
+
 def test_suite_deterministic_rollup(ray_session, corpus):
     s1 = run_suite(corpus)
     s2 = run_suite(list(reversed(corpus)))   # order must not matter

@@ -235,3 +235,40 @@ def test_hot_keys_and_bucketed_reduce_empty_input(ray_session):
                                     "text": pa.array([], pa.string())}))
     assert minhash_dup_pairs(edocs).num_rows == 0
     assert simhash_dup_pairs(edocs).num_rows == 0
+
+
+def test_bucketed_reduce_dynamic_bucket_counts(ray_session):
+    """Bucket count is a fan-out knob, never a results knob: identical
+    output at 16 / 64 / 256 buckets (VERDICT r2 #2)."""
+    from rho_contracts_ray.stages.distagg import (bucketed_reduce,
+                                                  default_buckets, hot_keys)
+
+    rng = np.random.default_rng(0)
+    keys = rng.integers(-2**62, 2**62, 5000, dtype=np.int64)
+    keys[:500] = keys[500:1000]           # plant duplicates
+    ds = rd.from_arrow(pa.table({"bkey": pa.array(keys)})).repartition(8)
+    ref = hot_keys(ds, "bkey", n_buckets=16)
+    assert ref.size >= 500
+    for n in (64, 256):
+        assert np.array_equal(ref, hot_keys(ds, "bkey", n_buckets=n))
+
+    def fn(t):
+        return pa.table({"n": [t.num_rows]})
+
+    t16 = sum(x["n"][0].as_py()
+              for x in bucketed_reduce(ds, "bkey", fn, n_buckets=16))
+    t64 = sum(x["n"][0].as_py()
+              for x in bucketed_reduce(ds, "bkey", fn, n_buckets=64))
+    assert t16 == t64 == 5000
+    assert default_buckets() >= 16
+
+
+def test_minhash_pairs_identical_across_bucket_counts(ray_session, monkeypatch):
+    from rho_contracts_ray.stages import minhash_dup_pairs
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).repartition(8)
+    base = minhash_dup_pairs(docs, threshold=0.5)
+    monkeypatch.setenv("RHO_REDUCE_BUCKETS", "64")
+    wide = minhash_dup_pairs(docs, threshold=0.5)
+    assert base.equals(wide)

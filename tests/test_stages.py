@@ -78,6 +78,78 @@ def test_exact_dedup(ray_session, docs_with_dups):
     assert sorted(g2["keep_id"].tolist()) == [0, 1, 2, 3, 4]
 
 
+def test_merge_topk_vectorized_many_queries(ray_session):
+    """1 k queries x 50 partial batches merge vectorized (lexsort) — the
+    r2 per-row driver heap took seconds here (VERDICT r2 #5) — and agree
+    with a direct numpy reference."""
+    import time
+
+    from rho_contracts_ray.stages.ann import _merge_topk
+
+    rng = np.random.default_rng(7)
+    nq, nb, k = 1000, 50, 10
+    tables = []
+    for b in range(nb):
+        n = nq * k
+        tables.append(pa.table({
+            "query_id": pa.array(np.repeat(np.arange(nq), k), pa.int64()),
+            "vec_id": pa.array(rng.integers(0, 10**9, n), pa.int64()),
+            "score": pa.array(rng.random(n, dtype=np.float32)),
+        }))
+    ds = rd.from_arrow(tables)
+    t0 = time.monotonic()
+    out = _merge_topk(ds, k)
+    dt = time.monotonic() - t0
+    assert out.num_rows == nq * k
+    assert dt < 5.0, f"_merge_topk took {dt:.1f}s for {nq*nb*k} rows"
+    # reference check on one query
+    allq = np.concatenate([t["query_id"].to_numpy() for t in tables])
+    allv = np.concatenate([t["vec_id"].to_numpy() for t in tables])
+    alls = np.concatenate([
+        t["score"].to_numpy().astype(np.float64) for t in tables])
+    m = allq == 123
+    ref_order = np.lexsort((allv[m], -alls[m]))[:k]
+    got = out.filter(pa.compute.equal(out["query_id"], 123))
+    assert got["vec_id"].to_pylist() == allv[m][ref_order].tolist()
+    assert got["rank"].to_pylist() == list(range(1, k + 1))
+
+
+def test_exact_dedup_high_dup_rate_distributed(ray_session):
+    """Adversarial dup-heavy corpus (90% duplicates): the pass-2 finish is
+    fully distributed — real key values flow through bucket tasks into the
+    returned Dataset, never a driver concat (VERDICT r2 #4).  Also pins
+    the Dataset-out contract on every path (ADVICE r2): chaining Dataset
+    ops works whether or not duplicates exist."""
+    import numpy as np
+
+    n = 5000
+    texts = [f"dup text {i % 500}" for i in range(n)]   # 500 keys x 10
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(8)
+    out = exact_dup_groups(ds, ["text"], "doc_id", min_count=2)
+    # Dataset-out contract: chain a Dataset op before collecting
+    t = pa.concat_tables([
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in out.select_columns(["text", "keep_id", "cnt"])
+        .iter_batches(batch_size=None, batch_format="pyarrow")])
+    assert t.num_rows == 500
+    assert all(c == 10 for c in t["cnt"].to_pylist())
+    keep = sorted(t["keep_id"].to_pylist())
+    assert keep == sorted(range(500))   # min id per group
+    # duplicate-free input: same type, zero rows, schema intact
+    uniq = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array([f"unique {i}" for i in range(100)]),
+    }))
+    empty_out = exact_dup_groups(uniq, ["text"], "doc_id", min_count=2)
+    assert hasattr(empty_out, "select_columns")
+    et = empty_out.select_columns(["keep_id"])
+    assert sum(b.num_rows for b in et.iter_batches(
+        batch_size=None, batch_format="pyarrow")) == 0
+
+
 def test_minhash_finds_near_dups(ray_session, docs_with_dups):
     full, ids, add_ids = docs_with_dups
     ds = rd.from_arrow(full)
@@ -161,6 +233,44 @@ def test_knn_ivf_recall(ray_session, embeddings):
         ivf_q = ivf.filter(pa.compute.equal(ivf["query_id"], qi))
         assert ivf_q.num_rows > 0
         assert ivf_q.sort_by("rank")["vec_id"][0].as_py() == top_bf
+
+
+def test_knn_oracle_margins_sf001(ray_session):
+    """Gate conditions behind the knn / embedding_dup_pairs DuckDB oracles
+    at the driver's sf0.01 scale: (a) every top-5 rank boundary has a
+    score gap orders of magnitude above float32 error, so engine (f32) and
+    SQL ranks cannot diverge; (b) the max pair cosine sits far below the
+    0.99 dup threshold, so the empty-result oracle is margin-safe; (c) the
+    IVF path returns EXACTLY the brute-force answer here, so both knn
+    queries share one oracle."""
+    sf = "/root/testdata/sf0.01"
+    emb_t = pq.read_table(f"{sf}/embeddings.parquet")
+    emb = np.stack([np.asarray(v, dtype=np.float32)
+                    for v in emb_t["embedding"].to_pylist()])
+    ids = np.asarray(emb_t["vec_id"].to_pylist())
+    order = np.argsort(ids)
+    q = emb[order[:3]].astype(np.float64)
+    vn = emb.astype(np.float64)
+    vn /= np.linalg.norm(vn, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    scores = qn @ vn.T
+    for qi in range(3):
+        s = np.sort(scores[qi])[::-1]
+        gaps = s[:5] - s[1:6]          # all consecutive top-5 boundaries
+        assert gaps.min() > 1e-4, gaps  # >> f32 error (~1e-6)
+    # (b) dup-pair margin
+    k = min(len(emb), 2000)
+    sims = vn[:k] @ vn[:k].T
+    np.fill_diagonal(sims, -1)
+    assert sims.max() < 0.9, sims.max()
+    # (c) IVF == brute force, same params as the driver queries
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+    bf = knn_brute_force(ds, emb[order[:3]], k=5) \
+        .select(["query_id", "rank", "vec_id"])
+    ivf = knn_ivf(rd.read_parquet(f"{sf}/embeddings.parquet"),
+                  emb[order[:3]], k=5, n_clusters=8, nprobe=4) \
+        .select(["query_id", "rank", "vec_id"])
+    assert bf.equals(ivf)
 
 
 def test_embedding_dup_pairs(ray_session, embeddings):
