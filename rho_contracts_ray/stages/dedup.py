@@ -273,7 +273,12 @@ def _sig_matrix(batch: pa.Table) -> np.ndarray:
     sig = batch["sig"]
     if isinstance(sig, pa.ChunkedArray):
         sig = sig.combine_chunks()
-    num_perm = sig.type.list_size
+    if pa.types.is_fixed_size_list(sig.type):
+        num_perm = sig.type.list_size
+    else:
+        # a parquet round-trip (scratch_dir spill) downgrades
+        # fixed_size_list to list — row widths are still uniform
+        num_perm = len(sig[0]) if len(sig) else 1
     return sig.flatten().to_numpy(zero_copy_only=False) \
         .astype(np.uint64).reshape(len(sig), num_perm)
 
@@ -325,7 +330,8 @@ def _bucket_pair_index(bkey: np.ndarray, doc_id: np.ndarray,
 
 def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
                       bands=32, k=5, threshold=0.7, seed=42,
-                      max_bucket: int = 200) -> pa.Table:
+                      max_bucket: int = 200,
+                      scratch_dir: Optional[str] = None) -> pa.Table:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
     Almost every LSH bucket holds ONE doc; shuffling those through a
@@ -337,17 +343,31 @@ def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
     search, attaching the signature only to hot rows; (4) pairwise-verify
     only inside hot buckets.  Buckets larger than max_bucket are truncated
     (flagged in the output's `truncated` column) — the no-silent-caps
-    rule."""
+    rule.
+
+    The signature table (~num_perm x 8 B/doc) has two consumers (band-key
+    counting, hot-row explode).  By default it is pinned once in the
+    object store (fastest single-node); pass `scratch_dir` to checkpoint
+    it to parquet and re-read lazily per consumer instead — the 100-TB
+    form, where pinning ~1 KB/doc corpus-wide would just force
+    object-store spilling."""
     import ray
 
     from ..validate import stateless_stage
     from .distagg import bucketed_reduce, hot_keys
 
-    sig_ds = ds.map_batches(
+    sig_pipe = ds.map_batches(
         stateless_stage(MinHashStage, text_col=text_col, id_col=id_col,
                         num_perm=num_perm, k=k, seed=seed),
         batch_format="pyarrow",
-    ).materialize()
+    )
+    if scratch_dir is not None:
+        import ray.data as rd
+
+        sig_pipe.write_parquet(scratch_dir)
+        sig_ds = rd.read_parquet(scratch_dir)
+    else:
+        sig_ds = sig_pipe.materialize()
 
     def band_keys_only(batch: pa.Table) -> pa.Table:
         flat = _sig_matrix(batch)

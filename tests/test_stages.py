@@ -166,6 +166,18 @@ def test_minhash_finds_near_dups(ray_session, docs_with_dups):
         assert ngram_jaccard(texts[a], texts[b], 1) > 0.4
 
 
+def test_minhash_scratch_dir_spill_identical(ray_session, docs_with_dups,
+                                              tmp_path):
+    """The 100-TB signature-spill path (parquet checkpoint instead of an
+    object-store pin) returns byte-identical pairs."""
+    full, _, _ = docs_with_dups
+    ds = rd.from_arrow(full)
+    base = minhash_dup_pairs(ds, threshold=0.6)
+    spilled = minhash_dup_pairs(rd.from_arrow(full), threshold=0.6,
+                                scratch_dir=str(tmp_path / "sigs"))
+    assert base.equals(spilled)
+
+
 def test_simhash_finds_near_dups(ray_session, docs_with_dups):
     full, ids, add_ids = docs_with_dups
     ds = rd.from_arrow(full)
