@@ -23,9 +23,9 @@ import pyarrow.compute as pc
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from rho_contracts_ray.sources import clean_read_parquet
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return clean_read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _collect(ds) -> pa.Table:
@@ -857,6 +857,21 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, max_tokens=64, overlap=8)
 
 
+def _q_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard set-similarity join (recall-1 gram blocking +
+    multiplicity-counted intersections) — deterministic, so the oracle
+    brute-forces the same pairs with DuckDB list ops and the jaccard
+    doubles compare bit-equal (both are single divisions of exact int64
+    operands).  max_bucket is sized so no gram group truncates at oracle
+    scale (the sf0.01 corpus has 500 docs; a group can never exceed the
+    corpus)."""
+    from rho_contracts_ray.stages import jaccard_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .repartition(16)
+    return jaccard_dup_pairs(ds, n=3, threshold=0.3, max_bucket=1_000_000)
+
+
 def _q_pack_sequences(sf_dir: str):
     """Greedy first-fit-decreasing sequence packing at a 512-token budget
     (rows-only check: bin layout depends on batch partitioning, which is
@@ -923,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_top20_documents": _q_ngram_top20,
         "decontam_documents": _q_decontam_documents,
         "chunk_documents": _q_chunk_documents,
+        "jaccard_pairs_documents": _q_jaccard_pairs,
         "pack_sequences_documents": _q_pack_sequences,
     }
 
@@ -1002,6 +1018,23 @@ def oracle_sql() -> dict[str, str]:
             " FROM toks, UNNEST(range(0,"
             " (greatest(len(arr)-8,1) + 55) // 56)) AS t(k)"
             ") SELECT * FROM chunks"
+        ),
+        "jaccard_pairs_documents": (
+            # brute-force exact trigram Jaccard over all doc pairs: docs
+            # with < 3 tokens have no grams and never pair (engine
+            # semantics); jaccard is a single division of exact BIGINTs so
+            # it compares bit-equal with the engine's numpy double
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr "
+            "FROM documents), grams AS ("
+            " SELECT doc_id, list_distinct(list_transform(range(1, len(arr) - 1),"
+            " i -> array_to_string(arr[i:i+2], ' '))) AS gs"
+            " FROM toks WHERE len(arr) >= 3), pairs AS ("
+            " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            " len(list_intersect(a.gs, b.gs))::DOUBLE"
+            " / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))"
+            " AS jaccard, false AS truncated"
+            " FROM grams a JOIN grams b ON a.doc_id < b.doc_id)"
+            " SELECT * FROM pairs WHERE jaccard >= 0.3"
         ),
         "drift_events_split": (
             "WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 "

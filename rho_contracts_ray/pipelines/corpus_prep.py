@@ -70,8 +70,11 @@ def prep_documents(ds, text_col: str = "text", id_col: str = "doc_id",
 
     def good():
         # each consumer streams its own lazy read of the checkpoint —
-        # nothing stays pinned between stages
-        return rd.read_parquet(ckpt)
+        # nothing stays pinned between stages (metadata stripped so the
+        # exact-dedup groupby's reduce tasks don't log schema-hash warnings)
+        from ..sources import clean_read_parquet
+
+        return clean_read_parquet(ckpt)
 
     n_good = good().count()   # metadata-only on a parquet read
 

@@ -338,7 +338,9 @@ def run_suite(input_path, out_dir: Optional[str] = None,
 
     t0 = time.monotonic()
     if isinstance(input_path, (str, list)):
-        ds = rd.read_parquet(input_path)
+        from ..sources import clean_read_parquet
+
+        ds = clean_read_parquet(input_path)
     else:
         ds = input_path
     contract = repo_contract(strict=strict)

@@ -642,3 +642,145 @@ def connected_components(pairs: Iterable[tuple[int, int]]) -> list[list[int]]:
     for x in list(parent):
         groups.setdefault(find(x), []).append(x)
     return sorted([sorted(g) for g in groups.values() if len(g) > 1])
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join (distributed n-gram Jaccard)
+# ---------------------------------------------------------------------------
+
+
+_EMPTY_JACCARD_PAIRS = pa.table({
+    "id_a": pa.array([], pa.int64()),
+    "id_b": pa.array([], pa.int64()),
+    "jaccard": pa.array([], pa.float64()),
+    "truncated": pa.array([], pa.bool_()),
+})
+
+
+def jaccard_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3, threshold: float = 0.5,
+                      max_bucket: int = 200, sep: str = " ") -> pa.Table:
+    """EXACT word-n-gram Jaccard pairs (id_a < id_b, jaccard >= threshold).
+
+    A distributed set-similarity join with LOSSLESS gram blocking: any pair
+    with J >= threshold > 0 shares at least one n-gram, so pairing docs
+    within per-gram groups finds EVERY qualifying pair — unlike the
+    probabilistic MinHash/SimHash stages, this is deterministic recall-1
+    (so a SQL oracle can brute-force the same answer).  The intersection
+    size is recovered WITHOUT ever shipping gram sets to pairs: each common
+    gram contributes one (id_a, id_b) occurrence to the per-gram pairing,
+    so |A ∩ B| = the pair's occurrence count and
+    J = c / (|A| + |B| - c)  — the multiplicity-counting set-similarity
+    join of Vernica/Carey/Li (SIGMOD'10), re-expressed on Ray Data.
+
+    Scale shape: one stateless pass tokenizes each doc to its DISTINCT
+    64-bit gram hashes; grams with corpus doc-frequency >= 2 are found by
+    the pre-bucketed count reduce (distagg.hot_keys — only (hash, count)
+    partials shuffle) and broadcast sorted; a second pass re-derives grams
+    and explodes ONLY hot-gram rows (singleton grams — the vast majority of
+    a real corpus — never leave their batch); pairs are enumerated
+    vectorized inside bucketed_reduce tasks and multiplicity-counted per
+    task; cross-task counts sum in a driver groupby over candidate pairs
+    only.  Per-gram groups larger than max_bucket are truncated and every
+    surviving pair from such a group is flagged `truncated` (reported J is
+    then a LOWER bound: a truncated group also cannot contribute its gram
+    to pairs it failed to form).  Docs with fewer than n tokens have no
+    grams and never pair (matching string_split SQL semantics; the scalar
+    ngram_jaccard() helper instead treats a short doc as one gram).
+
+    64-bit gram hashing stands in for gram strings end-to-end: a collision
+    merging two distinct grams perturbs c (never the set sizes, which are
+    counted on strings) with probability ~(#distinct grams)^2 / 2^65.
+    """
+    import ray
+
+    from .distagg import bucketed_reduce, hot_keys
+
+    def grams_fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        all_grams: list[str] = []
+        counts = np.zeros(ids.size, np.int64)
+        for i, s in enumerate(pc.fill_null(col, "").to_pylist()):
+            toks = s.split(sep)
+            if len(toks) < n:
+                continue
+            gs = {sep.join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+            counts[i] = len(gs)
+            all_grams.extend(gs)
+        if not all_grams:
+            return pa.table({"gh": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "sz": pa.array([], pa.int64())})
+        gh = stable_hash64(pa.array(all_grams, pa.string())) \
+            .view(np.int64)
+        return pa.table({"gh": pa.array(gh),
+                         id_col: pa.array(np.repeat(ids, counts)),
+                         "sz": pa.array(np.repeat(counts, counts))})
+
+    # pass 1: grams with doc-frequency >= 2 (grams are distinct per doc, so
+    # occurrence count == doc frequency).  Recomputing grams in pass 2 is a
+    # deliberate trade: tokenize+hash twice instead of pinning the exploded
+    # gram table (~20x the id column) in the object store.
+    hot = hot_keys(ds.map_batches(grams_fn, batch_format="pyarrow"),
+                   "gh", min_count=2)
+    if hot.size == 0:
+        return _EMPTY_JACCARD_PAIRS
+    hot_ref = ray.put(hot)  # sorted — workers binary-search it
+
+    def explode_hot(batch: pa.Table) -> pa.Table:
+        t = grams_fn(batch)
+        if t.num_rows == 0:
+            return t
+        sh = ray.get(hot_ref)
+        gh = t["gh"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(sh, gh), 0, max(sh.size - 1, 0))
+        return t.filter(pa.array(sh[pos] == gh))
+
+    def bucket_fn(t: pa.Table):
+        gh = t["gh"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sz = t["sz"].to_numpy(zero_copy_only=False)
+        order, ia, ib, trunc = _bucket_pair_index(gh, ids, max_bucket)
+        if ia.size == 0:
+            return None
+        d, s = ids[order], sz[order]
+        da, db = d[ia], d[ib]          # ascending within a group: da < db
+        sa, sb = s[ia], s[ib]
+        tr = trunc[ia]
+        # multiplicity-count within the task: runs of the (da, db)-sorted
+        # pair stream; one occurrence per common gram in this hash range
+        po = np.lexsort((db, da))
+        da, db, sa, sb, tr = da[po], db[po], sa[po], sb[po], tr[po]
+        starts = np.concatenate(
+            ([True], (da[1:] != da[:-1]) | (db[1:] != db[:-1])))
+        run = np.flatnonzero(starts)
+        cnt = np.diff(np.concatenate((run, [da.size]))).astype(np.int64)
+        tr_or = np.maximum.reduceat(tr.astype(np.uint8), run).astype(bool)
+        return pa.table({
+            "id_a": pa.array(da[run]),
+            "id_b": pa.array(db[run]),
+            "sa": pa.array(sa[run]),
+            "sb": pa.array(sb[run]),
+            "cnt": pa.array(cnt),
+            "truncated": pa.array(tr_or),
+        })
+
+    outs = bucketed_reduce(
+        ds.map_batches(explode_hot, batch_format="pyarrow"), "gh", bucket_fn)
+    if not outs:
+        return _EMPTY_JACCARD_PAIRS
+    pdf = pa.concat_tables(outs).to_pandas()
+    # cross-task: a pair's common grams may hash into several buckets —
+    # sum the partial counts; set sizes are per-doc constants; `truncated`
+    # ORs so a cap anywhere is never hidden
+    g = pdf.groupby(["id_a", "id_b"], as_index=False).agg(
+        sa=("sa", "first"), sb=("sb", "first"), cnt=("cnt", "sum"),
+        truncated=("truncated", "max"))
+    j = g["cnt"] / (g["sa"] + g["sb"] - g["cnt"])
+    g = g.assign(jaccard=j)[j >= threshold] \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        g[["id_a", "id_b", "jaccard", "truncated"]], preserve_index=False)

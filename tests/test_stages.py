@@ -204,6 +204,73 @@ def test_ngram_jaccard():
     assert ngram_jaccard("a b c d", "x y z w") == 0.0
 
 
+def test_jaccard_dup_pairs_exact(ray_session, docs_with_dups):
+    """The distributed set-similarity join vs a brute-force of the scalar
+    verifier — identical pairs AND identical jaccard values (the join is
+    deterministic recall-1, unlike minhash/simhash)."""
+    from rho_contracts_ray.stages import jaccard_dup_pairs
+
+    full, _, _ = docs_with_dups
+    out = jaccard_dup_pairs(rd.from_arrow(full), threshold=0.5, n=3,
+                            max_bucket=1_000_000).to_pandas()
+    # brute force over the same corpus with string_split-matched semantics
+    docs = dict(zip(full["doc_id"].to_pylist(), full["text"].to_pylist()))
+
+    def gset(s, n=3):
+        toks = s.split(" ")
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)} \
+            if len(toks) >= n else set()
+
+    ids = sorted(docs)
+    want = []
+    gs = {i: gset(docs[i]) for i in ids}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(gs[a] & gs[b])
+            if not inter:
+                continue
+            j = inter / (len(gs[a]) + len(gs[b]) - inter)
+            if j >= 0.5:
+                want.append((a, b, j))
+    got = list(zip(out.id_a, out.id_b, out.jaccard))
+    assert sorted(got) == sorted(want)
+    assert not out.truncated.any()
+    # the planted exact dups must appear with J == 1.0
+    assert (out.jaccard == 1.0).sum() >= 5
+
+
+def test_jaccard_dup_pairs_truncation_flagged(ray_session):
+    """A gram group over max_bucket truncates: surviving pairs are flagged,
+    never silently full-J."""
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import jaccard_dup_pairs
+
+    # 6 docs sharing one trigram + unique tails >= 3 tokens each
+    texts = [f"common gram here u{i} v{i} w{i}" for i in range(6)]
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = jaccard_dup_pairs(rd.from_arrow(t).repartition(3), threshold=0.01,
+                            n=3, max_bucket=3).to_pandas()
+    assert len(out) > 0 and out.truncated.all()
+    full = jaccard_dup_pairs(rd.from_arrow(t), threshold=0.01, n=3,
+                             max_bucket=100).to_pandas()
+    assert len(full) == 15 and not full.truncated.any()
+
+
+def test_jaccard_short_docs_never_pair(ray_session):
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import jaccard_dup_pairs
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["one two", "one two", None], pa.string())})
+    out = jaccard_dup_pairs(rd.from_arrow(t), threshold=0.1, n=3)
+    assert out.num_rows == 0
+    assert out.schema.names == ["id_a", "id_b", "jaccard", "truncated"]
+
+
 @pytest.fixture(scope="module")
 def embeddings(ray_session):
     return pq.read_table(f"{SF}/embeddings.parquet")
