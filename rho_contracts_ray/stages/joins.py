@@ -149,13 +149,23 @@ def bucketed_join(left_ds, right_ds, on: Sequence[str],
                                  batch_format="pyarrow")
     both = left.union(right)
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lhs = df[df["__side"] == "l"][left_cols]
-        rhs = df[df["__side"] == "r"][right_cols]
-        return lhs.merge(rhs, on=on, how=how, suffixes=("", "_r"))
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "outer": "full outer", "right": "right outer"}[how]
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        # Arrow-native hash join per bucket: no arrow->pandas->arrow round
+        # trip of the (string-heavy) payload columns.  Null keys follow SQL
+        # semantics (never match) — pandas merge would have matched
+        # NaN == NaN.
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(t["__side"], "l")
+        lhs = t.filter(lmask).select(left_cols)
+        rhs = t.filter(pc.invert(lmask)).select(right_cols)
+        return lhs.join(rhs, keys=on, join_type=arrow_how, right_suffix="_r")
 
     return both.groupby("__bucket").map_groups(join_bucket,
-                                               batch_format="pandas")
+                                               batch_format="pyarrow")
 
 
 def asof_join(left_ds, right_table: pa.Table, key: str, ts: str,
