@@ -689,36 +689,39 @@ def jaccard_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     ngram_jaccard() helper instead treats a short doc as one gram).
 
     64-bit gram hashing stands in for gram strings end-to-end: a collision
-    merging two distinct grams perturbs c (never the set sizes, which are
-    counted on strings) with probability ~(#distinct grams)^2 / 2^65.
+    merging two distinct grams perturbs c (or, within one doc, a set size)
+    with probability ~(#distinct grams)^2 / 2^65.
     """
     import ray
 
     from .distagg import bucketed_reduce, hot_keys
 
     def grams_fn(batch: pa.Table) -> pa.Table:
-        col = batch[text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
+        # Arrow/numpy end-to-end: vectorized gram build (gram_arrays), one
+        # vectorized hash, per-doc distinct via lexsort-dedup, set sizes
+        # via run lengths.  Distinctness (and so `sz`) is hash-based — a
+        # within-doc collision perturbs sz with the same negligible
+        # probability as the cross-doc case in the docstring.
+        from .text import gram_arrays
+
+        grams, doc_idx = gram_arrays(batch[text_col], n, sep)
+        empty = pa.table({"gh": pa.array([], pa.int64()),
+                          id_col: pa.array([], pa.int64()),
+                          "sz": pa.array([], pa.int64())})
+        if len(grams) == 0:
+            return empty
+        gh = stable_hash64(grams)
+        order = np.lexsort((gh, doc_idx))
+        di, g = doc_idx[order], gh[order]
+        keep = np.concatenate(([True], (di[1:] != di[:-1]) | (g[1:] != g[:-1])))
+        di, g = di[keep], g[keep]
+        starts = np.concatenate(([True], di[1:] != di[:-1]))
+        run = np.flatnonzero(starts)
+        sizes = np.diff(np.concatenate((run, [di.size]))).astype(np.int64)
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        all_grams: list[str] = []
-        counts = np.zeros(ids.size, np.int64)
-        for i, s in enumerate(pc.fill_null(col, "").to_pylist()):
-            toks = s.split(sep)
-            if len(toks) < n:
-                continue
-            gs = {sep.join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
-            counts[i] = len(gs)
-            all_grams.extend(gs)
-        if not all_grams:
-            return pa.table({"gh": pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
-                             "sz": pa.array([], pa.int64())})
-        gh = stable_hash64(pa.array(all_grams, pa.string())) \
-            .view(np.int64)
-        return pa.table({"gh": pa.array(gh),
-                         id_col: pa.array(np.repeat(ids, counts)),
-                         "sz": pa.array(np.repeat(counts, counts))})
+        return pa.table({"gh": pa.array(g.view(np.int64)),
+                         id_col: pa.array(ids[di]),
+                         "sz": pa.array(np.repeat(sizes, sizes))})
 
     # pass 1: grams with doc-frequency >= 2 (grams are distinct per doc, so
     # occurrence count == doc frequency).  Recomputing grams in pass 2 is a

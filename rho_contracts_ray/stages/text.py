@@ -29,6 +29,35 @@ def _count(col: pa.Array, pattern: str) -> np.ndarray:
         .astype(np.float64)
 
 
+def gram_arrays(col: pa.Array, n: int, sep: str = " "):
+    """Vectorized word-n-gram construction over a string column: returns
+    (grams, doc_idx) with one row per gram OCCURRENCE — `grams` a pyarrow
+    string array, `doc_idx` the int64 row index each gram came from.
+
+    Tokenization is exactly `split(sep)` (empties kept, null -> "") and a
+    row with fewer than n tokens contributes nothing — the same semantics
+    every SQL oracle here reproduces with string_split.  All steps are
+    Arrow C++ kernels (split_pattern -> flatten -> take x n ->
+    binary_join_element_wise); no Python loop over rows or grams."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(pc.fill_null(col, ""), sep)
+    offs = toks.offsets.to_numpy()
+    vals = toks.values
+    cnt = np.maximum(np.diff(offs) - n + 1, 0)
+    total = int(cnt.sum())
+    doc_idx = np.repeat(np.arange(cnt.size, dtype=np.int64), cnt)
+    if total == 0:
+        return pa.array([], pa.string()), doc_idx
+    cum = np.cumsum(cnt)
+    starts = (np.arange(total, dtype=np.int64)
+              - np.repeat(cum - cnt, cnt)
+              + np.repeat(offs[:-1], cnt))
+    parts = [vals.take(pa.array(starts + j, pa.int64())) for j in range(n)]
+    grams = parts[0] if n == 1 else pc.binary_join_element_wise(*parts, sep)
+    return grams, doc_idx
+
+
 class TextFeaturesStage:
     """Actor-pool stage: stopword patterns compiled once per actor
     (__init__), vectorized counting per batch (__call__)."""
@@ -165,27 +194,19 @@ def ngram_top_k(ds, n: int = 2, k: int = 20, text_col: str = "text",
     all-to-all groupby only ever moves one row per distinct n-gram per
     batch, never tokens — then a tiny sort+limit.  Tokenization is exactly
     `split(sep)` (empties kept) so a SQL oracle using string_split can
-    reproduce the counts bit-for-bit."""
-    from collections import Counter
+    reproduce the counts bit-for-bit.  Gram construction and the per-batch
+    combine are Arrow C++ kernels end-to-end (gram_arrays + group_by) —
+    no Python loop over docs or grams."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        col = batch[text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        counts: Counter = Counter()
-        for s in pc.fill_null(col, "").to_pylist():
-            toks = s.split(sep)
-            if len(toks) >= n:
-                counts.update(
-                    sep.join(toks[i:i + n])
-                    for i in range(len(toks) - n + 1))
-        if not counts:
+        grams, _ = gram_arrays(batch[text_col], n, sep)
+        if len(grams) == 0:
             return pa.table({"ngram": pa.array([], pa.string()),
                              "cnt": pa.array([], pa.int64())})
-        items = list(counts.items())
-        return pa.table({"ngram": pa.array([g for g, _ in items]),
-                         "cnt": pa.array([c for _, c in items],
-                                         pa.int64())})
+        g = pa.table({"ngram": grams}).group_by("ngram") \
+            .aggregate([("ngram", "count")])
+        return pa.table({"ngram": g["ngram"],
+                         "cnt": pc.cast(g["ngram_count"], pa.int64())})
 
     total = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("ngram").sum("cnt")
@@ -205,55 +226,68 @@ def decontaminate_ngrams(train_ds, holdout_ds, n: int = 3,
     Dataset[doc_id, n_shared].
 
     Scale shape: the holdout side (always the small side — eval sets) is
-    reduced to its distinct n-gram set ONCE and broadcast via ray.put;
-    each train batch then counts per-doc overlap locally — no join, no
-    shuffle, one streaming pass over the training corpus.  Tokenization is
-    exactly `split(sep)` so a SQL oracle reproduces the counts."""
+    reduced to its distinct n-gram 64-bit HASH set ONCE (8 B/gram — far
+    smaller than the strings, and a numpy array is zero-copy out of the
+    object store, unlike the round-2 frozenset) and broadcast via ray.put;
+    each train batch then counts per-doc overlap locally by binary search —
+    no join, no shuffle, one streaming pass over the training corpus.
+    Tokenization is exactly `split(sep)` so a SQL oracle reproduces the
+    counts; hashing stands in for gram strings with the usual
+    ~(#grams)^2/2^65 collision caveat.  All per-batch steps are Arrow/
+    numpy kernels (gram_arrays + lexsort dedup + searchsorted + bincount);
+    no Python loop over docs."""
     import ray
 
-    def grams(s: str):
-        toks = s.split(sep)
-        return {sep.join(toks[i:i + n])
-                for i in range(len(toks) - n + 1)} if len(toks) >= n else set()
+    from ..functions.hashing import stable_hash64
 
-    # 1. distinct holdout n-grams (small) — per-batch combine, driver union
+    def _doc_distinct(batch: pa.Table):
+        """(doc_row_idx, gram_hash) with per-doc duplicate grams dropped."""
+        grams, doc_idx = gram_arrays(batch[text_col], n, sep)
+        if len(grams) == 0:
+            return doc_idx, np.empty(0, np.uint64)
+        gh = stable_hash64(grams)
+        order = np.lexsort((gh, doc_idx))
+        di, g = doc_idx[order], gh[order]
+        keep = np.concatenate(([True], (di[1:] != di[:-1]) | (g[1:] != g[:-1])))
+        return di[keep], g[keep]
+
+    # 1. distinct holdout gram hashes (small) — per-batch combine, driver
+    # union via np.unique
     def hold_partial(batch: pa.Table) -> pa.Table:
-        col = batch[text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        out: set = set()
-        for s in pc.fill_null(col, "").to_pylist():
-            out |= grams(s)
-        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+        _, g = _doc_distinct(batch)
+        # uint64 end-to-end (this column is only ever map_batches output —
+        # never shuffled, so Ray 2.49's uint64-shuffle limitation is moot);
+        # mixing int64 views would corrupt the sort order binary search
+        # depends on
+        return pa.table({"gh": pa.array(np.unique(g), pa.uint64())})
 
-    hold_set: set = set()
+    parts = []
     for b in holdout_ds.map_batches(hold_partial, batch_format="pyarrow") \
             .iter_batches(batch_size=None, batch_format="pyarrow"):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        hold_set.update(t["gram"].to_pylist())
-    ref = ray.put(frozenset(hold_set))
+        parts.append(t["gh"].to_numpy(zero_copy_only=False).astype(np.uint64))
+    hold = np.unique(np.concatenate(parts)) if parts \
+        else np.empty(0, np.uint64)
+    ref = ray.put(hold)   # sorted — workers binary-search it zero-copy
 
-    # 2. per-doc distinct-overlap count over the train stream.  The gram
-    # set deserializes ONCE PER WORKER (closure cache) — a frozenset is
-    # not zero-copy, so a per-batch ray.get would re-unpickle it every
-    # batch.
-    _cache: dict = {}
-
+    # 2. per-doc distinct-overlap count over the train stream (zero-copy
+    # broadcast read per task)
     def overlap(batch: pa.Table) -> pa.Table:
-        hs = _cache.get("grams")
-        if hs is None:
-            hs = _cache["grams"] = ray.get(ref)
-        col = batch[text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        ids = batch[id_col].to_pylist()
-        out_id, out_n = [], []
-        for did, s in zip(ids, pc.fill_null(col, "").to_pylist()):
-            k = len(grams(s) & hs)
-            if k >= min_shared:
-                out_id.append(did)
-                out_n.append(k)
-        return pa.table({id_col: pa.array(out_id, pa.int64()),
-                         "n_shared": pa.array(out_n, pa.int64())})
+        hs = ray.get(ref)
+        di, g = _doc_distinct(batch)
+        if g.size and hs.size:
+            pos = np.clip(np.searchsorted(hs, g), 0, hs.size - 1)
+            hit = hs[pos] == g
+            shared = np.bincount(di[hit], minlength=batch.num_rows)
+        else:
+            shared = np.zeros(batch.num_rows, np.int64)
+        m = shared >= min_shared
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: pc.cast(ids.filter(pa.array(m)), pa.int64()),
+            "n_shared": pa.array(shared[m].astype(np.int64)),
+        })
 
     return train_ds.map_batches(overlap, batch_format="pyarrow")
