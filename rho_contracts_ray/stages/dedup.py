@@ -659,7 +659,8 @@ _EMPTY_JACCARD_PAIRS = pa.table({
 
 def jaccard_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       n: int = 3, threshold: float = 0.5,
-                      max_bucket: int = 200, sep: str = " ") -> pa.Table:
+                      max_bucket: int = 200, sep: str = " ",
+                      scratch_dir: Optional[str] = None) -> pa.Table:
     """EXACT word-n-gram Jaccard pairs (id_a < id_b, jaccard >= threshold).
 
     A distributed set-similarity join with LOSSLESS gram blocking: any pair
@@ -674,11 +675,17 @@ def jaccard_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     join of Vernica/Carey/Li (SIGMOD'10), re-expressed on Ray Data.
 
     Scale shape: one stateless pass tokenizes each doc to its DISTINCT
-    64-bit gram hashes; grams with corpus doc-frequency >= 2 are found by
-    the pre-bucketed count reduce (distagg.hot_keys — only (hash, count)
-    partials shuffle) and broadcast sorted; a second pass re-derives grams
-    and explodes ONLY hot-gram rows (singleton grams — the vast majority of
-    a real corpus — never leave their batch); pairs are enumerated
+    64-bit gram hashes — computed ONCE into a (gh, id, sz) table (24 B per
+    gram occurrence, ~the text's own size) that two consumers read: by
+    default it is pinned in the object store (fastest single-node, like
+    the minhash signature table); pass `scratch_dir` to checkpoint it to
+    parquet and re-read lazily per consumer — the 100-TB form, where
+    pinning would just force object-store spilling.  Grams with corpus
+    doc-frequency >= 2 are found by the pre-bucketed count reduce
+    (distagg.hot_keys — only (hash, count) partials shuffle) and broadcast
+    sorted; the second consumer explodes ONLY hot-gram rows (singleton
+    grams — the vast majority of a real corpus — never enter the
+    exchange); pairs are enumerated
     vectorized inside bucketed_reduce tasks and multiplicity-counted per
     task; cross-task counts sum in a driver groupby over candidate pairs
     only.  Per-gram groups larger than max_bucket are truncated and every
@@ -723,18 +730,26 @@ def jaccard_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                          id_col: pa.array(ids[di]),
                          "sz": pa.array(np.repeat(sizes, sizes))})
 
-    # pass 1: grams with doc-frequency >= 2 (grams are distinct per doc, so
-    # occurrence count == doc frequency).  Recomputing grams in pass 2 is a
-    # deliberate trade: tokenize+hash twice instead of pinning the exploded
-    # gram table (~20x the id column) in the object store.
-    hot = hot_keys(ds.map_batches(grams_fn, batch_format="pyarrow"),
-                   "gh", min_count=2)
+    # the gram table has two consumers (df counting, hot-row explode) —
+    # tokenize+hash ONCE and pin or checkpoint it, like minhash's
+    # signature table
+    gram_pipe = ds.map_batches(grams_fn, batch_format="pyarrow")
+    if scratch_dir is not None:
+        import ray.data as rd
+
+        gram_pipe.write_parquet(scratch_dir)
+        gram_ds = rd.read_parquet(scratch_dir)
+    else:
+        gram_ds = gram_pipe.materialize()
+
+    # grams with doc-frequency >= 2 (grams are distinct per doc, so
+    # occurrence count == doc frequency)
+    hot = hot_keys(gram_ds, "gh", min_count=2)
     if hot.size == 0:
         return _EMPTY_JACCARD_PAIRS
     hot_ref = ray.put(hot)  # sorted — workers binary-search it
 
-    def explode_hot(batch: pa.Table) -> pa.Table:
-        t = grams_fn(batch)
+    def explode_hot(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
         sh = ray.get(hot_ref)
@@ -772,7 +787,8 @@ def jaccard_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     outs = bucketed_reduce(
-        ds.map_batches(explode_hot, batch_format="pyarrow"), "gh", bucket_fn)
+        gram_ds.map_batches(explode_hot, batch_format="pyarrow"),
+        "gh", bucket_fn)
     if not outs:
         return _EMPTY_JACCARD_PAIRS
     pdf = pa.concat_tables(outs).to_pandas()
