@@ -857,6 +857,21 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, max_tokens=64, overlap=8)
 
 
+def _q_range_join_events(sf_dir: str):
+    """Interval (range) join: band each event's value against a broadcast
+    non-overlapping interval dim — one vectorized searchsorted per batch,
+    no shuffle.  SQL-exact against a VALUES theta join."""
+    from rho_contracts_ray.stages import range_join
+
+    bands = pa.table({
+        "lo": pa.array([0.0, 10.0, 50.0, 200.0], pa.float64()),
+        "hi": pa.array([10.0, 50.0, 200.0, 1e9], pa.float64()),
+        "band": pa.array(["xs", "s", "m", "l"], pa.string()),
+    })
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    return range_join(ds, bands, "value")
+
+
 def _q_jaccard_pairs(sf_dir: str):
     """Exact n-gram Jaccard set-similarity join (recall-1 gram blocking +
     multiplicity-counted intersections) — deterministic, so the oracle
@@ -938,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_top20_documents": _q_ngram_top20,
         "decontam_documents": _q_decontam_documents,
         "chunk_documents": _q_chunk_documents,
+        "range_join_events": _q_range_join_events,
         "jaccard_pairs_documents": _q_jaccard_pairs,
         "pack_sequences_documents": _q_pack_sequences,
     }
@@ -1018,6 +1034,12 @@ def oracle_sql() -> dict[str, str]:
             " FROM toks, UNNEST(range(0,"
             " (greatest(len(arr)-8,1) + 55) // 56)) AS t(k)"
             ") SELECT * FROM chunks"
+        ),
+        "range_join_events": (
+            "SELECT e.event_id, e.value, r.lo, r.hi, r.band FROM events e "
+            "JOIN (VALUES (0.0, 10.0, 'xs'), (10.0, 50.0, 's'), "
+            "(50.0, 200.0, 'm'), (200.0, 1000000000.0, 'l')) "
+            "r(lo, hi, band) ON e.value >= r.lo AND e.value < r.hi"
         ),
         "jaccard_pairs_documents": (
             # brute-force exact trigram Jaccard over all doc pairs: docs

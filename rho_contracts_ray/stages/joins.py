@@ -277,6 +277,75 @@ def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
                                                batch_format="pandas")
 
 
+def range_join(ds, intervals: pa.Table, value_col: str,
+               lo_col: str = "lo", hi_col: str = "hi",
+               how: str = "inner", suffix: str = "_r"):
+    """Interval (range) join: attach to each row the interval row with
+    lo <= value < hi — the banding/bucketing enrichment (price bands,
+    latency buckets, date ranges) Ray Data has no native operator for.
+
+    The interval table is broadcast (`ray.put` ONCE, read zero-copy per
+    task) — no shuffle at any fact-side scale.  Intervals must be
+    non-overlapping and non-empty (validated once up front; a ValueError
+    names the offender), so each row matches at most one interval and the
+    probe is a single vectorized searchsorted per batch instead of the
+    O(rows x intervals) scan a general theta join needs.  how='inner'
+    drops unmatched rows, 'left' keeps them with null interval columns.
+    Null (and NaN) values never match — SQL `v >= lo AND v < hi`
+    semantics."""
+    import ray
+    import pyarrow.compute as pc
+
+    ivs = intervals.take(
+        pc.sort_indices(intervals, sort_keys=[(lo_col, "ascending")]))
+    lo = ivs[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    hi = ivs[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    if np.any(hi <= lo):
+        i = int(np.flatnonzero(hi <= lo)[0])
+        raise ValueError(f"range_join: empty interval [{lo[i]}, {hi[i]})")
+    if np.any(lo[1:] < hi[:-1]):
+        i = int(np.flatnonzero(lo[1:] < hi[:-1])[0])
+        raise ValueError(
+            f"range_join: intervals overlap: [{lo[i]}, {hi[i]}) and "
+            f"[{lo[i + 1]}, {hi[i + 1]})")
+    ref = ray.put(ivs)
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join: how={how!r} not supported")
+
+    def match(batch: pa.Table) -> pa.Table:
+        iv = ray.get(ref)
+        los = iv[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        his = iv[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = batch[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(los, vals, side="right") - 1
+        cl = np.clip(pos, 0, los.size - 1)
+        with np.errstate(invalid="ignore"):
+            ok = (pos >= 0) & (vals < his[cl])   # NaN/null -> False
+        out_names = set(batch.column_names)
+        if how == "inner":
+            keep = np.flatnonzero(ok)
+            t = batch.take(pa.array(keep, pa.int64()))
+            picked = iv.take(pa.array(cl[keep], pa.int64()))
+            for name in iv.column_names:
+                col = name if name not in out_names else name + suffix
+                t = t.append_column(col, picked[name])
+            return t
+        picked = iv.take(pa.array(cl, pa.int64()))
+        t = batch
+        for name in iv.column_names:
+            col = name if name not in out_names else name + suffix
+            c = picked[name].combine_chunks() \
+                if isinstance(picked[name], pa.ChunkedArray) else picked[name]
+            t = t.append_column(
+                col, pc.if_else(pa.array(ok), c, pa.nulls(len(ok), c.type)))
+        return t
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
 def window_seq(ds, key: str, order_by: Sequence[str],
                out_col: str = "seq"):
     """ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_by...) — per-key

@@ -157,3 +157,40 @@ def test_window_seq_and_cumsum(ray_session):
     ).df()
     import numpy as np
     assert np.allclose(cum["running"].values, ref2["running"].values)
+
+
+def test_range_join_inner_and_left(ray_session):
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import range_join
+
+    bands = pa.table({"lo": pa.array([10.0, 0.0], pa.float64()),
+                      "hi": pa.array([20.0, 10.0], pa.float64()),
+                      "band": pa.array(["b", "a"], pa.string())})
+    t = pa.table({"id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "value": pa.array([0.0, 9.99, 10.0, 25.0, None],
+                                    pa.float64())})
+    inner = range_join(rd.from_arrow(t), bands, "value").take_all()
+    assert [(r["id"], r["band"]) for r in inner] == \
+        [(1, "a"), (2, "a"), (3, "b")]
+    left = range_join(rd.from_arrow(t), bands, "value", how="left").take_all()
+    assert len(left) == 5
+    assert [r["band"] for r in left] == ["a", "a", "b", None, None]
+    # boundary semantics: lo inclusive, hi exclusive
+    assert inner[2]["lo"] == 10.0
+
+
+def test_range_join_rejects_bad_intervals(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import range_join
+
+    t = rd.from_arrow(pa.table({"value": pa.array([1.0])}))
+    overlap = pa.table({"lo": [0.0, 5.0], "hi": [6.0, 10.0],
+                        "band": ["a", "b"]})
+    with _pytest.raises(ValueError, match="overlap"):
+        range_join(t, overlap, "value")
+    empty = pa.table({"lo": [5.0], "hi": [5.0], "band": ["a"]})
+    with _pytest.raises(ValueError, match="empty"):
+        range_join(t, empty, "value")
