@@ -857,6 +857,17 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, max_tokens=64, overlap=8)
 
 
+def _q_hopping_window_events(sf_dir: str):
+    """Hopping-window event counts (1 h windows every 30 min): fixed-k
+    vectorized window explode + per-batch combine — only (window, count)
+    partials shuffle.  Exact int64 epoch-us window starts, SQL-checked."""
+    from rho_contracts_ray.stages import hopping_window_count
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    return hopping_window_count(ds, "ts", size_us=3_600_000_000,
+                                hop_us=1_800_000_000)
+
+
 def _q_range_join_events(sf_dir: str):
     """Interval (range) join: band each event's value against a broadcast
     non-overlapping interval dim — one vectorized searchsorted per batch,
@@ -953,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_top20_documents": _q_ngram_top20,
         "decontam_documents": _q_decontam_documents,
         "chunk_documents": _q_chunk_documents,
+        "hopping_window_events": _q_hopping_window_events,
         "range_join_events": _q_range_join_events,
         "jaccard_pairs_documents": _q_jaccard_pairs,
         "pack_sequences_documents": _q_pack_sequences,
@@ -1034,6 +1046,13 @@ def oracle_sql() -> dict[str, str]:
             " FROM toks, UNNEST(range(0,"
             " (greatest(len(arr)-8,1) + 55) // 56)) AS t(k)"
             ") SELECT * FROM chunks"
+        ),
+        "hopping_window_events": (
+            # size 1h = 2 x hop 30min: each event is in exactly 2 windows
+            "SELECT (epoch_us(ts) // 1800000000 - o) * 1800000000 "
+            "AS window_start_us, count(*)::BIGINT AS n "
+            "FROM events, UNNEST(range(0, 2)) AS t(o) "
+            "WHERE ts IS NOT NULL GROUP BY 1"
         ),
         "range_join_events": (
             "SELECT e.event_id, e.value, r.lo, r.hi, r.band FROM events e "

@@ -19,7 +19,7 @@ from .multimodal import (  # noqa: F401
 )
 from .joins import (  # noqa: F401
     asof_join, asof_join_partitioned, broadcast_join, bucketed_join,
-    range_join, window_cumsum, window_seq,
+    hopping_window_count, range_join, window_cumsum, window_seq,
 )
 from .skew import salted_groupby_count, sessionize  # noqa: F401
 from .sampling import (  # noqa: F401

@@ -346,6 +346,51 @@ def range_join(ds, intervals: pa.Table, value_col: str,
     return ds.map_batches(match, batch_format="pyarrow")
 
 
+def hopping_window_count(ds, ts_col: str, size_us: int, hop_us: int):
+    """Hopping (sliding) event-time window counts over a timestamp column
+    -> Dataset[window_start_us, n]: every window [s, s + size) with
+    s ≡ 0 (mod hop) counts the events it contains.  hop == size degenerates
+    to a tumbling window.
+
+    size must be a multiple of hop, so each event lands in EXACTLY
+    size/hop windows — the per-batch explode is a fixed-k vectorized
+    broadcast (no boundary filter needed), combined locally (one row per
+    distinct window per batch) before the groupby, so the all-to-all only
+    moves (window, partial-count) rows, never events.  Window starts are
+    int64 epoch-microseconds: exact arithmetic a SQL oracle reproduces
+    with epoch_us(ts) // hop."""
+    import pyarrow.compute as pc
+
+    if size_us <= 0 or hop_us <= 0 or size_us % hop_us:
+        raise ValueError(
+            f"hopping_window_count: size ({size_us}) must be a positive "
+            f"multiple of hop ({hop_us})")
+    k = size_us // hop_us
+    offs = np.arange(k, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[ts_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()   # null timestamps belong to no window
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us")).cast(pa.int64())
+        t = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        base = t // hop_us   # numpy int64 // floors, matching SQL //
+        starts = ((base[:, None] - offs[None, :]) * hop_us).reshape(-1)
+        u, c = np.unique(starts, return_counts=True)
+        return pa.table({"window_start_us": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("window_start_us").sum("n")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["window_start_us", "n"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def window_seq(ds, key: str, order_by: Sequence[str],
                out_col: str = "seq"):
     """ROW_NUMBER() OVER (PARTITION BY key ORDER BY order_by...) — per-key

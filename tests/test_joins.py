@@ -194,3 +194,28 @@ def test_range_join_rejects_bad_intervals(ray_session):
     empty = pa.table({"lo": [5.0], "hi": [5.0], "band": ["a"]})
     with _pytest.raises(ValueError, match="empty"):
         range_join(t, empty, "value")
+
+
+def test_hopping_window_count(ray_session):
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import hopping_window_count
+
+    # events at us 0, 100, 1000, 2500 with size=2000 hop=1000:
+    # windows: t=0 -> {-1000, 0}; 100 -> {-1000, 0}; 1000 -> {0, 1000};
+    # 2500 -> {1000, 2000}
+    t = pa.table({"ts": pa.array([0, 100, 1000, 2500], pa.int64())})
+    out = {r["window_start_us"]: r["n"]
+           for r in hopping_window_count(rd.from_arrow(t), "ts",
+                                         size_us=2000, hop_us=1000)
+           .take_all()}
+    assert out == {-1000: 2, 0: 3, 1000: 2, 2000: 1}
+    # tumbling degenerate: hop == size
+    out2 = {r["window_start_us"]: r["n"]
+            for r in hopping_window_count(rd.from_arrow(t), "ts",
+                                          size_us=1000, hop_us=1000)
+            .take_all()}
+    assert out2 == {0: 2, 1000: 1, 2000: 1}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiple"):
+        hopping_window_count(rd.from_arrow(t), "ts", 1500, 1000)
