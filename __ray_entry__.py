@@ -857,6 +857,23 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, max_tokens=64, overlap=8)
 
 
+def _q_anti_join_customers(sf_dir: str):
+    """Broadcast anti join: customers with NO purchase event — the
+    purchase-user key set is ray.put once; the customer stream filters by
+    membership, no shuffle.  NOT EXISTS oracle."""
+    from rho_contracts_ray.stages import anti_join
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def purchases(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["event_type"], "purchase")) \
+            .select(["user_id"])
+
+    right = events.map_batches(purchases, batch_format="pyarrow")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return anti_join(cust, right, on=["c_custkey"], right_on=["user_id"])
+
+
 def _q_hopping_window_events(sf_dir: str):
     """Hopping-window event counts (1 h windows every 30 min): fixed-k
     vectorized window explode + per-batch combine — only (window, count)
@@ -964,6 +981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_top20_documents": _q_ngram_top20,
         "decontam_documents": _q_decontam_documents,
         "chunk_documents": _q_chunk_documents,
+        "anti_join_customers_no_purchase": _q_anti_join_customers,
         "hopping_window_events": _q_hopping_window_events,
         "range_join_events": _q_range_join_events,
         "jaccard_pairs_documents": _q_jaccard_pairs,
@@ -1046,6 +1064,11 @@ def oracle_sql() -> dict[str, str]:
             " FROM toks, UNNEST(range(0,"
             " (greatest(len(arr)-8,1) + 55) // 56)) AS t(k)"
             ") SELECT * FROM chunks"
+        ),
+        "anti_join_customers_no_purchase": (
+            "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
+            "SELECT 1 FROM events e WHERE e.event_type = 'purchase' "
+            "AND e.user_id = c.c_custkey)"
         ),
         "hopping_window_events": (
             # size 1h = 2 x hop 30min: each event is in exactly 2 windows

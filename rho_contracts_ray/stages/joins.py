@@ -346,6 +346,46 @@ def range_join(ds, intervals: pa.Table, value_col: str,
     return ds.map_batches(match, batch_format="pyarrow")
 
 
+def semi_join(ds, right, on: Sequence[str],
+              right_on: Optional[Sequence[str]] = None, anti: bool = False):
+    """Broadcast semi join (anti=True -> anti join): keep the rows of `ds`
+    whose key tuple EXISTS (resp. does NOT EXIST) in `right`'s key set.
+
+    The right side's DISTINCT combined keys are `ray.put` once and read
+    once per worker — the no-shuffle filter-by-membership every fact/dim
+    pipeline needs (the FK constraint is this op + a count).  Null
+    semantics are SQL EXISTS / NOT EXISTS with an equality predicate: a
+    null key never matches, so semi drops null-key rows and anti keeps
+    them.  `right` may be a pyarrow Table or a (small) Dataset."""
+    import ray
+
+    from ..constraints.foreign_key import _dim_key_array
+    from ..functions.hashing import combine_key
+
+    on = list(on)
+    keys_ref = ray.put(_dim_key_array(right, list(right_on or on)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = ray.get(keys_ref)
+        m = pc.is_in(combine_key(batch, on), value_set=keys)
+        for c in on:
+            m = pc.and_(m, pc.is_valid(batch[c]))
+        m = pc.fill_null(m, False)
+        if anti:
+            m = pc.invert(m)
+        return batch.filter(m)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def anti_join(ds, right, on: Sequence[str],
+              right_on: Optional[Sequence[str]] = None):
+    """NOT EXISTS filter — see semi_join."""
+    return semi_join(ds, right, on, right_on=right_on, anti=True)
+
+
 def hopping_window_count(ds, ts_col: str, size_us: int, hop_us: int):
     """Hopping (sliding) event-time window counts over a timestamp column
     -> Dataset[window_start_us, n]: every window [s, s + size) with

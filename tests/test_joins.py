@@ -219,3 +219,21 @@ def test_hopping_window_count(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="multiple"):
         hopping_window_count(rd.from_arrow(t), "ts", 1500, 1000)
+
+
+def test_semi_and_anti_join_null_semantics(ray_session):
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import anti_join, semi_join
+
+    left = pa.table({"k": pa.array([1, 2, 3, None], pa.int64()),
+                     "v": pa.array(["a", "b", "c", "d"], pa.string())})
+    right = pa.table({"rk": pa.array([2, 3, None], pa.int64())})
+    semi = semi_join(rd.from_arrow(left), right, on=["k"],
+                     right_on=["rk"]).take_all()
+    # EXISTS: null left keys never match (even against right nulls)
+    assert sorted(r["v"] for r in semi) == ["b", "c"]
+    anti = anti_join(rd.from_arrow(left), right, on=["k"],
+                     right_on=["rk"]).take_all()
+    # NOT EXISTS: null-key rows are kept
+    assert sorted(r["v"] for r in anti) == ["a", "d"]
