@@ -857,6 +857,16 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, max_tokens=64, overlap=8)
 
 
+def _q_group_quantiles_events(sf_dir: str):
+    """Exact per-event-type value quantiles (p50/p95/p99): one shuffle by
+    key, Arrow sort per group, DuckDB quantile_disc picking rule —
+    value-exact oracle (picked elements are data values)."""
+    from rho_contracts_ray.stages import group_quantiles
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return group_quantiles(ds, "event_type", "value")
+
+
 def _q_anti_join_customers(sf_dir: str):
     """Broadcast anti join: customers with NO purchase event — the
     purchase-user key set is ray.put once; the customer stream filters by
@@ -982,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_documents": _q_decontam_documents,
         "chunk_documents": _q_chunk_documents,
         "anti_join_customers_no_purchase": _q_anti_join_customers,
+        "group_quantiles_events": _q_group_quantiles_events,
         "hopping_window_events": _q_hopping_window_events,
         "range_join_events": _q_range_join_events,
         "jaccard_pairs_documents": _q_jaccard_pairs,
@@ -1069,6 +1080,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
             "SELECT 1 FROM events e WHERE e.event_type = 'purchase' "
             "AND e.user_id = c.c_custkey)"
+        ),
+        "group_quantiles_events": (
+            "SELECT event_type, quantile_disc(value, 0.5) AS p50, "
+            "quantile_disc(value, 0.95) AS p95, "
+            "quantile_disc(value, 0.99) AS p99 "
+            "FROM events GROUP BY event_type"
         ),
         "hopping_window_events": (
             # size 1h = 2 x hop 30min: each event is in exactly 2 windows

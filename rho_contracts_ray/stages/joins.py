@@ -466,6 +466,46 @@ def top_k_per_group(ds, key: str, order_by: Sequence[str], k: int,
     return ds.groupby(key).map_groups(take, batch_format="pyarrow")
 
 
+def group_quantiles(ds, key: str, value: str,
+                    qs: Sequence[float] = (0.5, 0.95, 0.99)):
+    """EXACT per-group discrete quantiles -> (key, p50, p95, ...): the
+    sorted group element at index ceil(q*n) - 1 — the same picking rule as
+    DuckDB's quantile_disc (probed over n=1..200 incl. the q*n-integral
+    boundaries), so the oracle compares value-exact: a picked element IS a
+    data value, no interpolation arithmetic to diverge.  Nulls are ignored
+    within a group (an all-null group yields nulls), matching SQL.
+
+    Scale shape: one shuffle by key, one Arrow sort per group in the group
+    task — exact quantiles need the group co-located; for sketched
+    (shuffle-free) global quantiles use constraints.column_stats'
+    t-digest instead."""
+    import math
+
+    import pyarrow.compute as pc
+
+    qs = list(qs)
+    names = [f"p{round(q * 100)}" for q in qs]
+
+    def body(t: pa.Table) -> pa.Table:
+        v = t[value]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vv = v.drop_null()
+        if pa.types.is_floating(vv.type):
+            # DuckDB's quantile_disc skips NaN like NULL; Arrow's sort
+            # would instead place NaN last and let a high quantile pick it
+            vv = vv.filter(pc.invert(pc.is_nan(vv)))
+        vv = vv.sort()
+        n = len(vv)
+        out = {key: t[key].slice(0, 1)}
+        for name, q in zip(names, qs):
+            out[name] = vv.slice(max(math.ceil(q * n) - 1, 0), 1) if n \
+                else pa.nulls(1, v.type)
+        return pa.table(out)
+
+    return ds.groupby(key).map_groups(body, batch_format="pyarrow")
+
+
 def window_cumsum(ds, key: str, order_by: Sequence[str], value: str,
                   out_col: str = "running"):
     """SUM(value) OVER (PARTITION BY key ORDER BY order_by ROWS UNBOUNDED

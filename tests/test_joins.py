@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -237,3 +238,29 @@ def test_semi_and_anti_join_null_semantics(ray_session):
                      right_on=["rk"]).take_all()
     # NOT EXISTS: null-key rows are kept
     assert sorted(r["v"] for r in anti) == ["a", "d"]
+
+
+def test_group_quantiles_matches_duckdb_rule(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import group_quantiles
+
+    rng = np.random.RandomState(7)
+    t = pa.table({
+        "k": pa.array([f"g{i % 3}" for i in range(101)], pa.string()),
+        "v": pa.array(np.r_[rng.rand(100), np.nan][rng.permutation(101)],
+                      pa.float64()),
+    })
+    # make one value null (not NaN) to exercise null-skipping
+    vals = t["v"].to_pylist()
+    vals[5] = None
+    t = pa.table({"k": t["k"], "v": pa.array(vals, pa.float64())})
+    mine = {r["k"]: (r["p50"], r["p95"], r["p99"])
+            for r in group_quantiles(rd.from_arrow(t), "k", "v").take_all()}
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ref = {k: (a, b, c) for k, a, b, c in con.execute(
+        "SELECT k, quantile_disc(v, 0.5), quantile_disc(v, 0.95), "
+        "quantile_disc(v, 0.99) FROM t GROUP BY k").fetchall()}
+    assert mine == ref
