@@ -13,9 +13,9 @@ from .dedup import (  # noqa: F401
 )
 from .ann import knn_brute_force, knn_ivf, embedding_dup_pairs  # noqa: F401
 from .multimodal import (  # noqa: F401
-    AudioFeaturesStage, DecodeImageStage, FrameSampleStage, decode_bmp,
-    decode_images, decode_wav, encode_bmp, encode_wav, make_media_table,
-    png_header_dims,
+    AudioFeaturesStage, DecodeImageStage, FrameSampleStage,
+    ResizeImageStage, decode_bmp, decode_images, decode_wav, encode_bmp,
+    encode_wav, make_media_table, png_header_dims,
 )
 from .joins import (  # noqa: F401
     anti_join, asof_join, asof_join_partitioned, broadcast_join,

@@ -239,6 +239,67 @@ class DecodeImageStage:
         })
 
 
+class ResizeImageStage:
+    """Actor-pool stage: REAL nearest-neighbor image resize to
+    (out_h, out_w) — decode_bmp -> one numpy index-map gather ->
+    encode_bmp, lib-free end-to-end for BMP payloads.  PNG/JPEG follow
+    DecodeImageStage's policy: on_undecodable='raise' names the missing
+    dependency, 'flag' passes the row through unresized with
+    resized=False.  Output keeps the payload column (resized where
+    decodable) plus out_width/out_height/resized, so the stage composes
+    with DecodeImageStage downstream."""
+
+    def __init__(self, out_h: int = 16, out_w: int = 16,
+                 on_undecodable: str = "raise"):
+        if on_undecodable not in ("raise", "flag"):
+            raise ValueError(f"unknown on_undecodable {on_undecodable!r}")
+        if out_h <= 0 or out_w <= 0:
+            raise ValueError("resize dims must be positive")
+        self.out_h, self.out_w = out_h, out_w
+        self.on_undecodable = on_undecodable
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w = px.shape[0], px.shape[1]
+        # nearest-neighbor index map (pixel-center sampling)
+        ri = np.minimum(((np.arange(self.out_h) + 0.5) * h
+                         // self.out_h).astype(np.int64), h - 1)
+        ci = np.minimum(((np.arange(self.out_w) + 0.5) * w
+                         // self.out_w).astype(np.int64), w - 1)
+        return px[ri][:, ci]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [p or b"" for p in batch["payload"].to_pylist()]
+        out_payload: list = []
+        resized = [False] * len(payloads)
+        for i, p in enumerate(payloads):
+            if p[:2] == b"BM":
+                try:
+                    px = decode_bmp(p)
+                except ValueError:
+                    if self.on_undecodable == "raise":
+                        raise
+                    out_payload.append(p)
+                    continue
+                out_payload.append(encode_bmp(self._resize(px)))
+                resized[i] = True
+                continue
+            if self.on_undecodable == "raise":
+                raise NotImplementedError(
+                    "non-BMP pixel decode requires Pillow/opencv, not "
+                    "present in this container (use BMP payloads or "
+                    "on_undecodable='flag')")
+            out_payload.append(p)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "payload": pa.array(out_payload, pa.binary()),
+            "out_width": pa.array(
+                [self.out_w if r else None for r in resized], pa.int32()),
+            "out_height": pa.array(
+                [self.out_h if r else None for r in resized], pa.int32()),
+            "resized": pa.array(resized, pa.bool_()),
+        })
+
+
 class AudioFeaturesStage:
     """Real (lib-free) audio features for PCM-16 WAV payloads: sample
     rate, duration, RMS level, zero-crossing rate."""

@@ -429,3 +429,41 @@ def test_real_bmp_roundtrip_and_features(ray_session):
     assert a["duration_ms"].to_pylist() == [2000]
     assert 0.3 < a["rms"].to_pylist()[0] < 0.8
     assert a["zero_crossings"].to_pylist()[0] > 10
+
+
+def test_resize_image_stage_real_roundtrip(ray_session):
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import (DecodeImageStage, ResizeImageStage,
+                                          encode_bmp)
+
+    rng = np.random.RandomState(3)
+    imgs = [encode_bmp(rng.randint(0, 255, (h, w, 3)).astype(np.uint8))
+            for h, w in ((32, 48), (7, 5), (16, 16))]
+    t = pa.table({"media_id": pa.array([0, 1, 2], pa.int64()),
+                  "payload": pa.array(imgs, pa.binary())})
+    resized = ResizeImageStage(out_h=8, out_w=8)(t)
+    assert resized["resized"].to_pylist() == [True, True, True]
+    # compose with the decode stage: every payload now decodes to 8x8
+    dec = DecodeImageStage(decoder="real")(resized)
+    assert dec["width"].to_pylist() == [8, 8, 8]
+    assert dec["height"].to_pylist() == [8, 8, 8]
+    # nearest-neighbor on a constant image is lossless
+    const = encode_bmp(np.full((10, 10, 3), 200, np.uint8))
+    t2 = pa.table({"media_id": pa.array([0], pa.int64()),
+                   "payload": pa.array([const], pa.binary())})
+    out = ResizeImageStage(out_h=4, out_w=4)(t2)
+    from rho_contracts_ray.stages import decode_bmp
+    assert (decode_bmp(out["payload"][0].as_py()) == 200).all()
+    # non-BMP: flag passes through, raise names the dependency
+    png = pa.table({"media_id": pa.array([9], pa.int64()),
+                    "payload": pa.array([b"\x89PNG\r\n"], pa.binary())})
+    flagged = ResizeImageStage(on_undecodable="flag")(png)
+    assert flagged["resized"].to_pylist() == [False]
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        ResizeImageStage()(png)
+    # distributed path
+    ds_out = rd.from_arrow(t).map_batches(
+        ResizeImageStage, fn_constructor_kwargs={"out_h": 8, "out_w": 8},
+        batch_format="pyarrow", batch_size=2, concurrency=(1, 2)).take_all()
+    assert all(r["resized"] for r in ds_out)
