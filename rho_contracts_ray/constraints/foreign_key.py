@@ -19,7 +19,14 @@ import pyarrow.compute as pc
 from ..functions.hashing import combine_key
 
 
-def _dim_key_array(dim, dim_cols: Sequence[str]) -> pa.Array:
+def _dim_key_array(dim, dim_cols: Sequence[str],
+                   combined: bool = True) -> pa.Array:
+    """Distinct dim-side keys for membership tests.  Rows with ANY null
+    key column are dropped — a null key matches nothing under SQL equality,
+    and keeping them would let the combine_key null token ('\\N') falsely
+    match a real value.  combined=False returns the single key column
+    TYPED (no string combine) — callers with one key column keep the
+    typed is_in fast path."""
     if isinstance(dim, pa.Table):
         t = dim
     else:  # ray Dataset — dimension tables are small; collect once
@@ -28,8 +35,20 @@ def _dim_key_array(dim, dim_cols: Sequence[str]) -> pa.Array:
         for b in dim.iter_batches(batch_size=None, batch_format="pyarrow"):
             parts.append(b if isinstance(b, _pa.Table) else _pa.Table.from_batches([b]))
         t = _pa.concat_tables(parts) if parts else None
-    if t is None:
-        return pa.array([], type=pa.string())
+    if t is None or t.num_rows == 0:
+        if combined:
+            return pa.array([], type=pa.string())
+        return pa.array([], type=(t.schema.field(dim_cols[0]).type
+                                  if t is not None else pa.null()))
+    mask = pc.is_valid(t[dim_cols[0]])
+    for c in list(dim_cols)[1:]:
+        mask = pc.and_(mask, pc.is_valid(t[c]))
+    t = t.filter(mask)
+    if not combined:
+        col = t[dim_cols[0]]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pc.unique(col)
     return pc.unique(combine_key(t, list(dim_cols)))
 
 

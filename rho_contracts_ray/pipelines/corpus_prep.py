@@ -76,7 +76,9 @@ def prep_documents(ds, text_col: str = "text", id_col: str = "doc_id",
 
         return clean_read_parquet(ckpt)
 
-    n_good = good().count()   # metadata-only on a parquet read
+    # count on the BARE read: metadata-only (the stripped read would
+    # execute a full pass over the checkpoint just to count)
+    n_good = rd.read_parquet(ckpt).count()
 
     # 4. exact dedup: drop all but the min id of each identical-text group.
     # Only (h1, h2, id) rows — 24 B/row — enter the shuffle; the text

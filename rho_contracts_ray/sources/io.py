@@ -1,0 +1,20 @@
+"""Shared parquet IO helpers."""
+
+from __future__ import annotations
+
+
+def clean_read_parquet(path, **kwargs):
+    """ray.data.read_parquet with the file's schema METADATA stripped from
+    every batch.  Parquet files carry a pandas-metadata dict in the Arrow
+    schema; Ray 2.49's repartition/groupby reduce tasks try to hash block
+    schemas for deduplication and log a 'Failed to hash the schemas'
+    warning per task on the unhashable dict (VERDICT r2 #9 — a warning
+    storm in driver artifacts).  The strip is a zero-copy map_batches that
+    fuses with the read."""
+    import ray.data as rd
+
+    def _strip(b):
+        return b.replace_schema_metadata(None)
+
+    return rd.read_parquet(path, **kwargs).map_batches(
+        _strip, batch_format="pyarrow")

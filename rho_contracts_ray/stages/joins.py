@@ -320,10 +320,14 @@ def range_join(ds, intervals: pa.Table, value_col: str,
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
         vals = v.to_numpy(zero_copy_only=False).astype(np.float64)
-        pos = np.searchsorted(los, vals, side="right") - 1
-        cl = np.clip(pos, 0, los.size - 1)
-        with np.errstate(invalid="ignore"):
-            ok = (pos >= 0) & (vals < his[cl])   # NaN/null -> False
+        if los.size == 0:   # empty dim: nothing matches (SQL join vs empty)
+            ok = np.zeros(vals.size, bool)
+            cl = np.zeros(vals.size, np.int64)
+        else:
+            pos = np.searchsorted(los, vals, side="right") - 1
+            cl = np.clip(pos, 0, los.size - 1)
+            with np.errstate(invalid="ignore"):
+                ok = (pos >= 0) & (vals < his[cl])   # NaN/null -> False
         out_names = set(batch.column_names)
         if how == "inner":
             keep = np.flatnonzero(ok)
@@ -333,7 +337,9 @@ def range_join(ds, intervals: pa.Table, value_col: str,
                 col = name if name not in out_names else name + suffix
                 t = t.append_column(col, picked[name])
             return t
-        picked = iv.take(pa.array(cl, pa.int64()))
+        picked = iv.take(pa.array(cl, pa.int64())) if los.size else \
+            pa.table({name: pa.nulls(len(ok), iv.schema.field(name).type)
+                      for name in iv.column_names})
         t = batch
         for name in iv.column_names:
             col = name if name not in out_names else name + suffix
@@ -351,25 +357,40 @@ def semi_join(ds, right, on: Sequence[str],
     """Broadcast semi join (anti=True -> anti join): keep the rows of `ds`
     whose key tuple EXISTS (resp. does NOT EXIST) in `right`'s key set.
 
-    The right side's DISTINCT combined keys are `ray.put` once and read
-    once per worker — the no-shuffle filter-by-membership every fact/dim
-    pipeline needs (the FK constraint is this op + a count).  Null
-    semantics are SQL EXISTS / NOT EXISTS with an equality predicate: a
-    null key never matches, so semi drops null-key rows and anti keeps
-    them.  `right` may be a pyarrow Table or a (small) Dataset."""
+    The right side's DISTINCT keys are `ray.put` once and read once per
+    worker — the no-shuffle filter-by-membership every fact/dim pipeline
+    needs (the FK constraint is this op + a count).  Null semantics are
+    SQL EXISTS / NOT EXISTS with an equality predicate: a null key never
+    matches on EITHER side (right-side null keys are dropped from the
+    broadcast set), so semi drops null-key left rows and anti keeps them.
+    A single key column stays TYPED end-to-end (typed is_in per batch);
+    multi-column keys combine to strings per batch with the \\x1f
+    separator (values containing \\x1f can collide across columns — the
+    same documented limitation as the FK constraint).
+    `right` may be a pyarrow Table or a (small) Dataset."""
+    import pyarrow.compute as pc
     import ray
 
     from ..constraints.foreign_key import _dim_key_array
     from ..functions.hashing import combine_key
 
     on = list(on)
-    keys_ref = ray.put(_dim_key_array(right, list(right_on or on)))
+    right_cols = list(right_on or on)
+    if len(on) == 1:
+        keys = _dim_key_array(right, right_cols, combined=False)
+    else:
+        keys = _dim_key_array(right, right_cols)
+    keys_ref = ray.put(keys)
 
     def fn(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keys = ray.get(keys_ref)
-        m = pc.is_in(combine_key(batch, on), value_set=keys)
+        ks = ray.get(keys_ref)
+        if len(on) == 1:
+            col = batch[on[0]]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            m = pc.is_in(col, value_set=ks)
+        else:
+            m = pc.is_in(combine_key(batch, on), value_set=ks)
         for c in on:
             m = pc.and_(m, pc.is_valid(batch[c]))
         m = pc.fill_null(m, False)
@@ -485,6 +506,10 @@ def group_quantiles(ds, key: str, value: str,
 
     qs = list(qs)
     names = [f"p{round(q * 100)}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"group_quantiles: quantiles {qs} collide in the p<NN> column "
+            f"naming ({names}); pick quantiles distinct at 1% granularity")
 
     def body(t: pa.Table) -> pa.Table:
         v = t[value]

@@ -268,8 +268,9 @@ class ResizeImageStage:
         return px[ri][:, ci]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = [p or b"" for p in batch["payload"].to_pylist()]
-        out_payload: list = []
+        raw = batch["payload"].to_pylist()
+        payloads = [p or b"" for p in raw]
+        out_payload: list = list(raw)   # nulls pass through unchanged
         resized = [False] * len(payloads)
         for i, p in enumerate(payloads):
             if p[:2] == b"BM":
@@ -278,17 +279,19 @@ class ResizeImageStage:
                 except ValueError:
                     if self.on_undecodable == "raise":
                         raise
-                    out_payload.append(p)
                     continue
-                out_payload.append(encode_bmp(self._resize(px)))
+                out_payload[i] = encode_bmp(self._resize(px))
                 resized[i] = True
                 continue
-            if self.on_undecodable == "raise":
-                raise NotImplementedError(
-                    "non-BMP pixel decode requires Pillow/opencv, not "
-                    "present in this container (use BMP payloads or "
-                    "on_undecodable='flag')")
-            out_payload.append(p)
+            # DecodeImageStage policy: only RECOGNIZED codec-less formats
+            # raise (a dependency would fix them); unknown/empty payloads
+            # are flagged through
+            if p[:4] == b"\x89PNG" or p[:2] == b"\xff\xd8":
+                if self.on_undecodable == "raise":
+                    raise NotImplementedError(
+                        "PNG/JPEG pixel decode requires Pillow/opencv, not "
+                        "present in this container (use BMP payloads or "
+                        "on_undecodable='flag')")
         return pa.table({
             "media_id": batch["media_id"],
             "payload": pa.array(out_payload, pa.binary()),

@@ -264,3 +264,17 @@ def test_group_quantiles_matches_duckdb_rule(ray_session):
         "SELECT k, quantile_disc(v, 0.5), quantile_disc(v, 0.95), "
         "quantile_disc(v, 0.99) FROM t GROUP BY k").fetchall()}
     assert mine == ref
+
+
+def test_range_join_empty_intervals(ray_session):
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import range_join
+
+    empty = pa.table({"lo": pa.array([], pa.float64()),
+                      "hi": pa.array([], pa.float64()),
+                      "band": pa.array([], pa.string())})
+    t = rd.from_arrow(pa.table({"value": pa.array([1.0, 2.0])}))
+    assert range_join(t, empty, "value").count() == 0
+    left = range_join(t, empty, "value", how="left").take_all()
+    assert len(left) == 2 and all(r["band"] is None for r in left)
