@@ -61,10 +61,12 @@ loggers:
 
 
 def _quiet_ray_data_logs():
+    # written unconditionally: a stale file from an older revision (or
+    # another checkout sharing /tmp) would otherwise silently control
+    # logging forever
     path = "/tmp/rho_ray_data_logging.yaml"
-    if not os.path.exists(path):
-        with open(path, "w") as fh:
-            fh.write(_QUIET_YAML)
+    with open(path, "w") as fh:
+        fh.write(_QUIET_YAML)
     os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", path)
 
 # flagship corpus size scales with the sf of the aux tables:

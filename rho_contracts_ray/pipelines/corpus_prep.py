@@ -38,14 +38,18 @@ def prep_documents(ds, text_col: str = "text", id_col: str = "doc_id",
                    keep_checkpoint: bool = False) -> dict:
     """See module docstring.  The filtered (id, text) projection is
     CHECKPOINTED to partitioned parquet under `scratch_dir` (default: a
-    fresh /tmp directory, removed on return unless keep_checkpoint) and
-    each downstream consumer re-reads it lazily — round 2 pinned it in the
-    object store with .materialize(), the largest resident object in the
-    system at 100 TB (VERDICT r2 #3).  At scale, pass a persistent
-    scratch_dir (shared store) and keep_checkpoint=True to make the prep
-    resumable."""
+    fresh /tmp directory, removed on return — even on error — unless
+    keep_checkpoint) and each downstream consumer re-reads it lazily —
+    round 2 pinned it in the object store with .materialize(), the
+    largest resident object in the system at 100 TB (VERDICT r2 #3).
+    A caller-supplied scratch_dir must be EMPTY (write_parquet appends;
+    a reused dir would silently duplicate rows) and with
+    keep_checkpoint=True survives the run so downstream jobs can re-read
+    the pruned projection without re-running the gate."""
     import ray
     import ray.data as rd
+
+    from ..sources import ensure_empty_dir
 
     n_input = ds.count()
 
@@ -66,7 +70,23 @@ def prep_documents(ds, text_col: str = "text", id_col: str = "doc_id",
     ckpt = scratch_dir or os.path.join(
         "/tmp", f"rho_corpus_prep_{uuid.uuid4().hex}")
     own_ckpt = scratch_dir is None
-    feats.map_batches(qfilter, batch_format="pyarrow").write_parquet(ckpt)
+    if not own_ckpt:
+        ensure_empty_dir(ckpt)
+    try:
+        return _prep_from_checkpoint(
+            feats.map_batches(qfilter, batch_format="pyarrow"),
+            ckpt, n_input, text_col, id_col, near_dup_threshold)
+    finally:
+        if own_ckpt and not keep_checkpoint:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _prep_from_checkpoint(good_pipe, ckpt, n_input, text_col, id_col,
+                          near_dup_threshold) -> dict:
+    import ray
+    import ray.data as rd
+
+    good_pipe.write_parquet(ckpt)
 
     def good():
         # each consumer streams its own lazy read of the checkpoint —
@@ -126,14 +146,12 @@ def prep_documents(ds, text_col: str = "text", id_col: str = "doc_id",
 
     dropped = drop_exact | drop_near
     # broadcast ONCE (ray.put) and binary-search per batch — a closure-
-    # captured array would re-ship with every task (VERDICT r2 #3)
+    # captured array would re-ship with every task (VERDICT r2 #3); the
+    # per-call ray.get is zero-copy shared memory, nothing to cache
     drop_ref = ray.put(np.array(sorted(dropped), dtype=np.int64))
-    _cache: dict = {}
 
     def keep_filter(batch: pa.Table) -> pa.Table:
-        da = _cache.get("drops")
-        if da is None:
-            da = _cache["drops"] = ray.get(drop_ref)
+        da = ray.get(drop_ref)
         ids_col = batch[id_col]
         if isinstance(ids_col, pa.ChunkedArray):
             ids_col = ids_col.combine_chunks()
@@ -147,8 +165,6 @@ def prep_documents(ds, text_col: str = "text", id_col: str = "doc_id",
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         for b in kept.iter_batches(batch_size=None, batch_format="pyarrow")
     ]) if n_good else pa.table({id_col: pa.array([], pa.int64())})
-    if own_ckpt and not keep_checkpoint:
-        shutil.rmtree(ckpt, ignore_errors=True)
 
     return {
         "input_rows": n_input,

@@ -236,7 +236,9 @@ def _split_block(n_uniq: int, block):
     for i in range(t.num_rows):
         kt = _deserialize(ub[i].as_buffer())
         kh = kt["kh"].to_numpy(zero_copy_only=False).view(np.uint64)
-        bucket = (kh >> shift).astype(np.int64)
+        # clamp for non-power-of-two n_uniq (kh >> shift can reach
+        # 2^ceil(log2(n)) - 1; unclamped rows were silently dropped)
+        bucket = np.minimum((kh >> shift).astype(np.int64), n_uniq - 1)
         order = np.argsort(bucket, kind="stable")
         ordered = kt.take(pa.array(order, pa.int64()))
         counts = np.bincount(bucket, minlength=n_uniq)

@@ -18,3 +18,16 @@ def clean_read_parquet(path, **kwargs):
 
     return rd.read_parquet(path, **kwargs).map_batches(
         _strip, batch_format="pyarrow")
+
+
+def ensure_empty_dir(path: str) -> None:
+    """Refuse to checkpoint into a non-empty directory: Ray's write_parquet
+    APPENDS files, so re-using a scratch dir would silently duplicate every
+    row on the re-read (each run's files sit side by side)."""
+    import os
+
+    if os.path.isdir(path) and os.listdir(path):
+        raise ValueError(
+            f"checkpoint dir {path!r} is not empty — pass a fresh "
+            f"directory (write_parquet appends; a reused dir would "
+            f"silently duplicate rows)")

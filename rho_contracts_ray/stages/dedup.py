@@ -364,6 +364,9 @@ def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
     if scratch_dir is not None:
         import ray.data as rd
 
+        from ..sources import ensure_empty_dir
+
+        ensure_empty_dir(scratch_dir)
         sig_pipe.write_parquet(scratch_dir)
         sig_ds = rd.read_parquet(scratch_dir)
     else:
@@ -737,6 +740,9 @@ def jaccard_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     if scratch_dir is not None:
         import ray.data as rd
 
+        from ..sources import ensure_empty_dir
+
+        ensure_empty_dir(scratch_dir)
         gram_pipe.write_parquet(scratch_dir)
         gram_ds = rd.read_parquet(scratch_dir)
     else:

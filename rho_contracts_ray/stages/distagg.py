@@ -157,7 +157,11 @@ def _route_fn(col: str, n_buckets: int):
             k = k.combine_chunks()
         arr = k.to_numpy(zero_copy_only=False).astype(np.int64, copy=False) \
             .view(np.uint64)
-        b = (arr >> shift).astype(np.int64)
+        # clamp: for a non-power-of-two n_buckets, arr >> shift ranges up
+        # to 2^ceil(log2(n)) - 1; rows past the last bucket must fold into
+        # it (matching _partial_fn's searchsorted clamp) — round 2 dropped
+        # them silently
+        b = np.minimum((arr >> shift).astype(np.int64), n_buckets - 1)
         order = np.argsort(b, kind="stable")
         ordered = batch.take(pa.array(order, pa.int64()))
         counts = np.bincount(b, minlength=n_buckets)

@@ -545,6 +545,15 @@ def window_cumsum(ds, key: str, order_by: Sequence[str], value: str,
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         vals = col.to_numpy(zero_copy_only=False)
+        if np.issubdtype(vals.dtype, np.floating):
+            # SQL SUM OVER skips nulls: a null row gets the running sum of
+            # the non-null values so far (NULL only while none seen) — a
+            # plain np.cumsum would instead poison every later row with NaN
+            nan = np.isnan(vals)
+            run = np.cumsum(np.where(nan, 0.0, vals))
+            out = pa.array(run, type=pa.float64(),
+                           mask=np.cumsum(~nan) == 0)
+            return t.append_column(out_col, out)
         return t.append_column(out_col, pa.array(np.cumsum(vals)))
 
     return ds.groupby(key).map_groups(cum, batch_format="pyarrow")

@@ -278,3 +278,27 @@ def test_range_join_empty_intervals(ray_session):
     assert range_join(t, empty, "value").count() == 0
     left = range_join(t, empty, "value", how="left").take_all()
     assert len(left) == 2 and all(r["band"] is None for r in left)
+
+
+def test_window_cumsum_null_skipping(ray_session):
+    import duckdb
+
+    from rho_contracts_ray.stages import window_cumsum
+
+    t = pa.table({"k": pa.array(["a"] * 4 + ["b"] * 2, pa.string()),
+                  "seq": pa.array([1, 2, 3, 4, 1, 2], pa.int64()),
+                  "v": pa.array([None, 1.0, None, 2.0, None, None],
+                                pa.float64())})
+    out = window_cumsum(rd.from_arrow(t), "k", ["seq"], "v").to_pandas() \
+        .sort_values(["k", "seq"])
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ref = con.execute(
+        "SELECT k, seq, SUM(v) OVER (PARTITION BY k ORDER BY seq "
+        "ROWS UNBOUNDED PRECEDING) AS running FROM t ORDER BY k, seq").df()
+    got = out["running"].tolist()
+    want = ref["running"].tolist()
+    for g, w in zip(got, want):
+        assert (g is None or pd.isna(g)) == (w is None or pd.isna(w))
+        if g is not None and not pd.isna(g):
+            assert g == w

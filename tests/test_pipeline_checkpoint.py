@@ -42,7 +42,7 @@ def test_suite_invariant_across_bucket_counts(ray_session, corpus):
     """The uniqueness-reduce fan-out (cluster-derived) is a scheduling
     knob only: every reported output is identical at 16/32/128 buckets
     (VERDICT r2 #2)."""
-    outs = [run_suite(corpus, n_uniq_buckets=n) for n in (16, 32, 128)]
+    outs = [run_suite(corpus, n_uniq_buckets=n) for n in (16, 20, 32, 128)]
     for k in ("rows", "contract_violations", "duplicate_keys",
               "sha256_rollup", "fk_dangling_repo", "fk_dangling_commit",
               "violations_captured"):

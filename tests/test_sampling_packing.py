@@ -272,3 +272,30 @@ def test_minhash_pairs_identical_across_bucket_counts(ray_session, monkeypatch):
     monkeypatch.setenv("RHO_REDUCE_BUCKETS", "64")
     wide = minhash_dup_pairs(docs, threshold=0.5)
     assert base.equals(wide)
+
+
+def test_bucketed_reduce_non_pow2_buckets_lossless(ray_session):
+    """Non-power-of-two bucket counts must fold overflow hash ranges into
+    the last bucket, never drop rows (r3 review: rows silently vanished
+    at n_buckets=20)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.distagg import bucketed_reduce, hot_keys
+
+    rng = np.random.RandomState(11)
+    keys = rng.randint(-2**62, 2**62, 5000, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"bkey": pa.array(keys)})).repartition(4)
+    ref_rows = sum(
+        x for x in bucketed_reduce(ds, "bkey", lambda t: t.num_rows,
+                                   n_buckets=16))
+    assert ref_rows == 5000
+    for n in (20, 100, 17):
+        got = sum(x for x in bucketed_reduce(ds, "bkey", lambda t: t.num_rows,
+                                             n_buckets=n))
+        assert got == 5000, f"n_buckets={n} lost rows: {got}"
+        ref = hot_keys(ds, "bkey", min_count=2, n_buckets=16)
+        assert np.array_equal(ref, hot_keys(ds, "bkey", min_count=2,
+                                            n_buckets=n))
