@@ -857,6 +857,15 @@ def _q_chunk_documents(sf_dir: str):
     return chunk_documents(ds, max_tokens=64, overlap=8)
 
 
+def _q_distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type: per-batch pair dedup
+    (only batch-distinct pairs shuffle), per-group Arrow unique count."""
+    from rho_contracts_ray.stages import group_count_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return group_count_distinct(ds, "event_type", "user_id")
+
+
 def _q_group_quantiles_events(sf_dir: str):
     """Exact per-event-type value quantiles (p50/p95/p99): one shuffle by
     key, Arrow sort per group, DuckDB quantile_disc picking rule —
@@ -993,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "anti_join_customers_no_purchase": _q_anti_join_customers,
         "group_quantiles_events": _q_group_quantiles_events,
+        "distinct_users_by_type": _q_distinct_users_by_type,
         "hopping_window_events": _q_hopping_window_events,
         "range_join_events": _q_range_join_events,
         "jaccard_pairs_documents": _q_jaccard_pairs,
@@ -1080,6 +1090,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
             "SELECT 1 FROM events e WHERE e.event_type = 'purchase' "
             "AND e.user_id = c.c_custkey)"
+        ),
+        "distinct_users_by_type": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT "
+            "AS n_distinct FROM events GROUP BY event_type"
         ),
         "group_quantiles_events": (
             "SELECT event_type, quantile_disc(value, 0.5) AS p50, "

@@ -386,6 +386,11 @@ def main_scaling() -> dict:
         **hw,
         "efficiency_vs_hw_ceiling": round(eff / hw["hw_eff"], 3)
         if hw["hw_eff"] else None,
+        # the suite is a CPU/memory-bandwidth mix; on this shared VM the
+        # membw ceiling is routinely the binding one (co-tenant pressure
+        # invisible in loadavg), so report the ratio against it too
+        "efficiency_vs_membw_ceiling": round(eff / hw["hw_eff_membw"], 3)
+        if hw.get("hw_eff_membw") else None,
     }
 
 

@@ -531,6 +531,34 @@ def group_quantiles(ds, key: str, value: str,
     return ds.groupby(key).map_groups(body, batch_format="pyarrow")
 
 
+def group_count_distinct(ds, key: str, value: str,
+                         out_col: str = "n_distinct"):
+    """EXACT COUNT(DISTINCT value) per key -> (key, n_distinct).
+
+    Scale shape: each batch first reduces to its distinct (key, value)
+    pairs (an Arrow group_by — the only thing the shuffle ever moves is
+    one row per batch-distinct pair), then one shuffle by key and a
+    per-group Arrow unique count.  Nulls are not counted (SQL COUNT
+    DISTINCT semantics).  For shuffle-free APPROXIMATE distincts use
+    constraints.column_stats' HyperLogLog instead."""
+    import pyarrow.compute as pc
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return batch.select([key, value]).group_by([key, value]) \
+            .aggregate([])
+
+    def count(t: pa.Table) -> pa.Table:
+        v = t[value]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        n = len(pc.unique(v.drop_null()))
+        return pa.table({key: t[key].slice(0, 1),
+                         out_col: pa.array([n], pa.int64())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(key).map_groups(count, batch_format="pyarrow")
+
+
 def window_cumsum(ds, key: str, order_by: Sequence[str], value: str,
                   out_col: str = "running"):
     """SUM(value) OVER (PARTITION BY key ORDER BY order_by ROWS UNBOUNDED

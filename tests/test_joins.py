@@ -302,3 +302,14 @@ def test_window_cumsum_null_skipping(ray_session):
         assert (g is None or pd.isna(g)) == (w is None or pd.isna(w))
         if g is not None and not pd.isna(g):
             assert g == w
+
+
+def test_group_count_distinct(ray_session):
+    from rho_contracts_ray.stages import group_count_distinct
+
+    t = pa.table({"k": pa.array(["a"] * 5 + ["b"] * 3, pa.string()),
+                  "v": pa.array([1, 1, 2, None, 3, 7, 7, None], pa.int64())})
+    out = {r["k"]: r["n_distinct"]
+           for r in group_count_distinct(
+               rd.from_arrow(t).repartition(3), "k", "v").take_all()}
+    assert out == {"a": 3, "b": 1}   # nulls not counted
