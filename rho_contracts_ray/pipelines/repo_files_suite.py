@@ -222,7 +222,7 @@ def _split_block(n_uniq: int, block):
     the driver.  The bucket partition happens HERE, straight from the kh
     column's top bits, so upstream stages are bucket-count-agnostic.
     Callers set num_returns=n_uniq+1 via .options()."""
-    from ..stages.distagg import _shift
+    from ..stages.distagg import hash_range_buckets
 
     t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
     if "uniq_keys" not in t.column_names:
@@ -230,15 +230,12 @@ def _split_block(n_uniq: int, block):
         # schema (the UDF never ran) — nothing to split
         return (t.slice(0, 0), *[[] for _ in range(n_uniq)])
     small = t.drop_columns(["uniq_keys"])
-    shift = _shift(n_uniq)
     per_bucket: list[list[bytes]] = [[] for _ in range(n_uniq)]
     ub = t["uniq_keys"].combine_chunks()
     for i in range(t.num_rows):
         kt = _deserialize(ub[i].as_buffer())
         kh = kt["kh"].to_numpy(zero_copy_only=False).view(np.uint64)
-        # clamp for non-power-of-two n_uniq (kh >> shift can reach
-        # 2^ceil(log2(n)) - 1; unclamped rows were silently dropped)
-        bucket = np.minimum((kh >> shift).astype(np.int64), n_uniq - 1)
+        bucket = hash_range_buckets(kh, n_uniq)
         order = np.argsort(bucket, kind="stable")
         ordered = kt.take(pa.array(order, pa.int64()))
         counts = np.bincount(bucket, minlength=n_uniq)

@@ -49,7 +49,20 @@ def _shift(n_buckets: int) -> np.uint64:
     return np.uint64(64 - bits)
 
 
+def hash_range_buckets(kh: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Top-bits hash-range bucket id in [0, n_buckets) for uint64 keys —
+    THE shared partition decision (route fn, hot-key partials and the
+    suite splitter must agree bit-for-bit or co-location breaks).  For a
+    non-power-of-two count the overflow range folds into the last bucket
+    instead of being dropped (r3 review: three drifted copies, two of
+    which silently lost rows at n_buckets=20)."""
+    return np.minimum((kh >> _shift(n_buckets)).astype(np.int64),
+                      n_buckets - 1)
+
+
 def _partial_fn(col: str, n_buckets: int):
+    # edges-searchsorted over SORTED keys is bit-equivalent to
+    # hash_range_buckets per key (the final range absorbs the clamp)
     shift = _shift(n_buckets)
     edges = np.arange(1, n_buckets, dtype=np.uint64) << shift
 
@@ -149,7 +162,6 @@ def _deserialize(b: bytes) -> pa.Table:
 def _route_fn(col: str, n_buckets: int):
     """Partition each batch's ROWS into n_buckets serialized sub-tables by
     the top bits of the (already well-mixed) int64 key column."""
-    shift = _shift(n_buckets)
 
     def route(batch: pa.Table) -> pa.Table:
         k = batch[col]
@@ -157,11 +169,7 @@ def _route_fn(col: str, n_buckets: int):
             k = k.combine_chunks()
         arr = k.to_numpy(zero_copy_only=False).astype(np.int64, copy=False) \
             .view(np.uint64)
-        # clamp: for a non-power-of-two n_buckets, arr >> shift ranges up
-        # to 2^ceil(log2(n)) - 1; rows past the last bucket must fold into
-        # it (matching _partial_fn's searchsorted clamp) — round 2 dropped
-        # them silently
-        b = np.minimum((arr >> shift).astype(np.int64), n_buckets - 1)
+        b = hash_range_buckets(arr, n_buckets)
         order = np.argsort(b, kind="stable")
         ordered = batch.take(pa.array(order, pa.int64()))
         counts = np.bincount(b, minlength=n_buckets)
