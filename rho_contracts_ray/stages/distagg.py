@@ -114,8 +114,7 @@ def _split_block(n_buckets: int, block):
 _REDUCE_CHUNK_ROWS = 4_000_000
 
 
-@ray.remote
-def _reduce_bucket(min_count: int, *blob_lists) -> np.ndarray:
+def _reduce_bucket_impl(min_count: int, blob_lists) -> np.ndarray:
     acc_h = np.empty(0, np.int64)
     acc_c = np.empty(0, np.int64)
     pend_h: list = []
@@ -145,6 +144,11 @@ def _reduce_bucket(min_count: int, *blob_lists) -> np.ndarray:
     if acc_h.size == 0:
         return np.empty(0, np.int64)
     return acc_h[acc_c >= min_count]
+
+
+@ray.remote
+def _reduce_bucket(min_count: int, *blob_lists) -> np.ndarray:
+    return _reduce_bucket_impl(min_count, blob_lists)
 
 
 def _serialize(t: pa.Table) -> bytes:
@@ -197,6 +201,35 @@ def _apply_bucket(fn, default, *blob_lists):
     return fn(pa.concat_tables(tables))
 
 
+# above this many split tasks, bucket tasks receive their inputs as ONE
+# list-of-ObjectRefs argument (resolved inside with chunked ray.get)
+# instead of positional args — a 100k-block input would otherwise put
+# 100k args on every task, past Ray's argument limits
+_ARG_FANIN = int(os.environ.get("RHO_BUCKET_ARG_FANIN", "512"))
+_GET_CHUNK = 64
+
+
+def _chunked_get(refs) -> list:
+    out = []
+    for i in range(0, len(refs), _GET_CHUNK):
+        out.extend(ray.get(list(refs[i:i + _GET_CHUNK])))
+    return out
+
+
+@ray.remote
+def _apply_bucket_refs(fn, default, refs):
+    tables = [_deserialize(b) for blobs in _chunked_get(refs) for b in blobs]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return default
+    return fn(pa.concat_tables(tables))
+
+
+@ray.remote
+def _reduce_bucket_refs(min_count, refs):
+    return _reduce_bucket_impl(min_count, _chunked_get(refs))
+
+
 def bucketed_reduce(ds, key_col: str, fn,
                     n_buckets: Optional[int] = None,
                     as_refs: bool = False,
@@ -224,8 +257,12 @@ def bucketed_reduce(ds, key_col: str, fn,
             splits.append(split.remote(n_buckets, bref))
     if not splits:
         return []
-    futs = [_apply_bucket.remote(fn, empty, *[s[r] for s in splits])
-            for r in range(n_buckets)]
+    if len(splits) <= _ARG_FANIN:
+        futs = [_apply_bucket.remote(fn, empty, *[s[r] for s in splits])
+                for r in range(n_buckets)]
+    else:   # past Ray's per-task positional-arg comfort zone
+        futs = [_apply_bucket_refs.remote(fn, empty, [s[r] for s in splits])
+                for r in range(n_buckets)]
     if as_refs:
         return futs
     outs = ray.get(futs)
@@ -250,8 +287,12 @@ def hot_keys(ds, col: str, min_count: int = 2,
             splits.append(split.remote(n_buckets, bref))
     if not splits:
         return np.empty(0, np.int64)
-    futs = [_reduce_bucket.remote(min_count, *[s[r] for s in splits])
-            for r in range(n_buckets)]
+    if len(splits) <= _ARG_FANIN:
+        futs = [_reduce_bucket.remote(min_count, *[s[r] for s in splits])
+                for r in range(n_buckets)]
+    else:
+        futs = [_reduce_bucket_refs.remote(min_count, [s[r] for s in splits])
+                for r in range(n_buckets)]
     outs = ray.get(futs)
     del bundles, splits
     keys = np.concatenate(outs) if outs else np.empty(0, np.int64)

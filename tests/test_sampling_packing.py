@@ -299,3 +299,28 @@ def test_bucketed_reduce_non_pow2_buckets_lossless(ray_session):
         ref = hot_keys(ds, "bkey", min_count=2, n_buckets=16)
         assert np.array_equal(ref, hot_keys(ds, "bkey", min_count=2,
                                             n_buckets=n))
+
+
+def test_bucketed_reduce_refs_fanin_path(ray_session, monkeypatch):
+    """Above _ARG_FANIN split tasks, bucket inputs travel as one
+    list-of-refs arg (chunked ray.get inside) — identical results to the
+    positional path (the 100k-block form that Ray's per-task arg limits
+    would otherwise break)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    import rho_contracts_ray.stages.distagg as distagg
+
+    rng = np.random.RandomState(5)
+    keys = rng.randint(0, 300, 4000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"bkey": pa.array(keys)})).repartition(8)
+    ref_hot = distagg.hot_keys(ds, "bkey", min_count=3, n_buckets=16)
+    ref_rows = sorted(distagg.bucketed_reduce(
+        ds, "bkey", lambda t: t.num_rows, n_buckets=16))
+    monkeypatch.setattr(distagg, "_ARG_FANIN", 2)   # force the refs path
+    assert np.array_equal(
+        ref_hot, distagg.hot_keys(ds, "bkey", min_count=3, n_buckets=16))
+    assert ref_rows == sorted(distagg.bucketed_reduce(
+        ds, "bkey", lambda t: t.num_rows, n_buckets=16))
