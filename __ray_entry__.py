@@ -259,6 +259,47 @@ def _q_token_counts_documents(sf_dir: str):
     return token_counts(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def _q_pii_scrub_documents(sf_dir: str):
+    """PII redaction over a text column — emails then long digit runs,
+    two RE2 kernels per batch.  The synthetic corpus contains no PII, so
+    the query first derives a deterministic contact line from doc_id
+    (same expression in the SQL oracle): every row then exercises BOTH
+    replacements and the counts are non-trivially oracle-checked."""
+    from rho_contracts_ray.stages import pii_scrub
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.string())
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(batch["text"], ""), " contact: u", ids,
+            "@example.com tel 555-0100-", ids, "")
+        return pa.table({"doc_id": batch["doc_id"], "text": txt})
+
+    return pii_scrub(ds.map_batches(derive, batch_format="pyarrow"))
+
+
+def _q_repetition_documents(sf_dir: str):
+    """Gopher-style duplicate-unit fraction at word granularity (the
+    corpus has no newlines, so sep=' ' is the granularity with real
+    repetition signal)."""
+    from rho_contracts_ray.stages import line_stats
+
+    return line_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                      sep=" ")
+
+
+def _q_source_cap_documents(sf_dir: str):
+    """Per-source frequency cap: keep the first 10 docs (by doc_id) of
+    each source — the keep-at-most-N-per-domain dedup every web corpus
+    applies.  One shuffle by source; Arrow-native group body."""
+    from rho_contracts_ray.stages.joins import top_k_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return top_k_per_group(ds, "source", ["doc_id"], k=10,
+                           descending=False)
+
+
 def _q_text_len_check_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
 
@@ -344,13 +385,15 @@ def _q_filter_purchases(sf_dir: str):
 
 
 def _q_top10_orders(sf_dir: str):
-    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    # deterministic ties: negative orderkey as secondary ascending key
-    def neg(batch: pa.Table) -> pa.Table:
-        return batch.append_column("negkey", pc.negate(batch["o_orderkey"]))
+    """Global top-k WITHOUT a full sort: k rows survive per block, the
+    final pick runs over k x n_blocks short rows (stages/topk.py) — at
+    100 TB a .sort().limit(10) would instead range-shuffle the corpus."""
+    from rho_contracts_ray.stages import global_topk
 
-    out = ds.map_batches(neg, batch_format="pyarrow") \
-        .sort(["o_totalprice", "negkey"], descending=[True, True]).limit(10)
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    # deterministic ties: orderkey ascending as the secondary key
+    out = global_topk(ds, ["o_totalprice", "o_orderkey"], 10,
+                      descending=[True, False])
     return out.select_columns(["o_orderkey", "o_totalprice"])
 
 
@@ -969,6 +1012,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_groups_lang": _q_dedup_groups_lang,
         "token_counts_documents": _q_token_counts_documents,
         "text_len_check_documents": _q_text_len_check_documents,
+        "pii_scrub_documents": _q_pii_scrub_documents,
+        "repetition_documents": _q_repetition_documents,
+        "source_cap_documents": _q_source_cap_documents,
         "agg_pricing_summary": _q_agg_pricing_summary,
         "events_hourly_counts": _q_events_hourly_counts,
         "distinct_event_types": _q_distinct_event_types,
@@ -1182,6 +1228,36 @@ def oracle_sql() -> dict[str, str]:
         "text_len_check_documents": (
             "SELECT doc_id, length(text)::BIGINT AS text_len, "
             "length(text) = n_chars AS len_ok FROM documents"
+        ),
+        # both regexes are RE2 in BOTH engines (pyarrow.compute and
+        # DuckDB); replacement order (emails first) mirrored exactly
+        "pii_scrub_documents": (
+            "WITH derived AS (SELECT doc_id, coalesce(text, '') || ' contact: u' || "
+            "CAST(doc_id AS VARCHAR) || '@example.com tel 555-0100-' || "
+            "CAST(doc_id AS VARCHAR) AS text FROM documents), "
+            "step1 AS (SELECT doc_id, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT "
+            "AS n_emails, regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS t1 FROM derived) "
+            "SELECT doc_id, regexp_replace(t1, '[0-9][0-9 \\-]{5,}[0-9]', "
+            "'<NUM>', 'g') AS text_scrubbed, n_emails, "
+            "len(regexp_extract_all(t1, '[0-9][0-9 \\-]{5,}[0-9]'))::BIGINT "
+            "AS n_long_nums FROM step1"
+        ),
+        "repetition_documents": (
+            "WITH t AS (SELECT doc_id, "
+            "string_split(coalesce(text, ''), ' ') AS parts FROM documents) "
+            "SELECT doc_id, len(parts)::BIGINT AS n_lines, "
+            "len(list_distinct(parts))::BIGINT AS n_distinct_lines, "
+            "1.0 - CAST(len(list_distinct(parts)) AS DOUBLE) / len(parts) "
+            "AS dup_line_frac FROM t"
+        ),
+        "source_cap_documents": (
+            "SELECT doc_id, source FROM (SELECT doc_id, source, "
+            "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn "
+            "FROM documents) WHERE rn <= 10"
         ),
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -27,4 +27,7 @@ from .sampling import (  # noqa: F401
     hash_sample, sample_threshold, split_train_holdout, stratified_sample,
 )
 from .packing import chunk_documents, pack_sequences  # noqa: F401
-from .text import decontaminate_ngrams, ngram_top_k  # noqa: F401
+from .text import (  # noqa: F401
+    decontaminate_ngrams, line_stats, ngram_top_k, pii_scrub,
+)
+from .topk import global_topk  # noqa: F401

@@ -131,6 +131,89 @@ def text_features(ds, text_col: str = "text", concurrency=None):
     )
 
 
+# RE2 syntax, valid for BOTH pyarrow.compute's and DuckDB's regex engines
+# (both are RE2) — the engine and the SQL oracle share these byte-for-byte.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONG_NUM = r"[0-9][0-9 \-]{5,}[0-9]"
+
+
+def pii_scrub(ds_or_table, text_col: str = "text", id_col: str = "doc_id",
+              email_token: str = "<EMAIL>", num_token: str = "<NUM>"):
+    """Redact emails then long digit runs (phone/card/SSN-shaped) ->
+    (id, text_scrubbed, n_emails, n_long_nums).
+
+    One streaming pass, two RE2 kernels per batch
+    (count_substring_regex + replace_substring_regex) — no Python row
+    loop, no shuffle.  Both patterns are RE2 and DuckDB's regexp_replace
+    is RE2 too, so a SQL oracle applying the SAME two replacements in the
+    SAME order reproduces the output byte-for-byte.  Replacement order
+    matters (an email's user part can look like a digit run): emails
+    first, then digit runs over the already-scrubbed text — mirrored in
+    the oracle."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        n_em = pc.cast(pc.count_substring_regex(filled, PII_EMAIL),
+                       pa.int64())
+        step1 = pc.replace_substring_regex(filled, PII_EMAIL, email_token)
+        n_num = pc.cast(pc.count_substring_regex(step1, PII_LONG_NUM),
+                        pa.int64())
+        step2 = pc.replace_substring_regex(step1, PII_LONG_NUM, num_token)
+        return pa.table({
+            id_col: batch[id_col],
+            "text_scrubbed": step2,
+            "n_emails": n_em,
+            "n_long_nums": n_num,
+        })
+
+    if isinstance(ds_or_table, pa.Table):
+        return fn(ds_or_table)
+    return ds_or_table.map_batches(fn, batch_format="pyarrow")
+
+
+def line_stats(ds_or_table, text_col: str = "text", id_col: str = "doc_id",
+               sep: str = "\n"):
+    """Per-document repetition quality signal (the Gopher-style 'fraction
+    of duplicate lines' filter) -> (id, n_lines, n_distinct_lines,
+    dup_line_frac).  sep='\\n' counts duplicate LINES; sep=' ' the
+    duplicate-WORD fraction — the same filter at token granularity.
+
+    Vectorized and EXACT: split_pattern gives the (values, offsets) list
+    layout; distinct units per doc are counted with one Arrow group_by
+    over (doc_row, line) — real strings, not hashes, so there is no
+    collision caveat and a SQL oracle using string_split/list_distinct
+    matches exactly.  Split semantics are SQL's: empties kept ('' has one
+    unit), null text counts as ''."""
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lines = pc.split_pattern(pc.fill_null(col, ""), sep)
+        offs = lines.offsets.to_numpy()
+        n_lines = np.diff(offs).astype(np.int64)
+        doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                            n_lines)
+        pairs = pa.table({"d": pa.array(doc_idx), "line": lines.values})
+        dist = pairs.group_by(["d", "line"]).aggregate([]) \
+            .group_by("d").aggregate([("line", "count")])
+        n_dist = np.zeros(batch.num_rows, np.int64)
+        n_dist[dist["d"].to_numpy(zero_copy_only=False)] = \
+            dist["line_count"].to_numpy(zero_copy_only=False)
+        frac = 1.0 - n_dist / np.maximum(n_lines, 1)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_lines": pa.array(n_lines),
+            "n_distinct_lines": pa.array(n_dist),
+            "dup_line_frac": pa.array(frac, pa.float64()),
+        })
+
+    if isinstance(ds_or_table, pa.Table):
+        return fn(ds_or_table)
+    return ds_or_table.map_batches(fn, batch_format="pyarrow")
+
+
 def winnowing_fingerprints(text: str, k: int = 8, w: int = 16) -> np.ndarray:
     """Document fingerprint via winnowing (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003): k-gram rolling hashes, minimum per sliding window of w —

@@ -467,3 +467,74 @@ def test_resize_image_stage_real_roundtrip(ray_session):
         ResizeImageStage, fn_constructor_kwargs={"out_h": 8, "out_w": 8},
         batch_format="pyarrow", batch_size=2, concurrency=(1, 2)).take_all()
     assert all(r["resized"] for r in ds_out)
+
+
+def test_global_topk_matches_full_sort(ray_session):
+    """global_topk (k rows survive per block) == sort().limit(k) on a
+    multi-block dataset with ties, for both directions and k > n."""
+    from rho_contracts_ray.stages import global_topk
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 50, 5000)          # heavy ties
+    ids = np.arange(5000, dtype=np.int64)
+    t = pa.table({"v": pa.array(vals.astype(np.float64)), "id": pa.array(ids)})
+    ds = rd.from_arrow(t).repartition(16)
+    for desc in (True, False):
+        got = global_topk(ds, ["v", "id"], 25,
+                          descending=[desc, False]).to_pandas()
+        want = t.to_pandas().sort_values(
+            ["v", "id"], ascending=[not desc, True]).head(25) \
+            .reset_index(drop=True)
+        assert got.values.tolist() == want.values.tolist()
+    # k larger than the dataset returns everything
+    small = rd.from_arrow(t.slice(0, 3)).repartition(2)
+    assert global_topk(small, ["v", "id"], 100).count() == 3
+    with pytest.raises(ValueError, match="positive"):
+        global_topk(ds, ["v"], 0)
+    with pytest.raises(ValueError, match="descending"):
+        global_topk(ds, ["v", "id"], 5, descending=[True])
+
+
+def test_pii_scrub_redacts(ray_session):
+    from rho_contracts_ray.stages import pii_scrub
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "mail me at jane.doe+spam@sub.example.co.uk today",
+            "call 555-0100 1234 or 555 010 0999",
+            None,                                   # null -> ''
+            "no pii here",
+        ]),
+    })
+    out = pii_scrub(t)
+    rows = out.to_pylist()
+    assert rows[0]["text_scrubbed"] == "mail me at <EMAIL> today"
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_long_nums"] == 0
+    # one digit-run spans '555-0100 1234' (space and dash both bridge)
+    assert "<NUM>" in rows[1]["text_scrubbed"]
+    assert rows[1]["n_long_nums"] == 2
+    assert rows[2]["text_scrubbed"] == "" and rows[2]["n_emails"] == 0
+    assert rows[3]["text_scrubbed"] == "no pii here"
+    # distributed path identical
+    ds_out = pii_scrub(rd.from_arrow(t).repartition(2)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert ds_out["text_scrubbed"].tolist() == \
+        [r["text_scrubbed"] for r in rows]
+
+
+def test_line_stats_exact(ray_session):
+    from rho_contracts_ray.stages import line_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a\nb\na\na", "x", None, "\n\n"]),
+    })
+    out = line_stats(t).to_pylist()
+    assert [r["n_lines"] for r in out] == [4, 1, 1, 3]
+    assert [r["n_distinct_lines"] for r in out] == [2, 1, 1, 1]
+    assert out[0]["dup_line_frac"] == 0.5
+    assert out[3]["dup_line_frac"] == pytest.approx(2 / 3)
+    # word granularity
+    w = line_stats(t.slice(0, 1), sep=" ")
+    assert w["n_lines"][0].as_py() == 1     # no spaces -> one unit
