@@ -458,6 +458,237 @@ def _q_join_lineitem_part(sf_dir: str):
         right_cols=["l_partkey", "p_brand"], n_buckets=n_buckets)
 
 
+def _q_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: segment-filtered customers (broadcast semi) ×
+    date-filtered orders × date-filtered lineitem (bucketed join on the
+    order key), revenue rollup per order, global top-10.
+
+    Scale shape: lineitem pre-aggregates revenue per (batch, orderkey)
+    BEFORE the bucketed join, so the join's left side is one short row
+    per orderkey per batch, not raw lineitems; the top-10 uses
+    global_topk (k rows per block), never a full sort."""
+    from rho_contracts_ray.stages import global_topk
+    from rho_contracts_ray.stages.joins import (auto_buckets, bucketed_join,
+                                                semi_join)
+
+    cutoff = pa.scalar(np.datetime64("1996-07-01", "us"))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    building = _collect(cust.filter(expr="c_mktsegment == 'BUILDING'")) \
+        .select(["c_custkey"])
+
+    orders_raw = _read(sf_dir, "orders",
+                       columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                "o_orderpriority"])
+    lineitem_raw = _read(sf_dir, "lineitem",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+    # size B from the raw reads (metadata-only counts) — the filtered /
+    # pre-aggregated sides are transformed Datasets
+    n_buckets = auto_buckets(lineitem_raw, orders_raw)
+
+    def slim_orders(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["o_orderdate"], cutoff)
+        return batch.filter(keep).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+            .rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"])
+
+    orders = semi_join(orders_raw, building, on=["o_custkey"],
+                       right_on=["c_custkey"]) \
+        .map_batches(slim_orders, batch_format="pyarrow")
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        rev = pc.multiply(sub["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), sub["l_discount"]))
+        t = pa.table({"l_orderkey": sub["l_orderkey"], "rev": rev})
+        return t.group_by(["l_orderkey"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["l_orderkey", "rev"])
+
+    revs = lineitem_raw.map_batches(rev_partial, batch_format="pyarrow")
+
+    joined = bucketed_join(
+        revs, orders, on=["l_orderkey"],
+        left_cols=["l_orderkey", "rev"],
+        right_cols=["l_orderkey", "o_orderdate", "o_orderpriority"],
+        n_buckets=n_buckets)
+
+    def regroup(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"]).aggregate(
+            [("rev", "sum")])
+        return g.rename_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority", "rev"])
+
+    grouped = joined.map_batches(regroup, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .sum("rev")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "revenue": pc.round(batch["sum(rev)"], 2),
+            "o_orderdate": batch["o_orderdate"],
+            "o_orderpriority": batch["o_orderpriority"],
+        })
+
+    top = global_topk(grouped.map_batches(finish, batch_format="pyarrow"),
+                      ["revenue", "l_orderkey"], 10,
+                      descending=[True, False])
+    return top.select_columns(
+        ["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"])
+
+
+def _q_q5_region_volume(sf_dir: str):
+    """TPC-H Q5 shape: region→nation→supplier/customer broadcast chain,
+    lineitem × orders bucketed join, local-supplier (c_nation ==
+    s_nation) filter, revenue per nation.
+
+    Scale shape: region/nation/supplier/customer ship as broadcast
+    lookup tables (customer is the largest dim — 15:1 smaller than
+    lineitem in TPC-H; a bucketed variant is the escape hatch if the dim
+    outgrows workers); lineitem pre-aggregates revenue per (batch,
+    orderkey, s_nationkey) before the one wide join."""
+    import ray
+
+    from rho_contracts_ray.stages.joins import auto_buckets, bucketed_join
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    region = _collect(_read(sf_dir, "region"))
+    nation = _collect(_read(sf_dir, "nation"))
+    asia_key = region.filter(
+        pc.equal(region["r_name"], "ASIA"))["r_regionkey"]
+    asia_nations = nation.filter(
+        pc.is_in(nation["n_regionkey"], value_set=asia_key.combine_chunks()))
+    nk_set = asia_nations["n_nationkey"].combine_chunks()
+
+    supp = _collect(_read(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey"]))
+    supp = supp.filter(pc.is_in(supp["s_nationkey"], value_set=nk_set))
+    supp_ref = ray.put(supp)
+
+    cust = _collect(_read(sf_dir, "customer",
+                          columns=["c_custkey", "c_nationkey"]))
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=nk_set))
+    cust_ref = ray.put(cust)
+
+    orders_raw = _read(sf_dir, "orders",
+                       columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    lineitem_raw = _read(sf_dir, "lineitem",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    n_buckets = auto_buckets(lineitem_raw, orders_raw)
+
+    _w: dict = {}
+
+    def _arr(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    def slim_orders(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                       pc.less(batch["o_orderdate"], hi))
+        sub = batch.filter(keep)
+        c = _w.get("cust")
+        if c is None:
+            c = _w["cust"] = ray.get(cust_ref)
+        idx = _arr(pc.index_in(sub["o_custkey"],
+                               value_set=c["c_custkey"].combine_chunks()))
+        nat = c["c_nationkey"].combine_chunks().take(idx)
+        t = pa.table({"l_orderkey": sub["o_orderkey"], "c_nationkey": nat})
+        return t.filter(pc.is_valid(t["c_nationkey"]))
+
+    orders = orders_raw.map_batches(slim_orders, batch_format="pyarrow")
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        s = _w.get("supp")
+        if s is None:
+            s = _w["supp"] = ray.get(supp_ref)
+        idx = _arr(pc.index_in(batch["l_suppkey"],
+                               value_set=s["s_suppkey"].combine_chunks()))
+        nat = s["s_nationkey"].combine_chunks().take(idx)
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "s_nationkey": nat, "rev": rev})
+        t = t.filter(pc.is_valid(t["s_nationkey"]))
+        return t.group_by(["l_orderkey", "s_nationkey"]).aggregate(
+            [("rev", "sum")]).rename_columns(
+            ["l_orderkey", "s_nationkey", "rev"])
+
+    revs = lineitem_raw.map_batches(rev_partial, batch_format="pyarrow")
+
+    joined = bucketed_join(
+        revs, orders, on=["l_orderkey"],
+        left_cols=["l_orderkey", "s_nationkey", "rev"],
+        right_cols=["l_orderkey", "c_nationkey"], n_buckets=n_buckets)
+
+    def local_partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["s_nationkey"],
+                                    batch["c_nationkey"]))
+        return sub.group_by(["s_nationkey"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["s_nationkey", "rev"])
+
+    per_nation = _collect(
+        joined.map_batches(local_partial, batch_format="pyarrow"))
+    final = per_nation.group_by(["s_nationkey"]).aggregate([("rev", "sum")])
+    idx = final["s_nationkey"].combine_chunks() if hasattr(final["s_nationkey"], "combine_chunks") else final["s_nationkey"]
+    idx = pc.index_in(idx,
+                      value_set=asia_nations["n_nationkey"].combine_chunks())
+    names = asia_nations["n_name"].combine_chunks().take(idx)
+    out = pa.table({"n_name": names,
+                    "revenue": pc.round(final["rev_sum"], 2)})
+    return out.take(pc.sort_indices(
+        out, sort_keys=[("revenue", "descending"), ("n_name", "ascending")]))
+
+
+def _q_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — sum+count at every
+    prefix level plus the grand total, one scan of the data."""
+    from rho_contracts_ray.stages import rollup_agg
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    out = rollup_agg(ds, ["l_returnflag", "l_linestatus"], "l_quantity",
+                     sum_col="sum_qty", cnt_col="n")
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_qty"), "sum_qty",
+            pc.round(batch["sum_qty"], 2))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_histogram_events_value(sf_dir: str):
+    """Fixed-width 50-bin histogram of events.value over [0, 500) —
+    per-batch bincount partials; only (bin, n) rows ever shuffle."""
+    from rho_contracts_ray.stages import histogram
+
+    return histogram(_read(sf_dir, "events", columns=["value"]),
+                     "value", 0.0, 500.0, 50)
+
+
+def _q_dedup_keep_best_documents(sf_dir: str):
+    """Keep-BEST-copy dedup: among documents sharing a 64-char text
+    prefix, keep the longest (max n_chars, ties to the smallest doc_id).
+    The argmax-per-group primitive every quality-aware dedup needs —
+    exact_dedup keeps the FIRST id; this keeps the best-scored one."""
+    from rho_contracts_ray.stages import group_argmax
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pfx = pc.utf8_slice_codeunits(
+            pc.fill_null(batch["text"], ""), 0, 64)
+        return pa.table({"pfx": pfx, "n_chars": batch["n_chars"],
+                         "doc_id": batch["doc_id"]})
+
+    return group_argmax(ds.map_batches(prep, batch_format="pyarrow"),
+                        "pfx", "n_chars", "doc_id")
+
+
 def _q_asof_last_purchase(sf_dir: str):
     """Backward as-of join: latest purchase value at or before each event,
     per user."""
@@ -1023,6 +1254,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_filter_agg": _q_revenue_filter_agg,
         "join_orders_customer": _q_join_orders_customer,
         "join_lineitem_part": _q_join_lineitem_part,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "q5_region_volume": _q_q5_region_volume,
+        "rollup_pricing": _q_rollup_pricing,
+        "histogram_events_value": _q_histogram_events_value,
+        "dedup_keep_best_documents": _q_dedup_keep_best_documents,
         "asof_last_purchase": _q_asof_last_purchase,
         "window_user_seq": _q_window_user_seq,
         "salted_groupby_events": _q_salted_groupby_events,
@@ -1295,6 +1531,56 @@ def oracle_sql() -> dict[str, str]:
         "join_lineitem_part": (
             "SELECT l_orderkey, l_linenumber, l_partkey, p_brand "
             "FROM lineitem JOIN part ON l_partkey = p_partkey"
+        ),
+        # rounded revenue is ALSO the ranking key (both engines), so the
+        # top-10 boundary never depends on float-sum last bits
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, round(sum(l_extendedprice * "
+            "(1 - l_discount)), 2) AS revenue, o_orderdate, o_orderpriority "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < DATE '1996-07-01' "
+            "AND l_shipdate > DATE '1996-07-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "q5_region_volume": (
+            "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)),"
+            " 2) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey "
+            "AND o_orderdate >= DATE '1996-01-01' "
+            "AND o_orderdate < DATE '1997-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
+        "rollup_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, count(*)::BIGINT AS n "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        # least(floor(...), 49) mirrors the engine's fp clamp at the top
+        # edge; the bin expression is the IDENTICAL double arithmetic
+        "histogram_events_value": (
+            "WITH b AS (SELECT range AS bin FROM range(0, 50)), "
+            "c AS (SELECT CAST(least(floor((value - 0.0) / 10.0), 49) "
+            "AS BIGINT) AS bin, count(*)::BIGINT AS n FROM events "
+            "WHERE value IS NOT NULL AND value = value "
+            "AND value >= 0.0 AND value < 500.0 GROUP BY 1) "
+            "SELECT b.bin, 0.0 + b.bin * 10.0 AS bin_lo, "
+            "coalesce(c.n, 0)::BIGINT AS n FROM b LEFT JOIN c USING (bin)"
+        ),
+        "dedup_keep_best_documents": (
+            "SELECT pfx, doc_id, n_chars FROM ("
+            "SELECT substr(coalesce(text, ''), 1, 64) AS pfx, doc_id, "
+            "n_chars, ROW_NUMBER() OVER ("
+            "PARTITION BY substr(coalesce(text, ''), 1, 64) "
+            "ORDER BY n_chars DESC, doc_id) AS rn FROM documents) "
+            "WHERE rn = 1"
         ),
         "asof_last_purchase": (
             "SELECT e.event_id, e.user_id, p.value AS last_purchase "

@@ -16,8 +16,20 @@ def clean_read_parquet(path, **kwargs):
     def _strip(b):
         return b.replace_schema_metadata(None)
 
-    return rd.read_parquet(path, **kwargs).map_batches(
+    ds = rd.read_parquet(path, **kwargs).map_batches(
         _strip, batch_format="pyarrow")
+    # the strip makes this a "transformed" Dataset, so consumers that
+    # size shuffles from row counts (joins.auto_buckets) can no longer
+    # use Ray's metadata-only count().  Recover it from the parquet FILE
+    # metadata (footer reads only — no data IO) and pin it on the object.
+    try:
+        import pyarrow.dataset as pads
+
+        ds._rho_meta_count = pads.dataset(path, format="parquet") \
+            .count_rows()
+    except Exception:
+        pass
+    return ds
 
 
 def ensure_empty_dir(path: str) -> None:

@@ -1,0 +1,195 @@
+"""Distributed aggregate shapes: rollup, fixed-width histogram, argmax
+per group.
+
+All three follow the engine's one rule for wide ops: combine inside
+`map_batches` FIRST so the shuffle only ever moves one short row per
+(batch, group) — never raw rows.  Reference parity: these are the
+aggregate analogues of the reference's table-level constraint reductions
+(rho-contracts src/validate.js summary rollups); the rollup/grouping-set
+semantics follow ANSI SQL GROUP BY ROLLUP as implemented by DuckDB.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _first_per_key_run(t: pa.Table, keys: list[str],
+                       sort_keys: list[tuple]) -> pa.Table:
+    """Sort t by sort_keys and keep the FIRST row of each run of equal
+    `keys` values — vectorized run-boundary mask, no per-group loop."""
+    t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+    if t.num_rows <= 1:
+        return t
+    new_run = np.zeros(t.num_rows, dtype=bool)
+    new_run[0] = True
+    for k in keys:
+        col = t[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        a, b = col.slice(1), col.slice(0, len(col) - 1)
+        # null-safe inequality: null==null counts as equal within a run
+        ne = pc.fill_null(pc.not_equal(a, b), False)
+        diff = pc.or_(ne, pc.xor(pc.is_null(a), pc.is_null(b)))
+        new_run[1:] |= diff.to_numpy(zero_copy_only=False)
+    return t.filter(pa.array(new_run))
+
+
+def group_argmax(ds, key: str, score: str, id_col: str):
+    """Best row per group: max `score`, ties broken by min `id_col` ->
+    (key, id_col, score).  The keep-BEST-copy dedup primitive (keep the
+    longest / highest-quality member of each duplicate group).
+
+    Scale shape: each batch reduces to ONE candidate row per key present
+    in it (sort + run-boundary mask), so the shuffle moves one short row
+    per (batch, key); the per-group finish applies the same pick to the
+    few surviving candidates.  Equivalent SQL: row_number() OVER
+    (PARTITION BY key ORDER BY score DESC, id) = 1."""
+    sort_keys = [(key, "ascending"), (score, "descending"),
+                 (id_col, "ascending")]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _first_per_key_run(batch.select([key, score, id_col]),
+                                  [key], sort_keys)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return _first_per_key_run(t, [key], sort_keys) \
+            .select([key, id_col, score])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).map_groups(finish, batch_format="pyarrow")
+
+
+def rollup_agg(ds, keys: Sequence[str], value: str,
+               sum_col: str = "sum_value", cnt_col: str = "n"):
+    """GROUP BY ROLLUP(keys...): sum+count at every prefix level of
+    `keys`, coarser levels null-padded, plus the grand total — ANSI
+    ROLLUP semantics (DuckDB-oracle-able).
+
+    Scale shape: ONE pass over the data (per-batch combine on the finest
+    key set -> one small groupby); every coarser level re-aggregates the
+    PREVIOUS level's output — each strictly smaller — so the raw data is
+    scanned once and never re-shuffled.  Levels are unioned lazily."""
+    import ray.data as rd
+
+    keys = list(keys)
+    if not keys:
+        raise ValueError("rollup_agg: need at least one key")
+
+    def mk_partial(level_keys: list[str], in_sum: str, in_cnt):
+        def partial(batch: pa.Table) -> pa.Table:
+            aggs = [(in_sum, "sum")]
+            aggs.append(([], "count_all") if in_cnt is None
+                        else (in_cnt, "sum"))
+            g = batch.group_by(level_keys).aggregate(aggs)
+            return g.rename_columns(level_keys + ["s", "n"])
+        return partial
+
+    def pad(t: pa.Table, level_keys: list[str]) -> pa.Table:
+        cols = {}
+        for k in keys:
+            cols[k] = t[k] if k in level_keys else \
+                pa.nulls(t.num_rows, key_types[k])
+        cols[sum_col] = t["s"]
+        cols[cnt_col] = t["n"]
+        return pa.table(cols)
+
+    schema = ds.schema().base_schema
+    key_types = {k: schema.field(k).type for k in keys}
+
+    # finest level: combine in-batch, then the only full-data shuffle
+    levels = []
+    prev = ds.map_batches(mk_partial(keys, value, None),
+                          batch_format="pyarrow") \
+        .groupby(keys).sum(["s", "n"]) \
+        .map_batches(lambda t: t.rename_columns(keys + ["s", "n"]),
+                     batch_format="pyarrow")
+    levels.append(prev.map_batches(lambda t, lk=list(keys): pad(t, lk),
+                                   batch_format="pyarrow"))
+    for i in range(len(keys) - 1, 0, -1):
+        lk = keys[:i]
+        prev = prev.map_batches(mk_partial(lk, "s", "n"),
+                                batch_format="pyarrow") \
+            .groupby(lk).sum(["s", "n"]) \
+            .map_batches(lambda t, lk=lk: t.rename_columns(lk + ["s", "n"]),
+                         batch_format="pyarrow")
+        levels.append(prev.map_batches(lambda t, lk=lk: pad(t, lk),
+                                       batch_format="pyarrow"))
+
+    def grand(t: pa.Table) -> pa.Table:
+        sv = pc.sum(t["s"]).as_py()
+        return pa.table({
+            **{k: pa.nulls(1, key_types[k]) for k in keys},
+            sum_col: pa.array([0 if sv is None else sv],
+                              t.schema.field("s").type),
+            cnt_col: pa.array([int(pc.sum(t["n"]).as_py() or 0)],
+                              pa.int64()),
+        })
+
+    # grand total from the coarsest level (tiny): collapse to one row
+    total_src = prev.map_batches(
+        lambda t: t.select(["s", "n"]), batch_format="pyarrow")
+    import pyarrow as _pa
+    parts = [b for b in total_src.iter_batches(batch_size=None,
+                                               batch_format="pyarrow")]
+    sum_type = pa.int64() if pa.types.is_integer(schema.field(value).type) \
+        else pa.float64()
+    tot_t = _pa.concat_tables(
+        [p if isinstance(p, _pa.Table) else _pa.Table.from_batches([p])
+         for p in parts]) if parts else _pa.table(
+        {"s": _pa.array([], sum_type), "n": _pa.array([], _pa.int64())})
+    levels.append(rd.from_arrow(grand(tot_t)))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def histogram(ds, col: str, lo: float, hi: float, nbins: int,
+              bin_col: str = "bin", lo_col: str = "bin_lo",
+              cnt_col: str = "n"):
+    """Fixed-width histogram over [lo, hi): (bin, bin_lo, n) for ALL
+    nbins bins, zeros included.  Values outside [lo, hi) and nulls/NaNs
+    are dropped (documented contract; count them upstream if needed).
+
+    Bin assignment uses the EXACT expression `floor((v - lo) / w)` in
+    IEEE double — the same arithmetic a SQL oracle writes — so boundary
+    values bin identically in both engines (np.histogram's edge logic
+    would not).  Scale shape: per-batch bincount partials (one row per
+    non-empty bin per batch), small groupby, zero-fill on the driver
+    (nbins rows)."""
+    if nbins <= 0 or not (hi > lo):
+        raise ValueError("histogram: need nbins > 0 and hi > lo")
+    w = (hi - lo) / nbins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        v = c.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        v = v[(v >= lo) & (v < hi)]
+        idx = np.floor((v - lo) / w).astype(np.int64)
+        # fp guard: (v-lo)/w can round up to nbins for v just below hi
+        idx = np.minimum(idx, nbins - 1)
+        cnt = np.bincount(idx, minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pa.table({bin_col: pa.array(nz, pa.int64()),
+                         "c": pa.array(cnt[nz], pa.int64())})
+
+    small = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(bin_col).sum("c")
+    full = np.zeros(nbins, np.int64)
+    for b in small.iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        full[t[bin_col].to_numpy(zero_copy_only=False)] = \
+            t["sum(c)"].to_numpy(zero_copy_only=False)
+    bins = np.arange(nbins, dtype=np.int64)
+    return pa.table({bin_col: pa.array(bins),
+                     lo_col: pa.array(lo + bins * w, pa.float64()),
+                     cnt_col: pa.array(full)})

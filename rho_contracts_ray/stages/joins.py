@@ -54,6 +54,11 @@ def auto_buckets(left_ds, right_ds, target_rows: int = 250_000) -> int:
     from ..validate import _cluster_cpus
 
     def _meta_count(ds):
+        # counts pinned at read time (sources.clean_read_parquet reads
+        # them from the parquet footers) beat plan inspection
+        pinned = getattr(ds, "_rho_meta_count", None)
+        if pinned is not None:
+            return pinned
         try:
             if ds._plan.has_computed_output():   # already materialized
                 return ds.count()

@@ -538,3 +538,71 @@ def test_line_stats_exact(ray_session):
     # word granularity
     w = line_stats(t.slice(0, 1), sep=" ")
     assert w["n_lines"][0].as_py() == 1     # no spaces -> one unit
+
+
+def test_rollup_agg_matches_duckdb(ray_session):
+    """rollup_agg == GROUP BY ROLLUP for sums+counts at every level."""
+    import duckdb
+
+    from rho_contracts_ray.stages import rollup_agg
+
+    rng = np.random.RandomState(11)
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y", "z"], 400)),
+        "b": pa.array(rng.choice(["p", "q"], 400)),
+        "v": pa.array(rng.uniform(0, 10, 400).round(3)),
+    })
+    got = rollup_agg(rd.from_arrow(t).repartition(8), ["a", "b"], "v",
+                     sum_col="s", cnt_col="n").to_pandas()
+    got["s"] = got["s"].round(6)
+    want = duckdb.connect().execute(
+        "SELECT a, b, round(sum(v), 6) AS s, count(*)::BIGINT AS n "
+        "FROM t GROUP BY ROLLUP(a, b)").df()
+    key = ["a", "b"]
+    got = got.sort_values(key, na_position="last").reset_index(drop=True)
+    want = want.sort_values(key, na_position="last").reset_index(drop=True)
+    assert got[["a", "b", "n"]].where(got[["a", "b", "n"]].notna(), None) \
+        .values.tolist() == \
+        want[["a", "b", "n"]].where(want[["a", "b", "n"]].notna(), None) \
+        .values.tolist()
+    assert np.allclose(got["s"], want["s"])
+    # level row counts: 3*2 finest + 3 mid + 1 grand
+    assert len(got) == 10
+
+
+def test_histogram_bins_exact(ray_session):
+    from rho_contracts_ray.stages import histogram
+
+    t = pa.table({"v": pa.array(
+        [0.0, 9.999, 10.0, 55.5, None, float("nan"), -1.0, 500.0, 499.999])})
+    out = histogram(rd.from_arrow(t).repartition(3), "v", 0.0, 500.0, 50)
+    n = out["n"].to_numpy()
+    assert out.num_rows == 50                       # zero bins included
+    assert n[0] == 2 and n[1] == 1 and n[5] == 1 and n[49] == 1
+    assert n.sum() == 5                             # null/NaN/oob dropped
+    assert out["bin_lo"][1].as_py() == 10.0
+    with pytest.raises(ValueError):
+        histogram(rd.from_arrow(t), "v", 0.0, 0.0, 5)
+
+
+def test_group_argmax_ties_and_partials(ray_session):
+    """group_argmax == SQL row_number pick across many blocks, with score
+    ties resolved to the smallest id."""
+    from rho_contracts_ray.stages import group_argmax
+
+    rng = np.random.RandomState(3)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 40, n).astype("U8")),
+        "score": pa.array(rng.randint(0, 5, n).astype(np.int64)),  # ties
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    got = group_argmax(rd.from_arrow(t).repartition(16),
+                       "k", "score", "id").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    df = t.to_pandas()
+    want = df.sort_values(["k", "score", "id"],
+                          ascending=[True, False, True]) \
+        .groupby("k", as_index=False).first()
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
