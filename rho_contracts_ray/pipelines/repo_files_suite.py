@@ -48,8 +48,12 @@ from ..validate import ValidatorStage, VIOLATION_SCHEMA, _cluster_cpus
 # uniqueness-reduce fan-out is derived per run (power of two >= cluster
 # CPUs, see stages/distagg.default_buckets) — round 2's fixed 16 capped
 # reduce parallelism regardless of cluster size (VERDICT r2 #2).  The
-# count is baked into each partial's bucket table, so every downstream
-# consumer infers it from the data instead of a module constant.
+# count is decided in run_suite BEFORE the pipeline is built and passed
+# into the combiner, which emits ready-partitioned per-bucket blobs; the
+# split task only unpacks bytes.  (An earlier r3 shape bucketed inside
+# _split_block — deserialize+sort+re-serialize per BLOCK × bucket — which
+# tripled the post-pass wall at 16 CPUs and anti-scaled with cluster
+# size; bucketing belongs in the 32:1 combiner where it amortizes.)
 
 
 def _sha256_rollup(col) -> int:
@@ -172,13 +176,22 @@ class SuiteStage:
         })
 
 
-def _combine_partials(batch: pa.Table) -> pa.Table:
+def _combine_partials(batch: pa.Table, n_uniq: int = 16) -> pa.Table:
     """Distributed tree-combine: merge ~32 per-batch partial rows into one.
     Runs as a `map_batches` stage over the partials dataset, so t-digest /
-    HLL merges, violation concat, FK-key dedup and uniqueness-bucket concat
-    all happen in WORKERS; the driver's final merge sees O(#blocks) rows."""
+    HLL merges, violation concat, FK-key dedup AND uniqueness-bucket
+    partitioning all happen in WORKERS; the driver's final merge sees
+    O(#blocks) rows and the split task downstream only unpacks bytes.
+
+    The uniqueness keys arrive as one blob per upstream batch and leave as
+    n_uniq per-bucket blobs — one sort+slice amortized over the ~32 merged
+    batches, so per-BATCH cost stays bucket-count-independent while the
+    per-BLOCK split stays O(bytes)."""
+    from ..stages.distagg import hash_range_buckets
+
     n = batch.num_rows
-    if n <= 1:
+    if "uniq_keys" not in batch.column_names or n == 0:
+        # empty pass-through block (UDF never ran): nothing to combine
         return batch
     viol = pa.concat_tables(
         [_deserialize(batch["violations"][i].as_buffer()) for i in range(n)])
@@ -194,10 +207,22 @@ def _combine_partials(batch: pa.Table) -> pa.Table:
 
     rkeys = _key_union("repo_keys", "repo")
     ckeys = _key_union("commit_keys", "commit")
-    # uniqueness key partials: one concat + one serialize (zero-copy
-    # chunks) — bucketing happens downstream in the split task
+    # uniqueness key partials: concat the per-batch blobs, then ONE
+    # argsort+slice pass partitions them into the per-bucket blobs the
+    # reduce tasks consume (the split task just forwards bytes)
     uniq = pa.concat_tables(
         [_deserialize(batch["uniq_keys"][i].as_buffer()) for i in range(n)])
+    kh = uniq["kh"].to_numpy(zero_copy_only=False).view(np.uint64)
+    bucket = hash_range_buckets(kh, n_uniq)
+    order = np.argsort(bucket, kind="stable")
+    ordered = uniq.take(pa.array(order, pa.int64()))
+    counts = np.bincount(bucket, minlength=n_uniq)
+    starts = np.concatenate(([0], np.cumsum(counts)))
+    uniq_blobs = [
+        _serialize(ordered.slice(int(starts[r]), int(counts[r])))
+        if counts[r] else b""
+        for r in range(n_uniq)
+    ]
     rollup = 0
     for v in batch["sha_rollup"].to_pylist():
         rollup = (rollup + v) % (1 << 64)
@@ -207,7 +232,8 @@ def _combine_partials(batch: pa.Table) -> pa.Table:
         "stats": [_serialize(stats)],
         "repo_keys": [_serialize(rkeys)],
         "commit_keys": [_serialize(ckeys)],
-        "uniq_keys": [_serialize(uniq)],
+        "uniq_buckets": [_serialize(pa.table(
+            {"blob": pa.array(uniq_blobs, pa.binary())}))],
         "rows": [int(pc.sum(batch["rows"]).as_py() or 0)],
         "failed": [int(pc.sum(batch["failed"]).as_py() or 0)],
         "sha_rollup": pa.array([rollup], type=pa.uint64()),
@@ -219,31 +245,29 @@ def _split_block(n_uniq: int, block):
     """Route one combined-partials block: returns the small columns (for
     the driver) plus each uniqueness bucket's blob list (for the per-bucket
     reduce tasks) — the key payload moves worker-to-worker, never through
-    the driver.  The bucket partition happens HERE, straight from the kh
-    column's top bits, so upstream stages are bucket-count-agnostic.
+    the driver.  The combiner already partitioned the keys, so this task
+    only FORWARDS bytes (no deserialize/sort/copy — an earlier shape that
+    bucketed here anti-scaled with cluster size, see module docstring).
     Callers set num_returns=n_uniq+1 via .options()."""
-    from ..stages.distagg import hash_range_buckets
-
     t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
-    if "uniq_keys" not in t.column_names:
+    if "uniq_buckets" not in t.column_names:
         # an empty input block passes through map_batches with the INPUT
         # schema (the UDF never ran) — nothing to split
         return (t.slice(0, 0), *[[] for _ in range(n_uniq)])
-    small = t.drop_columns(["uniq_keys"])
+    small = t.drop_columns(["uniq_buckets"])
     per_bucket: list[list[bytes]] = [[] for _ in range(n_uniq)]
-    ub = t["uniq_keys"].combine_chunks()
+    ub = t["uniq_buckets"].combine_chunks()
     for i in range(t.num_rows):
-        kt = _deserialize(ub[i].as_buffer())
-        kh = kt["kh"].to_numpy(zero_copy_only=False).view(np.uint64)
-        bucket = hash_range_buckets(kh, n_uniq)
-        order = np.argsort(bucket, kind="stable")
-        ordered = kt.take(pa.array(order, pa.int64()))
-        counts = np.bincount(bucket, minlength=n_uniq)
-        starts = np.concatenate(([0], np.cumsum(counts)))
+        bt = _deserialize(ub[i].as_buffer())
+        blob_col = bt["blob"].combine_chunks()
+        if len(blob_col) != n_uniq:
+            raise ValueError(
+                f"uniq bucket count mismatch: combiner wrote "
+                f"{len(blob_col)} buckets, split expects {n_uniq}")
         for r in range(n_uniq):
-            if counts[r]:
-                per_bucket[r].append(_serialize(
-                    ordered.slice(int(starts[r]), int(counts[r]))))
+            b = blob_col[r].as_buffer()
+            if len(b):
+                per_bucket[r].append(b.to_pybytes())
     return (small, *per_bucket)
 
 
@@ -385,8 +409,9 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     # of batches).  Fusion keeps the heavy uniq-key payload out of a block
     # hand-off; the int64-prefiltered reduce below keeps the per-bucket
     # merge cheap even with a few hundred routed blocks.
-    part_ds = part_ds.map_batches(_combine_partials, batch_format="pyarrow",
-                                  batch_size=combine_size)
+    part_ds = part_ds.map_batches(
+        functools.partial(_combine_partials, n_uniq=n_uniq_buckets),
+        batch_format="pyarrow", batch_size=combine_size)
 
     # stream the combined-partial blocks out BY REFERENCE: each block is
     # split in a worker task as soon as it lands (overlapping the main
