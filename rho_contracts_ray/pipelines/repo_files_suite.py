@@ -107,8 +107,10 @@ class SuiteStage:
     batch — a single pass over each block, contract compiled once per
     actor (SURVEY.md §4 'stateful stages')."""
 
-    def __init__(self, contract: ast.Contract, key_cols: Sequence[str],
+    def __init__(self, contract, key_cols: Sequence[str],
                  capture_limit: int = 64):
+        # pickled-bytes form keeps fn_constructor_kwargs hashable for
+        # Ray's schema dedup (ValidatorStage unpickles either way)
         self.validator = ValidatorStage(contract, name="repo_files",
                                         id_cols=key_cols,
                                         capture_limit=capture_limit)
@@ -241,34 +243,44 @@ def _combine_partials(batch: pa.Table, n_uniq: int = 16) -> pa.Table:
 
 
 @ray.remote
-def _split_block(n_uniq: int, block):
-    """Route one combined-partials block: returns the small columns (for
-    the driver) plus each uniqueness bucket's blob list (for the per-bucket
-    reduce tasks) — the key payload moves worker-to-worker, never through
-    the driver.  The combiner already partitioned the keys, so this task
-    only FORWARDS bytes (no deserialize/sort/copy — an earlier shape that
-    bucketed here anti-scaled with cluster size, see module docstring).
+def _split_block(n_uniq: int, *blocks):
+    """Route a CHUNK of combined-partials blocks: returns the small
+    columns (for the driver) plus each uniqueness bucket's blob list (for
+    the per-bucket reduce tasks) — the key payload moves worker-to-worker,
+    never through the driver.  The combiner already partitioned the keys,
+    so this task only FORWARDS bytes (no deserialize/sort/copy — an
+    earlier shape that bucketed here anti-scaled with cluster size, see
+    module docstring).  Several blocks ride in one task so the object
+    count stays O(#chunks x buckets), not O(#blocks x buckets).
     Callers set num_returns=n_uniq+1 via .options()."""
-    t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
-    if "uniq_buckets" not in t.column_names:
-        # an empty input block passes through map_batches with the INPUT
-        # schema (the UDF never ran) — nothing to split
-        return (t.slice(0, 0), *[[] for _ in range(n_uniq)])
-    small = t.drop_columns(["uniq_buckets"])
+    smalls = []
     per_bucket: list[list[bytes]] = [[] for _ in range(n_uniq)]
-    ub = t["uniq_buckets"].combine_chunks()
-    for i in range(t.num_rows):
-        bt = _deserialize(ub[i].as_buffer())
-        blob_col = bt["blob"].combine_chunks()
-        if len(blob_col) != n_uniq:
-            raise ValueError(
-                f"uniq bucket count mismatch: combiner wrote "
-                f"{len(blob_col)} buckets, split expects {n_uniq}")
-        for r in range(n_uniq):
-            b = blob_col[r].as_buffer()
-            if len(b):
-                per_bucket[r].append(b.to_pybytes())
+    for block in blocks:
+        t = block if isinstance(block, pa.Table) \
+            else pa.Table.from_batches([block])
+        if "uniq_buckets" not in t.column_names:
+            # an empty input block passes through map_batches with the
+            # INPUT schema (the UDF never ran) — nothing to split
+            continue
+        smalls.append(t.drop_columns(["uniq_buckets"]))
+        ub = t["uniq_buckets"].combine_chunks()
+        for i in range(t.num_rows):
+            bt = _deserialize(ub[i].as_buffer())
+            blob_col = bt["blob"].combine_chunks()
+            if len(blob_col) != n_uniq:
+                raise ValueError(
+                    f"uniq bucket count mismatch: combiner wrote "
+                    f"{len(blob_col)} buckets, split expects {n_uniq}")
+            for r in range(n_uniq):
+                b = blob_col[r].as_buffer()
+                if len(b):
+                    per_bucket[r].append(b.to_pybytes())
+    small = (pa.concat_tables(smalls, promote_options="default")
+             if smalls else _EMPTY_SMALL)
     return (small, *per_bucket)
+
+
+_EMPTY_SMALL = pa.table({"kind": pa.array([], pa.string())})
 
 
 @ray.remote
@@ -388,7 +400,8 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     if use_actors:
         part_ds = ds.map_batches(
             SuiteStage,
-            fn_constructor_kwargs=dict(contract=contract, key_cols=key_cols,
+            fn_constructor_kwargs=dict(contract=pickle.dumps(contract),
+                                       key_cols=tuple(key_cols),
                                        capture_limit=capture_limit),
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -419,10 +432,20 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     bundles = []          # keep refs alive until the reduces finish
     splits = []
     split = _split_block.options(num_returns=n_uniq_buckets + 1)
+    # several blocks per split task: the split only forwards bytes, so
+    # batching 8 blocks cuts the routed-object count 8x (at 256 blocks x
+    # 32 buckets the per-object overhead was the post-pass bottleneck)
+    split_chunk = 8
+    pending: list = []
     for bundle in part_ds.iter_internal_ref_bundles():
         bundles.append(bundle)
         for bref in bundle.block_refs:
-            splits.append(split.remote(n_uniq_buckets, bref))
+            pending.append(bref)
+            if len(pending) >= split_chunk:
+                splits.append(split.remote(n_uniq_buckets, *pending))
+                pending = []
+    if pending:
+        splits.append(split.remote(n_uniq_buckets, *pending))
     t_main = time.monotonic()
 
     if splits:

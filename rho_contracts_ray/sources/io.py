@@ -4,31 +4,40 @@ from __future__ import annotations
 
 
 def clean_read_parquet(path, **kwargs):
-    """ray.data.read_parquet with the file's schema METADATA stripped from
-    every batch.  Parquet files carry a pandas-metadata dict in the Arrow
-    schema; Ray 2.49's repartition/groupby reduce tasks try to hash block
-    schemas for deduplication and log a 'Failed to hash the schemas'
-    warning per task on the unhashable dict (VERDICT r2 #9 — a warning
-    storm in driver artifacts).  The strip is a zero-copy map_batches that
-    fuses with the read."""
+    """ray.data.read_parquet with the file's schema METADATA stripped.
+
+    Parquet files carry a pandas-metadata dict in the Arrow schema; Ray
+    2.49's repartition/groupby reduce tasks try to hash block schemas for
+    deduplication and log a 'Failed to hash the schemas' warning per task
+    on the unhashable dict (VERDICT r2 #9 — a warning storm in driver
+    artifacts).  The metadata-free schema is passed to read_parquet
+    itself, so even the ReadParquet->SplitBlocks operator emits hashable
+    schemas — no extra map_batches stage, so the Dataset keeps its
+    metadata-only count() (which joins.auto_buckets uses to size
+    shuffles; the count is also pinned on the object for consumers that
+    chain transforms before asking)."""
     import ray.data as rd
 
-    def _strip(b):
-        return b.replace_schema_metadata(None)
+    count = None
+    if "schema" not in kwargs:
+        try:
+            import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(path, **kwargs).map_batches(
-        _strip, batch_format="pyarrow")
-    # the strip makes this a "transformed" Dataset, so consumers that
-    # size shuffles from row counts (joins.auto_buckets) can no longer
-    # use Ray's metadata-only count().  Recover it from the parquet FILE
-    # metadata (footer reads only — no data IO) and pin it on the object.
-    try:
-        import pyarrow.dataset as pads
+            import pyarrow as pa
 
-        ds._rho_meta_count = pads.dataset(path, format="parquet") \
-            .count_rows()
-    except Exception:
-        pass
+            d = pads.dataset(path, format="parquet")
+            s = d.schema.remove_metadata()
+            if kwargs.get("columns"):
+                # Ray expects the schema of the PROJECTED batches when a
+                # column selection rides along
+                s = pa.schema([s.field(c) for c in kwargs["columns"]])
+            kwargs["schema"] = s
+            count = d.count_rows()   # footer reads only — no data IO
+        except Exception:
+            pass
+    ds = rd.read_parquet(path, **kwargs)
+    if count is not None:
+        ds._rho_meta_count = count
     return ds
 
 

@@ -74,9 +74,16 @@ class ValidatorStage:
     """Actor-pool stage: compiled contract held per actor
     (setup once in __init__ — see SURVEY.md §4)."""
 
-    def __init__(self, contract: ast.Contract, name: Optional[str] = None,
+    def __init__(self, contract, name: Optional[str] = None,
                  id_cols: Optional[Sequence[str]] = None,
                  capture_limit: int = 1000, fail_fast: bool = False):
+        # contract may arrive pickled: actor-pool constructors ship it in
+        # fn_constructor_kwargs, and raw Contract objects hold dicts that
+        # defeat Ray's schema-dedup hashing (a warning storm per stage)
+        if isinstance(contract, bytes):
+            import pickle
+
+            contract = pickle.loads(contract)
         self.contract = ast.auto_to_contract(contract)
         self.name = name
         self.id_cols = list(id_cols) if id_cols else []
@@ -238,9 +245,11 @@ def validate(data, contract, name: Optional[str] = None,
         t = data if isinstance(data, pa.Table) else pa.Table.from_batches([data])
         return ValidationReport(stage(t), contract, name)
 
+    import pickle
+
     kwargs = dict(
-        fn_constructor_kwargs=dict(contract=contract, name=name,
-                                   id_cols=id_cols,
+        fn_constructor_kwargs=dict(contract=pickle.dumps(contract), name=name,
+                                   id_cols=tuple(id_cols) if id_cols else None,
                                    capture_limit=capture_limit,
                                    fail_fast=fail_fast),
         batch_format="pyarrow",
