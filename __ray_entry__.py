@@ -661,6 +661,43 @@ def _q_rollup_pricing(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def _q_cube_pricing(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) — all four grouping sets
+    from ONE scan: the base (finest) aggregate is computed once and every
+    subset re-aggregates that compact table."""
+    from rho_contracts_ray.stages import cube_agg
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    out = cube_agg(ds, ["l_returnflag", "l_linestatus"], "l_quantity",
+                   sum_col="sum_qty", cnt_col="n")
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_qty"), "sum_qty",
+            pc.round(batch["sum_qty"], 2))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_grouping_sets_events(sf_dir: str):
+    """GROUPING SETS ((event_type), (user_id), ()) over events.value —
+    three independent aggregates from one scan + one shuffle."""
+    from rho_contracts_ray.stages import grouping_sets_agg
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "user_id", "value"])
+    out = grouping_sets_agg(ds, [["event_type"], ["user_id"], []],
+                            "value", sum_col="sum_value", cnt_col="n")
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("sum_value"), "sum_value",
+            pc.round(batch["sum_value"], 2))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def _q_histogram_events_value(sf_dir: str):
     """Fixed-width 50-bin histogram of events.value over [0, 500) —
     per-batch bincount partials; only (bin, n) rows ever shuffle."""
@@ -1257,6 +1294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": _q_q3_shipping_priority,
         "q5_region_volume": _q_q5_region_volume,
         "rollup_pricing": _q_rollup_pricing,
+        "cube_pricing": _q_cube_pricing,
+        "grouping_sets_events": _q_grouping_sets_events,
         "histogram_events_value": _q_histogram_events_value,
         "dedup_keep_best_documents": _q_dedup_keep_best_documents,
         "asof_last_purchase": _q_asof_last_purchase,
@@ -1562,6 +1601,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 2) AS sum_qty, count(*)::BIGINT AS n "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "cube_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, count(*)::BIGINT AS n "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        "grouping_sets_events": (
+            "SELECT event_type, user_id, "
+            "round(sum(value), 2) AS sum_value, count(*)::BIGINT AS n "
+            "FROM events GROUP BY GROUPING SETS "
+            "((event_type), (user_id), ())"
         ),
         # least(floor(...), 49) mirrors the engine's fp clamp at the top
         # edge; the bin expression is the IDENTICAL double arithmetic

@@ -235,7 +235,7 @@ def _combine_partials(batch: pa.Table, n_uniq: int = 16) -> pa.Table:
         "repo_keys": [_serialize(rkeys)],
         "commit_keys": [_serialize(ckeys)],
         "uniq_buckets": [_serialize(pa.table(
-            {"blob": pa.array(uniq_blobs, pa.binary())}))],
+            {"blob": pa.array(uniq_blobs, pa.binary())}), compress=False)],
         "rows": [int(pc.sum(batch["rows"]).as_py() or 0)],
         "failed": [int(pc.sum(batch["failed"]).as_py() or 0)],
         "sha_rollup": pa.array([rollup], type=pa.uint64()),
@@ -318,10 +318,19 @@ def _empty_dup_table(key_cols: Sequence[str]) -> pa.Table:
                      "cnt": pa.array([], pa.int64())})
 
 
-def _serialize(t: pa.Table) -> bytes:
+def _serialize(t: pa.Table, compress: bool = True) -> bytes:
+    """IPC-stream bytes, LZ4-frame-compressed buffers: the uniqueness
+    payload is repo/path/commit strings that compress 3-5x, so every hop
+    (combiner block -> split -> reduce fan-in) moves that much less
+    through the object store and memory bus.  _deserialize is transparent
+    (the IPC reader picks compression off the stream header).  Pass
+    compress=False for WRAPPER tables whose cells are already-compressed
+    blobs — double compression burns CPU for no size win."""
     import io
     sink = io.BytesIO()
-    with pa.ipc.new_stream(sink, t.schema) as w:
+    opts = pa.ipc.IpcWriteOptions(
+        compression="lz4") if compress else None
+    with pa.ipc.new_stream(sink, t.schema, options=opts) as w:
         w.write_table(t)
     return sink.getvalue()
 

@@ -31,4 +31,6 @@ from .text import (  # noqa: F401
     decontaminate_ngrams, line_stats, ngram_top_k, pii_scrub,
 )
 from .topk import global_topk  # noqa: F401
-from .agg import group_argmax, histogram, rollup_agg  # noqa: F401
+from .agg import (  # noqa: F401
+    cube_agg, group_argmax, grouping_sets_agg, histogram, rollup_agg,
+)

@@ -193,3 +193,120 @@ def histogram(ds, col: str, lo: float, hi: float, nbins: int,
     return pa.table({bin_col: pa.array(bins),
                      lo_col: pa.array(lo + bins * w, pa.float64()),
                      cnt_col: pa.array(full)})
+
+
+def grouping_sets_agg(ds, sets: Sequence[Sequence[str]], value: str,
+                      sum_col: str = "sum_value", cnt_col: str = "n"):
+    """GROUP BY GROUPING SETS((...), ...): sum+count for each requested
+    key subset, absent keys null-padded — ANSI semantics as DuckDB
+    implements them.  The empty set () is the grand total.
+
+    Scale shape: ONE pass over the raw data aggregates to the UNION of
+    all keys (per-batch combine -> one small groupby); every requested
+    set then re-aggregates that compact base — sums and counts are
+    re-aggregable, so no second scan and no second full shuffle.  Caveat
+    (documented, matches the SQL caveat without GROUPING()): a genuine
+    NULL key value in the input is indistinguishable from padding in the
+    output.
+    """
+    import ray.data as rd
+
+    sets = [list(s) for s in sets]
+    base_keys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in base_keys:
+                base_keys.append(k)
+    if not base_keys:
+        raise ValueError("grouping_sets_agg: need at least one non-empty "
+                         "set (use rollup_agg for plain totals)")
+
+    schema = ds.schema().base_schema
+    key_types = {k: schema.field(k).type for k in base_keys}
+    sum_type = pa.int64() if pa.types.is_integer(schema.field(value).type) \
+        else pa.float64()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(base_keys).aggregate([(value, "sum"),
+                                                 ([], "count_all")])
+        return g.rename_columns(base_keys + ["s", "n"])
+
+    base = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(base_keys).sum(["s", "n"]) \
+        .map_batches(lambda t: t.rename_columns(base_keys + ["s", "n"]),
+                     batch_format="pyarrow")
+
+    def mk_level(level_keys: list[str]):
+        def agg_level(t: pa.Table) -> pa.Table:
+            if level_keys:
+                g = t.group_by(level_keys).aggregate([("s", "sum"),
+                                                      ("n", "sum")])
+                g = g.rename_columns(level_keys + ["s", "n"])
+            else:
+                sv = pc.sum(t["s"]).as_py()
+                g = pa.table({
+                    "s": pa.array([0 if sv is None else sv], sum_type),
+                    "n": pa.array([int(pc.sum(t["n"]).as_py() or 0)],
+                                  pa.int64())})
+            cols = {}
+            for k in base_keys:
+                cols[k] = g[k] if k in level_keys else \
+                    pa.nulls(g.num_rows, key_types[k])
+            cols[sum_col] = pc.cast(g["s"], sum_type)
+            cols[cnt_col] = g["n"]
+            return pa.table(cols)
+        return agg_level
+
+    # each set re-aggregates the SAME compact base: for the non-trivial
+    # sets this is a tiny groupby per block then a groupby over partials;
+    # base is small (one row per distinct base-key combo) so a per-set
+    # repartition(1)-free path: map_batches partials + groupby again
+    levels = []
+    for s in sets:
+        if s == base_keys:
+            levels.append(base.map_batches(mk_level(s),
+                                           batch_format="pyarrow"))
+        elif s:
+            lv = base.map_batches(
+                lambda t, lk=list(s): t.group_by(lk).aggregate(
+                    [("s", "sum"), ("n", "sum")]).rename_columns(
+                        lk + ["s", "n"]),
+                batch_format="pyarrow") \
+                .groupby(list(s)).sum(["s", "n"]) \
+                .map_batches(lambda t, lk=list(s): t.rename_columns(
+                    lk + ["s", "n"]), batch_format="pyarrow") \
+                .map_batches(mk_level(list(s)), batch_format="pyarrow")
+            levels.append(lv)
+        else:
+            # grand total: collapse the base's (tiny) s/n columns
+            parts = [b for b in base.select_columns(["s", "n"]).iter_batches(
+                batch_size=None, batch_format="pyarrow")]
+            tot = pa.concat_tables(
+                [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+                 for p in parts]) if parts else pa.table(
+                {"s": pa.array([], sum_type), "n": pa.array([], pa.int64())})
+            levels.append(rd.from_arrow(mk_level([])(tot)))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def cube_agg(ds, keys: Sequence[str], value: str,
+             sum_col: str = "sum_value", cnt_col: str = "n"):
+    """GROUP BY CUBE(keys...): every subset of `keys` including the grand
+    total — delegates to grouping_sets_agg (2^len(keys) sets; cap at 6
+    keys to keep the set count sane)."""
+    keys = list(keys)
+    if len(keys) > 6:
+        raise ValueError("cube_agg: more than 6 keys means "
+                         f"{2**len(keys)} grouping sets — pass an "
+                         "explicit grouping_sets_agg selection instead")
+    from itertools import combinations
+
+    sets = []
+    for r in range(len(keys), -1, -1):
+        for combo in combinations(keys, r):
+            sets.append(list(combo))
+    return grouping_sets_agg(ds, sets, value, sum_col, cnt_col)

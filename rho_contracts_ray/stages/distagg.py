@@ -152,9 +152,13 @@ def _reduce_bucket(min_count: int, *blob_lists) -> np.ndarray:
 
 
 def _serialize(t: pa.Table) -> bytes:
+    """IPC-stream bytes with LZ4-frame buffer compression — routed
+    payloads (keys, signatures) compress well and every blob crosses the
+    object store at least twice.  The reader is transparent."""
     import io
     sink = io.BytesIO()
-    with pa.ipc.new_stream(sink, t.schema) as w:
+    opts = pa.ipc.IpcWriteOptions(compression="lz4")
+    with pa.ipc.new_stream(sink, t.schema, options=opts) as w:
         w.write_table(t)
     return sink.getvalue()
 

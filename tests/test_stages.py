@@ -606,3 +606,57 @@ def test_group_argmax_ties_and_partials(ray_session):
         .groupby("k", as_index=False).first()
     assert got["id"].tolist() == want["id"].tolist()
     assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_grouping_sets_matches_duckdb(ray_session):
+    import duckdb
+
+    from rho_contracts_ray.stages import grouping_sets_agg
+
+    rng = np.random.RandomState(7)
+    t = pa.table({
+        "a": pa.array(rng.choice(["x", "y", "z"], 500)),
+        "b": pa.array(rng.randint(0, 4, 500).astype(np.int64)),
+        "v": pa.array(rng.uniform(0, 10, 500).round(3)),
+    })
+    got = grouping_sets_agg(rd.from_arrow(t).repartition(8),
+                            [["a", "b"], ["b"], []], "v",
+                            sum_col="s", cnt_col="n").to_pandas()
+    got["s"] = got["s"].round(6)
+    want = duckdb.connect().execute(
+        "SELECT a, b, round(sum(v), 6) AS s, count(*)::BIGINT AS n "
+        "FROM t GROUP BY GROUPING SETS ((a, b), (b), ())").df()
+    key = ["a", "b", "n"]
+    got = got.sort_values(key, na_position="last").reset_index(drop=True)
+    want = want.sort_values(key, na_position="last").reset_index(drop=True)
+    assert len(got) == len(want) == 12 + 4 + 1
+    assert got["a"].where(got["a"].notna(), "#").tolist() == \
+        want["a"].where(want["a"].notna(), "#").tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert np.allclose(got["s"], want["s"])
+
+
+def test_cube_agg_matches_duckdb(ray_session):
+    import duckdb
+
+    from rho_contracts_ray.stages import cube_agg
+
+    rng = np.random.RandomState(5)
+    t = pa.table({
+        "a": pa.array(rng.choice(["p", "q"], 300)),
+        "b": pa.array(rng.choice(["u", "w"], 300)),
+        "v": pa.array(rng.randint(0, 100, 300).astype(np.int64)),
+    })
+    got = cube_agg(rd.from_arrow(t).repartition(4), ["a", "b"], "v",
+                   sum_col="s", cnt_col="n").to_pandas()
+    want = duckdb.connect().execute(
+        "SELECT a, b, sum(v)::BIGINT AS s, count(*)::BIGINT AS n "
+        "FROM t GROUP BY CUBE(a, b)").df()
+    key = ["a", "b"]
+    got = got.sort_values(key, na_position="last").reset_index(drop=True)
+    want = want.sort_values(key, na_position="last").reset_index(drop=True)
+    assert got["n"].tolist() == want["n"].tolist()
+    assert got["s"].astype("int64").tolist() == \
+        want["s"].astype("int64").tolist()
+    with pytest.raises(ValueError):
+        cube_agg(rd.from_arrow(t), list("abcdefg"), "v")
