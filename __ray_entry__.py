@@ -698,6 +698,26 @@ def _q_grouping_sets_events(sf_dir: str):
     return out.map_batches(rnd, batch_format="pyarrow")
 
 
+def _q_pivot_events_by_type(sf_dir: str):
+    """Wide pivot: per-user event counts, one column per event type —
+    the conditional-aggregation shape (sum CASE WHEN) as one combine +
+    one short-row shuffle."""
+    from rho_contracts_ray.stages import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type",
+                        ["click", "view", "purchase", "signup"])
+
+
+def _q_mode_events_user(sf_dir: str):
+    """Most frequent event_type per user (ties to the alphabetically
+    first type) — argmax over distributed (user, type) counts."""
+    from rho_contracts_ray.stages import group_mode
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return group_mode(ds, "user_id", "event_type")
+
+
 def _q_histogram_events_value(sf_dir: str):
     """Fixed-width 50-bin histogram of events.value over [0, 500) —
     per-batch bincount partials; only (bin, n) rows ever shuffle."""
@@ -1295,6 +1315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_region_volume": _q_q5_region_volume,
         "rollup_pricing": _q_rollup_pricing,
         "cube_pricing": _q_cube_pricing,
+        "pivot_events_by_type": _q_pivot_events_by_type,
+        "mode_events_user": _q_mode_events_user,
         "grouping_sets_events": _q_grouping_sets_events,
         "histogram_events_value": _q_histogram_events_value,
         "dedup_keep_best_documents": _q_dedup_keep_best_documents,
@@ -1601,6 +1623,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(l_quantity), 2) AS sum_qty, count(*)::BIGINT AS n "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "pivot_events_by_type": (
+            "SELECT user_id, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_click, "
+            "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_view, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_purchase, "
+            "sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_signup, "
+            "count(*)::BIGINT AS total "
+            "FROM events GROUP BY user_id"
+        ),
+        "mode_events_user": (
+            "SELECT user_id, event_type, n FROM ("
+            "SELECT user_id, event_type, count(*)::BIGINT AS n, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
         ),
         "cube_pricing": (
             "SELECT l_returnflag, l_linestatus, "

@@ -242,6 +242,49 @@ def _combine_partials(batch: pa.Table, n_uniq: int = 16) -> pa.Table:
     })
 
 
+def _merge_small_tables(*tables: pa.Table) -> pa.Table:
+    """Merge split-chunk small tables into ONE row: concat the
+    violation/stats/FK-key blobs so the driver's final merge sees one
+    row per split task instead of O(#blocks).  Runs INSIDE _split_block
+    — split tasks overlap the main pass, so this merge costs no
+    post-pass wall.  Same merge semantics as _combine_partials minus the
+    uniqueness column (already routed to the bucket reduces by then)."""
+    rows_t = [t for t in tables
+              if t.num_rows and "rows" in t.column_names]
+    if not rows_t:
+        return _EMPTY_SMALL
+    viol, stats, rkeys, ckeys = [], [], [], []
+    rows = failed = rollup = 0
+    for t in rows_t:
+        for i in range(t.num_rows):
+            viol.append(_deserialize(t["violations"][i].as_buffer()))
+            stats.append(_deserialize(t["stats"][i].as_buffer()))
+            rkeys.append(_deserialize(t["repo_keys"][i].as_buffer()))
+            ckeys.append(_deserialize(t["commit_keys"][i].as_buffer()))
+        rows += int(pc.sum(t["rows"]).as_py() or 0)
+        failed += int(pc.sum(t["failed"]).as_py() or 0)
+        for v in t["sha_rollup"].to_pylist():
+            rollup = (rollup + v) % (1 << 64)
+
+    def _uniq_union(ts, key):
+        u = pa.concat_tables(ts)
+        return pa.table({key: pc.unique(u[key].combine_chunks()
+                                        if isinstance(u[key],
+                                                      pa.ChunkedArray)
+                                        else u[key])})
+
+    return pa.table({
+        "kind": ["partial"],
+        "violations": [_serialize(pa.concat_tables(viol))],
+        "stats": [_serialize(merge_partials_table(pa.concat_tables(stats)))],
+        "repo_keys": [_serialize(_uniq_union(rkeys, "repo"))],
+        "commit_keys": [_serialize(_uniq_union(ckeys, "commit"))],
+        "rows": [rows],
+        "failed": [failed],
+        "sha_rollup": pa.array([rollup], type=pa.uint64()),
+    })
+
+
 @ray.remote
 def _split_block(n_uniq: int, *blocks):
     """Route a CHUNK of combined-partials blocks: returns the small
@@ -275,8 +318,7 @@ def _split_block(n_uniq: int, *blocks):
                 b = blob_col[r].as_buffer()
                 if len(b):
                     per_bucket[r].append(b.to_pybytes())
-    small = (pa.concat_tables(smalls, promote_options="default")
-             if smalls else _EMPTY_SMALL)
+    small = (_merge_small_tables(*smalls) if smalls else _EMPTY_SMALL)
     return (small, *per_bucket)
 
 
@@ -442,9 +484,10 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     splits = []
     split = _split_block.options(num_returns=n_uniq_buckets + 1)
     # several blocks per split task: the split only forwards bytes, so
-    # batching 8 blocks cuts the routed-object count 8x (at 256 blocks x
-    # 32 buckets the per-object overhead was the post-pass bottleneck)
-    split_chunk = 8
+    # batching blocks cuts the routed-object count (at 256 blocks x 32
+    # buckets one-task-per-block was the post-pass bottleneck); 4 per
+    # task keeps the end-of-pass split->merge tail chain short
+    split_chunk = 4
     pending: list = []
     for bundle in part_ds.iter_internal_ref_bundles():
         bundles.append(bundle)
@@ -463,12 +506,14 @@ def run_suite(input_path, out_dir: Optional[str] = None,
                                        *[s[1 + r] for s in splits])
             for r in range(n_uniq_buckets)
         ]
+        # each split task already merged its chunk to ONE row (inside
+        # the pass) — the driver merge below touches one row per split
         small_tables = ray.get([s[0] for s in splits])
     else:
         bucket_futs = []
         small_tables = []
 
-    # driver merge of the (now pre-combined, tiny) partials
+    # driver merge of the (now worker-pre-merged, tiny) partials
     viol_tables, stats_tables = [], []
     repo_key_tables, commit_key_tables = [], []
     rows = failed = 0

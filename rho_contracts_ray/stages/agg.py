@@ -310,3 +310,68 @@ def cube_agg(ds, keys: Sequence[str], value: str,
         for combo in combinations(keys, r):
             sets.append(list(combo))
     return grouping_sets_agg(ds, sets, value, sum_col, cnt_col)
+
+
+def pivot_counts(ds, key: str, cat_col: str, categories: Sequence[str],
+                 prefix: str = "n_"):
+    """Wide pivot: one row per `key`, one count column per category in
+    `categories` (fixed, caller-supplied list — at 100 TB you never want
+    the column set data-dependent) plus the row total.  Equivalent SQL:
+    sum(CASE WHEN cat = 'x' THEN 1 ELSE 0 END) conditional aggregation.
+
+    Scale shape: each batch reduces to one (key, n_cat...) row per key
+    present in it (a small group_by on the batch), so the shuffle moves
+    len(categories)+2 ints per (batch, key) — never raw rows."""
+    categories = list(categories)
+    cols = [f"{prefix}{c}" for c in categories]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key, cat_col]).group_by([key, cat_col]) \
+            .aggregate([([], "count_all")])
+        out = {key: g[key]}
+        m = g[cat_col]
+        n = pc.cast(g["count_all"], pa.int64())
+        zero = pc.cast(pa.scalar(0), pa.int64())
+        for c, name in zip(categories, cols):
+            # null-safe: a null category matches nothing (SQL CASE WHEN)
+            out[name] = pc.if_else(pc.fill_null(pc.equal(m, c), False),
+                                   n, zero)
+        out["total"] = n
+        return pa.table(out)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).sum(cols + ["total"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([key] + cols + ["total"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def group_mode(ds, key: str, val: str, cnt_col: str = "n"):
+    """Most frequent `val` per `key`, ties broken by the smallest value →
+    (key, val, n).  Equivalent SQL: row_number() OVER (PARTITION BY key
+    ORDER BY count(*) DESC, val) = 1 on the (key, val) counts.
+
+    Scale shape: per-batch (key, val, n) partials (one short row per
+    distinct pair per batch) → one groupby summing n → argmax per key
+    via the same run-boundary reduction group_argmax uses."""
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key, val]).group_by([key, val]) \
+            .aggregate([([], "count_all")])
+        return pa.table({key: g[key], val: g[val],
+                         cnt_col: pc.cast(g["count_all"], pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key, val]).sum(cnt_col) \
+        .map_batches(lambda t: t.rename_columns([key, val, cnt_col]),
+                     batch_format="pyarrow")
+
+    sort_keys = [(key, "ascending"), (cnt_col, "descending"),
+                 (val, "ascending")]
+
+    def finish(t: pa.Table) -> pa.Table:
+        return _first_per_key_run(t, [key], sort_keys) \
+            .select([key, val, cnt_col])
+
+    return counts.groupby(key).map_groups(finish, batch_format="pyarrow")

@@ -660,3 +660,47 @@ def test_cube_agg_matches_duckdb(ray_session):
         want["s"].astype("int64").tolist()
     with pytest.raises(ValueError):
         cube_agg(rd.from_arrow(t), list("abcdefg"), "v")
+
+
+def test_pivot_counts_matches_duckdb(ray_session):
+    import duckdb
+
+    from rho_contracts_ray.stages import pivot_counts
+
+    rng = np.random.RandomState(13)
+    t = pa.table({
+        "u": pa.array(rng.randint(0, 50, 2000).astype(np.int64)),
+        "c": pa.array(rng.choice(["a", "b", "z", "other"], 2000)),
+    })
+    got = pivot_counts(rd.from_arrow(t).repartition(8), "u", "c",
+                       ["a", "b", "z"]).to_pandas() \
+        .sort_values("u").reset_index(drop=True)
+    want = duckdb.connect().execute(
+        "SELECT u, sum(CASE WHEN c='a' THEN 1 ELSE 0 END)::BIGINT AS n_a, "
+        "sum(CASE WHEN c='b' THEN 1 ELSE 0 END)::BIGINT AS n_b, "
+        "sum(CASE WHEN c='z' THEN 1 ELSE 0 END)::BIGINT AS n_z, "
+        "count(*)::BIGINT AS total FROM t GROUP BY u ORDER BY u").df()
+    for c in ["n_a", "n_b", "n_z", "total"]:
+        assert got[c].tolist() == want[c].tolist(), c
+    # 'other' rows count toward total only
+    assert (got["total"] >= got[["n_a", "n_b", "n_z"]].sum(axis=1)).all()
+
+
+def test_group_mode_matches_duckdb(ray_session):
+    import duckdb
+
+    from rho_contracts_ray.stages import group_mode
+
+    rng = np.random.RandomState(17)
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 30, 1500).astype(np.int64)),
+        "v": pa.array(rng.choice(["x", "y", "z"], 1500)),
+    })
+    got = group_mode(rd.from_arrow(t).repartition(6), "k", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    want = duckdb.connect().execute(
+        "SELECT k, v, n FROM (SELECT k, v, count(*)::BIGINT AS n, "
+        "ROW_NUMBER() OVER (PARTITION BY k ORDER BY count(*) DESC, v) rn "
+        "FROM t GROUP BY k, v) WHERE rn = 1 ORDER BY k").df()
+    assert got["v"].tolist() == want["v"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
