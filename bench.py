@@ -115,6 +115,31 @@ def _median_timed(fn, reps: int = BENCH_REPS):
     return statistics.median(walls), walls, out
 
 
+def _warm_worker_pool():
+    """Spawn the full task-worker pool and pre-import the package's heavy
+    modules in every worker BEFORE timing starts.  A trivial 1-block
+    warm-up (pre-r3) spawned one worker, so the first timed rep paid
+    ~5 s of 32x process-fork + numpy/pandas/package import — inflating
+    every median-of-3 with a cold outlier (suite rep walls were
+    8.1/3.7/2.6 s cold-start vs 1.7/2.5/1.8 s warmed on the same host)."""
+    import ray
+    import ray.data as rd
+
+    def _warm(b):
+        import hashlib            # noqa: F401
+        import numpy              # noqa: F401
+        import pandas             # noqa: F401
+        import pyarrow.compute    # noqa: F401
+
+        import rho_contracts_ray  # noqa: F401
+        from rho_contracts_ray.contracts import compile as _c  # noqa: F401
+        return b
+
+    n = int(ray.cluster_resources().get("CPU", NUM_CPUS))
+    rd.range(4 * n, override_num_blocks=4 * n) \
+        .map_batches(_warm, batch_format="pyarrow").count()
+
+
 def _host_load_indicator() -> dict:
     """Single-process sha256 rate + 1-min loadavg: a cheap host-noise
     fingerprint recorded next to every wall time, so a slow artifact can
@@ -133,8 +158,7 @@ def run_benchmarks() -> dict:
 
     import __ray_entry__ as entry
 
-    # warm the worker pool so the first timed pipeline isn't charged startup
-    rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
+    _warm_worker_pool()
 
     queries: dict[str, float] = {}
     all_walls: dict[str, list] = {}
@@ -414,8 +438,7 @@ def main_suite_only() -> dict:
         from rho_contracts_ray.pipelines import run_suite
 
         corpus = _scale_corpus_dir()
-        # warm the worker pool before timing
-        rd.range(1000).map_batches(lambda b: b, batch_format="pyarrow").count()
+        _warm_worker_pool()
         walls, last = [], None
         for _ in range(int(os.environ.get("RHO_SUITE_REPS", "3"))):
             t0 = time.monotonic()
