@@ -1275,6 +1275,47 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(ds, capacity=512).drop_columns(["doc_ids"])
 
 
+def _q_heavy_hitters_events(sf_dir: str):
+    """Exact heavy hitters (two-pass Misra-Gries + confirm): every user_id
+    with frequency >= 0.5% of events, exact counts."""
+    from rho_contracts_ray.constraints.heavy_hitters import heavy_hitters
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    t = heavy_hitters(ds, "user_id", phi=0.005)
+    return t.rename_columns(["user_id", "cnt"])
+
+
+def _q_snapshot_diff_orders(sf_dir: str):
+    """Row-grain snapshot diff: two deterministic snapshots derived from
+    orders (old drops o_orderkey%97==0; new drops %89==0 and bumps
+    o_totalprice by 1 where %53==0), diffed by key with added/removed/
+    changed status — hash-bucketed co-partition, no sort shuffle."""
+    from rho_contracts_ray.constraints.diff import snapshot_diff
+
+    base_cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    def _old_fn(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 97 != 0))
+
+    def _new_fn(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 89 != 0))
+        k2 = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        bump = pa.array(k2 % 53 == 0)
+        price = pc.if_else(bump, pc.add(t["o_totalprice"], 1.0),
+                           t["o_totalprice"])
+        return t.set_column(t.column_names.index("o_totalprice"),
+                            "o_totalprice", price)
+
+    old = _read(sf_dir, "orders", columns=base_cols) \
+        .map_batches(_old_fn, batch_format="pyarrow")
+    new = _read(sf_dir, "orders", columns=base_cols) \
+        .map_batches(_new_fn, batch_format="pyarrow")
+    return snapshot_diff(old, new, ["o_orderkey"],
+                         ["o_orderstatus", "o_totalprice"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # row-contract kernels
@@ -1295,6 +1336,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sha256_documents": _q_sha256_documents,
         "drift_events_value": _q_drift_events_value,
         "drift_events_split": _q_drift_events_split,
+        "heavy_hitters_events": _q_heavy_hitters_events,
+        "snapshot_diff_orders": _q_snapshot_diff_orders,
         # relational / pipeline ops
         "dedup_exact_documents": _q_dedup_exact_documents,
         "dedup_groups_lang": _q_dedup_groups_lang,
@@ -1389,6 +1432,28 @@ def oracle_sql() -> dict[str, str]:
             " event_id IS NOT NULL AND value IS NOT NULL AND "
             " event_type IN ('click','view','purchase','signup')"
             ", FALSE))::BIGINT AS n_violations FROM events"
+        ),
+        "heavy_hitters_events": (
+            "SELECT user_id, count(*)::BIGINT AS cnt FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY user_id "
+            "HAVING count(*) >= 0.005 * (SELECT count(user_id) FROM events) "
+            "ORDER BY user_id"
+        ),
+        "snapshot_diff_orders": (
+            "WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice "
+            "  FROM orders WHERE o_orderkey % 97 <> 0), "
+            "new_ AS (SELECT o_orderkey, o_orderstatus, "
+            "  CASE WHEN o_orderkey % 53 = 0 THEN o_totalprice + 1 "
+            "       ELSE o_totalprice END AS o_totalprice "
+            "  FROM orders WHERE o_orderkey % 89 <> 0) "
+            "SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey, "
+            "CASE WHEN o.o_orderkey IS NULL THEN 'added' "
+            "     WHEN n.o_orderkey IS NULL THEN 'removed' "
+            "     ELSE 'changed' END AS status "
+            "FROM old o FULL OUTER JOIN new_ n ON o.o_orderkey = n.o_orderkey "
+            "WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL "
+            "  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice "
+            "  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus"
         ),
         "sample_documents": (
             "SELECT doc_id, text FROM documents "

@@ -366,6 +366,19 @@ def main_scaling() -> dict:
         line = proc.stdout.decode().strip().splitlines()[-1]
         return json.loads(line)
 
+    host_pre = _host_load_indicator()
+
+    # One UNTIMED warm-up pair before the timed region: the first pair of a
+    # session routinely pays page-cache fill + residue from whatever ran
+    # just before (a 0.23-efficiency first pair next to 0.70/0.65 steady
+    # ones was observed on an otherwise calm host), and a median of 3 can't
+    # absorb that.  The warm-up walls are reported, never aggregated.
+    warmup_walls = None
+    if os.environ.get("RHO_SCALE_WARMUP", "1") != "0":
+        w_lo = run_level(lo)
+        w_hi = run_level(hi)
+        warmup_walls = [w_lo["median_s"], w_hi["median_s"]]
+
     # INTERLEAVED pairs (lo, hi, lo, hi, ...): this host's background load
     # drifts on a minutes scale, so timing all lo reps then all hi reps
     # lets a load swing masquerade as (anti-)scaling.  Each adjacent pair
@@ -404,7 +417,9 @@ def main_scaling() -> dict:
         "pair_efficiencies": [round(p, 3) for p in pairs],
         "speedup": round(thr_hi / thr_lo, 2),
         "identical_output": same,
-        "host": _host_load_indicator(),
+        "warmup_pair_walls": warmup_walls,
+        "host_pre": host_pre,
+        "host_post": _host_load_indicator(),
         "phases_lo": lo_runs[-1]["phases"],
         "phases_hi": hi_runs[-1]["phases"],
         **hw,

@@ -14,3 +14,5 @@ from .drift import (  # noqa: F401
 from .row_invariant import (  # noqa: F401
     content_rollup, content_rollup_table, with_sha256,
 )
+from .heavy_hitters import heavy_hitters  # noqa: F401
+from .diff import snapshot_diff  # noqa: F401
