@@ -357,11 +357,16 @@ def _q_events_hourly_counts(sf_dir: str):
         g = t.group_by(["user_id", "hour"]).aggregate([([], "count_all")])
         return g.rename_columns(["user_id", "hour", "n"])
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["user_id", "hour"]).sum("n")
+    # hash-range bucketed group-agg (no sort shuffle): the per-batch
+    # partial above means the exchange moves one row per (batch, group)
+    from rho_contracts_ray.stages.agg import bucketed_group_agg
+
+    agg = bucketed_group_agg(ds.map_batches(partial, batch_format="pyarrow"),
+                             ["user_id", "hour"], [("n", "sum")])
 
     def finish(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["user_id", "hour", "n"])
+        return pa.table({"user_id": batch["user_id"], "hour": batch["hour"],
+                         "n": pc.cast(batch["n_sum"], pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
 

@@ -32,6 +32,6 @@ from .text import (  # noqa: F401
 )
 from .topk import global_topk  # noqa: F401
 from .agg import (  # noqa: F401
-    cube_agg, group_argmax, group_mode, grouping_sets_agg, histogram,
-    pivot_counts, rollup_agg,
+    bucketed_group_agg, cube_agg, group_argmax, group_mode,
+    grouping_sets_agg, histogram, pivot_counts, rollup_agg,
 )

@@ -39,6 +39,56 @@ def _first_per_key_run(t: pa.Table, keys: list[str],
     return t.filter(pa.array(new_run))
 
 
+def bucketed_group_agg(ds, keys: Sequence[str],
+                       aggs: Sequence[tuple], n_buckets=None):
+    """Distributed GROUP BY without a sort shuffle: rows are hash-range
+    co-partitioned by key (block references routed straight into one
+    reduce task per bucket, `stages.distagg.bucketed_reduce`), and each
+    bucket runs ONE Arrow `group_by().aggregate(aggs)`.  Equivalent to
+    `ds.groupby(keys).agg(...)` but moves each row exactly once with no
+    global sort — at scale a hash exchange, not a range repartition.
+
+    `aggs` are pyarrow aggregate pairs, e.g. ``[("n", "sum")]``; output
+    columns follow Arrow naming (``n_sum``).  Feed PRE-AGGREGATED per-batch
+    partials when the aggregate allows it (sum/count/min/max) so the
+    exchange moves one short row per (batch, group), never raw rows.
+    Returns a Dataset whose blocks are the per-bucket group tables —
+    nothing lands on the driver."""
+    import ray.data as rd
+
+    from ..functions.hashing import combine_key, stable_hash64
+    from .distagg import bucketed_reduce
+
+    keys = list(keys)
+    aggs = [tuple(a) for a in aggs]
+
+    def add_kh(batch: pa.Table) -> pa.Table:
+        kh = stable_hash64(combine_key(batch, keys))
+        return batch.append_column("__kh", pa.array(kh.view(np.int64)))
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__kh"]).group_by(keys).aggregate(aggs)
+
+    schema = ds.schema().base_schema
+    types = {f.name: f.type for f in schema}
+    # schema-correct empty output (column names, ORDER and agg result
+    # types) by running the same reduce on a zero-row input — hand-built
+    # guesses drift from Arrow's own naming/typing and would give
+    # from_arrow_refs mixed block schemas
+    agg_cols = [c for c, _ in aggs if c]
+    empty_in = pa.table({
+        **{k: pa.array([], types[k]) for k in keys},
+        **{c: pa.array([], types[c]) for c in agg_cols},
+        "__kh": pa.array([], pa.int64())})
+    empty = reduce_bucket(empty_in)
+    hashed = ds.map_batches(add_kh, batch_format="pyarrow")
+    refs = bucketed_reduce(hashed, "__kh", reduce_bucket,
+                           n_buckets=n_buckets, as_refs=True, empty=empty)
+    if not refs:
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(refs)
+
+
 def group_argmax(ds, key: str, score: str, id_col: str):
     """Best row per group: max `score`, ties broken by min `id_col` ->
     (key, id_col, score).  The keep-BEST-copy dedup primitive (keep the

@@ -704,3 +704,40 @@ def test_group_mode_matches_duckdb(ray_session):
         "FROM t GROUP BY k, v) WHERE rn = 1 ORDER BY k").df()
     assert got["v"].tolist() == want["v"].tolist()
     assert got["n"].tolist() == want["n"].tolist()
+
+def test_bucketed_group_agg_matches_duckdb(ray_session):
+    import duckdb
+
+    from rho_contracts_ray.stages import bucketed_group_agg
+
+    rng = np.random.RandomState(23)
+    n = 4000
+    t = pa.table({
+        "a": pa.array(rng.randint(0, 60, n).astype(np.int64)),
+        "b": pa.array(rng.choice(["u", "v", "w"], n)),
+        "x": pa.array(rng.randint(0, 1000, n).astype(np.int64)),
+    })
+    got = bucketed_group_agg(
+        rd.from_arrow(t).repartition(12), ["a", "b"],
+        [("x", "sum"), ("x", "min"), ("x", "max"), ([], "count_all")],
+    ).to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    want = duckdb.connect().execute(
+        "SELECT a, b, sum(x)::BIGINT AS x_sum, min(x) AS x_min, "
+        "max(x) AS x_max, count(*)::BIGINT AS count_all "
+        "FROM t GROUP BY a, b ORDER BY a, b").df()
+    assert len(got) == len(want)
+    for c in ["x_sum", "x_min", "x_max", "count_all"]:
+        assert got[c].astype("int64").tolist() == \
+            want[c].astype("int64").tolist(), c
+    # explicit bucket override > default still exact
+    got2 = bucketed_group_agg(
+        rd.from_arrow(t).repartition(12), ["a", "b"],
+        [("x", "sum"), ("x", "min"), ("x", "max"), ([], "count_all")],
+        n_buckets=37).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    assert got2["x_sum"].tolist() == got["x_sum"].tolist()
+    # duplicate-free / empty-group-safe: zero-row input keeps schema
+    empty = bucketed_group_agg(
+        rd.from_arrow(t.slice(0, 0)), ["a", "b"], [("x", "sum")])
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"a", "b", "x_sum"}
