@@ -99,7 +99,7 @@ def snapshot_diff(old_ds, new_ds, key_cols: Sequence[str],
     least ``key_cols + compare_cols``; extra columns are ignored."""
     import ray.data as rd
 
-    from ..stages.distagg import bucketed_reduce
+    from ..stages.distagg import bucketed_reduce, dataset_from_refs
 
     key_cols = list(key_cols)
     compare_cols = list(compare_cols)
@@ -119,6 +119,4 @@ def snapshot_diff(old_ds, new_ds, key_cols: Sequence[str],
     refs = bucketed_reduce(both, "__kh",
                            _diff_bucket(key_cols, compare_cols),
                            n_buckets=n_buckets, as_refs=True, empty=empty)
-    if not refs:
-        return rd.from_arrow(empty)
-    return rd.from_arrow_refs(refs)
+    return dataset_from_refs(refs, empty)

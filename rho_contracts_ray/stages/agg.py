@@ -39,54 +39,79 @@ def _first_per_key_run(t: pa.Table, keys: list[str],
     return t.filter(pa.array(new_run))
 
 
-def bucketed_group_agg(ds, keys: Sequence[str],
-                       aggs: Sequence[tuple], n_buckets=None):
-    """Distributed GROUP BY without a sort shuffle: rows are hash-range
-    co-partitioned by key (block references routed straight into one
-    reduce task per bucket, `stages.distagg.bucketed_reduce`), and each
-    bucket runs ONE Arrow `group_by().aggregate(aggs)`.  Equivalent to
-    `ds.groupby(keys).agg(...)` but moves each row exactly once with no
-    global sort — at scale a hash exchange, not a range repartition.
-
-    `aggs` are pyarrow aggregate pairs, e.g. ``[("n", "sum")]``; output
-    columns follow Arrow naming (``n_sum``).  Feed PRE-AGGREGATED per-batch
-    partials when the aggregate allows it (sum/count/min/max) so the
-    exchange moves one short row per (batch, group), never raw rows.
-    Returns a Dataset whose blocks are the per-bucket group tables —
-    nothing lands on the driver."""
-    import ray.data as rd
-
+def bucketed_apply(ds, keys: Sequence[str], fn, empty: pa.Table,
+                   n_buckets=None):
+    """`ds.groupby(keys).map_groups(fn)` without the sort shuffle: rows are
+    hash-range co-partitioned by key (block references routed straight into
+    one reduce task per bucket, `stages.distagg.bucketed_reduce`) and
+    `fn(table) -> table` runs ONCE per bucket with every row of equal keys
+    co-located — the bucket may hold MANY key groups, so fn must group
+    internally (Arrow group_by / run-boundary reductions).  Moves each row
+    exactly once with no global sort; returns a Dataset whose blocks are
+    the per-bucket outputs — nothing lands on the driver.  `empty` is a
+    schema-correct zero-row OUTPUT table (no-data buckets must produce a
+    block `from_arrow_refs` accepts); derive it by calling fn on a zero-row
+    input rather than hand-building (Arrow's own naming/typing drifts from
+    guesses and mixed block schemas break downstream)."""
     from ..functions.hashing import combine_key, stable_hash64
-    from .distagg import bucketed_reduce
+    from .distagg import bucketed_reduce, dataset_from_refs
 
     keys = list(keys)
-    aggs = [tuple(a) for a in aggs]
 
     def add_kh(batch: pa.Table) -> pa.Table:
         kh = stable_hash64(combine_key(batch, keys))
         return batch.append_column("__kh", pa.array(kh.view(np.int64)))
 
     def reduce_bucket(t: pa.Table) -> pa.Table:
-        return t.drop_columns(["__kh"]).group_by(keys).aggregate(aggs)
+        return fn(t.drop_columns(["__kh"]))
 
-    schema = ds.schema().base_schema
-    types = {f.name: f.type for f in schema}
-    # schema-correct empty output (column names, ORDER and agg result
-    # types) by running the same reduce on a zero-row input — hand-built
-    # guesses drift from Arrow's own naming/typing and would give
-    # from_arrow_refs mixed block schemas
-    agg_cols = [c for c, _ in aggs if c]
-    empty_in = pa.table({
-        **{k: pa.array([], types[k]) for k in keys},
-        **{c: pa.array([], types[c]) for c in agg_cols},
-        "__kh": pa.array([], pa.int64())})
-    empty = reduce_bucket(empty_in)
     hashed = ds.map_batches(add_kh, batch_format="pyarrow")
     refs = bucketed_reduce(hashed, "__kh", reduce_bucket,
                            n_buckets=n_buckets, as_refs=True, empty=empty)
-    if not refs:
-        return rd.from_arrow(empty)
-    return rd.from_arrow_refs(refs)
+    return dataset_from_refs(refs, empty)
+
+
+def bucketed_group_agg(ds, keys: Sequence[str],
+                       aggs: Sequence[tuple], n_buckets=None):
+    """Distributed GROUP BY without a sort shuffle — `bucketed_apply` with
+    one Arrow `group_by().aggregate(aggs)` per bucket.  Equivalent to
+    `ds.groupby(keys).agg(...)` but moves each row exactly once with no
+    global sort — at scale a hash exchange, not a range repartition.
+
+    `aggs` are pyarrow aggregate pairs, e.g. ``[("n", "sum")]``; output
+    columns follow Arrow naming (``n_sum``).  Feed PRE-AGGREGATED per-batch
+    partials when the aggregate allows it (sum/count/min/max) so the
+    exchange moves one short row per (batch, group), never raw rows."""
+    keys = list(keys)
+    aggs = [tuple(a) for a in aggs]
+
+    def agg_fn(t: pa.Table) -> pa.Table:
+        return t.group_by(keys).aggregate(aggs)
+
+    schema = ds.schema().base_schema
+    types = {f.name: f.type for f in schema}
+    agg_cols = [c for c, _ in aggs if c]
+    empty = agg_fn(pa.table({
+        **{k: pa.array([], types[k]) for k in keys},
+        **{c: pa.array([], types[c]) for c in agg_cols}}))
+    return bucketed_apply(ds, keys, agg_fn, empty, n_buckets=n_buckets)
+
+
+def bucketed_sum(ds, keys: Sequence[str], sum_cols: Sequence[str],
+                 n_buckets=None):
+    """`ds.groupby(keys).sum(sum_cols)` without the sort shuffle, output
+    keeping the INPUT column names (``cnt`` stays ``cnt``, not Arrow's
+    ``cnt_sum`` / Ray's ``sum(cnt)``).  The drop-in replacement for the
+    post-partial total step of count/sum pipelines."""
+    keys, sum_cols = list(keys), list(sum_cols)
+    out = bucketed_group_agg(ds, keys, [(c, "sum") for c in sum_cols],
+                             n_buckets=n_buckets)
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({**{k: t[k] for k in keys},
+                         **{c: t[f"{c}_sum"] for c in sum_cols}})
+
+    return out.map_batches(fix, batch_format="pyarrow")
 
 
 def group_argmax(ds, key: str, score: str, id_col: str):
@@ -110,8 +135,12 @@ def group_argmax(ds, key: str, score: str, id_col: str):
         return _first_per_key_run(t, [key], sort_keys) \
             .select([key, id_col, score])
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(key).map_groups(finish, batch_format="pyarrow")
+    schema = ds.schema().base_schema
+    empty = pa.table({key: pa.array([], schema.field(key).type),
+                      id_col: pa.array([], schema.field(id_col).type),
+                      score: pa.array([], schema.field(score).type)})
+    return bucketed_apply(ds.map_batches(partial, batch_format="pyarrow"),
+                          [key], finish, empty)
 
 
 def rollup_agg(ds, keys: Sequence[str], value: str,
@@ -151,22 +180,19 @@ def rollup_agg(ds, keys: Sequence[str], value: str,
     schema = ds.schema().base_schema
     key_types = {k: schema.field(k).type for k in keys}
 
-    # finest level: combine in-batch, then the only full-data shuffle
+    # finest level: combine in-batch, then the only full-data exchange
+    # (hash-range bucketed, no sort shuffle)
     levels = []
-    prev = ds.map_batches(mk_partial(keys, value, None),
-                          batch_format="pyarrow") \
-        .groupby(keys).sum(["s", "n"]) \
-        .map_batches(lambda t: t.rename_columns(keys + ["s", "n"]),
-                     batch_format="pyarrow")
+    prev = bucketed_sum(ds.map_batches(mk_partial(keys, value, None),
+                                       batch_format="pyarrow"),
+                        keys, ["s", "n"])
     levels.append(prev.map_batches(lambda t, lk=list(keys): pad(t, lk),
                                    batch_format="pyarrow"))
     for i in range(len(keys) - 1, 0, -1):
         lk = keys[:i]
-        prev = prev.map_batches(mk_partial(lk, "s", "n"),
-                                batch_format="pyarrow") \
-            .groupby(lk).sum(["s", "n"]) \
-            .map_batches(lambda t, lk=lk: t.rename_columns(lk + ["s", "n"]),
-                         batch_format="pyarrow")
+        prev = bucketed_sum(prev.map_batches(mk_partial(lk, "s", "n"),
+                                             batch_format="pyarrow"),
+                            lk, ["s", "n"])
         levels.append(prev.map_batches(lambda t, lk=lk: pad(t, lk),
                                        batch_format="pyarrow"))
 
@@ -281,10 +307,8 @@ def grouping_sets_agg(ds, sets: Sequence[Sequence[str]], value: str,
                                                  ([], "count_all")])
         return g.rename_columns(base_keys + ["s", "n"])
 
-    base = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(base_keys).sum(["s", "n"]) \
-        .map_batches(lambda t: t.rename_columns(base_keys + ["s", "n"]),
-                     batch_format="pyarrow")
+    base = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                        base_keys, ["s", "n"])
 
     def mk_level(level_keys: list[str]):
         def agg_level(t: pa.Table) -> pa.Table:
@@ -317,14 +341,13 @@ def grouping_sets_agg(ds, sets: Sequence[Sequence[str]], value: str,
             levels.append(base.map_batches(mk_level(s),
                                            batch_format="pyarrow"))
         elif s:
-            lv = base.map_batches(
-                lambda t, lk=list(s): t.group_by(lk).aggregate(
-                    [("s", "sum"), ("n", "sum")]).rename_columns(
-                        lk + ["s", "n"]),
-                batch_format="pyarrow") \
-                .groupby(list(s)).sum(["s", "n"]) \
-                .map_batches(lambda t, lk=list(s): t.rename_columns(
-                    lk + ["s", "n"]), batch_format="pyarrow") \
+            lv = bucketed_sum(
+                base.map_batches(
+                    lambda t, lk=list(s): t.group_by(lk).aggregate(
+                        [("s", "sum"), ("n", "sum")]).rename_columns(
+                            lk + ["s", "n"]),
+                    batch_format="pyarrow"),
+                list(s), ["s", "n"]) \
                 .map_batches(mk_level(list(s)), batch_format="pyarrow")
             levels.append(lv)
         else:
@@ -389,13 +412,8 @@ def pivot_counts(ds, key: str, cat_col: str, categories: Sequence[str],
         out["total"] = n
         return pa.table(out)
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(key).sum(cols + ["total"])
-
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns([key] + cols + ["total"])
-
-    return agg.map_batches(rename, batch_format="pyarrow")
+    return bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                        [key], cols + ["total"])
 
 
 def group_mode(ds, key: str, val: str, cnt_col: str = "n"):
@@ -412,16 +430,21 @@ def group_mode(ds, key: str, val: str, cnt_col: str = "n"):
         return pa.table({key: g[key], val: g[val],
                          cnt_col: pc.cast(g["count_all"], pa.int64())})
 
-    counts = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby([key, val]).sum(cnt_col) \
-        .map_batches(lambda t: t.rename_columns([key, val, cnt_col]),
-                     batch_format="pyarrow")
-
     sort_keys = [(key, "ascending"), (cnt_col, "descending"),
                  (val, "ascending")]
 
+    # ONE exchange: partials route by hash(key) — (key, val) pairs of the
+    # same key land in the same bucket, so the bucket can both finish the
+    # counts and pick the argmax without a second shuffle
     def finish(t: pa.Table) -> pa.Table:
-        return _first_per_key_run(t, [key], sort_keys) \
+        g = t.group_by([key, val]).aggregate([(cnt_col, "sum")]) \
+            .rename_columns([key, val, cnt_col])
+        return _first_per_key_run(g, [key], sort_keys) \
             .select([key, val, cnt_col])
 
-    return counts.groupby(key).map_groups(finish, batch_format="pyarrow")
+    schema = ds.schema().base_schema
+    empty = pa.table({key: pa.array([], schema.field(key).type),
+                      val: pa.array([], schema.field(val).type),
+                      cnt_col: pa.array([], pa.int64())})
+    return bucketed_apply(ds.map_batches(partial, batch_format="pyarrow"),
+                          [key], finish, empty)

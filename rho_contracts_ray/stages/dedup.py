@@ -91,7 +91,7 @@ def exact_dup_groups_ds(ds, cols: Sequence[str], id_col: str,
             "cnt": pc.cast(g["count_all"], pa.int64()),
         })
 
-    from .distagg import bucketed_reduce
+    from .distagg import bucketed_reduce, dataset_from_refs
 
     def reduce_fn(t: pa.Table):
         kh = t["kh"].to_numpy(zero_copy_only=False)
@@ -144,9 +144,7 @@ def exact_dup_groups_ds(ds, cols: Sequence[str], id_col: str,
     # Dataset's blocks WITHOUT landing on the driver
     refs = bucketed_reduce(ds.map_batches(extract, batch_format="pyarrow"),
                            "kh", finish, as_refs=True, empty=empty)
-    if not refs:
-        return rd.from_arrow(empty)
-    return rd.from_arrow_refs(refs)
+    return dataset_from_refs(refs, empty)
 
 
 def _combine_for_hash(table: pa.Table, cols: list):

@@ -234,6 +234,30 @@ def _reduce_bucket_refs(min_count, refs):
     return _reduce_bucket_impl(min_count, _chunked_get(refs))
 
 
+@ray.remote
+def _ref_num_rows(t) -> int:
+    return t.num_rows if isinstance(t, pa.Table) else len(t)
+
+
+def dataset_from_refs(refs, empty: pa.Table):
+    """`ray.data.from_arrow_refs` over per-bucket output refs, with
+    zero-row blocks DROPPED first (a cheap num_rows probe per ref — the
+    same cost from_arrow_refs itself pays for metadata): Ray records an
+    EMPTY schema for a zero-row block's bundle and then warns
+    'RefBundle with a different schema' on every downstream operator,
+    polluting driver logs (VERDICT r2 #9 class).  All-empty (or no refs)
+    falls back to one schema-correct empty block."""
+    import ray.data as rd
+
+    refs = list(refs)
+    if refs:
+        counts = ray.get([_ref_num_rows.remote(r) for r in refs])
+        refs = [r for r, n in zip(refs, counts) if n]
+    if not refs:
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(refs)
+
+
 def bucketed_reduce(ds, key_col: str, fn,
                     n_buckets: Optional[int] = None,
                     as_refs: bool = False,

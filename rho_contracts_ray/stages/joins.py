@@ -448,13 +448,10 @@ def hopping_window_count(ds, ts_col: str, size_us: int, hop_us: int):
         return pa.table({"window_start_us": pa.array(u),
                          "n": pa.array(c.astype(np.int64))})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("window_start_us").sum("n")
+    from .agg import bucketed_sum
 
-    def finish(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["window_start_us", "n"])
-
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["window_start_us"], ["n"])
 
 
 def window_seq(ds, key: str, order_by: Sequence[str],

@@ -291,14 +291,16 @@ def ngram_top_k(ds, n: int = 2, k: int = 20, text_col: str = "text",
         return pa.table({"ngram": g["ngram"],
                          "cnt": pc.cast(g["ngram_count"], pa.int64())})
 
-    total = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("ngram").sum("cnt")
+    # hash-range bucketed total (no sort shuffle of the gram stream) ->
+    # local-top-k pick: the only full-width exchange left is one short
+    # (ngram, cnt) row per distinct gram per batch, routed by reference
+    from .agg import bucketed_sum
+    from .topk import global_topk
 
-    def finish(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["ngram", "cnt"])
-
-    return total.map_batches(finish, batch_format="pyarrow") \
-        .sort(key=["cnt", "ngram"], descending=[True, False]).limit(k)
+    total = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["ngram"], ["cnt"])
+    return global_topk(total, ["cnt", "ngram"], k,
+                       descending=[True, False])
 
 
 def decontaminate_ngrams(train_ds, holdout_ds, n: int = 3,
