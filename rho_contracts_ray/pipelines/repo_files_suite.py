@@ -197,6 +197,10 @@ def _combine_partials(batch: pa.Table, n_uniq: int = 16) -> pa.Table:
         return batch
     viol = pa.concat_tables(
         [_deserialize(batch["violations"][i].as_buffer()) for i in range(n)])
+    # captured-violation count travels as a scalar so downstream merges
+    # and the driver never deserialize the blob just to count rows
+    viol_rows = int(pc.sum(pc.cast(pc.equal(viol["kind"], "violation"),
+                                   pa.int64())).as_py() or 0)
     stats = merge_partials_table(pa.concat_tables(
         [_deserialize(batch["stats"][i].as_buffer()) for i in range(n)]))
 
@@ -231,6 +235,7 @@ def _combine_partials(batch: pa.Table, n_uniq: int = 16) -> pa.Table:
     return pa.table({
         "kind": ["partial"],
         "violations": [_serialize(viol)],
+        "viol_rows": [viol_rows],
         "stats": [_serialize(stats)],
         "repo_keys": [_serialize(rkeys)],
         "commit_keys": [_serialize(ckeys)],
@@ -243,26 +248,28 @@ def _combine_partials(batch: pa.Table, n_uniq: int = 16) -> pa.Table:
 
 
 def _merge_small_tables(*tables: pa.Table) -> pa.Table:
-    """Merge split-chunk small tables into ONE row: concat the
-    violation/stats/FK-key blobs so the driver's final merge sees one
-    row per split task instead of O(#blocks).  Runs INSIDE _split_block
-    — split tasks overlap the main pass, so this merge costs no
-    post-pass wall.  Same merge semantics as _combine_partials minus the
-    uniqueness column (already routed to the bucket reduces by then)."""
+    """Merge split-chunk small tables into ONE row: merge the stats
+    sketches, union the FK keys, and sum the scalar counters so the
+    driver's final merge sees one row per split task instead of
+    O(#blocks).  Runs INSIDE _split_block and at every merge-tree level.
+    Violation payloads do NOT ride through here (their blobs route from
+    split task to final consumer untouched — concat never shrinks them,
+    so each merge level would re-ship the suite's whole violation
+    payload; only the count travels, as the viol_rows scalar)."""
     rows_t = [t for t in tables
               if t.num_rows and "rows" in t.column_names]
     if not rows_t:
         return _EMPTY_SMALL
-    viol, stats, rkeys, ckeys = [], [], [], []
-    rows = failed = rollup = 0
+    stats, rkeys, ckeys = [], [], []
+    rows = failed = rollup = viol_rows = 0
     for t in rows_t:
         for i in range(t.num_rows):
-            viol.append(_deserialize(t["violations"][i].as_buffer()))
             stats.append(_deserialize(t["stats"][i].as_buffer()))
             rkeys.append(_deserialize(t["repo_keys"][i].as_buffer()))
             ckeys.append(_deserialize(t["commit_keys"][i].as_buffer()))
         rows += int(pc.sum(t["rows"]).as_py() or 0)
         failed += int(pc.sum(t["failed"]).as_py() or 0)
+        viol_rows += int(pc.sum(t["viol_rows"]).as_py() or 0)
         for v in t["sha_rollup"].to_pylist():
             rollup = (rollup + v) % (1 << 64)
 
@@ -275,7 +282,7 @@ def _merge_small_tables(*tables: pa.Table) -> pa.Table:
 
     return pa.table({
         "kind": ["partial"],
-        "violations": [_serialize(pa.concat_tables(viol))],
+        "viol_rows": [viol_rows],
         "stats": [_serialize(merge_partials_table(pa.concat_tables(stats)))],
         "repo_keys": [_serialize(_uniq_union(rkeys, "repo"))],
         "commit_keys": [_serialize(_uniq_union(ckeys, "commit"))],
@@ -283,6 +290,28 @@ def _merge_small_tables(*tables: pa.Table) -> pa.Table:
         "failed": [failed],
         "sha_rollup": pa.array([rollup], type=pa.uint64()),
     })
+
+
+@ray.remote
+def _merge_small_remote(*tables: pa.Table) -> pa.Table:
+    """Worker-side level of the small-table merge tree: N split-task
+    smalls -> 1.  Keeps the post-pass driver merge O(1) rows regardless
+    of block count — at 16 CPUs the block count grows with read
+    parallelism and the driver's serial per-row deserialize loop was the
+    anti-scaling phase (driver_merge_s 0.28 s @4 -> 1.33 s @16 CPUs in
+    the r3 scaling runs)."""
+    if os.environ.get("RHO_PHASE_DEBUG"):
+        t0 = time.monotonic()
+        out = _merge_small_tables(*tables)
+        print(f"[phase-debug] _merge_small_remote({len(tables)}) "
+              f"{time.monotonic() - t0:.3f}s", flush=True)
+        return out
+    return _merge_small_tables(*tables)
+
+
+# split-small merge-tree fan-in: wide enough that one level usually
+# suffices, narrow enough that a level parallelizes across workers
+_MERGE_FANIN = 16
 
 
 @ray.remote
@@ -295,8 +324,10 @@ def _split_block(n_uniq: int, *blocks):
     earlier shape that bucketed here anti-scaled with cluster size, see
     module docstring).  Several blocks ride in one task so the object
     count stays O(#chunks x buckets), not O(#blocks x buckets).
-    Callers set num_returns=n_uniq+1 via .options()."""
+    Returns (small, violation_blobs, bucket_0, ..., bucket_{n-1}) —
+    callers set num_returns=n_uniq+2 via .options()."""
     smalls = []
+    viol_blobs: list[bytes] = []
     per_bucket: list[list[bytes]] = [[] for _ in range(n_uniq)]
     for block in blocks:
         t = block if isinstance(block, pa.Table) \
@@ -305,7 +336,15 @@ def _split_block(n_uniq: int, *blocks):
             # an empty input block passes through map_batches with the
             # INPUT schema (the UDF never ran) — nothing to split
             continue
-        smalls.append(t.drop_columns(["uniq_buckets"]))
+        # violation payloads leave the small-merge path here: they only
+        # ever get CONCATENATED (never shrink), so hauling them through
+        # the merge tree re-ships the suite's whole violation payload per
+        # level; instead the blobs go straight to the consumer, which
+        # unpacks each exactly once (and only when it needs the rows)
+        vcol = t["violations"].combine_chunks()
+        viol_blobs.extend(vcol[i].as_buffer().to_pybytes()
+                          for i in range(t.num_rows))
+        smalls.append(t.drop_columns(["uniq_buckets", "violations"]))
         ub = t["uniq_buckets"].combine_chunks()
         for i in range(t.num_rows):
             bt = _deserialize(ub[i].as_buffer())
@@ -319,7 +358,7 @@ def _split_block(n_uniq: int, *blocks):
                 if len(b):
                     per_bucket[r].append(b.to_pybytes())
     small = (_merge_small_tables(*smalls) if smalls else _EMPTY_SMALL)
-    return (small, *per_bucket)
+    return (small, viol_blobs, *per_bucket)
 
 
 _EMPTY_SMALL = pa.table({"kind": pa.array([], pa.string())})
@@ -482,7 +521,7 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     # pass), so the uniqueness key payload never crosses the driver
     bundles = []          # keep refs alive until the reduces finish
     splits = []
-    split = _split_block.options(num_returns=n_uniq_buckets + 1)
+    split = _split_block.options(num_returns=n_uniq_buckets + 2)
     # several blocks per split task: the split only forwards bytes, so
     # batching blocks cuts the routed-object count (at 256 blocks x 32
     # buckets one-task-per-block was the post-pass bottleneck); 4 per
@@ -503,32 +542,49 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     if splits:
         bucket_futs = [
             _reduce_uniq_bucket.remote(tuple(key_cols),
-                                       *[s[1 + r] for s in splits])
+                                       *[s[2 + r] for s in splits])
             for r in range(n_uniq_buckets)
         ]
+        viol_refs = [s[1] for s in splits]
         # each split task already merged its chunk to ONE row (inside
-        # the pass) — the driver merge below touches one row per split
-        small_tables = ray.get([s[0] for s in splits])
+        # the pass); a worker-side merge TREE then folds those rows to a
+        # single one, so the driver merge below is O(1) — its serial
+        # per-row blob loop anti-scaled with block count otherwise
+        level = [s[0] for s in splits]
+        if os.environ.get("RHO_PHASE_DEBUG"):
+            ray.wait(level, num_returns=len(level), fetch_local=False)
+            print(f"[phase-debug] splits done +"
+                  f"{time.monotonic() - t_main:.3f}s ({len(level)} splits)",
+                  flush=True)
+        while len(level) > 1:
+            level = [_merge_small_remote.remote(*level[i:i + _MERGE_FANIN])
+                     for i in range(0, len(level), _MERGE_FANIN)]
+        small_tables = ray.get(level)
+        if os.environ.get("RHO_PHASE_DEBUG"):
+            print(f"[phase-debug] merge tree done +"
+                  f"{time.monotonic() - t_main:.3f}s", flush=True)
     else:
         bucket_futs = []
         small_tables = []
+        viol_refs = []
 
     # driver merge of the (now worker-pre-merged, tiny) partials
-    viol_tables, stats_tables = [], []
+    stats_tables = []
     repo_key_tables, commit_key_tables = [], []
     rows = failed = 0
     rollup = 0
+    viol_count = 0
     for t in small_tables:
         if "rows" not in t.column_names:   # passed-through empty block
             continue
         for i in range(t.num_rows):
-            viol_tables.append(_deserialize(t["violations"][i].as_buffer()))
             stats_tables.append(_deserialize(t["stats"][i].as_buffer()))
             repo_key_tables.append(_deserialize(t["repo_keys"][i].as_buffer()))
             commit_key_tables.append(
                 _deserialize(t["commit_keys"][i].as_buffer()))
         rows += int(pc.sum(t["rows"]).as_py() or 0)
         failed += int(pc.sum(t["failed"]).as_py() or 0)
+        viol_count += int(pc.sum(t["viol_rows"]).as_py() or 0)
         for v in t["sha_rollup"].to_pylist():
             rollup = (rollup + v) % (1 << 64)
     t_merge = time.monotonic()
@@ -548,9 +604,19 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     del bundles, splits
     t_uniq = time.monotonic()
 
-    violations = (pa.concat_tables(viol_tables) if viol_tables
-                  else VIOLATION_SCHEMA.empty_table())
-    violations = violations.filter(pc.equal(violations["kind"], "violation"))
+    def _gather_violations() -> pa.Table:
+        # blob refs straight from the split tasks; each leaf deserialized
+        # exactly once, and only when the caller actually needs the rows
+        # (the summary count rides the scalar viol_rows instead)
+        from ..stages.distagg import _chunked_get
+
+        viol_tables = [_deserialize(b)
+                       for blobs in _chunked_get(viol_refs)
+                       for b in blobs]
+        v = (pa.concat_tables(viol_tables) if viol_tables
+             else VIOLATION_SCHEMA.empty_table())
+        return v.filter(pc.equal(v["kind"], "violation"))
+
     stats = _merge_partials(pa.concat_tables(stats_tables)
                             if stats_tables else PARTIAL_SCHEMA.empty_table())
 
@@ -573,7 +639,7 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     summary = {
         "rows": rows,
         "contract_violations": failed,
-        "violations_captured": violations.num_rows,
+        "violations_captured": viol_count,
         "duplicate_keys": dup_keys.num_rows,
         "fk_dangling_repo": fk_repo.num_rows,
         "fk_dangling_commit": fk_commit.num_rows,
@@ -595,7 +661,8 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         import pyarrow.parquet as pq
-        pq.write_table(violations, os.path.join(out_dir, "violations.parquet"))
+        pq.write_table(_gather_violations(),
+                       os.path.join(out_dir, "violations.parquet"))
         pq.write_table(dup_keys, os.path.join(out_dir, "duplicate_keys.parquet"))
         with open(os.path.join(out_dir, "summary.json"), "w") as fh:
             import json
