@@ -56,18 +56,33 @@ def sessionize(ds, key: str, ts: str, gap_seconds: int = 1800,
     pandas conversion was the window ops' perf tax (VERDICT r2 #8); the
     gap compare divides microseconds by 1e6 exactly like pandas'
     total_seconds(), so verdicts are bit-identical."""
-    sort_keys = [(c, "ascending") for c in [ts] + list(order_tiebreak)]
+    from .agg import bucketed_apply
+    from .joins import _empty_like, _key_run_starts
 
-    def per_key(t: pa.Table) -> pa.Table:
+    sort_keys = [(key, "ascending")] \
+        + [(c, "ascending") for c in [ts] + list(order_tiebreak)]
+
+    def body(t: pa.Table) -> pa.Table:
+        # bucketed exchange form: one Arrow sort over the whole bucket,
+        # session boundaries = run start OR gap>threshold, ids = segment
+        # cumsum — no per-group call (the groupby().map_groups form paid
+        # Ray's sort shuffle plus a Python call per key)
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        starts = _key_run_starts(t, key)
         col = t[ts]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         tsv = col.to_numpy(zero_copy_only=False) \
             .astype("datetime64[us]").astype(np.int64)
-        gaps = np.diff(tsv) / 1e6
-        new_session = np.concatenate(([True], gaps > gap_seconds))
-        return t.append_column(
-            "session_id", pa.array(np.cumsum(new_session).astype(np.int64)))
+        new_session = np.zeros(t.num_rows, dtype=bool)
+        if t.num_rows:
+            gaps = np.diff(tsv) / 1e6
+            new_session[1:] = gaps > gap_seconds
+            new_session[starts] = True
+        c = np.cumsum(new_session.astype(np.int64))
+        lens = np.diff(np.append(starts, t.num_rows))
+        base = np.repeat(c[starts] - 1, lens) if starts.size \
+            else np.zeros(0, np.int64)
+        return t.append_column("session_id", pa.array(c - base))
 
-    return ds.groupby(key).map_groups(per_key, batch_format="pyarrow")
+    return bucketed_apply(ds, [key], body, body(_empty_like(ds)))
