@@ -525,14 +525,16 @@ def _q_q3_shipping_priority(sf_dir: str):
         return g.rename_columns(
             ["l_orderkey", "o_orderdate", "o_orderpriority", "rev"])
 
-    grouped = joined.map_batches(regroup, batch_format="pyarrow") \
-        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
-        .sum("rev")
+    from rho_contracts_ray.stages.agg import bucketed_sum
+
+    grouped = bucketed_sum(
+        joined.map_batches(regroup, batch_format="pyarrow"),
+        ["l_orderkey", "o_orderdate", "o_orderpriority"], ["rev"])
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "l_orderkey": batch["l_orderkey"],
-            "revenue": pc.round(batch["sum(rev)"], 2),
+            "revenue": pc.round(batch["rev"], 2),
             "o_orderdate": batch["o_orderdate"],
             "o_orderpriority": batch["o_orderpriority"],
         })
@@ -1321,6 +1323,103 @@ def _q_snapshot_diff_orders(sf_dir: str):
                          ["o_orderstatus", "o_totalprice"])
 
 
+def _q_q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: priority counts over a date window of orders having
+    at least one qualifying lineitem (EXISTS -> broadcast semi join on the
+    distinct qualifying order keys; per-batch key dedup keeps the
+    broadcast side small), then a bucketed count by priority."""
+    from rho_contracts_ray.stages import semi_join
+    from rho_contracts_ray.stages.agg import bucketed_sum
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qualifying(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.greater(batch["l_quantity"], 45.0))
+        return pa.table({"l_orderkey": pc.unique(
+            sub["l_orderkey"].combine_chunks()
+            if isinstance(sub["l_orderkey"], pa.ChunkedArray)
+            else sub["l_orderkey"])})
+
+    keys = li.map_batches(qualifying, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def in_window(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                       pc.less(batch["o_orderdate"], hi))
+        return batch.filter(keep)
+
+    hits = semi_join(orders.map_batches(in_window, batch_format="pyarrow"),
+                     keys, on=["o_orderkey"], right_on=["l_orderkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+        return pa.table({"o_orderpriority": g["o_orderpriority"],
+                         "n_orders": pc.cast(g["count_all"], pa.int64())})
+
+    return bucketed_sum(hits.map_batches(partial, batch_format="pyarrow"),
+                        ["o_orderpriority"], ["n_orders"])
+
+
+def _q_cumsum_events_user(sf_dir: str):
+    """Per-user running sum of event value in cents (int64-exact so the
+    SQL window oracle compares bit-for-bit): SUM OVER (PARTITION BY
+    user_id ORDER BY ts, event_id) via the bucketed window_cumsum —
+    rows of a user co-locate in one reduce task, segment cumsum inside."""
+    from rho_contracts_ray.stages.joins import window_cumsum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return batch.drop_columns(["value"]).append_column("value_cents", c)
+
+    out = window_cumsum(ds.map_batches(cents, batch_format="pyarrow"),
+                        "user_id", ["ts", "event_id"], "value_cents",
+                        out_col="running_cents")
+    return out.select_columns(["event_id", "user_id", "running_cents"])
+
+
+def _q_order_stats_by_status(sf_dir: str):
+    """Multi-aggregate GROUP BY via ONE bucketed exchange: sum (exact
+    int64 cents) / min / max / count of order totalprice per status."""
+    from rho_contracts_ray.stages.agg import bucketed_group_agg
+
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-batch combine: the exchange moves one 5-field row per
+        # (batch, status), never raw orders
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], 100.0)),
+                        pa.int64())
+        t = pa.table({"o_orderstatus": batch["o_orderstatus"],
+                      "cents": cents, "price": batch["o_totalprice"]})
+        g = t.group_by(["o_orderstatus"]).aggregate(
+            [("cents", "sum"), ("price", "min"), ("price", "max"),
+             ([], "count_all")])
+        return g.rename_columns(["o_orderstatus", "s", "mn", "mx", "n"])
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["o_orderstatus"],
+        [("s", "sum"), ("mn", "min"), ("mx", "max"), ("n", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": batch["o_orderstatus"],
+            "sum_cents": batch["s_sum"],
+            "min_price": batch["mn_min"],
+            "max_price": batch["mx_max"],
+            "n_orders": pc.cast(batch["n_sum"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # row-contract kernels
@@ -1398,6 +1497,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": _q_range_join_events,
         "jaccard_pairs_documents": _q_jaccard_pairs,
         "pack_sequences_documents": _q_pack_sequences,
+        "q4_order_priority": _q_q4_order_priority,
+        "cumsum_events_user": _q_cumsum_events_user,
+        "order_stats_by_status": _q_order_stats_by_status,
     }
 
 
@@ -1791,6 +1893,27 @@ def oracle_sql() -> dict[str, str]:
             " 6) AS cosine, FALSE AS truncated "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_orders "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_quantity > 45) "
+            "GROUP BY o_orderpriority"
+        ),
+        "cumsum_events_user": (
+            "SELECT event_id, user_id, "
+            "sum(CAST(round(value * 100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS running_cents FROM events"
+        ),
+        "order_stats_by_status": (
+            "SELECT o_orderstatus, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents, "
+            "min(o_totalprice) AS min_price, "
+            "max(o_totalprice) AS max_price, "
+            "count(*)::BIGINT AS n_orders FROM orders GROUP BY o_orderstatus"
         ),
         # minhash/simhash/fingerprints/drift-ks/media/corpus_prep/packing:
         # rows-only (non-SQL-expressible: sketches, iterative packing,

@@ -54,21 +54,23 @@ def unique_violations(ds, cols: Sequence[str], min_count: int = 2,
       (2) an extraction scan keeps only rows whose hash collided, and the
           (tiny) candidate set is grouped by its REAL key values, so hash
           collisions cannot produce false positives.
-    strategy="shuffle": classic all-to-all — per-batch partial counts then
-      `groupby(cols).sum` — for when the distinct-key count exceeds what a
+    strategy="shuffle": full-key exchange — per-batch partial counts then
+      a hash-range bucketed sum (stages.agg.bucketed_sum: block-ref
+      routing, no sort) — for when the distinct-key count exceeds what a
       driver merge should hold.  Same output either way.
     """
     if strategy == "hash":
         return _unique_violations_hashed(ds, list(cols), min_count)
+    from ..stages.agg import bucketed_sum
+
     cols = list(cols)
     partial = ds.map_batches(_partial_counts(cols), batch_format="pyarrow")
-    total = partial.groupby(cols).sum("cnt")
-    # ray's Sum names the column 'sum(cnt)'
+    total = bucketed_sum(partial, cols, ["cnt"])
+
     def finish(batch: pa.Table) -> pa.Table:
-        cnt = batch["sum(cnt)"]
+        cnt = batch["cnt"]
         keep = pc.greater_equal(cnt, min_count)
         out = batch.filter(keep)
-        out = out.rename_columns(cols + ["cnt"])
         restored = []
         for c in cols:
             col = out[c]

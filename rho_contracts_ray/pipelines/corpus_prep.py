@@ -106,9 +106,8 @@ def _prep_from_checkpoint(good_pipe, ckpt, n_input, text_col, id_col,
     # (round 1 did a whole-corpus to_pandas() here, flagged in VERDICT.md).
     # The 128-bit (two independent 64-bit families) group key makes a
     # collision-caused false drop vanishingly unlikely (~n^2 / 2^128).
-    import pandas as pd
-
     from ..functions.hashing import stable_hash64
+    from ..stages.distagg import bucketed_reduce
 
     def _hash_ids(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -117,23 +116,37 @@ def _prep_from_checkpoint(good_pipe, ckpt, n_input, text_col, id_col,
             id_col: batch[id_col],
         })
 
-    def _drop_members(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2:
-            return pd.DataFrame({"drop_id": pd.Series([], dtype="int64"),
-                                 "keep_id": pd.Series([], dtype="int64")})
-        m = df[id_col].min()
-        rest = df[df[id_col] != m]
-        return pd.DataFrame({"drop_id": rest[id_col].astype("int64"),
-                             "keep_id": m})
+    def _drop_members(t: pa.Table) -> pa.Table:
+        # all rows of a given h1 are co-located (bucketed by h1's top
+        # bits), so one lexsort finds every (h1, h2) run; drop all but
+        # the min id of each run — segment-vectorized, no group loop,
+        # and only the (small) drop list ever leaves the bucket task
+        h1 = t["h1"].to_numpy(zero_copy_only=False)
+        h2 = t["h2"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h2, h1))
+        h1s, h2s, idss = h1[order], h2[order], ids[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1]))))
+        lens = np.diff(np.append(starts, idss.size))
+        keep = np.repeat(idss[starts], lens)   # min id per run (ids sorted)
+        off = np.arange(idss.size, dtype=np.int64) - np.repeat(starts, lens)
+        m = off > 0                            # every member but the first
+        return pa.table({"drop_id": pa.array(idss[m]),
+                         "keep_id": pa.array(keep[m])})
 
-    drops_pdf = good().map_batches(_hash_ids, batch_format="pyarrow") \
-        .groupby(["h1", "h2"]) \
-        .map_groups(_drop_members, batch_format="pandas").to_pandas()
-    if "drop_id" not in drops_pdf.columns:   # all-empty groups lose schema
-        drops_pdf = pd.DataFrame({"drop_id": pd.Series([], dtype="int64"),
-                                  "keep_id": pd.Series([], dtype="int64")})
-    drop_exact: set = set(int(i) for i in drops_pdf["drop_id"])
-    n_exact_groups = int(drops_pdf["keep_id"].nunique())
+    outs = bucketed_reduce(
+        good().map_batches(_hash_ids, batch_format="pyarrow"),
+        "h1", _drop_members)
+    outs = [t for t in outs if t.num_rows]
+    drops = pa.concat_tables(outs) if outs else pa.table(
+        {"drop_id": pa.array([], pa.int64()),
+         "keep_id": pa.array([], pa.int64())})
+    drop_exact: set = set(drops["drop_id"].to_pylist())
+    n_exact_groups = len(pc.unique(drops["keep_id"].combine_chunks()
+                                   if isinstance(drops["keep_id"],
+                                                 pa.ChunkedArray)
+                                   else drops["keep_id"]))
 
     # 5. near-dup clusters via MinHash+LSH
     pairs = minhash_dup_pairs(good(), text_col=text_col, id_col=id_col,
