@@ -95,17 +95,19 @@ def bucketed_join(left_ds, right_ds, on: Sequence[str],
                   left_cols: Sequence[str], right_cols: Sequence[str],
                   n_buckets: Optional[int] = None, how: str = "inner"):
     """Both-sides-large hash join: explicit co-partitioning by key hash.
-    Each side gets `bucket = hash(key) % B`; ONE union + groupby(bucket)
-    co-locates matching buckets; pairwise pandas merge inside the group.
-    `left_cols`/`right_cols` name each side's columns (keys included in
-    both); the union schema is their outer union, null-padded.
+    Both sides union into ONE stream that `bucketed_apply` hash-range
+    routes by the join key (block references into one reduce task per
+    bucket — no sort-based shuffle, each row moves once); inside a bucket
+    an Arrow hash join runs over the co-located sides.  `left_cols`/
+    `right_cols` name each side's columns (keys included in both); the
+    union schema is their outer union, zero-padded.
 
     n_buckets=None derives B from the input row counts (see auto_buckets)
     so per-bucket memory stays bounded as data grows.  Hot-key skew hook:
     salt the key upstream (append `salt = hash(row) % S` to `on` on the
     fact side and replicate the dim side S times) — see stages/skew.py for
     the salting pattern."""
-    from ..functions.hashing import combine_key, stable_hash64
+    from .agg import bucketed_apply
 
     on = list(on)
     if n_buckets is None:
@@ -122,17 +124,16 @@ def bucketed_join(left_ds, right_ds, on: Sequence[str],
 
     def _pad(n: int, t: pa.DataType) -> pa.Array:
         # typed ZERO padding, not nulls: padded cells are dropped after the
-        # __side filter, and nulls would make pandas upcast ints to floats
+        # __side filter, and nulls would change the key hash of rows whose
+        # own key columns are all present
         if pa.types.is_integer(t) or pa.types.is_floating(t):
             return pa.array(np.zeros(n), type=t)
         if pa.types.is_string(t) or pa.types.is_large_string(t):
             return pa.array([""] * n, type=t)
         return pa.nulls(n, type=t)
 
-    def add_bucket(side: str, cols: list):
+    def add_side(side: str, cols: list):
         def fn(batch: pa.Table) -> pa.Table:
-            b = (stable_hash64(combine_key(batch, on))
-                 % np.uint64(n_buckets)).astype(np.int64)
             arrays, names = [], []
             for c in all_cols:
                 names.append(c)
@@ -143,15 +144,14 @@ def bucketed_join(left_ds, right_ds, on: Sequence[str],
                 else:
                     arrays.append(_pad(batch.num_rows, types[c]))
             t = pa.table(dict(zip(names, arrays)))
-            t = t.append_column("__bucket", pa.array(b))
             return t.append_column("__side",
                                    pa.array([side] * batch.num_rows))
 
         return fn
 
-    left = left_ds.map_batches(add_bucket("l", left_cols),
+    left = left_ds.map_batches(add_side("l", left_cols),
                                batch_format="pyarrow")
-    right = right_ds.map_batches(add_bucket("r", right_cols),
+    right = right_ds.map_batches(add_side("r", right_cols),
                                  batch_format="pyarrow")
     both = left.union(right)
 
@@ -160,18 +160,21 @@ def bucketed_join(left_ds, right_ds, on: Sequence[str],
 
     def join_bucket(t: pa.Table) -> pa.Table:
         # Arrow-native hash join per bucket: no arrow->pandas->arrow round
-        # trip of the (string-heavy) payload columns.  Null keys follow SQL
-        # semantics (never match) — pandas merge would have matched
-        # NaN == NaN.
-        import pyarrow.compute as pc
-
+        # trip of the (string-heavy) payload columns.  A bucket holds MANY
+        # join keys — the hash join handles that; correctness only needs
+        # all rows of a key co-located, which the key routing guarantees.
+        # Null keys follow SQL semantics (never match) — pandas merge
+        # would have matched NaN == NaN.
         lmask = pc.equal(t["__side"], "l")
         lhs = t.filter(lmask).select(left_cols)
         rhs = t.filter(pc.invert(lmask)).select(right_cols)
         return lhs.join(rhs, keys=on, join_type=arrow_how, right_suffix="_r")
 
-    return both.groupby("__bucket").map_groups(join_bucket,
-                                               batch_format="pyarrow")
+    empty_both = pa.table({
+        **{c: pa.array([], types[c]) for c in all_cols},
+        "__side": pa.array([], pa.string())})
+    return bucketed_apply(both, on, join_bucket, join_bucket(empty_both),
+                          n_buckets=n_buckets)
 
 
 def asof_join(left_ds, right_table: pa.Table, key: str, ts: str,
@@ -209,14 +212,16 @@ def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
                           right_ts: Optional[str] = None,
                           n_buckets: Optional[int] = None,
                           suffix: str = "_asof"):
-    """Backward as-of join where BOTH sides are large: co-partition left
-    and right by hash(key) so each key's full history lands in one group,
-    then a per-bucket pandas merge_asof.  Use `asof_join` (broadcast) when
-    the right side fits in one object — this variant shuffles both sides
-    once and never broadcasts.  Partitioning assumption: a single key's
-    rows (both sides) fit in one bucket task's memory; bucket count
-    derives from input size when not given."""
-    from ..functions.hashing import combine_key, stable_hash64
+    """Backward as-of join where BOTH sides are large: both sides union
+    into one stream that `bucketed_apply` hash-range routes by key (block
+    references into one reduce task per bucket — no sort-based shuffle),
+    so each key's full history lands co-located; inside a bucket ONE
+    pandas merge_asof(by=key) handles all its keys at once.  Use
+    `asof_join` (broadcast) when the right side fits in one object — this
+    variant moves both sides once and never broadcasts.  Partitioning
+    assumption: a hash range's rows (both sides) fit in one bucket task's
+    memory; bucket count derives from input size when not given."""
+    from .agg import bucketed_apply
 
     right_ts = right_ts or ts
     value_cols = list(value_cols)
@@ -235,8 +240,6 @@ def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
     def tag(side: str, keep: list):
         def fn(batch: pa.Table) -> pa.Table:
             t = batch.select(keep)
-            b = (stable_hash64(combine_key(t, [key]))
-                 % np.uint64(n_buckets)).astype(np.int64)
             # typed null padding for the other side's columns so the union
             # schema matches; padded cells are dropped after the __side
             # split and dtypes restored below
@@ -244,7 +247,6 @@ def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
                 if c not in t.column_names:
                     t = t.append_column(c, pa.nulls(t.num_rows, types[c]))
             t = t.select(all_names)
-            t = t.append_column("__bucket", pa.array(b))
             return t.append_column("__side", pa.array([side] * t.num_rows))
 
         return fn
@@ -268,19 +270,24 @@ def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
                     pass
         return df
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         lhs = _restore(df[df["__side"] == "l"][left_names].copy(), left_names)
         rhs = _restore(df[df["__side"] == "r"][rcols].copy(), rcols)
         lhs = lhs.sort_values([ts, key], kind="mergesort") \
             .reset_index(drop=True)
         rhs = rhs.sort_values([right_ts, key], kind="mergesort") \
             .reset_index(drop=True)
-        return pd.merge_asof(lhs, rhs, left_on=ts, right_on=right_ts,
-                             by=key, suffixes=("", suffix),
-                             direction="backward")
+        out = pd.merge_asof(lhs, rhs, left_on=ts, right_on=right_ts,
+                            by=key, suffixes=("", suffix),
+                            direction="backward")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return both.groupby("__bucket").map_groups(join_bucket,
-                                               batch_format="pandas")
+    empty_both = pa.table({
+        **{c: pa.array([], types[c]) for c in all_names},
+        "__side": pa.array([], pa.string())})
+    return bucketed_apply(both, [key], join_bucket,
+                          join_bucket(empty_both), n_buckets=n_buckets)
 
 
 def range_join(ds, intervals: pa.Table, value_col: str,
