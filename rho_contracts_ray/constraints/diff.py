@@ -110,13 +110,15 @@ def snapshot_diff(old_ds, new_ds, key_cols: Sequence[str],
         _tag_and_hash(1, key_cols), batch_format="pyarrow")
     both = old_t.union(new_t)
 
-    # a schema-correct empty table so no-data buckets still feed
-    # from_arrow_refs
-    key_schema = old_ds.schema().base_schema
-    types = {f.name: f.type for f in key_schema}
-    empty = pa.table({**{c: pa.array([], types[c]) for c in key_cols},
-                      "status": pa.array([], pa.string())})
+    def make_empty() -> pa.Table:
+        # schema-correct empty output, built only in the all-empty case
+        # (old_ds.schema() on a mapped dataset executes a block)
+        key_schema = old_ds.schema().base_schema
+        types = {f.name: f.type for f in key_schema}
+        return pa.table({**{c: pa.array([], types[c]) for c in key_cols},
+                         "status": pa.array([], pa.string())})
+
     refs = bucketed_reduce(both, "__kh",
                            _diff_bucket(key_cols, compare_cols),
-                           n_buckets=n_buckets, as_refs=True, empty=empty)
-    return dataset_from_refs(refs, empty)
+                           n_buckets=n_buckets, as_refs=True)
+    return dataset_from_refs(refs, make_empty)

@@ -74,16 +74,19 @@ def _value_freqs(ds_or_table, col: str) -> dict[str, float]:
         t = ds_or_table.select([col]).group_by([col]).aggregate([([], "count_all")])
         t = t.rename_columns([col, "cnt"])
     else:
+        from ..stages.agg import bucketed_sum
+
         def partial(batch: pa.Table) -> pa.Table:
             g = batch.select([col]).group_by([col]).aggregate([([], "count_all")])
             return g.rename_columns([col, "cnt"])
 
-        agg = ds_or_table.map_batches(partial, batch_format="pyarrow") \
-                         .groupby(col).sum("cnt")
+        agg = bucketed_sum(
+            ds_or_table.map_batches(partial, batch_format="pyarrow"),
+            [col], ["cnt"])
         parts = []
         for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
             parts.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
-        t = pa.concat_tables(parts).rename_columns([col, "cnt"]) if parts else None
+        t = pa.concat_tables(parts) if parts else None
         if t is None:
             return {}
     total = pc.sum(t["cnt"]).as_py() or 1

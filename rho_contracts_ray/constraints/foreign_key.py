@@ -93,12 +93,12 @@ def fk_violations(child_ds, child_cols: Sequence[str], dim,
                         child_cols=child_cols),
         batch_format="pyarrow",
     )
-    total = partial.groupby(list(child_cols)).sum("cnt")
+    from ..stages.agg import bucketed_sum
 
-    def finish(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(list(child_cols) + ["cnt"])
-
-    return total.map_batches(finish, batch_format="pyarrow")
+    # violating keys only reach this exchange — usually tiny, but an
+    # all-dangling child is corpus-sized, so the total rides the same
+    # sort-free bucketed exchange as every other grouped op
+    return bucketed_sum(partial, list(child_cols), ["cnt"])
 
 
 def fk_violations_table(child: pa.Table, child_cols: Sequence[str],

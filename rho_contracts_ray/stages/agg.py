@@ -39,7 +39,7 @@ def _first_per_key_run(t: pa.Table, keys: list[str],
     return t.filter(pa.array(new_run))
 
 
-def bucketed_apply(ds, keys: Sequence[str], fn, empty: pa.Table,
+def bucketed_apply(ds, keys: Sequence[str], fn, empty,
                    n_buckets=None):
     """`ds.groupby(keys).map_groups(fn)` without the sort shuffle: rows are
     hash-range co-partitioned by key (block references routed straight into
@@ -49,9 +49,11 @@ def bucketed_apply(ds, keys: Sequence[str], fn, empty: pa.Table,
     internally (Arrow group_by / run-boundary reductions).  Moves each row
     exactly once with no global sort; returns a Dataset whose blocks are
     the per-bucket outputs — nothing lands on the driver.  `empty` is a
-    schema-correct zero-row OUTPUT table (no-data buckets must produce a
-    block `from_arrow_refs` accepts); derive it by calling fn on a zero-row
-    input rather than hand-building (Arrow's own naming/typing drifts from
+    schema-correct zero-row OUTPUT table — or a zero-arg CALLABLE building
+    one, preferred when the build needs `ds.schema()` (on a mapped dataset
+    that executes a whole block; the callable defers the cost to the rare
+    all-empty-input case).  Derive it by calling fn on a zero-row input
+    rather than hand-building (Arrow's own naming/typing drifts from
     guesses and mixed block schemas break downstream)."""
     from ..functions.hashing import combine_key, stable_hash64
     from .distagg import bucketed_reduce, dataset_from_refs
@@ -63,11 +65,12 @@ def bucketed_apply(ds, keys: Sequence[str], fn, empty: pa.Table,
         return batch.append_column("__kh", pa.array(kh.view(np.int64)))
 
     def reduce_bucket(t: pa.Table) -> pa.Table:
-        return fn(t.drop_columns(["__kh"]))
+        out = fn(t.drop_columns(["__kh"]))
+        return out if out.num_rows else None   # dropped by dataset_from_refs
 
     hashed = ds.map_batches(add_kh, batch_format="pyarrow")
     refs = bucketed_reduce(hashed, "__kh", reduce_bucket,
-                           n_buckets=n_buckets, as_refs=True, empty=empty)
+                           n_buckets=n_buckets, as_refs=True, empty=None)
     return dataset_from_refs(refs, empty)
 
 
@@ -88,13 +91,15 @@ def bucketed_group_agg(ds, keys: Sequence[str],
     def agg_fn(t: pa.Table) -> pa.Table:
         return t.group_by(keys).aggregate(aggs)
 
-    schema = ds.schema().base_schema
-    types = {f.name: f.type for f in schema}
-    agg_cols = [c for c, _ in aggs if c]
-    empty = agg_fn(pa.table({
-        **{k: pa.array([], types[k]) for k in keys},
-        **{c: pa.array([], types[c]) for c in agg_cols}}))
-    return bucketed_apply(ds, keys, agg_fn, empty, n_buckets=n_buckets)
+    def make_empty() -> pa.Table:   # only built when EVERY bucket is empty
+        schema = ds.schema().base_schema
+        types = {f.name: f.type for f in schema}
+        agg_cols = [c for c, _ in aggs if c]
+        return agg_fn(pa.table({
+            **{k: pa.array([], types[k]) for k in keys},
+            **{c: pa.array([], types[c]) for c in agg_cols}}))
+
+    return bucketed_apply(ds, keys, agg_fn, make_empty, n_buckets=n_buckets)
 
 
 def bucketed_sum(ds, keys: Sequence[str], sum_cols: Sequence[str],
@@ -135,12 +140,14 @@ def group_argmax(ds, key: str, score: str, id_col: str):
         return _first_per_key_run(t, [key], sort_keys) \
             .select([key, id_col, score])
 
-    schema = ds.schema().base_schema
-    empty = pa.table({key: pa.array([], schema.field(key).type),
-                      id_col: pa.array([], schema.field(id_col).type),
-                      score: pa.array([], schema.field(score).type)})
+    def make_empty() -> pa.Table:
+        schema = ds.schema().base_schema
+        return pa.table({key: pa.array([], schema.field(key).type),
+                         id_col: pa.array([], schema.field(id_col).type),
+                         score: pa.array([], schema.field(score).type)})
+
     return bucketed_apply(ds.map_batches(partial, batch_format="pyarrow"),
-                          [key], finish, empty)
+                          [key], finish, make_empty)
 
 
 def rollup_agg(ds, keys: Sequence[str], value: str,
@@ -258,13 +265,13 @@ def histogram(ds, col: str, lo: float, hi: float, nbins: int,
         return pa.table({bin_col: pa.array(nz, pa.int64()),
                          "c": pa.array(cnt[nz], pa.int64())})
 
-    small = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(bin_col).sum("c")
+    small = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                         [bin_col], ["c"])
     full = np.zeros(nbins, np.int64)
     for b in small.iter_batches(batch_size=None, batch_format="pyarrow"):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         full[t[bin_col].to_numpy(zero_copy_only=False)] = \
-            t["sum(c)"].to_numpy(zero_copy_only=False)
+            t["c"].to_numpy(zero_copy_only=False)
     bins = np.arange(nbins, dtype=np.int64)
     return pa.table({bin_col: pa.array(bins),
                      lo_col: pa.array(lo + bins * w, pa.float64()),
@@ -442,9 +449,11 @@ def group_mode(ds, key: str, val: str, cnt_col: str = "n"):
         return _first_per_key_run(g, [key], sort_keys) \
             .select([key, val, cnt_col])
 
-    schema = ds.schema().base_schema
-    empty = pa.table({key: pa.array([], schema.field(key).type),
-                      val: pa.array([], schema.field(val).type),
-                      cnt_col: pa.array([], pa.int64())})
+    def make_empty() -> pa.Table:
+        schema = ds.schema().base_schema
+        return pa.table({key: pa.array([], schema.field(key).type),
+                         val: pa.array([], schema.field(val).type),
+                         cnt_col: pa.array([], pa.int64())})
+
     return bucketed_apply(ds.map_batches(partial, batch_format="pyarrow"),
-                          [key], finish, empty)
+                          [key], finish, make_empty)

@@ -106,15 +106,20 @@ def exact_dup_groups_ds(ds, cols: Sequence[str], id_col: str,
     outs = bucketed_reduce(
         ds.map_batches(hash_partial, batch_format="pyarrow"),
         "kh", reduce_fn)
-    schema = ds.schema().base_schema
-    empty = pa.table({
-        **{c: pa.array([], schema.field(c).type) for c in cols},
-        "keep_id": pa.array([], pa.int64()),
-        "cnt": pa.array([], pa.int64())})
+
+    def make_empty() -> pa.Table:
+        # ds.schema() on a mapped input executes a block — only pay it on
+        # the no-duplicates / all-empty paths
+        schema = ds.schema().base_schema
+        return pa.table({
+            **{c: pa.array([], schema.field(c).type) for c in cols},
+            "keep_id": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64())})
+
     if not outs:
         # Dataset out on EVERY path (the bare-pa.Table return here was a
         # data-dependent type change, ADVICE r2)
-        return rd.from_arrow(empty)
+        return rd.from_arrow(make_empty())
     dup_hashes = np.sort(np.concatenate(
         [t["kh"].to_numpy(zero_copy_only=False) for t in outs]))
     ref = ray.put(dup_hashes)
@@ -143,8 +148,8 @@ def exact_dup_groups_ds(ds, cols: Sequence[str], id_col: str,
     # bucket tasks; the final per-bucket group tables become the returned
     # Dataset's blocks WITHOUT landing on the driver
     refs = bucketed_reduce(ds.map_batches(extract, batch_format="pyarrow"),
-                           "kh", finish, as_refs=True, empty=empty)
-    return dataset_from_refs(refs, empty)
+                           "kh", finish, as_refs=True)
+    return dataset_from_refs(refs, make_empty)
 
 
 def _combine_for_hash(table: pa.Table, cols: list):

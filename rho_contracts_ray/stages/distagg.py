@@ -192,8 +192,7 @@ def _route_fn(col: str, n_buckets: int):
     return route
 
 
-@ray.remote
-def _apply_bucket(fn, default, *blob_lists):
+def _apply_bucket_impl(fn, default, blob_lists):
     # concat is zero-copy (a chunked table over the deserialized IPC
     # buffers): peak memory here is the bucket's content itself, which the
     # data-scaled bucket count bounds; fn semantics need all co-located
@@ -203,6 +202,26 @@ def _apply_bucket(fn, default, *blob_lists):
     if not tables:
         return default
     return fn(pa.concat_tables(tables))
+
+
+@ray.remote
+def _apply_bucket(fn, default, *blob_lists):
+    return _apply_bucket_impl(fn, default, blob_lists)
+
+
+def _count_of(out) -> int:
+    if out is None:
+        return 0
+    return out.num_rows if isinstance(out, pa.Table) else len(out)
+
+
+@ray.remote(num_returns=2)
+def _apply_bucket_counted(fn, default, *blob_lists):
+    """(row_count, output) flavor: the count rides as its own (tiny)
+    return object, so `dataset_from_refs` can drop empty buckets without
+    spawning a probe task per ref."""
+    out = _apply_bucket_impl(fn, default, blob_lists)
+    return _count_of(out), out
 
 
 # above this many split tasks, bucket tasks receive their inputs as ONE
@@ -222,11 +241,13 @@ def _chunked_get(refs) -> list:
 
 @ray.remote
 def _apply_bucket_refs(fn, default, refs):
-    tables = [_deserialize(b) for blobs in _chunked_get(refs) for b in blobs]
-    tables = [t for t in tables if t.num_rows]
-    if not tables:
-        return default
-    return fn(pa.concat_tables(tables))
+    return _apply_bucket_impl(fn, default, _chunked_get(refs))
+
+
+@ray.remote(num_returns=2)
+def _apply_bucket_refs_counted(fn, default, refs):
+    out = _apply_bucket_impl(fn, default, _chunked_get(refs))
+    return _count_of(out), out
 
 
 @ray.remote
@@ -236,25 +257,35 @@ def _reduce_bucket_refs(min_count, refs):
 
 @ray.remote
 def _ref_num_rows(t) -> int:
+    if t is None:
+        return 0
     return t.num_rows if isinstance(t, pa.Table) else len(t)
 
 
-def dataset_from_refs(refs, empty: pa.Table):
-    """`ray.data.from_arrow_refs` over per-bucket output refs, with
-    zero-row blocks DROPPED first (a cheap num_rows probe per ref — the
-    same cost from_arrow_refs itself pays for metadata): Ray records an
-    EMPTY schema for a zero-row block's bundle and then warns
-    'RefBundle with a different schema' on every downstream operator,
-    polluting driver logs (VERDICT r2 #9 class).  All-empty (or no refs)
-    falls back to one schema-correct empty block."""
+def dataset_from_refs(refs, empty):
+    """`ray.data.from_arrow_refs` over per-bucket outputs, with zero-row/
+    None blocks DROPPED first: Ray records an EMPTY schema for a zero-row
+    block's bundle and then warns 'RefBundle with a different schema' on
+    every downstream operator, polluting driver logs (VERDICT r2 #9
+    class).  `refs` are the (count_ref, table_ref) pairs from
+    `bucketed_reduce(as_refs=True)` — counts are tiny objects resolved
+    without fetching the tables — or bare table refs (probed with one
+    task each).  All-empty (or no refs) falls back to one schema-correct
+    empty block: `empty` is that table, OR a zero-arg callable producing
+    it — pass a callable when building the table costs something
+    (deriving a mapped dataset's schema executes a block), so the happy
+    path never pays it."""
     import ray.data as rd
 
     refs = list(refs)
-    if refs:
+    if refs and isinstance(refs[0], (tuple, list)):
+        counts = ray.get([c for c, _ in refs])
+        refs = [t for (_, t), n in zip(refs, counts) if n]
+    elif refs:
         counts = ray.get([_ref_num_rows.remote(r) for r in refs])
         refs = [r for r, n in zip(refs, counts) if n]
     if not refs:
-        return rd.from_arrow(empty)
+        return rd.from_arrow(empty() if callable(empty) else empty)
     return rd.from_arrow_refs(refs)
 
 
@@ -269,10 +300,12 @@ def bucketed_reduce(ds, key_col: str, fn,
     bucket tasks run in parallel.  Same guarantee as groupby(key): all rows
     with equal keys reach the same fn call.  Returns the non-None results
     (driver only ever holds fn outputs); with as_refs=True returns
-    UNRESOLVED ObjectRefs instead (one per bucket), so large fn outputs
-    can flow into `ray.data.from_arrow_refs` without ever landing on the
-    driver; pass `empty` (a schema-correct empty table) so no-data buckets
-    resolve to something from_arrow_refs accepts."""
+    (row_count_ref, table_ref) PAIRS instead (one per bucket — the count
+    rides as its own tiny object so `dataset_from_refs` can drop empty
+    buckets without a probe task per ref), so large fn outputs flow into
+    `ray.data.from_arrow_refs` without ever landing on the driver; pass
+    `empty` (a schema-correct empty table) only when fn's no-data output
+    must be a concrete table rather than None."""
     if n_buckets is None:
         n_buckets = default_buckets()
     part = ds.map_batches(_route_fn(key_col, n_buckets),
@@ -286,13 +319,17 @@ def bucketed_reduce(ds, key_col: str, fn,
     if not splits:
         return []
     if len(splits) <= _ARG_FANIN:
-        futs = [_apply_bucket.remote(fn, empty, *[s[r] for s in splits])
-                for r in range(n_buckets)]
+        apply_, apply_c = _apply_bucket, _apply_bucket_counted
+        args = [[s[r] for s in splits] for r in range(n_buckets)]
+        if as_refs:
+            return [apply_c.remote(fn, empty, *a) for a in args]
+        futs = [apply_.remote(fn, empty, *a) for a in args]
     else:   # past Ray's per-task positional-arg comfort zone
-        futs = [_apply_bucket_refs.remote(fn, empty, [s[r] for s in splits])
-                for r in range(n_buckets)]
-    if as_refs:
-        return futs
+        args = [[s[r] for s in splits] for r in range(n_buckets)]
+        if as_refs:
+            return [_apply_bucket_refs_counted.remote(fn, empty, a)
+                    for a in args]
+        futs = [_apply_bucket_refs.remote(fn, empty, a) for a in args]
     outs = ray.get(futs)
     del bundles, splits
     return [o for o in outs if o is not None]

@@ -502,7 +502,8 @@ def window_seq(ds, key: str, order_by: Sequence[str],
             - np.repeat(starts, lens) + 1
         return t.append_column(out_col, pa.array(seq))
 
-    return bucketed_apply(ds, [key], number, number(_empty_like(ds)))
+    return bucketed_apply(ds, [key], number,
+                          lambda: number(_empty_like(ds)))
 
 
 def top_k_per_group(ds, key: str, order_by: Sequence[str], k: int,
@@ -524,7 +525,8 @@ def top_k_per_group(ds, key: str, order_by: Sequence[str], k: int,
             - np.repeat(starts, lens)
         return t.filter(pa.array(offs < k))
 
-    return bucketed_apply(ds, [key], take, take(_empty_like(ds)))
+    return bucketed_apply(ds, [key], take,
+                          lambda: take(_empty_like(ds)))
 
 
 def group_quantiles(ds, key: str, value: str,
@@ -585,8 +587,9 @@ def group_quantiles(ds, key: str, value: str,
             out[name] = pc.if_else(mask, pa.nulls(len(idx), v.type), picked)
         return pa.table(out)
 
-    return bucketed_apply(ds.select_columns([key, value]), [key], body,
-                          body(_empty_like(ds.select_columns([key, value]))))
+    sub = ds.select_columns([key, value])
+    return bucketed_apply(sub, [key], body,
+                          lambda: body(_empty_like(sub)))
 
 
 def group_count_distinct(ds, key: str, value: str,
@@ -616,11 +619,13 @@ def group_count_distinct(ds, key: str, value: str,
             .group_by(key).aggregate([(value, "count")])
         return g.rename_columns([key, out_col])
 
-    empty = pa.table({key: pa.array([], ds.schema().base_schema
-                                    .field(key).type),
-                      out_col: pa.array([], pa.int64())})
+    def make_empty() -> pa.Table:
+        return pa.table({key: pa.array([], ds.schema().base_schema
+                                       .field(key).type),
+                         out_col: pa.array([], pa.int64())})
+
     return bucketed_apply(ds.map_batches(pairs, batch_format="pyarrow"),
-                          [key], count, empty)
+                          [key], count, make_empty)
 
 
 def window_cumsum(ds, key: str, order_by: Sequence[str], value: str,
@@ -661,4 +666,5 @@ def window_cumsum(ds, key: str, order_by: Sequence[str], value: str,
             if starts.size else np.zeros(0, vals.dtype)
         return t.append_column(out_col, pa.array(run - base))
 
-    return bucketed_apply(ds, [key], cum, cum(_empty_like(ds)))
+    return bucketed_apply(ds, [key], cum,
+                          lambda: cum(_empty_like(ds)))

@@ -85,4 +85,5 @@ def sessionize(ds, key: str, ts: str, gap_seconds: int = 1800,
             else np.zeros(0, np.int64)
         return t.append_column("session_id", pa.array(c - base))
 
-    return bucketed_apply(ds, [key], body, body(_empty_like(ds)))
+    return bucketed_apply(ds, [key], body,
+                          lambda: body(_empty_like(ds)))
