@@ -8,11 +8,15 @@ never concatenates the key stream (round 1 did — O(docs x bands) driver
 memory, flagged in VERDICT.md).  Only keys meeting min_count ever reach
 the driver.
 
-The bucket count is DERIVED per call (power of two >= the cluster's CPU
-count, clamped to [16, 1024]) instead of the fixed 16 of round 2, which
-capped reduce parallelism and per-task memory regardless of cluster and
-data size (VERDICT r2 #2).  Callers can pin `n_buckets` explicitly; the
-count only changes task fan-out, never results.
+The bucket count is DERIVED per call.  `bucketed_reduce` sizes it from
+the ACTUAL routed row count (block metadata, `data_scaled_buckets`) so a
+small exchange pays a handful of tasks while a large one spreads across
+the cluster with bounded per-bucket rows; `hot_keys` (whose partials are
+pre-bucketed inside the map stage, before sizes are known) uses the
+cluster-scaled `default_buckets`.  Round 2's fixed 16 capped reduce
+parallelism regardless of cluster and data size (VERDICT r2 #2).
+Callers can pin `n_buckets` explicitly; the count only changes task
+fan-out, never results.
 """
 
 from __future__ import annotations
@@ -167,29 +171,53 @@ def _deserialize(b: bytes) -> pa.Table:
     return pa.ipc.open_stream(pa.BufferReader(b)).read_all()
 
 
-def _route_fn(col: str, n_buckets: int):
-    """Partition each batch's ROWS into n_buckets serialized sub-tables by
-    the top bits of the (already well-mixed) int64 key column."""
+def data_scaled_buckets(rows: int) -> int:
+    """Bucket count sized from the ACTUAL routed row count (known from
+    block metadata before any routing happens): enough buckets that (a)
+    per-bucket rows stay bounded (~250k) as data grows, (b) a big exchange
+    still spreads across the cluster, while (c) a small exchange pays a
+    handful of tasks instead of a cluster-scaled 2x-CPUs fan-out (the
+    fixed ~64-task tail dominated sub-second aggregates).  Power of two in
+    [2, 1024]; env override RHO_REDUCE_BUCKETS still pins it."""
+    env = os.environ.get("RHO_REDUCE_BUCKETS")
+    if env:
+        n = int(env)
+    else:
+        from ..validate import _cluster_cpus
 
-    def route(batch: pa.Table) -> pa.Table:
-        k = batch[col]
+        n = int(max(rows / 250_000,
+                    min(2 * _cluster_cpus(), rows / 20_000), 1))
+    n = min(max(n, 2), _MAX_BUCKETS)
+    return 1 << (n - 1).bit_length()
+
+
+@ray.remote
+def _route_split_block(col: str, n_buckets: int, *blocks):
+    """Route + split fused in ONE task: partition the rows of a chunk of
+    blocks into per-bucket serialized sub-tables.  Runs AFTER the upstream
+    stage finished, so the bucket count can be sized from real row counts
+    (block metadata) instead of a cluster-shaped guess."""
+    per_bucket: list[list[bytes]] = [[] for _ in range(n_buckets)]
+    for block in blocks:
+        t = block if isinstance(block, pa.Table) \
+            else pa.Table.from_batches([block])
+        if col not in t.column_names or t.num_rows == 0:
+            continue   # empty pass-through block (the UDF never ran)
+        k = t[col]
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()
         arr = k.to_numpy(zero_copy_only=False).astype(np.int64, copy=False) \
             .view(np.uint64)
         b = hash_range_buckets(arr, n_buckets)
         order = np.argsort(b, kind="stable")
-        ordered = batch.take(pa.array(order, pa.int64()))
+        ordered = t.take(pa.array(order, pa.int64()))
         counts = np.bincount(b, minlength=n_buckets)
         starts = np.concatenate(([0], np.cumsum(counts)))
-        blobs = [_serialize(ordered.slice(int(starts[r]), int(counts[r])))
-                 for r in range(n_buckets)]
-        return pa.table({
-            "bucket": pa.array(range(n_buckets), pa.int32()),
-            "blob": pa.array(blobs, pa.binary()),
-        })
-
-    return route
+        for r in range(n_buckets):
+            if counts[r]:
+                per_bucket[r].append(_serialize(
+                    ordered.slice(int(starts[r]), int(counts[r]))))
+    return tuple(per_bucket)
 
 
 def _apply_bucket_impl(fn, default, blob_lists):
@@ -306,18 +334,24 @@ def bucketed_reduce(ds, key_col: str, fn,
     `ray.data.from_arrow_refs` without ever landing on the driver; pass
     `empty` (a schema-correct empty table) only when fn's no-data output
     must be a concrete table rather than None."""
-    if n_buckets is None:
-        n_buckets = default_buckets()
-    part = ds.map_batches(_route_fn(key_col, n_buckets),
-                          batch_format="pyarrow")
-    split = _split_block.options(num_returns=n_buckets)
-    bundles, splits = [], []
-    for bundle in part.iter_internal_ref_bundles():
+    # drain the upstream stage FIRST (block refs + row counts from
+    # metadata), so the bucket count is sized from what actually needs
+    # routing — a zero-violation FK total then pays 2 tasks, not 64 —
+    # and route+split run fused in one task per block chunk
+    bundles, blockrefs, rows = [], [], 0
+    for bundle in ds.iter_internal_ref_bundles():
         bundles.append(bundle)
-        for bref in bundle.block_refs:
-            splits.append(split.remote(n_buckets, bref))
-    if not splits:
+        for bref, meta in zip(bundle.block_refs, bundle.metadata):
+            blockrefs.append(bref)
+            rows += meta.num_rows or 0
+    if not blockrefs:
         return []
+    if n_buckets is None:
+        n_buckets = data_scaled_buckets(rows)
+    n_buckets = max(2, n_buckets)   # num_returns=1 returns a bare ref
+    split = _route_split_block.options(num_returns=n_buckets)
+    splits = [split.remote(key_col, n_buckets, *blockrefs[i:i + 4])
+              for i in range(0, len(blockrefs), 4)]
     if len(splits) <= _ARG_FANIN:
         apply_, apply_c = _apply_bucket, _apply_bucket_counted
         args = [[s[r] for s in splits] for r in range(n_buckets)]
