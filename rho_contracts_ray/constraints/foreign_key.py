@@ -60,11 +60,17 @@ class FKCheckStage:
         import ray
 
         keys = ray.get(keys_ref[0]) if isinstance(keys_ref, list) else keys_ref
-        self.value_set = keys  # pa.Array of combined dim keys
+        self.value_set = keys  # pa.Array of dim keys (typed when 1 column)
         self.child_cols = list(child_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        key = combine_key(batch, self.child_cols)
+        if len(self.child_cols) == 1:
+            # typed membership test — no string combine of the fact side
+            key = batch[self.child_cols[0]]
+            if isinstance(key, pa.ChunkedArray):
+                key = key.combine_chunks()
+        else:
+            key = combine_key(batch, self.child_cols)
         dangling = pc.invert(pc.is_in(key, value_set=self.value_set))
         # null child keys are not FK violations (nullability is the row
         # contract's job) — mask out rows with any null key column
@@ -83,7 +89,7 @@ def fk_violations(child_ds, child_cols: Sequence[str], dim,
     import ray
 
     dim_cols = list(dim_cols or child_cols)
-    keys = _dim_key_array(dim, dim_cols)
+    keys = _dim_key_array(dim, dim_cols, combined=len(dim_cols) > 1)
     keys_ref = ray.put(keys)  # broadcast once
 
     from ..validate import stateless_stage

@@ -247,20 +247,27 @@ def validate(data, contract, name: Optional[str] = None,
 
     import pickle
 
-    kwargs = dict(
-        fn_constructor_kwargs=dict(contract=pickle.dumps(contract), name=name,
-                                   id_cols=tuple(id_cols) if id_cols else None,
-                                   capture_limit=capture_limit,
-                                   fail_fast=fail_fast),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        # callable class => actor pool; Ray requires explicit concurrency.
-        # Default: autoscale from 1 up to the cluster's CPU count so small
-        # inputs don't over-provision and large ones use every core.
-        concurrency=concurrency if concurrency is not None
-        else (1, _cluster_cpus()),
-    )
-    out = data.map_batches(ValidatorStage, **kwargs)
+    ctor = dict(contract=pickle.dumps(contract), name=name,
+                id_cols=tuple(id_cols) if id_cols else None,
+                capture_limit=capture_limit,
+                fail_fast=fail_fast)
+    if concurrency is None:
+        # default: STATELESS tasks with a per-worker instance cache — the
+        # contract still compiles once per worker, but tasks reuse Ray's
+        # prestarted worker pool instead of paying actor-pool spin-up
+        # (~1 s of wall on a short pipeline, every single run)
+        out = data.map_batches(stateless_stage(ValidatorStage, **ctor),
+                               batch_format="pyarrow",
+                               batch_size=batch_size)
+    else:
+        # explicit concurrency => a real actor pool (long-lived pipelines,
+        # heavy per-actor state); Ray requires the concurrency argument
+        # for callable-class stages
+        out = data.map_batches(ValidatorStage,
+                               fn_constructor_kwargs=ctor,
+                               batch_format="pyarrow",
+                               batch_size=batch_size,
+                               concurrency=concurrency)
     # the output is tiny (violations+summaries); materialize so the report
     # can be inspected repeatedly without re-running the pipeline
     return ValidationReport(out.materialize(), contract, name)
