@@ -141,16 +141,41 @@ def _warm_worker_pool():
 
 
 def _host_load_indicator() -> dict:
-    """Single-process sha256 rate + 1-min loadavg: a cheap host-noise
-    fingerprint recorded next to every wall time, so a slow artifact can
-    be attributed (or not) to background load."""
+    """Single-process sha256 rate + 1-min loadavg + input read rate: a
+    cheap host-noise fingerprint recorded next to every wall time, so a
+    slow artifact can be attributed (or not) to background load.  The
+    read rate catches the failure mode the CPU probe misses: co-tenant
+    I/O / page-cache eviction stalls every ReadParquet (D-state drives
+    loadavg to 10+ while single-thread CPU stays normal — observed making
+    read-heavy queries 14x slower mid-bench)."""
     rate = _hw_burn(120_000)
     try:
         load1, load5, _ = os.getloadavg()
     except OSError:
         load1 = load5 = -1.0
+    read_mbps = -1.0
+    try:
+        import glob
+        import time as _t
+
+        files = sorted(glob.glob(os.path.join(SF_DIR, "*.parquet")),
+                       key=os.path.getsize, reverse=True)
+        if files:
+            t0 = _t.monotonic()
+            n = 0
+            with open(files[0], "rb") as fh:
+                while n < 64 * 1024 * 1024:
+                    chunk = fh.read(8 * 1024 * 1024)
+                    if not chunk:
+                        break
+                    n += len(chunk)
+            dt = _t.monotonic() - t0
+            read_mbps = n / 1e6 / dt if dt > 0 else -1.0
+    except OSError:
+        pass
     return {"sha_mops_single": round(rate / 1e6, 2),
-            "loadavg_1m": round(load1, 2), "loadavg_5m": round(load5, 2)}
+            "loadavg_1m": round(load1, 2), "loadavg_5m": round(load5, 2),
+            "input_read_mbps": round(read_mbps, 1)}
 
 
 def run_benchmarks() -> dict:
@@ -162,6 +187,7 @@ def run_benchmarks() -> dict:
 
     queries: dict[str, float] = {}
     all_walls: dict[str, list] = {}
+    host_marks: dict[str, dict] = {}
     extra: dict[str, object] = {}
     extra["host_pre"] = _host_load_indicator()
 
@@ -202,7 +228,11 @@ def run_benchmarks() -> dict:
         med, walls, _rows = _median_timed(run)
         queries[name] = med
         all_walls[name] = walls
+        # per-query host snapshot: the collapse mode is MID-run (co-tenant
+        # I/O stalling reads), invisible to pre/post-only brackets
+        host_marks[name] = _host_load_indicator()
 
+    extra["host_per_query"] = host_marks
     extra["host_post"] = _host_load_indicator()
     total = round(sum(queries.values()), 3)
     return {

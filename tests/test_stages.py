@@ -741,3 +741,25 @@ def test_bucketed_group_agg_matches_duckdb(ray_session):
         rd.from_arrow(t.slice(0, 0)), ["a", "b"], [("x", "sum")])
     assert empty.count() == 0
     assert set(empty.schema().names) == {"a", "b", "x_sum"}
+
+def test_data_scaled_buckets_shape():
+    """Bucket sizing: tiny exchanges pay few tasks, huge ones keep
+    per-bucket rows bounded, always a power of two in [2, 1024]."""
+    import os
+
+    from rho_contracts_ray.stages.distagg import data_scaled_buckets
+
+    assert data_scaled_buckets(0) == 2
+    assert data_scaled_buckets(1_000) == 2
+    small = data_scaled_buckets(100_000)
+    assert 2 <= small <= 16
+    big = data_scaled_buckets(10_000_000_000)
+    assert big == 1024                       # capped
+    for rows in (0, 999, 123_456, 10**7, 10**11):
+        n = data_scaled_buckets(rows)
+        assert n & (n - 1) == 0 and 2 <= n <= 1024
+    os.environ["RHO_REDUCE_BUCKETS"] = "20"
+    try:
+        assert data_scaled_buckets(5) == 32  # env override, next pow2
+    finally:
+        del os.environ["RHO_REDUCE_BUCKETS"]
