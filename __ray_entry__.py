@@ -1420,6 +1420,16 @@ def _q_order_stats_by_status(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_collect_event_types(sf_dir: str):
+    """Per-user ordered DISTINCT collect (SQL string_agg): one bucketed
+    exchange, one Arrow sort + vectorized binary_join per bucket."""
+    from rho_contracts_ray.stages import group_collect
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return group_collect(ds, "user_id", "event_type", sep=",",
+                         out_col="types", distinct=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # row-contract kernels
@@ -1500,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": _q_q4_order_priority,
         "cumsum_events_user": _q_cumsum_events_user,
         "order_stats_by_status": _q_order_stats_by_status,
+        "collect_event_types": _q_collect_event_types,
     }
 
 
@@ -1914,6 +1925,11 @@ def oracle_sql() -> dict[str, str]:
             "min(o_totalprice) AS min_price, "
             "max(o_totalprice) AS max_price, "
             "count(*)::BIGINT AS n_orders FROM orders GROUP BY o_orderstatus"
+        ),
+        "collect_event_types": (
+            "SELECT user_id, string_agg(DISTINCT event_type, ',' "
+            "ORDER BY event_type) AS types FROM events "
+            "WHERE event_type IS NOT NULL GROUP BY user_id"
         ),
         # minhash/simhash/fingerprints/drift-ks/media/corpus_prep/packing:
         # rows-only (non-SQL-expressible: sketches, iterative packing,

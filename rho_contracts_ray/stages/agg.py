@@ -119,6 +119,72 @@ def bucketed_sum(ds, keys: Sequence[str], sum_cols: Sequence[str],
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def group_collect(ds, key: str, val: str, sep: str = ",",
+                  out_col: str = "vals", distinct: bool = False):
+    """Per-key ordered collect: the `val` values of each key joined with
+    `sep` in ascending value order -> (key, out_col) — SQL
+    string_agg(val, sep ORDER BY val) / array_agg.  Documented contract:
+    rows with a null `val` are dropped first (oracle: WHERE val IS NOT
+    NULL), so a key whose values are ALL null is omitted; null keys form
+    their own group.
+
+    Scale shape: ONE bucketed exchange by key; inside a bucket a single
+    Arrow sort + one vectorized `binary_join` over the list-ified runs
+    builds every key's string — no per-group call.  Partitioning
+    assumption (inherent to any collect): one key's joined values fit in
+    one task; cap or pre-aggregate upstream for pathological keys."""
+    def collect(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[val]))
+        s = t.select([key, val]).take(pc.sort_indices(
+            t.select([key, val]),
+            sort_keys=[(key, "ascending"), (val, "ascending")]))
+        v = s[val]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        sv = pc.cast(v, pa.string())
+        starts = _run_starts_multi(s, [key])
+        if distinct and s.num_rows > 1:
+            # drop repeats within a run (values sorted within the run)
+            prev_same = np.zeros(s.num_rows, dtype=bool)
+            eq = pc.equal(sv.slice(1), sv.slice(0, len(sv) - 1))
+            prev_same[1:] = pc.fill_null(eq, False) \
+                .to_numpy(zero_copy_only=False)
+            prev_same[starts] = False
+            m = pa.array(~prev_same)
+            s = pa.table({key: s[key].filter(m)})
+            sv = sv.filter(m)
+            starts = _run_starts_multi(s, [key])
+        offsets = np.append(starts, len(sv)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), sv)
+        return pa.table({key: s[key].take(pa.array(starts)),
+                         out_col: pc.binary_join(lists, sep)})
+
+    def make_empty() -> pa.Table:
+        schema = ds.schema().base_schema
+        return pa.table({key: pa.array([], schema.field(key).type),
+                         out_col: pa.array([], pa.string())})
+
+    return bucketed_apply(ds.select_columns([key, val]), [key], collect,
+                          make_empty)
+
+
+def _run_starts_multi(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Start indices of equal-key runs in an already key-sorted table."""
+    if t.num_rows <= 1:
+        return np.zeros(min(t.num_rows, 1), dtype=np.int64)
+    new_run = np.zeros(t.num_rows, dtype=bool)
+    new_run[0] = True
+    for k in keys:
+        col = t[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        a, b = col.slice(1), col.slice(0, len(col) - 1)
+        ne = pc.fill_null(pc.not_equal(a, b), False)
+        diff = pc.or_(ne, pc.xor(pc.is_null(a), pc.is_null(b)))
+        new_run[1:] |= diff.to_numpy(zero_copy_only=False)
+    return np.flatnonzero(new_run).astype(np.int64)
+
+
 def group_argmax(ds, key: str, score: str, id_col: str):
     """Best row per group: max `score`, ties broken by min `id_col` ->
     (key, id_col, score).  The keep-BEST-copy dedup primitive (keep the

@@ -763,3 +763,28 @@ def test_data_scaled_buckets_shape():
         assert data_scaled_buckets(5) == 32  # env override, next pow2
     finally:
         del os.environ["RHO_REDUCE_BUCKETS"]
+
+def test_group_collect_matches_duckdb(ray_session):
+    import duckdb
+
+    from rho_contracts_ray.stages import group_collect
+
+    rng = np.random.RandomState(31)
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 25, 1200).astype(np.int64)),
+        "v": pa.array([None if i % 37 == 0 else w for i, w in enumerate(
+            rng.choice(["aa", "b", "ccc", "d"], 1200))]),
+    })
+    got = group_collect(rd.from_arrow(t).repartition(6), "k", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    want = duckdb.connect().execute(
+        "SELECT k, string_agg(v, ',' ORDER BY v) AS vals FROM t "
+        "WHERE v IS NOT NULL GROUP BY k ORDER BY k").df()
+    assert got["vals"].tolist() == want["vals"].tolist()
+    gotd = group_collect(rd.from_arrow(t).repartition(6), "k", "v",
+                         distinct=True) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    wantd = duckdb.connect().execute(
+        "SELECT k, string_agg(DISTINCT v, ',' ORDER BY v) AS vals FROM t "
+        "WHERE v IS NOT NULL GROUP BY k ORDER BY k").df()
+    assert gotd["vals"].tolist() == wantd["vals"].tolist()
