@@ -313,3 +313,43 @@ def test_group_count_distinct(ray_session):
            for r in group_count_distinct(
                rd.from_arrow(t).repartition(3), "k", "v").take_all()}
     assert out == {"a": 3, "b": 1}   # nulls not counted
+
+def test_bucketed_join_outer_variants(ray_session):
+    """left/full-outer bucketed joins match DuckDB, including null keys
+    (never match) and unmatched-side null padding."""
+    import duckdb
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.joins import bucketed_join
+
+    rng = np.random.RandomState(41)
+    lt = pa.table({
+        "k": pa.array([None if i % 17 == 0 else int(v) for i, v in
+                       enumerate(rng.randint(0, 40, 300))], pa.int64()),
+        "lv": pa.array(np.arange(300, dtype=np.int64)),
+    })
+    rt = pa.table({
+        "k": pa.array(rng.randint(20, 60, 100).astype(np.int64)),
+        "rv": pa.array(np.arange(100, dtype=np.int64) * 10),
+    })
+    con = duckdb.connect()
+    con.register("lt", lt)
+    con.register("rt", rt)
+    for how, sql_join in (("left", "LEFT JOIN"), ("outer", "FULL JOIN")):
+        got = bucketed_join(rd.from_arrow(lt).repartition(5),
+                            rd.from_arrow(rt).repartition(3),
+                            on=["k"], left_cols=["k", "lv"],
+                            right_cols=["k", "rv"], n_buckets=8,
+                            how=how).to_pandas()
+        want = con.execute(
+            f"SELECT coalesce(l.k, r.k) AS k0, l.lv, r.rv FROM lt l "
+            f"{sql_join} rt r ON l.k = r.k").df()
+        # engine keeps the left k (null on right-only rows in full outer)
+        gk = got["lv"].fillna(-1).astype("int64").tolist()
+        wk = want["lv"].fillna(-1).astype("int64").tolist()
+        gr = got["rv"].fillna(-1).astype("int64").tolist()
+        wr = want["rv"].fillna(-1).astype("int64").tolist()
+        assert sorted(zip(gk, gr)) == sorted(zip(wk, wr)), how
