@@ -326,24 +326,26 @@ def _q_agg_pricing_summary(sf_dir: str):
         return g.rename_columns(
             ["l_returnflag", "l_linestatus", "sq", "sb", "n"])
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["l_returnflag", "l_linestatus"])
+    from rho_contracts_ray.stages.agg import bucketed_group_agg
 
-    import pandas as pd
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("sq", "sum"), ("sb", "sum"), ("n", "sum")])
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sq=("sq", "sum"), sb=("sb", "sum"), n=("n", "sum"))
-        return pd.DataFrame({
-            "l_returnflag": out["l_returnflag"],
-            "l_linestatus": out["l_linestatus"],
-            "sum_qty": out["sq"].round(2),
-            "sum_base_price": out["sb"].round(2),
-            "avg_qty": (out["sq"] / out["n"]).round(4),
-            "cnt": out["n"].astype("int64"),
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.round(t["sq_sum"], 2),
+            "sum_base_price": pc.round(t["sb_sum"], 2),
+            "avg_qty": pc.round(pc.divide(t["sq_sum"],
+                                          pc.cast(t["n_sum"], pa.float64())),
+                                4),
+            "cnt": pc.cast(t["n_sum"], pa.int64()),
         })
 
-    return agg.map_groups(finish, batch_format="pandas")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_events_hourly_counts(sf_dir: str):
