@@ -2,11 +2,12 @@
 metadata).
 
 Decode support is tiered by what this container allows:
-  * REAL, lib-free: uncompressed 24-bit BMP pixel decode, PNG header
-    (IHDR width/height) parsing, and PCM-16 WAV decode — pure numpy /
-    struct, fully implemented and tested (encode_bmp/decode_bmp,
-    encode_wav/decode_wav);
-  * STUBBED with the dependency named: PNG/JPEG PIXEL decode needs
+  * REAL, lib-free: uncompressed 24-bit BMP pixel decode, full 8-bit PNG
+    pixel decode (stdlib-zlib inflate + all five unfilters; gray /
+    RGB / palette / alpha variants — encode_png/decode_png), PNG header
+    parsing, and PCM-16 WAV decode — pure numpy / struct / zlib, fully
+    implemented and tested;
+  * STUBBED with the dependency named: JPEG pixel decode needs
     Pillow/opencv (not present) — `DecodeImageStage(decoder="real")`
     raises NotImplementedError when it meets such a payload;
   * `decoder="deterministic-fake"` emits a seeded feature vector for
@@ -97,6 +98,118 @@ def png_header_dims(b: bytes):
     return struct.unpack_from(">II", b, 16)
 
 
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG (8-bit truecolor, filter-0 rows, one
+    zlib IDAT) — stdlib zlib + struct only, valid for any PNG viewer."""
+    import struct
+    import zlib
+
+    h, w, _ = pixels.shape
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG -> (h, w, 3) uint8 RGB, REAL and lib-free
+    (PNG's only codec dependency is DEFLATE — stdlib zlib — plus the five
+    per-row unfilters, done here in numpy/python).  Supports color types
+    0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha), 6 (RGBA);
+    alpha is dropped and gray broadcast to RGB.  16-bit and interlaced
+    variants raise ValueError naming the limitation."""
+    import struct
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = []
+    off = 8
+    while off + 8 <= len(b):
+        ln, typ = struct.unpack_from(">I4s", b, off)
+        data = b[off + 8: off + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        off += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, interlace="
+            f"{interlace}) — this lib-free decoder handles 8-bit "
+            f"non-interlaced images")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    rows = arr[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.int32)
+    bpp = channels
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = rows[y]
+        if f == 0:                          # None
+            rec = cur.copy()
+        elif f == 2:                        # Up — vectorized
+            rec = (cur + prev) % 256
+        elif f == 1:                        # Sub — mod-256 prefix sum/lane
+            rec = cur.copy()
+            for j in range(bpp):
+                rec[j::bpp] = np.cumsum(cur[j::bpp]) % 256
+        elif f == 3:                        # Average — left dep, per byte
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (cur[x] + ((left + prev[x]) >> 1)) % 256
+        elif f == 4:                        # Paeth — left dep, per byte
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                p = a + up - c
+                da, db, dc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (da <= db and da <= dc) else \
+                    (up if db <= dc else c)
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing its PLTE chunk")
+        if int(px.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        return plte[px[:, :, 0]]
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
     """1-D int16 PCM -> WAV (RIFF, PCM-16 mono)."""
     import struct
@@ -156,13 +269,13 @@ class DecodeImageStage:
     pass batch_size<=256 for multi-MB images so batch x concurrency fits
     worker heap).
 
-    decoder="real": BMP payloads are pixel-decoded (lib-free) and get real
-    histogram features + width/height.  PNG/JPEG pixel decode needs Pillow
-    (not in this container): with on_undecodable="raise" (default) the
-    batch raises NotImplementedError naming the dependency; with
+    decoder="real": BMP and PNG payloads are pixel-decoded (lib-free) and
+    get real histogram features + width/height.  JPEG pixel decode needs
+    Pillow (not in this container): with on_undecodable="raise" (default)
+    the batch raises NotImplementedError naming the dependency; with
     "flag", undecodable rows are emitted with header-parsed dimensions
-    (PNG), zero features and decoded=False, so mixed-format batches keep
-    their decodable rows."""
+    when available, zero features and decoded=False, so mixed-format
+    batches keep their decodable rows."""
 
     def __init__(self, decoder: str = "deterministic-fake",
                  feature_dim: int = 64, on_undecodable: str = "raise"):
@@ -192,31 +305,31 @@ class DecodeImageStage:
         if self.decoder == "real":
             feats_rows = []
             for i, (p, m) in enumerate(zip(payloads, magics)):
-                if m == "bmp":
+                if m in ("bmp", "png"):
                     try:
-                        px = decode_bmp(p)
+                        px = decode_bmp(p) if m == "bmp" else decode_png(p)
                     except ValueError:
-                        # corrupt/unsupported BMP: raise-vs-flag follows
-                        # the same policy as the codec-less formats
+                        # corrupt/unsupported payload: raise-vs-flag
+                        # follows the same policy as the codec-less formats
                         if self.on_undecodable == "raise":
                             raise
+                        if m == "png":
+                            dims = png_header_dims(p)
+                            if dims:
+                                widths[i] = int(dims[0])
+                                heights[i] = int(dims[1])
                         decoded[i] = False
                         feats_rows.append(np.zeros(self.feature_dim))
                         continue
                     heights[i], widths[i] = px.shape[0], px.shape[1]
                     feats_rows.append(_bmp_features(px, self.feature_dim))
                     continue
-                if m == "png":
-                    dims = png_header_dims(p)
-                    if dims:
-                        widths[i], heights[i] = int(dims[0]), int(dims[1])
-                if m in ("png", "jpg") and self.on_undecodable == "raise":
+                if m == "jpg" and self.on_undecodable == "raise":
                     raise NotImplementedError(
-                        f"{m.upper()} pixel decode requires Pillow/opencv, "
-                        f"not present in this container (PNG header dims "
-                        f"parse lib-free; use BMP payloads, "
-                        f"decoder='deterministic-fake', or "
-                        f"on_undecodable='flag')")
+                        "JPEG pixel decode requires Pillow/opencv, not "
+                        "present in this container (BMP, PNG and WAV "
+                        "decode lib-free; use decoder='deterministic-"
+                        "fake' or on_undecodable='flag')")
                 decoded[i] = False
                 feats_rows.append(np.zeros(self.feature_dim))
             feats = (np.stack(feats_rows) if feats_rows
@@ -241,13 +354,13 @@ class DecodeImageStage:
 
 class ResizeImageStage:
     """Actor-pool stage: REAL nearest-neighbor image resize to
-    (out_h, out_w) — decode_bmp -> one numpy index-map gather ->
-    encode_bmp, lib-free end-to-end for BMP payloads.  PNG/JPEG follow
-    DecodeImageStage's policy: on_undecodable='raise' names the missing
-    dependency, 'flag' passes the row through unresized with
-    resized=False.  Output keeps the payload column (resized where
-    decodable) plus out_width/out_height/resized, so the stage composes
-    with DecodeImageStage downstream."""
+    (out_h, out_w) — decode -> one numpy index-map gather -> re-encode,
+    lib-free end-to-end for BMP and PNG payloads (each re-encoded in its
+    own format).  JPEG follows DecodeImageStage's policy:
+    on_undecodable='raise' names the missing dependency, 'flag' passes
+    the row through unresized with resized=False.  Output keeps the
+    payload column (resized where decodable) plus out_width/out_height/
+    resized, so the stage composes with DecodeImageStage downstream."""
 
     def __init__(self, out_h: int = 16, out_w: int = 16,
                  on_undecodable: str = "raise"):
@@ -273,25 +386,28 @@ class ResizeImageStage:
         out_payload: list = list(raw)   # nulls pass through unchanged
         resized = [False] * len(payloads)
         for i, p in enumerate(payloads):
-            if p[:2] == b"BM":
+            if p[:2] == b"BM" or p[:4] == b"\x89PNG":
+                is_bmp = p[:2] == b"BM"
                 try:
-                    px = decode_bmp(p)
+                    px = decode_bmp(p) if is_bmp else decode_png(p)
                 except ValueError:
                     if self.on_undecodable == "raise":
                         raise
                     continue
-                out_payload[i] = encode_bmp(self._resize(px))
+                out = self._resize(px)
+                out_payload[i] = encode_bmp(out) if is_bmp \
+                    else encode_png(out)
                 resized[i] = True
                 continue
-            # DecodeImageStage policy: only RECOGNIZED codec-less formats
-            # raise (a dependency would fix them); unknown/empty payloads
-            # are flagged through
-            if p[:4] == b"\x89PNG" or p[:2] == b"\xff\xd8":
+            # DecodeImageStage policy: only the RECOGNIZED codec-less
+            # format raises (a dependency would fix it); unknown/empty
+            # payloads are flagged through
+            if p[:2] == b"\xff\xd8":
                 if self.on_undecodable == "raise":
                     raise NotImplementedError(
-                        "PNG/JPEG pixel decode requires Pillow/opencv, not "
-                        "present in this container (use BMP payloads or "
-                        "on_undecodable='flag')")
+                        "JPEG pixel decode requires Pillow/opencv, not "
+                        "present in this container (BMP/PNG resize "
+                        "lib-free; use on_undecodable='flag')")
         return pa.table({
             "media_id": batch["media_id"],
             "payload": pa.array(out_payload, pa.binary()),
@@ -377,8 +493,11 @@ def make_media_table(n: int, seed: int = 42, real: bool = False) -> pa.Table:
     for i, k in enumerate(kinds):
         if real and k == "image":
             h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
-            payloads.append(encode_bmp(
-                rng.integers(0, 256, (h, w, 3), dtype=np.uint8)))
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            # alternate BMP / real PNG so both lib-free image decoders
+            # run end-to-end
+            payloads.append(encode_bmp(px) if i % 2 == 0
+                            else encode_png(px))
             continue
         if real and k == "audio":
             secs = float(rng.uniform(0.05, 0.4))

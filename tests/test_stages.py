@@ -378,11 +378,19 @@ def test_multimodal_plumbing(ray_session):
     # deterministic across runs
     out2 = decode_images(rd.from_arrow(t)).to_pandas().sort_values("media_id")
     assert (out["features"].iloc[0] == out2["features"].iloc[0]).all()
-    # real decoder raises (with the missing dependency named) when it
-    # meets a codec format it cannot decode lib-free
+    # real decoder raises on the fake table: its corrupt PNG-magic
+    # payloads raise ValueError (PNG pixel decode is REAL now, so a bad
+    # payload is a data error) and its JPEGs NotImplementedError (the one
+    # remaining codec-less format, dependency named)
     stage = DecodeImageStage(decoder="real")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises((NotImplementedError, ValueError)):
         stage(t.slice(0, 50))
+    jpeg_only = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([b"\xff\xd8fakejpeg"], pa.large_binary()),
+    })
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        stage(jpeg_only)
 
 
 def test_real_bmp_roundtrip_and_features(ray_session):
@@ -455,13 +463,26 @@ def test_resize_image_stage_real_roundtrip(ray_session):
     out = ResizeImageStage(out_h=4, out_w=4)(t2)
     from rho_contracts_ray.stages import decode_bmp
     assert (decode_bmp(out["payload"][0].as_py()) == 200).all()
-    # non-BMP: flag passes through, raise names the dependency
+    # corrupt PNG: flag passes through, raise surfaces the data error
+    # (PNG resize is REAL now); JPEG still names the dependency
     png = pa.table({"media_id": pa.array([9], pa.int64()),
                     "payload": pa.array([b"\x89PNG\r\n"], pa.binary())})
     flagged = ResizeImageStage(on_undecodable="flag")(png)
     assert flagged["resized"].to_pylist() == [False]
-    with pytest.raises(NotImplementedError, match="Pillow"):
+    with pytest.raises(ValueError, match="PNG"):
         ResizeImageStage()(png)
+    jpg = pa.table({"media_id": pa.array([9], pa.int64()),
+                    "payload": pa.array([b"\xff\xd8fake"], pa.binary())})
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        ResizeImageStage()(jpg)
+    # real PNG resizes end-to-end and re-encodes as PNG
+    from rho_contracts_ray.stages.multimodal import decode_png, encode_png
+    px9 = np.full((10, 12, 3), 77, np.uint8)
+    real_png = pa.table({"media_id": pa.array([1], pa.int64()),
+                         "payload": pa.array([encode_png(px9)], pa.binary())})
+    rp = ResizeImageStage(out_h=4, out_w=4)(real_png)
+    assert rp["resized"].to_pylist() == [True]
+    assert (decode_png(rp["payload"][0].as_py()) == 77).all()
     # distributed path
     ds_out = rd.from_arrow(t).map_batches(
         ResizeImageStage, fn_constructor_kwargs={"out_h": 8, "out_w": 8},
@@ -788,3 +809,115 @@ def test_group_collect_matches_duckdb(ray_session):
         "SELECT k, string_agg(DISTINCT v, ',' ORDER BY v) AS vals FROM t "
         "WHERE v IS NOT NULL GROUP BY k ORDER BY k").df()
     assert gotd["vals"].tolist() == wantd["vals"].tolist()
+
+def test_png_codec_roundtrip_and_filters():
+    """Lib-free PNG: encode->decode roundtrip, every filter type, every
+    supported color type, and clear rejections for unsupported variants."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from rho_contracts_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (11, 7, 3)).astype(np.uint8)
+    assert (decode_png(encode_png(px)) == px).all()
+
+    def build(w, h, ctype, channels, rows_filtered, plte=None):
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        body = b"".join(bytes([f]) + bytes(r)
+                        for f, r in rows_filtered)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", bytes(plte.reshape(-1)))
+        return out + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+    # hand-filter a known RGB image with each filter type per row, then
+    # require the decoder to reconstruct the original
+    img = rng.randint(0, 256, (5, 4, 3)).astype(np.int32)
+    flat = img.reshape(5, -1)
+    bpp = 3
+    rows = []
+    prev = np.zeros(12, np.int32)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        if f == 0:
+            filt = cur % 256
+        elif f == 1:
+            left = np.concatenate((np.zeros(bpp, np.int32), cur[:-bpp]))
+            filt = (cur - left) % 256
+        elif f == 2:
+            filt = (cur - prev) % 256
+        elif f == 3:
+            left = np.concatenate((np.zeros(bpp, np.int32), cur[:-bpp]))
+            filt = (cur - ((left + prev) >> 1)) % 256
+        else:
+            filt = np.zeros(12, np.int32)
+            for x in range(12):
+                a = cur[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (da <= db and da <= dc) else (b if db <= dc else c)
+                filt[x] = (cur[x] - pred) % 256
+        rows.append((f, filt.astype(np.uint8).tolist()))
+        prev = cur
+    got = decode_png(build(4, 5, 2, 3, rows))
+    assert (got == img.astype(np.uint8).reshape(5, 4, 3)).all()
+
+    # gray -> broadcast RGB
+    g = rng.randint(0, 256, (3, 6)).astype(np.uint8)
+    rows = [(0, g[y].tolist()) for y in range(3)]
+    got = decode_png(build(6, 3, 0, 1, rows))
+    assert (got[:, :, 0] == g).all() and (got[:, :, 2] == g).all()
+
+    # palette
+    plte = rng.randint(0, 256, (4, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, (2, 5)).astype(np.uint8)
+    rows = [(0, idx[y].tolist()) for y in range(2)]
+    got = decode_png(build(5, 2, 3, 1, rows, plte=plte))
+    assert (got == plte[idx]).all()
+
+    # RGBA -> alpha dropped
+    rgba = rng.randint(0, 256, (2, 3, 4)).astype(np.uint8)
+    rows = [(0, rgba[y].reshape(-1).tolist()) for y in range(2)]
+    got = decode_png(build(3, 2, 6, 4, rows))
+    assert (got == rgba[:, :, :3]).all()
+
+    # rejections name the limitation
+    bad16 = bytearray(encode_png(px))
+    bad16[24] = 16   # depth byte inside IHDR
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(bytes(bad16))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BMnope")
+
+
+def test_resize_and_decode_png_end_to_end(ray_session):
+    """PNG payloads resize and decode REAL through the Ray stages."""
+    from rho_contracts_ray.stages.multimodal import (
+        DecodeImageStage, ResizeImageStage, decode_png, make_media_table)
+
+    t = make_media_table(40, real=True)
+    ds = rd.from_arrow(t).map_batches(
+        ResizeImageStage, fn_constructor_kwargs=dict(
+            out_h=8, out_w=8, on_undecodable="flag"),
+        batch_format="pyarrow", concurrency=2)
+    out = ds.map_batches(
+        DecodeImageStage, fn_constructor_kwargs=dict(
+            decoder="real", on_undecodable="flag"),
+        batch_format="pyarrow", concurrency=2).to_pandas()
+    kinds = t["kind"].to_pylist()
+    png_rows = out[out["detected_format"] == "png"]
+    assert len(png_rows) > 0
+    assert png_rows["decoded"].all()
+    assert (png_rows["width"] == 8).all() and (png_rows["height"] == 8).all()
+    # round-trip sanity on one resized payload
+    resized = ds.to_pandas()
+    row = resized[resized["resized"]].iloc[0]
+    assert row["out_width"] == 8
