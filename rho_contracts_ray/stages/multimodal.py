@@ -421,11 +421,14 @@ class ResizeImageStage:
 
 class AudioFeaturesStage:
     """Real (lib-free) audio features for PCM-16 WAV payloads: sample
-    rate, duration, RMS level, zero-crossing rate."""
+    rate, duration, RMS level, zero-crossing rate, and spectral centroid
+    (numpy rfft magnitude-weighted mean frequency — a pure tone at f Hz
+    centroids at ~f, asserted in tests)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {"media_id": batch["media_id"].to_pylist(), "rate": [],
-               "duration_ms": [], "rms": [], "zero_crossings": []}
+               "duration_ms": [], "rms": [], "zero_crossings": [],
+               "spectral_centroid_hz": []}
         for p in batch["payload"].to_pylist():
             samples, rate = decode_wav(p or b"")
             x = samples.astype(np.float64) / 32768.0
@@ -435,12 +438,22 @@ class AudioFeaturesStage:
                               if samples.size else 0.0)
             out["zero_crossings"].append(
                 int((np.diff(np.signbit(x)) != 0).sum()))
+            if samples.size:
+                mag = np.abs(np.fft.rfft(x))
+                freqs = np.fft.rfftfreq(x.size, d=1.0 / rate)
+                tot = mag.sum()
+                out["spectral_centroid_hz"].append(
+                    float((freqs * mag).sum() / tot) if tot > 0 else 0.0)
+            else:
+                out["spectral_centroid_hz"].append(0.0)
         return pa.table({
             "media_id": pa.array(out["media_id"], pa.int64()),
             "rate": pa.array(out["rate"], pa.int32()),
             "duration_ms": pa.array(out["duration_ms"], pa.int32()),
             "rms": pa.array(out["rms"], pa.float64()),
             "zero_crossings": pa.array(out["zero_crossings"], pa.int64()),
+            "spectral_centroid_hz": pa.array(out["spectral_centroid_hz"],
+                                             pa.float64()),
         })
 
 

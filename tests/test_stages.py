@@ -921,3 +921,18 @@ def test_resize_and_decode_png_end_to_end(ray_session):
     resized = ds.to_pandas()
     row = resized[resized["resized"]].iloc[0]
     assert row["out_width"] == 8
+
+def test_audio_spectral_centroid_pure_tone():
+    """A pure sine at f Hz has its spectral centroid at ~f."""
+    from rho_contracts_ray.stages.multimodal import (AudioFeaturesStage,
+                                                     encode_wav)
+
+    rate = 8000
+    t = np.arange(rate)  # 1 second
+    for f in (220.0, 880.0, 1760.0):
+        wav = encode_wav((np.sin(2 * np.pi * f * t / rate) * 18000)
+                         .astype(np.int16), rate)
+        media = pa.table({"media_id": pa.array([0], pa.int64()),
+                          "payload": pa.array([wav], pa.large_binary())})
+        got = AudioFeaturesStage()(media)["spectral_centroid_hz"][0].as_py()
+        assert abs(got - f) < f * 0.05 + 5, (f, got)
