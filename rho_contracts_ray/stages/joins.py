@@ -25,21 +25,22 @@ import pyarrow.compute as pc
 def broadcast_join(ds, small: pa.Table, on: Sequence[str],
                    how: str = "inner", suffix: str = "_r"):
     """Join every batch against a broadcast small table (dim side).  The
-    small table is `ray.put` ONCE and converted to pandas ONCE PER WORKER
-    (closure-held cache) — not per batch."""
+    small table is `ray.put` ONCE and read zero-copy per worker; the join
+    itself is Arrow's hash join per batch — no arrow->pandas->arrow round
+    trip of the payload columns, and null keys follow SQL semantics
+    (never match) instead of pandas' NaN==NaN."""
     import ray
 
     on = list(on)
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "outer": "full outer", "right": "right outer"}[how]
     ref = ray.put(small)
-    _cache: dict = {}
 
-    def merge(batch: pd.DataFrame) -> pd.DataFrame:
-        right = _cache.get("right")
-        if right is None:
-            right = _cache["right"] = ray.get(ref).to_pandas()
-        return batch.merge(right, on=on, how=how, suffixes=("", suffix))
+    def merge(batch: pa.Table) -> pa.Table:
+        return batch.join(ray.get(ref), keys=on, join_type=arrow_how,
+                          right_suffix=suffix)
 
-    return ds.map_batches(merge, batch_format="pandas")
+    return ds.map_batches(merge, batch_format="pyarrow")
 
 
 def auto_buckets(left_ds, right_ds, target_rows: int = 250_000) -> int:
