@@ -4,6 +4,8 @@
     python -m rho_contracts_ray suite --input DIR --ckpt DIR --out DIR \
         [--group-size N]                     # checkpointed / resumable
     python -m rho_contracts_ray gen --out DIR --rows N [--shards N] [--epoch E]
+    python -m rho_contracts_ray query NAME --sf-dir DIR [--out FILE.parquet]
+    python -m rho_contracts_ray query --list
 
 On a cluster:  ray job submit -- python -m rho_contracts_ray suite --input ...
 Owns its Ray session (guarded init) per the driver contract — library code
@@ -40,6 +42,18 @@ def main(argv=None) -> int:
     pg.add_argument("--epoch", type=int, default=0)
     pg.add_argument("--seed", type=int, default=42)
 
+    pq_ = sub.add_parser(
+        "query", help="run one named pipeline from the driver surface")
+    pq_.add_argument("name", nargs="?", default=None)
+    pq_.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                     help="directory with the standard parquet tables")
+    pq_.add_argument("--out", default=None,
+                     help="write the result as parquet instead of printing "
+                          "a summary")
+    pq_.add_argument("--list", action="store_true",
+                     help="list available pipeline names and exit")
+    pq_.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -50,6 +64,25 @@ def main(argv=None) -> int:
                                  epoch=args.epoch)
         print(json.dumps({"written": len(paths), "dir": args.out}))
         return 0
+
+    if args.cmd == "query":
+        # the pipeline registry lives in the repo-root driver module
+        import importlib
+        import pathlib
+
+        root = str(pathlib.Path(__file__).resolve().parent.parent)
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        entry = importlib.import_module("__ray_entry__")
+        qs = entry.queries()
+        if args.list or not args.name:
+            print(json.dumps({"queries": sorted(qs),
+                              "oracled": sorted(entry.oracle_sql())}))
+            return 0
+        if args.name not in qs:
+            print(json.dumps({"error": f"unknown query {args.name!r}",
+                              "hint": "use --list"}))
+            return 2
 
     import ray
 
@@ -66,6 +99,34 @@ def main(argv=None) -> int:
         DataContext.get_current().enable_progress_bars = False
     except Exception:
         pass
+
+    if args.cmd == "query":
+        try:
+            import pyarrow as pa
+
+            res = qs[args.name](args.sf_dir)
+            if hasattr(res, "to_pandas") and not isinstance(res, pa.Table):
+                parts = [b if isinstance(b, pa.Table)
+                         else pa.Table.from_batches([b])
+                         for b in res.iter_batches(batch_size=None,
+                                                   batch_format="pyarrow")]
+                t = pa.concat_tables(parts) if parts else None
+            elif isinstance(res, pa.Table):
+                t = res
+            else:                                     # pandas DataFrame
+                t = pa.Table.from_pandas(res, preserve_index=False)
+            rows = t.num_rows if t is not None else 0
+            schema = t.schema.names if t is not None else []
+            if args.out and t is not None:
+                import pyarrow.parquet as pq
+
+                pq.write_table(t, args.out)
+            print(json.dumps({"query": args.name, "rows": rows,
+                              "columns": schema,
+                              "out": args.out or None}))
+            return 0
+        finally:
+            ray.shutdown()
 
     try:
         if args.ckpt:

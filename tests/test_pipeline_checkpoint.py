@@ -118,3 +118,35 @@ def test_run_suite_dataset_input_and_empty(ray_session, corpus):
     assert se["rows"] == 0
     assert se["contract_violations"] == 0
     assert se["duplicate_keys"] == 0
+
+def test_cli_query_subcommand(tmp_path):
+    """`python -m rho_contracts_ray query` lists and runs driver pipelines
+    in a fresh process (its own Ray session)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "rho_contracts_ray", "query", "--list"],
+        capture_output=True, env=env, timeout=120, cwd=str(tmp_path))
+    d = json.loads(r.stdout.decode().strip().splitlines()[-1])
+    assert "distinct_event_types" in d["queries"]
+    assert set(d["oracled"]) <= set(d["queries"])
+    out = tmp_path / "res.parquet"
+    r = subprocess.run(
+        [sys.executable, "-m", "rho_contracts_ray", "query",
+         "distinct_event_types", "--sf-dir", "/root/testdata/sf0.001",
+         "--num-cpus", "2", "--out", str(out)],
+        capture_output=True, env=env, timeout=300, cwd=str(tmp_path))
+    d = json.loads(r.stdout.decode().strip().splitlines()[-1])
+    assert d["rows"] > 0
+    import pyarrow.parquet as pq
+    assert pq.read_table(out).num_rows == d["rows"]
+    # unknown name -> error json, exit 2
+    r = subprocess.run(
+        [sys.executable, "-m", "rho_contracts_ray", "query", "nope"],
+        capture_output=True, env=env, timeout=120, cwd=str(tmp_path))
+    assert r.returncode == 2
