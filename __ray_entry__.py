@@ -1423,6 +1423,83 @@ def _q_order_stats_by_status(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue of returned items in a
+    date window — date-filtered orders x returnflag-filtered lineitem
+    (bucketed join on the order key, lineitem pre-aggregated per batch),
+    customer/nation broadcast for the name lookup, global_topk finish."""
+    import ray
+
+    from rho_contracts_ray.stages import global_topk
+    from rho_contracts_ray.stages.agg import bucketed_sum
+    from rho_contracts_ray.stages.joins import auto_buckets, bucketed_join
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    orders_raw = _read(sf_dir, "orders",
+                       columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    lineitem_raw = _read(sf_dir, "lineitem",
+                         columns=["l_orderkey", "l_returnflag",
+                                  "l_extendedprice", "l_discount"])
+    n_buckets = auto_buckets(lineitem_raw, orders_raw)
+
+    def slim_orders(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["o_orderdate"], lo),
+                       pc.less(batch["o_orderdate"], hi))
+        sub = batch.filter(keep)
+        return pa.table({"l_orderkey": sub["o_orderkey"],
+                         "o_custkey": sub["o_custkey"]})
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = pc.multiply(sub["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), sub["l_discount"]))
+        t = pa.table({"l_orderkey": sub["l_orderkey"], "rev": rev})
+        return t.group_by(["l_orderkey"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["l_orderkey", "rev"])
+
+    joined = bucketed_join(
+        lineitem_raw.map_batches(rev_partial, batch_format="pyarrow"),
+        orders_raw.map_batches(slim_orders, batch_format="pyarrow"),
+        on=["l_orderkey"], left_cols=["l_orderkey", "rev"],
+        right_cols=["l_orderkey", "o_custkey"], n_buckets=n_buckets)
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["o_custkey"]).aggregate([("rev", "sum")]) \
+            .rename_columns(["o_custkey", "rev"])
+
+    per_cust = bucketed_sum(
+        joined.map_batches(per_cust_partial, batch_format="pyarrow"),
+        ["o_custkey"], ["rev"])
+
+    cust = _collect(_read(sf_dir, "customer",
+                          columns=["c_custkey", "c_name", "c_nationkey"]))
+    nation = _collect(_read(sf_dir, "nation",
+                            columns=["n_nationkey", "n_name"]))
+    cust_ref = ray.put(cust)
+    nation_ref = ray.put(nation)
+
+    def attach_names(batch: pa.Table) -> pa.Table:
+        c = ray.get(cust_ref)
+        nat = ray.get(nation_ref)
+        idx = pc.index_in(batch["o_custkey"],
+                          value_set=c["c_custkey"].combine_chunks())
+        idx = idx.combine_chunks() if isinstance(idx, pa.ChunkedArray) else idx
+        names = c["c_name"].combine_chunks().take(idx)
+        nk = c["c_nationkey"].combine_chunks().take(idx)
+        nidx = pc.index_in(nk, value_set=nat["n_nationkey"].combine_chunks())
+        nnames = nat["n_name"].combine_chunks().take(nidx)
+        return pa.table({"c_custkey": batch["o_custkey"],
+                         "c_name": names,
+                         "n_name": nnames,
+                         "revenue": pc.round(batch["rev"], 2)})
+
+    return global_topk(
+        per_cust.map_batches(attach_names, batch_format="pyarrow"),
+        ["revenue", "c_custkey"], 20, descending=[True, False])
+
+
 def _q_collect_event_types(sf_dir: str):
     """Per-user ordered DISTINCT collect (SQL string_agg): one bucketed
     exchange, one Arrow sort + vectorized binary_join per bucket."""
@@ -1514,6 +1591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cumsum_events_user": _q_cumsum_events_user,
         "order_stats_by_status": _q_order_stats_by_status,
         "collect_event_types": _q_collect_event_types,
+        "q10_returned_revenue": _q_q10_returned_revenue,
     }
 
 
@@ -1933,6 +2011,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, string_agg(DISTINCT event_type, ',' "
             "ORDER BY event_type) AS types FROM events "
             "WHERE event_type IS NOT NULL GROUP BY user_id"
+        ),
+        "q10_returned_revenue": (
+            "SELECT c_custkey, c_name, n_name, revenue FROM ("
+            "SELECT c_custkey, c_name, n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "AND l_returnflag = 'R' "
+            "GROUP BY c_custkey, c_name, n_name) "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
         # minhash/simhash/fingerprints/drift-ks/media/corpus_prep/packing:
         # rows-only (non-SQL-expressible: sketches, iterative packing,
