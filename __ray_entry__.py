@@ -1500,6 +1500,40 @@ def _q_q10_returned_revenue(sf_dir: str):
         ["revenue", "c_custkey"], 20, descending=[True, False])
 
 
+def _q_ks_exact_events(sf_dir: str):
+    """EXACT two-sample KS between the early/late ts halves of events —
+    integer ECDF arithmetic end-to-end, so the SQL window-function oracle
+    reproduces the statistic bit-for-bit (the sketch-based KS lives in
+    drift_events_value; this is the discrete-column exact path)."""
+    from rho_contracts_ray.constraints.drift import exact_ks
+    from rho_contracts_ray.constraints.stats import column_stats
+
+    def to_int_ts(batch: pa.Table) -> pa.Table:
+        return pa.table({"tsi": pc.cast(batch["ts"], pa.int64()),
+                         "value": batch["value"]})
+
+    def base():
+        return _read(sf_dir, "events", columns=["ts", "value"]) \
+            .map_batches(to_int_ts, batch_format="pyarrow")
+
+    ts_stats = column_stats(base(), ["tsi"])["tsi"]
+    mid = int((ts_stats.vmin + ts_stats.vmax) // 2)
+
+    def half(keep_lo: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.less(batch["tsi"], mid) if keep_lo \
+                else pc.greater_equal(batch["tsi"], mid)
+            return batch.filter(m).select(["value"])
+
+        return base().map_batches(f, batch_format="pyarrow")
+
+    r = exact_ks(half(True), half(False), "value")
+    return pa.table({"ks": pa.array([r["ks"]], pa.float64()),
+                     "n_a": pa.array([r["n_a"]], pa.int64()),
+                     "n_b": pa.array([r["n_b"]], pa.int64()),
+                     "n_values": pa.array([r["n_values"]], pa.int64())})
+
+
 def _q_collect_event_types(sf_dir: str):
     """Per-user ordered DISTINCT collect (SQL string_agg): one bucketed
     exchange, one Arrow sort + vectorized binary_join per bucket."""
@@ -1592,6 +1626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_stats_by_status": _q_order_stats_by_status,
         "collect_event_types": _q_collect_event_types,
         "q10_returned_revenue": _q_q10_returned_revenue,
+        "ks_exact_events": _q_ks_exact_events,
     }
 
 
@@ -2025,9 +2060,29 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY c_custkey, c_name, n_name) "
             "ORDER BY revenue DESC, c_custkey LIMIT 20"
         ),
-        # minhash/simhash/fingerprints/drift-ks/media/corpus_prep/packing:
+        "ks_exact_events": (
+            "WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 "
+            "AS mid FROM events), "
+            "t AS (SELECT value, epoch_us(ts) < (SELECT mid FROM m) AS early "
+            "FROM events WHERE value IS NOT NULL AND NOT isnan(value)), "
+            "c AS (SELECT value, "
+            "sum(CASE WHEN early THEN 1 ELSE 0 END)::BIGINT AS ca, "
+            "sum(CASE WHEN NOT early THEN 1 ELSE 0 END)::BIGINT AS cb "
+            "FROM t GROUP BY value), "
+            "tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb, "
+            "count(*)::BIGINT AS nv FROM c), "
+            "cum AS (SELECT sum(ca) OVER (ORDER BY value)::BIGINT AS cca, "
+            "sum(cb) OVER (ORDER BY value)::BIGINT AS ccb FROM c) "
+            "SELECT max(abs(cca::DOUBLE / (SELECT na FROM tot) "
+            "- ccb::DOUBLE / (SELECT nb FROM tot))) AS ks, "
+            "(SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b, "
+            "(SELECT nv FROM tot) AS n_values FROM cum"
+        ),
+        # minhash/simhash/fingerprints/media/corpus_prep/packing:
         # rows-only (non-SQL-expressible: sketches, iterative packing,
-        # binary decode, composite with LSH)
+        # binary decode, composite with LSH); drift_events_value stays
+        # rows-only by nature (t-digest-sketched KS — its exact cousin
+        # ks_exact_events IS oracle-checked)
     }
 
 

@@ -108,3 +108,56 @@ def categorical_drift(ds_a, ds_b, col: str, threshold: float = 0.05
         threshold=threshold, drifted=bool(tv > threshold),
         detail={"categories": len(cats)},
     )
+
+
+def exact_ks(ds_a, ds_b, col: str) -> dict:
+    """EXACT two-sample Kolmogorov–Smirnov statistic:
+    sup_x |ECDF_a(x) - ECDF_b(x)| over the union of observed values.
+
+    Scale shape: each side reduces per batch to (value, count) partials
+    tagged with its side, both streams union and ride ONE bucketed
+    exchange keyed on the value; the driver receives only the per-value
+    count table (rows = #DISTINCT values — exact KS is the right tool for
+    discrete / bounded-cardinality columns; for continuous data at 100 TB
+    use `numeric_drift`'s t-digest sketch, which is what this module's
+    default path does).  Nulls and NaNs are excluded on both sides (SQL
+    aggregate semantics).  Returns {"ks", "n_a", "n_b", "n_values"} with
+    ks computed from exact integer cumulative counts — a SQL oracle with
+    window-function ECDFs reproduces it bit-for-bit."""
+    from ..stages.agg import bucketed_sum
+
+    def tagged_partial(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = batch[col]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            v = v.drop_null()
+            if pa.types.is_floating(v.type):
+                v = v.filter(pc.invert(pc.is_nan(v)))
+            g = pa.table({col: v}).group_by(col).aggregate([([], "count_all")])
+            n = pc.cast(g["count_all"], pa.int64())
+            zero = pa.array(np.zeros(g.num_rows, np.int64))
+            return pa.table({col: g[col],
+                             "ca": n if side == 0 else zero,
+                             "cb": zero if side == 0 else n})
+        return fn
+
+    both = ds_a.map_batches(tagged_partial(0), batch_format="pyarrow") \
+        .union(ds_b.map_batches(tagged_partial(1), batch_format="pyarrow"))
+    counts = bucketed_sum(both, [col], ["ca", "cb"])
+
+    parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in counts.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")]
+    if not parts:
+        return {"ks": 0.0, "n_a": 0, "n_b": 0, "n_values": 0}
+    t = pa.concat_tables(parts)
+    t = t.take(pc.sort_indices(t, sort_keys=[(col, "ascending")]))
+    ca = t["ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cb = t["cb"].to_numpy(zero_copy_only=False).astype(np.int64)
+    na, nb = int(ca.sum()), int(cb.sum())
+    if na == 0 or nb == 0:
+        return {"ks": 0.0, "n_a": na, "n_b": nb, "n_values": t.num_rows}
+    diff = np.abs(np.cumsum(ca) / na - np.cumsum(cb) / nb)
+    return {"ks": float(diff.max()), "n_a": na, "n_b": nb,
+            "n_values": t.num_rows}

@@ -182,3 +182,35 @@ def test_snapshot_diff_identical_is_empty(ray_session):
     out = _collect(snapshot_diff(rd.from_arrow(t), rd.from_arrow(t),
                                  ["k"], ["a"]))
     assert out.num_rows == 0
+
+
+def test_exact_ks_matches_bruteforce(ray_session):
+    """exact_ks == the naive two-sample KS computed directly in numpy,
+    including nulls/NaNs excluded, and detects a planted shift."""
+    import ray.data as rd
+
+    from rho_contracts_ray.constraints.drift import exact_ks
+
+    rng = np.random.RandomState(11)
+    a = np.round(rng.normal(0, 1, 4000), 2)
+    b = np.round(rng.normal(0.4, 1, 3000), 2)   # shifted
+
+    def with_junk(x):
+        vals = list(x) + [None, float("nan"), None]
+        return pa.table({"value": pa.array(vals, pa.float64())})
+
+    da = rd.from_arrow(with_junk(a)).repartition(5)
+    db = rd.from_arrow(with_junk(b)).repartition(3)
+    got = exact_ks(da, db, "value")
+
+    grid = np.unique(np.concatenate((a, b)))
+    fa = np.searchsorted(np.sort(a), grid, side="right") / a.size
+    fb = np.searchsorted(np.sort(b), grid, side="right") / b.size
+    want = float(np.abs(fa - fb).max())
+    assert got["n_a"] == a.size and got["n_b"] == b.size
+    assert abs(got["ks"] - want) < 1e-12
+    assert got["ks"] > 0.1          # the shift is detected
+    # identical distributions -> ks == 0 exactly
+    same = exact_ks(rd.from_arrow(with_junk(a)),
+                    rd.from_arrow(with_junk(a)), "value")
+    assert same["ks"] == 0.0
