@@ -92,8 +92,10 @@ def bucketed_group_agg(ds, keys: Sequence[str],
         return t.group_by(keys).aggregate(aggs)
 
     def make_empty() -> pa.Table:   # only built when EVERY bucket is empty
-        schema = ds.schema().base_schema
-        types = {f.name: f.type for f in schema}
+        schema = ds.schema()
+        if schema is None:   # degenerate empty input lost its schema
+            return pa.table({})
+        types = {f.name: f.type for f in schema.base_schema}
         agg_cols = [c for c, _ in aggs if c]
         return agg_fn(pa.table({
             **{k: pa.array([], types[k]) for k in keys},
@@ -160,7 +162,10 @@ def group_collect(ds, key: str, val: str, sep: str = ",",
                          out_col: pc.binary_join(lists, sep)})
 
     def make_empty() -> pa.Table:
-        schema = ds.schema().base_schema
+        schema = ds.schema()
+        if schema is None:
+            return pa.table({})
+        schema = schema.base_schema
         return pa.table({key: pa.array([], schema.field(key).type),
                          out_col: pa.array([], pa.string())})
 
@@ -207,7 +212,10 @@ def group_argmax(ds, key: str, score: str, id_col: str):
             .select([key, id_col, score])
 
     def make_empty() -> pa.Table:
-        schema = ds.schema().base_schema
+        schema = ds.schema()
+        if schema is None:
+            return pa.table({})
+        schema = schema.base_schema
         return pa.table({key: pa.array([], schema.field(key).type),
                          id_col: pa.array([], schema.field(id_col).type),
                          score: pa.array([], schema.field(score).type)})
@@ -516,7 +524,10 @@ def group_mode(ds, key: str, val: str, cnt_col: str = "n"):
             .select([key, val, cnt_col])
 
     def make_empty() -> pa.Table:
-        schema = ds.schema().base_schema
+        schema = ds.schema()
+        if schema is None:
+            return pa.table({})
+        schema = schema.base_schema
         return pa.table({key: pa.array([], schema.field(key).type),
                          val: pa.array([], schema.field(val).type),
                          cnt_col: pa.array([], pa.int64())})

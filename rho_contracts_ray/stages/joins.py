@@ -480,8 +480,24 @@ def _key_run_starts(t: pa.Table, key: str) -> np.ndarray:
 
 
 def _empty_like(ds) -> pa.Table:
-    schema = ds.schema().base_schema
-    return pa.table({f.name: pa.array([], f.type) for f in schema})
+    schema = ds.schema()
+    if schema is None:
+        # a zero-row dataset whose plan lost the schema (e.g. repartition
+        # of an empty from_arrow) — Ray has no type information left, so
+        # the only honest empty output is zero-column (the input itself
+        # is equally degenerate downstream)
+        return pa.table({})
+    return pa.table({f.name: pa.array([], f.type)
+                     for f in schema.base_schema})
+
+
+def _empty_out(ds, fn) -> pa.Table:
+    """Schema-correct zero-row OUTPUT table: fn applied to an empty input
+    shaped like ds; zero-column when ds's schema is unrecoverable."""
+    base = _empty_like(ds)
+    if base.num_columns == 0:
+        return base
+    return fn(base)
 
 
 def window_seq(ds, key: str, order_by: Sequence[str],
@@ -504,7 +520,7 @@ def window_seq(ds, key: str, order_by: Sequence[str],
         return t.append_column(out_col, pa.array(seq))
 
     return bucketed_apply(ds, [key], number,
-                          lambda: number(_empty_like(ds)))
+                          lambda: _empty_out(ds, number))
 
 
 def top_k_per_group(ds, key: str, order_by: Sequence[str], k: int,
@@ -527,7 +543,7 @@ def top_k_per_group(ds, key: str, order_by: Sequence[str], k: int,
         return t.filter(pa.array(offs < k))
 
     return bucketed_apply(ds, [key], take,
-                          lambda: take(_empty_like(ds)))
+                          lambda: _empty_out(ds, take))
 
 
 def group_quantiles(ds, key: str, value: str,
@@ -590,7 +606,7 @@ def group_quantiles(ds, key: str, value: str,
 
     sub = ds.select_columns([key, value])
     return bucketed_apply(sub, [key], body,
-                          lambda: body(_empty_like(sub)))
+                          lambda: _empty_out(sub, body))
 
 
 def group_count_distinct(ds, key: str, value: str,
@@ -621,7 +637,10 @@ def group_count_distinct(ds, key: str, value: str,
         return g.rename_columns([key, out_col])
 
     def make_empty() -> pa.Table:
-        return pa.table({key: pa.array([], ds.schema().base_schema
+        schema = ds.schema()
+        if schema is None:
+            return pa.table({})
+        return pa.table({key: pa.array([], schema.base_schema
                                        .field(key).type),
                          out_col: pa.array([], pa.int64())})
 
@@ -668,4 +687,4 @@ def window_cumsum(ds, key: str, order_by: Sequence[str], value: str,
         return t.append_column(out_col, pa.array(run - base))
 
     return bucketed_apply(ds, [key], cum,
-                          lambda: cum(_empty_like(ds)))
+                          lambda: _empty_out(ds, cum))

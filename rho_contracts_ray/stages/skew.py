@@ -57,7 +57,7 @@ def sessionize(ds, key: str, ts: str, gap_seconds: int = 1800,
     gap compare divides microseconds by 1e6 exactly like pandas'
     total_seconds(), so verdicts are bit-identical."""
     from .agg import bucketed_apply
-    from .joins import _empty_like, _key_run_starts
+    from .joins import _empty_out, _key_run_starts
 
     sort_keys = [(key, "ascending")] \
         + [(c, "ascending") for c in [ts] + list(order_tiebreak)]
@@ -86,4 +86,4 @@ def sessionize(ds, key: str, ts: str, gap_seconds: int = 1800,
         return t.append_column("session_id", pa.array(c - base))
 
     return bucketed_apply(ds, [key], body,
-                          lambda: body(_empty_like(ds)))
+                          lambda: _empty_out(ds, body))
