@@ -1,15 +1,19 @@
 """Join and window operators.
 
   * broadcast_join — the small side (dimension table) is `ray.put` once and
-    merged into every batch with a pandas merge: no shuffle, the pattern
-    for fact×dim enrichment at any scale.
-  * bucketed_join — both sides large: add `bucket = hash(key) % B` to both,
-    co-group per bucket, pairwise merge inside map_groups.  B chosen by the
-    caller; salt hot keys into sub-buckets upstream when skewed.
-  * asof_join — per-key ordered backward match (merge_asof) — the
-    streaming-window workhorse (e.g. "latest purchase before each event").
-  * window_seq / window_cumsum — per-key ordered window computations via
-    groupby().map_groups (ROW_NUMBER / running aggregates).
+    Arrow-hash-joined into every batch: no shuffle, the pattern for
+    fact×dim enrichment at any scale.
+  * bucketed_join — both sides large: one unioned stream hash-range-routed
+    by the join key (stages.agg.bucketed_apply — block refs into one
+    reduce task per bucket, NO sort shuffle), one Arrow hash join per
+    bucket.  B derives from input size; salt hot keys upstream when skewed.
+  * asof_join — per-key ordered backward match (merge_asof), broadcast and
+    both-large partitioned flavors — the streaming-window workhorse
+    (e.g. "latest purchase before each event").
+  * window_seq / window_cumsum / top_k_per_group / group_quantiles /
+    group_count_distinct — per-key window computations on the same
+    bucketed exchange; bucket bodies are one Arrow sort plus
+    segment-vectorized numpy over key runs (no per-group calls).
 """
 
 from __future__ import annotations
