@@ -4,9 +4,10 @@ metadata).
 Decode support is tiered by what this container allows:
   * REAL, lib-free: uncompressed 24-bit BMP pixel decode, full 8-bit PNG
     pixel decode (stdlib-zlib inflate + all five unfilters; gray /
-    RGB / palette / alpha variants — encode_png/decode_png), PNG header
-    parsing, and PCM-16 WAV decode — pure numpy / struct / zlib, fully
-    implemented and tested;
+    RGB / palette / alpha variants — encode_png/decode_png), GIF87a/89a
+    decode (real LZW with dictionary growth, interlace, local palettes —
+    encode_gif/decode_gif), PNG header parsing, and PCM-16 WAV decode —
+    pure numpy / struct / zlib, fully implemented and tested;
   * STUBBED with the dependency named: JPEG pixel decode needs
     Pillow/opencv (not present) — `DecodeImageStage(decoder="real")`
     raises NotImplementedError when it meets such a payload;
@@ -210,6 +211,187 @@ def decode_png(b: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, :3])
 
 
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB with <= 256 distinct colors -> GIF89a, written
+    in 'uncompressed' LZW form (every index emitted as a literal code,
+    CLEAR sent before the code width would grow) — decodes in any GIF
+    reader, struct/numpy only."""
+    import struct
+
+    h, w, _ = pixels.shape
+    flat = pixels.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if palette.shape[0] > 256:
+        raise ValueError(f"encode_gif: {palette.shape[0]} distinct colors "
+                         f"(max 256) — quantize first")
+    # palette size must be a power of two >= 2
+    psize = max(2, 1 << int(palette.shape[0] - 1).bit_length())
+    pal = np.zeros((psize, 3), np.uint8)
+    pal[: palette.shape[0]] = palette
+    min_code = max(2, (psize - 1).bit_length())
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int):
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    emit(clear)
+    budget = (1 << width) - eoi - 2   # literals before the width would grow
+    n_since = 0
+    for idx in inverse.reshape(-1):
+        emit(int(idx))
+        n_since += 1
+        if n_since >= budget:
+            emit(clear)
+            n_since = 0
+    emit(eoi)
+    if nacc:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF0 | (min_code - 1), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<cHHHHB", b",", 0, 0, w, h, 0)   # image descriptor
+    out.append(min_code)
+    data = bytes(bits)
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00;"
+    return bytes(out)
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """GIF87a/89a -> (h, w, 3) uint8 RGB of the FIRST image: real LZW
+    decode (dictionary growth, CLEAR/EOI, variable code width), interlace
+    de-weaving, global/local color tables — struct/numpy + a per-code
+    python LZW loop (fine for thumbnails; a C codec is the throughput path
+    for multi-megapixel frames)."""
+    import struct
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    off = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(b, np.uint8, count=3 * n, offset=off) \
+            .reshape(n, 3)
+        off += 3 * n
+    while off < len(b):
+        marker = b[off]
+        if marker == 0x21:                    # extension: skip sub-blocks
+            off += 2
+            while off < len(b) and b[off]:
+                off += 1 + b[off]
+            off += 1
+        elif marker == 0x2C:                  # image descriptor
+            _, _, w, h, iflags = struct.unpack_from("<HHHHB", b, off + 1)
+            off += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(b, np.uint8, count=3 * n,
+                                    offset=off).reshape(n, 3)
+                off += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code = b[off]
+            off += 1
+            data = bytearray()
+            while off < len(b) and b[off]:
+                ln = b[off]
+                data += b[off + 1: off + 1 + ln]
+                off += 1 + ln
+            off += 1
+            indices = _lzw_decode(bytes(data), min_code, w * h)
+            if indices.size < w * h:
+                raise ValueError("GIF pixel data truncated")
+            idx = indices[: w * h].reshape(h, w)
+            if iflags & 0x40:                 # interlaced: de-weave rows
+                order = np.concatenate([np.arange(0, h, 8),
+                                        np.arange(4, h, 8),
+                                        np.arange(2, h, 4),
+                                        np.arange(1, h, 2)])
+                de = np.empty(h, np.int64)
+                de[order] = np.arange(h)
+                idx = idx[de]
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                raise ValueError("GIF palette index out of range")
+            return pal[idx]
+        elif marker == 0x3B:                  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block marker 0x{marker:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> np.ndarray:
+    """GIF-flavor LZW: variable width starting at min_code+1, dict grows
+    to 4096 entries, CLEAR resets, EOI stops."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    def fresh():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh()
+    width = min_code + 1
+    next_code = eoi + 1
+    acc = nacc = pos = 0
+    prev = None
+    out: list = []
+    n = len(data)
+    while len(out) < max_pixels:
+        while nacc < width:
+            if pos >= n:
+                return np.array(out, np.int32)
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table = fresh()
+            width = min_code + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+        elif code == next_code:               # the KwKwK case
+            entry = prev + (prev[0],)
+            if next_code < 4096:
+                table[next_code] = entry
+                next_code += 1
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        prev = entry
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    return np.array(out, np.int32)
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
     """1-D int16 PCM -> WAV (RIFF, PCM-16 mono)."""
     import struct
@@ -292,6 +474,8 @@ class DecodeImageStage:
             return "bmp"
         if p[:4] == b"\x89PNG":
             return "png"
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            return "gif"
         if p[:2] == b"\xff\xd8":
             return "jpg"
         return "unknown"
@@ -305,9 +489,10 @@ class DecodeImageStage:
         if self.decoder == "real":
             feats_rows = []
             for i, (p, m) in enumerate(zip(payloads, magics)):
-                if m in ("bmp", "png"):
+                if m in ("bmp", "png", "gif"):
                     try:
-                        px = decode_bmp(p) if m == "bmp" else decode_png(p)
+                        px = {"bmp": decode_bmp, "png": decode_png,
+                              "gif": decode_gif}[m](p)
                     except ValueError:
                         # corrupt/unsupported payload: raise-vs-flag
                         # follows the same policy as the codec-less formats
@@ -386,17 +571,23 @@ class ResizeImageStage:
         out_payload: list = list(raw)   # nulls pass through unchanged
         resized = [False] * len(payloads)
         for i, p in enumerate(payloads):
-            if p[:2] == b"BM" or p[:4] == b"\x89PNG":
-                is_bmp = p[:2] == b"BM"
+            kind = "bmp" if p[:2] == b"BM" else \
+                "png" if p[:4] == b"\x89PNG" else \
+                "gif" if p[:6] in (b"GIF87a", b"GIF89a") else None
+            if kind:
                 try:
-                    px = decode_bmp(p) if is_bmp else decode_png(p)
+                    px = {"bmp": decode_bmp, "png": decode_png,
+                          "gif": decode_gif}[kind](p)
                 except ValueError:
                     if self.on_undecodable == "raise":
                         raise
                     continue
                 out = self._resize(px)
-                out_payload[i] = encode_bmp(out) if is_bmp \
-                    else encode_png(out)
+                # nearest-neighbor only SAMPLES existing pixels, so a
+                # GIF's <=256-color property survives the resize
+                enc = {"bmp": encode_bmp, "png": encode_png,
+                       "gif": encode_gif}[kind]
+                out_payload[i] = enc(out)
                 resized[i] = True
                 continue
             # DecodeImageStage policy: only the RECOGNIZED codec-less
@@ -507,10 +698,14 @@ def make_media_table(n: int, seed: int = 42, real: bool = False) -> pa.Table:
         if real and k == "image":
             h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            # alternate BMP / real PNG so both lib-free image decoders
-            # run end-to-end
-            payloads.append(encode_bmp(px) if i % 2 == 0
-                            else encode_png(px))
+            # cycle BMP / PNG / GIF so all three lib-free image decoders
+            # run end-to-end (GIF quantized to 8 colors to fit a palette)
+            if i % 3 == 2:
+                px = (px // 96 * 96)
+                payloads.append(encode_gif(px))
+            else:
+                payloads.append(encode_bmp(px) if i % 3 == 0
+                                else encode_png(px))
             continue
         if real and k == "audio":
             secs = float(rng.uniform(0.05, 0.4))

@@ -988,3 +988,117 @@ def test_bucketed_group_agg_property_random_tables(ray_session):
                 want[c].fillna(-10**9).tolist(), c
 
     check()
+
+def test_gif_codec_roundtrip_and_real_lzw():
+    """Lib-free GIF: encode(literal-LZW)->decode roundtrip; decode of a
+    REAL dictionary-growing LZW stream produced by an independent
+    compressor written here; interlace de-weaving; rejections."""
+    import struct
+
+    from rho_contracts_ray.stages.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(5)
+    # <=256 colors: draw from a small random palette
+    pal = rng.randint(0, 256, (11, 3)).astype(np.uint8)
+    idx = rng.randint(0, 11, (9, 13))
+    px = pal[idx]
+    assert (decode_gif(encode_gif(px)) == px).all()
+
+    # independent LZW COMPRESSOR (classic GIF variant) for a differential
+    # decode test with genuine dictionary growth
+    def lzw_compress(indices, min_code):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        table = {(i,): i for i in range(clear)}
+        next_code = eoi + 1
+        width = min_code + 1
+        codes = [clear]
+        seq = ()
+        for s in indices:
+            cand = seq + (int(s),)
+            if cand in table:
+                seq = cand
+                continue
+            codes.append(table[seq])
+            if next_code < 4096:
+                table[cand] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
+            seq = (int(s),)
+        if seq:
+            codes.append(table[seq])
+        codes.append(eoi)
+        # pack with the DECODER's width schedule: width grows when
+        # next_code reaches 2^width
+        out = bytearray()
+        acc = nacc = 0
+        width = min_code + 1
+        nc = eoi + 1
+        first = True   # the first code after CLEAR adds no dict entry
+        for c in codes:
+            acc |= c << nacc
+            nacc += width
+            while nacc >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+            if c == clear:
+                width = min_code + 1
+                nc = eoi + 1
+                first = True
+            elif c != eoi:
+                if first:
+                    first = False
+                elif nc < 4096:
+                    nc += 1
+                if nc == (1 << width) and width < 12:
+                    width += 1
+        if nacc:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    w, h = 23, 7
+    indices = rng.randint(0, 4, w * h)
+    min_code = 2
+    lzw = lzw_compress(indices, min_code)
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                       np.uint8)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", w, h, 0xF0 | 1, 0, 0)   # 4-entry GCT
+    gif += palette.tobytes()
+    gif += struct.pack("<cHHHHB", b",", 0, 0, w, h, 0)
+    gif.append(min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        gif.append(len(chunk))
+        gif += chunk
+    gif += b"\x00;"
+    got = decode_gif(bytes(gif))
+    assert (got == palette[indices.reshape(h, w)]).all()
+
+    # interlaced flavor of the same image: rows stored in pass order
+    order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                            np.arange(2, h, 4), np.arange(1, h, 2)])
+    woven = indices.reshape(h, w)[order].reshape(-1)
+    gif2 = bytearray(b"GIF89a")
+    gif2 += struct.pack("<HHBBB", w, h, 0xF0 | 1, 0, 0)
+    gif2 += palette.tobytes()
+    gif2 += struct.pack("<cHHHHB", b",", 0, 0, w, h, 0x40)  # interlace bit
+    gif2.append(min_code)
+    lzw2 = lzw_compress(woven, min_code)
+    for i in range(0, len(lzw2), 255):
+        chunk = lzw2[i:i + 255]
+        gif2.append(len(chunk))
+        gif2 += chunk
+    gif2 += b"\x00;"
+    got2 = decode_gif(bytes(gif2))
+    assert (got2 == palette[indices.reshape(h, w)]).all()
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNGnope")
+    many = np.zeros((32, 32, 3), np.uint8)          # 1024 distinct colors
+    i = np.arange(1024)
+    many[..., 0] = (i % 256).reshape(32, 32)
+    many[..., 1] = (i // 256).reshape(32, 32)
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(many)
