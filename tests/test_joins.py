@@ -353,3 +353,27 @@ def test_bucketed_join_outer_variants(ray_session):
         gr = got["rv"].fillna(-1).astype("int64").tolist()
         wr = want["rv"].fillna(-1).astype("int64").tolist()
         assert sorted(zip(gk, gr)) == sorted(zip(wk, wr)), how
+
+def test_bucketed_ops_survive_single_hot_key(ray_session):
+    """Adversarial skew: EVERY row shares one key — the whole input lands
+    in a single bucket task (the documented partitioning assumption) and
+    the results stay exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.agg import bucketed_sum
+    from rho_contracts_ray.stages.joins import window_cumsum
+
+    n = 30_000
+    t = pa.table({
+        "k": pa.array(np.zeros(n, np.int64)),
+        "ord": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(np.ones(n, np.int64)),
+    })
+    ds = rd.from_arrow(t).repartition(8)
+    tot = bucketed_sum(ds, ["k"], ["v"]).to_pandas()
+    assert tot["v"].tolist() == [n]
+    cum = window_cumsum(rd.from_arrow(t).repartition(8), "k", ["ord"], "v") \
+        .to_pandas().sort_values("ord")
+    assert cum["running"].tolist() == list(range(1, n + 1))
