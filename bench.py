@@ -506,11 +506,48 @@ def main_suite_only() -> dict:
         ray.shutdown()
 
 
+# The harness records only the LAST ~2,000 chars of stdout; round 3's
+# single JSON line grew past that with host telemetry and became
+# unrecordable (VERDICT r3 #1).  So: the FULL result (every wall, every
+# host mark) goes to a sidecar file, and the final stdout line is a
+# compact headline kept well under the capture window.
+_COMPACT_KEYS = ("metric", "value", "unit", "queries", "reps", "sf",
+                 "num_cpus", "suite_rows", "suite_rows_per_sec",
+                 # scaling-mode headline fields
+                 "rows", "speedup", "pair_efficiencies", "identical_output",
+                 "hw_eff", "hw_eff_membw", "efficiency_vs_hw_ceiling")
+
+
+def _emit(result: dict, mode: str) -> None:
+    sidecar = os.path.join(REPO, f"BENCH_DETAIL_{mode}.json")
+    try:
+        with open(sidecar, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        sidecar = None
+    compact = {k: result[k] for k in _COMPACT_KEYS if k in result}
+    for k, v in result.items():   # scaling mode's per-level dynamic keys
+        if k.startswith(("rows_per_sec_", "wall_")):
+            compact[k] = v
+    if sidecar:
+        compact["detail"] = sidecar
+    line = json.dumps(compact)
+    if len(line) > 1900 and "queries" in compact:
+        # last resort: shed per-query map before shedding the headline
+        compact["queries"] = {k: v for k, v in
+                              sorted(compact["queries"].items())[:12]}
+        compact["queries_truncated"] = True
+        line = json.dumps(compact)
+    print(line)
+
+
 if __name__ == "__main__":
     sys.path.insert(0, REPO)
     if "--scaling" in sys.argv:
-        print(json.dumps(main_scaling()))
+        _emit(main_scaling(), "scaling")
     elif "--suite-only" in sys.argv:
+        # child-process mode of --scaling: the parent parses the full
+        # line itself, so keep it complete (it is small anyway)
         print(json.dumps(main_suite_only()))
     else:
-        print(json.dumps(main_single()))
+        _emit(main_single(), "single")
