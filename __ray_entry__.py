@@ -823,6 +823,24 @@ def _q_window_user_seq(sf_dir: str):
 # -- rows-only (non-SQL-expressible) ops -------------------------------------
 
 
+def _collect_small(res) -> "pa.Table":
+    """Driver-facing collect of a SMALL result Dataset (post-threshold
+    pair sets etc.) into one Arrow table: Ray's to_pandas drops the
+    column schema of a zero-row Dataset, which would fail the driver's
+    schema compare — so non-empty blocks are concatenated and the empty
+    case keeps the Dataset's own schema."""
+    if isinstance(res, pa.Table):
+        return res
+    parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in res.iter_batches(batch_size=None,
+                                       batch_format="pyarrow")]
+    parts = [t for t in parts if t.num_rows]
+    if parts:
+        return pa.concat_tables(parts)
+    sch = res.schema().base_schema
+    return pa.table({f.name: pa.array([], f.type) for f in sch})
+
+
 def _q_minhash_pairs_documents(sf_dir: str):
     from rho_contracts_ray.stages import minhash_dup_pairs
 
@@ -831,7 +849,7 @@ def _q_minhash_pairs_documents(sf_dir: str):
     # many-blocked and this line is unnecessary)
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
         .repartition(16)
-    return minhash_dup_pairs(ds, threshold=0.5)
+    return _collect_small(minhash_dup_pairs(ds, threshold=0.5))
 
 
 def _q_simhash_documents(sf_dir: str):
@@ -924,7 +942,7 @@ def _q_embedding_dup_pairs(sf_dir: str):
     from rho_contracts_ray.stages import embedding_dup_pairs
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_dup_pairs(ds, threshold=0.99)
+    return _collect_small(embedding_dup_pairs(ds, threshold=0.99))
 
 
 def _q_drift_events_split(sf_dir: str):
@@ -1272,7 +1290,8 @@ def _q_jaccard_pairs(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
         .repartition(16)
-    return jaccard_dup_pairs(ds, n=3, threshold=0.3, max_bucket=1_000_000)
+    return _collect_small(
+        jaccard_dup_pairs(ds, n=3, threshold=0.3, max_bucket=1_000_000))
 
 
 def _q_pack_sequences(sf_dir: str):

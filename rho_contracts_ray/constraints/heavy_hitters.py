@@ -178,10 +178,17 @@ def heavy_hitters(ds, col: str, phi: float,
     cand_ref = ray.put(cand)
     cnt_part = ds.map_batches(_exact_count_fn(col, cand_ref),
                               batch_format="pyarrow")
-    exact = pa.concat_tables(
-        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-         for b in cnt_part.iter_batches(batch_size=None,
-                                        batch_format="pyarrow")])
+    exact_parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+                   for b in cnt_part.iter_batches(batch_size=None,
+                                                  batch_format="pyarrow")]
+    # same guard as pass 1: empty input blocks pass through map_batches
+    # with the INPUT schema and would poison the concat / pollute logs
+    exact_parts = [t for t in exact_parts
+                   if {"value", "cnt"} <= set(t.column_names) and t.num_rows]
+    if not exact_parts:
+        return pa.table({"value": pa.array([], summ["value"].type),
+                         "cnt": pa.array([], pa.int64())})
+    exact = pa.concat_tables(exact_parts)
     g = exact.group_by(["value"]).aggregate([("cnt", "sum")])
     cnt = pc.cast(g["cnt_sum"], pa.int64())
     keep = pc.greater_equal(pc.cast(cnt, pa.float64()), float(thresh))

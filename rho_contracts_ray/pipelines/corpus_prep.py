@@ -149,10 +149,16 @@ def _prep_from_checkpoint(good_pipe, ckpt, n_input, text_col, id_col,
                                    else drops["keep_id"]))
 
     # 5. near-dup clusters via MinHash+LSH
-    pairs = minhash_dup_pairs(good(), text_col=text_col, id_col=id_col,
-                              threshold=near_dup_threshold)
-    clusters = connected_components(
-        list(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist())))
+    pairs_ds = minhash_dup_pairs(good(), text_col=text_col, id_col=id_col,
+                                 threshold=near_dup_threshold)
+    # union-find over the (post-threshold, deduplicated) pair list is
+    # driver-side by design — only surviving pairs stream here
+    pair_list: list = []
+    for b in pairs_ds.select_columns(["id_a", "id_b"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        pair_list.extend(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
+    clusters = connected_components(pair_list)
     drop_near: set = set()
     for cl in clusters:
         drop_near.update(cl[1:])  # keep the smallest id

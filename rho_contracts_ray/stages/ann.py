@@ -217,10 +217,14 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
 
 def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
                         emb_col: str = "embedding", id_col: str = "vec_id",
-                        seed: int = 42, max_bucket: int = 500) -> pa.Table:
-    """Near-duplicate vector pairs: random-hyperplane sign buckets
-    (seeded), exact cosine within buckets."""
-    from ..stages.dedup import _bucket_pair_index, _splitmix64_np
+                        seed: int = 42, max_bucket: int = 500):
+    """Near-duplicate vector pairs as a ray.data.Dataset: random-
+    hyperplane sign buckets (seeded), exact cosine within buckets,
+    cross-bucket duplicates consolidated by a second bucketed exchange
+    on the pair hash (never on the driver)."""
+    from ..stages.dedup import (_bucket_pair_index, _group_pairs,
+                                _pair_hash, _pair_merge_dataset,
+                                _splitmix64_np)
     from ..stages.distagg import bucketed_reduce
 
     def _planes(dim: int) -> np.ndarray:
@@ -261,27 +265,37 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
             return None
         d = ids[order]
         da, db = d[ia[m]], d[ib[m]]
+        ka, kb = np.minimum(da, db), np.maximum(da, db)
         return pa.table({
-            "id_a": pa.array(np.minimum(da, db)),
-            "id_b": pa.array(np.maximum(da, db)),
+            "id_a": pa.array(ka),
+            "id_b": pa.array(kb),
             "cosine": pa.array(np.round(cos[m].astype(np.float64), 6)),
             # no-silent-caps: pairs from a capped bucket are flagged
             "truncated": pa.array(trunc[ia][m]),
+            "pkh": pa.array(_pair_hash(ka, kb)),
         })
 
-    outs = bucketed_reduce(ds.map_batches(bucketize, batch_format="pyarrow"),
-                           "bkey", bucket_fn)
-    if not outs:
-        return pa.table({"id_a": pa.array([], pa.int64()),
-                         "id_b": pa.array([], pa.int64()),
-                         "cosine": pa.array([], pa.float64()),
-                         "truncated": pa.array([], pa.bool_())})
-    pdf = pa.concat_tables(outs).to_pandas()
+    cand_refs = bucketed_reduce(
+        ds.map_batches(bucketize, batch_format="pyarrow"),
+        "bkey", bucket_fn, as_refs=True)
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "cosine": pa.array([], pa.float64()),
+                      "truncated": pa.array([], pa.bool_())})
+
     # a pair can surface from several LSH buckets: cosine is identical in
     # each, but `truncated` must OR across discoveries (a capped bucket
     # anywhere means the pair's neighborhood was capped somewhere)
-    pdf = pdf.groupby(["id_a", "id_b"], as_index=False).agg(
-        cosine=("cosine", "max"), truncated=("truncated", "max")) \
-        .sort_values(["id_a", "id_b"])
-    return pa.Table.from_pandas(pdf.reset_index(drop=True),
-                                preserve_index=False)
+    def merge_fn(t: pa.Table):
+        po, da, db, run = _group_pairs(t)
+        cos = t["cosine"].to_numpy(zero_copy_only=False)[po]
+        tr = t["truncated"].to_numpy(zero_copy_only=False)[po]
+        return pa.table({
+            "id_a": pa.array(da[run]),
+            "id_b": pa.array(db[run]),
+            "cosine": pa.array(np.maximum.reduceat(cos, run)),
+            "truncated": pa.array(np.maximum.reduceat(
+                tr.astype(np.uint8), run).astype(bool)),
+        })
+
+    return _pair_merge_dataset(cand_refs, merge_fn, empty)

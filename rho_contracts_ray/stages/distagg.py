@@ -201,8 +201,15 @@ def _route_split_block(col: str, n_buckets: int, *blocks):
     for block in blocks:
         t = block if isinstance(block, pa.Table) \
             else pa.Table.from_batches([block])
-        if col not in t.column_names or t.num_rows == 0:
+        if t.num_rows == 0:
             continue   # empty pass-through block (the UDF never ran)
+        if col not in t.column_names:
+            # a NON-empty block with no routing key is a real schema bug —
+            # silently dropping its rows would corrupt every downstream
+            # aggregate (ADVICE r3)
+            raise ValueError(
+                f"bucketed exchange: routing column {col!r} missing from a "
+                f"non-empty block with columns {t.column_names}")
         k = t[col]
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()
@@ -220,21 +227,96 @@ def _route_split_block(col: str, n_buckets: int, *blocks):
     return tuple(per_bucket)
 
 
-def _apply_bucket_impl(fn, default, blob_lists):
+# above this many rows in ONE bucket, the bucket task processes the
+# bucket as sub-hash-ranges instead of concatenating everything into one
+# fn call — the 100-TB guard: with _MAX_BUCKETS capped, a raw-row
+# exchange (window_seq, bucketed_join, group_quantiles) could otherwise
+# route ~100 GB into a single task's concat + fn (VERDICT r3 design
+# ceiling).  Safe because sub-ranges of a hash range still co-locate
+# equal keys, and every engine fn is key-local (its output is the
+# row-wise union of its per-key outputs).
+def _split_rows() -> int:
+    # read per call: the env travels to workers via runtime inheritance
+    # and tests pin it per-case
+    return int(os.environ.get("RHO_BUCKET_SPLIT_ROWS", "4000000"))
+
+
+def _apply_oversized(fn, default, tables, key_col: str, n_buckets: int,
+                     total: int, split_rows: int):
+    """Process an oversized bucket as finer hash sub-ranges: each input
+    table is sliced by the NEXT hash bits (peak extra memory = one block
+    copy + one sub-range), then fn runs per sub-range and the table
+    outputs concatenate.  A sub-range that cannot shrink (one ultra-hot
+    key) runs fn directly — splitting by key hash can never separate
+    equal keys, recursion must not try."""
+    k = 1 << max(1, int(np.ceil(np.log2(max(total / split_rows, 2)))))
+    fine = n_buckets * k
+    groups: dict[int, list[pa.Table]] = {}
+    for t in tables:
+        col = t[key_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = col.to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False).view(np.uint64)
+        sub = hash_range_buckets(arr, fine)
+        order = np.argsort(sub, kind="stable")
+        ordered = t.take(pa.array(order, pa.int64()))
+        ss = sub[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ss[1:] != ss[:-1])))
+        bounds = np.concatenate((starts, [ss.size]))
+        for i, st in enumerate(starts):
+            groups.setdefault(int(ss[st]), []).append(
+                ordered.slice(int(st), int(bounds[i + 1] - st)))
+    outs = []
+    for sid in sorted(groups):
+        parts = groups[sid]
+        rows = sum(p.num_rows for p in parts)
+        if rows > split_rows and len(groups) > 1:
+            # still oversized: recurse at the finer granularity (a
+            # single-group split means one hot key — fall through to fn)
+            out = _apply_oversized(fn, None, parts, key_col, fine, rows,
+                                   split_rows)
+        else:
+            out = fn(pa.concat_tables(parts))
+        if out is not None:
+            outs.append(out)
+    if not outs:
+        return default
+    if not all(isinstance(o, pa.Table) for o in outs):
+        raise TypeError(
+            f"bucket for {key_col!r} exceeded RHO_BUCKET_SPLIT_ROWS="
+            f"{split_rows} rows but fn returns non-Table outputs that "
+            f"cannot be combined across sub-ranges — raise the threshold "
+            f"or return pa.Table")
+    return pa.concat_tables(outs)
+
+
+def _apply_bucket_impl(fn, default, blob_lists, key_col=None, n_buckets=0,
+                       split_rows=None):
     # concat is zero-copy (a chunked table over the deserialized IPC
-    # buffers): peak memory here is the bucket's content itself, which the
-    # data-scaled bucket count bounds; fn semantics need all co-located
-    # rows in one call, so there is nothing further to stream
+    # buffers): peak memory here is the bucket's content itself; fn
+    # semantics need all co-located rows in one call — but co-location
+    # only requires EQUAL KEYS together, so an oversized bucket is
+    # processed as finer hash sub-ranges (_apply_oversized) instead of
+    # one giant concat
     tables = [_deserialize(b) for blobs in blob_lists for b in blobs]
     tables = [t for t in tables if t.num_rows]
     if not tables:
         return default
+    total = sum(t.num_rows for t in tables)
+    if split_rows is None:
+        split_rows = _split_rows()
+    if key_col is not None and n_buckets and total > split_rows:
+        return _apply_oversized(fn, default, tables, key_col, n_buckets,
+                                total, split_rows)
     return fn(pa.concat_tables(tables))
 
 
 @ray.remote
-def _apply_bucket(fn, default, *blob_lists):
-    return _apply_bucket_impl(fn, default, blob_lists)
+def _apply_bucket(fn, default, key_col, n_buckets, split_rows, *blob_lists):
+    return _apply_bucket_impl(fn, default, blob_lists, key_col, n_buckets,
+                              split_rows)
 
 
 def _count_of(out) -> int:
@@ -244,11 +326,13 @@ def _count_of(out) -> int:
 
 
 @ray.remote(num_returns=2)
-def _apply_bucket_counted(fn, default, *blob_lists):
+def _apply_bucket_counted(fn, default, key_col, n_buckets, split_rows,
+                          *blob_lists):
     """(row_count, output) flavor: the count rides as its own (tiny)
     return object, so `dataset_from_refs` can drop empty buckets without
     spawning a probe task per ref."""
-    out = _apply_bucket_impl(fn, default, blob_lists)
+    out = _apply_bucket_impl(fn, default, blob_lists, key_col, n_buckets,
+                             split_rows)
     return _count_of(out), out
 
 
@@ -268,13 +352,16 @@ def _chunked_get(refs) -> list:
 
 
 @ray.remote
-def _apply_bucket_refs(fn, default, refs):
-    return _apply_bucket_impl(fn, default, _chunked_get(refs))
+def _apply_bucket_refs(fn, default, key_col, n_buckets, split_rows, refs):
+    return _apply_bucket_impl(fn, default, _chunked_get(refs),
+                              key_col, n_buckets, split_rows)
 
 
 @ray.remote(num_returns=2)
-def _apply_bucket_refs_counted(fn, default, refs):
-    out = _apply_bucket_impl(fn, default, _chunked_get(refs))
+def _apply_bucket_refs_counted(fn, default, key_col, n_buckets, split_rows,
+                               refs):
+    out = _apply_bucket_impl(fn, default, _chunked_get(refs),
+                             key_col, n_buckets, split_rows)
     return _count_of(out), out
 
 
@@ -320,7 +407,8 @@ def dataset_from_refs(refs, empty):
 def bucketed_reduce(ds, key_col: str, fn,
                     n_buckets: Optional[int] = None,
                     as_refs: bool = False,
-                    empty: Optional[pa.Table] = None) -> list:
+                    empty: Optional[pa.Table] = None,
+                    split_rows: Optional[int] = None) -> list:
     """Run `fn(table) -> result` once per key-hash-range bucket, with every
     row of `ds` whose `key_col` lands in that bucket co-located — a
     co-partitioned group-reduce WITHOUT a sort-based shuffle: batches are
@@ -349,6 +437,9 @@ def bucketed_reduce(ds, key_col: str, fn,
     if n_buckets is None:
         n_buckets = data_scaled_buckets(rows)
     n_buckets = max(2, n_buckets)   # num_returns=1 returns a bare ref
+    if split_rows is None:
+        # resolved on the DRIVER (workers may predate an env change)
+        split_rows = _split_rows()
     split = _route_split_block.options(num_returns=n_buckets)
     splits = [split.remote(key_col, n_buckets, *blockrefs[i:i + 4])
               for i in range(0, len(blockrefs), 4)]
@@ -356,14 +447,17 @@ def bucketed_reduce(ds, key_col: str, fn,
         apply_, apply_c = _apply_bucket, _apply_bucket_counted
         args = [[s[r] for s in splits] for r in range(n_buckets)]
         if as_refs:
-            return [apply_c.remote(fn, empty, *a) for a in args]
-        futs = [apply_.remote(fn, empty, *a) for a in args]
+            return [apply_c.remote(fn, empty, key_col, n_buckets,
+                                   split_rows, *a) for a in args]
+        futs = [apply_.remote(fn, empty, key_col, n_buckets, split_rows, *a)
+                for a in args]
     else:   # past Ray's per-task positional-arg comfort zone
         args = [[s[r] for s in splits] for r in range(n_buckets)]
         if as_refs:
-            return [_apply_bucket_refs_counted.remote(fn, empty, a)
-                    for a in args]
-        futs = [_apply_bucket_refs.remote(fn, empty, a) for a in args]
+            return [_apply_bucket_refs_counted.remote(
+                fn, empty, key_col, n_buckets, split_rows, a) for a in args]
+        futs = [_apply_bucket_refs.remote(fn, empty, key_col, n_buckets,
+                                          split_rows, a) for a in args]
     outs = ray.get(futs)
     del bundles, splits
     return [o for o in outs if o is not None]

@@ -36,8 +36,12 @@ def broadcast_join(ds, small: pa.Table, on: Sequence[str],
     import ray
 
     on = list(on)
-    arrow_how = {"inner": "inner", "left": "left outer",
-                 "outer": "full outer", "right": "right outer"}[how]
+    _HOWS = {"inner": "inner", "left": "left outer",
+             "outer": "full outer", "right": "right outer"}
+    if how not in _HOWS:
+        raise ValueError(f"broadcast_join: unsupported how={how!r} "
+                         f"(supported: {sorted(_HOWS)})")
+    arrow_how = _HOWS[how]
     ref = ray.put(small)
 
     def merge(batch: pa.Table) -> pa.Table:

@@ -224,11 +224,14 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     if palette.shape[0] > 256:
         raise ValueError(f"encode_gif: {palette.shape[0]} distinct colors "
                          f"(max 256) — quantize first")
-    # palette size must be a power of two >= 2
+    # LZW min code size is clamped to 2 by the format, so the color table
+    # must hold 1 << min_code entries — padding only to the power-of-two
+    # palette size corrupted <=2-color images (header claimed 4 entries,
+    # 2 were written; every decoder misparsed the stream)
     psize = max(2, 1 << int(palette.shape[0] - 1).bit_length())
-    pal = np.zeros((psize, 3), np.uint8)
-    pal[: palette.shape[0]] = palette
     min_code = max(2, (psize - 1).bit_length())
+    pal = np.zeros((1 << min_code, 3), np.uint8)
+    pal[: palette.shape[0]] = palette
     clear, eoi = 1 << min_code, (1 << min_code) + 1
     width = min_code + 1
 

@@ -31,6 +31,10 @@ def test_broadcast_join(ray_session):
     ).fetchone()[0]
     assert len(out) == ref
     assert "c_name" in out.columns
+    # unsupported how values fail fast with the supported list, not a
+    # bare KeyError (ADVICE r3)
+    with pytest.raises(ValueError, match="inner"):
+        broadcast_join(orders, cust, ["o_custkey"], how="cross")
 
 
 def test_bucketed_join(ray_session):
@@ -377,3 +381,52 @@ def test_bucketed_ops_survive_single_hot_key(ray_session):
     cum = window_cumsum(rd.from_arrow(t).repartition(8), "k", ["ord"], "v") \
         .to_pandas().sort_values("ord")
     assert cum["running"].tolist() == list(range(1, n + 1))
+
+
+def test_oversized_bucket_splits_into_sub_ranges(ray_session, monkeypatch):
+    """The 100-TB OOM guard (VERDICT r3): with RHO_BUCKET_SPLIT_ROWS
+    pinned far below the routed row count, raw-row exchanges process each
+    oversized bucket as finer hash sub-ranges — results identical to the
+    unsplit run for window_seq AND bucketed_join, and a single ultra-hot
+    key (unsplittable by key hash) still completes exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.joins import bucketed_join, window_seq
+
+    events = rd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "user_id", "ts"])
+
+    def collect(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    base_seq = collect(window_seq(events, "user_id", ["ts", "event_id"]))
+    orders = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{SF}/customer.parquet",
+                           columns=["c_custkey", "c_name"]) \
+        .map_batches(lambda t: t.rename_columns(["o_custkey", "c_name"]),
+                     batch_format="pyarrow")
+    jcols = (["o_orderkey", "o_custkey"], ["o_custkey", "c_name"])
+    base_join = collect(bucketed_join(orders, cust, ["o_custkey"], *jcols))
+
+    monkeypatch.setenv("RHO_BUCKET_SPLIT_ROWS", "200")
+    split_seq = collect(window_seq(events, "user_id", ["ts", "event_id"]))
+    assert base_seq.equals(split_seq)
+    orders2 = rd.read_parquet(f"{SF}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"])
+    split_join = collect(bucketed_join(orders2, cust, ["o_custkey"], *jcols))
+    assert base_join.equals(split_join)
+
+    # one ultra-hot key: sub-splitting cannot separate equal keys — the
+    # guard must fall through to a direct fn call, not recurse forever
+    n = 5_000
+    hot = rd.from_arrow(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(n, np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64)),
+    })).repartition(8)
+    out = collect(window_seq(hot, "user_id", ["ts", "event_id"]))
+    assert sorted(out["seq"].tolist()) == list(range(1, n + 1))

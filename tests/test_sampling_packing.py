@@ -233,8 +233,8 @@ def test_hot_keys_and_bucketed_reduce_empty_input(ray_session):
 
     edocs = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
                                     "text": pa.array([], pa.string())}))
-    assert minhash_dup_pairs(edocs).num_rows == 0
-    assert simhash_dup_pairs(edocs).num_rows == 0
+    assert minhash_dup_pairs(edocs).count() == 0
+    assert simhash_dup_pairs(edocs).count() == 0
 
 
 def test_bucketed_reduce_dynamic_bucket_counts(ray_session):
@@ -268,9 +268,14 @@ def test_minhash_pairs_identical_across_bucket_counts(ray_session, monkeypatch):
 
     docs = rd.read_parquet(f"{SF}/documents.parquet",
                            columns=["doc_id", "text"]).repartition(8)
-    base = minhash_dup_pairs(docs, threshold=0.5)
+
+    def collect(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    base = collect(minhash_dup_pairs(docs, threshold=0.5))
     monkeypatch.setenv("RHO_REDUCE_BUCKETS", "64")
-    wide = minhash_dup_pairs(docs, threshold=0.5)
+    wide = collect(minhash_dup_pairs(docs, threshold=0.5))
     assert base.equals(wide)
 
 
@@ -299,6 +304,22 @@ def test_bucketed_reduce_non_pow2_buckets_lossless(ray_session):
         ref = hot_keys(ds, "bkey", min_count=2, n_buckets=16)
         assert np.array_equal(ref, hot_keys(ds, "bkey", min_count=2,
                                             n_buckets=n))
+
+
+def test_bucketed_reduce_missing_key_column_raises(ray_session):
+    """A NON-empty block without the routing column is a schema bug and
+    must raise, not silently drop its rows (ADVICE r3); empty
+    pass-through blocks still skip silently."""
+    import pyarrow as pa
+    import pytest
+
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.distagg import bucketed_reduce
+
+    bad = rd.from_arrow(pa.table({"x": pa.array([1, 2, 3], pa.int64())}))
+    with pytest.raises(Exception, match="routing column"):
+        bucketed_reduce(bad, "bkey", lambda t: t.num_rows)
 
 
 def test_bucketed_reduce_refs_fanin_path(ray_session, monkeypatch):

@@ -150,12 +150,19 @@ def test_exact_dedup_high_dup_rate_distributed(ray_session):
         batch_size=None, batch_format="pyarrow")) == 0
 
 
+def _sorted_pairs(ds):
+    """Collect a pair-finder Dataset to a deterministically ordered
+    DataFrame (blocks are per-merge-bucket; global order is not part of
+    the contract)."""
+    df = ds.to_pandas()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
 def test_minhash_finds_near_dups(ray_session, docs_with_dups):
     full, ids, add_ids = docs_with_dups
     ds = rd.from_arrow(full)
-    pairs = minhash_dup_pairs(ds, threshold=0.6)
-    got = {(a, b) for a, b in zip(pairs["id_a"].to_pylist(),
-                                  pairs["id_b"].to_pylist())}
+    pairs = _sorted_pairs(minhash_dup_pairs(ds, threshold=0.6))
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     # all 10 planted pairs (5 exact + 5 near) recovered
     expected = {(i, add_ids[i]) for i in range(5)}
     expected |= {(i, add_ids[5 + (i - 10)]) for i in range(10, 15)}
@@ -172,24 +179,23 @@ def test_minhash_scratch_dir_spill_identical(ray_session, docs_with_dups,
     object-store pin) returns byte-identical pairs."""
     full, _, _ = docs_with_dups
     ds = rd.from_arrow(full)
-    base = minhash_dup_pairs(ds, threshold=0.6)
-    spilled = minhash_dup_pairs(rd.from_arrow(full), threshold=0.6,
-                                scratch_dir=str(tmp_path / "sigs"))
+    base = _sorted_pairs(minhash_dup_pairs(ds, threshold=0.6))
+    spilled = _sorted_pairs(
+        minhash_dup_pairs(rd.from_arrow(full), threshold=0.6,
+                          scratch_dir=str(tmp_path / "sigs")))
     assert base.equals(spilled)
 
 
 def test_simhash_finds_near_dups(ray_session, docs_with_dups):
     full, ids, add_ids = docs_with_dups
     ds = rd.from_arrow(full)
-    pairs = simhash_dup_pairs(ds, max_hamming=6)
-    got = {(a, b) for a, b in zip(pairs["id_a"].to_pylist(),
-                                  pairs["id_b"].to_pylist())}
+    pairs = _sorted_pairs(simhash_dup_pairs(ds, max_hamming=6))
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     exact_expected = {(i, add_ids[i]) for i in range(5)}
     assert exact_expected <= got
     # hamming 0 for exact dups
     ham = dict(((a, b), h) for a, b, h in zip(
-        pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist(),
-        pairs["hamming"].to_pylist()))
+        pairs["id_a"], pairs["id_b"], pairs["hamming"]))
     for p in exact_expected:
         assert ham[p] == 0
 
@@ -267,8 +273,8 @@ def test_jaccard_short_docs_never_pair(ray_session):
     t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
                   "text": pa.array(["one two", "one two", None], pa.string())})
     out = jaccard_dup_pairs(rd.from_arrow(t), threshold=0.1, n=3)
-    assert out.num_rows == 0
-    assert out.schema.names == ["id_a", "id_b", "jaccard", "truncated"]
+    assert out.count() == 0
+    assert out.schema().names == ["id_a", "id_b", "jaccard", "truncated"]
 
 
 @pytest.fixture(scope="module")
@@ -362,8 +368,8 @@ def test_embedding_dup_pairs(ray_session, embeddings):
     })
     full = pa.concat_tables([t.select(["vec_id", "embedding", "label"]), dup])
     ds = rd.from_arrow(full)
-    pairs = embedding_dup_pairs(ds, threshold=0.999)
-    got = set(zip(pairs["id_a"].to_pylist(), pairs["id_b"].to_pylist()))
+    pairs = _sorted_pairs(embedding_dup_pairs(ds, threshold=0.999))
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (0, 9999) in got
 
 
@@ -1102,3 +1108,23 @@ def test_gif_codec_roundtrip_and_real_lzw():
     many[..., 1] = (i // 256).reshape(32, 32)
     with pytest.raises(ValueError, match="256"):
         encode_gif(many)
+
+
+def test_gif_codec_tiny_palettes():
+    """<=2-color and solid-color images: the GCT size field claims
+    1 << min_code entries (min_code clamps at 2), so the written table
+    must be padded to that length — the unpadded 2-entry table made every
+    decoder misparse the stream (ADVICE r3, high)."""
+    from rho_contracts_ray.stages.multimodal import decode_gif, encode_gif
+
+    two = np.zeros((5, 7, 3), np.uint8)
+    two[::2, 1::3] = [255, 128, 0]               # exactly 2 distinct colors
+    assert (decode_gif(encode_gif(two)) == two).all()
+
+    solid = np.full((4, 4, 3), 77, np.uint8)     # 1 distinct color
+    assert (decode_gif(encode_gif(solid)) == solid).all()
+
+    three = np.zeros((6, 6, 3), np.uint8)        # 3 colors: psize 4 path
+    three[0] = [1, 2, 3]
+    three[1] = [9, 9, 9]
+    assert (decode_gif(encode_gif(three)) == three).all()
