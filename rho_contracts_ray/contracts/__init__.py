@@ -106,6 +106,8 @@ class _Namespace:
     regexp = ast.RegexpC()
     anyFunction = ast.AnyFunctionC()
     error = IsAC(Exception, "Error").rename("error")
+    # is-this-a-contract(-or-promotable) meta-leaf (contract.js:283-287)
+    contract = ast.ContractLeafC()
 
     pred = staticmethod(pred)
     oneOf = staticmethod(oneOf)

@@ -417,6 +417,20 @@ class IsAC(Contract):
         self.cls = cls
 
 
+class ContractLeafC(Contract):
+    """The `contract` meta-leaf (contract.impl.js:362-365, published at
+    contract.js:283-287): accepts values that either ARE contracts or
+    are auto-promotable to one — contract instances, arrays, and
+    non-objects.  Plain objects and functions fail (lodash `_.isObject`
+    counts both); this is exactly the domain `auto_to_contract` accepts
+    without raising, which is how the reference uses it to validate
+    combinator arguments in its self-hosted API."""
+
+    def __init__(self):
+        super().__init__("contract")
+        self._renamed = "contract"
+
+
 # ---------------------------------------------------------------------------
 # Promotion (contract.impl.js:227-263) and inference (:737-768)
 # ---------------------------------------------------------------------------

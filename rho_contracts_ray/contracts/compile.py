@@ -222,6 +222,18 @@ def _core_mask(node: ast.Contract, col: pa.Array) -> np.ndarray:
     if nt in (ast.RegexpC, ast.AnyFunctionC, ast.IsAC):
         return _zeros(n)  # no such values exist in Arrow tables
 
+    if nt is ast.ContractLeafC:
+        # contract instances never exist in Arrow tables, but the leaf
+        # also accepts arrays and every non-object (impl.js:362-365):
+        # only object-like values fail — structs/maps (JS objects) and
+        # timestamps/dates (JS Date is _.isObject).  Nulls pass (JS
+        # `_.isObject(null)` is false).
+        t_ = col.type
+        if (pa.types.is_struct(t_) or pa.types.is_map(t_)
+                or pa.types.is_timestamp(t_) or pa.types.is_date(t_)):
+            return _is_null(col)
+        return _ones(n)
+
     raise NotImplementedError(f"no vectorized kernel for {nt.__name__}")
 
 

@@ -126,6 +126,11 @@ def first_checker(contract: ast.Contract, data: Any) -> bool:
         return callable(data)  # :348
     if t is ast.IsAC:
         return isinstance(data, contract.cls)  # :351-357
+    if t is ast.ContractLeafC:
+        # contract instance, array, or non-object (impl.js:362-365);
+        # lodash _.isObject counts dicts AND functions, so both fail
+        return (isinstance(data, ast.Contract) or jsval.is_array(data)
+                or not (jsval.is_object(data) or callable(data)))
     if t is ast.CyclicC:
         return first_checker(contract.resolved(), data)
     if t in (ast.AndC, ast.OrC):

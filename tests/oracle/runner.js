@@ -29,6 +29,7 @@ function decodeValue(v) {
     const r = decodeValue(v.__fn__)
     return function () { return r }
   }
+  if (v.__contract__ !== undefined) return buildContract(v.__contract__)
   if (Array.isArray(v)) return v.map(decodeValue)
   const out = {}
   for (const k of Object.keys(v)) out[k] = decodeValue(v[k])
@@ -47,6 +48,7 @@ function buildContract(spec) {
     case 'integer': base = c.integer; break
     case 'bool': base = c.bool; break
     case 'date': base = c.date; break
+    case 'contract': base = c.contract; break
     case 'value': base = c.value(decodeValue(spec.v)); break
     case 'oneOf': base = c.oneOf.apply(null, spec.vs.map(decodeValue)); break
     case 'matches': base = c.matches(new RegExp(spec.pattern, spec.flags || '')); break

@@ -66,6 +66,8 @@ def decode_value(v: Any) -> Any:
 
         _stub_this.__name__ = ""  # JS side is an anonymous function
         return _stub_this
+    if "__contract__" in v:
+        return build_contract(v["__contract__"])
     if "__fn__" in v:
         ret = decode_value(v["__fn__"])
 
@@ -100,6 +102,8 @@ def build_contract(spec: dict) -> ast.Contract:
         base = c.bool
     elif t == "date":
         base = c.date
+    elif t == "contract":
+        base = c.contract
     elif t == "value":
         base = c.value(decode_value(spec["v"]))
     elif t == "oneOf":

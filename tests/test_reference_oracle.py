@@ -232,6 +232,23 @@ case("aoo_missing", AOO, [{"n": 1}])
 case("or_struct", _c("or", cs=[STRING, _c("object", fields={"x": NUMBER})]),
      {"x": 1})
 
+# -- `contract` meta-leaf (contract.impl.js:362-365, contract.js:283-287):
+#    accepts contract instances, arrays, and non-objects (the
+#    auto-promotable domain); plain objects, functions and dates fail
+CONTRACT_LEAF = _c("contract")
+case("contractleaf_instance", CONTRACT_LEAF, {"__contract__": STRING})
+case("contractleaf_combinator", CONTRACT_LEAF,
+     {"__contract__": _c("or", cs=[STRING, NUMBER])})
+case("contractleaf_array", CONTRACT_LEAF, [1, 2])
+case("contractleaf_number", CONTRACT_LEAF, 6)
+case("contractleaf_string", CONTRACT_LEAF, "s")
+case("contractleaf_null", CONTRACT_LEAF, None)
+case("contractleaf_undef", CONTRACT_LEAF, UNDEF)
+case("contractleaf_nan", CONTRACT_LEAF, NAN)
+case("contractleaf_plain_object", CONTRACT_LEAF, {"x": 1})
+case("contractleaf_function", CONTRACT_LEAF, {"__fn__": 1})
+case("contractleaf_date", CONTRACT_LEAF, date("2020-01-02T03:04:05Z"))
+
 
 def _normalize(msg: str) -> str:
     # Arrow has no `undefined`; both null and undefined are "missing"

@@ -45,6 +45,7 @@ LEAVES = [
     c.and_(c.number, c.integer), c.or_(c.string, c.number),
     c.or_(c.value(0), c.value("")), c.silentAnd(c.truthy, c.number),
     c.pred(lambda v: isinstance(v, (int, float)) and not isinstance(v, bool) and v > 2),
+    c.contract,   # meta-leaf: non-objects/arrays pass, Dates/objects fail
 ]
 
 COLUMNS = [
@@ -75,7 +76,7 @@ NESTED_LIST = [[[1], [2, 3]], [], None, [[]], [[None]]]
     c.array(c.number), c.array(c.integer), c.array(c.optional(c.number)),
     c.array(c.truthy), c.tuple(c.number, c.number),
     c.tuple(c.number).strict(), c.optional(c.array(c.number)),
-    c.string, c.falsy, c.truthy,
+    c.string, c.falsy, c.truthy, c.contract,
 ], ids=lambda x: x.to_string())
 def test_list_agreement(contract):
     agree(contract, LIST_VALS, pa.list_(pa.int64()))
@@ -105,7 +106,7 @@ STRUCT_VALS = [
     c.object({"x": c.number, "y": c.string}).strict(),
     c.hash(c.number),
     c.optional(c.object({"x": c.number, "y": c.string})),
-    c.string,
+    c.string, c.contract,
 ], ids=lambda x: x.to_string())
 def test_struct_agreement(contract):
     agree(contract, STRUCT_VALS, STRUCT_T)
@@ -117,7 +118,7 @@ MAP_VALS = [[("a", "x")], [], [("k", None)], None, [("a", "x"), ("b", "y")]]
 
 @pytest.mark.parametrize("contract", [
     c.hash(c.string), c.hash(c.optional(c.string)), c.hash(c.truthy),
-    c.object({}), c.string,
+    c.object({}), c.string, c.contract,
 ], ids=lambda x: x.to_string())
 def test_map_agreement(contract):
     agree(contract, MAP_VALS, MAP_T)
