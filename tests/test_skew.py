@@ -25,6 +25,21 @@ def test_salted_groupby_matches_plain_count(ray_session):
     assert len(got) == 51
 
 
+def test_salted_groupby_precombines_before_shuffle(ray_session):
+    """The pre-combine stage bounds shuffle volume at O(batches x
+    distinct (key, salt)) — 50k single-hot-key rows in 8 blocks enter
+    the native groupby as at most 8 x n_salt partial rows (VERDICT r3
+    #7: the row-level form shipped all 50k)."""
+    from rho_contracts_ray.stages.skew import _salted_partial
+
+    n, n_salt = 50_000, 8
+    ds = rd.from_arrow(pa.table({"k": ["hot"] * n})).repartition(8)
+    pre = ds.map_batches(_salted_partial(["k"], n_salt),
+                         batch_format="pyarrow")
+    shuffled_rows = pre.count()
+    assert shuffled_rows <= 8 * n_salt, shuffled_rows
+
+
 def test_sessionize_vs_duckdb(ray_session):
     ds = rd.read_parquet(f"{SF}/events.parquet",
                          columns=["event_id", "user_id", "ts"])
