@@ -1126,9 +1126,10 @@ _SAMPLE_THRESHOLD_10PCT = 429496729      # floor(0.1 * 2^32)
 
 def _q_media_real_decode(sf_dir: str):
     """REAL lib-free decode path end-to-end: BMP, PNG (stdlib zlib +
-    numpy unfilters) and GIF (real LZW) images pixel-decoded to histogram
-    features + dimensions, PCM WAV audio to rate/duration/RMS, over a
-    deterministic synthetic media table (rows-only check)."""
+    numpy unfilters), GIF (real LZW) and baseline JPEG (canonical
+    Huffman + batched IDCT) images pixel-decoded to histogram features +
+    dimensions, PCM WAV audio to rate/duration/RMS, over a deterministic
+    synthetic media table (rows-only check)."""
     import ray.data as rd
 
     from rho_contracts_ray.stages import (AudioFeaturesStage, decode_images,

@@ -1,16 +1,15 @@
 """Multimodal column plumbing (image/audio/video as opaque binary + typed
 metadata).
 
-Decode support is tiered by what this container allows:
-  * REAL, lib-free: uncompressed 24-bit BMP pixel decode, full 8-bit PNG
-    pixel decode (stdlib-zlib inflate + all five unfilters; gray /
-    RGB / palette / alpha variants — encode_png/decode_png), GIF87a/89a
-    decode (real LZW with dictionary growth, interlace, local palettes —
-    encode_gif/decode_gif), PNG header parsing, and PCM-16 WAV decode —
-    pure numpy / struct / zlib, fully implemented and tested;
-  * STUBBED with the dependency named: JPEG pixel decode needs
-    Pillow/opencv (not present) — `DecodeImageStage(decoder="real")`
-    raises NotImplementedError when it meets such a payload;
+Decode support — ALL real and lib-free in this container:
+  * uncompressed 24-bit BMP pixel decode, full 8-bit PNG pixel decode
+    (stdlib-zlib inflate + all five unfilters; gray / RGB / palette /
+    alpha variants — encode_png/decode_png), GIF87a/89a decode (real LZW
+    with dictionary growth, interlace, local palettes —
+    encode_gif/decode_gif), baseline-DCT JPEG decode (canonical Huffman,
+    dequantize/dezigzag, batched IDCT, chroma upsampling, restart
+    intervals — encode_jpeg/decode_jpeg; progressive SOF2 raises), PNG
+    header parsing, and PCM-16 WAV decode — pure numpy / struct / zlib;
   * `decoder="deterministic-fake"` emits a seeded feature vector for
     plumbing tests regardless of format.
 Everything Ray-side — schema, actor-pool signature, batch sizing for
@@ -395,6 +394,393 @@ def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> np.ndarray:
     return np.array(out, np.int32)
 
 
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT, lib-free)
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix A: forward DCT = A @ x @ A.T,
+    inverse = A.T @ X @ A."""
+    k = np.arange(8)
+    a = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+_DCT_A = _dct_matrix()
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table from the DHT BITS/HUFFVAL lists —
+    decoded by walking (length, code) pairs (thumbnail-grade Python loop,
+    same class as the GIF LZW loop; a C codec is the throughput path)."""
+
+    def __init__(self, bits: "list[int]", vals: bytes):
+        self.lookup: dict = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.lookup[(ln, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+def _receive_extend(bits: np.ndarray, pos: int, size: int):
+    v = 0
+    for _ in range(size):
+        v = (v << 1) | int(bits[pos])
+        pos += 1
+    if v < (1 << (size - 1)):
+        v -= (1 << size) - 1
+    return v, pos
+
+
+def _read_huff(bits: np.ndarray, pos: int, table: _HuffTable):
+    code = 0
+    n = bits.size
+    for ln in range(1, 17):
+        if pos >= n:
+            raise ValueError("JPEG entropy stream truncated")
+        code = (code << 1) | int(bits[pos])
+        pos += 1
+        sym = table.lookup.get((ln, code))
+        if sym is not None:
+            return sym, pos
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _decode_block(bits, pos, dc_tab, ac_tab, pred):
+    """One 8x8 block: DC diff + AC run-length -> 64 zigzag-ORDER coefs."""
+    coef = np.zeros(64, np.float64)
+    s, pos = _read_huff(bits, pos, dc_tab)
+    diff = 0
+    if s:
+        diff, pos = _receive_extend(bits, pos, s)
+    pred += diff
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs, pos = _read_huff(bits, pos, ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:           # ZRL: 16 zeros
+                k += 16
+                continue
+            break                 # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC index overflow")
+        v, pos = _receive_extend(bits, pos, s)
+        coef[k] = v
+        k += 1
+    return coef, pos, pred
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline-DCT JPEG (SOF0) -> (h, w, 3) uint8 RGB: real marker/DQT/
+    DHT parsing, canonical Huffman decode, dequantize + dezigzag, batched
+    orthonormal IDCT (one numpy einsum over all blocks per component),
+    h/v-factor chroma upsampling (nearest) and YCbCr->RGB — struct/numpy
+    plus a per-symbol Python Huffman loop (thumbnail-grade, like the GIF
+    LZW loop).  Grayscale and 4:4:4/4:2:2/4:2:0 color, 8/16-bit DQT,
+    restart intervals.  Progressive (SOF2) and arithmetic coding raise
+    ValueError."""
+    import struct
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    n = len(b)
+    while pos < n:
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = b[pos + 1]
+        pos += 2
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:        # EOI
+            break
+        ln = struct.unpack_from(">H", b, pos)[0]
+        seg = b[pos + 2: pos + ln]
+        pos += ln
+        if marker == 0xDB:        # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 15
+                off += 1
+                if pq:
+                    qt[tq] = np.frombuffer(seg, ">u2", 64, off) \
+                        .astype(np.float64)
+                    off += 128
+                else:
+                    qt[tq] = np.frombuffer(seg, np.uint8, 64, off) \
+                        .astype(np.float64)
+                    off += 64
+        elif marker == 0xC4:      # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 15
+                bits_ = list(seg[off + 1: off + 17])
+                nv = sum(bits_)
+                vals = seg[off + 17: off + 17 + nv]
+                (huff_ac if tc else huff_dc)[th] = _HuffTable(bits_, vals)
+                off += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:   # baseline / ext. sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError(f"JPEG precision {prec} unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * i)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "only baseline JPEG (SOF0/SOF1) is supported "
+                f"(SOF marker 0xFF{marker:02X})")
+        elif marker == 0xDD:      # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:      # SOS: entropy-coded segment follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 15))
+            # locate the end of the ECS: 0xFF not followed by 00/D0-D7
+            end = pos
+            while end < n - 1:
+                if b[end] == 0xFF and b[end + 1] != 0x00 and \
+                        not (0xD0 <= b[end + 1] <= 0xD7):
+                    break
+                end += 1
+            ecs = b[pos:end]
+            pos = end
+            return _decode_scan(frame, scan, qt, huff_dc, huff_ac,
+                                restart_interval, ecs)
+        # all other segments (APPn, COM) are skipped
+    raise ValueError("JPEG contains no scan data")
+
+
+def _decode_scan(frame, scan, qt, huff_dc, huff_ac, restart_interval, ecs):
+    # split on restart markers; strip byte stuffing per interval
+    intervals = []
+    cur = bytearray()
+    i, n = 0, len(ecs)
+    while i < n:
+        if ecs[i] == 0xFF and i + 1 < n:
+            nxt = ecs[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                intervals.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+        cur.append(ecs[i])
+        i += 1
+    intervals.append(bytes(cur))
+
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component zigzag-order coefficient store, one row per block
+    store = {c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64))
+             for c in comps}
+    iv = 0
+    bits = np.unpackbits(np.frombuffer(intervals[0], np.uint8))
+    bpos = 0
+    preds = {c["id"]: 0 for c in comps}
+    since_restart = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and since_restart == restart_interval:
+                iv += 1
+                if iv >= len(intervals):
+                    raise ValueError("JPEG restart interval underrun")
+                bits = np.unpackbits(np.frombuffer(intervals[iv], np.uint8))
+                bpos = 0
+                preds = {c["id"]: 0 for c in comps}
+                since_restart = 0
+            for comp, td, ta in scan:
+                for vy in range(comp["v"]):
+                    for hx in range(comp["h"]):
+                        coef, bpos, preds[comp["id"]] = _decode_block(
+                            bits, bpos, huff_dc[td], huff_ac[ta],
+                            preds[comp["id"]])
+                        store[comp["id"]][my * comp["v"] + vy,
+                                          mx * comp["h"] + hx] = coef
+            since_restart += 1
+
+    planes = []
+    for comp in comps:
+        z = store[comp["id"]].reshape(-1, 64) * qt[comp["tq"]][None, :]
+        nat = np.zeros_like(z)
+        nat[:, _ZIGZAG] = z          # dezigzag
+        blocks = nat.reshape(-1, 8, 8)
+        # batched orthonormal IDCT over every block at once
+        px = np.einsum("ij,njk,kl->nil", _DCT_A.T, blocks, _DCT_A) + 128.0
+        by, bx = mcuy * comp["v"], mcux * comp["h"]
+        plane = px.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(by * 8, bx * 8)
+        # upsample to full resolution (nearest) and crop
+        plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0),
+                          hmax // comp["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255)
+        return np.repeat(y[:, :, None], 3, axis=2).astype(np.uint8)
+    if len(planes) != 3:
+        raise ValueError(f"JPEG with {len(planes)} components unsupported")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, bl], axis=2), 0, 255) \
+        .round().astype(np.uint8)
+
+
+# encoder-side Huffman: uniform-length canonical tables (12 DC symbols at
+# 4 bits, 162 AC symbols at 8 bits — the all-ones code stays unused, as
+# the standard requires).  Tables travel in the stream's own DHT, so any
+# decoder reads them; simplicity beats entropy here (the engine's JPEGs
+# are test/plumbing artifacts, not an archival codec).
+_ENC_DC_VALS = bytes(range(12))
+_ENC_AC_VALS = bytes([0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                                     for s in range(1, 11)])
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_AC_BITS = [0] * 7 + [162] + [0] * 8
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)   # byte stuffing
+                self.acc = 0
+                self.nacc = 0
+
+    def flush(self):
+        if self.nacc:
+            self.write((1 << (8 - self.nacc)) - 1, 8 - self.nacc)  # 1-pad
+
+
+def _csize(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JPEG, 4:4:4, all-ones quant tables
+    (maximum fidelity: round-trip error is IDCT rounding only, exact on
+    flat blocks) and uniform-length Huffman tables written into the
+    stream's DHT segments.  Independent of decode_jpeg's table/bit logic,
+    so the round-trip is a genuine differential test."""
+    import struct
+
+    h, w, _ = pixels.shape
+    p = pixels.astype(np.float64)
+    y = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+    cb = 128.0 - 0.168736 * p[..., 0] - 0.331264 * p[..., 1] \
+        + 0.5 * p[..., 2]
+    cr = 128.0 + 0.5 * p[..., 0] - 0.418688 * p[..., 1] \
+        - 0.081312 * p[..., 2]
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    dc_code = {s: (s, 4) for s in range(12)}
+    ac_code = {sym: (i, 8) for i, sym in enumerate(_ENC_AC_VALS)}
+
+    def plane_blocks(plane):
+        pad = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        blocks = pad.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(-1, 8, 8)
+        coef = np.einsum("ij,njk,kl->nil", _DCT_A, blocks - 128.0,
+                         _DCT_A.T)
+        return np.round(coef.reshape(-1, 64)[:, _ZIGZAG]).astype(np.int64)
+
+    comps = [plane_blocks(x) for x in (y, cb, cr)]
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    nby, nbx = ph // 8, pw // 8
+    for bi in range(nby * nbx):           # 4:4:4 -> MCU = 1 block per comp
+        for ci, zz in enumerate(comps):
+            row = zz[bi]
+            diff = int(row[0]) - preds[ci]
+            preds[ci] = int(row[0])
+            s = _csize(diff)
+            bw.write(*dc_code[s])
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            nz = np.flatnonzero(row[1:])
+            last = int(nz[-1]) + 1 if nz.size else 0
+            k = 1
+            while k <= last:
+                run = 0
+                while row[k] == 0:
+                    run += 1
+                    k += 1
+                while run > 15:
+                    bw.write(*ac_code[0xF0])   # ZRL
+                    run -= 16
+                v = int(row[k])
+                s = _csize(v)
+                bw.write(*ac_code[(run << 4) | s])
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                k += 1
+            if last < 63:
+                bw.write(*ac_code[0x00])       # EOB
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    qtab = np.ones(64, np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + qtab.tobytes()
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack(">BBB", cid, 0x11, 0)
+    for tc, bits_, vals in ((0, _ENC_DC_BITS, _ENC_DC_VALS),
+                            (1, _ENC_AC_BITS, _ENC_AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc << 4)
+        out += bytes(bits_) + vals
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid in (1, 2, 3):
+        out += struct.pack(">BB", cid, 0x00)
+    out += b"\x00\x3f\x00"
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
     """1-D int16 PCM -> WAV (RIFF, PCM-16 mono)."""
     import struct
@@ -454,13 +840,13 @@ class DecodeImageStage:
     pass batch_size<=256 for multi-MB images so batch x concurrency fits
     worker heap).
 
-    decoder="real": BMP and PNG payloads are pixel-decoded (lib-free) and
-    get real histogram features + width/height.  JPEG pixel decode needs
-    Pillow (not in this container): with on_undecodable="raise" (default)
-    the batch raises NotImplementedError naming the dependency; with
-    "flag", undecodable rows are emitted with header-parsed dimensions
-    when available, zero features and decoded=False, so mixed-format
-    batches keep their decodable rows."""
+    decoder="real": BMP, PNG, GIF and baseline JPEG payloads are
+    pixel-decoded (lib-free) and get real histogram features +
+    width/height.  With on_undecodable="raise" (default) a corrupt or
+    unsupported payload (e.g. progressive JPEG) raises the decoder's
+    ValueError; with "flag", undecodable rows are emitted with
+    header-parsed dimensions when available, zero features and
+    decoded=False, so mixed-format batches keep their decodable rows."""
 
     def __init__(self, decoder: str = "deterministic-fake",
                  feature_dim: int = 64, on_undecodable: str = "raise"):
@@ -491,14 +877,15 @@ class DecodeImageStage:
         decoded = [True] * len(payloads)
         if self.decoder == "real":
             feats_rows = []
+            codecs = {"bmp": decode_bmp, "png": decode_png,
+                      "gif": decode_gif, "jpg": decode_jpeg}
             for i, (p, m) in enumerate(zip(payloads, magics)):
-                if m in ("bmp", "png", "gif"):
+                if m in codecs:
                     try:
-                        px = {"bmp": decode_bmp, "png": decode_png,
-                              "gif": decode_gif}[m](p)
+                        px = codecs[m](p)
                     except ValueError:
-                        # corrupt/unsupported payload: raise-vs-flag
-                        # follows the same policy as the codec-less formats
+                        # corrupt/unsupported payload (e.g. progressive
+                        # JPEG): raise-vs-flag policy
                         if self.on_undecodable == "raise":
                             raise
                         if m == "png":
@@ -512,12 +899,6 @@ class DecodeImageStage:
                     heights[i], widths[i] = px.shape[0], px.shape[1]
                     feats_rows.append(_bmp_features(px, self.feature_dim))
                     continue
-                if m == "jpg" and self.on_undecodable == "raise":
-                    raise NotImplementedError(
-                        "JPEG pixel decode requires Pillow/opencv, not "
-                        "present in this container (BMP, PNG and WAV "
-                        "decode lib-free; use decoder='deterministic-"
-                        "fake' or on_undecodable='flag')")
                 decoded[i] = False
                 feats_rows.append(np.zeros(self.feature_dim))
             feats = (np.stack(feats_rows) if feats_rows
@@ -543,12 +924,14 @@ class DecodeImageStage:
 class ResizeImageStage:
     """Actor-pool stage: REAL nearest-neighbor image resize to
     (out_h, out_w) — decode -> one numpy index-map gather -> re-encode,
-    lib-free end-to-end for BMP and PNG payloads (each re-encoded in its
-    own format).  JPEG follows DecodeImageStage's policy:
-    on_undecodable='raise' names the missing dependency, 'flag' passes
-    the row through unresized with resized=False.  Output keeps the
-    payload column (resized where decodable) plus out_width/out_height/
-    resized, so the stage composes with DecodeImageStage downstream."""
+    lib-free end-to-end for BMP, PNG, GIF and baseline JPEG payloads
+    (each re-encoded in its own format; JPEG re-encode is lossy by a
+    couple of LSBs, like any JPEG write).  on_undecodable='raise'
+    surfaces the decoder's ValueError on corrupt/unsupported payloads,
+    'flag' passes the row through unresized with resized=False.  Output
+    keeps the payload column (resized where decodable) plus
+    out_width/out_height/resized, so the stage composes with
+    DecodeImageStage downstream."""
 
     def __init__(self, out_h: int = 16, out_w: int = 16,
                  on_undecodable: str = "raise"):
@@ -576,11 +959,12 @@ class ResizeImageStage:
         for i, p in enumerate(payloads):
             kind = "bmp" if p[:2] == b"BM" else \
                 "png" if p[:4] == b"\x89PNG" else \
-                "gif" if p[:6] in (b"GIF87a", b"GIF89a") else None
+                "gif" if p[:6] in (b"GIF87a", b"GIF89a") else \
+                "jpg" if p[:2] == b"\xff\xd8" else None
             if kind:
                 try:
                     px = {"bmp": decode_bmp, "png": decode_png,
-                          "gif": decode_gif}[kind](p)
+                          "gif": decode_gif, "jpg": decode_jpeg}[kind](p)
                 except ValueError:
                     if self.on_undecodable == "raise":
                         raise
@@ -589,19 +973,11 @@ class ResizeImageStage:
                 # nearest-neighbor only SAMPLES existing pixels, so a
                 # GIF's <=256-color property survives the resize
                 enc = {"bmp": encode_bmp, "png": encode_png,
-                       "gif": encode_gif}[kind]
+                       "gif": encode_gif, "jpg": encode_jpeg}[kind]
                 out_payload[i] = enc(out)
                 resized[i] = True
                 continue
-            # DecodeImageStage policy: only the RECOGNIZED codec-less
-            # format raises (a dependency would fix it); unknown/empty
-            # payloads are flagged through
-            if p[:2] == b"\xff\xd8":
-                if self.on_undecodable == "raise":
-                    raise NotImplementedError(
-                        "JPEG pixel decode requires Pillow/opencv, not "
-                        "present in this container (BMP/PNG resize "
-                        "lib-free; use on_undecodable='flag')")
+            # unknown/empty payloads are flagged through
         return pa.table({
             "media_id": batch["media_id"],
             "payload": pa.array(out_payload, pa.binary()),
@@ -701,13 +1077,16 @@ def make_media_table(n: int, seed: int = 42, real: bool = False) -> pa.Table:
         if real and k == "image":
             h, w = int(rng.integers(4, 24)), int(rng.integers(4, 24))
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            # cycle BMP / PNG / GIF so all three lib-free image decoders
-            # run end-to-end (GIF quantized to 8 colors to fit a palette)
-            if i % 3 == 2:
+            # cycle BMP / PNG / GIF / JPEG so all four lib-free image
+            # decoders run end-to-end (GIF quantized to 8 colors to fit
+            # a palette)
+            if i % 4 == 2:
                 px = (px // 96 * 96)
                 payloads.append(encode_gif(px))
+            elif i % 4 == 3:
+                payloads.append(encode_jpeg(px))
             else:
-                payloads.append(encode_bmp(px) if i % 3 == 0
+                payloads.append(encode_bmp(px) if i % 4 == 0
                                 else encode_png(px))
             continue
         if real and k == "audio":

@@ -384,18 +384,17 @@ def test_multimodal_plumbing(ray_session):
     # deterministic across runs
     out2 = decode_images(rd.from_arrow(t)).to_pandas().sort_values("media_id")
     assert (out["features"].iloc[0] == out2["features"].iloc[0]).all()
-    # real decoder raises on the fake table: its corrupt PNG-magic
-    # payloads raise ValueError (PNG pixel decode is REAL now, so a bad
-    # payload is a data error) and its JPEGs NotImplementedError (the one
-    # remaining codec-less format, dependency named)
+    # real decoder raises on the fake table: its corrupt magic-only
+    # payloads are data errors now that PNG AND JPEG pixel decode are
+    # real (ValueError from the respective decoder)
     stage = DecodeImageStage(decoder="real")
-    with pytest.raises((NotImplementedError, ValueError)):
+    with pytest.raises(ValueError):
         stage(t.slice(0, 50))
     jpeg_only = pa.table({
         "media_id": pa.array([0], pa.int64()),
         "payload": pa.array([b"\xff\xd8fakejpeg"], pa.large_binary()),
     })
-    with pytest.raises(NotImplementedError, match="Pillow"):
+    with pytest.raises(ValueError, match="JPEG"):
         stage(jpeg_only)
 
 
@@ -479,8 +478,22 @@ def test_resize_image_stage_real_roundtrip(ray_session):
         ResizeImageStage()(png)
     jpg = pa.table({"media_id": pa.array([9], pa.int64()),
                     "payload": pa.array([b"\xff\xd8fake"], pa.binary())})
-    with pytest.raises(NotImplementedError, match="Pillow"):
+    with pytest.raises(ValueError, match="JPEG"):
         ResizeImageStage()(jpg)
+    # real JPEG resizes end-to-end and re-encodes as JPEG (lossy by a
+    # couple of LSBs — compare against the resized source pixels)
+    from rho_contracts_ray.stages.multimodal import decode_jpeg, encode_jpeg
+    pxj = np.full((12, 16, 3), 90, np.uint8)
+    pxj[:, 8:] = 200
+    real_jpg = pa.table({"media_id": pa.array([2], pa.int64()),
+                         "payload": pa.array([encode_jpeg(pxj)],
+                                             pa.binary())})
+    rj = ResizeImageStage(out_h=4, out_w=4)(real_jpg)
+    assert rj["resized"].to_pylist() == [True]
+    back = decode_jpeg(rj["payload"][0].as_py())
+    assert back.shape == (4, 4, 3)
+    assert np.abs(back[:, :2].astype(int) - 90).max() <= 4
+    assert np.abs(back[:, 2:].astype(int) - 200).max() <= 4
     # real PNG resizes end-to-end and re-encodes as PNG
     from rho_contracts_ray.stages.multimodal import decode_png, encode_png
     px9 = np.full((10, 12, 3), 77, np.uint8)
@@ -1128,3 +1141,100 @@ def test_gif_codec_tiny_palettes():
     three[0] = [1, 2, 3]
     three[1] = [9, 9, 9]
     assert (decode_gif(encode_gif(three)) == three).all()
+
+
+def test_jpeg_codec_roundtrip():
+    """Lib-free baseline JPEG: encode (4:4:4, all-ones quant, own
+    uniform-length Huffman tables) -> decode round trip.  Flat blocks are
+    exact; arbitrary content is within DCT+YCbCr rounding (a few LSBs)."""
+    from rho_contracts_ray.stages.multimodal import decode_jpeg, encode_jpeg
+
+    solid = np.full((16, 24, 3), 113, np.uint8)
+    assert (decode_jpeg(encode_jpeg(solid)) == solid).all()
+
+    g = np.zeros((24, 40, 3), np.uint8)          # smooth gradient
+    g[..., 0] = np.linspace(0, 255, 40, dtype=np.uint8)[None, :]
+    g[..., 1] = np.linspace(255, 0, 24, dtype=np.uint8)[:, None]
+    g[..., 2] = 127
+    got = decode_jpeg(encode_jpeg(g))
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 2
+
+    rng = np.random.RandomState(0)               # worst case: noise,
+    r = rng.randint(0, 256, (17, 19, 3)).astype(np.uint8)  # odd dims
+    got = decode_jpeg(encode_jpeg(r))
+    assert got.shape == r.shape
+    assert np.abs(got.astype(int) - r.astype(int)).max() <= 3
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"GIF89a")
+
+
+def test_jpeg_decode_handcrafted_dc_only_stream():
+    """Independent ground truth (not a round trip): a grayscale SOF0
+    stream built byte-by-byte here with its own Huffman tables, whose
+    DC-only blocks have analytically known pixels — dequantized DC
+    F = diff_sum * q, flat block value = F/8 + 128.  Also exercises the
+    restart-interval path (DRI=1, RST0, DC predictor reset)."""
+    import struct
+
+    from rho_contracts_ray.stages.multimodal import decode_jpeg
+
+    def headers(w, h, dri=None):
+        out = bytearray(b"\xff\xd8")
+        out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        out += struct.pack(">BBB", 1, 0x11, 0)
+        # DC table: 12 symbols, all 4 bits (code == symbol)
+        out += b"\xff\xc4" + struct.pack(">HB", 31, 0x00)
+        out += bytes([0, 0, 0, 12] + [0] * 12) + bytes(range(12))
+        # AC table: one symbol (EOB), 2 bits (code 00)
+        out += b"\xff\xc4" + struct.pack(">HB", 20, 0x10)
+        out += bytes([0, 1] + [0] * 14) + bytes([0x00])
+        if dri is not None:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00"
+        return out
+
+    # two blocks, no restarts: DC diffs +5 (category 3, bits 101) then
+    # -3 (category 2, bits 00; -3 + 2^2-1 = 0) — running DC sums 5, 2.
+    # bit stream: [0011 101 00] [0010 00 00] + 1-padding
+    # = 00111010 00010000 0 -> 0x3A 0x10 0x7F
+    jp = headers(16, 8) + bytes([0x3A, 0x10, 0x7F]) + b"\xff\xd9"
+    out = decode_jpeg(bytes(jp))
+    assert out.shape == (8, 16, 3)
+    assert (out[:, :8] == 5 * 16 // 8 + 128).all()    # 138
+    assert (out[:, 8:] == 2 * 16 // 8 + 128).all()    # 132
+    # restart interval 1: RST0 between blocks resets the DC predictor,
+    # so block 2 encodes +2 absolute (0010 10 00 = 0x28) -> same 132
+    jp = headers(16, 8, dri=1) + bytes([0x3A, 0x7F]) + b"\xff\xd0" \
+        + bytes([0x28]) + b"\xff\xd9"
+    out = decode_jpeg(bytes(jp))
+    assert (out[:, :8] == 138).all() and (out[:, 8:] == 132).all()
+
+
+def test_jpeg_rejects_progressive():
+    """SOF2 (progressive) is out of scope and must say so, not misparse."""
+    import struct
+
+    from rho_contracts_ray.stages.multimodal import decode_jpeg
+
+    b = bytearray(b"\xff\xd8")
+    b += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    b += struct.pack(">BBB", 1, 0x11, 0)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(b))
+
+
+def test_jpeg_chroma_subsampling_and_grayscale_decode():
+    """A 4:2:0 color stream (synthesized by re-tagging sampling factors
+    is not valid — instead verify the generic path via a grayscale
+    1-component stream and the encoder's 4:4:4 color stream on an image
+    whose channels differ, pinning the YCbCr->RGB conversion."""
+    from rho_contracts_ray.stages.multimodal import decode_jpeg, encode_jpeg
+
+    px = np.zeros((8, 8, 3), np.uint8)
+    px[..., 0] = 200                             # red-dominant block
+    got = decode_jpeg(encode_jpeg(px))
+    assert np.abs(got[..., 0].astype(int) - 200).max() <= 2
+    assert got[..., 1].max() <= 2 and got[..., 2].max() <= 2
