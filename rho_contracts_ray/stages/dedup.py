@@ -17,12 +17,14 @@ Scale shapes:
 
 from __future__ import annotations
 
+import os
 from typing import Iterable, Optional, Sequence
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ..functions.hashing import stable_hash64
 
@@ -354,27 +356,54 @@ def _group_pairs(t: pa.Table):
     return po, da, db, np.flatnonzero(starts)
 
 
+# below this many candidate rows the cross-bucket merge runs as ONE
+# remote task over the candidate table refs (no second route+apply round
+# — its task latency dominated small corpora); above it, a full bucketed
+# exchange on the pair hash keeps per-task memory bounded at any scale
+_SMALL_PAIR_MERGE_ROWS = int(os.environ.get("RHO_PAIR_MERGE_SMALL",
+                                            "2000000"))
+
+
+@ray.remote(num_returns=2)
+def _merge_pairs_small(fn, *tables):
+    parts = [t for t in tables if t is not None and t.num_rows]
+    if not parts:
+        return 0, None
+    out = fn(pa.concat_tables(parts))
+    rows = out.num_rows if out is not None else 0
+    return rows, out
+
+
 def _pair_merge_dataset(cand_refs, merge_fn, empty: pa.Table):
     """Distributed cross-bucket pair consolidation: the first exchange's
     per-bucket candidate tables (carrying a `pkh` routing column from
-    _pair_hash) are routed by pkh into merge tasks, where `merge_fn`
-    groups by the REAL (id_a, id_b).  Returns a Dataset whose blocks are
-    the per-merge-bucket outputs — the pair set never lands on the driver
-    (round 3 concatenated every candidate pair into one driver-side
-    pandas groupby, VERDICT r3 #3: at 100 TB the pair set alone can be
-    billions of rows).  `cand_refs` are (count_ref, table_ref) pairs from
-    bucketed_reduce(as_refs=True); `empty` is the schema-correct no-pairs
-    table (WITHOUT pkh)."""
+    _pair_hash) are merged by the REAL (id_a, id_b) in `merge_fn`.
+    Returns a Dataset — the pair set never lands on the driver (round 3
+    concatenated every candidate pair into one driver-side pandas
+    groupby, VERDICT r3 #3: at 100 TB the pair set alone can be billions
+    of rows).  Small candidate sets (row counts are already known from
+    the refs) merge in ONE remote task; large ones go through a second
+    bucketed exchange keyed on pkh so per-task memory stays bounded.
+    `cand_refs` are (count_ref, table_ref) pairs from
+    bucketed_reduce(as_refs=True); `empty` is the schema-correct
+    no-pairs table (WITHOUT pkh)."""
     import ray.data as rd
 
     from .distagg import bucketed_reduce, dataset_from_refs
 
     if not cand_refs:
         return rd.from_arrow(empty)
-    empty_cand = empty.append_column("pkh", pa.array([], pa.int64()))
-    cand = dataset_from_refs(cand_refs, empty_cand)
-    refs = bucketed_reduce(cand, "pkh", merge_fn, as_refs=True)
-    return dataset_from_refs(refs, empty)
+    counts = ray.get([c for c, _ in cand_refs])
+    refs = [t for (_, t), n in zip(cand_refs, counts) if n]
+    total = sum(counts)
+    if not refs:
+        return rd.from_arrow(empty)
+    if total <= _SMALL_PAIR_MERGE_ROWS:
+        out = _merge_pairs_small.remote(merge_fn, *refs)
+        return dataset_from_refs([out], empty)
+    cand = rd.from_arrow_refs(refs)   # non-empty blocks, resolved above
+    refs2 = bucketed_reduce(cand, "pkh", merge_fn, as_refs=True)
+    return dataset_from_refs(refs2, empty)
 
 
 def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,

@@ -279,6 +279,30 @@ def test_minhash_pairs_identical_across_bucket_counts(ray_session, monkeypatch):
     assert base.equals(wide)
 
 
+def test_pair_merge_small_and_exchange_paths_identical(ray_session,
+                                                       monkeypatch):
+    """The pair consolidation has two routes: one merge task for small
+    candidate sets, a second bucketed exchange for large ones.  Same
+    pairs either way."""
+    import rho_contracts_ray.stages.dedup as dedup
+    from rho_contracts_ray.stages import jaccard_dup_pairs, minhash_dup_pairs
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).repartition(8)
+
+    def collect(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    base_mh = collect(minhash_dup_pairs(docs, threshold=0.5))
+    base_jc = collect(jaccard_dup_pairs(docs, threshold=0.3,
+                                        max_bucket=1_000_000))
+    monkeypatch.setattr(dedup, "_SMALL_PAIR_MERGE_ROWS", 0)
+    assert collect(minhash_dup_pairs(docs, threshold=0.5)).equals(base_mh)
+    assert collect(jaccard_dup_pairs(docs, threshold=0.3,
+                                     max_bucket=1_000_000)).equals(base_jc)
+
+
 def test_bucketed_reduce_non_pow2_buckets_lossless(ray_session):
     """Non-power-of-two bucket counts must fold overflow hash ranges into
     the last bucket, never drop rows (r3 review: rows silently vanished
