@@ -42,6 +42,11 @@ def _js_string(v: Any) -> str:
     return str(v)
 
 
+# module-level current documentation category (contract.impl.js:125
+# `currentCategory`): documentCategory sets it, Contract.doc latches it
+_CURRENT_CATEGORY: list = [False]
+
+
 class Contract:
     """Base node — reference Contract prototype (contract.impl.js:139-218)."""
 
@@ -51,6 +56,7 @@ class Contract:
         self.contract_name = name
         self.is_optional = False
         self.the_doc: tuple[str, ...] = ()
+        self.category = False   # set by doc() from the current category
         self._renamed: Optional[str] = None
         self._optional_wrap = False
 
@@ -70,7 +76,10 @@ class Contract:
         return self._clone(is_optional=True, _optional_wrap=True)
 
     def doc(self, *lines: str) -> "Contract":
-        return self._clone(the_doc=tuple(lines))
+        # the category is latched at doc() time from the module-level
+        # current category (contract.impl.js:212-217 + :125)
+        return self._clone(the_doc=tuple(lines),
+                           category=_CURRENT_CATEGORY[0])
 
     # -- pretty-printing (contract.impl.js:181-187)
     def sub_to_string(self) -> list[str]:

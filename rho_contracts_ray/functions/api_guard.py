@@ -518,10 +518,14 @@ def document_module(module_name: str, *docs: str) -> None:
 
 
 def document_category(module_name: str, category: str, *docs: str) -> None:
-    """contract.impl.js:797-806."""
+    """contract.impl.js:797-806.  Also latches the CURRENT category that
+    subsequent .doc() calls record on their contracts (the reference's
+    `currentCategory` mechanism — note its own categories-list push at
+    generateHTML time is what groups values by that attribute)."""
     entry = documentation_table.setdefault(
         module_name, {"doc": [], "categories": [], "types": {}, "values": {}})
     entry["categories"].append({"name": category, "doc": list(docs)})
+    ast._CURRENT_CATEGORY[0] = category
 
 
 def document_type(module_name: str, contract: ast.Contract) -> None:
@@ -533,6 +537,111 @@ def document_type(module_name: str, contract: ast.Contract) -> None:
             f"`documentType` called with a contract whose name that is "
             f"already documented: {contract.to_string()}")
     entry["types"][contract.contract_name] = contract
+
+
+_HTML_CSS = """\
+body { margin-left: 20%; margin-right: 20%; }
+pre { margin-left: 30pt; background-color: rgb(223,223,233); }
+code { background-color: rgb(223,223,233);  }
+table { border: 1px solid grey; padding: 10pt; }
+td { padding: 7px; padding-top: 35px; margin-right: 15pt; vertical-align: top; }
+h3, .type-name { font-size: 40px; font-weight: bold; margin-top: 40px; }
+
+.field-type, .value-type { width: 180px; }
+"""
+
+
+def _esc(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _render_doc_html(lines) -> str:
+    # marked() analogue for the doc strings the registry actually holds:
+    # plain paragraphs (no template engine / markdown lib in scope)
+    return "<p>" + "</p>\n<p>".join(_esc(x) for x in lines) + "</p>" \
+        if lines else ""
+
+
+def generate_docs_html(module_name: str = "Contracts") -> str:
+    """HTML flavour of the docs generator — same renderModule data flow
+    as the reference (generateHTML.js:99-160: values/types filtered into
+    categories by the per-contract `category` attribute that .doc()
+    latched, the uncategorized block first without a header) and the
+    same element classes/CSS as its resources/module.mustache, rendered
+    with f-strings instead of mustache."""
+    mod = documentation_table.get(module_name)
+    if mod is None:
+        raise ContractLibraryError(
+            "generateHTML", f"no documentation for module {module_name!r}")
+
+    def for_cat(d: dict, cat) -> dict:
+        return {n: v for n, v in d.items()
+                if getattr(v, "category", False) == cat}
+
+    def value_rows(values: dict) -> str:
+        rows = [
+            f'<tr class="value">\n'
+            f'  <td class="value-name">{_esc(n)}</td>\n'
+            f'  <td class="value-type"><code>{_esc(v.to_string())}</code>'
+            f'</td>\n'
+            f'  <td class="value-doc">{_render_doc_html(v.the_doc)}</td>'
+            f'</tr>'
+            for n, v in values.items()]
+        return ('<h3>Values and Functions</h3>\n\n'
+                '<table class="values-table">\n' + "\n".join(rows)
+                + "\n</table>")
+
+    def type_divs(types: dict) -> str:
+        parts = ["<h3>Types</h3>"]
+        for tname, t in types.items():
+            parts.append(f'<div class="type-name">{_esc(tname)}</div>')
+            parts.append(f'<div class="type-doc">'
+                         f'{_render_doc_html(t.the_doc)}</div>')
+            fields = getattr(t, "fields", None)
+            if fields:                      # object contract: field table
+                rows = [
+                    f'<tr class="field-row">\n'
+                    f'  <td class="field-name">{_esc(fn)}</td>\n'
+                    f'  <td class="field-type"><code>'
+                    f'{_esc(fc.to_string())}</code></td>\n'
+                    f'  <td class="field-doc">'
+                    f'{_render_doc_html(fc.the_doc)}</td></tr>'
+                    for fn, fc in fields.items()]
+                parts.append('<table class="field-table">\n'
+                             + "\n".join(rows) + "\n</table>")
+            else:
+                parts.append(f'<code class="type-type">'
+                             f'{_esc(t.to_string())}</code>')
+        return "\n".join(parts)
+
+    sections = []
+    cat_names = [c["name"] for c in mod["categories"]]
+    # uncategorized block FIRST, headerless (generateHTML.js:122-129)
+    for cat in [False] + cat_names:
+        types = for_cat(mod["types"], cat)
+        values = for_cat(mod["values"], cat)
+        if not types and not values:
+            continue
+        block = []
+        if cat is not False:
+            cdoc = next(c["doc"] for c in mod["categories"]
+                        if c["name"] == cat)
+            block.append(f'<h2 class="category">{_esc(cat)}</h2>')
+            block.append(f'<p class="types-category-doc">'
+                         f'{_render_doc_html(cdoc)}</p>')
+        if types:
+            block.append(type_divs(types))
+        if values:
+            block.append(value_rows(values))
+        sections.append("\n\n".join(block))
+
+    body = "\n\n".join(sections)
+    doc = _render_doc_html(mod["doc"])
+    return (f"<html>\n\n\n<style type=\"text/css\">\n{_HTML_CSS}</style>\n\n"
+            f"<head>\n  <title>{_esc(module_name)}</title>\n</head>\n\n"
+            f"<body>\n\n<h1>{_esc(module_name)}</h1>\n\n{doc}\n\n"
+            f"{body}\n\n</body>\n</html>\n")
 
 
 def generate_docs(module_name: Optional[str] = None) -> str:

@@ -328,6 +328,46 @@ def test_generate_docs_renders_registry():
     assert "count_t" in md
 
 
+def test_generate_docs_html_renders_registry():
+    """HTML flavour: same registry, the reference template's element
+    classes, category grouping via the per-contract category that .doc()
+    latches after documentCategory, object types as field tables."""
+    from rho_contracts_ray import c
+    from rho_contracts_ray.contracts import ast as _ast
+    from rho_contracts_ray.functions import api_guard
+
+    # the current category is global (like the reference's
+    # currentCategory) — clear whatever a previous test latched
+    _ast._CURRENT_CATEGORY[0] = False
+    api_guard.document_module("HtmlDemo", "An html demo.")
+    api_guard.publish("HtmlDemo", {"plain": lambda: 1},
+                      {"plain": c.fn().returns(c.number).doc("no category")})
+    api_guard.document_category("HtmlDemo", "Shapes", "shape helpers")
+    api_guard.document_type(
+        "HtmlDemo",
+        c.object({"x": c.number.doc("the x"), "y": c.number})
+        .rename("point_t").doc("a 2d point"))
+    api_guard.publish("HtmlDemo", {"mk": lambda x, y: (x, y)},
+                      {"mk": c.fn(c.number, c.number).doc("make a point")})
+    html = api_guard.generate_docs_html("HtmlDemo")
+    assert "<title>HtmlDemo</title>" in html
+    assert "<h1>HtmlDemo</h1>" in html and "An html demo." in html
+    # uncategorized value appears BEFORE the Shapes category header
+    assert html.index("plain") < html.index('<h2 class="category">Shapes</h2>')
+    assert '<p>shape helpers</p>' in html
+    assert '<div class="type-name">point_t</div>' in html
+    assert '<td class="field-name">x</td>' in html     # object field table
+    assert '<td class="value-name">mk</td>' in html
+    assert "make a point" in html
+    # unknown module raises the library error, like the reference's
+    # missing-table path
+    from rho_contracts_ray.contracts.errors import ContractLibraryError
+    with pytest.raises(ContractLibraryError):
+        api_guard.generate_docs_html("NoSuchModule")
+    # reset the latched category so later tests see the default
+    _ast._CURRENT_CATEGORY[0] = False
+
+
 def test_container_wrap_fuzz():
     """Random container contracts holding fn contracts + random member
     invocations vs the actual reference — byte-identical messages.  Covers
