@@ -1143,6 +1143,32 @@ def test_gif_codec_tiny_palettes():
     assert (decode_gif(encode_gif(three)) == three).all()
 
 
+def test_doc_fingerprints_match_scalar_winnowing():
+    """The batch-vectorized doc_fingerprints must aggregate exactly what
+    the scalar winnowing_fingerprints yields per doc — across empty,
+    shorter-than-k, <=w-hash, and long documents."""
+    from rho_contracts_ray.stages.text import (doc_fingerprints,
+                                               winnowing_fingerprints)
+
+    rng = np.random.RandomState(3)
+    texts = ["", "tiny", "just at k!", "x" * 30,
+             " ".join(f"w{i}" for i in range(200)),
+             "repeat word " * 50, "Ünïcödé ✓ bytes beyond ascii " * 8]
+    texts += ["".join(chr(rng.randint(32, 127))
+                      for _ in range(rng.randint(0, 400)))
+              for _ in range(40)]
+    k, w = 8, 16
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = doc_fingerprints(t, k=k, w=w)
+    for i, txt in enumerate(texts):
+        fp = winnowing_fingerprints(txt, k, w)
+        assert out["n_fingerprints"][i].as_py() == fp.size, (i, txt[:30])
+        assert out["fp_min"][i].as_py() == (int(fp.min()) if fp.size else 0)
+        want_xor = int(np.bitwise_xor.reduce(fp)) if fp.size else 0
+        assert out["fp_xor"][i].as_py() == want_xor, (i, txt[:30])
+
+
 def test_jpeg_codec_roundtrip():
     """Lib-free baseline JPEG: encode (4:4:4, all-ones quant, own
     uniform-length Huffman tables) -> decode round trip.  Flat blocks are
