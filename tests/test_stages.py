@@ -972,8 +972,17 @@ def test_bucketed_group_agg_property_random_tables(ray_session):
         buckets=st.sampled_from([None, 2, 7, 16]),
         parts=st.integers(min_value=1, max_value=6),
         key_kind=st.sampled_from(["int", "str", "int_null"]),
+        split_rows=st.sampled_from([None, 10]),   # None = default (off);
+        # 10 forces the oversized-bucket sub-range split path on nearly
+        # every bucket, pinning it to the same group_by oracle
     )
-    def check(n, nkeys, seed, buckets, parts, key_kind):
+    def check(n, nkeys, seed, buckets, parts, key_kind, split_rows):
+        import os
+
+        if split_rows is None:
+            os.environ.pop("RHO_BUCKET_SPLIT_ROWS", None)
+        else:
+            os.environ["RHO_BUCKET_SPLIT_ROWS"] = str(split_rows)
         rng = np.random.RandomState(seed)
         ki = rng.randint(0, nkeys, n)
         if key_kind == "int":
@@ -1006,7 +1015,12 @@ def test_bucketed_group_agg_property_random_tables(ray_session):
             assert got[c].fillna(-10**9).tolist() == \
                 want[c].fillna(-10**9).tolist(), c
 
-    check()
+    import os
+
+    try:
+        check()
+    finally:
+        os.environ.pop("RHO_BUCKET_SPLIT_ROWS", None)
 
 def test_gif_codec_roundtrip_and_real_lzw():
     """Lib-free GIF: encode(literal-LZW)->decode roundtrip; decode of a
