@@ -1295,6 +1295,23 @@ def _q_jaccard_pairs(sf_dir: str):
         jaccard_dup_pairs(ds, n=3, threshold=0.3, max_bucket=1_000_000))
 
 
+def _q_dup_clusters(sf_dir: str):
+    """Near-dup clusters: the exact Jaccard pair set (same params as
+    `jaccard_pairs_documents`) fed through DISTRIBUTED connected
+    components (large-star/small-star on the bucketed exchange,
+    `stages/dedup.py:distributed_components`) -> (doc_id, component=min
+    doc_id of the cluster).  The oracle recomputes the same pairs in SQL
+    and closes them with a recursive CTE."""
+    from rho_contracts_ray.stages import (distributed_components,
+                                          jaccard_dup_pairs)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .repartition(16)
+    pairs = jaccard_dup_pairs(ds, n=3, threshold=0.3, max_bucket=1_000_000)
+    comp = distributed_components(pairs)
+    return _collect_small(comp).rename_columns(["doc_id", "component"])
+
+
 def _q_pack_sequences(sf_dir: str):
     """Greedy first-fit-decreasing sequence packing at a 512-token budget
     (rows-only check: bin layout depends on batch partitioning, which is
@@ -1588,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": _q_hopping_window_events,
         "range_join_events": _q_range_join_events,
         "jaccard_pairs_documents": _q_jaccard_pairs,
+        "dup_clusters_documents": _q_dup_clusters,
         "q4_order_priority": _q_q4_order_priority,
         "cumsum_events_user": _q_cumsum_events_user,
         "order_stats_by_status": _q_order_stats_by_status,
@@ -1801,6 +1819,29 @@ def oracle_sql() -> dict[str, str]:
             " AS jaccard, false AS truncated"
             " FROM grams a JOIN grams b ON a.doc_id < b.doc_id)"
             " SELECT * FROM pairs WHERE jaccard >= 0.3"
+        ),
+        "dup_clusters_documents": (
+            # same trigram-Jaccard pair set as jaccard_pairs_documents,
+            # closed into components by a recursive CTE: component = min
+            # reachable doc_id (UNION distinct semantics drive the
+            # fixpoint; the sf-scale pair graph is tiny)
+            "WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ')"
+            " AS arr FROM documents), grams AS ("
+            " SELECT doc_id, list_distinct(list_transform(range(1, len(arr) - 1),"
+            " i -> array_to_string(arr[i:i+2], ' '))) AS gs"
+            " FROM toks WHERE len(arr) >= 3), pairs AS ("
+            " SELECT a.doc_id AS id_a, b.doc_id AS id_b"
+            " FROM grams a JOIN grams b ON a.doc_id < b.doc_id"
+            " WHERE len(list_intersect(a.gs, b.gs))::DOUBLE"
+            " / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))"
+            " >= 0.3), edges AS ("
+            " SELECT id_a AS u, id_b AS v FROM pairs"
+            " UNION SELECT id_b, id_a FROM pairs), reach(node, other) AS ("
+            " SELECT u, v FROM edges"
+            " UNION SELECT r.node, e.v FROM reach r JOIN edges e"
+            " ON e.u = r.other)"
+            " SELECT node AS doc_id, MIN(LEAST(node, other))::BIGINT"
+            " AS component FROM reach GROUP BY node"
         ),
         "drift_events_split": (
             "WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 "

@@ -9,7 +9,7 @@ from .text import (  # noqa: F401
 from .dedup import (  # noqa: F401
     exact_dup_groups, exact_dedup, minhash_signatures, minhash_dup_pairs,
     simhash64, simhash_dup_pairs, ngram_jaccard, jaccard_dup_pairs,
-    connected_components,
+    connected_components, distributed_components,
 )
 from .ann import knn_brute_force, knn_ivf, embedding_dup_pairs  # noqa: F401
 from .multimodal import (  # noqa: F401

@@ -750,6 +750,238 @@ def connected_components(pairs: Iterable[tuple[int, int]]) -> list[list[int]]:
 
 
 # ---------------------------------------------------------------------------
+# distributed connected components (large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+_EMPTY_COMPONENTS = pa.table({
+    "node": pa.array([], pa.int64()),
+    "component": pa.array([], pa.int64()),
+})
+
+_EMPTY_EDGES = pa.table({
+    "lo": pa.array([], pa.int64()),
+    "hi": pa.array([], pa.int64()),
+})
+
+
+def _int64_np(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+
+
+def _dedup_pairs_np(lo: np.ndarray, hi: np.ndarray):
+    """Distinct (lo, hi) rows, sorted — vectorized lexsort + run mask."""
+    po = np.lexsort((hi, lo))
+    lo, hi = lo[po], hi[po]
+    keep = np.concatenate(
+        ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])))
+    return lo[keep], hi[keep]
+
+
+def _edge_distinct(t: pa.Table) -> Optional[pa.Table]:
+    """Per-bucket global edge dedup (bucket keyed on the pair hash, so
+    every copy of an edge lands in the same call)."""
+    lo, hi = _dedup_pairs_np(_int64_np(t["lo"]), _int64_np(t["hi"]))
+    if lo.size == 0:
+        return None
+    return pa.table({"lo": pa.array(lo), "hi": pa.array(hi)})
+
+
+def _star_emit(t: pa.Table, large: bool) -> Optional[pa.Table]:
+    """One star step over a bucket's (u, v) rows (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond" — public paper).
+    For each star center u with neighborhood rows in this bucket,
+    m = min(u, min v).  Large-star re-parents the LARGER neighbors
+    (v > u, full symmetric neighborhood as input) onto m; small-star
+    receives each edge assigned to its larger endpoint (so v < u
+    always), re-parents the smaller neighbors except m itself, and
+    attaches the center to m.  Output: normalized distinct (lo, hi)
+    edges plus the `ekh` routing hash for the global-distinct
+    exchange."""
+    u = _int64_np(t["u"])
+    v = _int64_np(t["v"])
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+    lens = np.diff(np.concatenate((starts, [u.size])))
+    m_run = np.minimum(u[starts], v[starts])    # v ascending within a run
+    m = np.repeat(m_run, lens)
+    if large:
+        mask = v > u
+        lo, hi = m[mask], v[mask]               # m <= u < v
+    else:
+        mask = v != m                           # skip the run's own m
+        lo = np.concatenate((m[mask], m_run))   # neighbors -> m
+        hi = np.concatenate((v[mask], u[starts]))   # center -> m (m < u)
+    if lo.size == 0:
+        return None
+    lo, hi = _dedup_pairs_np(lo, hi)
+    return pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                     "ekh": pa.array(_pair_hash(lo, hi))})
+
+
+@ray.remote
+def _edge_sig(t) -> tuple:
+    """(rows, xor, sum) signature of a distinct-edge bucket — three
+    scalars per bucket are all the driver ever sees of the edge set;
+    equal signatures across a full large+small round mean fixpoint."""
+    if t is None or t.num_rows == 0:
+        return (0, 0, 0)
+    kh = _pair_hash(_int64_np(t["lo"]), _int64_np(t["hi"])).view(np.uint64)
+    return (t.num_rows, int(np.bitwise_xor.reduce(kh)),
+            int(kh.sum(dtype=np.uint64)))
+
+
+@ray.remote(num_returns=2)
+def _cc_small(*tables):
+    """Single-task union-find over a small (already-deduped) edge set:
+    the pair list crosses the object store, never the driver."""
+    parts = [t for t in tables if t is not None and t.num_rows]
+    if not parts:
+        return 0, None
+    t = pa.concat_tables([p.select(["lo", "hi"]) for p in parts])
+    lo = _int64_np(t["lo"])
+    hi = _int64_np(t["hi"])
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(lo.tolist(), hi.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = np.fromiter(parent.keys(), np.int64, len(parent))
+    comps = np.fromiter((find(int(x)) for x in nodes), np.int64, nodes.size)
+    o = np.argsort(nodes)
+    out = pa.table({"node": pa.array(nodes[o]),
+                    "component": pa.array(comps[o])})
+    return out.num_rows, out
+
+
+def _node_map_distinct(t: pa.Table) -> Optional[pa.Table]:
+    """Final star-edges -> (node, component) rows, deduped per node
+    bucket.  A node mapping to two different components means the star
+    iteration was cut off before fixpoint — fail loudly rather than
+    return a wrong clustering."""
+    node, comp = _dedup_pairs_np(_int64_np(t["node"]),
+                                 _int64_np(t["component"]))
+    if node.size == 0:
+        return None
+    if np.any(node[1:] == node[:-1]):
+        raise RuntimeError(
+            "distributed_components: node mapped to multiple components "
+            "(star iteration did not converge; raise max_rounds)")
+    return pa.table({"node": pa.array(node), "component": pa.array(comp)})
+
+
+def distributed_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
+                           *, small_rows: Optional[int] = None,
+                           n_buckets: Optional[int] = None,
+                           max_rounds: int = 64):
+    """Connected components over an undirected edge Dataset/Table ->
+    Dataset[node:int64, component:int64], component = min node id of the
+    component.  Nodes appearing only in self-loops are dropped (they
+    carry no dup information), matching `connected_components`' size>=2
+    cluster semantics.
+
+    Scale shape: alternating large-star / small-star rounds (converges
+    in O(log n) rounds), each round = one grouped star emit keyed on the
+    star center + one global edge-distinct exchange, all on the bucketed
+    exchange — the edge set never lands on the driver (only per-bucket
+    (rows, xor, sum) convergence signatures do).  This is the 100-TB
+    path past the driver-side union-find (`connected_components`): the
+    dup-pair set of a web corpus alone can be billions of edges.  Small
+    edge sets (row counts known from the distinct-exchange refs) skip
+    the iteration and union-find in ONE remote task."""
+    import ray.data as rd
+
+    from .distagg import bucketed_reduce, dataset_from_refs
+
+    if small_rows is None:
+        small_rows = int(os.environ.get("RHO_CC_SMALL", "2000000"))
+    if isinstance(pairs, pa.Table):
+        pairs = rd.from_arrow(pairs)
+
+    def norm(batch: pa.Table) -> pa.Table:
+        a = _int64_np(batch[id_a])
+        b = _int64_np(batch[id_b])
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        lo, hi = lo[keep], hi[keep]
+        return pa.table({"lo": pa.array(lo), "hi": pa.array(hi),
+                         "ekh": pa.array(_pair_hash(lo, hi))})
+
+    def sig_of(refs):
+        sigs = ray.get([_edge_sig.remote(tref) for _, tref in refs])
+        rows = sum(s[0] for s in sigs)
+        x, sm = 0, 0
+        for _, xo, s in sigs:
+            x ^= xo
+            sm = (sm + s) & ((1 << 64) - 1)
+        return (rows, x, sm)
+
+    # round 0: normalize + global dedup of the input pairs
+    refs = bucketed_reduce(pairs.map_batches(norm, batch_format="pyarrow"),
+                           "ekh", _edge_distinct, n_buckets=n_buckets,
+                           as_refs=True)
+    sig = sig_of(refs)
+    if sig[0] == 0:
+        return rd.from_arrow(_EMPTY_COMPONENTS)
+    if sig[0] <= small_rows:
+        cnt, out = _cc_small.remote(*[tref for _, tref in refs])
+        return dataset_from_refs([(cnt, out)], _EMPTY_COMPONENTS)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        lo, hi = _int64_np(t["lo"]), _int64_np(t["hi"])
+        return pa.table({"u": pa.array(np.concatenate((lo, hi))),
+                         "v": pa.array(np.concatenate((hi, lo)))})
+
+    def assign_to_hi(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["hi"], "v": t["lo"]})
+
+    large, streak, rounds = True, 0, 0
+    while streak < 2:
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"distributed_components: no fixpoint after {max_rounds} "
+                f"star rounds")
+        cur = dataset_from_refs(refs, _EMPTY_EDGES)
+        keyed = cur.map_batches(symmetrize if large else assign_to_hi,
+                                batch_format="pyarrow")
+        star_refs = bucketed_reduce(
+            keyed, "u", lambda t, lg=large: _star_emit(t, lg),
+            n_buckets=n_buckets, as_refs=True)
+        star_ds = dataset_from_refs(star_refs, _EMPTY_EDGES)
+        refs = bucketed_reduce(star_ds, "ekh", _edge_distinct,
+                               n_buckets=n_buckets, as_refs=True)
+        new_sig = sig_of(refs)
+        streak = streak + 1 if new_sig == sig else 0
+        sig = new_sig
+        large = not large
+
+    # stars -> (node, component): leaves from (hi -> lo), roots to
+    # themselves; one exchange on node dedups the repeated root rows
+    def to_map(t: pa.Table) -> pa.Table:
+        lo, hi = _int64_np(t["lo"]), _int64_np(t["hi"])
+        return pa.table({
+            "node": pa.array(np.concatenate((hi, lo))),
+            "component": pa.array(np.concatenate((lo, lo)))})
+
+    map_ds = dataset_from_refs(refs, _EMPTY_EDGES) \
+        .map_batches(to_map, batch_format="pyarrow")
+    map_refs = bucketed_reduce(map_ds, "node", _node_map_distinct,
+                               n_buckets=n_buckets, as_refs=True)
+    return dataset_from_refs(map_refs, _EMPTY_COMPONENTS)
+
+
+# ---------------------------------------------------------------------------
 # exact set-similarity join (distributed n-gram Jaccard)
 # ---------------------------------------------------------------------------
 

@@ -11,7 +11,8 @@ import pytest
 import ray.data as rd
 
 from rho_contracts_ray.stages import (
-    DecodeImageStage, connected_components, embedding_dup_pairs,
+    DecodeImageStage, connected_components, distributed_components,
+    embedding_dup_pairs,
     exact_dup_groups, knn_brute_force, knn_ivf, make_media_table,
     minhash_dup_pairs, ngram_jaccard, simhash_dup_pairs, text_features,
     token_counts,
@@ -203,6 +204,69 @@ def test_simhash_finds_near_dups(ray_session, docs_with_dups):
 def test_connected_components():
     assert connected_components([(1, 2), (2, 3), (7, 8)]) == [[1, 2, 3], [7, 8]]
     assert connected_components([]) == []
+
+
+def _components_map(pairs):
+    """node -> min-id component from the driver union-find (the oracle
+    for the distributed large-star/small-star path)."""
+    exp = {}
+    for g in connected_components(pairs):
+        for x in g:
+            exp[x] = g[0]       # clusters come back sorted, min first
+    return exp
+
+
+@pytest.mark.parametrize("case", ["chain", "cliques", "star", "random"])
+def test_distributed_components_matches_union_find(ray_session, case):
+    rng = np.random.default_rng(7)
+    if case == "chain":
+        # diameter 30: forces several large/small-star rounds
+        pairs = [(i, i + 1) for i in range(30)]
+    elif case == "cliques":
+        a, b = list(range(100, 110)), list(range(200, 206))
+        pairs = [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+        pairs += [(y, x) for i, x in enumerate(b) for y in b[i + 1:]]
+        pairs += [(5, 5)]                      # self-loop: dropped
+    elif case == "star":
+        pairs = [(i, 0) for i in range(1, 21)] * 2    # duplicate edges
+    else:
+        # random multigraph over sparse negative/positive int64 ids,
+        # self-loops and both orientations included
+        ids = (rng.choice(20_000, size=400, replace=False)
+               .astype(np.int64) - 10_000)
+        pairs = [(int(ids[rng.integers(400)]), int(ids[rng.integers(400)]))
+                 for _ in range(500)]
+    t = pa.table({"id_a": pa.array([x for x, _ in pairs], pa.int64()),
+                  "id_b": pa.array([y for _, y in pairs], pa.int64())})
+    exp = _components_map(pairs)
+
+    out = distributed_components(rd.from_arrow(t), small_rows=0,
+                                 n_buckets=4).to_pandas()
+    assert dict(zip(out["node"], out["component"])) == exp
+    # the single-task small path agrees with the iterated star path
+    out2 = distributed_components(t).to_pandas()
+    assert dict(zip(out2["node"], out2["component"])) == exp
+
+
+def test_distributed_components_oversized_split(ray_session, monkeypatch):
+    # pin the bucket-split threshold below the edge count so the star and
+    # distinct exchanges run through the sub-range split path
+    monkeypatch.setenv("RHO_BUCKET_SPLIT_ROWS", "8")
+    pairs = [(i, i + 1) for i in range(40)] + [(100, 200), (200, 300)]
+    t = pa.table({"id_a": pa.array([x for x, _ in pairs], pa.int64()),
+                  "id_b": pa.array([y for _, y in pairs], pa.int64())})
+    out = distributed_components(rd.from_arrow(t), small_rows=0,
+                                 n_buckets=2).to_pandas()
+    assert dict(zip(out["node"], out["component"])) == _components_map(pairs)
+
+
+def test_distributed_components_empty(ray_session):
+    t = pa.table({"id_a": pa.array([], pa.int64()),
+                  "id_b": pa.array([], pa.int64())})
+    out = distributed_components(t)
+    assert out.count() == 0
+    assert {f.name for f in out.schema().base_schema} \
+        == {"node", "component"}
 
 
 def test_ngram_jaccard():
