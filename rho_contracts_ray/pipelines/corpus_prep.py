@@ -7,7 +7,8 @@ The composite every large-scale text corpus needs, streaming throughout:
                        (vectorized regex kernels);
   3. quality filter  — drop low-quality rows (threshold);
   4. exact dedup     — keep min-id per identical text (hash groups);
-  5. near dedup      — MinHash+LSH candidate pairs, union-find clusters,
+  5. near dedup      — MinHash+LSH candidate pairs, distributed
+                       connected components (large-star/small-star),
                        drop all but the smallest id of each cluster;
   6. report          — kept/dropped counts per stage + kept id list.
 
@@ -27,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..contracts import c
-from ..stages.dedup import connected_components, minhash_dup_pairs
+from ..stages.dedup import distributed_components, minhash_dup_pairs
 from ..stages.text import text_features
 from ..validate import filter_valid
 
@@ -148,20 +149,22 @@ def _prep_from_checkpoint(good_pipe, ckpt, n_input, text_col, id_col,
                                                  pa.ChunkedArray)
                                    else drops["keep_id"]))
 
-    # 5. near-dup clusters via MinHash+LSH
+    # 5. near-dup clusters via MinHash+LSH, closed into components by the
+    # distributed large-star/small-star path — the pair set never streams
+    # to the driver; only the (node, component) dup map does, and of that
+    # only the drop list (node != component) is kept
     pairs_ds = minhash_dup_pairs(good(), text_col=text_col, id_col=id_col,
                                  threshold=near_dup_threshold)
-    # union-find over the (post-threshold, deduplicated) pair list is
-    # driver-side by design — only surviving pairs stream here
-    pair_list: list = []
-    for b in pairs_ds.select_columns(["id_a", "id_b"]).iter_batches(
-            batch_size=None, batch_format="pyarrow"):
-        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        pair_list.extend(zip(t["id_a"].to_pylist(), t["id_b"].to_pylist()))
-    clusters = connected_components(pair_list)
+    comp_ds = distributed_components(pairs_ds)
     drop_near: set = set()
-    for cl in clusters:
-        drop_near.update(cl[1:])  # keep the smallest id
+    comp_roots: set = set()
+    for b in comp_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        node = t["node"].to_numpy(zero_copy_only=False)
+        cv = t["component"].to_numpy(zero_copy_only=False)
+        drop_near.update(node[node != cv].tolist())   # keep the smallest id
+        comp_roots.update(cv.tolist())
+    n_near_clusters = len(comp_roots)
 
     dropped = drop_exact | drop_near
     # broadcast ONCE (ray.put) and binary-search per batch — a closure-
@@ -191,7 +194,7 @@ def _prep_from_checkpoint(good_pipe, ckpt, n_input, text_col, id_col,
         "dropped_low_quality_or_invalid": n_input - n_good,
         "exact_dup_groups": n_exact_groups,
         "dropped_exact_dups": len(drop_exact),
-        "near_dup_clusters": len(clusters),
+        "near_dup_clusters": n_near_clusters,
         "dropped_near_dups": len(drop_near - drop_exact),
         "kept_rows": kept_ids.num_rows,
         "kept_ids": kept_ids,
