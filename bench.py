@@ -214,7 +214,8 @@ def run_benchmarks() -> dict:
                  "window_user_seq", "salted_groupby_events",
                  "sessionize_events", "sample_documents",
                  "ngram_top20_documents", "chunk_documents",
-                 "decontam_documents", "jaccard_pairs_documents"):
+                 "decontam_documents", "jaccard_pairs_documents",
+                 "dup_clusters_documents"):
         def run(n=name):
             res = q[n](SF_DIR)
             # consume lazily-built results fully

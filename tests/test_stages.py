@@ -1086,6 +1086,46 @@ def test_bucketed_group_agg_property_random_tables(ray_session):
     finally:
         os.environ.pop("RHO_BUCKET_SPLIT_ROWS", None)
 
+def test_distributed_components_property_random_graphs(ray_session):
+    """Property: the large-star/small-star path == the driver union-find
+    on random multigraphs (self-loops, duplicate and reversed edges,
+    negative ids), across bucket counts and the oversized-split path."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n_edges=st.integers(min_value=1, max_value=250),
+        id_space=st.sampled_from([6, 40, 5000]),   # dense -> one blob,
+        # medium -> several comps, sparse -> mostly isolated pairs
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        buckets=st.sampled_from([2, 4, 8]),
+        split_rows=st.sampled_from([None, 16]),
+    )
+    def check(n_edges, id_space, seed, buckets, split_rows):
+        if split_rows is None:
+            os.environ.pop("RHO_BUCKET_SPLIT_ROWS", None)
+        else:
+            os.environ["RHO_BUCKET_SPLIT_ROWS"] = str(split_rows)
+        rng = np.random.RandomState(seed)
+        a = rng.randint(0, id_space, n_edges).astype(np.int64) \
+            - id_space // 2
+        b = rng.randint(0, id_space, n_edges).astype(np.int64) \
+            - id_space // 2
+        t = pa.table({"id_a": pa.array(a), "id_b": pa.array(b)})
+        got = distributed_components(
+            rd.from_arrow(t).repartition(3), small_rows=0,
+            n_buckets=buckets).to_pandas()
+        assert dict(zip(got["node"], got["component"])) \
+            == _components_map(list(zip(a.tolist(), b.tolist())))
+
+    import os
+
+    try:
+        check()
+    finally:
+        os.environ.pop("RHO_BUCKET_SPLIT_ROWS", None)
+
+
 def test_gif_codec_roundtrip_and_real_lzw():
     """Lib-free GIF: encode(literal-LZW)->decode roundtrip; decode of a
     REAL dictionary-growing LZW stream produced by an independent
