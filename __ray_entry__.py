@@ -433,6 +433,89 @@ def _q_revenue_filter_agg(sf_dir: str):
                      "n_rows": pa.array([n], pa.int64())})
 
 
+def _q_q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: the part-type flag table is broadcast once
+    (ray.put, zero-copy per task), each lineitem batch computes promo /
+    total revenue partials vectorized (searchsorted key lookup instead
+    of a shuffle join), and the driver folds the two doubles into the
+    promo-share ratio."""
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+    part = _collect(_read(sf_dir, "part", columns=["p_partkey", "p_type"]))
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    fl = pc.equal(part["p_type"], "PROMO").to_numpy(zero_copy_only=False)
+    o = np.argsort(pk)
+    ref = ray.put((pk[o], fl[o]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, flags = ray.get(ref)
+        keep = pc.and_(
+            pc.greater_equal(batch["l_shipdate"],
+                             pa.scalar(np.datetime64("1996-01-01", "us"))),
+            pc.less(batch["l_shipdate"],
+                    pa.scalar(np.datetime64("1997-01-01", "us"))))
+        sub = batch.filter(keep)
+        lp = sub["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rev = (sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - sub["l_discount"].to_numpy(zero_copy_only=False)))
+        if keys.size:
+            pos = np.clip(np.searchsorted(keys, lp), 0, keys.size - 1)
+            hit = keys[pos] == lp
+            promo = float(rev[hit & flags[pos]].sum())
+            total = float(rev[hit].sum())
+        else:
+            promo = total = 0.0
+        return pa.table({"promo": pa.array([promo], pa.float64()),
+                         "total": pa.array([total], pa.float64())})
+
+    t = _collect(li.map_batches(partial, batch_format="pyarrow"))
+    promo = float(pc.sum(t["promo"]).as_py() or 0.0)
+    total = float(pc.sum(t["total"]).as_py() or 0.0)
+    share = round(100.0 * promo / total, 2) if total else 0.0
+    return pa.table({"promo_share": pa.array([share], pa.float64())})
+
+
+def _q_q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape: per-batch (orderkey -> qty) partials, ONE
+    bucketed exchange for the exact totals, the HAVING filter applied
+    inside the exchange output, then two broadcast hash joins (orders,
+    customer) onto the small surviving key set.  Quantities are
+    integer-valued doubles, so the sums compare bit-equal with SQL in
+    any order."""
+    from rho_contracts_ray.stages.agg import bucketed_sum
+    from rho_contracts_ray.stages.joins import broadcast_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def part_sums(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["l_orderkey"]) \
+            .aggregate([("l_quantity", "sum")]) \
+            .rename_columns(["l_orderkey", "l_quantity"])
+
+    qty = bucketed_sum(li.map_batches(part_sums, batch_format="pyarrow"),
+                       ["l_orderkey"], ["l_quantity"])
+
+    def having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["l_quantity"], 100.0)) \
+            .rename_columns(["o_orderkey", "total_qty"])
+
+    big = qty.map_batches(having, batch_format="pyarrow")
+    orders = _collect(_read(sf_dir, "orders",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_totalprice"]))
+    cust = _collect(_read(sf_dir, "customer",
+                          columns=["c_custkey", "c_name"])) \
+        .rename_columns(["o_custkey", "c_name"])
+    joined = broadcast_join(big, orders, ["o_orderkey"])
+    return broadcast_join(joined, cust, ["o_custkey"]) \
+        .select_columns(["o_orderkey", "total_qty", "o_custkey",
+                         "o_totalprice", "c_name"])
+
+
 def _q_join_orders_customer(sf_dir: str):
     """Broadcast hash join: fact (orders) x dim (customer)."""
     from rho_contracts_ray.stages.joins import broadcast_join
@@ -1664,6 +1747,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,
         "top3_orders_per_status": _q_top3_orders_per_status,
         "text_quality_documents": _q_text_quality_documents,
+        "q14_promo_revenue": _q_q14_promo_revenue,
+        "q18_large_orders": _q_q18_large_orders,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -2129,6 +2214,26 @@ def oracle_sql() -> dict[str, str]:
             "AND l_returnflag = 'R' "
             "GROUP BY c_custkey, c_name, n_name) "
             "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "q14_promo_revenue": (
+            "SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO' THEN "
+            "l.l_extendedprice * (1 - l.l_discount) ELSE 0 END) "
+            "/ sum(l.l_extendedprice * (1 - l.l_discount)), 2) "
+            "AS promo_share "
+            "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+            "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l.l_shipdate < TIMESTAMP '1997-01-01'"
+        ),
+        "q18_large_orders": (
+            # quantities are integer-valued doubles: sums are exact in
+            # any order, so total_qty compares bit-equal
+            "SELECT l.l_orderkey AS o_orderkey, "
+            "sum(l.l_quantity) AS total_qty, o.o_custkey, o.o_totalprice, "
+            "c.c_name "
+            "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+            "JOIN customer c ON c.c_custkey = o.o_custkey "
+            "GROUP BY l.l_orderkey, o.o_custkey, o.o_totalprice, c.c_name "
+            "HAVING sum(l.l_quantity) > 100"
         ),
         "ks_exact_events": (
             "WITH m AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 "
