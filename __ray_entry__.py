@@ -200,6 +200,20 @@ def _q_fk_lineitem_orders(sf_dir: str):
                                         ("cnt", pa.int64())]))
 
 
+def _q_fk_shuffle_events_customer(sf_dir: str):
+    """The both-sides-large FK strategy (bucketed anti-join of distinct-
+    key partials, nothing broadcast) on the one child/dim pair with real
+    violations — same oracle shape as the broadcast path."""
+    from rho_contracts_ray.constraints import fk_violations
+
+    out = fk_violations(
+        _read(sf_dir, "events", columns=["user_id"]), ["user_id"],
+        _read(sf_dir, "customer", columns=["c_custkey"]), ["c_custkey"],
+        strategy="shuffle")
+    return _with_schema(out, pa.schema([("user_id", pa.int64()),
+                                        ("cnt", pa.int64())]))
+
+
 def _q_fk_events_customer(sf_dir: str):
     from rho_contracts_ray.constraints import fk_violations
 
@@ -1709,6 +1723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique_orders_custkey": _q_unique_orders_custkey,
         "unique_lineitem_pk": _q_unique_lineitem_pk,
         "fk_lineitem_orders": _q_fk_lineitem_orders,
+        "fk_shuffle_events_customer": _q_fk_shuffle_events_customer,
         "fk_events_customer": _q_fk_events_customer,
         "column_stats_lineitem": _q_column_stats_lineitem,
         "sha256_documents": _q_sha256_documents,
@@ -1950,6 +1965,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL) GROUP BY 1"
         ),
         "fk_events_customer": (
+            "SELECT user_id, count(*) AS cnt FROM events "
+            "WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL) GROUP BY 1"
+        ),
+        "fk_shuffle_events_customer": (
             "SELECT user_id, count(*) AS cnt FROM events "
             "WHERE user_id IS NOT NULL AND user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL) GROUP BY 1"
         ),

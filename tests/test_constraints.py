@@ -107,6 +107,41 @@ def test_fk_no_violations(lineitem, orders):
     assert v.num_rows == 0
 
 
+def test_fk_shuffle_strategy_matches_broadcast(ray_session):
+    """Both-sides-large anti-join == broadcast membership test, on string
+    keys (combine-key routing) and int keys, with planted dangling keys
+    and null child keys."""
+    import ray.data as rd
+
+    from rho_contracts_ray.constraints.foreign_key import fk_violations
+
+    t = make_repo_files_table(20_000, seed=42)
+    dims = repos_dim_table()
+
+    def run(strategy):
+        out = fk_violations(rd.from_arrow(t).repartition(6), ["repo"],
+                            rd.from_arrow(dims), ["repo"],
+                            strategy=strategy)
+        df = out.to_pandas().sort_values("repo").reset_index(drop=True)
+        return df
+
+    b, s = run("broadcast"), run("shuffle")
+    assert b.equals(s)
+    assert "org_999/repo_999" in set(s["repo"])
+
+    # int keys, dangling values planted on the child side
+    child = pa.table({"k": pa.array([1, 2, 2, 3, 99, 99, None], pa.int64())})
+    dim = pa.table({"k": pa.array([1, 2, 3, None], pa.int64())})
+    got = fk_violations(rd.from_arrow(child), ["k"], rd.from_arrow(dim),
+                        ["k"], strategy="shuffle").to_pandas()
+    assert got.set_index("k")["cnt"].to_dict() == {99: 2}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        fk_violations(rd.from_arrow(child), ["k"], rd.from_arrow(dim),
+                      ["k"], strategy="bogus")
+
+
 def test_column_stats_vs_duckdb(lineitem):
     stats = column_stats_table(lineitem, ["l_quantity", "l_extendedprice",
                                           "l_returnflag"])
