@@ -260,6 +260,17 @@ def test_distributed_components_oversized_split(ray_session, monkeypatch):
     assert dict(zip(out["node"], out["component"])) == _components_map(pairs)
 
 
+def test_distributed_components_round_cutoff_fails_loud(ray_session):
+    # a 30-chain needs several star rounds; a 1-round cutoff must raise,
+    # not return a partial (wrong) clustering
+    pairs = [(i, i + 1) for i in range(30)]
+    t = pa.table({"id_a": pa.array([x for x, _ in pairs], pa.int64()),
+                  "id_b": pa.array([y for _, y in pairs], pa.int64())})
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        distributed_components(rd.from_arrow(t), small_rows=0,
+                               n_buckets=2, max_rounds=1)
+
+
 def test_distributed_components_empty(ray_session):
     t = pa.table({"id_a": pa.array([], pa.int64()),
                   "id_b": pa.array([], pa.int64())})
