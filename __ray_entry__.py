@@ -1035,6 +1035,20 @@ def _q_knn_ivf_embeddings(sf_dir: str):
         .select(["query_id", "rank", "vec_id"])
 
 
+def _q_knn_ivf_pq_embeddings(sf_dir: str):
+    """IVF-PQ (quantized-residual ADC) top-5.  Scores are lossy by
+    construction, so this is a rows-only check (deterministic: seeded
+    k-means on a deterministic sample, partition-independent merge);
+    pytest holds it to >=0.6 recall vs the exact answer and asserts
+    byte-identical output across repartitionings."""
+    from rho_contracts_ray.stages import knn_ivf_pq
+
+    q = _smallest_vec_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivf_pq(ds, q, k=5, n_clusters=8, nprobe=4, m_sub=8) \
+        .select(["query_id", "rank", "vec_id"])
+
+
 def _q_embedding_dup_pairs(sf_dir: str):
     from rho_contracts_ray.stages import embedding_dup_pairs
 
@@ -1774,6 +1788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_real_decode": _q_media_real_decode,
         "corpus_prep_documents": _q_corpus_prep,
         "pack_sequences_documents": _q_pack_sequences,
+        "knn_ivf_pq_embeddings": _q_knn_ivf_pq_embeddings,
     }
 
 

@@ -11,7 +11,9 @@ from .dedup import (  # noqa: F401
     simhash64, simhash_dup_pairs, ngram_jaccard, jaccard_dup_pairs,
     connected_components, distributed_components,
 )
-from .ann import knn_brute_force, knn_ivf, embedding_dup_pairs  # noqa: F401
+from .ann import (  # noqa: F401
+    knn_brute_force, knn_ivf, knn_ivf_pq, embedding_dup_pairs,
+)
 from .multimodal import (  # noqa: F401
     AudioFeaturesStage, DecodeImageStage, FrameSampleStage,
     ResizeImageStage, decode_bmp, decode_images, decode_wav, encode_bmp,

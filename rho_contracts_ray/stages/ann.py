@@ -215,6 +215,157 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     return _merge_topk(partials, k)
 
 
+def _kmeans_l2(x: np.ndarray, n_clusters: int, iters: int = 12,
+               seed: int = 42) -> np.ndarray:
+    """Plain L2 k-means (PQ codebooks quantize residual VECTORS, where
+    cosine assignment is meaningless)."""
+    rng = np.random.default_rng(seed)
+    n = min(n_clusters, x.shape[0])
+    cent = x[rng.choice(x.shape[0], size=n, replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(n):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+class _IVFPQStage:
+    """IVFADC scorer (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011 — public): vectors coarse-assign to a
+    probed centroid, residuals encode to m uint8 codes, and each probing
+    query scores them through its precomputed (m, 256) distance lookup
+    table — O(m) per vector instead of O(dim).  At corpus scale the
+    codes are what an index stores: dim*4 bytes -> m bytes per vector."""
+
+    def __init__(self, state_ref, k: int, emb_col: str, id_col: str):
+        import ray
+
+        # one object-store fetch per worker: (centroids, codebooks,
+        # per-query probe lists, per-(query,centroid) LUTs)
+        self.cent, self.codebooks, self.probes, self.luts = \
+            ray.get(state_ref[0])
+        self.k = k
+        self.emb_col = emb_col
+        self.id_col = id_col
+        self.m = len(self.codebooks)
+        probed = set()
+        for p in self.probes:
+            probed.update(p.tolist())
+        self.probed = np.array(sorted(probed), np.int64)
+
+    def _empty(self) -> pa.Table:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float32())})
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._empty()
+        v = _normalize(_batch_matrix(batch, self.emb_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        assign = np.argmax(v @ _normalize(self.cent).T, axis=1)
+        keep = np.isin(assign, self.probed)
+        if not keep.any():
+            return self._empty()
+        v, ids, assign = v[keep], ids[keep], assign[keep]
+        resid = v - self.cent[assign]
+        # encode: per sub-block argmin ||r_s - codebook_s||^2, vectorized
+        # via the dot-product expansion (codebook norms precomputable but
+        # tiny here)
+        sub = np.stack(np.split(resid, self.m, axis=1))   # (m, rows, d/m)
+        codes = np.empty((ids.size, self.m), np.int64)
+        for s in range(self.m):
+            cb = self.codebooks[s]                        # (256, d/m)
+            d = (sub[s] ** 2).sum(1)[:, None] \
+                - 2.0 * (sub[s] @ cb.T) + (cb ** 2).sum(1)[None, :]
+            codes[:, s] = np.argmin(d, axis=1)
+        qid, vid, sc = [], [], []
+        for qi, probe in enumerate(self.probes):
+            cand_ids, cand_sc = [], []
+            for c in probe:
+                rows = np.flatnonzero(assign == c)
+                if rows.size == 0:
+                    continue
+                lut = self.luts[(qi, int(c))]             # (m, 256)
+                d2 = lut[np.arange(self.m)[None, :],
+                         codes[rows]].sum(axis=1)
+                cand_ids.append(ids[rows])
+                cand_sc.append(1.0 - d2 / 2.0)            # approx cosine
+            if not cand_ids:
+                continue
+            ci = np.concatenate(cand_ids)
+            cs = np.concatenate(cand_sc).astype(np.float32)
+            k = min(self.k, ci.size)
+            if k < ci.size:
+                kth = cs[np.argpartition(-cs, k - 1)[:k]].min()
+                m = cs >= kth
+                ci, cs = ci[m], cs[m]
+            sel = np.lexsort((ci, -cs))[:k]
+            qid.extend([qi] * sel.size)
+            vid.extend(ci[sel].tolist())
+            sc.extend(cs[sel].tolist())
+        return pa.table({"query_id": pa.array(qid, pa.int64()),
+                         "vec_id": pa.array(vid, pa.int64()),
+                         "score": pa.array(sc, pa.float32())})
+
+
+def knn_ivf_pq(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+               nprobe: int = 4, m_sub: int = 8, n_codes: int = 256,
+               sample_size: int = 2000, emb_col: str = "embedding",
+               id_col: str = "vec_id", seed: int = 42,
+               concurrency=None) -> pa.Table:
+    """IVF-PQ approximate top-k: coarse centroids + per-sub-block residual
+    codebooks trained on a seeded sample (driver), one broadcast state
+    blob, then a single streaming pass scoring codes through per-query
+    ADC lookup tables.  Scores are approximate (quantized) cosines;
+    output contract matches knn_brute_force / knn_ivf."""
+    import ray
+
+    from ..validate import stateless_stage
+
+    sample = ds.limit(sample_size)
+    parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in sample.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")]
+    x = _normalize(np.concatenate([_batch_matrix(t, emb_col)
+                                   for t in parts]))
+    dim = x.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"knn_ivf_pq: dim {dim} not divisible by "
+                         f"m_sub={m_sub}")
+    cent = _kmeans(x, n_clusters, seed=seed).astype(np.float32)
+    assign = np.argmax(x @ _normalize(cent).T, axis=1)
+    resid = x - cent[assign]
+    codebooks = [
+        _kmeans_l2(r, n_codes, seed=seed + 1 + s).astype(np.float32)
+        for s, r in enumerate(np.split(resid, m_sub, axis=1))]
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe_scores = q @ _normalize(cent).T
+    probes = [np.sort(np.argsort(-probe_scores[qi])[:nprobe])
+              for qi in range(q.shape[0])]
+    # ADC tables: ||q_s - cent[c]_s - cb_s[j]||^2 per (query, centroid)
+    luts = {}
+    for qi in range(q.shape[0]):
+        for c in probes[qi]:
+            qr = np.split(q[qi] - cent[c], m_sub)
+            luts[(qi, int(c))] = np.stack([
+                ((qr[s][None, :] - codebooks[s]) ** 2).sum(axis=1)
+                for s in range(m_sub)]).astype(np.float32)
+
+    state_ref = ray.put((cent, codebooks, probes, luts))
+    partials = ds.map_batches(
+        stateless_stage(_IVFPQStage, state_ref=[state_ref], k=k,
+                        emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
+    return _merge_topk(partials, k)
+
+
 def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
                         emb_col: str = "embedding", id_col: str = "vec_id",
                         seed: int = 42, max_bucket: int = 500):

@@ -395,6 +395,39 @@ def test_knn_ivf_recall(ray_session, embeddings):
         assert ivf_q.sort_by("rank")["vec_id"][0].as_py() == top_bf
 
 
+def test_knn_ivf_pq_recall_and_determinism(ray_session, embeddings):
+    """ADC scores are quantized, so PQ is tested on RECALL against the
+    exact answer (not score equality), plus partition-independence."""
+    from rho_contracts_ray.stages import knn_ivf_pq
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    emb = np.stack([np.asarray(v, dtype=np.float32)
+                    for v in embeddings["embedding"].to_pylist()])
+    queries = emb[:5]
+    k = 10
+    bf = knn_brute_force(ds, queries, k=k)
+    pq_out = knn_ivf_pq(ds, queries, k=k, n_clusters=8, nprobe=4, m_sub=8)
+    hits = total = 0
+    for qi in range(5):
+        want = set(bf.filter(pa.compute.equal(bf["query_id"], qi))
+                   ["vec_id"].to_pylist())
+        got = set(pq_out.filter(pa.compute.equal(pq_out["query_id"], qi))
+                  ["vec_id"].to_pylist())
+        # the query's own vector has residual ~0: it must be retrieved
+        assert int(embeddings["vec_id"][qi].as_py()) in got
+        hits += len(want & got)
+        total += len(want)
+    assert hits / total >= 0.6, hits / total
+
+    # identical output under a different partitioning
+    pq2 = knn_ivf_pq(rd.read_parquet(f"{SF}/embeddings.parquet")
+                     .repartition(7), queries, k=k,
+                     n_clusters=8, nprobe=4, m_sub=8)
+    assert pq_out.sort_by([("query_id", "ascending"), ("rank", "ascending")]) \
+        .equals(pq2.sort_by([("query_id", "ascending"),
+                             ("rank", "ascending")]))
+
+
 def test_knn_oracle_margins_sf001(ray_session):
     """Gate conditions behind the knn / embedding_dup_pairs DuckDB oracles
     at the driver's sf0.01 scale: (a) every top-5 rank boundary has a
