@@ -1049,6 +1049,18 @@ def _q_knn_ivf_pq_embeddings(sf_dir: str):
         .select(["query_id", "rank", "vec_id"])
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HLL grouped approximate count-distinct (rows-only: the estimate is
+    deterministic — stable hashes, order-free register max, asserted
+    byte-identical across repartitionings in pytest — but quantized, so
+    no SQL oracle can hash-match it; the EXACT counterpart
+    `distinct_users_by_type` is oracled)."""
+    from rho_contracts_ray.stages import group_approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return group_approx_distinct(ds, "event_type", "user_id", p=12)
+
+
 def _q_embedding_dup_pairs(sf_dir: str):
     from rho_contracts_ray.stages import embedding_dup_pairs
 
@@ -1789,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep_documents": _q_corpus_prep,
         "pack_sequences_documents": _q_pack_sequences,
         "knn_ivf_pq_embeddings": _q_knn_ivf_pq_embeddings,
+        "approx_distinct_users_by_type": _q_approx_distinct_users,
     }
 
 

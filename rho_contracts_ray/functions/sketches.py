@@ -232,3 +232,53 @@ class HyperLogLog:
         h = cls(b[0])
         h.registers = np.frombuffer(b[1:], dtype=np.uint8).copy()
         return h
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over stable 64-bit hashes (Bloom 1970,
+    public).  k index functions derive from one 64-bit hash by double
+    hashing (Kirsch & Mitzenmacher 2006): g_i = h_lo + i*h_hi mod nbits —
+    no per-item rehash.  Bits pack 8/byte, so a 10^9-item holdout at 1%
+    FPR is ~1.2 GB broadcast instead of the 8 GB exact hash set; the
+    trade is one-sided error (false POSITIVES only — a membership test
+    never misses a real member)."""
+
+    def __init__(self, n_items: int, fpr: float = 0.01):
+        # standard sizing: nbits = -n ln(fpr) / ln(2)^2, k = nbits/n ln 2
+        n_items = max(1, int(n_items))
+        nbits = int(-n_items * math.log(fpr) / (math.log(2) ** 2)) + 1
+        self.nbits = 1 << max(8, (nbits - 1).bit_length())  # pow2 -> mask
+        self.k = max(1, round(self.nbits / n_items * math.log(2)))
+        self.bits = np.zeros(self.nbits >> 3, np.uint8)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        """(len(h), k) bit positions."""
+        h = np.asarray(h, np.uint64)
+        lo = h & np.uint64(0xFFFFFFFF)
+        hi = h >> np.uint64(32)
+        i = np.arange(self.k, dtype=np.uint64)
+        return (lo[:, None] + i[None, :] * hi[:, None]) \
+            & np.uint64(self.nbits - 1)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if len(h) == 0:
+            return
+        pos = self._positions(h).reshape(-1)
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(np.uint8(1),
+                                       (pos & np.uint64(7)).astype(np.uint8)))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Boolean mask; no false negatives."""
+        if len(h) == 0:
+            return np.zeros(0, bool)
+        pos = self._positions(h)
+        byte = self.bits[(pos >> np.uint64(3)).astype(np.int64)]
+        bit = np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+        return ((byte & bit) != 0).all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (self.nbits, self.k) != (other.nbits, other.k):
+            raise ValueError("BloomFilter merge: incompatible parameters")
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        return self

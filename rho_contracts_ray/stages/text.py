@@ -360,7 +360,8 @@ def ngram_top_k(ds, n: int = 2, k: int = 20, text_col: str = "text",
 
 def decontaminate_ngrams(train_ds, holdout_ds, n: int = 3,
                          min_shared: int = 1, text_col: str = "text",
-                         id_col: str = "doc_id", sep: str = " "):
+                         id_col: str = "doc_id", sep: str = " ",
+                         method: str = "exact", bloom_fpr: float = 0.01):
     """Training-set decontamination: flag train docs sharing >= min_shared
     DISTINCT word n-grams with the holdout set ->
     Dataset[doc_id, n_shared].
@@ -375,7 +376,15 @@ def decontaminate_ngrams(train_ds, holdout_ds, n: int = 3,
     counts; hashing stands in for gram strings with the usual
     ~(#grams)^2/2^65 collision caveat.  All per-batch steps are Arrow/
     numpy kernels (gram_arrays + lexsort dedup + searchsorted + bincount);
-    no Python loop over docs."""
+    no Python loop over docs.
+
+    `method="bloom"` swaps the exact hash set for a Bloom filter sized at
+    `bloom_fpr` (functions.sketches.BloomFilter): ~1.2 GB broadcast per
+    10^9 holdout grams instead of 8 GB, at the cost of one-sided error —
+    per-doc overlap counts may OVERCOUNT by ~fpr x doc grams (never
+    undercount), so every truly contaminated doc is still flagged.  Use
+    it when the holdout gram set itself is too big to broadcast exactly;
+    keep a slightly raised `min_shared` to absorb the false-positive rate."""
     import ray
 
     from ..functions.hashing import stable_hash64
@@ -408,17 +417,40 @@ def decontaminate_ngrams(train_ds, holdout_ds, n: int = 3,
         parts.append(t["gh"].to_numpy(zero_copy_only=False).astype(np.uint64))
     hold = np.unique(np.concatenate(parts)) if parts \
         else np.empty(0, np.uint64)
-    ref = ray.put(hold)   # sorted — workers binary-search it zero-copy
+    if method == "bloom":
+        from ..functions.sketches import BloomFilter
+
+        bf = BloomFilter(hold.size, fpr=bloom_fpr)
+        bf.add_hashes(hold)
+        ref = ray.put((bf.nbits, bf.k, bf.bits))
+    elif method == "exact":
+        ref = ray.put(hold)   # sorted — workers binary-search it zero-copy
+    else:
+        raise ValueError(f"decontaminate_ngrams: unknown method={method!r} "
+                         "(supported: exact, bloom)")
 
     # 2. per-doc distinct-overlap count over the train stream (zero-copy
     # broadcast read per task)
     def overlap(batch: pa.Table) -> pa.Table:
-        hs = ray.get(ref)
         di, g = _doc_distinct(batch)
-        if g.size and hs.size:
-            pos = np.clip(np.searchsorted(hs, g), 0, hs.size - 1)
-            hit = hs[pos] == g
-            shared = np.bincount(di[hit], minlength=batch.num_rows)
+        if method == "bloom":
+            from ..functions.sketches import BloomFilter
+
+            nbits, kk, bits = ray.get(ref)
+            bf = BloomFilter.__new__(BloomFilter)
+            bf.nbits, bf.k, bf.bits = nbits, kk, bits
+            hit = bf.contains_hashes(g) if g.size else \
+                np.zeros(0, bool)
+            shared = np.bincount(di[hit], minlength=batch.num_rows) \
+                if g.size else np.zeros(batch.num_rows, np.int64)
+        elif g.size:
+            hs = ray.get(ref)
+            if hs.size:
+                pos = np.clip(np.searchsorted(hs, g), 0, hs.size - 1)
+                hit = hs[pos] == g
+                shared = np.bincount(di[hit], minlength=batch.num_rows)
+            else:
+                shared = np.zeros(batch.num_rows, np.int64)
         else:
             shared = np.zeros(batch.num_rows, np.int64)
         m = shared >= min_shared

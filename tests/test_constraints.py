@@ -258,3 +258,28 @@ def test_numeric_and_categorical_drift_on_datasets(ray_session):
         rd.from_arrow(make_repo_files_table(20_000, seed=42, epoch=2,
                                             violation_rate=0)), "lang")
     assert c.drifted
+
+
+def test_bloom_filter_one_sided_error():
+    from rho_contracts_ray.functions.hashing import stable_hash64
+    from rho_contracts_ray.functions.sketches import BloomFilter
+
+    n = 40_000
+    members = stable_hash64(pa.array([f"in_{i}" for i in range(n)]))
+    others = stable_hash64(pa.array([f"out_{i}" for i in range(n)]))
+    bf = BloomFilter(n, fpr=0.01)
+    bf.add_hashes(members)
+    # no false negatives, ever
+    assert bf.contains_hashes(members).all()
+    # false-positive rate near the sizing target (pow2 rounding of nbits
+    # can only LOWER it; allow 3x headroom for hash quirks)
+    fpr = bf.contains_hashes(others).mean()
+    assert fpr <= 0.03, fpr
+    # mergeability: union of two filters == filter of the union
+    b1, b2 = BloomFilter(n, fpr=0.01), BloomFilter(n, fpr=0.01)
+    b1.add_hashes(members[: n // 2])
+    b2.add_hashes(members[n // 2:])
+    b1.merge(b2)
+    assert np.array_equal(b1.bits, bf.bits)
+    # empty filter rejects everything
+    assert not BloomFilter(10).contains_hashes(members).any()

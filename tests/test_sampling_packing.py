@@ -369,3 +369,33 @@ def test_bucketed_reduce_refs_fanin_path(ray_session, monkeypatch):
         ref_hot, distagg.hot_keys(ds, "bkey", min_count=3, n_buckets=16))
     assert ref_rows == sorted(distagg.bucketed_reduce(
         ds, "bkey", lambda t: t.num_rows, n_buckets=16))
+
+
+def test_decontaminate_bloom_superset_of_exact(ray_session):
+    """Bloom decontamination has one-sided error: per-doc counts may
+    overcount by ~fpr x grams but NEVER undercount — every doc the exact
+    method flags must be flagged with n_shared >= the exact count."""
+    from rho_contracts_ray.stages import decontaminate_ngrams, hash_sample
+
+    def _docs():
+        return rd.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    hold = hash_sample(_docs(), "doc_id", threshold=429496729)
+    exact = _collect(decontaminate_ngrams(_docs(), hold, n=3, min_shared=3))
+    hold2 = hash_sample(_docs(), "doc_id", threshold=429496729)
+    bloom = _collect(decontaminate_ngrams(_docs(), hold2, n=3, min_shared=3,
+                                          method="bloom", bloom_fpr=0.01))
+    ex = dict(zip(exact["doc_id"].to_pylist(),
+                  exact["n_shared"].to_pylist()))
+    bl = dict(zip(bloom["doc_id"].to_pylist(),
+                  bloom["n_shared"].to_pylist()))
+    assert exact.num_rows > 0
+    assert set(ex) <= set(bl)
+    for d, n_ex in ex.items():
+        assert bl[d] >= n_ex, (d, n_ex, bl[d])
+    # and the overcount is bounded: bloom should not flag wildly more
+    assert len(bl) <= 3 * len(ex) + 20, (len(ex), len(bl))
+
+    with pytest.raises(ValueError):
+        decontaminate_ngrams(_docs(), hold2, method="sketchy")

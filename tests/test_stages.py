@@ -1426,3 +1426,35 @@ def test_jpeg_chroma_subsampling_and_grayscale_decode():
     got = decode_jpeg(encode_jpeg(px))
     assert np.abs(got[..., 0].astype(int) - 200).max() <= 2
     assert got[..., 1].max() <= 2 and got[..., 2].max() <= 2
+
+
+def test_group_approx_distinct_accuracy_and_determinism(ray_session):
+    """HLL grouped count-distinct: within the p=12 error band of the
+    exact answer per key, byte-identical across repartitionings, and
+    null-val rows ignored (SQL COUNT(DISTINCT) semantics)."""
+    from rho_contracts_ray.stages import group_approx_distinct
+
+    rng = np.random.RandomState(7)
+    true = {"a": 40, "b": 700, "c": 6000, "d": 1}
+    ks, vs = [], []
+    for k, n in true.items():
+        draw = rng.randint(0, n, size=n * 3)  # repeats: distinct <= n
+        true[k] = len(np.unique(draw))
+        ks.extend([k] * draw.size)
+        vs.extend((f"{k}:{v}" for v in draw))
+    ks.append("a")
+    vs.append(None)  # null val must not count
+    t = pa.table({"k": pa.array(ks), "v": pa.array(vs, pa.string())})
+
+    out = group_approx_distinct(rd.from_arrow(t).repartition(5), "k", "v",
+                                p=12)
+    got = {r["k"]: r["approx_distinct"]
+           for r in out.take_all()}
+    assert set(got) == set(true)
+    for k, n in true.items():
+        assert abs(got[k] - n) / n <= 0.06, (k, n, got[k])
+
+    out2 = group_approx_distinct(rd.from_arrow(t).repartition(11), "k", "v",
+                                 p=12)
+    got2 = {r["k"]: r["approx_distinct"] for r in out2.take_all()}
+    assert got == got2   # bit-identical: register max is order-free
