@@ -27,7 +27,11 @@ def main(argv=None) -> int:
 
     ps = sub.add_parser("suite", help="run the full validation suite")
     ps.add_argument("--input", required=True,
-                    help="parquet directory of (repo,path,commit,lang,content)")
+                    help="directory of (repo,path,commit,lang,content) — "
+                         "parquet, .jsonl or .csv (format sniffed from "
+                         "extensions; checkpointed --ckpt mode is "
+                         "parquet-only, its per-fragment lineage needs "
+                         "row-group metadata)")
     ps.add_argument("--out", default=None)
     ps.add_argument("--ckpt", default=None,
                     help="checkpoint dir: enables resumable partitioned mode")

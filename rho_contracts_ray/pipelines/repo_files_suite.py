@@ -463,9 +463,9 @@ def run_suite(input_path, out_dir: Optional[str] = None,
 
     t0 = time.monotonic()
     if isinstance(input_path, (str, list)):
-        from ..sources import clean_read_parquet
+        from ..sources import read_table
 
-        ds = clean_read_parquet(input_path)
+        ds = read_table(input_path)
     else:
         ds = input_path
     contract = repo_contract(strict=strict)

@@ -52,3 +52,68 @@ def ensure_empty_dir(path: str) -> None:
             f"checkpoint dir {path!r} is not empty — pass a fresh "
             f"directory (write_parquet appends; a reused dir would "
             f"silently duplicate rows)")
+
+
+def read_table(path, columns=None, format=None, **kwargs):
+    """Format-dispatching reader: parquet (default), JSONL, or CSV ->
+    ray.data.Dataset.
+
+    `format` in {"parquet", "json", "csv"}; when None it is sniffed from
+    the file extensions under `path` (.parquet / .json/.jsonl/.ndjson /
+    .csv — a mixed directory raises rather than guessing).  Parquet goes
+    through `clean_read_parquet` (schema-metadata strip + footer row
+    counts + column pruning at the read).  JSONL/CSV have no column
+    statistics or row-group pruning — they exist so a suite can ingest a
+    raw export once; for repeated scans convert to parquet (the judge-
+    facing pipelines all assume columnar input).  `columns` projects
+    immediately after the read for the row-based formats (Arrow's JSON
+    and CSV readers still parse whole lines — true pruning needs
+    parquet)."""
+    import os
+
+    import ray.data as rd
+
+    _EXT = {".parquet": "parquet", ".json": "json", ".jsonl": "json",
+            ".ndjson": "json", ".csv": "csv"}
+    if format is None:
+        paths = [path] if isinstance(path, str) else list(path)
+        seen = set()
+        for p in paths:
+            if os.path.isdir(p):
+                for f in os.listdir(p):
+                    e = os.path.splitext(f)[1].lower()
+                    if e in _EXT:
+                        seen.add(_EXT[e])
+            else:
+                e = os.path.splitext(p)[1].lower()
+                if e in _EXT:
+                    seen.add(_EXT[e])
+        if len(seen) != 1:
+            raise ValueError(
+                f"read_table: cannot infer format from {path!r} "
+                f"(found {sorted(seen) or 'no known extensions'}); pass "
+                f"format='parquet'|'json'|'csv'")
+        format = seen.pop()
+    if format == "parquet":
+        return clean_read_parquet(path, columns=columns, **kwargs)
+    if format == "json":
+        ds = rd.read_json(path, **kwargs)
+    elif format == "csv":
+        # CSV cannot represent null vs "" distinctly: pyarrow's write_csv
+        # encodes null as the empty field, but its reader DEFAULTS to
+        # reading "" back as "" (strings_can_be_null=False), silently
+        # turning every null into a value that PASSES c.string — wrong
+        # verdicts for a validation engine.  Default to the faithful
+        # inverse of the writer (empty field -> null); callers with
+        # meaningful empty strings can pass their own convert_options.
+        if "convert_options" not in kwargs:
+            from pyarrow import csv as pacsv
+
+            kwargs["convert_options"] = pacsv.ConvertOptions(
+                strings_can_be_null=True)
+        ds = rd.read_csv(path, **kwargs)
+    else:
+        raise ValueError(f"read_table: unknown format {format!r}")
+    if columns:
+        ds = ds.select_columns(list(columns))
+    return ds

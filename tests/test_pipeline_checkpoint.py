@@ -150,3 +150,35 @@ def test_cli_query_subcommand(tmp_path):
         [sys.executable, "-m", "rho_contracts_ray", "query", "nope"],
         capture_output=True, env=env, timeout=120, cwd=str(tmp_path))
     assert r.returncode == 2
+
+
+def test_suite_reads_jsonl_and_csv(ray_session, corpus, tmp_path):
+    """read_table format dispatch: the SAME corpus exported as .jsonl and
+    .csv yields identical suite totals to the parquet run (sha rollup is
+    the whole-content invariant, so byte-level drift would show)."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+
+    from rho_contracts_ray.sources import read_table
+
+    t = pa.concat_tables([pq.read_table(f) for f in corpus])
+    jdir, cdir = tmp_path / "jsonl", tmp_path / "csv"
+    jdir.mkdir(), cdir.mkdir()
+    with open(jdir / "corpus.jsonl", "w") as f:
+        for row in t.to_pylist():
+            f.write(json.dumps(row) + "\n")
+    pacsv.write_csv(t, str(cdir / "corpus.csv"))
+
+    want = run_suite(corpus)
+    for d in (str(jdir), str(cdir)):
+        s = run_suite(d)
+        assert s["rows"] == want["rows"]
+        assert s["contract_violations"] == want["contract_violations"]
+        assert s["duplicate_keys"] == want["duplicate_keys"]
+        assert s["fk_dangling_repo"] == want["fk_dangling_repo"]
+        assert sorted(s["sha256_rollup"]) == sorted(want["sha256_rollup"])
+
+    # mixed-format directory refuses rather than guessing
+    (jdir / "stray.csv").write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="cannot infer format"):
+        read_table(str(jdir))
