@@ -1548,6 +1548,47 @@ def _q_cumsum_events_user(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "running_cents"])
 
 
+def _q_rolling_events_user(sf_dir: str):
+    """Per-user 5-row moving sum/min/max/count of event value in cents
+    (int64-exact so the SQL window oracle hash-matches): AGG OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING
+    AND CURRENT ROW) via the bucketed window_rolling — one exchange, one
+    Arrow sort + k shifted numpy passes per bucket."""
+    from rho_contracts_ray.stages.joins import window_rolling
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return batch.drop_columns(["value"]).append_column("value_cents", c)
+
+    out = window_rolling(ds.map_batches(cents, batch_format="pyarrow"),
+                         "user_id", ["ts", "event_id"], "value_cents",
+                         k=5, aggs=("sum", "min", "max", "count"))
+    return out.select_columns(["event_id", "user_id", "wsum", "wmin",
+                               "wmax", "wcount"])
+
+
+def _q_rank_events_user(sf_dir: str):
+    """Ranking windows with real ties: rank / dense_rank / percent_rank /
+    cume_dist of each event's cents value within its user (ties share a
+    rank, so no tiebreaker column is needed for determinism).  The float
+    columns are single divisions of exact ints — bit-identical to SQL."""
+    from rho_contracts_ray.stages.joins import window_rank
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return batch.drop_columns(["value"]).append_column("value_cents", c)
+
+    out = window_rank(ds.map_batches(cents, batch_format="pyarrow"),
+                      "user_id", ["value_cents"])
+    return out.select_columns(["event_id", "user_id", "rank", "dense_rank",
+                               "percent_rank", "cume_dist"])
+
+
 def _q_order_stats_by_status(sf_dir: str):
     """Multi-aggregate GROUP BY via ONE bucketed exchange: sum (exact
     int64 cents) / min / max / count of order totalprice per status."""
@@ -1731,6 +1772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters_documents": _q_dup_clusters,
         "q4_order_priority": _q_q4_order_priority,
         "cumsum_events_user": _q_cumsum_events_user,
+        "rolling_events_user": _q_rolling_events_user,
+        "rank_events_user": _q_rank_events_user,
         "order_stats_by_status": _q_order_stats_by_status,
         "collect_event_types": _q_collect_event_types,
         "q10_returned_revenue": _q_q10_returned_revenue,
@@ -2236,6 +2279,24 @@ def oracle_sql() -> dict[str, str]:
             "sum(CAST(round(value * 100) AS BIGINT)) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS running_cents FROM events"
+        ),
+        "rank_events_user": (
+            "SELECT event_id, user_id, rank() OVER w AS rank, "
+            "dense_rank() OVER w AS dense_rank, "
+            "percent_rank() OVER w AS percent_rank, "
+            "cume_dist() OVER w AS cume_dist FROM "
+            "(SELECT event_id, user_id, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events) "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY c)"
+        ),
+        "rolling_events_user": (
+            "SELECT event_id, user_id, "
+            "sum(c) OVER w AS wsum, min(c) OVER w AS wmin, "
+            "max(c) OVER w AS wmax, count(c) OVER w AS wcount FROM "
+            "(SELECT event_id, ts, user_id, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events) "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)"
         ),
         "order_stats_by_status": (
             "SELECT o_orderstatus, "

@@ -696,3 +696,178 @@ def window_cumsum(ds, key: str, order_by: Sequence[str], value: str,
 
     return bucketed_apply(ds, [key], cum,
                           lambda: _empty_out(ds, cum))
+
+
+def window_rolling(ds, key: str, order_by: Sequence[str], value: str,
+                   k: int, aggs: Sequence[str] = ("sum", "avg"),
+                   prefix: str = "w"):
+    """Per-key bounded-frame moving aggregates — SQL
+    AGG(value) OVER (PARTITION BY key ORDER BY order_by
+    ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW) for agg in
+    sum/avg/min/max/count -> input columns + {prefix}sum/{prefix}avg/...
+
+    Scale shape: one bucketed exchange by key; the bucket body is ONE
+    Arrow sort plus k shifted-array passes over the whole bucket
+    (each pass a numpy where/accumulate — no per-group or per-row
+    Python), so work is O(k x rows).  k is a FRAME length (a handful of
+    rows), not a group size — for unbounded frames use window_cumsum.
+    Null handling matches SQL aggregates: null (and NaN, mirroring
+    window_cumsum's convention) rows contribute nothing; a frame with no
+    valid values yields null for sum/avg/min/max and 0 for count."""
+    from .agg import bucketed_apply
+
+    _SUPPORTED = ("sum", "avg", "min", "max", "count")
+    aggs = list(aggs)
+    for a in aggs:
+        if a not in _SUPPORTED:
+            raise ValueError(f"window_rolling: unsupported agg {a!r} "
+                             f"(supported: {_SUPPORTED})")
+    if k < 1:
+        raise ValueError("window_rolling: k must be >= 1")
+    sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_by]
+
+    def roll(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        starts = _key_run_starts(t, key)
+        lens = np.diff(np.append(starts, t.num_rows))
+        col = t[value]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = col.to_numpy(zero_copy_only=False)
+        n = vals.size
+        is_int = np.issubdtype(vals.dtype, np.integer)
+        fvals = vals.astype(np.float64) if is_int else vals
+        valid = ~np.isnan(fvals) if fvals.dtype.kind == "f" \
+            else np.ones(n, bool)
+        run_start = np.repeat(starts, lens) if starts.size \
+            else np.zeros(0, np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        x = np.where(valid, fvals, 0.0)
+
+        wsum = np.zeros(n, np.float64)
+        wcnt = np.zeros(n, np.int64)
+        wmin = np.full(n, np.inf)
+        wmax = np.full(n, -np.inf)
+        need_mm = ("min" in aggs) or ("max" in aggs)
+        for s in range(min(k, n) if n else 0):
+            j = idx - s
+            ok = j >= run_start          # frame never crosses a key run
+            jc = np.where(ok, j, 0)
+            use = ok & valid[jc]
+            wsum += np.where(use, x[jc], 0.0)
+            wcnt += use
+            if need_mm:
+                wmin = np.where(use, np.minimum(wmin, fvals[jc]), wmin)
+                wmax = np.where(use, np.maximum(wmax, fvals[jc]), wmax)
+
+        empty = wcnt == 0
+        out = t
+        for a in aggs:
+            name = f"{prefix}{a}"
+            if a == "count":
+                out = out.append_column(name, pa.array(wcnt))
+            elif a == "sum":
+                arr = pa.array(wsum.astype(np.int64), mask=empty) if is_int \
+                    else pa.array(wsum, mask=empty)
+                out = out.append_column(name, arr)
+            elif a == "avg":
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out = out.append_column(
+                        name, pa.array(wsum / wcnt, mask=empty))
+            elif a == "min":
+                arr = wmin.astype(np.int64) if is_int else wmin
+                out = out.append_column(name, pa.array(arr, mask=empty))
+            else:
+                arr = wmax.astype(np.int64) if is_int else wmax
+                out = out.append_column(name, pa.array(arr, mask=empty))
+        return out
+
+    return bucketed_apply(ds, [key], roll,
+                          lambda: _empty_out(ds, roll))
+
+
+def window_rank(ds, key: str, order_by: Sequence[str],
+                n_tiles: int = 0):
+    """SQL ranking windows over (PARTITION BY key ORDER BY order_by):
+    rank (ties share, gaps), dense_rank (ties share, no gaps),
+    percent_rank ((rank-1)/(n-1), 0.0 for a 1-row group), cume_dist
+    (rows <= current / n), plus ntile(n_tiles) when n_tiles > 0 (NTILE
+    breaks ties by the sort's row order — pass a unique trailing
+    order_by column for deterministic tiles, as in SQL).
+
+    Scale shape: one bucketed exchange by key; the bucket body is ONE
+    Arrow sort plus run-boundary numpy over (key runs x order-value
+    runs) — tie groups are sub-runs of the key runs, handled with the
+    same repeat/diff arithmetic, no per-group call."""
+    from .agg import bucketed_apply
+
+    sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_by]
+
+    def _col_change(t: pa.Table, col_name: str) -> np.ndarray:
+        col = t[col_name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        a, b = col.slice(1), col.slice(0, len(col) - 1)
+        ne = pc.fill_null(pc.not_equal(a, b), False)
+        return pc.or_(ne, pc.xor(pc.is_null(a), pc.is_null(b))) \
+            .to_numpy(zero_copy_only=False)
+
+    def rank_fn(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        n = t.num_rows
+        if n == 0:
+            t = t.append_column("rank", pa.array([], pa.int64()))
+            t = t.append_column("dense_rank", pa.array([], pa.int64()))
+            t = t.append_column("percent_rank", pa.array([], pa.float64()))
+            t = t.append_column("cume_dist", pa.array([], pa.float64()))
+            if n_tiles:
+                t = t.append_column("ntile", pa.array([], pa.int64()))
+            return t
+        kstarts = _key_run_starts(t, key)
+        klens = np.diff(np.append(kstarts, n))
+        kstart_of = np.repeat(kstarts, klens)
+        klen_of = np.repeat(klens, klens)
+        # tie-group boundaries: key change OR any order column change
+        change = np.zeros(n, bool)
+        change[0] = True
+        if n > 1:
+            acc = _col_change(t, key)
+            for c in order_by:
+                acc = acc | _col_change(t, c)
+            change[1:] = acc
+        tstarts = np.flatnonzero(change).astype(np.int64)
+        tlens = np.diff(np.append(tstarts, n))
+        tstart_of = np.repeat(tstarts, tlens)
+        tend_of = tstart_of + np.repeat(tlens, tlens)
+
+        row = np.arange(n, dtype=np.int64) - kstart_of         # 0-based
+        rank = tstart_of - kstart_of + 1
+        # dense rank: # of tie-group starts in this key run so far
+        dr_step = np.zeros(n, np.int64)
+        dr_step[tstarts] = 1
+        dr_step[kstarts] = 0
+        csum = np.cumsum(dr_step)
+        dense = csum - np.repeat(csum[kstarts], klens) + 1
+        with np.errstate(invalid="ignore"):
+            prank = np.where(klen_of > 1,
+                             (rank - 1) / np.maximum(klen_of - 1, 1), 0.0)
+        cume = (tend_of - kstart_of) / klen_of
+        t = t.append_column("rank", pa.array(rank))
+        t = t.append_column("dense_rank", pa.array(dense))
+        t = t.append_column("percent_rank", pa.array(prank.astype(np.float64)))
+        t = t.append_column("cume_dist", pa.array(cume.astype(np.float64)))
+        if n_tiles:
+            # SQL NTILE: first (n % b) tiles get size+1 rows, by row order
+            size = klen_of // n_tiles
+            extra = klen_of % n_tiles
+            cut = (size + 1) * extra
+            tile = np.where(row < cut,
+                            row // np.maximum(size + 1, 1),
+                            np.where(size > 0,
+                                     extra + (row - cut) // np.maximum(size, 1),
+                                     row)) + 1
+            t = t.append_column("ntile", pa.array(tile.astype(np.int64)))
+        return t
+
+    return bucketed_apply(ds, [key], rank_fn,
+                          lambda: _empty_out(ds, rank_fn))

@@ -430,3 +430,98 @@ def test_oversized_bucket_splits_into_sub_ranges(ray_session, monkeypatch):
     })).repartition(8)
     out = collect(window_seq(hot, "user_id", ["ts", "event_id"]))
     assert sorted(out["seq"].tolist()) == list(range(1, n + 1))
+
+
+def test_window_rolling_matches_duckdb(ray_session):
+    """sum/avg/min/max/count over ROWS BETWEEN k-1 PRECEDING AND CURRENT
+    ROW, incl. null skipping, frames clipped at run starts, int64 and
+    float64 value paths, across repartitionings."""
+    import duckdb
+
+    from rho_contracts_ray.stages import window_rolling
+
+    rng = np.random.RandomState(23)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 40, n).astype(np.int64)),
+        "ord": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(np.where(rng.rand(n) < 0.15, np.nan,
+                               rng.randint(-500, 500, n).astype(np.float64))),
+        "vi": pa.array(rng.randint(-500, 500, n).astype(np.int64)),
+    })
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+
+    for val, k in (("v", 4), ("vi", 7)):
+        out = window_rolling(rd.from_arrow(t).repartition(6), "k", ["ord"],
+                             val, k=k,
+                             aggs=("sum", "avg", "min", "max", "count")) \
+            .to_pandas().sort_values(["k", "ord"]).reset_index(drop=True)
+        ref = con.execute(
+            f"SELECT k, ord, "
+            f"SUM({val}) OVER w AS wsum, AVG({val}) OVER w AS wavg, "
+            f"MIN({val}) OVER w AS wmin, MAX({val}) OVER w AS wmax, "
+            f"COUNT({val}) OVER w AS wcount FROM "
+            f"(SELECT k, ord, CASE WHEN isnan({val}::DOUBLE) THEN NULL "
+            f"ELSE {val} END AS {val} FROM t) "
+            f"WINDOW w AS (PARTITION BY k ORDER BY ord "
+            f"ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) "
+            f"ORDER BY k, ord").df()
+        for c in ("wsum", "wavg", "wmin", "wmax", "wcount"):
+            g, w = out[c].tolist(), ref[c].tolist()
+            assert len(g) == len(w)
+            for gi, wi in zip(g, w):
+                gn = gi is None or (isinstance(gi, float) and pd.isna(gi))
+                wn = wi is None or (isinstance(wi, float) and pd.isna(wi))
+                assert gn == wn, (val, c, gi, wi)
+                if not gn:
+                    assert float(gi) == float(wi), (val, c, gi, wi)
+
+    with pytest.raises(ValueError):
+        window_rolling(rd.from_arrow(t), "k", ["ord"], "v", k=0)
+    with pytest.raises(ValueError):
+        window_rolling(rd.from_arrow(t), "k", ["ord"], "v", k=3,
+                       aggs=("median",))
+
+
+def test_window_rank_matches_duckdb(ray_session):
+    """rank/dense_rank/percent_rank/cume_dist with real ties + ntile on a
+    unique order, vs DuckDB, across repartitionings."""
+    import duckdb
+
+    from rho_contracts_ray.stages import window_rank
+
+    rng = np.random.RandomState(31)
+    n = 2500
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 25, n).astype(np.int64)),
+        "v": pa.array(rng.randint(0, 12, n).astype(np.int64)),  # heavy ties
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+
+    out = window_rank(rd.from_arrow(t).repartition(7), "k", ["v"]) \
+        .to_pandas().sort_values(["k", "v", "id"]).reset_index(drop=True)
+    ref = con.execute(
+        "SELECT k, v, id, rank() OVER w AS rank, "
+        "dense_rank() OVER w AS dense_rank, "
+        "percent_rank() OVER w AS percent_rank, "
+        "cume_dist() OVER w AS cume_dist FROM t "
+        "WINDOW w AS (PARTITION BY k ORDER BY v) "
+        "ORDER BY k, v, id").df()
+    for c in ("rank", "dense_rank", "percent_rank", "cume_dist"):
+        assert out[c].tolist() == ref[c].tolist(), c
+
+    # ntile needs a unique order for determinism
+    out2 = window_rank(rd.from_arrow(t).repartition(4), "k", ["v", "id"],
+                       n_tiles=4).to_pandas() \
+        .sort_values(["k", "v", "id"]).reset_index(drop=True)
+    ref2 = con.execute(
+        "SELECT k, v, id, ntile(4) OVER "
+        "(PARTITION BY k ORDER BY v, id) AS ntile FROM t "
+        "ORDER BY k, v, id").df()
+    assert out2["ntile"].tolist() == ref2["ntile"].tolist()
+    # with a unique order, rank == row_number == 1..n per key
+    g = out2.groupby("k")["rank"].apply(lambda s: s.tolist())
+    assert all(v == list(range(1, len(v) + 1)) for v in g)
