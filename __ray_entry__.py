@@ -1049,6 +1049,55 @@ def _q_knn_ivf_pq_embeddings(sf_dir: str):
         .select(["query_id", "rank", "vec_id"])
 
 
+def _q_intersect_click_purchase_users(sf_dir: str):
+    """SQL INTERSECT on the bucketed exchange: distinct users that both
+    clicked and purchased — per-batch distinct+flag partials, one
+    exchange, flag-maxima per bucket."""
+    from rho_contracts_ray.stages import intersect_distinct
+
+    def side(ev):
+        ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+        return ds.filter(expr=f"event_type == '{ev}'") \
+            .select_columns(["user_id"])
+
+    return intersect_distinct(side("click"), side("purchase"), ["user_id"])
+
+
+def _q_except_returned_orderkeys(sf_dir: str):
+    """SQL EXCEPT: order keys with a returned ('R') line but no
+    accepted-return ('A') line — distinct keys of one filtered stream
+    minus the other."""
+    from rho_contracts_ray.stages import except_distinct
+
+    def side(flag):
+        ds = _read(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_returnflag"])
+        return ds.filter(expr=f"l_returnflag == '{flag}'") \
+            .select_columns(["l_orderkey"])
+
+    return except_distinct(side("R"), side("A"), ["l_orderkey"])
+
+
+def _q_unnest_embeddings(sf_dir: str):
+    """UNNEST the embedding list column with ordinality — pure streaming
+    flat-map (list offsets -> parent-index take), no exchange; float
+    values are bit-copies so the SQL oracle hash-matches."""
+    from rho_contracts_ray.stages import unnest_list
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return unnest_list(ds, "embedding", out_col="val", pos_col="pos") \
+        .select_columns(["vec_id", "pos", "val"])
+
+
+def _q_regex_extract_documents(sf_dir: str):
+    """Named-group regex extraction (RE2 in both engines): first
+    lowercase word pair of each document."""
+    from rho_contracts_ray.stages import regex_extract
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return regex_extract(ds, r"(?P<w1>[a-z]+) (?P<w2>[a-z]+)")
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HLL grouped approximate count-distinct (rows-only: the estimate is
     deterministic — stable hashes, order-free register max, asserted
@@ -1833,6 +1882,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_documents": _q_text_quality_documents,
         "q14_promo_revenue": _q_q14_promo_revenue,
         "q18_large_orders": _q_q18_large_orders,
+        "intersect_click_purchase_users": _q_intersect_click_purchase_users,
+        "except_returned_orderkeys": _q_except_returned_orderkeys,
+        "unnest_embeddings": _q_unnest_embeddings,
+        "regex_extract_documents": _q_regex_extract_documents,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -2279,6 +2332,26 @@ def oracle_sql() -> dict[str, str]:
             "sum(CAST(round(value * 100) AS BIGINT)) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS UNBOUNDED PRECEDING) AS running_cents FROM events"
+        ),
+        "intersect_click_purchase_users": (
+            "SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT "
+            "SELECT user_id FROM events WHERE event_type = 'purchase'"
+        ),
+        "except_returned_orderkeys": (
+            "SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R' "
+            "EXCEPT "
+            "SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A'"
+        ),
+        "unnest_embeddings": (
+            "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, "
+            "UNNEST(embedding) AS val FROM embeddings"
+        ),
+        "regex_extract_documents": (
+            "SELECT doc_id, "
+            "regexp_extract(text, '([a-z]+) ([a-z]+)', 1) AS w1, "
+            "regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS w2 "
+            "FROM documents WHERE regexp_matches(text, '([a-z]+) ([a-z]+)')"
         ),
         "rank_events_user": (
             "SELECT event_id, user_id, rank() OVER w AS rank, "

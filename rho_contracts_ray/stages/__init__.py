@@ -31,7 +31,10 @@ from .sampling import (  # noqa: F401
 )
 from .packing import chunk_documents, pack_sequences  # noqa: F401
 from .text import (  # noqa: F401
-    decontaminate_ngrams, line_stats, ngram_top_k, pii_scrub,
+    decontaminate_ngrams, line_stats, ngram_top_k, pii_scrub, regex_extract,
+)
+from .setops import (  # noqa: F401
+    except_distinct, intersect_distinct, unnest_list,
 )
 from .topk import global_topk  # noqa: F401
 from .agg import (  # noqa: F401

@@ -463,3 +463,37 @@ def decontaminate_ngrams(train_ds, holdout_ds, n: int = 3,
         })
 
     return train_ds.map_batches(overlap, batch_format="pyarrow")
+
+
+def regex_extract(ds_or_table, pattern: str, text_col: str = "text",
+                  id_col: str = "doc_id", drop_unmatched: bool = True):
+    """Extract named groups from a compiled-once RE2 pattern ->
+    (id, <one column per named group>).  The pattern must use
+    (?P<name>...) groups; extraction is Arrow's vectorized
+    pc.extract_regex (RE2 — the same engine as DuckDB's regexp_extract,
+    so oracles compare byte-equal).  Unmatched rows drop by default
+    (SQL inner semantics); with drop_unmatched=False they stay with all
+    group columns null.  Null text never matches."""
+    import re as _re
+
+    names = _re.findall(r"\(\?P<([A-Za-z_][A-Za-z0-9_]*)>", pattern)
+    if not names:
+        raise ValueError("regex_extract: pattern has no (?P<name>...) "
+                         "named groups")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        st = pc.extract_regex(pc.fill_null(col, ""), pattern)
+        cols = {id_col: batch[id_col]}
+        for nm in names:
+            cols[nm] = pc.struct_field(st, nm)
+        out = pa.table(cols)
+        if drop_unmatched:
+            out = out.filter(pc.is_valid(st))
+        return out
+
+    if isinstance(ds_or_table, pa.Table):
+        return fn(ds_or_table)
+    return ds_or_table.map_batches(fn, batch_format="pyarrow")

@@ -525,3 +525,55 @@ def test_window_rank_matches_duckdb(ray_session):
     # with a unique order, rank == row_number == 1..n per key
     g = out2.groupby("k")["rank"].apply(lambda s: s.tolist())
     assert all(v == list(range(1, len(v) + 1)) for v in g)
+
+
+def test_set_ops_match_duckdb(ray_session):
+    """INTERSECT / EXCEPT with set semantics: bag->distinct, NULLs
+    compare equal, multi-column keys."""
+    import duckdb
+
+    from rho_contracts_ray.stages import except_distinct, intersect_distinct
+
+    rng = np.random.RandomState(11)
+    def mk(n, seed):
+        r = np.random.RandomState(seed)
+        k1 = r.randint(0, 20, n).astype(np.int64)
+        k2 = r.choice(["x", "y", None], n)
+        return pa.table({"k1": pa.array(k1), "k2": pa.array(k2)})
+    ta, tb = mk(800, 1), mk(500, 2)
+    con = duckdb.connect()
+    con.register("ta", ta.to_pandas()); con.register("tb", tb.to_pandas())
+
+    for op, sql in ((intersect_distinct, "INTERSECT"),
+                    (except_distinct, "EXCEPT")):
+        got = op(rd.from_arrow(ta).repartition(5),
+                 rd.from_arrow(tb).repartition(3),
+                 ["k1", "k2"]).to_pandas()
+        got = sorted(map(tuple, got.fillna("<N>").values.tolist()))
+        ref = con.execute(
+            f"SELECT k1, k2 FROM ta {sql} SELECT k1, k2 FROM tb").df()
+        ref = sorted(map(tuple, ref.fillna("<N>").values.tolist()))
+        assert got == ref, sql
+
+
+def test_unnest_list_matches_duckdb(ray_session):
+    import duckdb
+
+    from rho_contracts_ray.stages import unnest_list
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "arr": pa.array([[10, 20, 30], [], None, [7]],
+                        pa.list_(pa.int64())),
+    })
+    got = unnest_list(rd.from_arrow(t).repartition(3), "arr",
+                      out_col="val", pos_col="pos").to_pandas() \
+        .sort_values(["id", "pos"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ref = con.execute(
+        "SELECT id, UNNEST(arr) AS val, generate_subscripts(arr, 1) AS pos "
+        "FROM t ORDER BY id, pos").df()
+    assert got["id"].tolist() == ref["id"].tolist()
+    assert got["val"].tolist() == ref["val"].tolist()
+    assert got["pos"].tolist() == ref["pos"].tolist()

@@ -1458,3 +1458,33 @@ def test_group_approx_distinct_accuracy_and_determinism(ray_session):
                                  p=12)
     got2 = {r["k"]: r["approx_distinct"] for r in out2.take_all()}
     assert got == got2   # bit-identical: register max is order-free
+
+
+def test_regex_extract_matches_duckdb(ray_session):
+    import duckdb
+
+    from rho_contracts_ray.stages import regex_extract
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["order 42 by alice", "no digits here",
+                          None, "order 7 by bob"], pa.string()),
+    })
+    pat = r"order (?P<num>[0-9]+) by (?P<who>[a-z]+)"
+    got = regex_extract(rd.from_arrow(t).repartition(2), pat) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ref = con.execute(
+        "SELECT doc_id, regexp_extract(text, 'order ([0-9]+) by ([a-z]+)', 1)"
+        " AS num, regexp_extract(text, 'order ([0-9]+) by ([a-z]+)', 2) AS who"
+        " FROM t WHERE regexp_matches(text, 'order ([0-9]+) by ([a-z]+)')"
+        " ORDER BY doc_id").df()
+    assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert got["num"].tolist() == ref["num"].tolist()
+    assert got["who"].tolist() == ref["who"].tolist()
+    # keep-unmatched mode: all rows, nulls for non-matches
+    keep = regex_extract(t, pat, drop_unmatched=False)
+    assert keep.num_rows == 4 and keep["num"].null_count == 2
+    with pytest.raises(ValueError):
+        regex_extract(t, "no named groups")
