@@ -1638,6 +1638,46 @@ def _q_rank_events_user(sf_dir: str):
                                "percent_rank", "cume_dist"])
 
 
+def _q_lag_events_user(sf_dir: str):
+    """LAG(cents, 1) within each user's (ts, event_id) order — one
+    exchange, one sort + a single index-shifted take per bucket."""
+    from rho_contracts_ray.stages.joins import window_shift
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        return batch.drop_columns(["value"]).append_column("c", c)
+
+    out = window_shift(ds.map_batches(cents, batch_format="pyarrow"),
+                       "user_id", ["ts", "event_id"], "c", periods=1,
+                       out_col="prev_c")
+    return out.select_columns(["event_id", "user_id", "prev_c"])
+
+
+def _q_ffill_events_user(sf_dir: str):
+    """Forward fill with deterministic planted nulls (cents of 'view'
+    events nulled, then LAST_VALUE IGNORE NULLS per user) — the SQL
+    oracle replays the same CASE WHEN + window."""
+    from rho_contracts_ray.stages.joins import window_fill_forward
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type", "value"])
+
+    def cents_gapped(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)), pa.int64())
+        c = pc.if_else(pc.equal(batch["event_type"], "view"),
+                       pa.scalar(None, pa.int64()), c)
+        return batch.drop_columns(["value", "event_type"]) \
+            .append_column("c", c)
+
+    out = window_fill_forward(
+        ds.map_batches(cents_gapped, batch_format="pyarrow"),
+        "user_id", ["ts", "event_id"], "c", out_col="c_filled")
+    return out.select_columns(["event_id", "user_id", "c_filled"])
+
+
 def _q_order_stats_by_status(sf_dir: str):
     """Multi-aggregate GROUP BY via ONE bucketed exchange: sum (exact
     int64 cents) / min / max / count of order totalprice per status."""
@@ -1886,6 +1926,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "except_returned_orderkeys": _q_except_returned_orderkeys,
         "unnest_embeddings": _q_unnest_embeddings,
         "regex_extract_documents": _q_regex_extract_documents,
+        "lag_events_user": _q_lag_events_user,
+        "ffill_events_user": _q_ffill_events_user,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -2352,6 +2394,21 @@ def oracle_sql() -> dict[str, str]:
             "regexp_extract(text, '([a-z]+) ([a-z]+)', 1) AS w1, "
             "regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS w2 "
             "FROM documents WHERE regexp_matches(text, '([a-z]+) ([a-z]+)')"
+        ),
+        "lag_events_user": (
+            "SELECT event_id, user_id, lag(c, 1) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev_c FROM "
+            "(SELECT event_id, ts, user_id, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events)"
+        ),
+        "ffill_events_user": (
+            "SELECT event_id, user_id, "
+            "last_value(c IGNORE NULLS) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS c_filled FROM "
+            "(SELECT event_id, ts, user_id, CASE WHEN event_type = 'view' "
+            "THEN NULL ELSE CAST(round(value * 100) AS BIGINT) END AS c "
+            "FROM events)"
         ),
         "rank_events_user": (
             "SELECT event_id, user_id, rank() OVER w AS rank, "

@@ -23,7 +23,8 @@ from .joins import (  # noqa: F401
     anti_join, asof_join, asof_join_partitioned, broadcast_join,
     bucketed_join, group_count_distinct, group_quantiles,
     hopping_window_count, range_join, semi_join, window_cumsum,
-    window_rank, window_rolling, window_seq,
+    window_fill_forward, window_rank, window_rolling, window_seq,
+    window_shift,
 )
 from .skew import salted_groupby_count, sessionize  # noqa: F401
 from .sampling import (  # noqa: F401

@@ -871,3 +871,79 @@ def window_rank(ds, key: str, order_by: Sequence[str],
 
     return bucketed_apply(ds, [key], rank_fn,
                           lambda: _empty_out(ds, rank_fn))
+
+
+def window_shift(ds, key: str, order_by: Sequence[str], value: str,
+                 periods: int = 1, out_col: Optional[str] = None):
+    """LAG (periods > 0) / LEAD (periods < 0) of `value` within
+    (PARTITION BY key ORDER BY order_by); out-of-run positions are null,
+    carried nulls stay null — SQL default-null LAG/LEAD semantics.
+
+    Scale shape: one bucketed exchange; the bucket body is one Arrow
+    sort plus a single index-shifted take (null indices yield nulls) —
+    no per-group work at all."""
+    out_col = out_col or (f"lag_{value}" if periods >= 0
+                          else f"lead_{value}")
+
+    from .agg import bucketed_apply
+
+    sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_by]
+
+    def shift(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        n = t.num_rows
+        starts = _key_run_starts(t, key)
+        lens = np.diff(np.append(starts, n))
+        kstart = np.repeat(starts, lens) if starts.size \
+            else np.zeros(0, np.int64)
+        kend = kstart + (np.repeat(lens, lens) if starts.size
+                         else np.zeros(0, np.int64))
+        j = np.arange(n, dtype=np.int64) - periods
+        ok = (j >= kstart) & (j < kend)
+        idx = pa.array(np.where(ok, j, 0), pa.int64(),
+                       mask=~ok)             # null index -> null output
+        col = t[value]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return t.append_column(out_col, col.take(idx))
+
+    return bucketed_apply(ds, [key], shift,
+                          lambda: _empty_out(ds, shift))
+
+
+def window_fill_forward(ds, key: str, order_by: Sequence[str], value: str,
+                        out_col: Optional[str] = None):
+    """Per-key forward fill: each null `value` takes the latest non-null
+    value earlier in its partition's order (SQL: LAST_VALUE(value IGNORE
+    NULLS) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)); leading nulls stay null.
+
+    Scale shape: one bucketed exchange; inside the bucket the fill is a
+    single np.maximum.accumulate over valid-value indices — positions
+    whose accumulated source index falls before their key run start are
+    leading nulls.  No per-group or per-row Python."""
+    out_col = out_col or f"{value}_filled"
+
+    from .agg import bucketed_apply
+
+    sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_by]
+
+    def fill(t: pa.Table) -> pa.Table:
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        n = t.num_rows
+        starts = _key_run_starts(t, key)
+        lens = np.diff(np.append(starts, n))
+        kstart = np.repeat(starts, lens) if starts.size \
+            else np.zeros(0, np.int64)
+        col = t[value]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        src = np.maximum.accumulate(
+            np.where(valid, np.arange(n, dtype=np.int64), -1))
+        ok = src >= kstart                   # a fill from an EARLIER key
+        idx = pa.array(np.where(ok, src, 0), pa.int64(), mask=~ok)
+        return t.append_column(out_col, col.take(idx))
+
+    return bucketed_apply(ds, [key], fill,
+                          lambda: _empty_out(ds, fill))

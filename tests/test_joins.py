@@ -577,3 +577,43 @@ def test_unnest_list_matches_duckdb(ray_session):
     assert got["id"].tolist() == ref["id"].tolist()
     assert got["val"].tolist() == ref["val"].tolist()
     assert got["pos"].tolist() == ref["pos"].tolist()
+
+
+def test_window_shift_and_fill_forward_match_duckdb(ray_session):
+    """LAG/LEAD (incl. carried nulls and run edges) and LAST_VALUE IGNORE
+    NULLS forward fill vs DuckDB."""
+    import duckdb
+
+    from rho_contracts_ray.stages import window_fill_forward, window_shift
+
+    rng = np.random.RandomState(41)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 30, n).astype(np.int64)),
+        "ord": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array([None if rng.rand() < 0.3 else float(rng.randint(0, 99))
+                       for _ in range(n)], pa.float64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+
+    for periods, fn_sql in ((1, "lag(v, 1)"), (3, "lag(v, 3)"),
+                            (-2, "lead(v, 2)")):
+        got = window_shift(rd.from_arrow(t).repartition(5), "k", ["ord"],
+                           "v", periods=periods, out_col="s") \
+            .to_pandas().sort_values(["k", "ord"])["s"].tolist()
+        want = con.execute(
+            f"SELECT {fn_sql} OVER (PARTITION BY k ORDER BY ord) AS s "
+            f"FROM t ORDER BY k, ord").df()["s"].tolist()
+        assert all((pd.isna(g) and pd.isna(w)) or g == w
+                   for g, w in zip(got, want)), periods
+
+    got = window_fill_forward(rd.from_arrow(t).repartition(4), "k", ["ord"],
+                              "v", out_col="f") \
+        .to_pandas().sort_values(["k", "ord"])["f"].tolist()
+    want = con.execute(
+        "SELECT last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY ord "
+        "ROWS UNBOUNDED PRECEDING) AS f FROM t ORDER BY k, ord").df()["f"] \
+        .tolist()
+    assert all((pd.isna(g) and pd.isna(w)) or g == w
+               for g, w in zip(got, want))
