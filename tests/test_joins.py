@@ -617,3 +617,110 @@ def test_window_shift_and_fill_forward_match_duckdb(ray_session):
         .tolist()
     assert all((pd.isna(g) and pd.isna(w)) or g == w
                for g, w in zip(got, want))
+
+
+def test_window_family_property_random_tables(ray_session):
+    """Property: rolling / rank / shift / fill_forward match DuckDB's
+    window functions on random tables — nulls, heavy ties, single-row
+    groups, empty inputs, random partitionings, and the forced
+    oversized-bucket split path."""
+    import os
+
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from rho_contracts_ray.stages import (
+        window_fill_forward, window_rank, window_rolling, window_shift,
+    )
+
+    con = duckdb.connect()
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=300),
+        nkeys=st.integers(min_value=1, max_value=8),
+        vspread=st.sampled_from([2, 1000]),      # 2 => massive ties
+        null_p=st.sampled_from([0.0, 0.4]),
+        k=st.integers(min_value=1, max_value=6),
+        periods=st.sampled_from([1, 2, -1]),
+        parts=st.integers(min_value=1, max_value=5),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        split_rows=st.sampled_from([None, 10]),
+    )
+    def check(n, nkeys, vspread, null_p, k, periods, parts, seed,
+              split_rows):
+        if split_rows is None:
+            os.environ.pop("RHO_BUCKET_SPLIT_ROWS", None)
+        else:
+            os.environ["RHO_BUCKET_SPLIT_ROWS"] = str(split_rows)
+        rng = np.random.RandomState(seed)
+        t = pa.table({
+            "g": pa.array(rng.randint(0, nkeys, n).astype(np.int64)),
+            "o": pa.array(rng.permutation(n).astype(np.int64)),
+            "v": pa.array([None if rng.rand() < null_p
+                           else float(rng.randint(0, vspread))
+                           for _ in range(n)], pa.float64()),
+        })
+        con.register("t", t.to_pandas())
+        ds = lambda: rd.from_arrow(t).repartition(parts) if n else \
+            rd.from_arrow(t)
+
+        if n == 0:
+            # zero-row inputs: every op returns an empty result (schema
+            # may be unrecoverable — Ray's empty-dataset gotcha — so only
+            # the row count is asserted here)
+            for out in (window_rolling(ds(), "g", ["o"], "v", k=k),
+                        window_rank(ds(), "g", ["v"]),
+                        window_shift(ds(), "g", ["o"], "v", periods=periods),
+                        window_fill_forward(ds(), "g", ["o"], "v")):
+                assert out.count() == 0
+            return
+
+        def cmp(got, want):
+            assert len(got) == len(want)
+            for gi, wi in zip(got, want):
+                gn = gi is None or (isinstance(gi, float) and pd.isna(gi))
+                wn = wi is None or (isinstance(wi, float) and pd.isna(wi))
+                assert gn == wn and (gn or float(gi) == float(wi)), (gi, wi)
+
+        roll = window_rolling(ds(), "g", ["o"], "v", k=k,
+                              aggs=("sum", "min", "count")).to_pandas() \
+            .sort_values(["g", "o"])
+        ref = con.execute(
+            f"SELECT sum(v) OVER w AS wsum, min(v) OVER w AS wmin, "
+            f"count(v) OVER w AS wcount FROM t WINDOW w AS ("
+            f"PARTITION BY g ORDER BY o ROWS BETWEEN {k-1} PRECEDING "
+            f"AND CURRENT ROW) ORDER BY g, o").df()
+        for c in ("wsum", "wmin", "wcount"):
+            cmp(roll[c].tolist(), ref[c].tolist())
+
+        rk = window_rank(ds(), "g", ["v"]).to_pandas() \
+            .sort_values(["g", "v", "o"], na_position="last")
+        ref = con.execute(
+            "SELECT rank() OVER w AS rank, dense_rank() OVER w AS dr, "
+            "cume_dist() OVER w AS cd FROM t WINDOW w AS ("
+            "PARTITION BY g ORDER BY v) ORDER BY g, v NULLS LAST, o").df()
+        cmp(rk["rank"].tolist(), ref["rank"].tolist())
+        cmp(rk["dense_rank"].tolist(), ref["dr"].tolist())
+        cmp(rk["cume_dist"].tolist(), ref["cd"].tolist())
+
+        sh = window_shift(ds(), "g", ["o"], "v", periods=periods,
+                          out_col="s").to_pandas().sort_values(["g", "o"])
+        fn = f"lag(v, {periods})" if periods > 0 else f"lead(v, {-periods})"
+        ref = con.execute(
+            f"SELECT {fn} OVER (PARTITION BY g ORDER BY o) AS s FROM t "
+            f"ORDER BY g, o").df()
+        cmp(sh["s"].tolist(), ref["s"].tolist())
+
+        ff = window_fill_forward(ds(), "g", ["o"], "v", out_col="f") \
+            .to_pandas().sort_values(["g", "o"])
+        ref = con.execute(
+            "SELECT last_value(v IGNORE NULLS) OVER (PARTITION BY g "
+            "ORDER BY o ROWS UNBOUNDED PRECEDING) AS f FROM t "
+            "ORDER BY g, o").df()
+        cmp(ff["f"].tolist(), ref["f"].tolist())
+
+    try:
+        check()
+    finally:
+        os.environ.pop("RHO_BUCKET_SPLIT_ROWS", None)
