@@ -724,3 +724,48 @@ def test_window_family_property_random_tables(ray_session):
         check()
     finally:
         os.environ.pop("RHO_BUCKET_SPLIT_ROWS", None)
+
+
+def test_new_exchange_ops_survive_single_hot_key(ray_session):
+    """Adversarial skew for the round-4 additions: one key owns every
+    row — set ops, grouped approx-distinct, rolling/rank/shift/ffill all
+    stay exact when the whole input lands in one bucket task."""
+    from rho_contracts_ray.stages import (
+        except_distinct, group_approx_distinct, intersect_distinct,
+        window_fill_forward, window_rank, window_rolling, window_shift,
+    )
+
+    n = 30_000
+    t = pa.table({
+        "k": pa.array(np.zeros(n, np.int64)),
+        "ord": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array((np.arange(n) % 1000).astype(np.float64)),
+    })
+    ds = lambda: rd.from_arrow(t).repartition(8)
+
+    inter = intersect_distinct(ds().select_columns(["k"]),
+                               ds().select_columns(["k"]), ["k"]).to_pandas()
+    assert inter["k"].tolist() == [0]
+    exc = except_distinct(ds().select_columns(["k"]),
+                          ds().select_columns(["k"]), ["k"])
+    assert exc.count() == 0
+
+    ad = group_approx_distinct(ds(), "k", "v").take_all()
+    assert len(ad) == 1 and abs(ad[0]["approx_distinct"] - 1000) / 1000 < 0.06
+
+    roll = window_rolling(ds(), "k", ["ord"], "v", k=3, aggs=("sum",)) \
+        .to_pandas().sort_values("ord")
+    want = pd.Series((np.arange(n) % 1000).astype(float)).rolling(3, 1).sum()
+    assert roll["wsum"].tolist() == want.tolist()
+
+    rk = window_rank(ds(), "k", ["ord"]).to_pandas().sort_values("ord")
+    assert rk["rank"].tolist() == list(range(1, n + 1))
+
+    sh = window_shift(ds(), "k", ["ord"], "v", periods=1).to_pandas() \
+        .sort_values("ord")
+    assert pd.isna(sh["lag_v"].iloc[0]) and \
+        sh["lag_v"].iloc[1:].tolist() == t["v"].to_pylist()[:-1]
+
+    ff = window_fill_forward(ds(), "k", ["ord"], "v").to_pandas() \
+        .sort_values("ord")
+    assert ff["v_filled"].tolist() == t["v"].to_pylist()  # no nulls: identity
