@@ -1098,6 +1098,18 @@ def _q_regex_extract_documents(sf_dir: str):
     return regex_extract(ds, r"(?P<w1>[a-z]+) (?P<w2>[a-z]+)")
 
 
+def _q_group_quantiles_sketch_events(sf_dir: str):
+    """t-digest grouped quantiles (rows-only: centroid merge order moves
+    results at float-rounding scale, so no hash oracle; the EXACT
+    counterpart `group_quantiles_events` is oracled and pytest holds this
+    one inside a tight accuracy band of it)."""
+    from rho_contracts_ray.stages import group_quantiles_sketch
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return group_quantiles_sketch(ds, "event_type", "value",
+                                  qs=(0.5, 0.95, 0.99))
+
+
 def _q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd k-means fit + assignment (rows-only: centroid
     floats drift with partial-sum order across partitionings, so no hash
@@ -1955,6 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_pq_embeddings": _q_knn_ivf_pq_embeddings,
         "approx_distinct_users_by_type": _q_approx_distinct_users,
         "kmeans_embeddings": _q_kmeans_embeddings,
+        "group_quantiles_sketch_events": _q_group_quantiles_sketch_events,
     }
 
 

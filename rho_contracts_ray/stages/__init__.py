@@ -41,6 +41,6 @@ from .setops import (  # noqa: F401
 from .topk import global_topk  # noqa: F401
 from .agg import (  # noqa: F401
     bucketed_group_agg, cube_agg, group_approx_distinct, group_argmax,
-    group_collect, group_mode, grouping_sets_agg, histogram, pivot_counts,
-    rollup_agg,
+    group_collect, group_mode, group_quantiles_sketch, grouping_sets_agg,
+    histogram, pivot_counts, rollup_agg,
 )

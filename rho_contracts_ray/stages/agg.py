@@ -648,3 +648,77 @@ def group_approx_distinct(ds, key: str, val: str, p: int = 12,
 
     return bucketed_apply(ds.map_batches(partial, batch_format="pyarrow"),
                           [key], finish, make_empty, n_buckets=n_buckets)
+
+
+def group_quantiles_sketch(ds, key: str, value: str,
+                           qs: Sequence[float] = (0.5, 0.95, 0.99),
+                           compression: float = 200.0, n_buckets=None):
+    """Per-key APPROXIMATE quantiles via mergeable t-digests ->
+    (key, p50, p95, ...).  The scale counterpart of the exact
+    `joins.group_quantiles`: exact quantiles must co-locate every raw row
+    of a key in one task; this moves one ~KB digest per (batch, key)
+    regardless of group size — the only option when a single group
+    outgrows a bucket task.  Accuracy follows the t-digest guarantee
+    (tight at the tails); results depend on merge order at float-rounding
+    scale, so the contract is accuracy vs the exact answer (pytest), not
+    byte determinism.  Null/NaN values are ignored; a key whose values
+    are all null yields nulls (matching the exact op)."""
+    import pickle
+
+    from ..functions.sketches import TDigest
+
+    qs = list(qs)
+    names = [f"p{round(q * 100)}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"group_quantiles_sketch: quantiles {qs} collide in the p<NN> "
+            f"naming ({names})")
+
+    def _runs(t: pa.Table):
+        t = t.take(pc.sort_indices(t, sort_keys=[(key, "ascending")]))
+        return t, _run_starts_multi(t, [key])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([key, value])
+        if t.num_rows == 0:
+            return pa.table({key: t[key], "__td": pa.array([], pa.binary())})
+        t, starts = _runs(t)
+        ends = np.append(starts[1:], t.num_rows)
+        vals = pc.cast(t[value], pa.float64()).to_numpy(zero_copy_only=False)
+        blobs = []
+        for s, e in zip(starts, ends):   # one digest per DISTINCT key
+            d = TDigest(compression)
+            v = vals[s:e]
+            d.add(v[~np.isnan(v)])
+            blobs.append(pickle.dumps(d))
+        return pa.table({key: t[key].take(pa.array(starts)),
+                         "__td": pa.array(blobs, pa.binary())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key: t[key],
+                             **{nm: pa.array([], pa.float64())
+                                for nm in names}})
+        t, starts = _runs(t)
+        ends = np.append(starts[1:], t.num_rows)
+        blobs = t["__td"].to_pylist()
+        out_q = {nm: [] for nm in names}
+        for s, e in zip(starts, ends):
+            d = pickle.loads(blobs[s])
+            for b in blobs[s + 1:e]:
+                d.merge(pickle.loads(b))
+            for q, nm in zip(qs, names):
+                out_q[nm].append(d.quantile(q) if d.count else None)
+        return pa.table({key: t[key].take(pa.array(starts)),
+                         **{nm: pa.array(out_q[nm], pa.float64())
+                            for nm in names}})
+
+    def make_empty() -> pa.Table:
+        schema = ds.schema()
+        ktype = pa.string() if schema is None \
+            else schema.base_schema.field(key).type
+        return pa.table({key: pa.array([], ktype),
+                         **{nm: pa.array([], pa.float64()) for nm in names}})
+
+    return bucketed_apply(ds.map_batches(partial, batch_format="pyarrow"),
+                          [key], finish, make_empty, n_buckets=n_buckets)

@@ -1527,3 +1527,35 @@ def test_kmeans_distributed_matches_local_lloyd(ray_session, embeddings):
     ids = embeddings["vec_id"].to_pylist()
     agree = np.mean([got[i] == want[j] for j, i in enumerate(ids)])
     assert agree > 0.99, agree  # ties/f32-vs-f64 rounding only
+
+
+def test_group_quantiles_sketch_accuracy(ray_session):
+    """t-digest grouped quantiles land within a tight band of the exact
+    per-group quantiles (tails especially); all-null groups yield nulls;
+    null/NaN values are ignored."""
+    import pandas as pd
+
+    from rho_contracts_ray.stages import group_quantiles_sketch
+
+    rng = np.random.RandomState(5)
+    ks, vs = [], []
+    for k, n in (("a", 20_000), ("b", 3_000), ("c", 7)):
+        ks.extend([k] * n)
+        vs.extend(rng.normal(100 * (ord(k) - 96), 15, n).tolist())
+    ks.extend(["d"] * 5)
+    vs.extend([None] * 5)                       # all-null group
+    t = pa.table({"k": pa.array(ks), "v": pa.array(vs, pa.float64())})
+
+    out = group_quantiles_sketch(rd.from_arrow(t).repartition(9), "k", "v",
+                                 qs=(0.5, 0.99)).to_pandas() \
+        .set_index("k").sort_index()
+    assert list(out.index) == ["a", "b", "c", "d"]
+    assert out.loc["d"].isna().all()
+    df = pd.DataFrame({"k": ks, "v": vs})
+    for k in ("a", "b", "c"):
+        g = df[df.k == k]["v"].dropna()
+        for q, col in ((0.5, "p50"), (0.99, "p99")):
+            exact = g.quantile(q)
+            spread = g.max() - g.min()
+            assert abs(out.loc[k, col] - exact) <= 0.02 * spread + 1e-9, \
+                (k, q, exact, out.loc[k, col])
