@@ -1664,6 +1664,18 @@ def _q_rank_events_user(sf_dir: str):
                                "percent_rank", "cume_dist"])
 
 
+def _q_iqr_outliers_events(sf_dir: str):
+    """Per-event-type IQR outlier rows with their fences — quantile_disc
+    picks are data values and the fence arithmetic is the same handful of
+    IEEE ops in both engines, so the oracle compares value-exact."""
+    from rho_contracts_ray.stages import group_iqr_outliers
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "value"])
+    return group_iqr_outliers(ds, "event_type", "value",
+                              id_col="event_id")
+
+
 def _q_lag_events_user(sf_dir: str):
     """LAG(cents, 1) within each user's (ts, event_id) order — one
     exchange, one sort + a single index-shifted take per bucket."""
@@ -1954,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract_documents": _q_regex_extract_documents,
         "lag_events_user": _q_lag_events_user,
         "ffill_events_user": _q_ffill_events_user,
+        "iqr_outliers_events": _q_iqr_outliers_events,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -2422,6 +2435,15 @@ def oracle_sql() -> dict[str, str]:
             "regexp_extract(text, '([a-z]+) ([a-z]+)', 1) AS w1, "
             "regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS w2 "
             "FROM documents WHERE regexp_matches(text, '([a-z]+) ([a-z]+)')"
+        ),
+        "iqr_outliers_events": (
+            "SELECT event_id, event_type, value, "
+            "q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi FROM ("
+            "SELECT event_id, event_type, value, "
+            "quantile_disc(value, 0.25) OVER (PARTITION BY event_type) AS q1, "
+            "quantile_disc(value, 0.75) OVER (PARTITION BY event_type) AS q3 "
+            "FROM events) WHERE value < q1 - 1.5*(q3-q1) "
+            "OR value > q3 + 1.5*(q3-q1)"
         ),
         "lag_events_user": (
             "SELECT event_id, user_id, lag(c, 1) OVER ("

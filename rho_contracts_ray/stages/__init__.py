@@ -22,7 +22,8 @@ from .multimodal import (  # noqa: F401
 )
 from .joins import (  # noqa: F401
     anti_join, asof_join, asof_join_partitioned, broadcast_join,
-    bucketed_join, group_count_distinct, group_quantiles,
+    bucketed_join, group_count_distinct, group_iqr_outliers,
+    group_quantiles,
     hopping_window_count, range_join, semi_join, window_cumsum,
     window_fill_forward, window_rank, window_rolling, window_seq,
     window_shift,

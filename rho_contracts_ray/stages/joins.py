@@ -947,3 +947,66 @@ def window_fill_forward(ds, key: str, order_by: Sequence[str], value: str,
 
     return bucketed_apply(ds, [key], fill,
                           lambda: _empty_out(ds, fill))
+
+
+def group_iqr_outliers(ds, key: str, value: str, id_col: str,
+                       k: float = 1.5):
+    """Per-group IQR outlier flags -> rows (id, key, value, lo, hi) for
+    every value outside [q1 - k*iqr, q3 + k*iqr], with q1/q3 the
+    quantile_disc picks (actual data values — so the SQL oracle using
+    quantile_disc(...) OVER compares value-exact; the bound arithmetic is
+    a handful of IEEE ops identical in both engines).  Null/NaN values
+    are never flagged and are excluded from the quantile picks, matching
+    the exact group_quantiles convention.
+
+    Scale shape: ONE bucketed exchange co-locates each key's rows; the
+    bucket body is one Arrow sort, segment-vectorized q1/q3 picks over
+    all key runs, and one filter — no per-group Python.  The canonical
+    per-group data-quality gate for a validation engine: the same pass
+    that computes the fence emits the violating rows."""
+    from .agg import bucketed_apply
+
+    sub = ds.select_columns([id_col, key, value])
+
+    def body_full(t: pa.Table) -> pa.Table:
+        # the id rides along through the same sort, so flagged rows keep it
+        s = t.take(pc.sort_indices(
+            t, sort_keys=[(key, "ascending"), (value, "ascending")],
+            null_placement="at_end"))
+        return _flag(s)
+
+    def _flag(s: pa.Table) -> pa.Table:
+        starts = _key_run_starts(s, key)
+        lens = np.diff(np.append(starts, s.num_rows))
+        v = s[value]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        valid = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            valid = pc.and_(valid, pc.invert(
+                pc.fill_null(pc.is_nan(v), True)))
+        valid_np = valid.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_valid = (np.add.reduceat(valid_np, starts)
+                   if starts.size else np.empty(0, np.int64))
+        vals = pc.cast(v, pa.float64()).to_numpy(zero_copy_only=False)
+        picks = {}
+        for q in (0.25, 0.75):
+            idx = starts + np.maximum(
+                np.ceil(q * n_valid).astype(np.int64) - 1, 0)
+            picks[q] = vals[idx]
+        iqr = picks[0.75] - picks[0.25]
+        lo = picks[0.25] - k * iqr
+        hi = picks[0.75] + k * iqr
+        lo_of = np.repeat(lo, lens) if starts.size else np.zeros(0)
+        hi_of = np.repeat(hi, lens) if starts.size else np.zeros(0)
+        ok_val = valid.to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            flag = ok_val & ((vals < lo_of) | (vals > hi_of))
+        out = s.filter(pa.array(flag))
+        return pa.table({
+            id_col: out[id_col], key: out[key], value: out[value],
+            "lo": pa.array(lo_of[flag]), "hi": pa.array(hi_of[flag]),
+        })
+
+    return bucketed_apply(sub, [key], body_full,
+                          lambda: _empty_out(sub, body_full))

@@ -769,3 +769,40 @@ def test_new_exchange_ops_survive_single_hot_key(ray_session):
     ff = window_fill_forward(ds(), "k", ["ord"], "v").to_pandas() \
         .sort_values("ord")
     assert ff["v_filled"].tolist() == t["v"].to_pylist()  # no nulls: identity
+
+
+def test_group_iqr_outliers_matches_duckdb(ray_session):
+    """IQR fences from quantile_disc picks (actual data values) — the
+    flagged row set and the lo/hi bounds compare value-exact vs DuckDB's
+    windowed quantile_disc; nulls/NaN never flagged."""
+    import duckdb
+
+    from rho_contracts_ray.stages import group_iqr_outliers
+
+    rng = np.random.RandomState(13)
+    n = 4000
+    v = rng.normal(50, 5, n)
+    v[rng.choice(n, 60, replace=False)] += rng.choice([-60, 80], 60)
+    v[rng.choice(n, 40, replace=False)] = np.nan
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "k": pa.array(rng.randint(0, 12, n).astype(np.int64)),
+        "v": pa.array(v, pa.float64()),
+    })
+    got = group_iqr_outliers(rd.from_arrow(t).repartition(6), "k", "v",
+                             id_col="id").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ref = con.execute(
+        "SELECT id, k, v, q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi "
+        "FROM (SELECT id, k, v, "
+        "quantile_disc(v, 0.25) OVER (PARTITION BY k) AS q1, "
+        "quantile_disc(v, 0.75) OVER (PARTITION BY k) AS q3 FROM "
+        "(SELECT id, k, CASE WHEN isnan(v) THEN NULL ELSE v END AS v "
+        "FROM t)) WHERE v < lo OR v > hi ORDER BY id").df()
+    assert got["id"].tolist() == ref["id"].tolist()
+    assert got["v"].tolist() == ref["v"].tolist()
+    assert got["lo"].tolist() == ref["lo"].tolist()
+    assert got["hi"].tolist() == ref["hi"].tolist()
+    assert len(got) >= 40  # the planted spikes get caught
