@@ -188,12 +188,18 @@ def bucketed_join(left_ds, right_ds, on: Sequence[str],
 
 def asof_join(left_ds, right_table: pa.Table, key: str, ts: str,
               value_cols: Sequence[str], right_ts: Optional[str] = None,
-              suffix: str = "_asof"):
-    """For each left row, the latest right row with the same key and
-    right.ts <= left.ts (backward as-of).  The right side is broadcast
-    (sorted once per worker); per-batch merge_asof on the left stream —
-    semantics match DuckDB's ASOF JOIN."""
+              suffix: str = "_asof", direction: str = "backward"):
+    """For each left row, the nearest right row with the same key under
+    `direction`: "backward" (latest right.ts <= left.ts — DuckDB's ASOF
+    `>=` form), "forward" (earliest right.ts >= left.ts — the `<=` form),
+    or "nearest" (smallest |right.ts - left.ts|, backward wins ties; no
+    SQL form).  The right side is broadcast (sorted once per worker);
+    per-batch merge_asof on the left stream."""
     import ray
+
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join: unknown direction {direction!r} "
+                         "(backward, forward, nearest)")
 
     right_ts = right_ts or ts
     cols = [key, right_ts] + list(value_cols)
@@ -210,7 +216,7 @@ def asof_join(left_ds, right_table: pa.Table, key: str, ts: str,
         left = batch.sort_values([ts, key], kind="mergesort")
         out = pd.merge_asof(left, right, left_on=ts, right_on=right_ts,
                             by=key, suffixes=("", suffix),
-                            direction="backward")
+                            direction=direction)
         return out
 
     return left_ds.map_batches(merge, batch_format="pandas")
@@ -220,8 +226,8 @@ def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
                           value_cols: Sequence[str],
                           right_ts: Optional[str] = None,
                           n_buckets: Optional[int] = None,
-                          suffix: str = "_asof"):
-    """Backward as-of join where BOTH sides are large: both sides union
+                          suffix: str = "_asof", direction: str = "backward"):
+    """As-of join (direction as in `asof_join`) where BOTH sides are large: both sides union
     into one stream that `bucketed_apply` hash-range routes by key (block
     references into one reduce task per bucket — no sort-based shuffle),
     so each key's full history lands co-located; inside a bucket ONE
@@ -232,6 +238,9 @@ def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
     memory; bucket count derives from input size when not given."""
     from .agg import bucketed_apply
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"asof_join_partitioned: unknown direction "
+                         f"{direction!r} (backward, forward, nearest)")
     right_ts = right_ts or ts
     value_cols = list(value_cols)
     if n_buckets is None:
@@ -289,7 +298,7 @@ def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
             .reset_index(drop=True)
         out = pd.merge_asof(lhs, rhs, left_on=ts, right_on=right_ts,
                             by=key, suffixes=("", suffix),
-                            direction="backward")
+                            direction=direction)
         return pa.Table.from_pandas(out, preserve_index=False)
 
     empty_both = pa.table({

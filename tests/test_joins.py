@@ -806,3 +806,64 @@ def test_group_iqr_outliers_matches_duckdb(ray_session):
     assert got["lo"].tolist() == ref["lo"].tolist()
     assert got["hi"].tolist() == ref["hi"].tolist()
     assert len(got) >= 40  # the planted spikes get caught
+
+
+def test_asof_directions(ray_session):
+    """forward matches DuckDB's <= ASOF form; nearest matches a local
+    pandas merge_asof oracle; both flavors (broadcast and partitioned)
+    agree with each other."""
+    import duckdb
+
+    from rho_contracts_ray.stages.joins import asof_join, asof_join_partitioned
+
+    events = lambda: rd.read_parquet(f"{SF}/events.parquet",
+                                     columns=["event_id", "user_id", "ts"])
+    ev = pq.read_table(f"{SF}/events.parquet")
+    import pyarrow.compute as pc2
+    purchases = ev.filter(pc2.equal(ev["event_type"], "purchase"))
+    right = pa.table({"user_id": purchases["user_id"],
+                      "ts_r": purchases["ts"],
+                      "next_purchase": purchases["value"]})
+
+    fwd = asof_join(events(), right, key="user_id", ts="ts",
+                    value_cols=["next_purchase"], right_ts="ts_r",
+                    direction="forward").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    ref = con.execute(
+        f"select e.event_id, p.value as next_purchase "
+        f"from read_parquet('{SF}/events.parquet') e asof left join "
+        f"(select user_id, ts, value from read_parquet('{SF}/events.parquet')"
+        f" where event_type = 'purchase') p "
+        f"on e.user_id = p.user_id and e.ts <= p.ts order by e.event_id").df()
+    assert (fwd["next_purchase"].fillna(-1).values ==
+            ref["next_purchase"].fillna(-1).values).all()
+
+    rds = rd.from_arrow(pa.table({
+        "user_id": right["user_id"], "ts_r": right["ts_r"],
+        "next_purchase": right["next_purchase"]})).repartition(4)
+    fwd2 = asof_join_partitioned(events(), rds, key="user_id", ts="ts",
+                                 value_cols=["next_purchase"],
+                                 right_ts="ts_r", n_buckets=6,
+                                 direction="forward").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert (fwd2["next_purchase"].fillna(-1).values ==
+            fwd["next_purchase"].fillna(-1).values).all()
+
+    near = asof_join(events(), right, key="user_id", ts="ts",
+                     value_cols=["next_purchase"], right_ts="ts_r",
+                     direction="nearest").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    lhs = ev.select(["event_id", "user_id", "ts"]).to_pandas() \
+        .sort_values(["ts", "user_id"], kind="mergesort")
+    rhs = right.to_pandas().sort_values(["ts_r", "user_id"],
+                                        kind="mergesort")
+    want = pd.merge_asof(lhs, rhs, left_on="ts", right_on="ts_r",
+                         by="user_id", direction="nearest") \
+        .sort_values("event_id").reset_index(drop=True)
+    assert (near["next_purchase"].fillna(-1).values ==
+            want["next_purchase"].fillna(-1).values).all()
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(events(), right, key="user_id", ts="ts",
+                  value_cols=["next_purchase"], direction="sideways")
