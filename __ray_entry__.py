@@ -1664,6 +1664,24 @@ def _q_rank_events_user(sf_dir: str):
                                "percent_rank", "cume_dist"])
 
 
+def _q_weighted_sample_documents(sf_dir: str):
+    """Quality-proportional deterministic sampling: longer documents keep
+    a proportionally larger inclusion probability (weight = n_chars /
+    1000 clamped to 1 at base_rate 0.4); the SQL oracle replays the same
+    multiplicative-hash predicate bit-for-bit."""
+    from rho_contracts_ray.stages import weighted_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "text"])
+
+    def weight(batch: pa.Table) -> pa.Table:
+        w = pc.divide(pc.cast(batch["n_chars"], pa.float64()), 1000.0)
+        return batch.append_column("w", w)
+
+    out = weighted_sample(ds.map_batches(weight, batch_format="pyarrow"),
+                          "doc_id", "w", base_rate=0.4)
+    return out.select_columns(["doc_id", "n_chars"])
+
+
 def _q_iqr_outliers_events(sf_dir: str):
     """Per-event-type IQR outlier rows with their fences — quantile_disc
     picks are data values and the fence arithmetic is the same handful of
@@ -1967,6 +1985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_events_user": _q_lag_events_user,
         "ffill_events_user": _q_ffill_events_user,
         "iqr_outliers_events": _q_iqr_outliers_events,
+        "weighted_sample_documents": _q_weighted_sample_documents,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -2435,6 +2454,13 @@ def oracle_sql() -> dict[str, str]:
             "regexp_extract(text, '([a-z]+) ([a-z]+)', 1) AS w1, "
             "regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS w2 "
             "FROM documents WHERE regexp_matches(text, '([a-z]+) ([a-z]+)')"
+        ),
+        "weighted_sample_documents": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE doc_id IS NOT NULL AND "
+            "(doc_id * 2654435761) % 4294967296 < "
+            "round(least(greatest(0.4 * (n_chars / 1000.0), 0.0), 1.0) "
+            "* 4294967296.0)"
         ),
         "iqr_outliers_events": (
             "SELECT event_id, event_type, value, "

@@ -31,6 +31,7 @@ from .joins import (  # noqa: F401
 from .skew import salted_groupby_count, sessionize  # noqa: F401
 from .sampling import (  # noqa: F401
     hash_sample, sample_threshold, split_train_holdout, stratified_sample,
+    weighted_sample,
 )
 from .packing import chunk_documents, pack_sequences  # noqa: F401
 from .text import (  # noqa: F401

@@ -142,3 +142,32 @@ def split_train_holdout(ds, id_col: str, holdout_rate: float = 0.01):
 
     return (ds.map_batches(keep(False), batch_format="pyarrow"),
             ds.map_batches(keep(True), batch_format="pyarrow"))
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, base_rate: float):
+    """Weight-proportional deterministic sampling: keep a row iff
+    hash32(id) < base_rate * weight * 2^32 — inclusion probability is
+    base_rate x weight (clamped to 1), stable across runs, partitionings
+    and cluster sizes, with zero shuffle or state.  Rows with null /
+    non-positive weights never survive; null ids are dropped (matching
+    the hash_sample convention).  The predicate is the multiplicative
+    hash the SQL oracle reproduces verbatim:
+    (id * 2654435761) % 2^32 < round(base_rate * weight * 2^32)."""
+    if not (0.0 <= base_rate):
+        raise ValueError("weighted_sample: base_rate must be >= 0")
+
+    def fil(batch: pa.Table) -> pa.Table:
+        ids_raw, valid = _ids_from_arrow(batch[id_col])
+        ids_np = _validate_ids(ids_raw)
+        w = pc.cast(pc.fill_null(batch[weight_col], 0.0), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        thr = np.rint(np.clip(base_rate * w, 0.0, 1.0) * float(1 << 32)) \
+            .astype(np.uint64)
+        with np.errstate(over="ignore"):
+            prod = ids_np.view(np.uint64) * np.uint64(2654435761)
+        m = (prod % np.uint64(1 << 32)) < thr
+        if valid is not None:
+            m &= valid
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(fil, batch_format="pyarrow")

@@ -399,3 +399,39 @@ def test_decontaminate_bloom_superset_of_exact(ray_session):
 
     with pytest.raises(ValueError):
         decontaminate_ngrams(_docs(), hold2, method="sketchy")
+
+
+def test_weighted_sample_matches_sql_and_rate(ray_session):
+    """Inclusion predicate byte-equal to the SQL form; realized rates
+    scale with weight; zero/null weights and null ids never survive."""
+    from rho_contracts_ray.stages import weighted_sample
+
+    n = 20_000
+    rng = np.random.RandomState(3)
+    w = rng.choice([0.0, 0.25, 1.0, 4.0, None], n,
+                   p=[0.1, 0.3, 0.3, 0.2, 0.1])
+    t = pa.table({
+        "id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        "w": pa.array([None if x is None else float(x) for x in w],
+                      pa.float64()),
+    })
+    out = _collect(weighted_sample(rd.from_arrow(t).repartition(5),
+                                   "id", "w", base_rate=0.5))
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    ref = con.execute(
+        "SELECT id FROM t WHERE w IS NOT NULL AND "
+        "(id * 2654435761) % 4294967296 < "
+        "round(least(greatest(0.5 * w, 0.0), 1.0) * 4294967296.0) "
+        "ORDER BY id").df()
+    assert sorted(out["id"].to_pylist()) == ref["id"].tolist()
+
+    kept = set(out["id"].to_pylist())
+    df = t.to_pandas()
+    for wval, lo, hi in ((0.25, 0.08, 0.18), (1.0, 0.42, 0.58),
+                         (4.0, 0.95, 1.0)):
+        ids = df[df.w == wval]["id"]
+        rate = ids.isin(kept).mean()
+        assert lo <= rate <= hi, (wval, rate)
+    assert not df[df.w.isna()]["id"].isin(kept).any()
+    assert not df[df.w == 0.0]["id"].isin(kept).any()
