@@ -1664,6 +1664,18 @@ def _q_rank_events_user(sf_dir: str):
                                "percent_rank", "cume_dist"])
 
 
+def _q_dedup_tumbling_events(sf_dir: str):
+    """Streaming-window dedup: first event per (user, 6-hour tumbling
+    window).  The window id joins the routing hash, so an eternal key's
+    history spreads across buckets instead of piling on one."""
+    from rho_contracts_ray.stages import dedup_tumbling
+
+    W = 6 * 3600 * 1_000_000
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return dedup_tumbling(ds, ["user_id"], "ts", W, tiebreak="event_id") \
+        .select_columns(["event_id", "user_id", "window_start"])
+
+
 def _q_weighted_sample_documents(sf_dir: str):
     """Quality-proportional deterministic sampling: longer documents keep
     a proportionally larger inclusion probability (weight = n_chars /
@@ -1986,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ffill_events_user": _q_ffill_events_user,
         "iqr_outliers_events": _q_iqr_outliers_events,
         "weighted_sample_documents": _q_weighted_sample_documents,
+        "dedup_tumbling_events": _q_dedup_tumbling_events,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -2454,6 +2467,13 @@ def oracle_sql() -> dict[str, str]:
             "regexp_extract(text, '([a-z]+) ([a-z]+)', 1) AS w1, "
             "regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS w2 "
             "FROM documents WHERE regexp_matches(text, '([a-z]+) ([a-z]+)')"
+        ),
+        "dedup_tumbling_events": (
+            "SELECT event_id, user_id, "
+            "(epoch_us(ts) // 21600000000) * 21600000000 AS window_start "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY user_id, "
+            "epoch_us(ts) // 21600000000 ORDER BY ts, event_id) AS rn "
+            "FROM events) WHERE rn = 1"
         ),
         "weighted_sample_documents": (
             "SELECT doc_id, n_chars FROM documents "

@@ -7,9 +7,9 @@ from .text import (  # noqa: F401
     winnowing_fingerprints,
 )
 from .dedup import (  # noqa: F401
-    exact_dup_groups, exact_dedup, minhash_signatures, minhash_dup_pairs,
-    simhash64, simhash_dup_pairs, ngram_jaccard, jaccard_dup_pairs,
-    connected_components, distributed_components,
+    connected_components, dedup_tumbling, distributed_components,
+    exact_dedup, exact_dup_groups, jaccard_dup_pairs, minhash_dup_pairs,
+    minhash_signatures, ngram_jaccard, simhash64, simhash_dup_pairs,
 )
 from .ann import (  # noqa: F401
     embedding_dup_pairs, kmeans_assign, kmeans_fit, knn_brute_force,

@@ -1158,3 +1158,61 @@ def jaccard_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return _pair_merge_dataset(cand_refs, merge_fn, _EMPTY_JACCARD_PAIRS)
+
+
+def dedup_tumbling(ds, keys, ts_col: str, window_us: int,
+                   tiebreak: str = None):
+    """Event-time tumbling-window dedup: keep the FIRST row (earliest
+    `ts_col`, ties broken by `tiebreak`) of each (keys..., window) where
+    window = floor(ts / window_us) — the streaming-window dedup primitive
+    (drop repeated beacons/heartbeats within a window, keep one).
+
+    SQL: row_number() OVER (PARTITION BY keys...,
+    CAST(floor(epoch_us(ts)/W) AS BIGINT) ORDER BY ts, tiebreak) = 1.
+
+    Scale shape: one bucketed exchange on (keys..., __w) — the window id
+    participates in the routing hash, so one key's history spreads over
+    MANY buckets (time-partitioned: no hot-key pileup for eternal keys);
+    the bucket body is one Arrow sort + the run-boundary first-row mask.
+    Output columns = input columns + `window_start` (the ts column's own
+    integer unit — epoch micros for timestamp[us], so window_us is in
+    that unit)."""
+    from .agg import _first_per_key_run, bucketed_apply
+
+    keys = list(keys)
+    if window_us <= 0:
+        raise ValueError("dedup_tumbling: window_us must be positive")
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        iv = pc.cast(ts, pa.int64())
+        if iv.null_count:
+            raise ValueError(
+                f"dedup_tumbling: {iv.null_count} null {ts_col!r} rows — "
+                "an event without a time has no window; filter them first")
+        us = iv.to_numpy(zero_copy_only=False)
+        # floor-divide in int64 (epoch micros exceed 2^53 — a float
+        # window id would collapse adjacent windows)
+        w = (us // window_us) * window_us
+        return batch.append_column("window_start", pa.array(w))
+
+    group_cols = keys + ["window_start"]
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    sort_keys = [(c, "ascending") for c in group_cols + order]
+
+    def first(t: pa.Table) -> pa.Table:
+        return _first_per_key_run(t, group_cols, sort_keys)
+
+    windowed = ds.map_batches(add_window, batch_format="pyarrow")
+    return bucketed_apply(windowed, group_cols, first,
+                          lambda: first(_empty_like_ds(windowed)))
+
+
+def _empty_like_ds(ds) -> pa.Table:
+    schema = ds.schema()
+    if schema is None:
+        return pa.table({})
+    return pa.table({f.name: pa.array([], f.type)
+                     for f in schema.base_schema})

@@ -1559,3 +1559,34 @@ def test_group_quantiles_sketch_accuracy(ray_session):
             spread = g.max() - g.min()
             assert abs(out.loc[k, col] - exact) <= 0.02 * spread + 1e-9, \
                 (k, q, exact, out.loc[k, col])
+
+
+def test_dedup_tumbling_matches_duckdb(ray_session):
+    """First event per (user, tumbling window) — row set identical to the
+    SQL row_number() form, across repartitionings; null ts raises."""
+    import duckdb
+
+    from rho_contracts_ray.stages import dedup_tumbling
+
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    W = 6 * 3600 * 1_000_000  # 6-hour windows, epoch micros
+    out = dedup_tumbling(ds.repartition(7), ["user_id"], "ts", W,
+                         tiebreak="event_id").to_pandas() \
+        .sort_values("event_id")
+    con = duckdb.connect()
+    ref = con.execute(
+        f"SELECT event_id, (epoch_us(ts) // {W}) * {W} AS window_start "
+        f"FROM (SELECT *, row_number() OVER (PARTITION BY user_id, "
+        f"epoch_us(ts) // {W} ORDER BY ts, event_id) AS rn "
+        f"FROM read_parquet('{SF}/events.parquet')) WHERE rn = 1 "
+        f"ORDER BY event_id").df()
+    assert out["event_id"].tolist() == ref["event_id"].tolist()
+    assert out["window_start"].tolist() == ref["window_start"].tolist()
+    assert len(out) < ds.count()   # windows actually collapse something
+
+    bad = pa.table({"k": pa.array([1], pa.int64()),
+                    "ts": pa.array([None], pa.timestamp("us")),
+                    "event_id": pa.array([1], pa.int64())})
+    with pytest.raises((ValueError, Exception)):
+        dedup_tumbling(rd.from_arrow(bad), ["k"], "ts", W).take_all()
