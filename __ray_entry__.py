@@ -1110,6 +1110,16 @@ def _q_group_quantiles_sketch_events(sf_dir: str):
                                   qs=(0.5, 0.95, 0.99))
 
 
+def _q_tfidf_documents(sf_dir: str):
+    """Top-4 TF-IDF terms per document (rows-only: the score needs ln(),
+    whose last-ulp behavior differs across SQL engines — pytest pins the
+    distributed result bit-exact against a local float64 computation)."""
+    from rho_contracts_ray.stages import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=4, min_df=2)
+
+
 def _q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd k-means fit + assignment (rows-only: centroid
     floats drift with partial-sum order across partitionings, so no hash
@@ -2013,6 +2023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_by_type": _q_approx_distinct_users,
         "kmeans_embeddings": _q_kmeans_embeddings,
         "group_quantiles_sketch_events": _q_group_quantiles_sketch_events,
+        "tfidf_documents": _q_tfidf_documents,
     }
 
 

@@ -36,6 +36,7 @@ from .sampling import (  # noqa: F401
 from .packing import chunk_documents, pack_sequences  # noqa: F401
 from .text import (  # noqa: F401
     decontaminate_ngrams, line_stats, ngram_top_k, pii_scrub, regex_extract,
+    tfidf_top_terms,
 )
 from .setops import (  # noqa: F401
     except_distinct, intersect_distinct, unnest_list,

@@ -497,3 +497,120 @@ def regex_extract(ds_or_table, pattern: str, text_col: str = "text",
     if isinstance(ds_or_table, pa.Table):
         return fn(ds_or_table)
     return ds_or_table.map_batches(fn, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id", sep: str = " ",
+                    min_df: int = 1):
+    """Top-k TF-IDF terms per document -> Dataset[doc_id, term, tf, df,
+    tfidf] (idf = ln((N+1)/(df+1)) + 1, the smoothed sklearn form —
+    public).  Ties order by term ascending for determinism.
+
+    Scale shape, three passes with nothing quadratic:
+      1. document frequencies: each batch emits its per-doc-distinct
+         (term, 1) partials pre-combined per batch, one bucketed
+         exchange sums them — the exchange moves one short row per
+         distinct term per batch;
+      2. the (term-hash -> df) map is broadcast as two numpy arrays
+         (sorted uint64 hashes + int64 dfs, 16 B/term — searchsorted
+         lookup, the same zero-copy broadcast pattern as
+         decontaminate_ngrams; `min_df` prunes the long tail so the
+         broadcast stays bounded at corpus scale);
+      3. one streaming pass re-counts each doc's terms (vectorized
+         lexsort + run boundaries) and keeps its local top-k.
+    Corpus size N rides pass 1 as a count; terms below min_df score 0
+    and drop."""
+    import ray
+
+    from ..functions.hashing import stable_hash64
+    from .agg import bucketed_sum
+
+    def _doc_term_counts(batch: pa.Table):
+        """(doc_row, term_hash, count, terms arrow array of the kept
+        occurrence order) — per-doc term multiplicity, vectorized."""
+        grams, doc_idx = gram_arrays(batch[text_col], 1, sep)
+        if len(grams) == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                    np.empty(0, np.int64), grams)
+        gh = stable_hash64(grams)
+        order = np.lexsort((gh, doc_idx))
+        di, g = doc_idx[order], gh[order]
+        new = np.concatenate(([True], (di[1:] != di[:-1]) | (g[1:] != g[:-1])))
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, di.size))
+        keep = pa.array(order[starts])
+        return di[starts], g[starts], cnt.astype(np.int64), grams.take(keep)
+
+    # pass 1: per-batch (term, df-partial, n-docs partial)
+    def df_partial(batch: pa.Table) -> pa.Table:
+        di, g, _, terms = _doc_term_counts(batch)
+        t = pa.table({"term": terms, "df": pa.array(np.ones(g.size,
+                                                           np.int64))})
+        return t.group_by("term").aggregate([("df", "sum")]) \
+            .rename_columns(["term", "df"])
+
+    n_docs = ds.count()
+    dfs = bucketed_sum(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["term"], ["df"])
+    parts = []
+    for b in dfs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if t.num_rows and "term" in t.column_names:
+            m = pc.greater_equal(t["df"], min_df)
+            t = t.filter(m)
+            parts.append((stable_hash64(t["term"].combine_chunks()
+                                        if isinstance(t["term"],
+                                                      pa.ChunkedArray)
+                                        else t["term"]),
+                          t["df"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64)))
+    if parts:
+        h = np.concatenate([p[0] for p in parts])
+        d = np.concatenate([p[1] for p in parts])
+        order = np.argsort(h)
+        h, d = h[order], d[order]
+    else:
+        h, d = np.empty(0, np.uint64), np.empty(0, np.int64)
+    ref = ray.put((h, d, int(n_docs)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        hs, dfv, N = ray.get(ref)
+        di, g, cnt, terms = _doc_term_counts(batch)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if g.size == 0 or hs.size == 0:
+            return pa.table({id_col: pa.array([], ids.type),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64()),
+                             "tfidf": pa.array([], pa.float64())})
+        pos = np.clip(np.searchsorted(hs, g), 0, hs.size - 1)
+        hit = hs[pos] == g
+        df_of = np.where(hit, dfv[pos], 0)
+        idf = np.log((N + 1.0) / (df_of + 1.0)) + 1.0
+        tfidf = cnt * idf
+        tfidf[~hit] = 0.0
+        # per-doc top-k: sort by (doc, -tfidf, term) and keep offsets < k
+        sorter = pa.table({"d": pa.array(di), "s": pa.array(-tfidf),
+                           "t": terms})
+        order = pc.sort_indices(sorter, sort_keys=[
+            ("d", "ascending"), ("s", "ascending"), ("t", "ascending")])
+        o = order.to_numpy(zero_copy_only=False)
+        ds_, tf_, dfo, sc = di[o], cnt[o], df_of[o], tfidf[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ds_[1:] != ds_[:-1])))
+        lens = np.diff(np.append(starts, ds_.size))
+        offs = np.arange(ds_.size) - np.repeat(starts, lens)
+        m = (offs < k) & (sc > 0)
+        sel = pa.array(o[m])
+        return pa.table({
+            id_col: ids.take(pa.array(ds_[m])),
+            "term": terms.take(sel),
+            "tf": pa.array(tf_[m]),
+            "df": pa.array(dfo[m].astype(np.int64)),
+            "tfidf": pa.array(sc[m]),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1590,3 +1590,47 @@ def test_dedup_tumbling_matches_duckdb(ray_session):
                     "event_id": pa.array([1], pa.int64())})
     with pytest.raises((ValueError, Exception)):
         dedup_tumbling(rd.from_arrow(bad), ["k"], "ts", W).take_all()
+
+
+def test_tfidf_top_terms_matches_local(ray_session):
+    """Distributed TF-IDF == a local single-process computation with the
+    same smoothed-idf formula, including tie order, min_df pruning and
+    per-doc multiplicities."""
+    from collections import Counter
+
+    from rho_contracts_ray.stages import tfidf_top_terms
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    k = 4
+    out = tfidf_top_terms(ds.repartition(5), k=k, min_df=2).to_pandas() \
+        .sort_values(["doc_id", "tfidf", "term"],
+                     ascending=[True, False, True]).reset_index(drop=True)
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    N = len(docs)
+    df = Counter()
+    for r in docs:
+        df.update(set((r["text"] or "").split(" ")))
+    want = []
+    for r in docs:
+        tf = Counter((r["text"] or "").split(" "))
+        scored = []
+        for term, cnt in tf.items():
+            d = df[term]
+            if d < 2:
+                continue
+            s = cnt * (np.log((N + 1.0) / (d + 1.0)) + 1.0)
+            if s > 0:
+                scored.append((-s, term, cnt, d))
+        scored.sort()
+        for negs, term, cnt, d in scored[:k]:
+            want.append((r["doc_id"], term, cnt, d, -negs))
+    want.sort(key=lambda x: (x[0], -x[4], x[1]))
+    got = list(zip(out["doc_id"], out["term"], out["tf"], out["df"],
+                   out["tfidf"]))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:4] == w[:4], (g, w)
+        assert g[4] == w[4], (g, w)   # float64 formula identical
