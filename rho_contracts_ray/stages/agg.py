@@ -704,8 +704,13 @@ def group_quantiles_sketch(ds, key: str, value: str,
         blobs = t["__td"].to_pylist()
         out_q = {nm: [] for nm in names}
         for s, e in zip(starts, ends):
-            d = pickle.loads(blobs[s])
-            for b in blobs[s + 1:e]:
+            # canonical merge order: t-digest merging is order-sensitive
+            # at float-rounding scale and the bucket's row order follows
+            # Ray's nondeterministic block arrival — sort the serialized
+            # digests so identical data reproduces bit-for-bit
+            run = sorted(blobs[s:e])
+            d = pickle.loads(run[0])
+            for b in run[1:]:
                 d.merge(pickle.loads(b))
             for q, nm in zip(qs, names):
                 out_q[nm].append(d.quantile(q) if d.count else None)

@@ -464,11 +464,12 @@ def kmeans_fit(ds, k: int, iters: int = 10, emb_col: str = "embedding",
     short row per batch crosses to the driver, never vectors; the driver
     update is an O(k x dim) reduction.  Per-round cost is one streaming
     pass; nothing materializes.  Seeded k-means++-style init on a
-    deterministic sample.  Float partials are summed on the driver in
-    block order, so repartitioning can shift results by float rounding —
-    convergence/quality is the contract (asserted in pytest against a
-    local single-process Lloyd run), not byte determinism; empty clusters
-    keep their previous centroid."""
+    deterministic sample.  Partials reduce in a canonical sorted order,
+    so identical data + identical partitioning reproduces bit-for-bit
+    across runs; REpartitioning still shifts results at float-rounding
+    scale (different per-batch sums) — quality vs a local Lloyd run is
+    the cross-partitioning contract (pytest); empty clusters keep their
+    previous centroid."""
     import ray
 
     sample = ds.limit(init_sample)
@@ -511,19 +512,27 @@ def kmeans_fit(ds, k: int, iters: int = 10, emb_col: str = "embedding",
                 "n": pa.array([v.shape[0]], pa.int64()),
             })
 
-        sums = np.zeros_like(cent)
-        cnt = np.zeros(k, np.int64)
-        sse = 0.0
-        n_rows = 0
+        # collect every batch partial, then reduce in a CANONICAL order
+        # (sorted by content) — float addition is order-sensitive and Ray's
+        # batch arrival order is not deterministic across runs; sorting
+        # first makes fit() run-to-run reproducible on identical data
+        partials = []
         for b in ds.map_batches(partial, batch_format="pyarrow") \
                 .iter_batches(batch_size=None, batch_format="pyarrow"):
             t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
             for i in range(t.num_rows):
-                sums += np.frombuffer(t["sums"][i].as_py(),
-                                      np.float64).reshape(cent.shape)
-                cnt += np.frombuffer(t["cnt"][i].as_py(), np.int64)
-                sse += t["sse"][i].as_py()
-                n_rows += t["n"][i].as_py()
+                partials.append((t["sums"][i].as_py(), t["cnt"][i].as_py(),
+                                 t["sse"][i].as_py(), t["n"][i].as_py()))
+        partials.sort(key=lambda p: (p[0], p[1]))
+        sums = np.zeros_like(cent)
+        cnt = np.zeros(k, np.int64)
+        sse = 0.0
+        n_rows = 0
+        for sblob, cblob, s, n in partials:
+            sums += np.frombuffer(sblob, np.float64).reshape(cent.shape)
+            cnt += np.frombuffer(cblob, np.int64)
+            sse += s
+            n_rows += n
         nz = cnt > 0
         cent[nz] = sums[nz] / cnt[nz, None]
         inertia = sse
