@@ -1206,8 +1206,16 @@ def dedup_tumbling(ds, keys, ts_col: str, window_us: int,
         return _first_per_key_run(t, group_cols, sort_keys)
 
     windowed = ds.map_batches(add_window, batch_format="pyarrow")
-    return bucketed_apply(windowed, group_cols, first,
-                          lambda: first(_empty_like_ds(windowed)))
+
+    def make_empty() -> pa.Table:
+        t = _empty_like_ds(windowed)
+        if not set(group_cols) <= set(t.column_names):
+            # zero-row input whose mapped schema is unrecoverable (Ray's
+            # empty-dataset gotcha) — the honest empty is zero-column
+            return pa.table({})
+        return first(t)
+
+    return bucketed_apply(windowed, group_cols, first, make_empty)
 
 
 def _empty_like_ds(ds) -> pa.Table:

@@ -1634,3 +1634,30 @@ def test_tfidf_top_terms_matches_local(ray_session):
     for g, w in zip(got, want):
         assert g[:4] == w[:4], (g, w)
         assert g[4] == w[4], (g, w)   # float64 formula identical
+
+
+def test_new_ops_empty_inputs(ray_session):
+    """Zero-row inputs: every round-4 op returns an empty result (no
+    crash, no schema explosion)."""
+    from rho_contracts_ray.stages import (
+        dedup_tumbling, except_distinct, group_approx_distinct,
+        group_quantiles_sketch, intersect_distinct, regex_extract,
+        tfidf_top_terms, unnest_list, weighted_sample,
+    )
+
+    et = pa.table({"doc_id": pa.array([], pa.int64()),
+                   "text": pa.array([], pa.string()),
+                   "w": pa.array([], pa.float64()),
+                   "ts": pa.array([], pa.timestamp("us")),
+                   "arr": pa.array([], pa.list_(pa.int64()))})
+    ds = lambda: rd.from_arrow(et)
+
+    assert intersect_distinct(ds(), ds(), ["doc_id"]).count() == 0
+    assert except_distinct(ds(), ds(), ["doc_id"]).count() == 0
+    assert unnest_list(ds(), "arr").count() == 0
+    assert regex_extract(ds(), r"(?P<x>[a-z]+)").count() == 0
+    assert weighted_sample(ds(), "doc_id", "w", 0.5).count() == 0
+    assert group_approx_distinct(ds(), "doc_id", "text").count() == 0
+    assert group_quantiles_sketch(ds(), "doc_id", "w").count() == 0
+    assert dedup_tumbling(ds(), ["doc_id"], "ts", 1000).count() == 0
+    assert tfidf_top_terms(ds()).count() == 0
