@@ -1912,6 +1912,100 @@ def _q_collect_event_types(sf_dir: str):
                          out_col="types", distinct=True)
 
 
+def _q_corr_lineitem_by_flag(sf_dir: str):
+    """Grouped bivariate statistics (corr / covar_samp / OLS line /
+    stddevs) from one 7-doubles-per-(batch,group) exchange of moment
+    partials — SQL corr()/regr_*() parity; roundings chosen so the
+    distributed partial-sum order never shows (validated at sf0.01 and
+    sf0.1)."""
+    from rho_contracts_ray.stages.statistics import group_bivariate_stats
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    out = group_bivariate_stats(ds, ["l_returnflag"],
+                                "l_quantity", "l_extendedprice")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"], "n": t["n"],
+            "corr_xy": pc.round(t["corr_xy"], 6),
+            "covar": pc.round(t["covar"], 2),
+            "slope": pc.round(t["slope"], 4),
+            "icept": pc.round(t["icept"], 2),
+            "sdx": pc.round(t["sdx"], 6),
+            "sdy": pc.round(t["sdy"], 4),
+        })
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_zscore_events_by_type(sf_dir: str):
+    """Within-group z-score normalization: grouped moment reduce (one
+    short row per event_type), broadcast once, then a stateless scoring
+    pass — the SQL oracle is the equivalent window expression."""
+    from rho_contracts_ray.stages.statistics import group_zscore
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type",
+                                          "value"])
+    return group_zscore(ds, "event_type", "value", ["event_id"])
+
+
+def _q_retention_weekly_events(sf_dir: str):
+    """Weekly cohort retention triangle: distinct (user, week) partials
+    -> per-user cohort assignment in one exchange -> cell counts in a
+    second short exchange.  Raw events never move."""
+    from rho_contracts_ray.stages.statistics import retention_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return retention_counts(ds, "user_id", "ts")
+
+
+def _q_funnel_events(sf_dir: str):
+    """Ordered view->click->purchase funnel (each step's first event must
+    follow the previous step's completion) — events filtered to the three
+    funnel types before the per-user exchange; the SQL oracle is the
+    chained min(ts)>=previous CTE form."""
+    from rho_contracts_ray.stages.statistics import funnel_steps
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    return funnel_steps(ds, "user_id", "ts", "event_type",
+                        ["view", "click", "purchase"])
+
+
+def _q_unigram_logprob_documents(sf_dir: str):
+    """Corpus-unigram-LM document scoring (KenLM-style quality proxy):
+    the vocabulary is never broadcast or materialized — token counts are
+    derived in-bucket and per-doc averages ride a second short
+    exchange."""
+    from rho_contracts_ray.stages.text import unigram_logprob
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
+def _q_dedup_normalized_documents(sf_dir: str):
+    """Exact dedup on normalized text (lower + whitespace collapse +
+    trim): 24 B per batch-distinct key crosses the exchange; normalized
+    text never moves."""
+    from rho_contracts_ray.stages.text import normalized_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return normalized_dedup(ds)
+
+
+def _q_pca_embeddings(sf_dir: str):
+    """Distributed PCA: per-batch moment partials (vectors never leave
+    their tasks), canonical-order reduce, driver-side O(dim²) eigh, then
+    a streaming projection pass.  Rows-only for the driver (eigenvector
+    output is not SQL-expressible); pytest pins it against an exact
+    in-memory numpy PCA."""
+    from rho_contracts_ray.stages.ann import pca_fit, pca_project
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    comps, mean, _ratio = pca_fit(ds, n_components=2)
+    return pca_project(ds, comps, mean)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS for the driver's correctness gate: it checks only the
     # FIRST 50 entries against oracle_sql().  So the dict lists every
@@ -2009,6 +2103,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iqr_outliers_events": _q_iqr_outliers_events,
         "weighted_sample_documents": _q_weighted_sample_documents,
         "dedup_tumbling_events": _q_dedup_tumbling_events,
+        "corr_lineitem_by_flag": _q_corr_lineitem_by_flag,
+        "zscore_events_by_type": _q_zscore_events_by_type,
+        "retention_weekly_events": _q_retention_weekly_events,
+        "funnel_events": _q_funnel_events,
+        "unigram_logprob_documents": _q_unigram_logprob_documents,
+        "dedup_normalized_documents": _q_dedup_normalized_documents,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -2024,6 +2124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _q_kmeans_embeddings,
         "group_quantiles_sketch_events": _q_group_quantiles_sketch_events,
         "tfidf_documents": _q_tfidf_documents,
+        "pca_embeddings": _q_pca_embeddings,
     }
 
 
@@ -2598,11 +2699,70 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b, "
             "(SELECT nv FROM tot) AS n_values FROM cum"
         ),
+        "corr_lineitem_by_flag": (
+            "SELECT l_returnflag, count(*)::BIGINT AS n, "
+            "round(corr(l_extendedprice, l_quantity), 6) AS corr_xy, "
+            "round(covar_samp(l_extendedprice, l_quantity), 2) AS covar, "
+            "round(regr_slope(l_extendedprice, l_quantity), 4) AS slope, "
+            "round(regr_intercept(l_extendedprice, l_quantity), 2) "
+            "AS icept, "
+            "round(stddev_samp(l_quantity), 6) AS sdx, "
+            "round(stddev_samp(l_extendedprice), 4) AS sdy "
+            "FROM lineitem WHERE l_quantity IS NOT NULL "
+            "AND l_extendedprice IS NOT NULL GROUP BY 1"
+        ),
+        "zscore_events_by_type": (
+            "SELECT event_id, event_type, value, "
+            "round((value - avg(value) OVER (PARTITION BY event_type)) "
+            "/ stddev_samp(value) OVER (PARTITION BY event_type), 6) AS z "
+            "FROM events"
+        ),
+        "retention_weekly_events": (
+            "WITH uw AS (SELECT DISTINCT user_id, date_trunc('week', ts) "
+            "AS wk FROM events), "
+            "fw AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY 1) "
+            "SELECT cw AS cohort_week, "
+            "((epoch(wk) - epoch(cw)) / 604800)::BIGINT AS week_offset, "
+            "count(*)::BIGINT AS users "
+            "FROM uw JOIN fw USING (user_id) GROUP BY 1, 2"
+        ),
+        "funnel_events": (
+            "WITH v AS (SELECT user_id, min(ts) AS fv FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, min(e.ts) AS fc FROM events e "
+            "JOIN v USING (user_id) WHERE e.event_type = 'click' "
+            "AND e.ts >= v.fv GROUP BY 1), "
+            "p AS (SELECT e.user_id, min(e.ts) AS fp FROM events e "
+            "JOIN c USING (user_id) WHERE e.event_type = 'purchase' "
+            "AND e.ts >= c.fc GROUP BY 1) "
+            "SELECT (SELECT count(*) FROM v)::BIGINT AS step_1_view, "
+            "(SELECT count(*) FROM c)::BIGINT AS step_2_click, "
+            "(SELECT count(*) FROM p)::BIGINT AS step_3_purchase, "
+            "round((SELECT count(*) FROM p) "
+            "/ (SELECT count(*) FROM v)::DOUBLE, 6) AS conversion"
+        ),
+        "unigram_logprob_documents": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), t -> t <> '')) AS tok "
+            "FROM documents), "
+            "vocab AS (SELECT tok, count(*)::DOUBLE AS c FROM toks "
+            "GROUP BY 1), "
+            "tot AS (SELECT sum(c) AS n FROM vocab) "
+            "SELECT doc_id, round(sum(ln(v.c / tot.n)) / count(*), 6) "
+            "AS avg_logprob, count(*)::BIGINT AS n_tokens "
+            "FROM toks JOIN vocab v USING (tok), tot GROUP BY doc_id"
+        ),
+        "dedup_normalized_documents": (
+            "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n "
+            "FROM (SELECT doc_id, trim(regexp_replace(lower(text), "
+            "'\\s+', ' ', 'g')) AS k FROM documents) GROUP BY k"
+        ),
         # minhash/simhash/fingerprints/media/corpus_prep/packing:
         # rows-only (non-SQL-expressible: sketches, iterative packing,
         # binary decode, composite with LSH); drift_events_value stays
         # rows-only by nature (t-digest-sketched KS — its exact cousin
-        # ks_exact_events IS oracle-checked)
+        # ks_exact_events IS oracle-checked); pca_embeddings rows-only
+        # (eigenvector output), pinned against exact numpy in pytest
     }
 
 

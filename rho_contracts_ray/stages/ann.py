@@ -565,3 +565,84 @@ def kmeans_assign(ds, centroids: np.ndarray, emb_col: str = "embedding",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pca_fit(ds, n_components: int = 2, emb_col: str = "embedding"):
+    """Distributed PCA fit over an embedding column -> (components
+    (k, dim) float64 rows = principal axes, mean (dim,), explained
+    variance ratio (k,)).  The covariance is assembled from per-batch
+    moment partials (n, Σv, Σvvᵀ — one short blob row per batch, vectors
+    never leave their tasks) reduced in a canonical sorted order (the
+    kmeans_fit reproducibility contract), then eigendecomposed on the
+    driver — an O(dim²) object, independent of row count.  Sign
+    convention: each component's largest-|coeff| entry is positive, so
+    fits are comparable across runs/partitionings."""
+    import ray  # noqa: F401  (parity with sibling fit entry points)
+
+    dim = None
+    partials = []
+    def partial(batch: pa.Table) -> pa.Table:
+        v = _batch_matrix(batch, emb_col).astype(np.float64)
+        return pa.table({
+            "s": pa.array([v.sum(0).tobytes()], pa.binary()),
+            "o": pa.array([(v.T @ v).tobytes()], pa.binary()),
+            "n": pa.array([v.shape[0]], pa.int64()),
+        })
+
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if not ({"s", "o", "n"} <= set(t.column_names)) or not t.num_rows:
+            continue   # empty pass-through block (input schema)
+        for i in range(t.num_rows):
+            partials.append((t["s"][i].as_py(), t["o"][i].as_py(),
+                             int(t["n"][i].as_py())))
+    if not partials:
+        raise ValueError("pca_fit: empty input")
+    partials.sort(key=lambda p: (p[0], p[1], p[2]))
+    n_total = sum(p[2] for p in partials)
+    s0 = np.frombuffer(partials[0][0], np.float64)
+    dim = s0.size
+    ssum = np.zeros(dim)
+    osum = np.zeros((dim, dim))
+    for sb, ob, _n in partials:
+        ssum += np.frombuffer(sb, np.float64)
+        osum += np.frombuffer(ob, np.float64).reshape(dim, dim)
+    if n_total < 2:
+        raise ValueError("pca_fit: needs >= 2 rows")
+    mean = ssum / n_total
+    cov = (osum - n_total * np.outer(mean, mean)) / (n_total - 1)
+    cov = (cov + cov.T) / 2.0          # symmetrize float residue
+    w, v = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(w)[::-1][:n_components]
+    comps = v[:, order].T.copy()
+    for i in range(comps.shape[0]):     # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ratio = w[order] / max(float(w.sum()), 1e-300)
+    return comps, mean, ratio
+
+
+def pca_project(ds, components: np.ndarray, mean: np.ndarray,
+                emb_col: str = "embedding", id_col: str = "vec_id",
+                ndigits: int = 6):
+    """Project vectors onto fitted principal axes -> Dataset[id, pc_1..
+    pc_k] rounded to `ndigits`.  Components/mean ride ray.put once;
+    projection is one matmul per batch."""
+    import ray
+
+    ref = ray.put((np.asarray(components, np.float64),
+                   np.asarray(mean, np.float64)))
+    k = int(np.asarray(components).shape[0])
+
+    def project(batch: pa.Table) -> pa.Table:
+        comps, mu = ray.get(ref)
+        v = _batch_matrix(batch, emb_col).astype(np.float64)
+        p = np.round((v - mu) @ comps.T, ndigits)
+        cols = {id_col: batch[id_col]}
+        for i in range(k):
+            cols[f"pc_{i+1}"] = pa.array(p[:, i], pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -1,0 +1,274 @@
+"""Distributed statistical analytics: grouped bivariate statistics
+(corr / covariance / OLS line), grouped z-score normalization, weekly
+cohort retention, and an ordered multi-step funnel.
+
+All four follow the engine's wide-op rule: reduce inside `map_batches`
+FIRST so the exchange moves short per-(batch, group) partial rows, never
+raw rows — except the funnel, whose ordered-step semantics genuinely
+need each user's (type, ts) events co-located; those rows are filtered
+to the funnel's own event types before they ride the exchange.
+
+Reference parity: these are dataset-level analytics in the spirit of the
+reference's table-summary constraints (rho-contracts src/validate.js
+rollups); the corr/covar/regr and window semantics follow ANSI SQL as
+implemented by DuckDB (covar_samp / regr_slope / stddev_samp).
+
+Numerics: the moment-sum formulas (n, Σx, Σy, Σx², Σy², Σxy) match
+DuckDB's streaming implementations to ~1e-10 relative on double inputs;
+query layers round outputs (corr 6dp, covar 2dp, slope 4dp) so the
+distributed partial-sum order never shows in oracle hashes — validated
+against DuckDB at sf0.01 and sf0.1.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _f64(col) -> "pc.Expression":
+    return pc.cast(col, pa.float64())
+
+
+def group_bivariate_stats(ds, keys: Sequence[str], x: str, y: str):
+    """Per-group bivariate moments -> (keys..., n, corr_xy, covar, slope,
+    icept, sdx, sdy).  SQL: corr(y, x), covar_samp(y, x), regr_slope(y, x)
+    (y on x), regr_intercept, stddev_samp.  Rows where either column is
+    null are dropped first — SQL parity is `WHERE x IS NOT NULL AND y IS
+    NOT NULL`, so `n` counts COMPLETE pairs and a group with no complete
+    pair is omitted entirely.  Groups with n < 2 report nulls for every
+    statistic (DuckDB parity).
+
+    Exchange cost: 7 doubles per (batch, group) — raw rows never move.
+    Outputs are UNROUNDED; callers round to taste."""
+    keys = list(keys)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(batch[x]), pc.is_valid(batch[y]))
+        t = batch.filter(ok)
+        xs, ys = _f64(t[x]), _f64(t[y])
+        t2 = pa.table({**{k: t[k] for k in keys},
+                       "sx": xs, "sy": ys,
+                       "sxx": pc.multiply(xs, xs),
+                       "syy": pc.multiply(ys, ys),
+                       "sxy": pc.multiply(xs, ys)})
+        g = t2.group_by(keys).aggregate(
+            [("sx", "sum"), ("sy", "sum"), ("sxx", "sum"),
+             ("syy", "sum"), ("sxy", "sum"), ([], "count_all")])
+        return g.rename_columns(keys + ["sx", "sy", "sxx", "syy",
+                                        "sxy", "n"])
+
+    from .agg import bucketed_group_agg
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), keys,
+        [("sx", "sum"), ("sy", "sum"), ("sxx", "sum"),
+         ("syy", "sum"), ("sxy", "sum"), ("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx_sum"].to_numpy(zero_copy_only=False)
+        sy = t["sy_sum"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx_sum"].to_numpy(zero_copy_only=False)
+        syy = t["syy_sum"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy_sum"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nm1 = np.where(n > 1, n - 1.0, np.nan)
+            vx = (sxx - sx * sx / n) / nm1
+            vy = (syy - sy * sy / n) / nm1
+            cov = (sxy - sx * sy / n) / nm1
+            corr = cov / np.sqrt(vx * vy)
+            slope = cov / vx
+            icept = sy / n - slope * (sx / n)
+        cols = {k: t[k] for k in keys}
+        cols["n"] = pc.cast(t["n_sum"], pa.int64())
+        for name, arr in [("corr_xy", corr), ("covar", cov),
+                          ("slope", slope), ("icept", icept),
+                          ("sdx", np.sqrt(vx)), ("sdy", np.sqrt(vy))]:
+            cols[name] = pa.array(arr, pa.float64(), from_pandas=True)
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def group_zscore(ds, key: str, value: str, id_cols: Sequence[str],
+                 ndigits: int = 6):
+    """Z-score normalization within each `key` group -> (id_cols...,
+    key, value, z) with z rounded to `ndigits`.  SQL: (value - avg(value)
+    OVER (PARTITION BY key)) / stddev_samp(value) OVER (PARTITION BY key).
+
+    Two streaming passes: a grouped moment reduce (the group-stats table
+    is one short row per key — broadcast once with ray.put), then a
+    stateless map over the input.  Groups with stddev 0 or n < 2 emit
+    null z (SQL division-by-null parity).  Null values keep null z."""
+    import ray
+
+    id_cols = list(id_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[value]))
+        v = _f64(t[value])
+        t2 = pa.table({key: t[key], "s": v, "ss": pc.multiply(v, v)})
+        g = t2.group_by([key]).aggregate(
+            [("s", "sum"), ("ss", "sum"), ([], "count_all")])
+        return g.rename_columns([key, "s", "ss", "n"])
+
+    from .agg import bucketed_group_agg
+
+    stats = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), [key],
+        [("s", "sum"), ("ss", "sum"), ("n", "sum")])
+    st = pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+         for b in stats.iter_batches(batch_size=None,
+                                     batch_format="pyarrow")])
+    n = st["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = st["s_sum"].to_numpy(zero_copy_only=False)
+    ss = st["ss_sum"].to_numpy(zero_copy_only=False)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = s / n
+        sd = np.sqrt((ss - s * s / n) / np.where(n > 1, n - 1.0, np.nan))
+    sd = np.where(sd > 0, sd, np.nan)
+    key_vals = st[key].combine_chunks() if st.num_rows else st[key]
+    # broadcast (keys, mean, sd) once; per batch it's one index_in + take
+    ref = ray.put((key_vals,
+                   np.append(mean, np.nan), np.append(sd, np.nan)))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        kv, means, sds = ray.get(ref)
+        idx = pc.fill_null(
+            pc.index_in(batch[key], value_set=kv), len(means) - 1)
+        idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        ms, ds_ = means[idx], sds[idx]
+        v = _f64(batch[value]).to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            z = np.round((v - ms) / ds_, ndigits)
+        return pa.table({**{c: batch[c] for c in id_cols},
+                         key: batch[key], value: batch[value],
+                         "z": pa.array(z, pa.float64(), from_pandas=True)})
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def retention_counts(ds, user: str, ts: str):
+    """Weekly cohort retention -> (cohort_week, week_offset, users):
+    for each user's first active ISO week (the cohort), how many of the
+    cohort's users were active `week_offset` weeks later.
+
+    Pass 1 reduces each batch to DISTINCT (user, week) rows (weeks per
+    user are bounded — a year is 52 rows); the exchange co-locates each
+    user's weeks, emits (cohort_week, week_offset) per active week, and
+    a second short exchange counts users per cell.  Raw events never
+    move."""
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({user: batch[user],
+                      "wk": pc.floor_temporal(batch[ts], unit="week")})
+        g = t.group_by([user, "wk"]).aggregate([([], "count_all")])
+        return g.select([user, "wk"])
+
+    from .agg import bucketed_apply, bucketed_sum
+
+    def per_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        # bucket holds many users; dedup (user, wk) across batches, then
+        # per-user min via a sorted run scan — no per-group Python
+        t = t.group_by([user, "wk"]).aggregate([([], "count_all")])
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(user, "ascending"), ("wk", "ascending")]))
+        u = t[user].to_numpy(zero_copy_only=False)
+        wk = t["wk"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cohort = np.repeat(wk[starts], np.diff(np.r_[starts, u.size]))
+        off = (wk - cohort) // (7 * 86_400_000_000)
+        out = pa.table({
+            "cohort_week": pa.array(cohort).cast(pa.timestamp("us")),
+            "week_offset": pa.array(off, pa.int64()),
+            "users": pa.array(np.ones(u.size, np.int64))})
+        # pre-combine per bucket so exchange #2 moves one row per cell
+        g = out.group_by(["cohort_week", "week_offset"]).aggregate(
+            [("users", "sum")])
+        return g.rename_columns(["cohort_week", "week_offset", "users"])
+
+    def empty() -> pa.Table:
+        return pa.table({"cohort_week": pa.array([], pa.timestamp("us")),
+                         "week_offset": pa.array([], pa.int64()),
+                         "users": pa.array([], pa.int64())})
+
+    cells = bucketed_apply(ds.map_batches(partial, batch_format="pyarrow"),
+                           [user], per_user, empty)
+    return bucketed_sum(cells, ["cohort_week", "week_offset"], ["users"])
+
+
+def funnel_steps(ds, user: str, ts: str, type_col: str,
+                 steps: Sequence[str]):
+    """Ordered funnel -> one row (step_1..step_k counts, conversion):
+    step i counts users whose first step-i event at-or-after their
+    first step-(i-1) completion exists.  SQL parity: chained
+    min(ts) >= previous-step min(ts) CTEs.
+
+    Events are FILTERED to the funnel's own types before the exchange —
+    the only raw-row movement is the funnel-relevant slice, co-located
+    per user (per-user event counts are bounded in practice; the bucket
+    body is one sort + reduceat, no per-user Python)."""
+    steps = list(steps)
+    k = len(steps)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[type_col], value_set=pa.array(steps))
+        t = batch.filter(m)
+        return pa.table({user: t[user], "ts": t[ts],
+                         "step": t[type_col]})
+
+    from .agg import bucketed_apply
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        t = t.take(pc.sort_indices(
+            t, sort_keys=[(user, "ascending"), ("ts", "ascending")]))
+        u = t[user].to_numpy(zero_copy_only=False)
+        tsv = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        step_col = t["step"]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg = np.repeat(np.arange(starts.size), np.diff(np.r_[starts,
+                                                              u.size]))
+        counts = np.zeros(k, np.int64)
+        INF = np.int64(2**62)
+        gate = np.full(starts.size, -INF)       # first-step gate per user
+        alive = np.ones(starts.size, bool)
+        for i, s in enumerate(steps):
+            is_s = pc.equal(step_col, s).to_numpy(zero_copy_only=False)
+            ok = is_s & (tsv >= gate[seg]) & alive[seg]
+            tv = np.where(ok, tsv, INF)
+            first = np.minimum.reduceat(tv, starts)
+            alive = alive & (first < INF)
+            gate = np.where(alive, first, gate)
+            counts[i] = int(alive.sum())
+        return pa.table({f"step_{i+1}_{s}": pa.array([counts[i]])
+                         for i, s in enumerate(steps)})
+
+    def empty() -> pa.Table:
+        return pa.table({f"step_{i+1}_{s}": pa.array([], pa.int64())
+                         for i, s in enumerate(steps)})
+
+    parts = bucketed_apply(ds.map_batches(filt, batch_format="pyarrow"),
+                           [user], per_bucket, empty)
+    # per-bucket single rows -> one global row (tiny: <= n_buckets rows)
+    tbl = pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+         for b in parts.iter_batches(batch_size=None,
+                                     batch_format="pyarrow")])
+    cols = {}
+    for i, s in enumerate(steps):
+        c = f"step_{i+1}_{s}"
+        v = int(pc.sum(tbl[c]).as_py() or 0) if tbl.num_rows else 0
+        cols[c] = pa.array([v], pa.int64())
+    first = cols[f"step_1_{steps[0]}"][0].as_py()
+    last = cols[f"step_{k}_{steps[-1]}"][0].as_py()
+    conv = round(last / first, 6) if first else None
+    cols["conversion"] = pa.array([conv], pa.float64())
+    return pa.table(cols)

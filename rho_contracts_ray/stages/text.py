@@ -614,3 +614,140 @@ def tfidf_top_terms(ds, k: int = 5, text_col: str = "text",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
+                    sep: str = " ", ndigits: int = 6):
+    """Unigram-LM perplexity proxy: score each document by the average
+    log-probability of its tokens under the corpus's OWN unigram model
+    -> Dataset[doc_id, avg_logprob, n_tokens].  The standard cheap
+    quality signal for web-corpus filtering (a KenLM stand-in that needs
+    no model artifact).  SQL parity: p(tok) = count(tok)/total_tokens
+    over the whole corpus; avg_logprob = avg(ln p) over the doc's token
+    INSTANCES; empty tokens (split artifacts) are dropped on both sides.
+
+    Scale shape — fully distributed, nothing lands on the driver:
+      1. one column-pruned pass counts corpus tokens (a scalar);
+      2. each batch emits per-(doc, token) partial counts (pre-combined,
+         one short row per batch-distinct pair);
+      3. exchange #1 co-locates a token's rows: the token's corpus count
+         is derived IN-BUCKET (the vocabulary is never broadcast or
+         materialized) and each (doc, tok) row becomes (doc, c·ln p, c);
+      4. exchange #2 sums per doc and finishes the average.
+    Token order inside the sums differs from a sequential scan at float
+    rounding scale; `ndigits` rounding absorbs it (validated vs DuckDB
+    at sf0.01/sf0.1)."""
+    import math
+
+    from .agg import bucketed_apply, bucketed_group_agg
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        grams, _ = gram_arrays(batch[text_col], 1, sep)
+        n = int(pc.sum(pc.cast(pc.not_equal(grams, ""),
+                               pa.int64())).as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total = 0
+    for b in ds.map_batches(cnt_partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if "n" in t.column_names and t.num_rows:
+            total += int(pc.sum(t["n"]).as_py() or 0)
+    if total == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "avg_logprob": pa.array([], pa.float64()),
+            "n_tokens": pa.array([], pa.int64())}))
+    log_total = math.log(float(total))
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        grams, doc_idx = gram_arrays(batch[text_col], 1, sep)
+        mask = pc.not_equal(grams, "")
+        grams = grams.filter(mask)
+        doc_idx = doc_idx[mask.to_numpy(zero_copy_only=False)]
+        ids = batch[id_col].take(pa.array(doc_idx))
+        t = pa.table({id_col: ids, "tok": grams})
+        g = t.group_by([id_col, "tok"]).aggregate([([], "count_all")])
+        return g.rename_columns([id_col, "tok", "c"])
+
+    def per_tok_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tok_empty()
+        g = t.group_by([id_col, "tok"]).aggregate([("c", "sum")])
+        totals = g.group_by(["tok"]).aggregate([("c_sum", "sum")])
+        idx = pc.index_in(g["tok"], value_set=totals["tok"])
+        ct = totals["c_sum_sum"].take(idx).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c = g["c_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = c * (np.log(ct) - log_total)
+        return pa.table({id_col: g[id_col],
+                         "lp": pa.array(lp, pa.float64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    def tok_empty() -> pa.Table:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "lp": pa.array([], pa.float64()),
+                         "c": pa.array([], pa.int64())})
+
+    contribs = bucketed_apply(
+        ds.map_batches(tok_partial, batch_format="pyarrow"),
+        ["tok"], per_tok_bucket, tok_empty)
+    sums = bucketed_group_agg(contribs, [id_col],
+                              [("lp", "sum"), ("c", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        lp = t["lp_sum"].to_numpy(zero_copy_only=False)
+        c = t["c_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = np.round(lp / c, ndigits)
+        return pa.table({id_col: t[id_col],
+                         "avg_logprob": pa.array(avg, pa.float64(),
+                                                 from_pandas=True),
+                         "n_tokens": pc.cast(t["c_sum"], pa.int64())})
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup on NORMALIZED text (lowercase, whitespace runs
+    collapsed to one space, edges trimmed) -> Dataset[doc_id, n]: the
+    kept (minimum) id of each normalized-equal group plus the group
+    size.  SQL parity: GROUP BY trim(regexp_replace(lower(text),
+    '\\s+', ' ', 'g')) — both engines are RE2, and the Arrow kernels
+    (utf8_lower / replace_substring_regex / utf8_trim_whitespace) are
+    C++ end-to-end.
+
+    Scale shape: each batch groups its normalized keys locally and emits
+    (key-hash64, min_id, cnt) — 24 B per batch-distinct key; one short
+    bucketed exchange totals the groups.  Normalized text never moves
+    and never reaches the driver.  Distinct keys colliding at 64 bits
+    would merge two groups (~n²/2⁶⁵ odds — negligible at any corpus
+    size, same contract as the repo's `hash` dedup strategy)."""
+    from ..functions.hashing import stable_hash64
+    from .agg import bucketed_group_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(batch[text_col], "")),
+                pattern=r"\s+", replacement=" "))
+        t = pa.table({"nk": norm, id_col: batch[id_col]})
+        g = t.group_by(["nk"]).aggregate([(id_col, "min"),
+                                          ([], "count_all")])
+        kh = stable_hash64(g["nk"].combine_chunks()
+                           if isinstance(g["nk"], pa.ChunkedArray)
+                           else g["nk"])
+        return pa.table({"kh": pa.array(kh.view(np.int64)),
+                         "keep": g[f"{id_col}_min"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["kh"], [("keep", "min"), ("cnt", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t["keep_min"],
+                         "n": pc.cast(t["cnt_sum"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,201 @@
+"""Statistical analytics stages: grouped bivariate stats, z-score,
+retention, funnel, unigram-LM scoring, normalized dedup, PCA — edge
+semantics the sf-level DuckDB oracle (test_entry_oracle) can't plant."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from rho_contracts_ray.stages.ann import pca_fit, pca_project
+from rho_contracts_ray.stages.statistics import (
+    funnel_steps, group_bivariate_stats, group_zscore, retention_counts,
+)
+from rho_contracts_ray.stages.text import normalized_dedup, unigram_logprob
+
+
+def _collect(ds) -> pa.Table:
+    parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in ds.iter_batches(batch_size=None,
+                                      batch_format="pyarrow")]
+    parts = [t for t in parts if t.num_rows]
+    return pa.concat_tables(parts) if parts else None
+
+
+TS = pa.timestamp("us")
+
+
+def _ts(day: int, hour: int = 0) -> int:
+    # 2024-01-01 (a Monday) + offsets, in epoch micros
+    return (1_704_067_200 + day * 86_400 + hour * 3_600) * 1_000_000
+
+
+def test_bivariate_small_groups(ray_session):
+    t = pa.table({
+        "g": ["a", "a", "a", "b", "c", "c"],
+        "x": [1.0, 2.0, 3.0, 5.0, 1.0, None],
+        "y": [2.0, 4.0, 6.5, 7.0, None, 3.0],
+    })
+    out = _collect(group_bivariate_stats(
+        rd.from_arrow(t), ["g"], "x", "y")).to_pandas() \
+        .set_index("g").sort_index()
+    # group a: near-perfect positive relation
+    a = out.loc["a"]
+    assert a["n"] == 3
+    assert abs(a["corr_xy"] - np.corrcoef([1, 2, 3], [2, 4, 6.5])[0, 1]) \
+        < 1e-12
+    assert abs(a["slope"] - 2.25) < 1e-12
+    # group b (n=1) -> null stats; group c has no complete pair at all
+    # and is omitted (pairwise deletion happens before grouping)
+    assert out.loc["b", "n"] == 1 and np.isnan(out.loc["b", "corr_xy"])
+    assert "c" not in out.index
+
+
+def test_zscore_zero_variance_and_nulls(ray_session):
+    t = pa.table({
+        "id": [1, 2, 3, 4, 5, 6],
+        "g": ["k", "k", "k", "z", "z", "k"],
+        "v": [1.0, 3.0, 5.0, 7.0, 7.0, None],
+    })
+    out = _collect(group_zscore(rd.from_arrow(t), "g", "v", ["id"])) \
+        .to_pandas().set_index("id").sort_index()
+    assert abs(out.loc[1, "z"] + 1.0) < 1e-9      # (1-3)/2
+    assert abs(out.loc[3, "z"] - 1.0) < 1e-9
+    assert np.isnan(out.loc[4, "z"])               # zero-variance group
+    assert np.isnan(out.loc[6, "z"])               # null value stays null
+
+
+def test_retention_two_cohorts(ray_session):
+    rows = []
+    # users 1,2 start week 0; user 1 returns weeks 1 and 3
+    rows += [(1, _ts(0)), (1, _ts(1)), (1, _ts(7)), (1, _ts(21))]
+    rows += [(2, _ts(2))]
+    # user 3 starts week 1, returns week 2
+    rows += [(3, _ts(8)), (3, _ts(14))]
+    t = pa.table({"user_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows], TS)})
+    out = _collect(retention_counts(rd.from_arrow(t), "user_id", "ts")) \
+        .to_pandas()
+    cells = {(r.cohort_week.value // 1000, int(r.week_offset)): int(r.users)
+             for r in out.itertuples()}
+    w0, w1 = _ts(0), _ts(7)
+    assert cells[(w0, 0)] == 2
+    assert cells[(w0, 1)] == 1 and cells[(w0, 3)] == 1
+    assert (w0, 2) not in cells
+    assert cells[(w1, 0)] == 1 and cells[(w1, 1)] == 1
+
+
+def test_funnel_order_matters(ray_session):
+    rows = [
+        # user 1: full ordered funnel
+        (1, _ts(0, 0), "view"), (1, _ts(0, 1), "click"),
+        (1, _ts(0, 2), "purchase"),
+        # user 2: purchase BEFORE its click -> stops after click
+        (2, _ts(0, 0), "view"), (2, _ts(0, 2), "click"),
+        (2, _ts(0, 1), "purchase"),
+        # user 3: clicks but never saw a view -> not even step 2
+        (3, _ts(0, 0), "click"), (3, _ts(0, 1), "purchase"),
+        # user 4: view only
+        (4, _ts(0, 0), "view"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], TS),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = funnel_steps(rd.from_arrow(t), "user_id", "ts", "event_type",
+                       ["view", "click", "purchase"]).to_pandas()
+    assert int(out["step_1_view"][0]) == 3
+    assert int(out["step_2_click"][0]) == 2
+    assert int(out["step_3_purchase"][0]) == 1
+    assert abs(out["conversion"][0] - round(1 / 3, 6)) < 1e-12
+
+
+def test_funnel_same_timestamp_counts(ray_session):
+    # ts >= gate is inclusive: click at the exact view instant qualifies
+    t = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([_ts(0), _ts(0)], TS),
+        "event_type": pa.array(["view", "click"], pa.string()),
+    })
+    out = funnel_steps(rd.from_arrow(t), "user_id", "ts", "event_type",
+                       ["view", "click"]).to_pandas()
+    assert int(out["step_2_click"][0]) == 1
+
+
+def test_unigram_logprob_hand_case(ray_session):
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a a b", "b  c"], pa.string())})
+    out = _collect(unigram_logprob(rd.from_arrow(t))).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # corpus: a:2 b:2 c:1, N=5 (the double space contributes no token)
+    lp = {"a": math.log(2 / 5), "b": math.log(2 / 5), "c": math.log(1 / 5)}
+    assert int(out.loc[1, "n_tokens"]) == 3
+    assert abs(out.loc[1, "avg_logprob"]
+               - round((2 * lp["a"] + lp["b"]) / 3, 6)) < 1e-9
+    assert abs(out.loc[2, "avg_logprob"]
+               - round((lp["b"] + lp["c"]) / 2, 6)) < 1e-9
+
+
+def test_normalized_dedup_planted(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "text": pa.array(["Hello  World", "hello world", " hello\tworld\n",
+                          "hello worlds", None], pa.string()),
+    })
+    out = _collect(normalized_dedup(rd.from_arrow(t))).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert int(out.loc[10, "n"]) == 3       # 10, 11, 12 normalize equal
+    assert int(out.loc[13, "n"]) == 1
+    assert int(out.loc[14, "n"]) == 1       # null -> "" group of its own
+    assert 11 not in out.index and 12 not in out.index
+
+
+def test_pca_matches_numpy_exact(ray_session):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 6))
+    # stretch two directions so the top-2 axes are unambiguous
+    base[:, 0] *= 9.0
+    base[:, 1] *= 4.0
+    t = pa.table({
+        "vec_id": pa.array(np.arange(200), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in base],
+                              pa.list_(pa.float32())),
+    })
+    x = np.array(t["embedding"].to_pylist(), np.float64)  # f32-truncated
+    ds = rd.from_arrow(t).repartition(5)
+    comps, mean, ratio = pca_fit(ds, n_components=2)
+    # exact reference on the same float32-rounded input
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:2]
+    ref = v[:, order].T.copy()
+    for i in range(2):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-7)
+    assert ratio[0] > ratio[1] > 0
+    out = _collect(pca_project(ds, comps, mean)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    proj = np.round((x - mu) @ ref.T, 6)
+    assert np.allclose(out[["pc_1", "pc_2"]].to_numpy(), proj, atol=1e-5)
+
+
+def test_pca_reproducible_same_partitioning(ray_session):
+    t = pa.table({
+        "vec_id": pa.array(np.arange(64), pa.int64()),
+        "embedding": pa.array(
+            [[float(i % 7), float(i % 3), float(i)] for i in range(64)],
+            pa.list_(pa.float32())),
+    })
+    a = pca_fit(rd.from_arrow(t).repartition(4), 2)
+    b = pca_fit(rd.from_arrow(t).repartition(4), 2)
+    assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
