@@ -1993,6 +1993,56 @@ def _q_dedup_normalized_documents(sf_dir: str):
     return normalized_dedup(ds)
 
 
+def _q_ohlc_daily_user(sf_dir: str):
+    """Daily OHLC bars per user: open/close are the first/last value by
+    ts inside each (user, day) — SQL arg_min/arg_max parity; one short
+    partial row per (batch, user, day) crosses the exchange.  Events ts
+    are unique per (user, day) in this dataset, so the bars are
+    deterministic.  Values ride as integer CENTS (the lag/ffill-query
+    convention) so every output — including the summed total — is an
+    exact integer-valued double, independent of distributed summation
+    order at any scale."""
+    from rho_contracts_ray.stages.statistics import ohlc_bars
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(batch["value"], 100.0))
+        return pa.table({"user_id": batch["user_id"], "ts": batch["ts"],
+                         "cents": c})
+
+    return ohlc_bars(ds.map_batches(cents, batch_format="pyarrow"),
+                     "user_id", "ts", "cents", unit="day")
+
+
+def _q_media_ahash_dedup(sf_dir: str):
+    """Perceptual (aHash) image dedup over a deterministic synthetic
+    media table with planted cross-format duplicates: the same pixels
+    encoded as BMP and as PNG collapse to one hash group.  Rows-only
+    (binary decode); pytest pins the planted-group structure."""
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import make_media_table
+    from rho_contracts_ray.stages.multimodal import (encode_bmp, encode_png,
+                                                     media_ahash_dedup)
+
+    media = make_media_table(200, seed=7, real=True)
+    images = media.filter(pc.equal(media["kind"], "image"))
+    # plant cross-format duplicates: one pixel array, two containers
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    px = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    extra = pa.table({
+        "media_id": pa.array([10_001, 10_002], pa.int64()),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([encode_bmp(px), encode_png(px)],
+                            pa.large_binary()),
+    })
+    allimg = pa.concat_tables([images.select(extra.column_names), extra])
+    return media_ahash_dedup(rd.from_arrow(allimg), concurrency=(1, 4))
+
+
 def _q_pca_embeddings(sf_dir: str):
     """Distributed PCA: per-batch moment partials (vectors never leave
     their tasks), canonical-order reduce, driver-side O(dim²) eigh, then
@@ -2109,6 +2159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": _q_funnel_events,
         "unigram_logprob_documents": _q_unigram_logprob_documents,
         "dedup_normalized_documents": _q_dedup_normalized_documents,
+        "ohlc_daily_user": _q_ohlc_daily_user,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -2125,6 +2176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles_sketch_events": _q_group_quantiles_sketch_events,
         "tfidf_documents": _q_tfidf_documents,
         "pca_embeddings": _q_pca_embeddings,
+        "media_ahash_dedup": _q_media_ahash_dedup,
     }
 
 
@@ -2756,6 +2808,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n "
             "FROM (SELECT doc_id, trim(regexp_replace(lower(text), "
             "'\\s+', ' ', 'g')) AS k FROM documents) GROUP BY k"
+        ),
+        "ohlc_daily_user": (
+            "SELECT user_id, date_trunc('day', ts) AS bar, "
+            "arg_min(round(value * 100), ts) AS open, "
+            "max(round(value * 100)) AS high, "
+            "min(round(value * 100)) AS low, "
+            "arg_max(round(value * 100), ts) AS close, "
+            "count(*)::BIGINT AS n, "
+            "round(sum(round(value * 100)), 6) AS total "
+            "FROM events WHERE value IS NOT NULL GROUP BY 1, 2"
         ),
         # minhash/simhash/fingerprints/media/corpus_prep/packing:
         # rows-only (non-SQL-expressible: sketches, iterative packing,

@@ -1114,3 +1114,112 @@ def make_media_table(n: int, seed: int = 42, real: bool = False) -> pa.Table:
              for x, k in zip(rng.integers(1000, 10_000, n), kinds)],
             pa.int32()),
     })
+
+
+def ahash64_pixels(px: np.ndarray) -> int:
+    """Average-hash (aHash) of an RGB pixel array: grayscale -> 8x8
+    nearest-neighbor downsample (pixel-center sampling, the same map as
+    ResizeImageStage) -> 64 bits of 'cell >= mean', packed row-major
+    MSB-first.  The classic perceptual fingerprint (public domain
+    algorithm): identical pixels hash identically regardless of the
+    container format; small re-encode noise (JPEG) flips at most a few
+    bits."""
+    g = px.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    ri = np.minimum(((np.arange(8) + 0.5) * h // 8).astype(np.int64),
+                    h - 1)
+    ci = np.minimum(((np.arange(8) + 0.5) * w // 8).astype(np.int64),
+                    w - 1)
+    cells = g[ri][:, ci]
+    bits = (cells >= cells.mean()).astype(np.uint64).ravel()
+    return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
+
+
+class AHashStage:
+    """Actor-pool stage: image payload bytes -> 64-bit perceptual hash
+    (aHash) -> (media_id, ahash, decoded).  on_undecodable='flag' emits
+    a null hash with decoded=False; 'raise' surfaces the decoder error.
+    Non-image magic bytes are treated as undecodable."""
+
+    def __init__(self, on_undecodable: str = "raise"):
+        if on_undecodable not in ("raise", "flag"):
+            raise ValueError(f"unknown on_undecodable {on_undecodable!r}")
+        self.on_undecodable = on_undecodable
+        self._decoders = {"bmp": decode_bmp, "png": decode_png,
+                          "gif": decode_gif, "jpg": decode_jpeg}
+
+    @staticmethod
+    def _kind(p: bytes) -> str | None:
+        if p[:2] == b"BM":
+            return "bmp"
+        if p[:8] == b"\x89PNG\r\n\x1a\n":
+            return "png"
+        if p[:6] in (b"GIF87a", b"GIF89a"):
+            return "gif"
+        if p[:3] == b"\xff\xd8\xff":
+            return "jpg"
+        return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = [p or b"" for p in batch["payload"].to_pylist()]
+        hashes: list = [None] * len(payloads)
+        decoded = [False] * len(payloads)
+        for i, p in enumerate(payloads):
+            kind = self._kind(p)
+            if kind is None:
+                if self.on_undecodable == "raise":
+                    raise ValueError("AHashStage: not an image payload")
+                continue
+            try:
+                px = self._decoders[kind](p)
+            except ValueError:
+                if self.on_undecodable == "raise":
+                    raise
+                continue
+            # int64 view keeps the column hashable/groupable everywhere
+            hashes[i] = np.uint64(ahash64_pixels(px)).astype(
+                np.int64).item()
+            decoded[i] = True
+        return pa.table({
+            "media_id": batch["media_id"],
+            "ahash": pa.array(hashes, pa.int64()),
+            "decoded": pa.array(decoded, pa.bool_()),
+        })
+
+
+def media_ahash_dedup(ds, min_count: int = 1, concurrency=None,
+                      batch_size: int = 256,
+                      on_undecodable: str = "flag"):
+    """Perceptual dedup of an image dataset -> Dataset[ahash, keep_id,
+    cnt]: groups payloads by exact aHash equality (identical or
+    near-identical frames collapse regardless of container format), keeps
+    the minimum media_id per group.  Undecodable payloads are dropped.
+
+    Scale shape: decode runs in an actor pool (large payloads stay in
+    their tasks; only 16 B (hash, id) rows move), the grouping is the
+    short bucketed exchange."""
+    from .agg import bucketed_group_agg
+
+    hashed = ds.map_batches(
+        AHashStage,
+        fn_constructor_kwargs={"on_undecodable": on_undecodable},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency if concurrency is not None
+        else (1, _cluster_cpus()))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["decoded"]).drop_columns(["decoded"])
+
+    agg = bucketed_group_agg(
+        hashed.map_batches(keep, batch_format="pyarrow"),
+        ["ahash"], [("media_id", "min"), ([], "count_all")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = pa.table({"ahash": t["ahash"],
+                        "keep_id": t["media_id_min"],
+                        "cnt": pc.cast(t["count_all"], pa.int64())})
+        if min_count > 1:
+            out = out.filter(pc.greater_equal(out["cnt"], min_count))
+        return out
+
+    return agg.map_batches(finish, batch_format="pyarrow")

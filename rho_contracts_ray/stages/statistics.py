@@ -272,3 +272,104 @@ def funnel_steps(ds, user: str, ts: str, type_col: str,
     conv = round(last / first, 6) if first else None
     cols["conversion"] = pa.array([conv], pa.float64())
     return pa.table(cols)
+
+
+def ohlc_bars(ds, key: str, ts: str, value: str, unit: str = "day",
+              sum_digits: int = 6):
+    """Time-bucketed OHLC bars per key -> (key, bar, open, high, low,
+    close, n, total): the first/last (by `ts`) and min/max values of
+    each (key, time-bucket) group — SQL arg_min(value, ts) /
+    arg_max(value, ts) / min / max / count / round(sum).  `total` is
+    rounded so distributed partial-sum order never shows; the other
+    five are exact data values.  Ties on equal `ts` within a bar are
+    broken arbitrarily — callers needing determinism must have unique
+    ts per (key, bar) (the oracle dataset does).
+
+    Scale shape: each batch reduces to one 9-field row per (batch, key,
+    bar); the exchange combines partials with two sorted run-scans (for
+    open/close provenance via the partials' min/max ts) and one Arrow
+    group_by — raw rows never move."""
+    from .agg import _first_per_key_run, bucketed_apply
+
+    keys = [key, "bar"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key],
+                      "bar": pc.floor_temporal(batch[ts], unit=unit),
+                      "ts": batch[ts],
+                      "v": _f64(batch[value])})
+        t = t.filter(pc.is_valid(t["v"]))
+        if t.num_rows == 0:
+            return _ohlc_partial_empty(t)
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            (key, "ascending"), ("bar", "ascending"), ("ts", "ascending")]))
+        u = t[key].to_numpy(zero_copy_only=False)
+        b = t["bar"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, (u[1:] != u[:-1])
+                                      | (b[1:] != b[:-1])])
+        ends = np.r_[starts[1:], u.size] - 1
+        v = t["v"].to_numpy(zero_copy_only=False)
+        tsv = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lows = np.minimum.reduceat(v, starts)
+        highs = np.maximum.reduceat(v, starts)
+        sums = np.add.reduceat(v, starts)
+        ns = np.diff(np.r_[starts, u.size])
+        sel = pa.array(starts)
+        return pa.table({
+            key: t[key].take(sel), "bar": t["bar"].take(sel),
+            "open_ts": pa.array(tsv[starts]).cast(pa.timestamp("us")),
+            "open": pa.array(v[starts]),
+            "close_ts": pa.array(tsv[ends]).cast(pa.timestamp("us")),
+            "close": pa.array(v[ends]),
+            "low": pa.array(lows), "high": pa.array(highs),
+            "n": pa.array(ns.astype(np.int64)),
+            "s": pa.array(sums)})
+
+    def _ohlc_partial_empty(t: pa.Table) -> pa.Table:
+        tt = pa.timestamp("us")
+        return pa.table({key: t[key], "bar": pa.array([], tt),
+                         "open_ts": pa.array([], tt),
+                         "open": pa.array([], pa.float64()),
+                         "close_ts": pa.array([], tt),
+                         "close": pa.array([], pa.float64()),
+                         "low": pa.array([], pa.float64()),
+                         "high": pa.array([], pa.float64()),
+                         "n": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.float64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        g = t.group_by(keys).aggregate(
+            [("low", "min"), ("high", "max"), ("n", "sum"), ("s", "sum")])
+        opens = _first_per_key_run(
+            t.select(keys + ["open_ts", "open"]), keys,
+            [(key, "ascending"), ("bar", "ascending"),
+             ("open_ts", "ascending")])
+        closes = _first_per_key_run(
+            t.select(keys + ["close_ts", "close"]), keys,
+            [(key, "ascending"), ("bar", "ascending"),
+             ("close_ts", "descending")])
+        out = g.join(opens.drop_columns(["open_ts"]), keys=keys,
+                     join_type="inner")
+        out = out.join(closes.drop_columns(["close_ts"]), keys=keys,
+                       join_type="inner")
+        return pa.table({
+            key: out[key], "bar": out["bar"],
+            "open": out["open"], "high": out["high_max"],
+            "low": out["low_min"], "close": out["close"],
+            "n": pc.cast(out["n_sum"], pa.int64()),
+            "total": pc.round(out["s_sum"], sum_digits)})
+
+    def empty() -> pa.Table:
+        tt = pa.timestamp("us")
+        f = pa.float64()
+        return pa.table({key: pa.array([], pa.int64()),
+                         "bar": pa.array([], tt), "open": pa.array([], f),
+                         "high": pa.array([], f), "low": pa.array([], f),
+                         "close": pa.array([], f),
+                         "n": pa.array([], pa.int64()),
+                         "total": pa.array([], f)})
+
+    return bucketed_apply(ds.map_batches(partial, batch_format="pyarrow"),
+                          keys, combine, empty)

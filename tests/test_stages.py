@@ -1661,3 +1661,53 @@ def test_new_ops_empty_inputs(ray_session):
     assert group_quantiles_sketch(ds(), "doc_id", "w").count() == 0
     assert dedup_tumbling(ds(), ["doc_id"], "ts", 1000).count() == 0
     assert tfidf_top_terms(ds()).count() == 0
+
+
+def test_ahash_cross_format_dedup(ray_session):
+    from rho_contracts_ray.stages.multimodal import (
+        ahash64_pixels, encode_bmp, encode_gif, encode_jpeg, encode_png,
+        media_ahash_dedup)
+
+    rng = np.random.default_rng(5)
+    px_a = rng.integers(0, 256, (16, 12, 3), dtype=np.uint8)
+    # a clearly different image (inverted)
+    px_b = (255 - px_a)[::-1]
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "kind": pa.array(["image"] * 5),
+        "payload": pa.array([
+            encode_bmp(px_a), encode_png(px_a),          # exact dups
+            encode_jpeg(px_a),                           # lossy near-dup
+            encode_bmp(px_b),                            # different
+            b"not an image",                             # undecodable
+        ], pa.large_binary()),
+    })
+    out = []
+    res = media_ahash_dedup(rd.from_arrow(t), concurrency=(1, 2))
+    for b in res.iter_batches(batch_size=None, batch_format="pyarrow"):
+        tb = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if tb.num_rows:
+            out.append(tb)
+    got = pa.concat_tables(out).to_pandas().set_index("keep_id") \
+        .sort_index()
+    # BMP+PNG of the same pixels share one group kept at id 1
+    assert int(got.loc[1, "cnt"]) >= 2
+    assert 2 not in got.index
+    # the different image is its own group; undecodable row dropped
+    assert int(got.loc[4, "cnt"]) == 1
+    assert 5 not in got.index
+    # JPEG re-encode stays within a few aHash bits of the source
+    h_exact = ahash64_pixels(px_a)
+    from rho_contracts_ray.stages.multimodal import decode_jpeg
+    h_jpeg = ahash64_pixels(decode_jpeg(encode_jpeg(px_a)))
+    assert bin(h_exact ^ h_jpeg).count("1") <= 6
+
+
+def test_ahash_raise_on_undecodable(ray_session):
+    from rho_contracts_ray.stages.multimodal import AHashStage
+
+    stage = AHashStage(on_undecodable="raise")
+    bad = pa.table({"media_id": pa.array([9], pa.int64()),
+                    "payload": pa.array([b"junk"], pa.large_binary())})
+    with pytest.raises(ValueError):
+        stage(bad)

@@ -199,3 +199,37 @@ def test_pca_reproducible_same_partitioning(ray_session):
     a = pca_fit(rd.from_arrow(t).repartition(4), 2)
     b = pca_fit(rd.from_arrow(t).repartition(4), 2)
     assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+def test_ohlc_bars_planted(ray_session):
+    rows = [
+        # user 1, day 0: values in ts order 5, 1, 9, 3
+        (1, _ts(0, 1), 5.0), (1, _ts(0, 2), 1.0),
+        (1, _ts(0, 3), 9.0), (1, _ts(0, 4), 3.0),
+        # user 1, day 1: single event
+        (1, _ts(1, 0), 7.0),
+        # user 2, day 0: 2.0 then 4.0
+        (2, _ts(0, 5), 2.0), (2, _ts(0, 6), 4.0),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], TS),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    from rho_contracts_ray.stages.statistics import ohlc_bars
+
+    # repartition so partials from different blocks must combine
+    out = _collect(ohlc_bars(rd.from_arrow(t).repartition(4),
+                             "user_id", "ts", "value", unit="day")) \
+        .to_pandas().set_index(["user_id", "bar"]).sort_index()
+    d0 = pa.scalar(_ts(0), TS).as_py()
+    d1 = pa.scalar(_ts(1), TS).as_py()
+    r = out.loc[(1, d0)]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n"]) \
+        == (5.0, 9.0, 1.0, 3.0, 4)
+    assert abs(r["total"] - 18.0) < 1e-9
+    r = out.loc[(1, d1)]
+    assert (r["open"], r["close"], r["n"]) == (7.0, 7.0, 1)
+    r = out.loc[(2, d0)]
+    assert (r["open"], r["close"], r["low"], r["high"]) \
+        == (2.0, 4.0, 2.0, 4.0)
