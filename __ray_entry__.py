@@ -2015,6 +2015,36 @@ def _q_ohlc_daily_user(sf_dir: str):
                      "user_id", "ts", "cents", unit="day")
 
 
+def _q_mad_events_by_type(sf_dir: str):
+    """Per-group robust spread (median + MAD, quantile_disc picking rule):
+    picked values are data values / single IEEE |x−med| results, so the
+    oracle compares value-exact with no rounding."""
+    from rho_contracts_ray.stages.statistics import group_mad
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return group_mad(ds, "event_type", "value")
+
+
+def _q_resample_daily_user(sf_dir: str):
+    """Per-user daily resample + forward fill: a dense day grid between
+    each user's first and last active day carrying the last observed
+    value (integer cents) forward — the fill is one np.repeat over gap
+    lengths per bucket, no grid materialization beyond the output; SQL
+    parity is generate_series + ASOF JOIN."""
+    from rho_contracts_ray.stages.statistics import resample_ffill
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(batch["value"], 100.0))
+        return pa.table({"user_id": batch["user_id"], "ts": batch["ts"],
+                         "cents": c})
+
+    return resample_ffill(ds.map_batches(cents, batch_format="pyarrow"),
+                          "user_id", "ts", "cents",
+                          out_col="cents_filled")
+
+
 def _q_media_ahash_dedup(sf_dir: str):
     """Perceptual (aHash) image dedup over a deterministic synthetic
     media table with planted cross-format duplicates: the same pixels
@@ -2160,6 +2190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_documents": _q_unigram_logprob_documents,
         "dedup_normalized_documents": _q_dedup_normalized_documents,
         "ohlc_daily_user": _q_ohlc_daily_user,
+        "mad_events_by_type": _q_mad_events_by_type,
+        "resample_daily_user": _q_resample_daily_user,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -2818,6 +2850,28 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS n, "
             "round(sum(round(value * 100)), 6) AS total "
             "FROM events WHERE value IS NOT NULL GROUP BY 1, 2"
+        ),
+        "mad_events_by_type": (
+            "WITH med AS (SELECT event_type, "
+            "quantile_disc(value, 0.5) AS med, "
+            "count(value)::BIGINT AS n FROM events GROUP BY 1) "
+            "SELECT e.event_type, any_value(m.med) AS med, "
+            "quantile_disc(abs(e.value - m.med), 0.5) AS mad, "
+            "any_value(m.n) AS n "
+            "FROM events e JOIN med m USING (event_type) "
+            "GROUP BY e.event_type"
+        ),
+        "resample_daily_user": (
+            "WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day, "
+            "arg_max(round(value * 100), ts) AS cents FROM events "
+            "WHERE value IS NOT NULL GROUP BY 1, 2), "
+            "bounds AS (SELECT user_id, min(day) AS lo, max(day) AS hi "
+            "FROM daily GROUP BY 1), "
+            "grid AS (SELECT user_id, unnest(generate_series(lo, hi, "
+            "INTERVAL 1 DAY)) AS day FROM bounds) "
+            "SELECT g.user_id, g.day, d.cents AS cents_filled "
+            "FROM grid g ASOF JOIN daily d "
+            "ON g.user_id = d.user_id AND g.day >= d.day"
         ),
         # minhash/simhash/fingerprints/media/corpus_prep/packing:
         # rows-only (non-SQL-expressible: sketches, iterative packing,

@@ -373,3 +373,150 @@ def ohlc_bars(ds, key: str, ts: str, value: str, unit: str = "day",
 
     return bucketed_apply(ds.map_batches(partial, batch_format="pyarrow"),
                           keys, combine, empty)
+
+
+def group_mad(ds, key: str, value: str):
+    """Robust per-group spread -> (key, med, mad, n): discrete median and
+    median-absolute-deviation with the quantile_disc picking rule (the
+    sorted element at ceil(q·n)−1 — picked values ARE data values /
+    single IEEE |x−med| results, so a DuckDB oracle compares
+    value-exact).  Nulls and NaNs are skipped within a group (SQL
+    parity); an all-null group yields null med/mad with n = 0.
+
+    Scale shape: exact medians need the group co-located — one exchange
+    by key, then TWO segment-vectorized sorted passes per bucket (values,
+    then absolute deviations); no per-group Python."""
+    from .agg import bucketed_apply
+    from .joins import _empty_out, _key_run_starts
+
+    def _valid_mask(v: pa.Array):
+        ok = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            ok = pc.and_(ok, pc.invert(pc.fill_null(pc.is_nan(v), True)))
+        return ok
+
+    def _disc_pick(s: pa.Table, col: str, starts: np.ndarray):
+        v = s[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        valid = _valid_mask(v).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_valid = (np.add.reduceat(valid, starts)
+                   if starts.size else np.empty(0, np.int64))
+        idx = starts + np.maximum(
+            np.ceil(0.5 * n_valid).astype(np.int64) - 1, 0)
+        picked = v.take(pa.array(idx))
+        picked = pc.if_else(pa.array(n_valid == 0),
+                            pa.nulls(len(idx), v.type), picked)
+        return picked, n_valid
+
+    def body(t: pa.Table) -> pa.Table:
+        s = t.select([key, value]).take(pc.sort_indices(
+            t.select([key, value]),
+            sort_keys=[(key, "ascending"), (value, "ascending")],
+            null_placement="at_end"))
+        starts = _key_run_starts(s, key)
+        med, n_valid = _disc_pick(s, value, starts)
+        # per-row |x - med(group)| via run-repeated medians, then the
+        # same sorted pick on the deviations
+        lens = np.diff(np.r_[starts, s.num_rows])
+        med_rep = med.take(pa.array(
+            np.repeat(np.arange(starts.size), lens)))
+        dev = pc.abs(pc.subtract(pc.cast(s[value], pa.float64()),
+                                 pc.cast(med_rep, pa.float64())))
+        d = pa.table({key: s[key], "d": dev})
+        d = d.take(pc.sort_indices(
+            d, sort_keys=[(key, "ascending"), ("d", "ascending")],
+            null_placement="at_end"))
+        starts_d = _key_run_starts(d, key)
+        mad, _ = _disc_pick(d, "d", starts_d)
+        # both passes sort by the same key set -> identical run order
+        return pa.table({key: s[key].take(pa.array(starts)),
+                         "med": pc.cast(med, pa.float64()),
+                         "mad": mad,
+                         "n": pa.array(n_valid, pa.int64())})
+
+    sub = ds.select_columns([key, value])
+    return bucketed_apply(sub, [key], body, lambda: _empty_out(sub, body))
+
+
+def resample_ffill(ds, key: str, ts: str, value: str, out_col: str):
+    """Per-key daily resampling with forward fill -> (key, day, out_col):
+    a DENSE day grid from each key's first to last active day, carrying
+    the key's last-observed `value` forward across gap days.  SQL parity:
+    generate_series over the per-key bounds ASOF-joined to the per-day
+    last value (ties on equal ts within a day are broken arbitrarily —
+    deterministic when ts is unique per (key, day), as in the oracle
+    dataset).
+
+    Scale shape: each batch pre-reduces to one (key, day, last_ts, value)
+    row per (batch, key, day); one exchange by key; the fill itself is a
+    pure np.repeat of observed values over their gap lengths — no grid
+    materialization beyond the output rows, no per-key Python."""
+    from .agg import bucketed_apply
+
+    DAY = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key: batch[key],
+                      "day": pc.floor_temporal(batch[ts], unit="day"),
+                      "o": batch[ts], "v": _f64(batch[value])})
+        t = t.filter(pc.is_valid(t["v"]))
+        if t.num_rows == 0:
+            return pa.table({key: t[key],
+                             "day": pa.array([], pa.timestamp("us")),
+                             "o": pa.array([], pa.timestamp("us")),
+                             "v": pa.array([], pa.float64())})
+        # last (by ts) value per (key, day) within the batch
+        s = t.take(pc.sort_indices(t, sort_keys=[
+            (key, "ascending"), ("day", "ascending"), ("o", "descending")]))
+        u = s[key].to_numpy(zero_copy_only=False)
+        d = s["day"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        firsts = np.flatnonzero(np.r_[True, (u[1:] != u[:-1])
+                                      | (d[1:] != d[:-1])])
+        return s.take(pa.array(firsts))
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        # combine batch partials: newest ts wins per (key, day)
+        s = t.take(pc.sort_indices(t, sort_keys=[
+            (key, "ascending"), ("day", "ascending"), ("o", "descending")]))
+        u = s[key].to_numpy(zero_copy_only=False)
+        d = s["day"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(np.r_[True, (u[1:] != u[:-1])
+                                    | (d[1:] != d[:-1])])
+        u, d = u[keep], d[keep]
+        v = s["v"].to_numpy(zero_copy_only=False)[keep]
+        kcol = s[key].take(pa.array(keep))
+        # per-key dense spans: each observation covers the gap up to the
+        # next observation (the last covers through the key's max day)
+        kstart = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        klen = np.diff(np.r_[kstart, u.size])
+        last_day = np.repeat(d[kstart + klen - 1], klen)
+        nxt = np.r_[d[1:], 0]
+        is_last = np.zeros(u.size, bool)
+        is_last[kstart + klen - 1] = True
+        cover = np.where(is_last, (last_day - d) // DAY + 1,
+                         (nxt - d) // DAY)
+        cover = cover.astype(np.int64)
+        total = int(cover.sum())
+        src = np.repeat(np.arange(u.size), cover)
+        # day offsets inside each covered span: global arange minus the
+        # span's own cumulative start
+        offs = (np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(cover) - cover, cover))
+        days = d[src] + offs * DAY
+        return pa.table({
+            key: kcol.take(pa.array(src)),
+            "day": pa.array(days).cast(pa.timestamp("us")),
+            out_col: pa.array(v[src]),
+        })
+
+    def empty() -> pa.Table:
+        return pa.table({key: pa.array([], pa.int64()),
+                         "day": pa.array([], pa.timestamp("us")),
+                         out_col: pa.array([], pa.float64())})
+
+    return bucketed_apply(ds.map_batches(partial, batch_format="pyarrow"),
+                          [key], body, empty)

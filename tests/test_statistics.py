@@ -233,3 +233,46 @@ def test_ohlc_bars_planted(ray_session):
     r = out.loc[(2, d0)]
     assert (r["open"], r["close"], r["low"], r["high"]) \
         == (2.0, 4.0, 2.0, 4.0)
+
+
+def test_group_mad_nulls_and_nans(ray_session):
+    t = pa.table({
+        "g": ["a"] * 5 + ["b"] * 2 + ["c"],
+        "v": [1.0, 3.0, 100.0, None, float("nan"), 7.0, 9.0, None],
+    })
+    from rho_contracts_ray.stages.statistics import group_mad
+
+    out = _collect(group_mad(rd.from_arrow(t), "g", "v")).to_pandas() \
+        .set_index("g").sort_index()
+    # group a: valid values 1, 3, 100 -> med 3, |devs| {2, 0, 97} -> mad 2
+    assert out.loc["a", "med"] == 3.0 and out.loc["a", "mad"] == 2.0
+    assert int(out.loc["a", "n"]) == 3
+    # group b: even count picks the LOWER disc element (ceil(.5*2)-1 = 0)
+    assert out.loc["b", "med"] == 7.0 and out.loc["b", "mad"] == 0.0
+    # group c: all null -> null med/mad, n = 0
+    assert np.isnan(out.loc["c", "med"]) and int(out.loc["c", "n"]) == 0
+
+
+def test_resample_ffill_gaps(ray_session):
+    rows = [
+        (1, _ts(0, 1), 10.0), (1, _ts(0, 9), 11.0),   # day 0: last = 11
+        (1, _ts(3), 30.0),                             # gap days 1, 2
+        (2, _ts(5), 50.0),                             # single-day user
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], TS),
+        "v": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    from rho_contracts_ray.stages.statistics import resample_ffill
+
+    out = _collect(resample_ffill(rd.from_arrow(t).repartition(3),
+                                  "user_id", "ts", "v", "filled")) \
+        .to_pandas()
+    got = {(int(r.user_id), r.day.value // 1000): r.filled
+           for r in out.itertuples()}
+    assert len(out) == 5                       # days 0..3 for u1, 1 for u2
+    assert got[(1, _ts(0))] == 11.0            # later same-day ts wins
+    assert got[(1, _ts(1))] == 11.0 and got[(1, _ts(2))] == 11.0
+    assert got[(1, _ts(3))] == 30.0
+    assert got[(2, _ts(5))] == 50.0
