@@ -2045,6 +2045,32 @@ def _q_resample_daily_user(sf_dir: str):
                           out_col="cents_filled")
 
 
+def _q_inverted_index_documents(sf_dir: str):
+    """Inverted index build (term -> ordered doc_id posting list): each
+    batch emits its distinct (term, doc) pairs pre-deduped, one exchange
+    by term, one Arrow sort + vectorized binary_join per bucket — the IR
+    shape of group_collect.  Partitioning assumption (inherent to any
+    collect): one term's postings fit in one task; cap stop-word terms
+    upstream for adversarial corpora."""
+    from rho_contracts_ray.stages import group_collect
+    from rho_contracts_ray.stages.text import gram_arrays
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        grams, doc_idx = gram_arrays(batch["text"], 1, " ")
+        mask = pc.not_equal(grams, "")
+        grams = grams.filter(mask)
+        doc_idx = doc_idx[mask.to_numpy(zero_copy_only=False)]
+        ids = batch["doc_id"].take(pa.array(doc_idx))
+        t = pa.table({"term": grams, "doc_id": ids})
+        return t.group_by(["term", "doc_id"]).aggregate([])
+
+    return group_collect(ds.map_batches(pairs, batch_format="pyarrow"),
+                         "term", "doc_id", sep=",", out_col="postings",
+                         distinct=True)
+
+
 def _q_media_ahash_dedup(sf_dir: str):
     """Perceptual (aHash) image dedup over a deterministic synthetic
     media table with planted cross-format duplicates: the same pixels
@@ -2192,6 +2218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ohlc_daily_user": _q_ohlc_daily_user,
         "mad_events_by_type": _q_mad_events_by_type,
         "resample_daily_user": _q_resample_daily_user,
+        "inverted_index_documents": _q_inverted_index_documents,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -2872,6 +2899,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT g.user_id, g.day, d.cents AS cents_filled "
             "FROM grid g ASOF JOIN daily d "
             "ON g.user_id = d.user_id AND g.day >= d.day"
+        ),
+        "inverted_index_documents": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), t -> t <> '')) AS term "
+            "FROM documents), "
+            "d AS (SELECT DISTINCT doc_id, term FROM toks) "
+            "SELECT term, string_agg(doc_id::VARCHAR, ',' "
+            "ORDER BY doc_id) AS postings FROM d GROUP BY term"
         ),
         # minhash/simhash/fingerprints/media/corpus_prep/packing:
         # rows-only (non-SQL-expressible: sketches, iterative packing,
