@@ -276,3 +276,37 @@ def test_resample_ffill_gaps(ray_session):
     assert got[(1, _ts(1))] == 11.0 and got[(1, _ts(2))] == 11.0
     assert got[(1, _ts(3))] == 30.0
     assert got[(2, _ts(5))] == 50.0
+
+
+def test_new_ops_survive_oversized_bucket_split(ray_session, monkeypatch):
+    """The 100-TB OOM guard applied to the statistics family: with
+    RHO_BUCKET_SPLIT_ROWS pinned far below the routed row count, every
+    raw-row exchange here processes its buckets as finer hash sub-ranges
+    with results identical to the unsplit run (all ops are key-local, so
+    hash-bit splitting preserves semantics)."""
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.statistics import (
+        group_mad, ohlc_bars, resample_ffill, retention_counts)
+
+    SF = "/root/testdata/sf0.01"
+    ev = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "value", "event_type"])
+
+    def collect(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    def run_all():
+        return [
+            collect(group_mad(ev, "event_type", "value")),
+            collect(ohlc_bars(ev, "user_id", "ts", "value", unit="day")),
+            collect(resample_ffill(ev, "user_id", "ts", "value", "f")),
+            collect(retention_counts(ev, "user_id", "ts")),
+        ]
+
+    base = run_all()
+    monkeypatch.setenv("RHO_BUCKET_SPLIT_ROWS", "50")
+    split = run_all()
+    for b, s in zip(base, split):
+        assert b.equals(s)
