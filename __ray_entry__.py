@@ -2113,6 +2113,8 @@ def _q_pca_embeddings(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from rho_contracts_ray.pipelines import tpch as _tpch
+
     # ORDER MATTERS for the driver's correctness gate: it checks only the
     # FIRST 50 entries against oracle_sql().  So the dict lists every
     # SQL-oracled query first — leading with the 21 that had never
@@ -2219,6 +2221,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_events_by_type": _q_mad_events_by_type,
         "resample_daily_user": _q_resample_daily_user,
         "inverted_index_documents": _q_inverted_index_documents,
+        # TPC-H composites beyond the original set (pipelines/tpch.py;
+        # Q9/Q16/Q17/Q19/Q22 adapted for the reduced schema — no partsupp,
+        # no container/phone columns; adaptation noted per docstring)
+        "q7_nation_volume": _tpch.q7_nation_volume,
+        "q8_market_share": _tpch.q8_market_share,
+        "q9_profit": _tpch.q9_profit,
+        "q13_customer_distribution": _tpch.q13_customer_distribution,
+        "q15_top_supplier": _tpch.q15_top_supplier,
+        "q16_supplier_cnt": _tpch.q16_supplier_cnt,
+        "q17_small_qty_revenue": _tpch.q17_small_qty_revenue,
+        "q19_banded_revenue": _tpch.q19_banded_revenue,
+        "q22_dormant_customers": _tpch.q22_dormant_customers,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -2907,6 +2921,111 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT DISTINCT doc_id, term FROM toks) "
             "SELECT term, string_agg(doc_id::VARCHAR, ',' "
             "ORDER BY doc_id) AS postings FROM d GROUP BY term"
+        ),
+        # TPC-H composites beyond the original set (pipelines/tpch.py)
+        # money sums ride integer cents (round(x*100) per row) in BOTH
+        # engines — order-independent, so grouped totals are bit-equal
+        "q7_nation_volume": (
+            "SELECT supp_nation, cust_nation, l_year, "
+            "round(sum(volume) / 100, 2) AS revenue FROM ("
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "EXTRACT(year FROM l_shipdate)::BIGINT AS l_year, "
+            "round(l_extendedprice * (1 - l_discount) * 100) AS volume "
+            "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE ((n1.n_nationkey = 1 AND n2.n_nationkey = 2) "
+            "OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1)) "
+            "AND l_shipdate >= DATE '1996-01-01' "
+            "AND l_shipdate < DATE '1998-01-01') "
+            "GROUP BY supp_nation, cust_nation, l_year"
+        ),
+        "q8_market_share": (
+            "SELECT o_year, round(sum(CASE WHEN s_nationkey = 3 "
+            "THEN volume ELSE 0 END) / sum(volume), 4) AS mkt_share FROM ("
+            "SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year, "
+            "round(l_extendedprice * (1 - l_discount) * 100) AS volume, "
+            "s_nationkey "
+            "FROM part JOIN lineitem ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "JOIN region ON n2.n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY' "
+            "AND o_orderdate >= DATE '1996-01-01' "
+            "AND o_orderdate < DATE '1998-01-01') GROUP BY o_year"
+        ),
+        "q9_profit": (
+            "SELECT n_name AS nation, "
+            "EXTRACT(year FROM o_orderdate)::BIGINT AS o_year, "
+            "round(sum(round(l_extendedprice * (1 - l_discount) * 100)) "
+            "/ 100, 2) AS profit "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%gear%' GROUP BY n_name, o_year"
+        ),
+        "q13_customer_distribution": (
+            "SELECT c_count, count(*)::BIGINT AS custdist FROM ("
+            "SELECT c_custkey, count(o_custkey)::BIGINT AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '1-URGENT' "
+            "GROUP BY c_custkey) GROUP BY c_count"
+        ),
+        "q15_top_supplier": (
+            "WITH revenue AS (SELECT l_suppkey AS s_suppkey, "
+            "round(sum(round(l_extendedprice * (1 - l_discount) * 100)) "
+            "/ 100, 2) AS total_revenue FROM lineitem "
+            "WHERE l_shipdate >= DATE '1996-01-01' "
+            "AND l_shipdate < DATE '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s.s_suppkey, s_name, total_revenue "
+            "FROM supplier s JOIN revenue r ON s.s_suppkey = r.s_suppkey "
+            "WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)"
+        ),
+        "q16_supplier_cnt": (
+            "SELECT p_brand, p_type, p_size, "
+            "count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand <> 'Brand#1' "
+            "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) "
+            "GROUP BY p_brand, p_type, p_size"
+        ),
+        # the 0.2*avg threshold compares integer-valued doubles (sum/avg
+        # exact in any order), so the boundary row set is bit-identical
+        "q17_small_qty_revenue": (
+            "SELECT round(coalesce(sum(l_extendedprice), 0) / 7.0, 2) "
+            "AS avg_yearly "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand = 'Brand#23' AND p_size < 15 "
+            "AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity) "
+            "FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"
+        ),
+        "q19_banded_revenue": (
+            "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) "
+            "AS revenue FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        # threshold in integer cents: round(bal*100) sums/averages exactly
+        # in both engines regardless of order — no float-boundary flakes
+        "q22_dormant_customers": (
+            "SELECT c_nationkey::BIGINT AS cntrycode, "
+            "count(*)::BIGINT AS numcust, "
+            "round(sum(c_acctbal), 2) AS totacctbal FROM customer c "
+            "WHERE round(c_acctbal * 100) > (SELECT "
+            "avg(round(c_acctbal * 100)) FROM customer "
+            "WHERE c_acctbal > 0.0) "
+            "AND NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P') "
+            "GROUP BY cntrycode"
         ),
         # minhash/simhash/fingerprints/media/corpus_prep/packing:
         # rows-only (non-SQL-expressible: sketches, iterative packing,
