@@ -46,7 +46,44 @@ def _collect(ds) -> pa.Table:
     for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
         parts.append(b if isinstance(b, pa.Table)
                      else pa.Table.from_batches([b]))
-    return pa.concat_tables(parts) if parts else pa.table({})
+    if parts:
+        return pa.concat_tables(parts)
+    # zero-batch dataset: rebuild the typed empty table so downstream
+    # column access keeps working on legitimately empty inputs
+    try:
+        schema = ds.schema()
+        if schema is not None:
+            return pa.schema(
+                [(f.name, f.type) for f in schema.base_schema]
+            ).empty_table()
+    except Exception:
+        pass
+    return pa.table({})
+
+
+def _fold_sums(ds, cols):
+    """Driver fold of one-row-per-block partials: sum each named column,
+    skipping empty pass-through blocks that kept the INPUT schema (the
+    UDF never ran on them) — same guard as constraints/heavy_hitters."""
+    totals = [0.0] * len(cols)
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if t.num_rows == 0 or not set(cols) <= set(t.column_names):
+            continue
+        for i, c in enumerate(cols):
+            totals[i] += float(pc.sum(t[c]).as_py() or 0.0)
+    return totals
+
+
+def _known_empty(*datasets) -> bool:
+    """True when ANY input is known (from the parquet footers pinned by
+    clean_read_parquet — no execution) to have zero rows.  Zero-row
+    inputs would otherwise reach map_batches as schema-only pass-through
+    blocks and strip the UDF's output schema from the pipeline."""
+    for ds in datasets:
+        if getattr(ds, "_rho_meta_count", None) == 0:
+            return True
+    return False
 
 
 def _np(a) -> np.ndarray:
@@ -131,6 +168,12 @@ def q7_nation_volume(sf_dir: str, nat_a: int = 1, nat_b: int = 2):
     li_raw = _read(sf_dir, "lineitem",
                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
                             "l_discount", "l_shipdate"])
+    empty_out = pa.table({"supp_nation": pa.array([], pa.string()),
+                          "cust_nation": pa.array([], pa.string()),
+                          "l_year": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64())})
+    if _known_empty(li_raw, orders_raw):
+        return empty_out
     n_buckets = auto_buckets(li_raw, orders_raw)
     lo, hi = _ts("1996-01-01"), _ts("1998-01-01")
 
@@ -176,10 +219,7 @@ def q7_nation_volume(sf_dir: str, nat_a: int = 1, nat_b: int = 2):
         joined.map_batches(regroup, batch_format="pyarrow"),
         ["supp_nat", "cust_nat", "l_year"], ["vol"]))
     if totals.num_rows == 0 or "supp_nat" not in totals.column_names:
-        return pa.table({"supp_nation": pa.array([], pa.string()),
-                         "cust_nation": pa.array([], pa.string()),
-                         "l_year": pa.array([], pa.int64()),
-                         "revenue": pa.array([], pa.float64())})
+        return empty_out
     spos, _ = _probe(nk_sorted, _np(totals["supp_nat"]).astype(np.int64))
     cpos, _ = _probe(nk_sorted, _np(totals["cust_nat"]).astype(np.int64))
     out = pa.table({
@@ -241,6 +281,10 @@ def q8_market_share(sf_dir: str, target_nation: int = 3,
     li_raw = _read(sf_dir, "lineitem",
                    columns=["l_orderkey", "l_partkey", "l_suppkey",
                             "l_extendedprice", "l_discount"])
+    empty_out = pa.table({"o_year": pa.array([], pa.int64()),
+                          "mkt_share": pa.array([], pa.float64())})
+    if _known_empty(li_raw, orders_raw):
+        return empty_out
     n_buckets = auto_buckets(li_raw, orders_raw)
     lo, hi = _ts("1996-01-01"), _ts("1998-01-01")
 
@@ -288,8 +332,7 @@ def q8_market_share(sf_dir: str, target_nation: int = 3,
     # <=#years x 2 rows per block — fold on the driver
     parts = _collect(joined.map_batches(regroup, batch_format="pyarrow"))
     if parts.num_rows == 0 or "o_year" not in parts.column_names:
-        return pa.table({"o_year": pa.array([], pa.int64()),
-                         "mkt_share": pa.array([], pa.float64())})
+        return empty_out
     g = parts.group_by(["o_year", "is_target"]).aggregate([("vol", "sum")])
     years = _np(g["o_year"]).astype(np.int64)
     flags = _np(g["is_target"]).astype(bool)
@@ -336,6 +379,11 @@ def q9_profit(sf_dir: str, name_contains: str = "gear"):
     li_raw = _read(sf_dir, "lineitem",
                    columns=["l_orderkey", "l_partkey", "l_suppkey",
                             "l_extendedprice", "l_discount"])
+    empty_out = pa.table({"nation": pa.array([], pa.string()),
+                          "o_year": pa.array([], pa.int64()),
+                          "profit": pa.array([], pa.float64())})
+    if _known_empty(li_raw, orders_raw):
+        return empty_out
     n_buckets = auto_buckets(li_raw, orders_raw)
 
     def li_partial(batch: pa.Table) -> pa.Table:
@@ -375,9 +423,7 @@ def q9_profit(sf_dir: str, name_contains: str = "gear"):
         joined.map_batches(regroup, batch_format="pyarrow"),
         ["nat", "o_year"], ["profit"]))
     if totals.num_rows == 0 or "nat" not in totals.column_names:
-        return pa.table({"nation": pa.array([], pa.string()),
-                         "o_year": pa.array([], pa.int64()),
-                         "profit": pa.array([], pa.float64())})
+        return empty_out
     pos, _ = _probe(nk_sorted, _np(totals["nat"]).astype(np.int64))
     out = pa.table({"nation": pa.array(nname_sorted[pos]),
                     "o_year": totals["o_year"],
@@ -405,6 +451,10 @@ def q13_customer_distribution(sf_dir: str,
     orders = _read(sf_dir, "orders",
                    columns=["o_custkey", "o_orderpriority"])
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    empty_out = pa.table({"c_count": pa.array([], pa.int64()),
+                          "custdist": pa.array([], pa.int64())})
+    if _known_empty(cust) and _known_empty(orders):
+        return empty_out
 
     def ord_partial(batch: pa.Table) -> pa.Table:
         sub = batch.filter(
@@ -429,6 +479,8 @@ def q13_customer_distribution(sf_dir: str,
     dist = _collect(bucketed_sum(
         per_cust.map_batches(dist_partial, batch_format="pyarrow"),
         ["c_count"], ["custdist"]))
+    if dist.num_rows == 0 or "c_count" not in dist.column_names:
+        return empty_out
     return dist.sort_by([("custdist", "descending"),
                          ("c_count", "descending")])
 
@@ -601,8 +653,8 @@ def q17_small_qty_revenue(sf_dir: str, brand: str = "Brand#23",
         rev = float(_np(batch["l_extendedprice"])[mask].sum())
         return pa.table({"rev": pa.array([rev], pa.float64())})
 
-    t = _collect(li.map_batches(rev_partial, batch_format="pyarrow"))
-    total = float(pc.sum(t["rev"]).as_py() or 0.0)
+    (total,) = _fold_sums(li.map_batches(rev_partial,
+                                         batch_format="pyarrow"), ["rev"])
     return pa.table({"avg_yearly":
                      pa.array([round(total / 7.0, 2)], pa.float64())})
 
@@ -654,8 +706,8 @@ def q19_banded_revenue(sf_dir: str):
                * (1.0 - _np(batch["l_discount"])[mask])).sum()
         return pa.table({"rev": pa.array([float(rev)], pa.float64())})
 
-    t = _collect(li.map_batches(partial, batch_format="pyarrow"))
-    total = float(pc.sum(t["rev"]).as_py() or 0.0)
+    (total,) = _fold_sums(li.map_batches(partial,
+                                         batch_format="pyarrow"), ["rev"])
     return pa.table({"revenue": pa.array([round(total, 2)], pa.float64())})
 
 
@@ -689,13 +741,14 @@ def q22_dormant_customers(sf_dir: str, open_status: str = "P"):
             "n": pa.array([pc.sum(pc.cast(pos_mask, pa.int64())).as_py()
                            or 0], pa.int64())})
 
-    t = _collect(cust.map_batches(bal_partial, batch_format="pyarrow"))
-    n = int(pc.sum(t["n"]).as_py() or 0)
+    s_total, n_total = _fold_sums(
+        cust.map_batches(bal_partial, batch_format="pyarrow"), ["s", "n"])
+    n = int(n_total)
     if n == 0:
         return pa.table({"cntrycode": pa.array([], pa.int64()),
                          "numcust": pa.array([], pa.int64()),
                          "totacctbal": pa.array([], pa.float64())})
-    avg_cents = float(pc.sum(t["s"]).as_py()) / n
+    avg_cents = s_total / n
 
     # pass 2: threshold filter + anti join + per-nation rollup
     orders = _read(sf_dir, "orders",
@@ -717,8 +770,14 @@ def q22_dormant_customers(sf_dir: str, open_status: str = "P"):
                          "numcust": pc.cast(g["c_acctbal_count"],
                                             pa.int64())})
 
-    parts = _collect(dormant.map_batches(nat_partial,
-                                         batch_format="pyarrow"))
+    blocks = []
+    for b in dormant.map_batches(nat_partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        t2 = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if t2.num_rows and {"cntrycode", "bal", "numcust"} \
+                <= set(t2.column_names):
+            blocks.append(t2)
+    parts = pa.concat_tables(blocks) if blocks else pa.table({})
     if parts.num_rows == 0:
         return pa.table({"cntrycode": pa.array([], pa.int64()),
                          "numcust": pa.array([], pa.int64()),
