@@ -216,7 +216,8 @@ def run_benchmarks() -> dict:
                  "ngram_top20_documents", "chunk_documents",
                  "decontam_documents", "jaccard_pairs_documents",
                  "dup_clusters_documents", "corr_lineitem_by_flag",
-                 "ohlc_daily_user", "unigram_logprob_documents"):
+                 "ohlc_daily_user", "unigram_logprob_documents",
+                 "q7_nation_volume", "q9_profit"):
         def run(n=name):
             res = q[n](SF_DIR)
             # consume lazily-built results fully
