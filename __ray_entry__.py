@@ -2071,6 +2071,50 @@ def _q_inverted_index_documents(sf_dir: str):
                          distinct=True)
 
 
+def _q_quantile_cont_events(sf_dir: str):
+    """Per-type continuous (interpolated) quantiles of event value —
+    DuckDB quantile_cont arithmetic replicated bit-for-bit (rn = q·(n−1),
+    two-sided weighting); NaN/null values pre-filtered IDENTICALLY in
+    both engines so group membership matches."""
+    from rho_contracts_ray.stages import group_quantiles_cont
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def keep_finite(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        m = pc.and_(pc.is_valid(v),
+                    pc.invert(pc.fill_null(pc.is_nan(v), True)))
+        return batch.filter(m)
+
+    return group_quantiles_cont(
+        ds.map_batches(keep_finite, batch_format="pyarrow"),
+        "event_type", "value", (0.25, 0.5, 0.75))
+
+
+def _q_unpivot_lineitem(sf_dir: str):
+    """UNPIVOT/melt of four lineitem measures into (metric, val) rows —
+    pure streaming reshape, 4x rows out, no exchange."""
+    from rho_contracts_ray.stages import unpivot
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_tax"])
+    return unpivot(ds, ["l_orderkey", "l_linenumber"],
+                   ["l_quantity", "l_extendedprice", "l_discount",
+                    "l_tax"],
+                   name_col="metric", value_col="val",
+                   cast_to=pa.float64())
+
+
+def _q_entropy_events_user(sf_dir: str):
+    """Per-user Shannon entropy of the event-type mix — a diversity /
+    concentration score; batches move only (user, type, cnt) partials."""
+    from rho_contracts_ray.stages import group_entropy
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return group_entropy(ds, "user_id", "event_type")
+
+
 def _q_media_ahash_dedup(sf_dir: str):
     """Perceptual (aHash) image dedup over a deterministic synthetic
     media table with planted cross-format duplicates: the same pixels
@@ -2233,6 +2277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": _tpch.q17_small_qty_revenue,
         "q19_banded_revenue": _tpch.q19_banded_revenue,
         "q22_dormant_customers": _tpch.q22_dormant_customers,
+        "quantile_cont_events": _q_quantile_cont_events,
+        "unpivot_lineitem": _q_unpivot_lineitem,
+        "entropy_events_user": _q_entropy_events_user,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -3026,6 +3073,35 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P') "
             "GROUP BY cntrycode"
+        ),
+        # interpolated quantiles: same rn = q*(n-1) two-sided-weight
+        # arithmetic as the engine, identical NaN/null pre-filter
+        "quantile_cont_events": (
+            "SELECT event_type, quantile_cont(value, 0.25) AS p25, "
+            "quantile_cont(value, 0.5) AS p50, "
+            "quantile_cont(value, 0.75) AS p75 FROM events "
+            "WHERE value IS NOT NULL AND value = value "
+            "GROUP BY event_type"
+        ),
+        "unpivot_lineitem": (
+            "SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, "
+            "l_quantity::DOUBLE AS val FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, "
+            "'l_extendedprice', l_extendedprice FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', "
+            "l_discount FROM lineitem "
+            "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', "
+            "l_tax FROM lineitem"
+        ),
+        "entropy_events_user": (
+            "WITH c AS (SELECT user_id, event_type, "
+            "count(*)::DOUBLE AS cnt FROM events "
+            "GROUP BY user_id, event_type), "
+            "t AS (SELECT user_id, sum(cnt) AS n FROM c "
+            "GROUP BY user_id) "
+            "SELECT c.user_id, -sum((cnt / n) * ln(cnt / n)) AS entropy, "
+            "n::BIGINT AS n FROM c JOIN t USING (user_id) "
+            "GROUP BY c.user_id, n"
         ),
         # minhash/simhash/fingerprints/media/corpus_prep/packing:
         # rows-only (non-SQL-expressible: sketches, iterative packing,

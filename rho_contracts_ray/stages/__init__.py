@@ -23,7 +23,7 @@ from .multimodal import (  # noqa: F401
 from .joins import (  # noqa: F401
     anti_join, asof_join, asof_join_partitioned, broadcast_join,
     bucketed_join, group_count_distinct, group_iqr_outliers,
-    group_quantiles,
+    group_quantiles, group_quantiles_cont,
     hopping_window_count, range_join, semi_join, window_cumsum,
     window_fill_forward, window_rank, window_rolling, window_seq,
     window_shift,
@@ -39,8 +39,9 @@ from .text import (  # noqa: F401
     tfidf_top_terms,
 )
 from .setops import (  # noqa: F401
-    except_distinct, intersect_distinct, unnest_list,
+    except_distinct, intersect_distinct, unnest_list, unpivot,
 )
+from .statistics import group_entropy  # noqa: F401
 from .topk import global_topk  # noqa: F401
 from .agg import (  # noqa: F401
     bucketed_group_agg, cube_agg, group_approx_distinct, group_argmax,

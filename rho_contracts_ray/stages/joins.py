@@ -626,6 +626,81 @@ def group_quantiles(ds, key: str, value: str,
                           lambda: _empty_out(sub, body))
 
 
+def group_quantiles_cont(ds, key: str, value: str,
+                         qs: Sequence[float] = (0.25, 0.5, 0.75),
+                         drop_empty: bool = True):
+    """EXACT per-group continuous (linearly interpolated) quantiles ->
+    (key, p25, p50, ...), replicating DuckDB's quantile_cont arithmetic:
+    rn = q*(n-1), result = (ceil(rn)-rn)*v[floor(rn)] +
+    (rn-floor(rn))*v[ceil(rn)] in float64 — same formula, same dtype, so
+    values agree to the last bits that matter.  Nulls and NaNs are skipped
+    like quantile_disc; with drop_empty groups whose values are ALL
+    null/NaN are omitted (matching a SQL oracle whose WHERE strips those
+    rows), else they yield nulls.
+
+    Scale shape identical to group_quantiles: one hash exchange by key,
+    one Arrow sort per bucket, segment-vectorized picks — no per-group
+    Python."""
+    import pyarrow.compute as pc
+
+    qs = list(qs)
+    names = [f"p{round(q * 100)}" for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"group_quantiles_cont: quantiles {qs} collide in the p<NN> "
+            f"column naming ({names}); use 1%-distinct quantiles")
+
+    from .agg import bucketed_apply
+
+    def body(t: pa.Table) -> pa.Table:
+        s = t.select([key, value]).take(pc.sort_indices(
+            t.select([key, value]),
+            sort_keys=[(key, "ascending"), (value, "ascending")],
+            null_placement="at_end"))
+        starts = _key_run_starts(s, key)
+        v = s[value]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        valid = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            valid = pc.and_(valid, pc.invert(
+                pc.fill_null(pc.is_nan(v), True)))
+        valid_np = valid.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_valid = (np.add.reduceat(valid_np, starts)
+                   if starts.size else np.empty(0, np.int64))
+        vnp = pc.cast(v, pa.float64()).to_numpy(zero_copy_only=False)
+        out = {key: s[key].take(pa.array(starts))}
+        nonempty = n_valid > 0
+        cols = {}
+        for name, q in zip(names, qs):
+            rn = q * (n_valid - 1.0)
+            rn = np.where(nonempty, np.maximum(rn, 0.0), 0.0)
+            frn = np.floor(rn)
+            crn = np.ceil(rn)
+            lo = vnp[starts + frn.astype(np.int64)]
+            hi = vnp[starts + crn.astype(np.int64)]
+            # DuckDB Interpolator: two-sided weighting, not lo+f*(hi-lo)
+            res = np.where(crn == frn, lo,
+                           (crn - rn) * lo + (rn - frn) * hi)
+            cols[name] = res
+        if drop_empty:
+            keep = pa.array(nonempty)
+            out = {key: out[key].filter(keep)}
+            for name in names:
+                out[name] = pa.array(cols[name][nonempty], pa.float64())
+        else:
+            mask = ~nonempty
+            for name in names:
+                out[name] = pc.if_else(
+                    pa.array(mask), pa.nulls(starts.size, pa.float64()),
+                    pa.array(cols[name], pa.float64()))
+        return pa.table(out)
+
+    sub = ds.select_columns([key, value])
+    return bucketed_apply(sub, [key], body,
+                          lambda: _empty_out(sub, body))
+
+
 def group_count_distinct(ds, key: str, value: str,
                          out_col: str = "n_distinct"):
     """EXACT COUNT(DISTINCT value) per key -> (key, n_distinct).

@@ -103,3 +103,33 @@ def unnest_list(ds, list_col: str, out_col: Optional[str] = None,
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
+            name_col: str = "name", value_col: str = "value",
+            cast_to=None):
+    """UNPIVOT / melt: one output row per (input row, value column) ->
+    id_cols + (name_col, value_col).  SQL equivalent: a UNION ALL of one
+    SELECT per value column (DuckDB's UNPIVOT sugar).  `cast_to` unifies
+    heterogeneous value column types (pa.float64() typical); None keeps
+    the native type (columns must then share one type).  Pure streaming
+    map — output is |value_cols| x input rows with no exchange; nulls
+    pass through as null measure rows (SQL UNPIVOT *excludes* NULLs only
+    with EXCLUDE NULLS — this op keeps them, matching plain UNION ALL)."""
+    id_cols, value_cols = list(id_cols), list(value_cols)
+    if not value_cols:
+        raise ValueError("unpivot: need at least one value column")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        outs = []
+        for c in value_cols:
+            v = batch[c]
+            if cast_to is not None:
+                v = pc.cast(v, cast_to)
+            outs.append(pa.table({
+                **{k: batch[k] for k in id_cols},
+                name_col: pa.array([c] * batch.num_rows, pa.string()),
+                value_col: v}))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -520,3 +520,52 @@ def resample_ffill(ds, key: str, ts: str, value: str, out_col: str):
 
     return bucketed_apply(ds.map_batches(partial, batch_format="pyarrow"),
                           [key], body, empty)
+
+
+def group_entropy(ds, key: str, value: str, out_col: str = "entropy"):
+    """Per-group Shannon entropy of the categorical `value` distribution
+    -> (key, out_col, n): H = -Σ (c/n)·ln(c/n) over the value counts of
+    each key.  A concentration/diversity score for training-data mixes
+    (how varied are a user's event types / a source's languages).  Null
+    values count as their own category (SQL GROUP BY groups NULLs
+    together); null keys form their own group.
+
+    Scale shape: batches pre-aggregate to (key, value, cnt) partials, so
+    the single hash exchange moves one short row per distinct (key,
+    value) per batch — never raw rows; the per-key fold is one Arrow
+    group_by + segment reduceat per bucket."""
+    from .agg import bucketed_apply
+    from .joins import _empty_out, _key_run_starts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key, value]).group_by([key, value]) \
+            .aggregate([([], "count_all")])
+        return pa.table({key: g[key], value: g[value],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    def body(t: pa.Table) -> pa.Table:
+        # re-merge the per-batch partials of this bucket, then one sorted
+        # segment pass per key
+        g = t.group_by([key, value]).aggregate([("cnt", "sum")])
+        s = g.take(pc.sort_indices(g, sort_keys=[(key, "ascending")],
+                                   null_placement="at_end"))
+        starts = _key_run_starts(s, key)
+        c = s["cnt_sum"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        cnp = c.to_numpy(zero_copy_only=False).astype(np.float64)
+        n = (np.add.reduceat(cnp, starts)
+             if starts.size else np.empty(0, np.float64))
+        lens = np.diff(np.r_[starts, s.num_rows])
+        p = cnp / np.repeat(n, lens)
+        terms = -p * np.log(p)
+        h = (np.add.reduceat(terms, starts)
+             if starts.size else np.empty(0, np.float64))
+        return pa.table({key: s[key].take(pa.array(starts)),
+                         out_col: pa.array(h, pa.float64()),
+                         "n": pa.array(n.astype(np.int64), pa.int64())})
+
+    sub = ds.select_columns([key, value])
+    mapped = sub.map_batches(partial, batch_format="pyarrow")
+    return bucketed_apply(mapped, [key], body,
+                          lambda: _empty_out(mapped, body))

@@ -310,3 +310,91 @@ def test_new_ops_survive_oversized_bucket_split(ray_session, monkeypatch):
     split = run_all()
     for b, s in zip(base, split):
         assert b.equals(s)
+
+
+def test_quantile_cont_bit_equal_duckdb(ray_session):
+    """group_quantiles_cont replicates DuckDB's quantile_cont arithmetic
+    BIT-EXACTLY (same rn = q*(n-1) two-sided-weight formula in float64)
+    over random group sizes 1..40, including single-element groups."""
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    keys, vals = [], []
+    for g in range(25):
+        n = int(rng.integers(1, 41))
+        keys += [f"g{g}"] * n
+        vals += list(np.round(rng.normal(50, 20, n), 2))
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.float64())})
+
+    from rho_contracts_ray.stages import group_quantiles_cont
+    got = _collect(group_quantiles_cont(
+        rd.from_arrow(t).repartition(7), "k", "v",
+        (0.1, 0.25, 0.5, 0.75, 0.9))).to_pandas().set_index("k").sort_index()
+
+    con = duckdb.connect()
+    con.register("t", t)
+    ref = con.execute(
+        "SELECT k, quantile_cont(v, 0.1) AS p10, "
+        "quantile_cont(v, 0.25) AS p25, quantile_cont(v, 0.5) AS p50, "
+        "quantile_cont(v, 0.75) AS p75, quantile_cont(v, 0.9) AS p90 "
+        "FROM t GROUP BY k").df().set_index("k").sort_index()
+    for col in ["p10", "p25", "p50", "p75", "p90"]:
+        a = got[col].to_numpy()
+        b = ref[col].to_numpy()
+        assert (a == b).all(), (col, a[a != b][:3], b[a != b][:3])
+
+
+def test_quantile_cont_null_nan_and_empty(ray_session):
+    from rho_contracts_ray.stages import group_quantiles_cont
+
+    t = pa.table({
+        "k": ["a", "a", "a", "b", "b", "c"],
+        "v": pa.array([1.0, None, 3.0, float("nan"), None, None],
+                      pa.float64()),
+    })
+    got = _collect(group_quantiles_cont(rd.from_arrow(t), "k", "v",
+                                        (0.5,))).to_pandas()
+    # groups b and c have no finite values -> dropped (drop_empty)
+    assert dict(zip(got["k"], got["p50"])) == {"a": 2.0}
+
+    e = pa.table({"k": pa.array([], pa.string()),
+                  "v": pa.array([], pa.float64())})
+    assert group_quantiles_cont(rd.from_arrow(e), "k", "v").count() == 0
+
+
+def test_unpivot_roundtrip_and_empty(ray_session):
+    from rho_contracts_ray.stages import unpivot
+
+    t = pa.table({"id": [1, 2], "a": [1.5, None], "b": [3.0, 4.0]})
+    got = _collect(unpivot(rd.from_arrow(t), ["id"], ["a", "b"],
+                           cast_to=pa.float64())).to_pandas() \
+        .sort_values(["id", "name"]).reset_index(drop=True)
+    assert list(got["name"]) == ["a", "b", "a", "b"]
+    assert got["value"][1] == 3.0 and math.isnan(got["value"][2])
+    assert len(got) == 4   # null measures KEPT (plain UNION ALL form)
+
+    e = pa.table({"id": pa.array([], pa.int64()),
+                  "a": pa.array([], pa.float64()),
+                  "b": pa.array([], pa.float64())})
+    assert unpivot(rd.from_arrow(e), ["id"], ["a", "b"]).count() == 0
+
+
+def test_group_entropy_known_values(ray_session):
+    from rho_contracts_ray.stages import group_entropy
+
+    t = pa.table({
+        "k": ["u"] * 4 + ["v"] * 3 + ["w"],
+        "c": ["a", "b", "a", "b",      # u: 2/2 -> ln 2
+              "x", "x", "x",           # v: single category -> 0
+              None],                   # w: null category counts
+    })
+    got = _collect(group_entropy(rd.from_arrow(t).repartition(3),
+                                 "k", "c")).to_pandas().set_index("k")
+    assert abs(got.loc["u", "entropy"] - math.log(2)) < 1e-12
+    assert got.loc["v", "entropy"] == 0.0
+    assert got.loc["w", "entropy"] == 0.0 and got.loc["w", "n"] == 1
+    assert int(got.loc["u", "n"]) == 4
+
+    e = pa.table({"k": pa.array([], pa.string()),
+                  "c": pa.array([], pa.string())})
+    assert group_entropy(rd.from_arrow(e), "k", "c").count() == 0
