@@ -2277,6 +2277,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": _tpch.q17_small_qty_revenue,
         "q19_banded_revenue": _tpch.q19_banded_revenue,
         "q22_dormant_customers": _tpch.q22_dormant_customers,
+        "q2_min_cost_supplier": _tpch.q2_min_cost_supplier,
+        "q11_important_parts": _tpch.q11_important_parts,
+        "q12_priority_shipping": _tpch.q12_priority_shipping,
+        "q20_dominant_suppliers": _tpch.q20_dominant_suppliers,
+        "q21_waiting_suppliers": _tpch.q21_waiting_suppliers,
         "quantile_cont_events": _q_quantile_cont_events,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "entropy_events_user": _q_entropy_events_user,
@@ -3073,6 +3078,84 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT EXISTS (SELECT 1 FROM orders o "
             "WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P') "
             "GROUP BY cntrycode"
+        ),
+        # supply cost = min observed unit price (lineitem as partsupp);
+        # a pure double division + min is bit-identical in any order
+        "q2_min_cost_supplier": (
+            "WITH cost AS (SELECT l_partkey, l_suppkey, "
+            "min(l_extendedprice / l_quantity) AS cost "
+            "FROM lineitem GROUP BY 1, 2), "
+            "sel AS (SELECT p_partkey FROM part "
+            "WHERE p_type = 'ECONOMY' AND p_size <= 10), "
+            "rs AS (SELECT s_suppkey, s_acctbal, s_name, n_name "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'), "
+            "c2 AS (SELECT cost.l_partkey AS p_partkey, cost.cost, "
+            "rs.s_acctbal, rs.s_name, rs.n_name "
+            "FROM cost JOIN sel ON cost.l_partkey = sel.p_partkey "
+            "JOIN rs ON cost.l_suppkey = rs.s_suppkey) "
+            "SELECT s_acctbal, s_name, n_name, p_partkey, cost FROM c2 "
+            "WHERE cost = (SELECT min(cost) FROM c2 x "
+            "WHERE x.p_partkey = c2.p_partkey) "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey "
+            "LIMIT 100"
+        ),
+        # per-part value rides exact integer cents; the HAVING threshold
+        # fraction*total is the same double product in both engines
+        "q11_important_parts": (
+            "WITH v AS (SELECT l_partkey, "
+            "sum(round(l_extendedprice * (1 - l_discount) * 100)) AS cents "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE s_nationkey = 7 GROUP BY 1) "
+            "SELECT l_partkey, round(cents / 100.0, 2) AS value FROM v "
+            "WHERE cents > 0.001 * (SELECT sum(cents) FROM v) "
+            "ORDER BY value DESC, l_partkey"
+        ),
+        "q12_priority_shipping": (
+            "SELECT l_returnflag, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END)::BIGINT AS high_line_count, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END)::BIGINT AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= DATE '1996-01-01' "
+            "AND l_shipdate < DATE '1997-01-01' "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        # quantities are integer-valued doubles: sums and the 0.5x
+        # threshold are exact, the dominant-pair set matches bit-for-bit
+        "q20_dominant_suppliers": (
+            "WITH sel AS (SELECT p_partkey FROM part "
+            "WHERE p_name LIKE 'small%'), "
+            "q AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty "
+            "FROM lineitem JOIN sel ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= DATE '1996-01-01' "
+            "AND l_shipdate < DATE '1997-01-01' GROUP BY 1, 2) "
+            "SELECT DISTINCT s_suppkey, s_name "
+            "FROM q JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE qty > 0.5 * (SELECT sum(qty) FROM q x "
+            "WHERE x.l_partkey = q.l_partkey) "
+            "ORDER BY s_suppkey"
+        ),
+        # unique-latest-shipper of a multi-supplier 'F' order; pure
+        # integer/date comparisons, numwait/s_name ordering is total
+        "q21_waiting_suppliers": (
+            "WITH f AS (SELECT o_orderkey FROM orders "
+            "WHERE o_orderstatus = 'F'), "
+            "p AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS md "
+            "FROM lineitem JOIN f ON l_orderkey = o_orderkey "
+            "GROUP BY 1, 2), "
+            "s AS (SELECT l_orderkey, max(md) AS omax, "
+            "count(*) AS nsupp FROM p GROUP BY 1), "
+            "c AS (SELECT p.l_orderkey, count(*) AS at_max FROM p "
+            "JOIN s USING (l_orderkey) WHERE p.md = s.omax GROUP BY 1), "
+            "w AS (SELECT p.l_orderkey, p.l_suppkey FROM p "
+            "JOIN s USING (l_orderkey) JOIN c USING (l_orderkey) "
+            "WHERE s.nsupp >= 2 AND p.md = s.omax AND c.at_max = 1) "
+            "SELECT s_name, count(*)::BIGINT AS numwait "
+            "FROM w JOIN supplier ON l_suppkey = s_suppkey "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
         ),
         # interpolated quantiles: same rn = q*(n-1) two-sided-weight
         # arithmetic as the engine, identical NaN/null pre-filter

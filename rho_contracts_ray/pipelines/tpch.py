@@ -788,3 +788,431 @@ def q22_dormant_customers(sf_dir: str, open_status: str = "P"):
                     "numcust": pc.cast(g["numcust_sum"], pa.int64()),
                     "totacctbal": pc.round(g["bal_sum"], 2)})
     return out.sort_by([("cntrycode", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost regional supplier (adapted: lineitem as partsupp,
+#       supply cost = min observed unit price)
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_supplier(sf_dir: str, region: str = "EUROPE",
+                         p_type: str = "ECONOMY", max_size: int = 10):
+    """TPC-H Q2 shape without partsupp: for each selected part, the
+    region's supplier(s) with the MINIMUM supply cost, where cost is the
+    lowest unit price (extendedprice/quantity) ever charged for that
+    (part, supplier) in lineitem.
+
+    Part keyset and region-supplier keyset broadcast once; lineitem emits
+    per-batch (partkey, suppkey, min unit) partials; one bucketed exchange
+    combines the pair minima and a SECOND exchange on partkey alone keeps
+    the rows tied for each part's minimum (the correlated subquery).  Both
+    frames are dimension-sized — bounded by distinct traded pairs of the
+    selected parts, never lineitem.  `cost` is a plain double division +
+    min, bit-identical to SQL in any evaluation order."""
+    import ray
+
+    from ..stages.agg import bucketed_apply, bucketed_group_agg
+
+    part = _collect(_read(sf_dir, "part",
+                          columns=["p_partkey", "p_type", "p_size"]))
+    keep = pc.and_(pc.equal(part["p_type"], p_type),
+                   pc.less_equal(part["p_size"], max_size))
+    part_ref = ray.put(np.sort(
+        _np(part.filter(keep)["p_partkey"]).astype(np.int64)))
+
+    nk_sorted, nname_sorted = _nation_names(sf_dir)
+    region_t = _collect(_read(sf_dir, "region"))
+    nation = _collect(_read(sf_dir, "nation",
+                            columns=["n_nationkey", "n_regionkey"]))
+    rkey = region_t.filter(
+        pc.equal(region_t["r_name"], region))["r_regionkey"]
+    rnations = set(_np(nation.filter(
+        pc.is_in(nation["n_regionkey"], value_set=rkey.combine_chunks())
+    )["n_nationkey"]).astype(np.int64).tolist())
+
+    supp = _collect(_read(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey", "s_name",
+                                   "s_acctbal"]))
+    skeep = np.isin(_np(supp["s_nationkey"]).astype(np.int64),
+                    sorted(rnations))
+    sk_sorted, sname_sorted, sbal_sorted, snat_sorted = _sorted_map(
+        _np(supp["s_suppkey"]).astype(np.int64)[skeep],
+        _np(supp["s_name"])[skeep],
+        _np(supp["s_acctbal"])[skeep],
+        _np(supp["s_nationkey"]).astype(np.int64)[skeep])
+    supp_ref = ray.put(sk_sorted)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                        "l_quantity"])
+    empty_out = pa.table({"s_acctbal": pa.array([], pa.float64()),
+                          "s_name": pa.array([], pa.string()),
+                          "n_name": pa.array([], pa.string()),
+                          "p_partkey": pa.array([], pa.int64()),
+                          "cost": pa.array([], pa.float64())})
+    if _known_empty(li):
+        return empty_out
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        pset = ray.get(part_ref)
+        _, phit = _probe(pset, _np(batch["l_partkey"]).astype(np.int64))
+        sub = batch.filter(pa.array(phit))
+        sset = ray.get(supp_ref)
+        _, shit = _probe(sset, _np(sub["l_suppkey"]).astype(np.int64))
+        sub = sub.filter(pa.array(shit))
+        t = pa.table({"l_partkey": sub["l_partkey"],
+                      "l_suppkey": sub["l_suppkey"],
+                      "cost": pc.divide(sub["l_extendedprice"],
+                                        sub["l_quantity"])})
+        return t.group_by(["l_partkey", "l_suppkey"]) \
+            .aggregate([("cost", "min")]) \
+            .rename_columns(["l_partkey", "l_suppkey", "cost"])
+
+    pair_min = bucketed_group_agg(
+        li.map_batches(pair_partial, batch_format="pyarrow"),
+        ["l_partkey", "l_suppkey"], [("cost", "min")])
+
+    def keep_part_min(t: pa.Table) -> pa.Table:
+        # bucket holds complete parts: keep each part's min-cost row(s)
+        g = t.group_by(["l_partkey"]).aggregate([("cost_min", "min")])
+        keys, mins = _sorted_map(_np(g["l_partkey"]).astype(np.int64),
+                                 _np(g["cost_min_min"]))
+        pos, _ = _probe(keys, _np(t["l_partkey"]).astype(np.int64))
+        return t.filter(pa.array(_np(t["cost_min"]) == mins[pos]))
+
+    def mk_empty() -> pa.Table:
+        return pa.table({"l_partkey": pa.array([], pa.int64()),
+                         "l_suppkey": pa.array([], pa.int64()),
+                         "cost_min": pa.array([], pa.float64())})
+
+    winners = _collect(bucketed_apply(pair_min, ["l_partkey"],
+                                      keep_part_min, mk_empty))
+    if winners.num_rows == 0 or "l_suppkey" not in winners.column_names:
+        return empty_out
+    spos, _ = _probe(sk_sorted, _np(winners["l_suppkey"]).astype(np.int64))
+    npos, _ = _probe(nk_sorted, snat_sorted[spos])
+    out = pa.table({"s_acctbal": pa.array(sbal_sorted[spos]),
+                    "s_name": pa.array(sname_sorted[spos]),
+                    "n_name": pa.array(nname_sorted[npos]),
+                    "p_partkey": winners["l_partkey"],
+                    "cost": winners["cost_min"]})
+    out = out.sort_by([("s_acctbal", "descending"), ("n_name", "ascending"),
+                       ("s_name", "ascending"), ("p_partkey", "ascending")])
+    return out.slice(0, 100)
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important parts by supplied value (adapted: lineitem as partsupp)
+# ---------------------------------------------------------------------------
+
+
+def q11_important_parts(sf_dir: str, nationkey: int = 7,
+                        fraction: float = 0.001):
+    """TPC-H Q11 shape: per-part supplied value from one nation's
+    suppliers, keeping parts whose value exceeds `fraction` of the grand
+    total (the HAVING-over-global-sum).  Value rides exact integer cents;
+    the per-part frame is dimension-sized so it materializes ONCE and is
+    read twice (total fold, then threshold filter); the survivor set is
+    provably <= 1/fraction rows, so the final sort is a driver fold."""
+    import ray
+
+    from ..stages.agg import bucketed_sum
+
+    supp = _collect(_read(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_nationkey"]))
+    skeep = _np(supp["s_nationkey"]).astype(np.int64) == nationkey
+    supp_ref = ray.put(np.sort(
+        _np(supp["s_suppkey"]).astype(np.int64)[skeep]))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+    empty_out = pa.table({"l_partkey": pa.array([], pa.int64()),
+                          "value": pa.array([], pa.float64())})
+    if _known_empty(li):
+        return empty_out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sset = ray.get(supp_ref)
+        _, hit = _probe(sset, _np(batch["l_suppkey"]).astype(np.int64))
+        sub = batch.filter(pa.array(hit))
+        cents = _cents(pc.multiply(sub["l_extendedprice"],
+                                   pc.subtract(pa.scalar(1.0),
+                                               sub["l_discount"])))
+        t = pa.table({"l_partkey": sub["l_partkey"], "cents": cents})
+        return t.group_by(["l_partkey"]).aggregate([("cents", "sum")]) \
+            .rename_columns(["l_partkey", "cents"])
+
+    per_part = bucketed_sum(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_partkey"], ["cents"]).materialize()
+    (total,) = _fold_sums(per_part, ["cents"])
+    if total == 0:
+        return empty_out
+    thresh = fraction * total
+
+    def over(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.greater(batch["cents"], thresh))
+        return pa.table({"l_partkey": sub["l_partkey"],
+                         "value": pc.round(pc.divide(sub["cents"], 100.0),
+                                           2)})
+
+    out = _collect(per_part.map_batches(over, batch_format="pyarrow"))
+    if out.num_rows == 0 or "value" not in out.column_names:
+        return empty_out
+    return out.sort_by([("value", "descending"),
+                        ("l_partkey", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Q12 — priority line counts by return flag (adapted: returnflag as the
+#        shipmode class; the corpus has no l_shipmode/commitdate)
+# ---------------------------------------------------------------------------
+
+
+def q12_priority_shipping(sf_dir: str, year: str = "1996"):
+    """TPC-H Q12 shape: lines shipped in one year joined to their order's
+    priority, counting high-priority (1-URGENT/2-HIGH) vs low-priority
+    lines per return flag.  lineitem pre-counts per (orderkey, flag); ONE
+    bucketed join against priority-slimmed orders; integer counts are
+    bit-exact."""
+    from ..stages.agg import bucketed_sum
+    from ..stages.joins import auto_buckets, bucketed_join
+
+    lo, hi = _ts(f"{year}-01-01"), _ts(f"{int(year) + 1}-01-01")
+    li_raw = _read(sf_dir, "lineitem",
+                   columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+    orders_raw = _read(sf_dir, "orders",
+                       columns=["o_orderkey", "o_orderpriority"])
+    empty_out = pa.table({"l_returnflag": pa.array([], pa.string()),
+                          "high_line_count": pa.array([], pa.int64()),
+                          "low_line_count": pa.array([], pa.int64())})
+    if _known_empty(li_raw, orders_raw):
+        return empty_out
+    n_buckets = auto_buckets(li_raw, orders_raw)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                                   pc.less(batch["l_shipdate"], hi)))
+        g = sub.group_by(["l_orderkey", "l_returnflag"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_returnflag": g["l_returnflag"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def ord_slim(batch: pa.Table) -> pa.Table:
+        high = pc.is_in(batch["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({"l_orderkey": batch["o_orderkey"],
+                         "is_high": pc.cast(high, pa.int64())})
+
+    joined = bucketed_join(
+        li_raw.map_batches(li_partial, batch_format="pyarrow"),
+        orders_raw.map_batches(ord_slim, batch_format="pyarrow"),
+        on=["l_orderkey"],
+        left_cols=["l_orderkey", "l_returnflag", "n"],
+        right_cols=["l_orderkey", "is_high"], n_buckets=n_buckets)
+
+    def regroup(batch: pa.Table) -> pa.Table:
+        hi_n = pc.multiply(batch["n"], batch["is_high"])
+        lo_n = pc.subtract(batch["n"], hi_n)
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "high_line_count": hi_n, "low_line_count": lo_n})
+        return t.group_by(["l_returnflag"]).aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]) \
+            .rename_columns(["l_returnflag", "high_line_count",
+                             "low_line_count"])
+
+    out = _collect(bucketed_sum(
+        joined.map_batches(regroup, batch_format="pyarrow"),
+        ["l_returnflag"], ["high_line_count", "low_line_count"]))
+    if out.num_rows == 0 or "l_returnflag" not in out.column_names:
+        return empty_out
+    return pa.table({
+        "l_returnflag": out["l_returnflag"],
+        "high_line_count": pc.cast(out["high_line_count"], pa.int64()),
+        "low_line_count": pc.cast(out["low_line_count"], pa.int64()),
+    }).sort_by([("l_returnflag", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant suppliers of selected parts (adapted: "shipped more than
+#        half a part's annual volume" replaces the availqty predicate)
+# ---------------------------------------------------------------------------
+
+
+def q20_dominant_suppliers(sf_dir: str, prefix: str = "small",
+                           year: str = "1996"):
+    """TPC-H Q20 shape: suppliers who, for SOME part whose name starts
+    with `prefix`, shipped more than half that part's total volume in the
+    target year.  Selected-part keyset broadcasts; lineitem pre-sums
+    (partkey, suppkey) quantities per batch; one bucketed exchange on
+    partkey evaluates the correlated half-of-total predicate with every
+    pair of a part co-located.  Quantities are integer-valued doubles —
+    sums and the 0.5x threshold are exact, the survivor set matches SQL
+    bit-for-bit."""
+    import ray
+
+    from ..stages.agg import bucketed_apply
+
+    part = _collect(_read(sf_dir, "part", columns=["p_partkey", "p_name"]))
+    sel = pc.starts_with(part["p_name"], prefix)
+    part_ref = ray.put(np.sort(
+        _np(part.filter(sel)["p_partkey"]).astype(np.int64)))
+
+    supp = _collect(_read(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_name"]))
+    sk_sorted, sname_sorted = _sorted_map(
+        _np(supp["s_suppkey"]).astype(np.int64), _np(supp["s_name"]))
+
+    lo, hi = _ts(f"{year}-01-01"), _ts(f"{int(year) + 1}-01-01")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_shipdate"])
+    empty_out = pa.table({"s_suppkey": pa.array([], pa.int64()),
+                          "s_name": pa.array([], pa.string())})
+    if _known_empty(li):
+        return empty_out
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.and_(pc.greater_equal(batch["l_shipdate"], lo),
+                                   pc.less(batch["l_shipdate"], hi)))
+        pset = ray.get(part_ref)
+        _, hit = _probe(pset, _np(sub["l_partkey"]).astype(np.int64))
+        sub = sub.filter(pa.array(hit))
+        return sub.group_by(["l_partkey", "l_suppkey"]) \
+            .aggregate([("l_quantity", "sum")]) \
+            .rename_columns(["l_partkey", "l_suppkey", "qty"])
+
+    def dominant(t: pa.Table) -> pa.Table:
+        pairs = t.group_by(["l_partkey", "l_suppkey"]) \
+            .aggregate([("qty", "sum")]) \
+            .rename_columns(["l_partkey", "l_suppkey", "qty"])
+        tot = pairs.group_by(["l_partkey"]).aggregate([("qty", "sum")])
+        keys, totals = _sorted_map(_np(tot["l_partkey"]).astype(np.int64),
+                                   _np(tot["qty_sum"]))
+        pos, _ = _probe(keys, _np(pairs["l_partkey"]).astype(np.int64))
+        win = pairs.filter(pa.array(_np(pairs["qty"]) > 0.5 * totals[pos]))
+        return pa.table({"s_suppkey": win["l_suppkey"]})
+
+    def mk_empty() -> pa.Table:
+        return pa.table({"s_suppkey": pa.array([], pa.int64())})
+
+    winners = _collect(bucketed_apply(
+        li.map_batches(pair_partial, batch_format="pyarrow"),
+        ["l_partkey"], dominant, mk_empty))
+    if winners.num_rows == 0 or "s_suppkey" not in winners.column_names:
+        return empty_out
+    sids = np.unique(_np(winners["s_suppkey"]).astype(np.int64))
+    pos, hit = _probe(sk_sorted, sids)
+    sids = sids[hit]
+    return pa.table({"s_suppkey": pa.array(sids),
+                     "s_name": pa.array(sname_sorted[pos[hit]])}) \
+        .sort_by([("s_suppkey", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (adapted: "unique latest shipper
+#        of a multi-supplier finished order" replaces the commit/receipt
+#        lateness predicate the corpus lacks)
+# ---------------------------------------------------------------------------
+
+
+def q21_waiting_suppliers(sf_dir: str, status: str = "F"):
+    """TPC-H Q21 shape: per supplier, the number of finished ('F')
+    multi-supplier orders where that supplier was the UNIQUE last shipper
+    (EXISTS another supplier on the order / NOT EXISTS another supplier
+    tied at the final ship date).
+
+    lineitem pre-reduces to (orderkey, suppkey, max shipdate) per batch;
+    status-filtered orders enter the SAME exchange as marker rows (the
+    q13 seed trick), so ONE bucketed exchange on orderkey co-locates
+    everything each order needs; per-supplier counts then ride a second,
+    dimension-sized exchange.  All predicates are integer/date
+    comparisons — bit-exact vs SQL."""
+    from ..stages.agg import bucketed_apply, bucketed_sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus"])
+    empty_out = pa.table({"s_name": pa.array([], pa.string()),
+                          "numwait": pa.array([], pa.int64())})
+    if _known_empty(li) or _known_empty(orders):
+        return empty_out
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["l_orderkey", "l_suppkey"]) \
+            .aggregate([("l_shipdate", "max")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "l_suppkey": pc.cast(g["l_suppkey"], pa.int64()),
+                         "md": g["l_shipdate_max"],
+                         "is_ord": pa.array(
+                             np.zeros(g.num_rows, np.int64))})
+
+    def ord_marker(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["o_orderstatus"], status))
+        return pa.table({"l_orderkey": sub["o_orderkey"],
+                         "l_suppkey": pa.array(
+                             np.full(sub.num_rows, -1, np.int64)),
+                         "md": pa.nulls(sub.num_rows,
+                                        pa.timestamp("us")),
+                         "is_ord": pa.array(
+                             np.ones(sub.num_rows, np.int64))})
+
+    unioned = li.map_batches(li_partial, batch_format="pyarrow").union(
+        orders.map_batches(ord_marker, batch_format="pyarrow"))
+
+    def per_order(t: pa.Table) -> pa.Table:
+        fset = np.unique(_np(t.filter(pc.equal(t["is_ord"], 1))
+                             ["l_orderkey"]).astype(np.int64))
+        p = t.filter(pc.equal(t["is_ord"], 0))
+        p = p.group_by(["l_orderkey", "l_suppkey"]) \
+            .aggregate([("md", "max")]) \
+            .rename_columns(["l_orderkey", "l_suppkey", "md"])
+        _, fhit = _probe(fset, _np(p["l_orderkey"]).astype(np.int64))
+        p = p.filter(pa.array(fhit))
+        if p.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        stats = p.group_by(["l_orderkey"]).aggregate(
+            [("md", "max"), ("l_suppkey", "count")])
+        okeys, omax, nsupp = _sorted_map(
+            _np(stats["l_orderkey"]).astype(np.int64),
+            _np(stats["md_max"]), _np(stats["l_suppkey_count"]))
+        pos, _ = _probe(okeys, _np(p["l_orderkey"]).astype(np.int64))
+        at_max = _np(p["md"]) == omax[pos]
+        # ties at the final ship date, counted per order
+        tie_tbl = pa.table({"l_orderkey": p["l_orderkey"],
+                            "t": pa.array(at_max.astype(np.int64))})
+        ties = tie_tbl.group_by(["l_orderkey"]).aggregate([("t", "sum")])
+        tkeys, tcnt = _sorted_map(_np(ties["l_orderkey"]).astype(np.int64),
+                                  _np(ties["t_sum"]).astype(np.int64))
+        tpos, _ = _probe(tkeys, _np(p["l_orderkey"]).astype(np.int64))
+        win = at_max & (nsupp[pos] >= 2) & (tcnt[tpos] == 1)
+        w = p.filter(pa.array(win))
+        g = w.group_by(["l_suppkey"]).aggregate([([], "count_all")])
+        return pa.table({"l_suppkey": g["l_suppkey"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def mk_empty() -> pa.Table:
+        return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+
+    per_supp = _collect(bucketed_sum(
+        bucketed_apply(unioned, ["l_orderkey"], per_order, mk_empty),
+        ["l_suppkey"], ["n"]))
+    if per_supp.num_rows == 0 or "l_suppkey" not in per_supp.column_names:
+        return empty_out
+    supp = _collect(_read(sf_dir, "supplier",
+                          columns=["s_suppkey", "s_name"]))
+    sk_sorted, sname_sorted = _sorted_map(
+        _np(supp["s_suppkey"]).astype(np.int64), _np(supp["s_name"]))
+    pos, hit = _probe(sk_sorted,
+                      _np(per_supp["l_suppkey"]).astype(np.int64))
+    out = pa.table({"s_name": pa.array(sname_sorted[pos[hit]]),
+                    "numwait": pc.cast(per_supp.filter(pa.array(hit))["n"],
+                                       pa.int64())})
+    out = out.sort_by([("numwait", "descending"), ("s_name", "ascending")])
+    return out.slice(0, 100)

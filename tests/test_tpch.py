@@ -36,6 +36,11 @@ def empty_sf(tmp_path_factory):
     (tpch.q17_small_qty_revenue, True),
     (tpch.q19_banded_revenue, True),
     (tpch.q22_dormant_customers, False),
+    (tpch.q2_min_cost_supplier, False),
+    (tpch.q11_important_parts, False),
+    (tpch.q12_priority_shipping, False),
+    (tpch.q20_dominant_suppliers, False),
+    (tpch.q21_waiting_suppliers, False),
 ])
 def test_empty_inputs(fn, scalar, empty_sf, ray_session):
     out = fn(empty_sf)
@@ -61,6 +66,22 @@ def test_q7_block_layout_invariance(ray_session, tmp_path):
         pq.write_table(tab, d / f"{t}.parquet",
                        row_group_size=max(1, tab.num_rows // 7))
     again = tpch.q7_nation_volume(str(d))
+    assert base.equals(again)
+
+
+def test_q21_block_layout_invariance(ray_session, tmp_path):
+    """q21's per-order exists/not-exists logic must see identical results
+    whatever the block boundaries — partial (orderkey, suppkey, max) rows
+    recombine inside the exchange."""
+    base = tpch.q21_waiting_suppliers(SF)
+
+    d = tmp_path / "resharded21"
+    d.mkdir()
+    for t in TABLES:
+        tab = pq.read_table(f"{SF}/{t}.parquet")
+        pq.write_table(tab, d / f"{t}.parquet",
+                       row_group_size=max(1, tab.num_rows // 7))
+    again = tpch.q21_waiting_suppliers(str(d))
     assert base.equals(again)
 
 
