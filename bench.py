@@ -217,7 +217,8 @@ def run_benchmarks() -> dict:
                  "decontam_documents", "jaccard_pairs_documents",
                  "dup_clusters_documents", "corr_lineitem_by_flag",
                  "ohlc_daily_user", "unigram_logprob_documents",
-                 "q7_nation_volume", "q9_profit"):
+                 "q7_nation_volume", "q9_profit",
+                 "q12_priority_shipping", "q21_waiting_suppliers"):
         def run(n=name):
             res = q[n](SF_DIR)
             # consume lazily-built results fully

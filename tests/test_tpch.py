@@ -105,3 +105,68 @@ def test_q13_counts_are_exact(ray_session):
     got_map = dict(zip(got["c_count"].to_pylist(),
                        got["custdist"].to_pylist()))
     assert got_map == dict(want)
+
+
+def _write(d, name, table):
+    pq.write_table(table, d / f"{name}.parquet")
+
+
+def test_q2_keeps_min_cost_ties(ray_session, tmp_path):
+    """Two suppliers at the exactly-equal minimum cost for a part must BOTH
+    survive the correlated-min filter (TPC-H Q2 returns all tied rows)."""
+    import numpy as np
+
+    d = tmp_path / "q2tie"
+    d.mkdir()
+    _write(d, "region", pa.table({"r_regionkey": pa.array([0], pa.int64()),
+                                  "r_name": ["EUROPE"]}))
+    _write(d, "nation", pa.table({"n_nationkey": pa.array([0], pa.int64()),
+                                  "n_name": ["N0"],
+                                  "n_regionkey": pa.array([0], pa.int64())}))
+    _write(d, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_nationkey": pa.array([0, 0, 0], pa.int64()),
+        "s_name": ["S1", "S2", "S3"],
+        "s_acctbal": pa.array([10.0, 20.0, 30.0])}))
+    _write(d, "part", pa.table({
+        "p_partkey": pa.array([10], pa.int64()),
+        "p_type": ["ECONOMY"], "p_size": pa.array([5], pa.int64())}))
+    # supp 1 and 2 tie at unit cost 2.0; supp 3 costs 3.0
+    _write(d, "lineitem", pa.table({
+        "l_partkey": pa.array([10, 10, 10], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([4.0, 8.0, 9.0]),
+        "l_quantity": pa.array([2.0, 4.0, 3.0])}))
+
+    out = tpch.q2_min_cost_supplier(str(d))
+    assert sorted(out["s_name"].to_pylist()) == ["S1", "S2"]
+    assert np.allclose(out["cost"].to_pylist(), [2.0, 2.0])
+
+
+def test_q21_unique_latest_shipper_semantics(ray_session, tmp_path):
+    """Order 1: supplier 1 is the unique latest of two -> counts.  Order 2:
+    both suppliers tie at the final date -> nobody counts.  Order 3: single
+    supplier -> excluded.  Order 4: non-'F' status -> excluded."""
+    d = tmp_path / "q21sem"
+    d.mkdir()
+
+    def ts(day):
+        import numpy as np
+        return np.datetime64(day, "us")
+
+    _write(d, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderstatus": ["F", "F", "F", "O"]}))
+    _write(d, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 4, 4], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 2, 1, 2, 1], pa.int64()),
+        "l_shipdate": pa.array([ts("2020-01-05"), ts("2020-01-03"),
+                                ts("2020-01-05"), ts("2020-01-05"),
+                                ts("2020-01-09"), ts("2020-01-09"),
+                                ts("2020-01-02")], pa.timestamp("us"))}))
+    _write(d, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": ["S1", "S2"]}))
+
+    out = tpch.q21_waiting_suppliers(str(d))
+    assert out.to_pylist() == [{"s_name": "S1", "numwait": 1}]
