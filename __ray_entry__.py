@@ -2106,6 +2106,66 @@ def _q_unpivot_lineitem(sf_dir: str):
                    cast_to=pa.float64())
 
 
+def _q_global_median_events_value(sf_dir: str):
+    """Exact GLOBAL median of event value via multi-pass histogram
+    refinement (stages/selection.py) — no sort, no single-task
+    materialization: ~3 column-pruned scans narrow the candidate range
+    2048x per pass, then <=200k survivors are selected exactly.  The
+    interpolation is DuckDB's quantile_cont expression, so the value
+    compares bit-equal with SQL median()."""
+    from rho_contracts_ray.stages.selection import exact_global_quantile
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    p50, n = exact_global_quantile(ds, "value", 0.5)
+    return pa.table({"p50": pa.array([p50], pa.float64()),
+                     "n_values": pa.array([n], pa.int64())})
+
+
+def _q_full_outer_user_activity(sf_dir: str):
+    """FULL OUTER JOIN surface: per-user purchase counts vs per-customer
+    open-order counts — either side may be absent, missing counts
+    coalesce to 0.  Both sides pre-aggregate to dimension-sized frames
+    (one short row per key per batch through bucketed_sum), then ONE
+    bucketed full-outer join; integer counts are bit-exact."""
+    from rho_contracts_ray.stages.agg import bucketed_sum
+    from rho_contracts_ray.stages.joins import bucketed_join
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def ev_partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["event_type"], "purchase"))
+        g = sub.group_by(["user_id"]).aggregate([([], "count_all")])
+        return pa.table({"k": g["user_id"],
+                         "n_purchases": pc.cast(g["count_all"],
+                                                pa.int64())})
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.equal(batch["o_orderstatus"], "P"))
+        g = sub.group_by(["o_custkey"]).aggregate([([], "count_all")])
+        return pa.table({"k": g["o_custkey"],
+                         "n_open": pc.cast(g["count_all"], pa.int64())})
+
+    left = bucketed_sum(ev.map_batches(ev_partial, batch_format="pyarrow"),
+                        ["k"], ["n_purchases"])
+    right = bucketed_sum(orders.map_batches(ord_partial,
+                                            batch_format="pyarrow"),
+                         ["k"], ["n_open"])
+    joined = bucketed_join(left, right, on=["k"],
+                           left_cols=["k", "n_purchases"],
+                           right_cols=["k", "n_open"], how="outer")
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["k"],
+            "n_purchases": pc.fill_null(batch["n_purchases"],
+                                        pa.scalar(0, pa.int64())),
+            "n_open": pc.fill_null(batch["n_open"],
+                                   pa.scalar(0, pa.int64()))})
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
 def _q_entropy_events_user(sf_dir: str):
     """Per-user Shannon entropy of the event-type mix — a diversity /
     concentration score; batches move only (user, type, cnt) partials."""
@@ -2285,6 +2345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_cont_events": _q_quantile_cont_events,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "entropy_events_user": _q_entropy_events_user,
+        "global_median_events_value": _q_global_median_events_value,
+        "full_outer_user_activity": _q_full_outer_user_activity,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -3156,6 +3218,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s_name, count(*)::BIGINT AS numwait "
             "FROM w JOIN supplier ON l_suppkey = s_suppkey "
             "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+        ),
+        # exact distributed selection mirrors median()'s quantile_cont
+        # interpolation expression bit-for-bit; identical finite filter
+        "global_median_events_value": (
+            "SELECT median(value) AS p50, count(*)::BIGINT AS n_values "
+            "FROM events WHERE isfinite(value)"
+        ),
+        "full_outer_user_activity": (
+            "WITH e AS (SELECT user_id AS k, count(*)::BIGINT "
+            "AS n_purchases FROM events WHERE event_type = 'purchase' "
+            "GROUP BY 1), "
+            "o AS (SELECT o_custkey AS k, count(*)::BIGINT AS n_open "
+            "FROM orders WHERE o_orderstatus = 'P' GROUP BY 1) "
+            "SELECT coalesce(e.k, o.k) AS k, "
+            "coalesce(n_purchases, 0) AS n_purchases, "
+            "coalesce(n_open, 0) AS n_open "
+            "FROM e FULL OUTER JOIN o ON e.k = o.k"
         ),
         # interpolated quantiles: same rn = q*(n-1) two-sided-weight
         # arithmetic as the engine, identical NaN/null pre-filter
