@@ -2166,6 +2166,45 @@ def _q_full_outer_user_activity(sf_dir: str):
     return joined.map_batches(coalesce, batch_format="pyarrow")
 
 
+def _q_winsorize_events_by_type(sf_dir: str):
+    """Per-type winsorized value aggregate — clipped at the group's exact
+    quantile_disc p05/p95 fences (fences ARE data values, so the DuckDB
+    oracle joins the same fences back and compares value-exact at
+    rounding depth)."""
+    from rho_contracts_ray.stages.statistics import group_winsorize
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = group_winsorize(ds, "event_type", "value", 0.05, 0.95)
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"], "n": batch["n"],
+            "lo_fence": batch["lo_fence"], "hi_fence": batch["hi_fence"],
+            "win_sum": pc.round(batch["win_sum"], 2),
+            "win_mean": pc.round(batch["win_mean"], 4)})
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
+def _q_moments_lineitem_by_flag(sf_dir: str):
+    """Per-flag skewness/kurtosis from exact integer power sums — the
+    oracle evaluates the SAME closed-form expressions over the same sums
+    (not the one-pass skewness()/kurtosis() built-ins)."""
+    from rho_contracts_ray.stages.statistics import group_higher_moments
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    out = group_higher_moments(ds, "l_returnflag", "l_quantity")
+
+    def rounded(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"], "n": batch["n"],
+            "mean": pc.round(batch["mean"], 6),
+            "skew": pc.round(batch["skew"], 6),
+            "kurt": pc.round(batch["kurt"], 6)})
+
+    return out.map_batches(rounded, batch_format="pyarrow")
+
+
 def _q_entropy_events_user(sf_dir: str):
     """Per-user Shannon entropy of the event-type mix — a diversity /
     concentration score; batches move only (user, type, cnt) partials."""
@@ -2347,6 +2386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entropy_events_user": _q_entropy_events_user,
         "global_median_events_value": _q_global_median_events_value,
         "full_outer_user_activity": _q_full_outer_user_activity,
+        "winsorize_events_by_type": _q_winsorize_events_by_type,
+        "moments_lineitem_by_flag": _q_moments_lineitem_by_flag,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -3235,6 +3276,41 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(n_purchases, 0) AS n_purchases, "
             "coalesce(n_open, 0) AS n_open "
             "FROM e FULL OUTER JOIN o ON e.k = o.k"
+        ),
+        # fences from quantile_disc ARE data values; both engines clip to
+        # the identical fences, sum-order noise sits far below rounding
+        "winsorize_events_by_type": (
+            "WITH f AS (SELECT event_type, "
+            "quantile_disc(value, 0.05) AS lo, "
+            "quantile_disc(value, 0.95) AS hi FROM events "
+            "WHERE value IS NOT NULL AND value = value GROUP BY 1) "
+            "SELECT e.event_type, count(*)::BIGINT AS n, "
+            "f.lo AS lo_fence, f.hi AS hi_fence, "
+            "round(sum(least(greatest(value, f.lo), f.hi)), 2) "
+            "AS win_sum, "
+            "round(avg(least(greatest(value, f.lo), f.hi)), 4) "
+            "AS win_mean "
+            "FROM events e JOIN f USING (event_type) "
+            "WHERE value IS NOT NULL AND value = value "
+            "GROUP BY e.event_type, f.lo, f.hi"
+        ),
+        # the oracle evaluates the same power-sum expressions the engine
+        # does — NOT skewness()/kurtosis(), whose bias corrections differ
+        "moments_lineitem_by_flag": (
+            "WITH s AS (SELECT l_returnflag, count(*)::DOUBLE AS n, "
+            "sum(l_quantity) AS s1, sum(l_quantity*l_quantity) AS s2, "
+            "sum(l_quantity*l_quantity*l_quantity) AS s3, "
+            "sum(l_quantity*l_quantity*l_quantity*l_quantity) AS s4 "
+            "FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1), "
+            "m AS (SELECT l_returnflag, n, s1/n AS m1, "
+            "s2/n - (s1/n)*(s1/n) AS m2, "
+            "s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)^3 AS m3, "
+            "s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) "
+            "- 3*(s1/n)^4 AS m4 FROM s) "
+            "SELECT l_returnflag, n::BIGINT AS n, round(m1, 6) AS mean, "
+            "CASE WHEN m2 > 0 THEN round(m3 / m2^1.5, 6) END AS skew, "
+            "CASE WHEN m2 > 0 THEN round(m4 / (m2*m2) - 3.0, 6) END "
+            "AS kurt FROM m"
         ),
         # interpolated quantiles: same rn = q*(n-1) two-sided-weight
         # arithmetic as the engine, identical NaN/null pre-filter

@@ -569,3 +569,117 @@ def group_entropy(ds, key: str, value: str, out_col: str = "entropy"):
     mapped = sub.map_batches(partial, batch_format="pyarrow")
     return bucketed_apply(mapped, [key], body,
                           lambda: _empty_out(mapped, body))
+
+
+def group_winsorize(ds, key: str, value: str,
+                    lo_q: float = 0.05, hi_q: float = 0.95):
+    """Per-group winsorized aggregate -> (key, n, lo_fence, hi_fence,
+    win_sum, win_mean): values clipped to the group's exact quantile_disc
+    fences (the sorted element at ceil(q·n)−1, so fences ARE data values)
+    before summing.  Nulls and NaNs are skipped like the SQL pre-filter;
+    a group with no valid value is omitted.
+
+    Scale shape: exact fences need the group co-located — one exchange by
+    key, one Arrow sort per bucket, then clip + segment sums over the
+    already-sorted runs; no per-group Python.  Outputs are UNROUNDED;
+    callers round to taste (sum-order float noise sits ~1e-10 below any
+    sane rounding)."""
+    from .agg import bucketed_apply
+    from .joins import _empty_out, _key_run_starts
+
+    def body(t: pa.Table) -> pa.Table:
+        s = t.select([key, value]).take(pc.sort_indices(
+            t.select([key, value]),
+            sort_keys=[(key, "ascending"), (value, "ascending")],
+            null_placement="at_end"))
+        starts = _key_run_starts(s, key)
+        v = s[value]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        ok = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            ok = pc.and_(ok, pc.invert(pc.fill_null(pc.is_nan(v), True)))
+        ok_np = ok.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_valid = (np.add.reduceat(ok_np, starts)
+                   if starts.size else np.empty(0, np.int64))
+        vnp = pc.cast(v, pa.float64()).to_numpy(zero_copy_only=False)
+
+        def pick(q: float) -> np.ndarray:
+            idx = starts + np.maximum(
+                np.ceil(q * n_valid).astype(np.int64) - 1, 0)
+            return vnp[idx]
+
+        lo_f, hi_f = pick(lo_q), pick(hi_q)
+        lens = np.diff(np.r_[starts, s.num_rows])
+        rep = np.arange(starts.size).repeat(lens)
+        clipped = np.clip(vnp, lo_f[rep], hi_f[rep])
+        clipped = np.where(ok_np.astype(bool), clipped, 0.0)
+        sums = (np.add.reduceat(clipped, starts)
+                if starts.size else np.empty(0, np.float64))
+        keep = n_valid > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            means = sums / n_valid
+        return pa.table({
+            key: s[key].take(pa.array(starts)).filter(pa.array(keep)),
+            "n": pa.array(n_valid[keep], pa.int64()),
+            "lo_fence": pa.array(lo_f[keep], pa.float64()),
+            "hi_fence": pa.array(hi_f[keep], pa.float64()),
+            "win_sum": pa.array(sums[keep], pa.float64()),
+            "win_mean": pa.array(means[keep], pa.float64())})
+
+    sub = ds.select_columns([key, value])
+    return bucketed_apply(sub, [key], body, lambda: _empty_out(sub, body))
+
+
+def group_higher_moments(ds, key: str, value: str):
+    """Per-group skewness / excess kurtosis from raw power sums ->
+    (key, n, mean, skew, kurt): per-batch partials carry 4 power sums +
+    count (5 doubles per (batch, group) — raw rows never move), the
+    closed-form population-moment expressions evaluate once per group.
+    The SQL oracle evaluates the SAME power-sum expressions (NOT DuckDB's
+    one-pass skewness()/kurtosis() built-ins, whose bias corrections and
+    update order differ); with integer-valued inputs the power sums are
+    exact in any order, so agreement holds to rounding depth.  Null
+    values are dropped (SQL parity); groups with m2 == 0 yield null
+    skew/kurt."""
+    from .agg import bucketed_group_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch[value]))
+        x = _f64(t[value])
+        x2 = pc.multiply(x, x)
+        t2 = pa.table({key: t[key], "s1": x, "s2": x2,
+                       "s3": pc.multiply(x2, x),
+                       "s4": pc.multiply(x2, x2)})
+        g = t2.group_by([key]).aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("s3", "sum"),
+             ("s4", "sum"), ([], "count_all")])
+        return g.rename_columns([key, "s1", "s2", "s3", "s4", "n"])
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), [key],
+        [("s1", "sum"), ("s2", "sum"), ("s3", "sum"), ("s4", "sum"),
+         ("n", "sum")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t["s1_sum"].to_numpy(zero_copy_only=False)
+        s2 = t["s2_sum"].to_numpy(zero_copy_only=False)
+        s3 = t["s3_sum"].to_numpy(zero_copy_only=False)
+        s4 = t["s4_sum"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            m = s1 / n
+            m2 = s2 / n - m * m
+            m3 = s3 / n - 3.0 * m * (s2 / n) + 2.0 * m ** 3
+            m4 = (s4 / n - 4.0 * m * (s3 / n)
+                  + 6.0 * m * m * (s2 / n) - 3.0 * m ** 4)
+            skew = np.where(m2 > 0, m3 / np.power(m2, 1.5), np.nan)
+            kurt = np.where(m2 > 0, m4 / (m2 * m2) - 3.0, np.nan)
+        return pa.table({
+            key: t[key],
+            "n": pc.cast(t["n_sum"], pa.int64()),
+            "mean": pa.array(m, pa.float64()),
+            "skew": pa.array(skew, pa.float64(), from_pandas=True),
+            "kurt": pa.array(kurt, pa.float64(), from_pandas=True)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

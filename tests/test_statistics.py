@@ -398,3 +398,59 @@ def test_group_entropy_known_values(ray_session):
     e = pa.table({"k": pa.array([], pa.string()),
                   "c": pa.array([], pa.string())})
     assert group_entropy(rd.from_arrow(e), "k", "c").count() == 0
+
+
+def test_winsorize_planted(ray_session):
+    from rho_contracts_ray.stages.statistics import group_winsorize
+
+    # group 'a': 1..20 -> disc fences p05 = element ceil(.05*20)-1 = idx 0
+    # (value 1), p95 = idx ceil(19)-1 = 18 (value 19); clipped sum =
+    # sum(1..19) + 19 = 190 + 19 = 209.  Outlier 1000 in 'b' clips to the
+    # group's own fence.  NaN/null excluded from n and sums.
+    a_vals = [float(i) for i in range(1, 21)]
+    t = pa.table({
+        "g": ["a"] * 20 + ["b"] * 3 + ["c"] * 2,
+        "v": pa.array(a_vals + [1.0, 2.0, 1000.0,
+                                float("nan"), 5.0], pa.float64())})
+    out = _collect(group_winsorize(rd.from_arrow(t).repartition(3),
+                                   "g", "v")).sort_by("g")
+    rows = {r["g"]: r for r in out.to_pylist()}
+    assert rows["a"]["n"] == 20
+    assert rows["a"]["lo_fence"] == 1.0 and rows["a"]["hi_fence"] == 19.0
+    assert rows["a"]["win_sum"] == 209.0
+    # 'b': fences from its own 3 values (p05 -> 1.0, p95 -> 1000.0: disc
+    # picks ceil(.95*3)-1 = idx 2) — no clipping happens
+    assert rows["b"]["win_sum"] == 1003.0
+    # 'c': NaN dropped
+    assert rows["c"]["n"] == 1 and rows["c"]["win_sum"] == 5.0
+
+
+def test_higher_moments_match_numpy(ray_session):
+    from rho_contracts_ray.stages.statistics import group_higher_moments
+
+    rng = np.random.default_rng(3)
+    g = rng.choice(["x", "y"], 500).tolist()
+    v = rng.integers(1, 51, 500).astype(np.float64)
+    t = pa.table({"g": g, "v": pa.array(v)})
+    out = _collect(group_higher_moments(
+        rd.from_arrow(t).repartition(5), "g", "v")).sort_by("g")
+    for row in out.to_pylist():
+        x = v[np.array(g) == row["g"]]
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        m3 = ((x - m) ** 3).mean()
+        m4 = ((x - m) ** 4).mean()
+        assert row["n"] == x.size
+        assert math.isclose(row["mean"], m, rel_tol=1e-12)
+        assert math.isclose(row["skew"], m3 / m2 ** 1.5, rel_tol=1e-9)
+        assert math.isclose(row["kurt"], m4 / m2 ** 2 - 3.0, rel_tol=1e-9)
+
+
+def test_higher_moments_constant_group_null(ray_session):
+    from rho_contracts_ray.stages.statistics import group_higher_moments
+
+    t = pa.table({"g": ["k"] * 4, "v": pa.array([7.0] * 4)})
+    out = _collect(group_higher_moments(rd.from_arrow(t), "g", "v"))
+    row = out.to_pylist()[0]
+    assert row["mean"] == 7.0
+    assert row["skew"] is None and row["kurt"] is None
