@@ -2205,6 +2205,35 @@ def _q_moments_lineitem_by_flag(sf_dir: str):
     return out.map_batches(rounded, batch_format="pyarrow")
 
 
+def _q_sentences_documents(sf_dir: str):
+    """Sentence segmentation as a pure streaming flat-map: one vectorized
+    RE2 split per batch (pyarrow split_pattern_regex — the SAME regex
+    engine DuckDB's regexp_split_to_array uses, so boundaries agree
+    byte-for-byte), ordinality preserved, empty fragments dropped in both
+    engines AFTER ordinality assignment."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pat = r"[.!?]+\s+"
+
+    def split(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"], "")
+        parts = pc.split_pattern_regex(txt, pat)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        offs = parts.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offs)
+        parent = np.repeat(np.arange(batch.num_rows), lens)
+        sent_idx = np.arange(int(offs[-1]) if len(offs) else 0) \
+            - np.repeat(offs[:-1], lens) + 1
+        doc_id = batch["doc_id"].take(pa.array(parent))
+        flat = parts.flatten()
+        out = pa.table({"doc_id": doc_id,
+                        "sent_idx": pa.array(sent_idx, pa.int64()),
+                        "sentence": flat})
+        return out.filter(pc.greater(pc.utf8_length(flat), 0))
+
+    return ds.map_batches(split, batch_format="pyarrow")
+
+
 def _q_entropy_events_user(sf_dir: str):
     """Per-user Shannon entropy of the event-type mix — a diversity /
     concentration score; batches move only (user, type, cnt) partials."""
@@ -2388,6 +2417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_outer_user_activity": _q_full_outer_user_activity,
         "winsorize_events_by_type": _q_winsorize_events_by_type,
         "moments_lineitem_by_flag": _q_moments_lineitem_by_flag,
+        "sentences_documents": _q_sentences_documents,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -3276,6 +3306,18 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(n_purchases, 0) AS n_purchases, "
             "coalesce(n_open, 0) AS n_open "
             "FROM e FULL OUTER JOIN o ON e.k = o.k"
+        ),
+        # both engines split with RE2, so sentence boundaries agree
+        # byte-for-byte; empties dropped after ordinality in both
+        "sentences_documents": (
+            "SELECT doc_id, sent_idx, sentence FROM ("
+            "WITH s AS (SELECT doc_id, "
+            "regexp_split_to_array(coalesce(text, ''), '[.!?]+\\s+') "
+            "AS parts FROM documents) "
+            "SELECT doc_id, "
+            "generate_subscripts(parts, 1)::BIGINT AS sent_idx, "
+            "UNNEST(parts) AS sentence FROM s) "
+            "WHERE length(sentence) > 0"
         ),
         # fences from quantile_disc ARE data values; both engines clip to
         # the identical fences, sum-order noise sits far below rounding

@@ -120,9 +120,11 @@ def _rank_pair(ds, col: str, k1: int, k2: int, lo: float, hi: float,
 def exact_global_quantile(ds, col: str, q: float,
                           collect_limit: int = 200_000):
     """Exact interpolated global quantile (DuckDB quantile_cont / median
-    semantics: rank q*(n-1), linear interpolation between the two
-    bracketing order statistics — `lower + (upper-lower)*frac`, the same
-    expression DuckDB evaluates, so results compare bit-equal).  NaN,
+    semantics: rank q*(n-1), TWO-SIDED weighted interpolation between the
+    bracketing order statistics — `(1-frac)*lower + frac*upper`, the same
+    expression DuckDB's Interpolator evaluates; the algebraically-equal
+    `lower + (upper-lower)*frac` differs in the last bits and was caught
+    by the hypothesis suite).  NaN,
     null and infinite values are excluded, matching the SQL pre-filter
     `value IS NOT NULL AND value = value` on finite data.
 
@@ -136,4 +138,4 @@ def exact_global_quantile(ds, col: str, q: float,
     frac = rn - k1
     k2 = k1 if frac == 0.0 else k1 + 1
     v1, v2 = _rank_pair(ds, col, k1, k2, lo, hi, n, collect_limit)
-    return v1 + (v2 - v1) * frac, n
+    return (1.0 - frac) * v1 + frac * v2, n
