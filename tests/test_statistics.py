@@ -454,3 +454,20 @@ def test_higher_moments_constant_group_null(ray_session):
     row = out.to_pylist()[0]
     assert row["mean"] == 7.0
     assert row["skew"] is None and row["kurt"] is None
+
+
+def test_winsorize_hot_key_with_split_guard(ray_session, monkeypatch):
+    """One ultra-hot key routed through a pinned-tiny bucket-split
+    threshold: equal keys can't sub-split, so the guard must fall through
+    to one direct body call — fences and sums identical to the unsplit
+    run."""
+    from rho_contracts_ray.stages.statistics import group_winsorize
+
+    rng = np.random.default_rng(11)
+    t = pa.table({"g": ["hot"] * 5000,
+                  "v": pa.array(rng.uniform(0, 1000, 5000))})
+    ds = rd.from_arrow(t).repartition(8)
+    base = _collect(group_winsorize(ds, "g", "v")).to_pylist()
+    monkeypatch.setenv("RHO_BUCKET_SPLIT_ROWS", "50")
+    split = _collect(group_winsorize(ds, "g", "v")).to_pylist()
+    assert base == split and base[0]["n"] == 5000
