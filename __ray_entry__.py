@@ -886,6 +886,31 @@ def _q_top3_orders_per_status(sf_dir: str):
     return out.select_columns(["o_orderstatus", "o_orderkey", "o_totalprice"])
 
 
+def _q_top3_with_ties_orders(sf_dir: str):
+    """WITH-TIES top-k per group: RANK() gaps-and-ties semantics (every
+    order tied at a kept price survives, unlike the row_number top-k) —
+    descending order rides the ascending rank kernel on the negated
+    price."""
+    from rho_contracts_ray.stages.joins import window_rank
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def neg(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "neg_price", pc.negate(batch["o_totalprice"]))
+
+    ranked = window_rank(ds.map_batches(neg, batch_format="pyarrow"),
+                         "o_orderstatus", ["neg_price"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.less_equal(batch["rank"], 3))
+        return sub.select(["o_orderstatus", "o_orderkey", "o_totalprice",
+                           "rank"])
+
+    return ranked.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_salted_groupby_events(sf_dir: str):
     """Skew-safe two-phase salted groupby count (event_type is low-cardinality
     and hot — the salt spreads each value over 8 reducers)."""
@@ -2418,6 +2443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_events_by_type": _q_winsorize_events_by_type,
         "moments_lineitem_by_flag": _q_moments_lineitem_by_flag,
         "sentences_documents": _q_sentences_documents,
+        "top3_with_ties_orders": _q_top3_with_ties_orders,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -3306,6 +3332,12 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(n_purchases, 0) AS n_purchases, "
             "coalesce(n_open, 0) AS n_open "
             "FROM e FULL OUTER JOIN o ON e.k = o.k"
+        ),
+        "top3_with_ties_orders": (
+            "SELECT o_orderstatus, o_orderkey, o_totalprice, "
+            "rank() OVER (PARTITION BY o_orderstatus "
+            "ORDER BY o_totalprice DESC)::BIGINT AS rank "
+            "FROM orders QUALIFY rank <= 3"
         ),
         # both engines split with RE2, so sentence boundaries agree
         # byte-for-byte; empties dropped after ordinality in both
