@@ -911,6 +911,36 @@ def _q_top3_with_ties_orders(sf_dir: str):
     return ranked.map_batches(keep, batch_format="pyarrow")
 
 
+def _q_top_tokens_per_lang(sf_dir: str):
+    """Per-group heavy terms: top-3 most frequent whitespace tokens per
+    language — one vectorized RE2 split + (lang, tok) count partials per
+    batch, bucketed count exchange, then the top-k-per-group segment
+    filter (row_number semantics, (n desc, tok desc) total order)."""
+    from rho_contracts_ray.stages.agg import bucketed_sum
+    from rho_contracts_ray.stages.joins import top_k_per_group
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"], "")
+        parts = pc.split_pattern_regex(txt, r"\s+")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        lens = np.diff(parts.offsets.to_numpy(zero_copy_only=False))
+        lang = batch["lang"].take(
+            pa.array(np.repeat(np.arange(batch.num_rows), lens)))
+        flat = parts.flatten()
+        t = pa.table({"lang": lang, "tok": flat}) \
+            .filter(pc.greater(pc.utf8_length(flat), 0))
+        g = t.group_by(["lang", "tok"]).aggregate([([], "count_all")])
+        return pa.table({"lang": g["lang"], "tok": g["tok"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    per_tok = bucketed_sum(ds.map_batches(counts, batch_format="pyarrow"),
+                           ["lang", "tok"], ["n"])
+    return top_k_per_group(per_tok, key="lang", order_by=["n", "tok"], k=3)
+
+
 def _q_salted_groupby_events(sf_dir: str):
     """Skew-safe two-phase salted groupby count (event_type is low-cardinality
     and hot — the salt spreads each value over 8 reducers)."""
@@ -2444,6 +2474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moments_lineitem_by_flag": _q_moments_lineitem_by_flag,
         "sentences_documents": _q_sentences_documents,
         "top3_with_ties_orders": _q_top3_with_ties_orders,
+        "top_tokens_per_lang": _q_top_tokens_per_lang,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -3332,6 +3363,16 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(n_purchases, 0) AS n_purchases, "
             "coalesce(n_open, 0) AS n_open "
             "FROM e FULL OUTER JOIN o ON e.k = o.k"
+        ),
+        "top_tokens_per_lang": (
+            "WITH w AS (SELECT lang, "
+            "UNNEST(regexp_split_to_array(coalesce(text, ''), '\\s+')) "
+            "AS tok FROM documents), "
+            "c AS (SELECT lang, tok, count(*)::BIGINT AS n FROM w "
+            "WHERE length(tok) > 0 GROUP BY 1, 2) "
+            "SELECT lang, tok, n FROM c "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY n DESC, tok DESC) <= 3"
         ),
         "top3_with_ties_orders": (
             "SELECT o_orderstatus, o_orderkey, o_totalprice, "
