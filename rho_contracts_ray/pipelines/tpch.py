@@ -141,10 +141,10 @@ def q7_nation_volume(sf_dir: str, nat_a: int = 1, nat_b: int = 2):
     supplier/customer nation maps broadcast once; lineitem pre-aggregates
     volume per (batch, orderkey, supp_nation, year); ONE bucketed join
     against date-slimmed orders carrying the customer nation; the
-    cross-nation filter and final rollup ride the exchange output."""
+    cross-nation filter rides the exchange output; the final rollup is a
+    driver fold of the provably-tiny (2 x 2 x #years) per-block frames."""
     import ray
 
-    from ..stages.agg import bucketed_sum
     from ..stages.joins import auto_buckets, bucketed_join
 
     pair = {nat_a, nat_b}
@@ -215,10 +215,16 @@ def q7_nation_volume(sf_dir: str, nat_a: int = 1, nat_b: int = 2):
             .aggregate([("vol", "sum")]) \
             .rename_columns(["supp_nat", "cust_nat", "l_year", "vol"])
 
-    totals = _collect(bucketed_sum(
-        joined.map_batches(regroup, batch_format="pyarrow"),
-        ["supp_nat", "cust_nat", "l_year"], ["vol"]))
-    if totals.num_rows == 0 or "supp_nat" not in totals.column_names:
+    # <= 2 nations x 2 nations x #years rows per block — the rollup frame
+    # is provably tiny, so fold it on the driver (q8-style) instead of
+    # paying a second exchange round trip
+    parts = _collect(joined.map_batches(regroup, batch_format="pyarrow"))
+    if parts.num_rows == 0 or "supp_nat" not in parts.column_names:
+        return empty_out
+    totals = parts.group_by(["supp_nat", "cust_nat", "l_year"]) \
+        .aggregate([("vol", "sum")]) \
+        .rename_columns(["supp_nat", "cust_nat", "l_year", "vol"])
+    if totals.num_rows == 0:
         return empty_out
     spos, _ = _probe(nk_sorted, _np(totals["supp_nat"]).astype(np.int64))
     cpos, _ = _probe(nk_sorted, _np(totals["cust_nat"]).astype(np.int64))
@@ -355,10 +361,10 @@ def q9_profit(sf_dir: str, name_contains: str = "gear"):
     """TPC-H Q9 shape without partsupp: profit = extendedprice*(1-discount)
     for parts whose name contains the token, per supplier nation per order
     year.  Same physical plan as q7: broadcast dims, per-batch partials on
-    the order key, one bucketed join, one bucketed rollup."""
+    the order key, one bucketed join; the final rollup folds the tiny
+    (|nations| x #years) per-block frames on the driver."""
     import ray
 
-    from ..stages.agg import bucketed_sum
     from ..stages.joins import auto_buckets, bucketed_join
 
     nk_sorted, nname_sorted = _nation_names(sf_dir)
@@ -419,10 +425,15 @@ def q9_profit(sf_dir: str, name_contains: str = "gear"):
             .aggregate([("profit", "sum")]) \
             .rename_columns(["nat", "o_year", "profit"])
 
-    totals = _collect(bucketed_sum(
-        joined.map_batches(regroup, batch_format="pyarrow"),
-        ["nat", "o_year"], ["profit"]))
-    if totals.num_rows == 0 or "nat" not in totals.column_names:
+    # <= |nations| x #years rows per block — fold the tiny rollup on the
+    # driver (q8-style) instead of paying a second exchange round trip
+    parts = _collect(joined.map_batches(regroup, batch_format="pyarrow"))
+    if parts.num_rows == 0 or "nat" not in parts.column_names:
+        return empty_out
+    totals = parts.group_by(["nat", "o_year"]) \
+        .aggregate([("profit", "sum")]) \
+        .rename_columns(["nat", "o_year", "profit"])
+    if totals.num_rows == 0:
         return empty_out
     pos, _ = _probe(nk_sorted, _np(totals["nat"]).astype(np.int64))
     out = pa.table({"nation": pa.array(nname_sorted[pos]),
