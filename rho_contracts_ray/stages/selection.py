@@ -101,6 +101,34 @@ def _rank_pair(ds, col: str, k1: int, k2: int, lo: float, hi: float,
             break                              # ulp-wide: can't shrink
         below, in_range, lo, hi = new_below, new_in, new_lo, new_hi
 
+    if in_range > collect_limit:
+        # unshrinkable (ulp-wide) range still holding > collect_limit
+        # rows: it can only contain a handful of distinct doubles, so
+        # select from STREAMING value counts instead of collecting rows
+        # — the driver never materializes the duplicate mass
+        def count_partial(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
+            x = _finite(batch, col)
+            x = x[(x >= lo) & (x <= hi)]
+            u, c = np.unique(x, return_counts=True)
+            return pa.table({"u": pa.array(u), "c": pa.array(c)})
+
+        agg: dict = {}
+        for t in _fold(ds, count_partial, ["u", "c"]):
+            for u, c in zip(t["u"].to_numpy(zero_copy_only=False),
+                            t["c"].to_numpy(zero_copy_only=False)):
+                agg[float(u)] = agg.get(float(u), 0) + int(c)
+            if len(agg) > 1_000_000:
+                raise RuntimeError(
+                    "exact_global_quantile: candidate range holds too "
+                    "many distinct values to count on the driver — "
+                    "raise collect_limit")
+        us = np.array(sorted(agg))
+        cum = np.cumsum([agg[u] for u in us])
+        v1 = float(us[np.searchsorted(cum, (k1 - below) + 1)])
+        v2 = v1 if k2 == k1 else \
+            float(us[np.searchsorted(cum, (k2 - below) + 1)])
+        return v1, v2
+
     def collect_partial(batch: pa.Table, lo=lo, hi=hi) -> pa.Table:
         x = _finite(batch, col)
         return pa.table({"v": pa.array(x[(x >= lo) & (x <= hi)])})

@@ -75,3 +75,15 @@ def test_tiny_inputs(ray_session, n_rows):
     vals = [float(i * 10 + 1) for i in range(n_rows)]
     got, _ = exact_global_quantile(_ds(vals), "value", 0.5)
     assert got == _duck(vals, 0.5)
+
+
+def test_bimodal_mass_straddling_rank_streams_counts(ray_session):
+    """Two distinct values, each holding more rows than collect_limit,
+    with the quantile bracket straddling them: the refinement can't
+    shrink (the bracket spans both), so selection must fall to the
+    streaming value-count path instead of collecting the mass."""
+    vals = [42.0] * 500 + [43.0] * 500
+    got, n = exact_global_quantile(_ds(vals), "value", 0.5,
+                                   collect_limit=50)
+    assert n == 1000
+    assert got == _duck(vals, 0.5) == 42.5
