@@ -941,6 +941,32 @@ def _q_top_tokens_per_lang(sf_dir: str):
     return top_k_per_group(per_tok, key="lang", order_by=["n", "tok"], k=3)
 
 
+def _q_exact_k_sample_documents(sf_dir: str, k: int = 100):
+    """Reproducible EXACT-k uniform sample: the k documents with the
+    smallest md5(doc_id) rank — an order statistic of a deterministic
+    hash, so the sample is the same on any cluster shape and both
+    engines agree byte-for-byte (hash-threshold sampling gives
+    approximate k; training-data splits usually need exact k).  Scale
+    shape: k rows survive per block, then one sort+limit over the
+    k x n_blocks short partials — the corpus never sorts."""
+    import hashlib
+
+    from rho_contracts_ray.stages.topk import global_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "h": pa.array(h, pa.string())})
+
+    ranked = ds.map_batches(rank, batch_format="pyarrow")
+    out = global_topk(ranked, ["h", "doc_id"], k,
+                      descending=[False, False])
+    return out.select_columns(["doc_id", "h"])
+
+
 def _q_salted_groupby_events(sf_dir: str):
     """Skew-safe two-phase salted groupby count (event_type is low-cardinality
     and hot — the salt spreads each value over 8 reducers)."""
@@ -2475,6 +2501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentences_documents": _q_sentences_documents,
         "top3_with_ties_orders": _q_top3_with_ties_orders,
         "top_tokens_per_lang": _q_top_tokens_per_lang,
+        "exact_k_sample_documents": _q_exact_k_sample_documents,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -3363,6 +3390,10 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(n_purchases, 0) AS n_purchases, "
             "coalesce(n_open, 0) AS n_open "
             "FROM e FULL OUTER JOIN o ON e.k = o.k"
+        ),
+        "exact_k_sample_documents": (
+            "SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents "
+            "ORDER BY h, doc_id LIMIT 100"
         ),
         "top_tokens_per_lang": (
             "WITH w AS (SELECT lang, "
