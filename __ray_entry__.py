@@ -2879,7 +2879,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH b AS (SELECT range AS bin FROM range(0, 50)), "
             "c AS (SELECT CAST(least(floor((value - 0.0) / 10.0), 49) "
             "AS BIGINT) AS bin, count(*)::BIGINT AS n FROM events "
-            "WHERE value IS NOT NULL AND value = value "
+            "WHERE value IS NOT NULL AND NOT isnan(value) "
             "AND value >= 0.0 AND value < 500.0 GROUP BY 1) "
             "SELECT b.bin, 0.0 + b.bin * 10.0 AS bin_lo, "
             "coalesce(c.n, 0)::BIGINT AS n FROM b LEFT JOIN c USING (bin)"
@@ -3429,7 +3429,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH f AS (SELECT event_type, "
             "quantile_disc(value, 0.05) AS lo, "
             "quantile_disc(value, 0.95) AS hi FROM events "
-            "WHERE value IS NOT NULL AND value = value GROUP BY 1) "
+            "WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1) "
             "SELECT e.event_type, count(*)::BIGINT AS n, "
             "f.lo AS lo_fence, f.hi AS hi_fence, "
             "round(sum(least(greatest(value, f.lo), f.hi)), 2) "
@@ -3437,7 +3437,7 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(least(greatest(value, f.lo), f.hi)), 4) "
             "AS win_mean "
             "FROM events e JOIN f USING (event_type) "
-            "WHERE value IS NOT NULL AND value = value "
+            "WHERE value IS NOT NULL AND NOT isnan(value) "
             "GROUP BY e.event_type, f.lo, f.hi"
         ),
         # the oracle evaluates the same power-sum expressions the engine
@@ -3464,7 +3464,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, quantile_cont(value, 0.25) AS p25, "
             "quantile_cont(value, 0.5) AS p50, "
             "quantile_cont(value, 0.75) AS p75 FROM events "
-            "WHERE value IS NOT NULL AND value = value "
+            "WHERE value IS NOT NULL AND NOT isnan(value) "
             "GROUP BY event_type"
         ),
         "unpivot_lineitem": (

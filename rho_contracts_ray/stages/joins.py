@@ -604,7 +604,9 @@ def group_quantiles(ds, key: str, value: str,
             v = v.combine_chunks()
         valid = pc.is_valid(v)
         if pa.types.is_floating(v.type):
-            # DuckDB's quantile_disc skips NaN like NULL
+            # the engine skips NaN like NULL; DuckDB's quantile_disc
+            # does NOT (NaN sorts greatest and NaN = NaN is TRUE there),
+            # so SQL oracles must pre-filter with NOT isnan(v)
             valid = pc.and_(valid, pc.invert(
                 pc.fill_null(pc.is_nan(v), True)))
         valid_np = valid.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -471,3 +471,103 @@ def test_winsorize_hot_key_with_split_guard(ray_session, monkeypatch):
     monkeypatch.setenv("RHO_BUCKET_SPLIT_ROWS", "50")
     split = _collect(group_winsorize(ds, "g", "v")).to_pylist()
     assert base == split and base[0]["n"] == 5000
+
+
+def test_winsorize_and_moments_property_random_tables(ray_session):
+    """Property: winsorized aggregates and power-sum moments match DuckDB
+    on random tables — nulls, NaN, massive ties, constant groups,
+    single-row groups, random partitionings."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rho_contracts_ray.stages.statistics import (
+        group_higher_moments, group_winsorize,
+    )
+
+    con = duckdb.connect()
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=300),
+        nkeys=st.integers(min_value=1, max_value=6),
+        vspread=st.sampled_from([2, 1000]),      # 2 => constant-ish groups
+        bad_p=st.sampled_from([0.0, 0.3]),       # null/NaN mix
+        parts=st.integers(min_value=1, max_value=5),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n, nkeys, vspread, bad_p, parts, seed):
+        rng = np.random.RandomState(seed)
+
+        def val(i):
+            r = rng.rand()
+            if r < bad_p / 2:
+                return None
+            if r < bad_p:
+                return float("nan")
+            return float(rng.randint(0, vspread))
+
+        t = pa.table({
+            "g": pa.array(rng.randint(0, nkeys, n).astype(np.int64)),
+            "v": pa.array([val(i) for i in range(n)], pa.float64()),
+        })
+        # register the ARROW table: a pandas round trip would conflate
+        # null with NaN and silently change the SQL reference's filters
+        con.register("t", t)
+        ds = rd.from_arrow(t).repartition(parts)
+
+        win = _collect(group_winsorize(ds, "g", "v"))
+        ref = con.execute(
+            "WITH f AS (SELECT g, quantile_disc(v, 0.05) AS lo, "
+            "quantile_disc(v, 0.95) AS hi FROM t "
+            "WHERE v IS NOT NULL AND NOT isnan(v) GROUP BY 1) "
+            "SELECT t.g, count(*)::BIGINT AS n, f.lo, f.hi, "
+            "round(sum(least(greatest(v, f.lo), f.hi)), 2) AS ws, "
+            "round(avg(least(greatest(v, f.lo), f.hi)), 4) AS wm "
+            "FROM t JOIN f USING (g) WHERE v IS NOT NULL AND NOT isnan(v) "
+            "GROUP BY t.g, f.lo, f.hi ORDER BY t.g").df()
+        if win is None:
+            assert len(ref) == 0
+        else:
+            got = win.to_pandas().sort_values("g").reset_index(drop=True)
+            assert got["g"].tolist() == ref["g"].tolist()
+            assert got["n"].tolist() == ref["n"].tolist()
+            assert got["lo_fence"].tolist() == ref["lo"].tolist()
+            assert got["hi_fence"].tolist() == ref["hi"].tolist()
+            assert [round(x, 2) for x in got["win_sum"]] == \
+                ref["ws"].tolist()
+            assert [round(x, 4) for x in got["win_mean"]] == \
+                ref["wm"].tolist()
+
+        mom = _collect(group_higher_moments(ds, "g", "v"))
+        ref = con.execute(
+            "WITH s AS (SELECT g, count(*)::DOUBLE AS n, sum(v) AS s1, "
+            "sum(v*v) AS s2, sum(v*v*v) AS s3, sum(v*v*v*v) AS s4 "
+            "FROM t WHERE v IS NOT NULL GROUP BY 1), "
+            "m AS (SELECT g, n, s1/n AS m1, s2/n - (s1/n)*(s1/n) AS m2, "
+            "s3/n - 3*(s1/n)*(s2/n) + 2*(s1/n)^3 AS m3, "
+            "s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n) "
+            "- 3*(s1/n)^4 AS m4 FROM s) "
+            "SELECT g, n::BIGINT AS n, round(m1, 6) AS mean, "
+            "CASE WHEN m2 > 0 THEN round(m3 / m2^1.5, 6) END AS skew, "
+            "CASE WHEN m2 > 0 THEN round(m4/(m2*m2) - 3.0, 6) END AS kurt "
+            "FROM m ORDER BY g").df()
+        # NaN values pass both filters (engine is_valid, SQL IS NOT NULL)
+        # and poison both engines' sums identically -> NaN == NaN-ish
+        if mom is None:
+            assert len(ref) == 0
+            return
+        got = mom.to_pandas().sort_values("g").reset_index(drop=True)
+        assert got["g"].tolist() == ref["g"].tolist()
+        assert got["n"].tolist() == ref["n"].tolist()
+        for c_got, c_ref in (("mean", "mean"), ("skew", "skew"),
+                             ("kurt", "kurt")):
+            for gi, wi in zip(got[c_got], ref[c_ref]):
+                gn = gi is None or pd.isna(gi)
+                wn = wi is None or pd.isna(wi)
+                assert gn == wn, (gi, wi)
+                if not gn:
+                    assert round(float(gi), 6) == round(float(wi), 6)
+
+    check()
