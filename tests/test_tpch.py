@@ -170,3 +170,79 @@ def test_q21_unique_latest_shipper_semantics(ray_session, tmp_path):
 
     out = tpch.q21_waiting_suppliers(str(d))
     assert out.to_pylist() == [{"s_name": "S1", "numwait": 1}]
+
+
+def test_q21_property_random_corpora(ray_session, tmp_path):
+    """Differential: q21's unique-latest-shipper logic vs DuckDB on
+    random micro-corpora — tie-dates, single-supplier orders, random
+    status mixes, orders with no lineitems, suppliers spanning many
+    orders."""
+    import duckdb
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n_li=st.integers(min_value=0, max_value=400),
+        n_orders=st.integers(min_value=1, max_value=60),
+        n_supp=st.integers(min_value=1, max_value=8),
+        n_days=st.sampled_from([2, 30]),       # 2 => massive date ties
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n_li, n_orders, n_supp, n_days, seed):
+        rng = np.random.RandomState(seed)
+        d = tmp_path / f"q21prop{counter[0]}"
+        counter[0] += 1
+        d.mkdir()
+        base = np.datetime64("2020-01-01", "us")
+        li = pa.table({
+            "l_orderkey": pa.array(
+                rng.randint(1, n_orders + 1, n_li).astype(np.int64)),
+            "l_suppkey": pa.array(
+                rng.randint(1, n_supp + 1, n_li).astype(np.int64)),
+            "l_shipdate": pa.array(
+                base + rng.randint(0, n_days, n_li)
+                .astype("timedelta64[D]").astype("timedelta64[us]")),
+        })
+        orders = pa.table({
+            "o_orderkey": pa.array(np.arange(1, n_orders + 1, dtype=np.int64)),
+            "o_orderstatus": pa.array(
+                rng.choice(["F", "O", "P"], n_orders)),
+        })
+        supp = pa.table({
+            "s_suppkey": pa.array(np.arange(1, n_supp + 1, dtype=np.int64)),
+            "s_name": pa.array([f"S{i}" for i in range(1, n_supp + 1)]),
+        })
+        for name, t in (("lineitem", li), ("orders", orders),
+                        ("supplier", supp)):
+            pq.write_table(t, d / f"{name}.parquet")
+
+        got = tpch.q21_waiting_suppliers(str(d)).to_pylist()
+
+        con.register("lineitem", li)
+        con.register("orders", orders)
+        con.register("supplier", supp)
+        want = con.execute(
+            "WITH f AS (SELECT o_orderkey FROM orders "
+            "WHERE o_orderstatus = 'F'), "
+            "p AS (SELECT l_orderkey, l_suppkey, max(l_shipdate) AS md "
+            "FROM lineitem JOIN f ON l_orderkey = o_orderkey "
+            "GROUP BY 1, 2), "
+            "s AS (SELECT l_orderkey, max(md) AS omax, count(*) AS nsupp "
+            "FROM p GROUP BY 1), "
+            "c AS (SELECT p.l_orderkey, count(*) AS at_max FROM p "
+            "JOIN s USING (l_orderkey) WHERE p.md = s.omax GROUP BY 1), "
+            "w AS (SELECT p.l_orderkey, p.l_suppkey FROM p "
+            "JOIN s USING (l_orderkey) JOIN c USING (l_orderkey) "
+            "WHERE s.nsupp >= 2 AND p.md = s.omax AND c.at_max = 1) "
+            "SELECT s_name, count(*)::BIGINT AS numwait "
+            "FROM w JOIN supplier ON l_suppkey = s_suppkey "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
+        ).arrow().to_pylist()
+        assert got == want
+
+    check()
