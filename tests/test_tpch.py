@@ -246,3 +246,100 @@ def test_q21_property_random_corpora(ray_session, tmp_path):
         assert got == want
 
     check()
+
+
+def test_q2_property_random_corpora(ray_session, tmp_path):
+    """Differential: q2's per-part correlated minimum (with ties kept)
+    vs DuckDB on random micro-corpora — duplicate (part, supp) lineitems,
+    cost ties across suppliers, parts outside the selection, suppliers
+    outside the region."""
+    import duckdb
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+    counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n_li=st.integers(min_value=0, max_value=300),
+        n_parts=st.integers(min_value=1, max_value=20),
+        n_supp=st.integers(min_value=1, max_value=10),
+        price_spread=st.sampled_from([2, 50]),   # 2 => many cost ties
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(n_li, n_parts, n_supp, price_spread, seed):
+        rng = np.random.RandomState(seed)
+        d = tmp_path / f"q2prop{counter[0]}"
+        counter[0] += 1
+        d.mkdir()
+        part = pa.table({
+            "p_partkey": pa.array(np.arange(1, n_parts + 1,
+                                            dtype=np.int64)),
+            "p_type": pa.array(rng.choice(["ECONOMY", "LARGE"], n_parts)),
+            "p_size": pa.array(rng.randint(1, 21, n_parts)
+                               .astype(np.int64)),
+        })
+        nat = rng.randint(0, 4, n_supp).astype(np.int64)
+        supp = pa.table({
+            "s_suppkey": pa.array(np.arange(1, n_supp + 1,
+                                            dtype=np.int64)),
+            "s_nationkey": pa.array(nat),
+            "s_name": pa.array([f"S{i}" for i in range(1, n_supp + 1)]),
+            "s_acctbal": pa.array(
+                np.round(rng.uniform(-100, 100, n_supp), 2)),
+        })
+        nation = pa.table({
+            "n_nationkey": pa.array(np.arange(4, dtype=np.int64)),
+            "n_name": pa.array([f"N{i}" for i in range(4)]),
+            "n_regionkey": pa.array(np.array([0, 0, 1, 1], np.int64)),
+        })
+        region = pa.table({
+            "r_regionkey": pa.array(np.array([0, 1], np.int64)),
+            "r_name": pa.array(["EUROPE", "ASIA"]),
+        })
+        qty = rng.randint(1, 5, n_li).astype(np.float64)
+        li = pa.table({
+            "l_partkey": pa.array(rng.randint(1, n_parts + 1, n_li)
+                                  .astype(np.int64)),
+            "l_suppkey": pa.array(rng.randint(1, n_supp + 1, n_li)
+                                  .astype(np.int64)),
+            "l_extendedprice": pa.array(
+                qty * rng.randint(1, price_spread + 1, n_li)),
+            "l_quantity": pa.array(qty),
+        })
+        for name, t in (("part", part), ("supplier", supp),
+                        ("nation", nation), ("region", region),
+                        ("lineitem", li)):
+            pq.write_table(t, d / f"{name}.parquet")
+
+        got = tpch.q2_min_cost_supplier(str(d)).to_pylist()
+
+        for name, t in (("part", part), ("supplier", supp),
+                        ("nation", nation), ("region", region),
+                        ("lineitem", li)):
+            con.register(name, t)
+        want = con.execute(
+            "WITH cost AS (SELECT l_partkey, l_suppkey, "
+            "min(l_extendedprice / l_quantity) AS cost "
+            "FROM lineitem GROUP BY 1, 2), "
+            "sel AS (SELECT p_partkey FROM part "
+            "WHERE p_type = 'ECONOMY' AND p_size <= 10), "
+            "rs AS (SELECT s_suppkey, s_acctbal, s_name, n_name "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'), "
+            "c2 AS (SELECT cost.l_partkey AS p_partkey, cost.cost, "
+            "rs.s_acctbal, rs.s_name, rs.n_name "
+            "FROM cost JOIN sel ON cost.l_partkey = sel.p_partkey "
+            "JOIN rs ON cost.l_suppkey = rs.s_suppkey) "
+            "SELECT s_acctbal, s_name, n_name, p_partkey, cost FROM c2 "
+            "WHERE cost = (SELECT min(cost) FROM c2 x "
+            "WHERE x.p_partkey = c2.p_partkey) "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey "
+            "LIMIT 100"
+        ).arrow().to_pylist()
+        assert got == want
+
+    check()
