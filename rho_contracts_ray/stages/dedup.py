@@ -994,10 +994,155 @@ _EMPTY_JACCARD_PAIRS = pa.table({
 })
 
 
+# --- broadcast-postings strategy for the jaccard join ---------------------
+# When the whole (gram -> docs) postings index fits in a broadcastable
+# object, counts for a pair (a, b) with a < b can be completed entirely
+# inside the task that owns doc a's postings entries (every contributing
+# gram occurrence of the pair IS one of a's entries), so the J >= t filter
+# applies IN-task and no candidate pair ever crosses the network.  This is
+# the dense-vocabulary regime — the one where the exchange path's candidate
+# stream explodes (a template corpus with a small shared gram vocabulary
+# has sum(df^2) pair occurrences with mean multiplicity ~1, measured 138M
+# occurrences -> 113M candidates -> 250k surviving pairs at SF1).
+_JACCARD_BCAST_BYTES = int(os.environ.get("RHO_JACCARD_BCAST_BYTES",
+                                          str(256 << 20)))
+_JACCARD_TASK_PAIRS = int(os.environ.get("RHO_JACCARD_TASK_PAIRS",
+                                         str(4_000_000)))
+# conservative per-posting-row bytes for the strategy gate: dense-idx
+# postings (4) + group end (4) + trunc flag (1) + the build-time copies
+_JACCARD_BUNDLE_ROW_BYTES = 24
+
+
+@ray.remote(num_returns=2)
+def _jaccard_bundle_task(id_col: str, max_bucket: int, pairs_per_task: int,
+                         *blocks):
+    """(gh, id, sz) gram-table blocks -> the broadcast postings bundle plus
+    work-balanced dense-doc-index block bounds.
+
+    Bundle = (doc_ids_sorted, sz_per_doc, postings_dense_idx, entry_group_end,
+    entry_trunc): postings sorted by (gram, doc_id), truncated to the first
+    `max_bucket` SMALLEST doc ids per gram (the same rank rule as
+    `_bucket_pair_index`), doc ids replaced by dense indices into
+    doc_ids_sorted.  Bounds split docs into contiguous dense-index ranges of
+    ~equal PAIR work (successor counts), so no block task straggles."""
+    tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+              for b in blocks]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return None, None
+    t = pa.concat_tables(tables)
+    gh = t["gh"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64,
+                                                          copy=False)
+    uids, inv_doc, szc = np.unique(ids, return_inverse=True,
+                                   return_counts=True)
+    if uids.size >= 2 ** 31:
+        raise ValueError("jaccard broadcast path: too many docs for dense "
+                         "int32 postings — use strategy='exchange'")
+    o = np.lexsort((ids, gh))
+    g, d = gh[o], inv_doc[o].astype(np.int32)
+    starts_mask = np.concatenate(([True], g[1:] != g[:-1]))
+    gidx = np.cumsum(starts_mask) - 1
+    starts = np.flatnonzero(starts_mask)
+    gsz = np.diff(np.concatenate((starts, [g.size])))
+    rank = np.arange(g.size) - starts[gidx]
+    trunc_g = gsz > max_bucket
+    keep = rank < max_bucket
+    g, d, tr_e = g[keep], d[keep], trunc_g[gidx[keep]]
+    starts_mask2 = np.concatenate(([True], g[1:] != g[:-1]))
+    starts2 = np.flatnonzero(starts_mask2)
+    gidx2 = np.cumsum(starts_mask2) - 1
+    ends = np.concatenate((starts2[1:], [g.size]))
+    entry_end = ends[gidx2].astype(np.int64)
+    # per-doc pair work = how many successors each of its entries has
+    cnt_after = entry_end - np.arange(g.size) - 1
+    work = np.zeros(uids.size, np.int64)
+    np.add.at(work, d, cnt_after)
+    total = int(work.sum())
+    n_blocks = int(np.clip(-(-total // max(pairs_per_task, 1)), 2, 512))
+    cum = np.cumsum(work)
+    targets = (np.arange(1, n_blocks) * (total / n_blocks)).astype(np.int64)
+    inner = np.searchsorted(cum, targets)
+    bounds = np.unique(np.concatenate(([0], inner + 1, [uids.size])))
+    bundle = (uids, szc.astype(np.int64), d, entry_end, tr_e)
+    return bundle, bounds.astype(np.int64)
+
+
+def _jaccard_block_kernel(bundle, lo: int, hi: int, threshold: float):
+    """Exact J >= threshold pairs (a, b) where dense_idx(a) in [lo, hi).
+    Counts are complete in one call — see the strategy comment above."""
+    uids, sz, post, entry_end, entry_trunc = bundle
+    n_docs = np.int64(uids.size)
+    sel = np.flatnonzero((post >= lo) & (post < hi))
+    if sel.size == 0:
+        return None
+    cnt_after = entry_end[sel] - sel - 1
+    pos = cnt_after > 0
+    sel, cnt_after = sel[pos], cnt_after[pos]
+    if sel.size == 0:
+        return None
+    csum = np.cumsum(cnt_after)
+    total = int(csum[-1])
+    ia = np.repeat(sel, cnt_after)
+    jj = np.arange(total) - np.repeat(csum - cnt_after, cnt_after) + 1
+    ib = ia + jj
+    da, db = post[ia], post[ib]
+    tr = entry_trunc[ia]          # both members share the entry's group
+    key = da.astype(np.int64) * n_docs + db
+    o = np.argsort(key, kind="stable")
+    key, tr = key[o], tr[o]
+    run_mask = np.concatenate(([True], key[1:] != key[:-1]))
+    run = np.flatnonzero(run_mask)
+    c = np.diff(np.concatenate((run, [key.size]))).astype(np.int64)
+    tr = np.maximum.reduceat(tr.astype(np.uint8), run).astype(bool)
+    ka = (key[run] // n_docs).astype(np.int64)
+    kb = (key[run] % n_docs).astype(np.int64)
+    j = c / (sz[ka] + sz[kb] - c)
+    m = j >= threshold
+    if not m.any():
+        return None
+    return pa.table({
+        "id_a": pa.array(uids[ka[m]]),
+        "id_b": pa.array(uids[kb[m]]),
+        "jaccard": pa.array(j[m]),
+        "truncated": pa.array(tr[m]),
+    })
+
+
+@ray.remote(num_returns=2)
+def _jaccard_block_task(bundle, lo, hi, threshold):
+    out = _jaccard_block_kernel(bundle, int(lo), int(hi), threshold)
+    return (out.num_rows if out is not None else 0), out
+
+
+def _jaccard_broadcast_path(gram_ds, id_col: str, threshold: float,
+                            max_bucket: int):
+    """Run the broadcast-postings strategy over a built gram Dataset."""
+    import ray.data as rd
+
+    blockrefs = []
+    for bundle in gram_ds.iter_internal_ref_bundles():
+        blockrefs.extend(bundle.block_refs)
+    if not blockrefs:
+        return rd.from_arrow(_EMPTY_JACCARD_PAIRS)
+    bundle_ref, bounds_ref = _jaccard_bundle_task.remote(
+        id_col, max_bucket, _JACCARD_TASK_PAIRS, *blockrefs)
+    bounds = ray.get(bounds_ref)
+    if bounds is None:
+        return rd.from_arrow(_EMPTY_JACCARD_PAIRS)
+    from .distagg import dataset_from_refs
+
+    refs = [_jaccard_block_task.remote(bundle_ref, bounds[i], bounds[i + 1],
+                                       threshold)
+            for i in range(len(bounds) - 1)]
+    return dataset_from_refs(refs, _EMPTY_JACCARD_PAIRS)
+
+
 def jaccard_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                       n: int = 3, threshold: float = 0.5,
                       max_bucket: int = 200, sep: str = " ",
-                      scratch_dir: Optional[str] = None):
+                      scratch_dir: Optional[str] = None,
+                      strategy: str = "auto"):
     """EXACT word-n-gram Jaccard pairs (id_a < id_b, jaccard >= threshold).
 
     A distributed set-similarity join with LOSSLESS gram blocking: any pair
@@ -1035,6 +1180,21 @@ def jaccard_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     64-bit gram hashing stands in for gram strings end-to-end: a collision
     merging two distinct grams perturbs c (or, within one doc, a set size)
     with probability ~(#distinct grams)^2 / 2^65.
+
+    `strategy`: 'exchange' is the shape described above; 'broadcast' ships
+    the whole postings index (once, via the object store) to work-balanced
+    doc-range tasks that complete every pair count LOCALLY and filter by
+    threshold in-task — nothing but surviving pairs leaves any task.  The
+    two produce IDENTICAL tables (pytest-pinned).  'auto' (default) picks
+    broadcast while the postings index is broadcastable
+    (RHO_JACCARD_BCAST_BYTES, default 256 MB ~ 11M gram occurrences) —
+    exactly the dense-vocabulary regime where the exchange path's
+    candidate stream goes quadratic (a small shared vocabulary means
+    sum(df^2) pair occurrences at multiplicity ~1: measured 113M
+    candidates for 250k surviving pairs on a 50k-doc template corpus,
+    putting the exchange path at 108 s where broadcast runs in a few
+    seconds) — and falls back to the exchange path at true corpus scale,
+    where df flattens and the candidate stream grows ~linearly.
     """
     import ray
 
@@ -1081,6 +1241,20 @@ def jaccard_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         gram_ds = rd.read_parquet(scratch_dir)
     else:
         gram_ds = gram_pipe.materialize()
+
+    if strategy not in ("auto", "broadcast", "exchange"):
+        raise ValueError(f"jaccard_dup_pairs: unknown strategy "
+                         f"{strategy!r} (auto/broadcast/exchange)")
+    if strategy == "auto":
+        # count() is metadata-cheap for both forms of gram_ds (materialized
+        # blocks / parquet footers)
+        gram_rows = gram_ds.count()
+        strategy = ("broadcast"
+                    if gram_rows * _JACCARD_BUNDLE_ROW_BYTES
+                    <= _JACCARD_BCAST_BYTES else "exchange")
+    if strategy == "broadcast":
+        return _jaccard_broadcast_path(gram_ds, id_col, threshold,
+                                       max_bucket)
 
     # grams with doc-frequency >= 2 (grams are distinct per doc, so
     # occurrence count == doc frequency)

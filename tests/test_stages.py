@@ -285,15 +285,18 @@ def test_ngram_jaccard():
     assert ngram_jaccard("a b c d", "x y z w") == 0.0
 
 
-def test_jaccard_dup_pairs_exact(ray_session, docs_with_dups):
+@pytest.mark.parametrize("strategy", ["broadcast", "exchange"])
+def test_jaccard_dup_pairs_exact(ray_session, docs_with_dups, strategy):
     """The distributed set-similarity join vs a brute-force of the scalar
     verifier — identical pairs AND identical jaccard values (the join is
-    deterministic recall-1, unlike minhash/simhash)."""
+    deterministic recall-1, unlike minhash/simhash) — on BOTH the
+    broadcast-postings and the bucketed-exchange strategies."""
     from rho_contracts_ray.stages import jaccard_dup_pairs
 
     full, _, _ = docs_with_dups
     out = jaccard_dup_pairs(rd.from_arrow(full), threshold=0.5, n=3,
-                            max_bucket=1_000_000).to_pandas()
+                            max_bucket=1_000_000,
+                            strategy=strategy).to_pandas()
     # brute force over the same corpus with string_split-matched semantics
     docs = dict(zip(full["doc_id"].to_pylist(), full["text"].to_pylist()))
 
@@ -332,12 +335,41 @@ def test_jaccard_dup_pairs_truncation_flagged(ray_session):
     texts = [f"common gram here u{i} v{i} w{i}" for i in range(6)]
     t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
                   "text": pa.array(texts, pa.string())})
-    out = jaccard_dup_pairs(rd.from_arrow(t).repartition(3), threshold=0.01,
-                            n=3, max_bucket=3).to_pandas()
-    assert len(out) > 0 and out.truncated.all()
-    full = jaccard_dup_pairs(rd.from_arrow(t), threshold=0.01, n=3,
-                             max_bucket=100).to_pandas()
-    assert len(full) == 15 and not full.truncated.any()
+    for strategy in ("broadcast", "exchange"):
+        out = jaccard_dup_pairs(rd.from_arrow(t).repartition(3),
+                                threshold=0.01, n=3, max_bucket=3,
+                                strategy=strategy).to_pandas()
+        assert len(out) > 0 and out.truncated.all(), strategy
+        full = jaccard_dup_pairs(rd.from_arrow(t), threshold=0.01, n=3,
+                                 max_bucket=100,
+                                 strategy=strategy).to_pandas()
+        assert len(full) == 15 and not full.truncated.any(), strategy
+
+
+def test_jaccard_strategies_identical_random(ray_session):
+    """Property: broadcast-postings and bucketed-exchange strategies return
+    IDENTICAL tables (pairs, bit-equal jaccard doubles, truncated flags) on
+    a random corpus — with and without a binding max_bucket."""
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import jaccard_dup_pairs
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, rng.randint(3, 30)))
+             for _ in range(300)]
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    for mb in (1_000_000, 7):
+        outs = {}
+        for strategy in ("broadcast", "exchange"):
+            df = jaccard_dup_pairs(
+                rd.from_arrow(t).repartition(5), threshold=0.25, n=2,
+                max_bucket=mb, strategy=strategy).to_pandas() \
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            outs[strategy] = df
+        assert len(outs["broadcast"]) > 0, mb
+        assert outs["broadcast"].equals(outs["exchange"]), mb
 
 
 def test_jaccard_short_docs_never_pair(ray_session):
