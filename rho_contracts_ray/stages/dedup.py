@@ -406,6 +406,55 @@ def _pair_merge_dataset(cand_refs, merge_fn, empty: pa.Table):
     return dataset_from_refs(refs2, empty)
 
 
+def _dedup_bucket_pairs(bkey: np.ndarray, doc_id: np.ndarray,
+                        max_bucket: int):
+    """Shared candidate-pair construction for the LSH verifiers: pairs
+    within equal-bkey groups (truncated at max_bucket), deduped on
+    (id_a, id_b) with the truncated flag OR-ed across every discovery
+    (ADVICE r2).  Returns (order, ia, ib, da, db, pair_trunc) with ia/ib
+    indexing into doc_id[order], or None when no pairs."""
+    order, ia, ib, trunc = _bucket_pair_index(bkey, doc_id, max_bucket)
+    if ia.size == 0:
+        return None
+    d = doc_id[order]
+    da, db = np.minimum(d[ia], d[ib]), np.maximum(d[ia], d[ib])
+    po = np.lexsort((db, da))
+    keep = np.concatenate(([True], (da[po][1:] != da[po][:-1])
+                           | (db[po][1:] != db[po][:-1])))
+    pt_sorted = trunc[ia][po].astype(np.uint8)
+    run_starts = np.flatnonzero(keep)
+    pair_trunc = (np.maximum.reduceat(pt_sorted, run_starts).astype(bool)
+                  if pt_sorted.size else np.zeros(0, bool))
+    po = po[keep]
+    return order, ia[po], ib[po], da[po], db[po], pair_trunc
+
+
+# broadcast-signature gate for the minhash verifier: when the whole
+# signature table (rows x num_perm x 8 B) is broadcastable, the exchange
+# routes 16-B (doc_id, bkey) rows instead of attaching the ~1-KB signature
+# to every hot row (a dense corpus collides EVERY band: measured 1.6M hot
+# rows x 1 KB = 1.6 GB routed at SF1 for ~1 M distinct candidates)
+_MINHASH_BCAST_BYTES = int(os.environ.get("RHO_MINHASH_BCAST_BYTES",
+                                          str(256 << 20)))
+
+
+@ray.remote
+def _minhash_sig_bundle_task(id_col: str, *blocks):
+    """Signature-table blocks -> (doc_ids_sorted, sigT) where sigT is the
+    TRANSPOSED (num_perm x n_docs) signature matrix — per-permutation rows
+    are contiguous, so the verify loop's gathers stay cache-friendly."""
+    tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+              for b in blocks]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return None
+    t = pa.concat_tables(tables)
+    ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+    S = _sig_matrix(t)
+    o = np.argsort(ids, kind="stable")
+    return ids[o], np.ascontiguousarray(S[o].T)
+
+
 def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
                       bands=32, k=5, threshold=0.7, seed=42,
                       max_bucket: int = 200,
@@ -430,7 +479,16 @@ def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
     object store (fastest single-node); pass `scratch_dir` to checkpoint
     it to parquet and re-read lazily per consumer instead — the 100-TB
     form, where pinning ~1 KB/doc corpus-wide would just force
-    object-store spilling."""
+    object-store spilling.
+
+    While the signature table is broadcastable (RHO_MINHASH_BCAST_BYTES,
+    default 256 MB ~ 262k docs at num_perm=128), the verify exchange
+    routes bare 16-B (doc_id, bkey) rows and bucket tasks look signatures
+    up in a shared transposed matrix — on a dense corpus every band
+    collides, so attaching signatures per hot row would route
+    ~bands x sig_bytes per doc (measured 1.6 GB at SF1 for ~1 M distinct
+    candidates).  Beyond the gate the signature rides with the row, as
+    before — output identical either way (pytest-pinned)."""
     import ray
 
     from ..validate import stateless_stage
@@ -465,8 +523,22 @@ def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
         return rd.from_arrow(_EMPTY_MINHASH_PAIRS)
     hot_ref = ray.put(hot)  # sorted — workers binary-search, no set build
 
-    # (3) emit (doc_id, bkey, sig) ONLY for collided buckets: the x-bands
-    # explosion never exists for the (vast) singleton majority
+    # broadcast the signature table when it fits: the exchange then moves
+    # 16-B (doc_id, bkey) rows and the verifier looks signatures up from
+    # the shared transposed matrix.  A dense corpus collides EVERY band,
+    # so attaching the ~1-KB signature per hot row multiplies the routed
+    # bytes by ~bands x num_perm x 8 / 16.
+    use_bcast = sig_ds.count() * num_perm * 8 <= _MINHASH_BCAST_BYTES
+    sig_bundle_ref = None
+    if use_bcast:
+        sig_blockrefs = []
+        for bundle in sig_ds.iter_internal_ref_bundles():
+            sig_blockrefs.extend(bundle.block_refs)
+        sig_bundle_ref = _minhash_sig_bundle_task.remote(id_col,
+                                                        *sig_blockrefs)
+
+    # (3) emit (doc_id, bkey[, sig]) ONLY for collided buckets: the
+    # x-bands explosion never exists for the (vast) singleton majority
     def explode_hot(batch: pa.Table) -> pa.Table:
         flat = _sig_matrix(batch)
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
@@ -476,60 +548,55 @@ def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
         pos = np.clip(np.searchsorted(sh, fk), 0, max(sh.size - 1, 0))
         mask = (sh[pos] == fk).reshape(bkey.shape)
         di, bi = np.nonzero(mask)
-        return pa.table({
+        cols = {
             "doc_id": pa.array(ids[di]),
             "bkey": pa.array(bkey[di, bi]),
-            "sig": pa.array([flat[i].tobytes() for i in di], pa.binary()),
-        })
+        }
+        if not use_bcast:
+            cols["sig"] = pa.array([flat[i].tobytes() for i in di],
+                                   pa.binary())
+        return pa.table(cols)
 
     # co-partition candidates by bkey hash-range and pair inside each
     # bucket task — all rows with equal bkey meet in one task, without the
     # launch latency (and at scale, the spill pressure) of a sort shuffle.
     # Pair construction + signature comparison are fully vectorized
-    # (_bucket_pair_index + one matrix equality) — no per-bucket loop.
+    # (_dedup_bucket_pairs + one matrix equality) — no per-bucket loop.
+    # Near-dup docs share MANY bands: pairs dedup on (id_a, id_b) BEFORE
+    # any signature comparison so each pair is estimated once.
     def bucket_fn(t: pa.Table):
         bkey = t["bkey"].to_numpy(zero_copy_only=False)
         doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
-        sig_col = t["sig"]
-        if isinstance(sig_col, pa.ChunkedArray):
-            sig_col = sig_col.combine_chunks()
-        order, ia, ib, trunc = _bucket_pair_index(bkey, doc_id, max_bucket)
-        if ia.size == 0:
+        got = _dedup_bucket_pairs(bkey, doc_id, max_bucket)
+        if got is None:
             return None
-        # near-dup docs share MANY bands: dedup (id_a, id_b) before any
-        # signature comparison so each pair is estimated once
-        d = doc_id[order]
-        da, db = np.minimum(d[ia], d[ib]), np.maximum(d[ia], d[ib])
-        po = np.lexsort((db, da))
-        keep = np.concatenate(([True], (da[po][1:] != da[po][:-1])
-                               | (db[po][1:] != db[po][:-1])))
-        # `truncated` must OR across every discovery of a pair WITHIN this
-        # task too — a pair can surface from both a truncated and an intact
-        # bucket in one hash range, and keeping the first occurrence's flag
-        # could report truncated=False (ADVICE r2).  Segment-OR over the
-        # (da, db)-sorted runs, mirroring the cross-task groupby max().
-        pt_sorted = trunc[ia][po].astype(np.uint8)
-        run_starts = np.flatnonzero(keep)
-        pair_trunc = (np.maximum.reduceat(pt_sorted, run_starts).astype(bool)
-                      if pt_sorted.size else np.zeros(0, bool))
-        po = po[keep]
-        ia, ib = ia[po], ib[po]
-        sig_list = sig_col.to_pylist()
-        # per-permutation 1-D gathers from the transposed (cache-resident)
-        # signature matrix — a row-wise S[ia] gather materializes
-        # (pairs x perms) and runs at memory-gather speed, ~80x slower here
-        S = np.frombuffer(b"".join(sig_list[i] for i in order),
-                          dtype=np.uint64).reshape(order.size, -1)
-        ST = np.ascontiguousarray(S.T)
+        order, ia, ib, da, db, pair_trunc = got
+        if use_bcast:
+            uids, ST = ray.get(sig_bundle_ref)
+            gidx = np.searchsorted(uids, doc_id[order])
+            ga, gb = gidx[ia], gidx[ib]
+        else:
+            sig_col = t["sig"]
+            if isinstance(sig_col, pa.ChunkedArray):
+                sig_col = sig_col.combine_chunks()
+            sig_list = sig_col.to_pylist()
+            # per-permutation 1-D gathers from the transposed
+            # (cache-resident) signature matrix — a row-wise S[ia] gather
+            # materializes (pairs x perms) and runs at memory-gather
+            # speed, ~80x slower here
+            S = np.frombuffer(b"".join(sig_list[i] for i in order),
+                              dtype=np.uint64).reshape(order.size, -1)
+            ST = np.ascontiguousarray(S.T)
+            ga, gb = ia, ib
         acc = np.zeros(ia.size, np.int64)
         for p in range(ST.shape[0]):
             sp = ST[p]
-            acc += sp[ia] == sp[ib]
+            acc += sp[ga] == sp[gb]
         est = acc / ST.shape[0]
         m = est >= threshold
         if not m.any():
             return None
-        ka, kb = da[po][m], db[po][m]
+        ka, kb = da[m], db[m]
         return pa.table({
             "id_a": pa.array(ka),
             "id_b": pa.array(kb),
