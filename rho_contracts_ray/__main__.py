@@ -6,6 +6,7 @@
     python -m rho_contracts_ray gen --out DIR --rows N [--shards N] [--epoch E]
     python -m rho_contracts_ray query NAME --sf-dir DIR [--out FILE.parquet]
     python -m rho_contracts_ray query --list
+    python -m rho_contracts_ray drift --a SNAP_DIR --b SNAP_DIR
 
 On a cluster:  ray job submit -- python -m rho_contracts_ray suite --input ...
 Owns its Ray session (guarded init) per the driver contract — library code
@@ -57,6 +58,15 @@ def main(argv=None) -> int:
     pq_.add_argument("--list", action="store_true",
                      help="list available pipeline names and exit")
     pq_.add_argument("--num-cpus", type=int, default=None)
+
+    pd_ = sub.add_parser(
+        "drift", help="distribution drift between two corpus snapshots "
+                      "(exact KS on content_len, exact TV on lang)")
+    pd_.add_argument("--a", required=True, help="snapshot A parquet dir")
+    pd_.add_argument("--b", required=True, help="snapshot B parquet dir")
+    pd_.add_argument("--ks-threshold", type=float, default=0.1)
+    pd_.add_argument("--tv-threshold", type=float, default=0.05)
+    pd_.add_argument("--num-cpus", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -128,6 +138,18 @@ def main(argv=None) -> int:
             print(json.dumps({"query": args.name, "rows": rows,
                               "columns": schema,
                               "out": args.out or None}))
+            return 0
+        finally:
+            ray.shutdown()
+
+    if args.cmd == "drift":
+        try:
+            from .pipelines import repo_files_drift
+
+            t = repo_files_drift(args.a, args.b,
+                                 ks_threshold=args.ks_threshold,
+                                 tv_threshold=args.tv_threshold)
+            print(json.dumps({"checks": t.to_pylist()}))
             return 0
         finally:
             ray.shutdown()
