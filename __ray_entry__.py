@@ -2074,6 +2074,20 @@ def _q_dedup_normalized_documents(sf_dir: str):
     return normalized_dedup(ds)
 
 
+def _q_dedup_spans_documents(sf_dir: str):
+    """Exact duplicate-SUBSTRING removal (Lee et al. 2022 ExactSubstr at
+    word granularity): every 5-token window occurring >= 2 times anywhere
+    in the corpus is deleted from every occurrence and texts re-joined.
+    Two streaming passes, one (h1, h2, cnt) bucketed exchange — gram
+    strings never leave their task; the duplicated-gram set broadcasts
+    once like the decontam holdout."""
+    from rho_contracts_ray.stages.substring import remove_dup_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .repartition(16)
+    return remove_dup_spans(ds, n=5, min_count=2)
+
+
 def _q_ohlc_daily_user(sf_dir: str):
     """Daily OHLC bars per user: open/close are the first/last value by
     ts inside each (user, day) — SQL arg_min/arg_max parity; one short
@@ -2470,6 +2484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_events": _q_funnel_events,
         "unigram_logprob_documents": _q_unigram_logprob_documents,
         "dedup_normalized_documents": _q_dedup_normalized_documents,
+        "dedup_spans_documents": _q_dedup_spans_documents,
         "ohlc_daily_user": _q_ohlc_daily_user,
         "mad_events_by_type": _q_mad_events_by_type,
         "resample_daily_user": _q_resample_daily_user,
@@ -3150,6 +3165,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n "
             "FROM (SELECT doc_id, trim(regexp_replace(lower(text), "
             "'\\s+', ' ', 'g')) AS k FROM documents) GROUP BY k"
+        ),
+        "dedup_spans_documents": (
+            "WITH toks AS (SELECT doc_id, "
+            "string_split(coalesce(text,''), ' ') AS arr FROM documents), "
+            "g AS (SELECT doc_id, i, array_to_string(arr[i : i+4], ' ') "
+            "AS gram FROM toks, UNNEST(range(1, len(arr)-3)) AS t(i)), "
+            "dup AS (SELECT gram FROM g GROUP BY gram "
+            "HAVING count(*) >= 2), "
+            "st AS (SELECT doc_id, i FROM g JOIN dup USING (gram)), "
+            "tok AS (SELECT doc_id, i AS pos, arr[i] AS w FROM toks, "
+            "UNNEST(range(1, len(arr)+1)) AS t(i)), "
+            "cov AS (SELECT DISTINCT tok.doc_id, tok.pos FROM tok "
+            "JOIN st ON st.doc_id = tok.doc_id "
+            "AND tok.pos BETWEEN st.i AND st.i + 4), "
+            "kept AS (SELECT tok.doc_id, tok.pos, tok.w FROM tok "
+            "LEFT JOIN cov ON cov.doc_id = tok.doc_id "
+            "AND cov.pos = tok.pos WHERE cov.pos IS NULL) "
+            "SELECT t.doc_id, coalesce(k.txt, '') AS text, "
+            "coalesce(k.n_kept, 0)::BIGINT AS n_kept, "
+            "(len(t.arr) - coalesce(k.n_kept, 0))::BIGINT AS n_dropped "
+            "FROM toks t LEFT JOIN (SELECT doc_id, "
+            "string_agg(w, ' ' ORDER BY pos) AS txt, count(*) AS n_kept "
+            "FROM kept GROUP BY doc_id) k USING (doc_id)"
         ),
         "ohlc_daily_user": (
             "SELECT user_id, date_trunc('day', ts) AS bar, "

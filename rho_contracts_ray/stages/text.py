@@ -29,10 +29,13 @@ def _count(col: pa.Array, pattern: str) -> np.ndarray:
         .astype(np.float64)
 
 
-def gram_arrays(col: pa.Array, n: int, sep: str = " "):
+def gram_arrays(col: pa.Array, n: int, sep: str = " ",
+                with_pos: bool = False):
     """Vectorized word-n-gram construction over a string column: returns
     (grams, doc_idx) with one row per gram OCCURRENCE — `grams` a pyarrow
     string array, `doc_idx` the int64 row index each gram came from.
+    `with_pos=True` appends a third array: the 0-based start-token
+    position of each gram within its row (dup-span removal needs it).
 
     Tokenization is exactly `split(sep)` (empties kept, null -> "") and a
     row with fewer than n tokens contributes nothing — the same semantics
@@ -48,14 +51,16 @@ def gram_arrays(col: pa.Array, n: int, sep: str = " "):
     total = int(cnt.sum())
     doc_idx = np.repeat(np.arange(cnt.size, dtype=np.int64), cnt)
     if total == 0:
-        return pa.array([], pa.string()), doc_idx
+        empty = pa.array([], pa.string())
+        return (empty, doc_idx, doc_idx.copy()) if with_pos \
+            else (empty, doc_idx)
     cum = np.cumsum(cnt)
-    starts = (np.arange(total, dtype=np.int64)
-              - np.repeat(cum - cnt, cnt)
-              + np.repeat(offs[:-1], cnt))
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(cum - cnt, cnt))
+    starts = pos + np.repeat(offs[:-1], cnt)
     parts = [vals.take(pa.array(starts + j, pa.int64())) for j in range(n)]
     grams = parts[0] if n == 1 else pc.binary_join_element_wise(*parts, sep)
-    return grams, doc_idx
+    return (grams, doc_idx, pos) if with_pos else (grams, doc_idx)
 
 
 class TextFeaturesStage:
