@@ -2074,6 +2074,20 @@ def _q_dedup_normalized_documents(sf_dir: str):
     return normalized_dedup(ds)
 
 
+def _q_quality_buckets_documents(sf_dir: str):
+    """CCNet-style head/middle/tail bucketing: corpus unigram logprob per
+    doc, cut at the exact global 1/3 and 2/3 quantiles.  Composition of
+    two oracled primitives (unigram_logprob rounded to 6 digits +
+    exact_global_quantile bit-equal with quantile_cont), so the composite
+    is SQL-exact.  Only the one-row-per-doc logprob table materializes;
+    the corpus streams."""
+    from rho_contracts_ray.stages.text import quality_buckets
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .repartition(16)
+    return quality_buckets(ds)
+
+
 def _q_dedup_spans_documents(sf_dir: str):
     """Exact duplicate-SUBSTRING removal (Lee et al. 2022 ExactSubstr at
     word granularity): every 5-token window occurring >= 2 times anywhere
@@ -2485,6 +2499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_documents": _q_unigram_logprob_documents,
         "dedup_normalized_documents": _q_dedup_normalized_documents,
         "dedup_spans_documents": _q_dedup_spans_documents,
+        "quality_buckets_documents": _q_quality_buckets_documents,
         "ohlc_daily_user": _q_ohlc_daily_user,
         "mad_events_by_type": _q_mad_events_by_type,
         "resample_daily_user": _q_resample_daily_user,
@@ -3165,6 +3180,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n "
             "FROM (SELECT doc_id, trim(regexp_replace(lower(text), "
             "'\\s+', ' ', 'g')) AS k FROM documents) GROUP BY k"
+        ),
+        "quality_buckets_documents": (
+            # fences are quantile_cont over the ROUNDED per-doc scores;
+            # a doc exactly ON a fence goes to the HIGHER bucket
+            # (searchsorted side='right' on the Ray side)
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), t -> t <> '')) AS tok "
+            "FROM documents), "
+            "vocab AS (SELECT tok, count(*)::DOUBLE AS c FROM toks "
+            "GROUP BY 1), "
+            "tot AS (SELECT sum(c) AS n FROM vocab), "
+            "lp AS (SELECT doc_id, round(sum(ln(v.c / tot.n)) / count(*), "
+            "6) AS avg_logprob "
+            "FROM toks JOIN vocab v USING (tok), tot GROUP BY doc_id), "
+            "f AS (SELECT quantile_cont(avg_logprob, 1.0/3.0) AS f1, "
+            "quantile_cont(avg_logprob, 2.0/3.0) AS f2 FROM lp) "
+            "SELECT doc_id, avg_logprob, "
+            "CASE WHEN avg_logprob >= f.f2 THEN 'head' "
+            "WHEN avg_logprob >= f.f1 THEN 'middle' "
+            "ELSE 'tail' END AS bucket FROM lp, f"
         ),
         "dedup_spans_documents": (
             "WITH toks AS (SELECT doc_id, "

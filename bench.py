@@ -215,7 +215,8 @@ def run_benchmarks() -> dict:
                  "sessionize_events", "sample_documents",
                  "ngram_top20_documents", "chunk_documents",
                  "decontam_documents", "jaccard_pairs_documents",
-                 "dup_clusters_documents", "corr_lineitem_by_flag",
+                 "dup_clusters_documents", "dedup_spans_documents",
+                 "corr_lineitem_by_flag",
                  "ohlc_daily_user", "unigram_logprob_documents",
                  "q7_nation_volume", "q9_profit",
                  "q12_priority_shipping", "q21_waiting_suppliers"):

@@ -756,3 +756,42 @@ def normalized_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
                          "n": pc.cast(t["cnt_sum"], pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def quality_buckets(ds, text_col: str = "text", id_col: str = "doc_id",
+                    qs: Sequence[float] = (1.0 / 3.0, 2.0 / 3.0),
+                    labels: Sequence[str] = ("tail", "middle", "head"),
+                    sep: str = " "):
+    """CCNet-style corpus quality bucketing (Wenzek et al., LREC 2020):
+    score every document with the corpus unigram-LM log-probability, cut
+    the corpus at the exact global quantiles `qs` of that score, and tag
+    each doc `head` (best), `middle` or `tail` — the standard pre-filter
+    that keeps/weights the head of a web crawl.
+    -> Dataset[doc_id, avg_logprob, bucket].
+
+    Composition of two already-oracled primitives, so the whole composite
+    is SQL-exact: `unigram_logprob` (rounded to 6 digits, absorbing
+    summation-order float noise) and `exact_global_quantile` (bit-equal
+    with DuckDB quantile_cont).  A doc exactly ON a fence goes to the
+    HIGHER bucket (`v >= fence`), matching the oracle's CASE order.
+
+    Scale shape: the logprob table (one short row per doc) is the only
+    thing materialized — the multi-pass quantile selection and the final
+    assignment pass re-read its cached blocks, never the corpus.  Fences
+    (len(qs) floats) broadcast via closure."""
+    from .selection import exact_global_quantile
+
+    lp = unigram_logprob(ds, text_col=text_col, id_col=id_col,
+                         sep=sep).materialize()
+    fences = np.array([exact_global_quantile(lp, "avg_logprob", q)[0]
+                       for q in qs], np.float64)
+    lab = np.asarray(list(labels), dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch["avg_logprob"].to_numpy(zero_copy_only=False)
+        b = lab[np.searchsorted(fences, v, side="right")]
+        return pa.table({id_col: batch[id_col],
+                         "avg_logprob": batch["avg_logprob"],
+                         "bucket": pa.array(b, pa.string())})
+
+    return lp.map_batches(assign, batch_format="pyarrow")

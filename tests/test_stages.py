@@ -1743,3 +1743,27 @@ def test_ahash_raise_on_undecodable(ray_session):
                     "payload": pa.array([b"junk"], pa.large_binary())})
     with pytest.raises(ValueError):
         stage(bad)
+
+
+def test_quality_buckets_planted_fence_ties(ray_session):
+    """6 one-token docs with token counts 3/2/1 put BOTH fences exactly on
+    data values (quantile_cont interpolates between equal neighbors), so
+    this pins the tie rule: a doc ON a fence goes to the HIGHER bucket."""
+    import math
+
+    from rho_contracts_ray.stages.text import quality_buckets
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array(["a", "a", "a", "b", "b", "c"]),
+    })
+    out = quality_buckets(rd.from_arrow(t)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    exp_lp = {"a": round(math.log(3 / 6), 6),
+              "b": round(math.log(2 / 6), 6),
+              "c": round(math.log(1 / 6), 6)}
+    exp = ["head", "head", "head", "middle", "middle", "tail"]
+    toks = ["a", "a", "a", "b", "b", "c"]
+    for i in range(6):
+        assert out.loc[i, "bucket"] == exp[i], (i, out.loc[i].to_dict())
+        assert out.loc[i, "avg_logprob"] == pytest.approx(exp_lp[toks[i]])
