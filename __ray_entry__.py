@@ -2088,6 +2088,19 @@ def _q_quality_buckets_documents(sf_dir: str):
     return quality_buckets(ds)
 
 
+def _q_gopher_rules_documents(sf_dir: str):
+    """Gopher quality rules (word-count band, mean-word-length band,
+    symbol ratio, alpha-word ratio, >=2 distinct function words).  One
+    streaming pass, zero shuffle; every ratio is an exact-integer
+    division so the SQL oracle (list kernels + replace-based substring
+    counts) matches bit-for-bit, including the `keep` verdict."""
+    from rho_contracts_ray.stages.text import gopher_rules
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .repartition(16)
+    return gopher_rules(ds)
+
+
 def _q_dedup_spans_documents(sf_dir: str):
     """Exact duplicate-SUBSTRING removal (Lee et al. 2022 ExactSubstr at
     word granularity): every 5-token window occurring >= 2 times anywhere
@@ -2500,6 +2513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized_documents": _q_dedup_normalized_documents,
         "dedup_spans_documents": _q_dedup_spans_documents,
         "quality_buckets_documents": _q_quality_buckets_documents,
+        "gopher_rules_documents": _q_gopher_rules_documents,
         "ohlc_daily_user": _q_ohlc_daily_user,
         "mad_events_by_type": _q_mad_events_by_type,
         "resample_daily_user": _q_resample_daily_user,
@@ -3200,6 +3214,45 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN avg_logprob >= f.f2 THEN 'head' "
             "WHEN avg_logprob >= f.f1 THEN 'middle' "
             "ELSE 'tail' END AS bucket FROM lp, f"
+        ),
+        "gopher_rules_documents": (
+            # tokens = regexp '\S+' (byte-compatible with the Ray side's
+            # RE2 \s+ split with empties dropped); symbol count = '#'
+            # occurrences + non-overlapping '...' occurrences (replace-
+            # based, matching Arrow count_substring); every ratio is an
+            # exact-integer float64 division -> bit-identical keep CASE
+            "WITH w AS (SELECT doc_id, coalesce(text, '') AS t, "
+            "regexp_extract_all(coalesce(text, ''), '\\S+') AS toks "
+            "FROM documents), "
+            "f AS (SELECT doc_id, "
+            "len(toks)::BIGINT AS n_words, "
+            "coalesce(list_sum(list_transform(toks, x -> length(x))), 0)"
+            "::DOUBLE AS chars, "
+            "len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))"
+            "::DOUBLE AS alpha_w, "
+            "((length(t) - length(replace(t, '#', ''))) "
+            "+ (length(t) - length(replace(t, '...', ''))) // 3)::DOUBLE "
+            "AS symbols, "
+            "(CASE WHEN regexp_matches(t, '(?i)\\bthe\\b') THEN 1 ELSE 0 END "
+            "+ CASE WHEN regexp_matches(t, '(?i)\\bbe\\b') THEN 1 ELSE 0 END "
+            "+ CASE WHEN regexp_matches(t, '(?i)\\bto\\b') THEN 1 ELSE 0 END "
+            "+ CASE WHEN regexp_matches(t, '(?i)\\bof\\b') THEN 1 ELSE 0 END "
+            "+ CASE WHEN regexp_matches(t, '(?i)\\band\\b') THEN 1 ELSE 0 END "
+            "+ CASE WHEN regexp_matches(t, '(?i)\\bthat\\b') THEN 1 ELSE 0 END "
+            "+ CASE WHEN regexp_matches(t, '(?i)\\bhave\\b') THEN 1 ELSE 0 END "
+            "+ CASE WHEN regexp_matches(t, '(?i)\\bwith\\b') THEN 1 ELSE 0 END"
+            ")::BIGINT AS n_stopwords FROM w), "
+            "s AS (SELECT doc_id, n_words, "
+            "chars / greatest(n_words, 1)::DOUBLE AS mean_word_len, "
+            "symbols / greatest(n_words, 1)::DOUBLE AS symbol_ratio, "
+            "alpha_w / greatest(n_words, 1)::DOUBLE AS alpha_ratio, "
+            "n_stopwords FROM f) "
+            "SELECT doc_id, n_words, mean_word_len, symbol_ratio, "
+            "alpha_ratio, n_stopwords, "
+            "(n_words >= 50 AND n_words <= 100000 "
+            "AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 "
+            "AND symbol_ratio <= 0.1 AND alpha_ratio >= 0.8 "
+            "AND n_stopwords >= 2) AS keep FROM s"
         ),
         "dedup_spans_documents": (
             "WITH toks AS (SELECT doc_id, "

@@ -35,7 +35,7 @@ from .sampling import (  # noqa: F401
 )
 from .packing import chunk_documents, pack_sequences  # noqa: F401
 from .text import (  # noqa: F401
-    decontaminate_ngrams, line_stats, ngram_top_k, pii_scrub,
+    decontaminate_ngrams, gopher_rules, line_stats, ngram_top_k, pii_scrub,
     quality_buckets, regex_extract, tfidf_top_terms,
 )
 from .substring import remove_dup_spans  # noqa: F401

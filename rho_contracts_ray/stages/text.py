@@ -795,3 +795,90 @@ def quality_buckets(ds, text_col: str = "text", id_col: str = "doc_id",
                          "bucket": pa.array(b, pa.string())})
 
     return lp.map_batches(assign, batch_format="pyarrow")
+
+
+# the 8 English function words Gopher requires >= 2 distinct of
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(ds_or_table, text_col: str = "text", id_col: str = "doc_id",
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_word_len: float = 3.0,
+                 max_mean_word_len: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_ratio: float = 0.8,
+                 min_stopwords: int = 2,
+                 stopwords: Sequence[str] = _GOPHER_STOPWORDS):
+    """Gopher document-quality rules (Rae et al. 2021, App. A1.1) — the
+    standard web-crawl pre-filter: word-count bounds, mean-word-length
+    band, '#'/'...' symbol-to-word ratio, fraction of words with an
+    alphabetic character, and >=2 distinct function words present.
+    -> (id, n_words, mean_word_len, symbol_ratio, alpha_ratio,
+    n_stopwords, keep).
+
+    One streaming pass, zero shuffle, zero Python row loop: tokens come
+    from ONE RE2 split per batch (split_pattern_regex '\\s+', empties
+    filtered — byte-compatible with the oracle's regexp_extract_all
+    '\\S+'), per-token predicates are Arrow kernels segment-summed by the
+    list offsets, and stopword presence is 8 word-bounded RE2 scans.
+    All reported ratios are UNROUNDED float64: every numerator and
+    denominator is an exact integer (< 2^53), so the division — and the
+    `keep` CASE computed from it — is bit-identical to the SQL oracle's."""
+    stop_pats = [r"(?i)\b" + w + r"\b" for w in stopwords]
+
+    def _segsum(x: np.ndarray, offs: np.ndarray) -> np.ndarray:
+        cs = np.concatenate([[0], np.cumsum(x, dtype=np.float64)])
+        return cs[offs[1:]] - cs[offs[:-1]]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        toks = pc.split_pattern_regex(filled, r"\s+")
+        offs = toks.offsets.to_numpy()
+        vals = toks.values
+        is_word = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        tok_len = pc.utf8_length(vals).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        has_alpha = pc.match_substring_regex(vals, "[A-Za-z]") \
+            .to_numpy(zero_copy_only=False)
+
+        n_words = _segsum(is_word, offs)
+        chars = _segsum(np.where(is_word, tok_len, 0.0), offs)
+        alpha_w = _segsum(is_word & has_alpha, offs)
+        safe_w = np.maximum(n_words, 1.0)
+
+        hashes = pc.count_substring(filled, "#") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        ellipses = pc.count_substring(filled, "...") \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        symbols = hashes + ellipses
+
+        n_stop = np.zeros(batch.num_rows, np.int64)
+        for pat in stop_pats:
+            n_stop += pc.match_substring_regex(filled, pat) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+
+        mean_len = chars / safe_w
+        sym_ratio = symbols / safe_w
+        alpha_ratio = alpha_w / safe_w
+        keep = ((n_words >= min_words) & (n_words <= max_words)
+                & (mean_len >= min_mean_word_len)
+                & (mean_len <= max_mean_word_len)
+                & (sym_ratio <= max_symbol_ratio)
+                & (alpha_ratio >= min_alpha_ratio)
+                & (n_stop >= min_stopwords))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": pa.array(n_words.astype(np.int64)),
+            "mean_word_len": pa.array(mean_len),
+            "symbol_ratio": pa.array(sym_ratio),
+            "alpha_ratio": pa.array(alpha_ratio),
+            "n_stopwords": pa.array(n_stop),
+            "keep": pa.array(keep),
+        })
+
+    if isinstance(ds_or_table, pa.Table):
+        return fn(ds_or_table)
+    return ds_or_table.map_batches(fn, batch_format="pyarrow")

@@ -1767,3 +1767,41 @@ def test_quality_buckets_planted_fence_ties(ray_session):
     for i in range(6):
         assert out.loc[i, "bucket"] == exp[i], (i, out.loc[i].to_dict())
         assert out.loc[i, "avg_logprob"] == pytest.approx(exp_lp[toks[i]])
+
+
+def test_gopher_rules_planted_cases(ray_session):
+    """Hand-computed Gopher-rule verdicts: a passing doc, every single-rule
+    failure mode, and the null/empty edge (n_words=0 -> ratios 0)."""
+    from rho_contracts_ray.stages.text import gopher_rules
+
+    good = ("the cat sat with that dog and they have gone " * 6).strip()
+    few_words = "the cat have with"                      # < min_words
+    short_words = ("a b c d the of to and have with " * 8).strip()
+    symbols = " ".join(["#tag the with have"] * 20)      # 20 '#' / 80 words
+    no_alpha = " ".join(["111 222 the with"] * 20)       # alpha 0.5
+    no_stop = " ".join(["zyx wvu tsr qpo nml"] * 12)     # 0 stopwords
+    t = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array([good, few_words, short_words, symbols,
+                          no_alpha, no_stop, "", None]),
+    })
+    out = gopher_rules(rd.from_arrow(t)).to_pandas() \
+        .set_index("doc_id").sort_index()
+
+    assert out.loc[0, "keep"] and out.loc[0, "n_words"] == 60
+    assert not out.loc[1, "keep"] and out.loc[1, "n_words"] == 4
+    assert not out.loc[2, "keep"]
+    assert out.loc[2, "mean_word_len"] < 3.0
+    assert not out.loc[3, "keep"]
+    assert out.loc[3, "symbol_ratio"] == pytest.approx(20 / 80)
+    assert not out.loc[4, "keep"]
+    assert out.loc[4, "alpha_ratio"] == pytest.approx(0.5)
+    assert not out.loc[5, "keep"] and out.loc[5, "n_stopwords"] == 0
+    for i in (6, 7):  # empty and null: zero words, all ratios 0
+        assert not out.loc[i, "keep"]
+        assert out.loc[i, "n_words"] == 0
+        assert out.loc[i, "mean_word_len"] == 0.0
+        assert out.loc[i, "alpha_ratio"] == 0.0
+    # stopword count is distinct-presence (the/with/that/and/have = 5),
+    # not occurrence count (each appears 6 times in doc 0)
+    assert out.loc[0, "n_stopwords"] == 5
