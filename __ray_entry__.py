@@ -2101,6 +2101,39 @@ def _q_gopher_rules_documents(sf_dir: str):
     return gopher_rules(ds)
 
 
+def _q_json_extract_events(sf_dir: str):
+    """Typed field extraction from the JSON `props` column via the Arrow
+    C++ NDJSON parser (one buffer per batch, no Python row loop).  Null
+    props -> null k, exactly SQL json_extract + TRY_CAST."""
+    from rho_contracts_ray.stages.jsoncol import json_extract
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "props"])
+    return json_extract(ds, "props", {"k": pa.int64()},
+                        keep_cols=("event_id", "event_type"))
+
+
+def _q_json_sum_by_type(sf_dir: str):
+    """JSON extraction feeding the exchange: per-batch (event_type,
+    sum k, count k) partials — one short row per (batch, type) moves —
+    then a bucketed total.  sum_k / n_k are exact int64."""
+    from rho_contracts_ray.stages.agg import bucketed_sum
+    from rho_contracts_ray.stages.jsoncol import json_extract
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    kd = json_extract(ds, "props", {"k": pa.int64()},
+                      keep_cols=("event_type",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate(
+            [("k", "sum"), ("k", "count")])
+        return pa.table({"event_type": g["event_type"],
+                         "sum_k": g["k_sum"].cast(pa.int64()),
+                         "n_k": g["k_count"].cast(pa.int64())})
+
+    parts = kd.map_batches(partial, batch_format="pyarrow")
+    return bucketed_sum(parts, ["event_type"], ["sum_k", "n_k"])
+
+
 def _q_dedup_spans_documents(sf_dir: str):
     """Exact duplicate-SUBSTRING removal (Lee et al. 2022 ExactSubstr at
     word granularity): every 5-token window occurring >= 2 times anywhere
@@ -2514,6 +2547,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_documents": _q_dedup_spans_documents,
         "quality_buckets_documents": _q_quality_buckets_documents,
         "gopher_rules_documents": _q_gopher_rules_documents,
+        "json_extract_events": _q_json_extract_events,
+        "json_sum_by_type": _q_json_sum_by_type,
         "ohlc_daily_user": _q_ohlc_daily_user,
         "mad_events_by_type": _q_mad_events_by_type,
         "resample_daily_user": _q_resample_daily_user,
@@ -3214,6 +3249,19 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN avg_logprob >= f.f2 THEN 'head' "
             "WHEN avg_logprob >= f.f1 THEN 'middle' "
             "ELSE 'tail' END AS bucket FROM lp, f"
+        ),
+        "json_extract_events": (
+            "SELECT event_id, event_type, "
+            "TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+            "FROM events"
+        ),
+        "json_sum_by_type": (
+            "SELECT event_type, "
+            "sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))"
+            "::BIGINT AS sum_k, "
+            "count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))"
+            "::BIGINT AS n_k "
+            "FROM events GROUP BY event_type"
         ),
         "gopher_rules_documents": (
             # tokens = regexp '\S+' (byte-compatible with the Ray side's

@@ -38,6 +38,7 @@ from .text import (  # noqa: F401
     decontaminate_ngrams, gopher_rules, line_stats, ngram_top_k, pii_scrub,
     quality_buckets, regex_extract, tfidf_top_terms,
 )
+from .jsoncol import json_extract  # noqa: F401
 from .substring import remove_dup_spans  # noqa: F401
 from .setops import (  # noqa: F401
     except_distinct, intersect_distinct, unnest_list, unpivot,

@@ -1805,3 +1805,36 @@ def test_gopher_rules_planted_cases(ray_session):
     # stopword count is distinct-presence (the/with/that/and/have = 5),
     # not occurrence count (each appears 6 times in doc 0)
     assert out.loc[0, "n_stopwords"] == 5
+
+
+def test_json_extract_vectorized_and_fallback(ray_session):
+    """NDJSON fast path (typed nulls for null/blank rows), dotted-path
+    struct extraction, and the per-batch slow fallback on malformed rows
+    — all through a real Dataset."""
+    import pandas as pd
+
+    from rho_contracts_ray.stages.jsoncol import json_extract
+
+    t = pa.table({
+        "i": pa.array(list(range(6)), pa.int64()),
+        "j": pa.array(['{"k": 87, "u": {"id": 3}}', '{"k": null}', None,
+                       '  ', '{"u": {"id": 9}}', '{"k": -2}']),
+    })
+    out = json_extract(rd.from_arrow(t), "j",
+                       {"k": pa.int64(), "u.id": pa.int64()},
+                       keep_cols=("i",)).to_pandas().set_index("i")
+    assert out.loc[0, "k"] == 87 and out.loc[0, "u_id"] == 3
+    assert pd.isna(out.loc[1, "k"]) and pd.isna(out.loc[2, "k"])
+    assert pd.isna(out.loc[3, "k"]) and out.loc[4, "u_id"] == 9
+    assert out.loc[5, "k"] == -2
+
+    # malformed row triggers the slow path for that batch only — same shape
+    bad = pa.table({"i": pa.array([0, 1], pa.int64()),
+                    "j": pa.array(['{"k": 1}', "NOT JSON"])})
+    out2 = json_extract(bad, "j", {"k": pa.int64()}, keep_cols=("i",))
+    assert out2["k"].to_pylist() == [1, None]
+
+    # sliced (non-zero offset) arrays hit the buffer-window arithmetic
+    out3 = json_extract(t.slice(3, 3), "j", {"k": pa.int64()},
+                        keep_cols=("i",))
+    assert out3["k"].to_pylist() == [None, None, -2]
