@@ -2101,6 +2101,18 @@ def _q_gopher_rules_documents(sf_dir: str):
     return gopher_rules(ds)
 
 
+def _q_top_ngram_documents(sf_dir: str):
+    """Gopher repetition statistics: char mass/fraction of the heaviest
+    word 2- and 3-gram per doc.  Per-batch local (no exchange); grams via
+    chained Arrow joins, counts via one Arrow group_by per n; exact
+    integer ratios -> bit-exact SQL oracle."""
+    from rho_contracts_ray.stages.text import top_ngram_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .repartition(16)
+    return top_ngram_stats(ds, ns=(2, 3))
+
+
 def _q_json_extract_events(sf_dir: str):
     """Typed field extraction from the JSON `props` column via the Arrow
     C++ NDJSON parser (one buffer per batch, no Python row loop).  Null
@@ -2547,6 +2559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_documents": _q_dedup_spans_documents,
         "quality_buckets_documents": _q_quality_buckets_documents,
         "gopher_rules_documents": _q_gopher_rules_documents,
+        "top_ngram_documents": _q_top_ngram_documents,
         "json_extract_events": _q_json_extract_events,
         "json_sum_by_type": _q_json_sum_by_type,
         "ohlc_daily_user": _q_ohlc_daily_user,
@@ -3249,6 +3262,38 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN avg_logprob >= f.f2 THEN 'head' "
             "WHEN avg_logprob >= f.f1 THEN 'middle' "
             "ELSE 'tail' END AS bucket FROM lp, f"
+        ),
+        "top_ngram_documents": (
+            # overlapping occurrences; mass = count * chars-in-words
+            # (gram length minus its n-1 separator spaces); count ties
+            # resolve to the max mass on both sides
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(coalesce(text, ''), '\\S+') AS w "
+            "FROM documents), "
+            "base AS (SELECT doc_id, len(w)::BIGINT AS n_words, "
+            "coalesce(list_sum(list_transform(w, x -> length(x))), 0)"
+            "::BIGINT AS word_chars, w FROM toks), "
+            "g2 AS (SELECT doc_id, array_to_string(w[i : i+1], ' ') AS gram "
+            "FROM base, UNNEST(range(1, len(w))) AS t(i)), "
+            "c2 AS (SELECT doc_id, gram, count(*)::BIGINT AS c FROM g2 "
+            "GROUP BY 1, 2), "
+            "m2 AS (SELECT doc_id, max(c * (length(gram) - 1))::BIGINT "
+            "AS mass FROM c2 GROUP BY 1), "
+            "g3 AS (SELECT doc_id, array_to_string(w[i : i+2], ' ') AS gram "
+            "FROM base, UNNEST(range(1, len(w) - 1)) AS t(i)), "
+            "c3 AS (SELECT doc_id, gram, count(*)::BIGINT AS c FROM g3 "
+            "GROUP BY 1, 2), "
+            "m3 AS (SELECT doc_id, max(c * (length(gram) - 2))::BIGINT "
+            "AS mass FROM c3 GROUP BY 1) "
+            "SELECT b.doc_id, b.n_words, b.word_chars, "
+            "coalesce(m2.mass, 0) AS top2_mass, "
+            "coalesce(m2.mass, 0)::DOUBLE / greatest(b.word_chars, 1)"
+            "::DOUBLE AS top2_frac, "
+            "coalesce(m3.mass, 0) AS top3_mass, "
+            "coalesce(m3.mass, 0)::DOUBLE / greatest(b.word_chars, 1)"
+            "::DOUBLE AS top3_frac "
+            "FROM base b LEFT JOIN m2 USING (doc_id) "
+            "LEFT JOIN m3 USING (doc_id)"
         ),
         "json_extract_events": (
             "SELECT event_id, event_type, "

@@ -882,3 +882,84 @@ def gopher_rules(ds_or_table, text_col: str = "text", id_col: str = "doc_id",
     if isinstance(ds_or_table, pa.Table):
         return fn(ds_or_table)
     return ds_or_table.map_batches(fn, batch_format="pyarrow")
+
+
+def top_ngram_stats(ds_or_table, ns: Sequence[int] = (2, 3),
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher repetition statistics (Rae et al. 2021, App. A1.1 "fraction
+    of characters in the most frequent n-gram"): for each n, the char
+    MASS of the heaviest word n-gram — occurrences (overlapping) x
+    characters in the gram's words — and its fraction of the doc's total
+    word characters.  Count ties resolve by taking the maximal mass, so
+    the statistic is deterministic and a SQL max() reproduces it exactly.
+    -> (id, n_words, word_chars, top{n}_mass, top{n}_frac ...).
+
+    Per-doc and per-batch local — NO exchange; tokens come from one RE2
+    split, gram strings from chained Arrow `binary_join_element_wise`
+    takes (never Python), counts from one Arrow group_by per n.  Ratios
+    are exact-integer float64 divisions (bit-identical to SQL)."""
+    ns = sorted(set(int(n) for n in ns))
+    if any(n < 2 for n in ns):
+        raise ValueError("n-gram sizes must be >= 2")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(col, ""), r"\s+")
+        offs = toks.offsets.to_numpy()
+        vals = toks.values
+        keep = pc.not_equal(vals, "").to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                           np.diff(offs))
+        words = vals.take(pa.array(np.nonzero(keep)[0]))
+        doc_of = doc_of[keep]
+        wlen = pc.utf8_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+
+        n_words = np.bincount(doc_of, minlength=batch.num_rows) \
+            .astype(np.int64)
+        word_chars = np.bincount(doc_of, weights=wlen,
+                                 minlength=batch.num_rows).astype(np.int64)
+
+        cols = {id_col: batch[id_col],
+                "n_words": pa.array(n_words),
+                "word_chars": pa.array(word_chars)}
+        total = len(doc_of)
+        safe_chars = np.maximum(word_chars, 1).astype(np.float64)
+        for n in ns:
+            mass = np.zeros(batch.num_rows, np.int64)
+            if total >= n:
+                # gram start positions whose n tokens share one doc
+                same = doc_of[: total - n + 1] == doc_of[n - 1:]
+                starts = np.nonzero(same)[0]
+                if starts.size:
+                    gram = words.take(pa.array(starts))
+                    for j in range(1, n):
+                        gram = pc.binary_join_element_wise(
+                            gram, words.take(pa.array(starts + j)), " ")
+                    gt = pa.table({
+                        "d": pa.array(doc_of[starts]),
+                        "g": gram,
+                        # chars in the gram's words = len - (n-1) spaces
+                        "ch": pa.array(
+                            pc.utf8_length(gram)
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64) - (n - 1)),
+                    })
+                    cnt = gt.group_by(["d", "g", "ch"]).aggregate(
+                        [("g", "count")])
+                    m = pa.table({
+                        "d": cnt["d"],
+                        "mass": pc.multiply(
+                            cnt["g_count"].cast(pa.int64()), cnt["ch"]),
+                    }).group_by("d").aggregate([("mass", "max")])
+                    mass[m["d"].to_numpy(zero_copy_only=False)] = \
+                        m["mass_max"].to_numpy(zero_copy_only=False)
+            cols[f"top{n}_mass"] = pa.array(mass)
+            cols[f"top{n}_frac"] = pa.array(mass / safe_chars)
+        return pa.table(cols)
+
+    if isinstance(ds_or_table, pa.Table):
+        return fn(ds_or_table)
+    return ds_or_table.map_batches(fn, batch_format="pyarrow")

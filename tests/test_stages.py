@@ -1838,3 +1838,24 @@ def test_json_extract_vectorized_and_fallback(ray_session):
     out3 = json_extract(t.slice(3, 3), "j", {"k": pa.int64()},
                         keep_cols=("i",))
     assert out3["k"].to_pylist() == [None, None, -2]
+
+
+def test_top_ngram_stats_planted(ray_session):
+    """Hand-computed heaviest-gram masses, incl. overlapping occurrences
+    (frac may exceed 1 — the documented count x chars statistic), sub-n
+    docs, and empty/null texts."""
+    from rho_contracts_ray.stages.text import top_ngram_stats
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a b a",      # top2 'a b'x2 mass 4; top3 'a b a'x2 mass 6
+                          "xx yy",           # single 2-gram mass 4; no 3-gram
+                          "", None]),
+    })
+    out = top_ngram_stats(rd.from_arrow(t)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[0, "top2_mass"] == 4 and out.loc[0, "top2_frac"] == 0.8
+    assert out.loc[0, "top3_mass"] == 6 and out.loc[0, "top3_frac"] == 1.2
+    assert out.loc[1, "top2_mass"] == 4 and out.loc[1, "top3_mass"] == 0
+    for i in (2, 3):
+        assert out.loc[i, "n_words"] == 0 and out.loc[i, "top2_frac"] == 0.0
