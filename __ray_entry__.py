@@ -2101,6 +2101,41 @@ def _q_gopher_rules_documents(sf_dir: str):
     return gopher_rules(ds)
 
 
+def _q_pmi_top20_documents(sf_dir: str):
+    """Top-20 bigram collocations by PMI (pair-count floor 3).  Count
+    partials + two bucketed joins; identical expression tree on both
+    sides -> bit-exact, ties broken by (w1, w2)."""
+    from rho_contracts_ray.stages.text import pmi_top_collocations
+
+    ds = _read(sf_dir, "documents", columns=["text"]).repartition(16)
+    return pmi_top_collocations(ds, k=20, min_count=3)
+
+
+def _q_ewma_events_user(sf_dir: str):
+    """EWMA(alpha=0.3) of value per user by (ts, event_id): affine
+    parallel scan inside the bucket — no sequential loop.  Rows-only
+    (scan reassociation makes SQL float parity infeasible); pinned to
+    pandas ewm(adjust=False) at 1e-10 in pytest."""
+    from rho_contracts_ray.stages.joins import window_ewma
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    out = window_ewma(ds, "user_id", ["ts", "event_id"], "value",
+                      alpha=0.3)
+    return out.select_columns(["event_id", "user_id", "ewma"])
+
+
+def _q_ntile_events_user(sf_dir: str):
+    """NTILE(4) per user by (ts, event_id) — the unique trailing key
+    makes tile assignment deterministic, as SQL requires.  Same bucketed
+    exchange + one-sort body as the other ranking windows."""
+    from rho_contracts_ray.stages.joins import window_rank
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = window_rank(ds, "user_id", ["ts", "event_id"], n_tiles=4)
+    return out.select_columns(["event_id", "user_id", "ntile"])
+
+
 def _q_top_ngram_documents(sf_dir: str):
     """Gopher repetition statistics: char mass/fraction of the heaviest
     word 2- and 3-gram per doc.  Per-batch local (no exchange); grams via
@@ -2559,6 +2594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_documents": _q_dedup_spans_documents,
         "quality_buckets_documents": _q_quality_buckets_documents,
         "gopher_rules_documents": _q_gopher_rules_documents,
+        "ntile_events_user": _q_ntile_events_user,
+        "pmi_top20_documents": _q_pmi_top20_documents,
         "top_ngram_documents": _q_top_ngram_documents,
         "json_extract_events": _q_json_extract_events,
         "json_sum_by_type": _q_json_sum_by_type,
@@ -2611,6 +2648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_documents": _q_tfidf_documents,
         "pca_embeddings": _q_pca_embeddings,
         "media_ahash_dedup": _q_media_ahash_dedup,
+        "ewma_events_user": _q_ewma_events_user,
     }
 
 
@@ -3262,6 +3300,33 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN avg_logprob >= f.f2 THEN 'head' "
             "WHEN avg_logprob >= f.f1 THEN 'middle' "
             "ELSE 'tail' END AS bucket FROM lp, f"
+        ),
+        "pmi_top20_documents": (
+            # identical tokenization (split ' ', empties kept) and the
+            # SAME PMI expression tree as the Ray side -> bit-exact
+            "WITH arrs AS (SELECT string_split(coalesce(text, ''), ' ') "
+            "AS arr FROM documents), "
+            "uni AS (SELECT w1, count(*)::BIGINT AS c FROM "
+            "(SELECT unnest(arr) AS w1 FROM arrs) GROUP BY 1), "
+            "n1 AS (SELECT sum(c)::DOUBLE AS n FROM uni), "
+            "big AS (SELECT arr[i] AS w1, arr[i+1] AS w2, "
+            "count(*)::BIGINT AS c FROM arrs, "
+            "UNNEST(range(1, len(arr))) AS t(i) GROUP BY 1, 2), "
+            "n2 AS (SELECT sum(c)::DOUBLE AS n FROM big), "
+            "j AS (SELECT b.w1, b.w2, b.c AS pair_count, "
+            "u1.c AS c1, u2.c AS c2 FROM big b "
+            "JOIN uni u1 ON b.w1 = u1.w1 "
+            "JOIN uni u2 ON b.w2 = u2.w1 WHERE b.c >= 3) "
+            "SELECT w1, w2, pair_count, "
+            "ln((pair_count::DOUBLE / n2.n) / "
+            "((c1::DOUBLE / n1.n) * (c2::DOUBLE / n1.n))) AS pmi "
+            "FROM j, n1, n2 "
+            "ORDER BY pmi DESC, w1, w2 LIMIT 20"
+        ),
+        "ntile_events_user": (
+            "SELECT event_id, user_id, "
+            "ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS ntile FROM events"
         ),
         "top_ngram_documents": (
             # overlapping occurrences; mass = count * chars-in-words

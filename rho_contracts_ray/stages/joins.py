@@ -1035,6 +1035,54 @@ def window_fill_forward(ds, key: str, order_by: Sequence[str], value: str,
                           lambda: _empty_out(ds, fill))
 
 
+def window_ewma(ds, key: str, order_by: "Sequence[str]", value: str,
+                alpha: float, out_col: str = "ewma"):
+    """Exponentially weighted moving average per key in `order_by` order
+    (the recurrence y_t = alpha*x_t + (1-alpha)*y_{t-1}, y_0 = x_0 —
+    pandas ewm(adjust=False) semantics).  Null values are DROPPED first
+    (like group_collect): the recurrence is over the non-null sequence.
+
+    Scale shape: one bucketed exchange by key; the bucket body is one
+    Arrow sort plus an affine PARALLEL SCAN — the recurrence is composed
+    by index doubling (log2 n vectorized passes), with each key run's
+    first row carrying coefficient 0 so compositions never cross segment
+    boundaries and no masks are needed.  No per-group Python, no O(n)
+    sequential loop, and no (1-alpha)^-i rescaling (which overflows for
+    long runs).  Float caveat: scan composition reorders the arithmetic,
+    so results can differ from the sequential recurrence in the last few
+    ulps — pytest pins agreement to 1e-10 against pandas."""
+    from .agg import bucketed_apply
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_by]
+
+    def ew(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value]))
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        n = t.num_rows
+        col = t[value]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        x = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        starts = _key_run_starts(t, key)
+        is_start = np.zeros(n, bool)
+        is_start[starts] = True
+        c = np.where(is_start, 0.0, 1.0 - alpha)
+        d = np.where(is_start, x, alpha * x)
+        s = 1
+        while s < n:
+            c_prev = np.concatenate([np.ones(s), c[:-s]])
+            d_prev = np.concatenate([np.zeros(s), d[:-s]])
+            d = c * d_prev + d
+            c = c * c_prev
+            s *= 2
+        return t.append_column(out_col, pa.array(d, pa.float64()))
+
+    return bucketed_apply(ds, [key], ew,
+                          lambda: _empty_out(ds, ew))
+
+
 def group_iqr_outliers(ds, key: str, value: str, id_col: str,
                        k: float = 1.5):
     """Per-group IQR outlier flags -> rows (id, key, value, lo, hi) for

@@ -963,3 +963,89 @@ def top_ngram_stats(ds_or_table, ns: Sequence[int] = (2, 3),
     if isinstance(ds_or_table, pa.Table):
         return fn(ds_or_table)
     return ds_or_table.map_batches(fn, batch_format="pyarrow")
+
+
+def pmi_top_collocations(ds, k: int = 20, min_count: int = 3,
+                         text_col: str = "text", sep: str = " "):
+    """Corpus-level collocation mining: top-k word bigrams by pointwise
+    mutual information, PMI = ln((c_xy/N2) / ((c_x/N1)*(c_y/N1))), with
+    a pair-count floor.  Ties (exact-double PMI) break by (w1, w2) asc.
+    -> (w1, w2, pair_count, pmi).
+
+    Scale shape: the corpus is consumed in two streaming passes (unigram
+    and bigram per-batch DISTINCT count partials — one short row per
+    distinct gram per batch ever moves); the corpus-wide count tables are
+    vocab- / vocab-pair-sized and materialize ONCE (compact, object-store
+    spillable) because they feed totals and both join sides; bigram ->
+    unigram count attachment is two bucketed hash joins (nothing
+    broadcast — the 10^8-word-vocab path); the final pick is a local
+    top-k per block over the joined counts.  The PMI expression tree is
+    written identically in the SQL oracle, so results are bit-exact."""
+    from .agg import bucketed_sum
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        grams, _ = gram_arrays(batch[text_col], 1, sep)
+        g = pa.table({"w1": grams}).group_by(["w1"]) \
+            .aggregate([("w1", "count")])
+        return pa.table({"w1": g["w1"],
+                         "cnt": g["w1_count"].cast(pa.int64())})
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        grams, _ = gram_arrays(batch[text_col], 2, sep)
+        # keep the pair as its two words (split once, vectorized) so the
+        # join keys never need re-parsing
+        if len(grams) == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        g = pa.table({"g": grams}).group_by(["g"]) \
+            .aggregate([("g", "count")])
+        first = pc.split_pattern(g["g"], sep, max_splits=1)
+        w1 = pc.list_element(first, 0)
+        w2 = pc.list_element(first, 1)
+        return pa.table({"w1": w1, "w2": w2,
+                         "cnt": g["g_count"].cast(pa.int64())})
+
+    uni = bucketed_sum(
+        ds.map_batches(uni_partial, batch_format="pyarrow"),
+        ["w1"], ["cnt"]).materialize()
+    bi = bucketed_sum(
+        ds.map_batches(bi_partial, batch_format="pyarrow"),
+        ["w1", "w2"], ["cnt"]).materialize()
+
+    n1 = float(uni.sum("cnt") or 0)
+    n2 = float(bi.sum("cnt") or 0)
+    if n1 == 0 or n2 == 0:
+        return pa.table({"w1": pa.array([], pa.string()),
+                         "w2": pa.array([], pa.string()),
+                         "pair_count": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+
+    from .joins import bucketed_join
+    from .topk import global_topk
+
+    def floor_fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["cnt"], min_count))
+
+    bi_f = bi.map_batches(floor_fn, batch_format="pyarrow") \
+        .rename_columns(["w1", "w2", "pair_count"])
+    u1 = uni.rename_columns(["w1", "c1"])
+    j1 = bucketed_join(bi_f, u1, ["w1"],
+                       ["w1", "w2", "pair_count"], ["w1", "c1"])
+    u2 = uni.rename_columns(["w2", "c2"])
+    j2 = bucketed_join(j1, u2, ["w2"],
+                       ["w1", "w2", "pair_count", "c1"], ["w2", "c2"])
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t["pair_count"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = t["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log((c / n2) / ((c1 / n1) * (c2 / n1)))
+        return pa.table({"w1": t["w1"], "w2": t["w2"],
+                         "pair_count": t["pair_count"],
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    return global_topk(scored, ["pmi", "w1", "w2"], k,
+                       descending=[True, False, False])

@@ -867,3 +867,35 @@ def test_asof_directions(ray_session):
     with pytest.raises(ValueError, match="direction"):
         asof_join(events(), right, key="user_id", ts="ts",
                   value_cols=["next_purchase"], direction="sideways")
+
+
+def test_window_ewma_matches_pandas(ray_session):
+    """Affine parallel scan vs the sequential recurrence (pandas
+    ewm(adjust=False)) on random multi-key data with nulls: agreement to
+    1e-10, nulls dropped first, key runs never bleed into each other."""
+    import pandas as pd
+
+    from rho_contracts_ray.stages.joins import window_ewma
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 23, n)),
+        "o": pa.array(rng.permutation(n)),
+        "v": pa.array([None if i % 37 == 0 else float(x)
+                       for i, x in enumerate(rng.normal(size=n))],
+                      pa.float64()),
+    })
+    out = window_ewma(rd.from_arrow(t), "k", ["o"], "v", alpha=0.25) \
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    exp = t.to_pandas().dropna(subset=["v"]) \
+        .sort_values(["k", "o"]).reset_index(drop=True)
+    exp["ewma"] = exp.groupby("k")["v"].transform(
+        lambda s: s.ewm(alpha=0.25, adjust=False).mean())
+    assert len(out) == len(exp)
+    assert np.abs(out["ewma"].values - exp["ewma"].values).max() < 1e-10
+    # single-row groups: y_0 = x_0 exactly
+    one = window_ewma(rd.from_arrow(pa.table(
+        {"k": [1], "o": [0], "v": [7.5]})), "k", ["o"], "v", 0.5) \
+        .to_pandas()
+    assert one["ewma"].iloc[0] == 7.5

@@ -1859,3 +1859,39 @@ def test_top_ngram_stats_planted(ray_session):
     assert out.loc[1, "top2_mass"] == 4 and out.loc[1, "top3_mass"] == 0
     for i in (2, 3):
         assert out.loc[i, "n_words"] == 0 and out.loc[i, "top2_frac"] == 0.0
+
+
+def test_pmi_collocations_planted(ray_session):
+    """Micro-corpus with one overwhelming collocation: 'new york' occurs
+    together every time either word appears -> highest PMI; compare the
+    full top-k against a local numpy reference."""
+    import itertools
+    import math
+
+    from rho_contracts_ray.stages.text import pmi_top_collocations
+
+    docs = ["new york " * 5 + "a b", "a c new york", "b c a a",
+            "c b a new york"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array([d.strip() for d in docs])})
+    out = pmi_top_collocations(rd.from_arrow(t), k=50, min_count=1) \
+        .to_pandas()
+    # local reference
+    uni, bi = {}, {}
+    for d in [x.strip() for x in docs]:
+        w = d.split(" ")
+        for x in w:
+            uni[x] = uni.get(x, 0) + 1
+        for x, y in zip(w, w[1:]):
+            bi[(x, y)] = bi.get((x, y), 0) + 1
+    n1, n2 = sum(uni.values()), sum(bi.values())
+    ref = sorted(
+        ((math.log((c / n2) / ((uni[x] / n1) * (uni[y] / n1))), x, y, c)
+         for (x, y), c in bi.items()),
+        key=lambda r: (-r[0], r[1], r[2]))
+    got = list(zip(out["pmi"], out["w1"], out["w2"], out["pair_count"]))
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert (g[1], g[2], g[3]) == (r[1], r[2], r[3])
+        assert g[0] == pytest.approx(r[0], abs=1e-12)
+    assert (out.loc[0, "w1"], out.loc[0, "w2"]) == ("new", "york")
