@@ -2101,6 +2101,58 @@ def _q_gopher_rules_documents(sf_dir: str):
     return gopher_rules(ds)
 
 
+def _q_sample_k_per_source(sf_dir: str, k: int = 10):
+    """Reproducible EXACT-k-per-group sample: the k docs with smallest
+    md5(doc_id) within each source — deterministic on any cluster shape,
+    stratified the way training-data mixes need.  Rides the per-group
+    top-k exchange (segment-offset filter, no per-group call)."""
+    import hashlib
+
+    from rho_contracts_ray.stages.joins import top_k_per_group
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def rank(batch: pa.Table) -> pa.Table:
+        h = [hashlib.md5(str(i).encode()).hexdigest()
+             for i in batch["doc_id"].to_pylist()]
+        return batch.append_column("h", pa.array(h, pa.string()))
+
+    ranked = ds.map_batches(rank, batch_format="pyarrow")
+    out = top_k_per_group(ranked, "source", ["h", "doc_id"], k,
+                          descending=False)
+    return out.select_columns(["source", "doc_id", "h"])
+
+
+def _q_global_rank_events(sf_dir: str):
+    """Global (no-PARTITION) ranking windows over value: rank /
+    dense_rank / percent_rank / cume_dist across ALL events.  The corpus
+    never sorts — only the distinct-value count table does (stages/
+    rank.py); ranks attach back through one bucketed hash join.  The
+    float columns are single divisions of exact ints -> bit-exact."""
+    from rho_contracts_ray.stages.joins import bucketed_join
+    from rho_contracts_ray.stages.rank import global_value_rank
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    rk, n = global_value_rank(ds, "value")
+    j = bucketed_join(ds, rk, ["value"], ["event_id", "value"],
+                      ["value", "rank", "dense_rank", "cume_cnt"])
+
+    def final(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cc = t["cume_cnt"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        prank = (r - 1.0) / (n - 1.0) if n > 1 \
+            else np.zeros(t.num_rows, np.float64)
+        return pa.table({
+            "event_id": t["event_id"], "value": t["value"],
+            "rank": t["rank"], "dense_rank": t["dense_rank"],
+            "percent_rank": pa.array(prank, pa.float64()),
+            "cume_dist": pa.array(cc / n, pa.float64()),
+        })
+
+    return j.map_batches(final, batch_format="pyarrow")
+
+
 def _q_pmi_top20_documents(sf_dir: str):
     """Top-20 bigram collocations by PMI (pair-count floor 3).  Count
     partials + two bucketed joins; identical expression tree on both
@@ -2596,6 +2648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules_documents": _q_gopher_rules_documents,
         "ntile_events_user": _q_ntile_events_user,
         "pmi_top20_documents": _q_pmi_top20_documents,
+        "global_rank_events": _q_global_rank_events,
+        "sample_k_per_source": _q_sample_k_per_source,
         "top_ngram_documents": _q_top_ngram_documents,
         "json_extract_events": _q_json_extract_events,
         "json_sum_by_type": _q_json_sum_by_type,
@@ -3300,6 +3354,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN avg_logprob >= f.f2 THEN 'head' "
             "WHEN avg_logprob >= f.f1 THEN 'middle' "
             "ELSE 'tail' END AS bucket FROM lp, f"
+        ),
+        "sample_k_per_source": (
+            "SELECT source, doc_id, md5(doc_id::VARCHAR) AS h "
+            "FROM documents QUALIFY row_number() OVER "
+            "(PARTITION BY source ORDER BY h, doc_id) <= 10"
+        ),
+        "global_rank_events": (
+            "SELECT event_id, value, "
+            "rank() OVER (ORDER BY value)::BIGINT AS rank, "
+            "dense_rank() OVER (ORDER BY value)::BIGINT AS dense_rank, "
+            "percent_rank() OVER (ORDER BY value) AS percent_rank, "
+            "cume_dist() OVER (ORDER BY value) AS cume_dist FROM events"
         ),
         "pmi_top20_documents": (
             # identical tokenization (split ' ', empties kept) and the

@@ -1,0 +1,106 @@
+"""Global (no-PARTITION) ranking windows.
+
+`rank() OVER (ORDER BY v)` across the WHOLE dataset is the one window
+shape the per-key bucketed exchange can't serve (there is no partition
+key to co-locate by), and sorting the corpus to number it is an
+all-to-all range shuffle of every row.  This module instead rides the
+column's DISTINCT values:
+
+1. one streaming pass emits per-batch (value, cnt) distinct partials and
+   a bucketed sum builds the global distinct-value count table — the
+   only thing that ever shuffles, sized by the column's cardinality,
+   not the corpus;
+2. that table sorts by value (distinct-sized range shuffle);
+3. per-block (rows, sum cnt) statistics are fetched in block order by
+   tiny Ray tasks, prefix offsets are computed on the driver
+   (n_blocks scalars — the one deliberate driver step), and
+4. one task per block assigns dense_rank / rank / cume_cnt from its
+   offsets — blocks never talk to each other.
+
+Attaching the ranks back to rows is then an ordinary bucketed hash join
+on the value (exact: equal doubles are bitwise equal).
+
+Reference semantics (SQL): RANK = 1 + count of rows strictly below;
+DENSE_RANK = 1 + count of distinct values strictly below; CUME_CNT =
+count of rows <= value (cume_dist's numerator); nulls are EXCLUDED
+(callers add them back as SQL's nulls-last block if needed).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+@ray.remote
+def _block_stats(col: str, block) -> tuple:
+    t = block if isinstance(block, pa.Table) \
+        else pa.Table.from_batches([block])
+    if t.num_rows == 0 or col not in t.column_names:
+        return 0, 0
+    s = pc.sum(t["cnt"]).as_py() or 0
+    return t.num_rows, int(s)
+
+
+@ray.remote
+def _assign_ranks(dense_off: int, cnt_off: int, block) -> pa.Table:
+    t = block if isinstance(block, pa.Table) \
+        else pa.Table.from_batches([block])
+    n = t.num_rows
+    cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cume = cnt_off + np.cumsum(cnt)
+    t = t.append_column(
+        "dense_rank", pa.array(dense_off + np.arange(1, n + 1)))
+    t = t.append_column("rank", pa.array(cume - cnt + 1))
+    t = t.append_column("cume_cnt", pa.array(cume))
+    return t
+
+
+def global_value_rank(ds, value_col: str,
+                      n_buckets: Optional[int] = None):
+    """Distinct-value rank table for `value_col` ->
+    (value, cnt, dense_rank, rank, cume_cnt) as a Dataset, plus the
+    total non-null row count.  Returns (rank_ds, total_rows)."""
+    from .agg import bucketed_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[value_col]
+        t = pa.table({value_col: col}).filter(pc.is_valid(col))
+        g = t.group_by([value_col]).aggregate([(value_col, "count")])
+        return pa.table({value_col: g[value_col],
+                         "cnt": g[f"{value_col}_count"].cast(pa.int64())})
+
+    d = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                     [value_col], ["cnt"], n_buckets=n_buckets)
+    d_sorted = d.sort(value_col).materialize()
+
+    blockrefs = []
+    for bundle in d_sorted.iter_internal_ref_bundles():
+        blockrefs.extend(bundle.block_refs)
+    if not blockrefs:
+        empty = pa.table({value_col: pa.array([], pa.float64()),
+                          "cnt": pa.array([], pa.int64()),
+                          "dense_rank": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "cume_cnt": pa.array([], pa.int64())})
+        import ray.data as rd
+
+        return rd.from_arrow(empty), 0
+
+    stats = ray.get([_block_stats.remote(value_col, r) for r in blockrefs])
+    rows = np.array([s[0] for s in stats], np.int64)
+    sums = np.array([s[1] for s in stats], np.int64)
+    dense_offs = np.concatenate(([0], np.cumsum(rows)))[:-1]
+    cnt_offs = np.concatenate(([0], np.cumsum(sums)))[:-1]
+    total = int(sums.sum())
+
+    out_refs = [_assign_ranks.remote(int(dense_offs[i]), int(cnt_offs[i]),
+                                     blockrefs[i])
+                for i in range(len(blockrefs)) if rows[i] > 0]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(out_refs), total

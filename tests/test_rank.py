@@ -1,0 +1,59 @@
+"""Global (no-PARTITION) ranking windows: distinct-value compression +
+block-offset prefix sums (stages/rank.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from rho_contracts_ray.stages.rank import global_value_rank
+
+
+def _ref(vals):
+    """Local reference: SQL rank/dense_rank/cume over non-null values."""
+    v = np.sort(np.array([x for x in vals if x is not None]))
+    uniq, cnt = np.unique(v, return_counts=True)
+    cume = np.cumsum(cnt)
+    return {u: (int(cume[i] - cnt[i] + 1), i + 1, int(cume[i]))
+            for i, u in enumerate(uniq)}, len(v)
+
+
+def test_global_value_rank_matches_reference(ray_session):
+    rng = np.random.default_rng(3)
+    vals = [None if i % 19 == 0 else float(x)
+            for i, x in enumerate(rng.integers(0, 40, 1000))]
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())})) \
+        .repartition(13)   # many blocks -> real offset arithmetic
+    rk, total = global_value_rank(ds, "v")
+    ref, n = _ref(vals)
+    assert total == n
+    got = rk.to_pandas().sort_values("v").reset_index(drop=True)
+    assert len(got) == len(ref)
+    for _, row in got.iterrows():
+        r, d, c = ref[row["v"]]
+        assert (row["rank"], row["dense_rank"], row["cume_cnt"]) == (r, d, c)
+
+
+def test_global_value_rank_empty_and_all_null(ray_session):
+    ds = rd.from_arrow(pa.table({"v": pa.array([None, None],
+                                               pa.float64())}))
+    rk, total = global_value_rank(ds, "v")
+    assert total == 0 and rk.count() == 0
+
+
+def test_global_value_rank_block_invariance(ray_session):
+    """Same ranks regardless of how the input is partitioned."""
+    vals = pa.table({"v": pa.array([5.0, 1.0, 5.0, 2.0, 2.0, 9.0])})
+    outs = []
+    for parts in (1, 2, 5):
+        rk, total = global_value_rank(
+            rd.from_arrow(vals).repartition(parts), "v")
+        assert total == 6
+        outs.append(rk.to_pandas().sort_values("v")
+                    .reset_index(drop=True))
+    for o in outs[1:]:
+        assert o.equals(outs[0])
+    base = outs[0]   # one row per DISTINCT value: 1, 2, 5, 9
+    assert list(base["v"]) == [1.0, 2.0, 5.0, 9.0]
+    assert list(base["rank"]) == [1, 2, 4, 6]
+    assert list(base["dense_rank"]) == [1, 2, 3, 4]
+    assert list(base["cume_cnt"]) == [1, 3, 5, 6]
