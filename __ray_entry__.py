@@ -2153,6 +2153,45 @@ def _q_global_rank_events(sf_dir: str):
     return j.map_batches(final, batch_format="pyarrow")
 
 
+def _q_bfs_parts_cooccur(sf_dir: str, max_depth: int = 3):
+    """Multi-source BFS distances over the part co-occurrence graph
+    (parts sharing an order are adjacent; seeds = parts ≡ 0 mod 97).
+    Iterative frontier -> bucketed edge join -> bucketed min per round;
+    the edge list shuffles once and nothing lands on the driver but the
+    tiny seed set.  Distances are exact ints -> bit-exact vs the
+    recursive-CTE oracle."""
+    from rho_contracts_ray.stages.graph import (bfs_distances,
+                                                cooccurrence_edges)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+
+    def seed_partial(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(
+            np.unique(p[p % 97 == 0]), pa.int64())})
+
+    parts = [b for b in li.map_batches(seed_partial, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    seeds = pa.table({"node": pc.unique(
+        pa.concat_tables(parts)["node"].combine_chunks())}) if parts \
+        else pa.table({"node": pa.array([], pa.int64())})
+    return bfs_distances(edges, seeds, max_depth)
+
+
+def _q_triangles_parts(sf_dir: str):
+    """Exact triangle count of the part co-occurrence graph by degree
+    orientation (wedges bounded by O(sqrt(m)) per source) + one bucketed
+    wedge-closing join; returns the single global count."""
+    from rho_contracts_ray.stages.graph import (cooccurrence_edges,
+                                                triangle_count)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    n = triangle_count(cooccurrence_edges(li, "l_orderkey", "l_partkey"))
+    return pa.table({"triangles": pa.array([n], pa.int64())})
+
+
 def _q_pmi_top20_documents(sf_dir: str):
     """Top-20 bigram collocations by PMI (pair-count floor 3).  Count
     partials + two bucketed joins; identical expression tree on both
@@ -2685,6 +2724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_with_ties_orders": _q_top3_with_ties_orders,
         "top_tokens_per_lang": _q_top_tokens_per_lang,
         "exact_k_sample_documents": _q_exact_k_sample_documents,
+        "bfs_parts_cooccur": _q_bfs_parts_cooccur,
+        "triangles_parts": _q_triangles_parts,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -3744,6 +3785,33 @@ def oracle_sql() -> dict[str, str]:
         "exact_k_sample_documents": (
             "SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents "
             "ORDER BY h, doc_id LIMIT 100"
+        ),
+        "bfs_parts_cooccur": (
+            "WITH RECURSIVE edges AS ("
+            "SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "dir AS (SELECT u AS node, v AS dst FROM edges "
+            "UNION ALL SELECT v, u FROM edges), "
+            "seeds AS (SELECT DISTINCT l_partkey AS node FROM lineitem "
+            "WHERE l_partkey % 97 = 0), "
+            "bfs(node, d) AS ("
+            "SELECT node, 0 FROM seeds "
+            "UNION "
+            "SELECT e.dst, bfs.d + 1 FROM bfs "
+            "JOIN dir e ON e.node = bfs.node WHERE bfs.d < 3) "
+            "SELECT node, MIN(d)::BIGINT AS dist FROM bfs GROUP BY node"
+        ),
+        "triangles_parts": (
+            "WITH edges AS ("
+            "SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey) "
+            "SELECT COUNT(*)::BIGINT AS triangles FROM edges e1 "
+            "JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v "
+            "JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v"
         ),
         "top_tokens_per_lang": (
             "WITH w AS (SELECT lang, "

@@ -1,0 +1,227 @@
+"""Distributed graph operators over co-occurrence edges.
+
+Training-data curation keeps meeting graphs — duplicate clusters,
+citation/link graphs, part/product co-occurrence — and the engine
+already has the two primitives graphs need: a hash-bucketed exchange
+(rows of one key co-located in one task, `stages.distagg`) and
+both-sides-large bucketed joins.  This module composes them into:
+
+* `cooccurrence_edges` — the distinct undirected edge list (u < v) of
+  items sharing a group (e.g. parts sharing an order).  One exchange on
+  the group key enumerates within-group pairs with the same vectorized
+  pair index the dedup stages use (no Python loop over groups), a second
+  exchange on (u, v) makes edges globally distinct.  Pair blow-up is a
+  real hazard at scale: a group of size n emits C(n, 2) pairs, so
+  `max_group` truncates degenerate groups (a 10 k-item group would emit
+  50 M pairs) the same way the LSH bucket prefilter does.
+
+* `bfs_distances` — multi-source breadth-first distances with unit
+  weights, the iterative-algorithm shape (frontier -> neighbor join ->
+  min-combine) expressed as K rounds of bucketed exchanges.  Nothing
+  broadcasts and nothing lands on the driver: each round joins the
+  frontier (nodes first reached last round) against the static directed
+  edge list with `bucketed_join`, then folds candidate distances into
+  the running table with a bucketed min.  The edge list is materialized
+  ONCE and reused every round; per-round exchanges move node-sized
+  tables, never the corpus.  Distances are exact integers — BFS settles
+  a node the first round it is reached — so results are bit-exact
+  against SQL's recursive-CTE form.
+
+* `triangle_count` — exact triangle counting by degree orientation:
+  orient every edge from its (degree, id)-smaller endpoint, enumerate
+  wedges per source with the vectorized pair index, and close them with
+  one bucketed join against the edge set.  Orientation bounds per-source
+  wedge fan-out by O(sqrt(m)) on any graph (the classic arboricity
+  argument), which is what keeps hub vertices from emitting degree^2
+  wedges at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def cooccurrence_edges(ds, group_col: str, item_col: str,
+                       max_group: int = 256,
+                       n_buckets: Optional[int] = None):
+    """Distinct undirected edges (u, v) with u < v between items sharing
+    a `group_col` value.  Returns a Dataset[u: int64, v: int64]."""
+    from .agg import bucketed_apply
+    from .dedup import _bucket_pair_index
+
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        it = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, ia, ib, _trunc = _bucket_pair_index(g, it, max_group)
+        iv = it[order]
+        u, v = iv[ia], iv[ib]   # sorted by item within group -> u < v
+        e = pa.table({"u": pa.array(u, pa.int64()),
+                      "v": pa.array(v, pa.int64())})
+        return e.group_by(["u", "v"]).aggregate([])
+
+    empty = pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+    local = bucketed_apply(ds, [group_col], pairs_in_bucket, empty,
+                           n_buckets=n_buckets)
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["u", "v"]).aggregate([])
+
+    return bucketed_apply(local, ["u", "v"], distinct, empty,
+                          n_buckets=n_buckets)
+
+
+def _directed(edges_ds):
+    """(u, v) undirected -> both directions as (node, dst)."""
+    def both(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks() if isinstance(t["u"], pa.ChunkedArray) \
+            else t["u"]
+        v = t["v"].combine_chunks() if isinstance(t["v"], pa.ChunkedArray) \
+            else t["v"]
+        return pa.table({"node": pa.concat_arrays([u, v]),
+                         "dst": pa.concat_arrays([v, u])})
+
+    return edges_ds.map_batches(both, batch_format="pyarrow")
+
+
+def bfs_distances(edges_ds, seeds: pa.Table, max_depth: int,
+                  n_buckets: Optional[int] = None):
+    """Multi-source BFS: distance (<= max_depth) from the nearest seed.
+
+    `edges_ds` is Dataset[u, v] undirected; `seeds` a pyarrow Table with
+    a `node` column.  Returns Dataset[node: int64, dist: int64] holding
+    every node reached within max_depth hops (seeds at dist 0).
+    Unreached nodes are absent (SQL's recursive CTE does the same)."""
+    import ray.data as rd
+
+    from .agg import bucketed_group_agg
+
+    edges = _directed(edges_ds).materialize()   # static; reused per round
+
+    def dedup_nodes(t: pa.Table) -> pa.Table:
+        return t.group_by(["node"]).aggregate([])
+
+    seed_nodes = pa.table(
+        {"node": pc.unique(seeds["node"]).cast(pa.int64())})
+    dist = rd.from_arrow(pa.table({
+        "node": seed_nodes["node"],
+        "dist": pa.array([0] * seed_nodes.num_rows, pa.int64()),
+    })).materialize()
+    frontier = rd.from_arrow(seed_nodes).materialize()
+
+    from .joins import bucketed_join
+
+    for r in range(max_depth):
+        if frontier.count() == 0:
+            break
+        cand = bucketed_join(frontier, edges, ["node"],
+                             ["node"], ["node", "dst"],
+                             n_buckets=n_buckets)
+
+        def to_dist(t: pa.Table, d=r + 1) -> pa.Table:
+            dst = pc.unique(t["dst"])
+            return pa.table({"node": dst.cast(pa.int64()),
+                             "dist": pa.array([d] * len(dst), pa.int64())})
+
+        cand_dist = cand.map_batches(to_dist, batch_format="pyarrow")
+        merged = bucketed_group_agg(dist.union(cand_dist), ["node"],
+                                    [("dist", "min")], n_buckets=n_buckets)
+
+        def fix(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"],
+                             "dist": t["dist_min"]})
+
+        new_dist = merged.map_batches(fix, batch_format="pyarrow") \
+            .materialize()
+        frontier = new_dist.filter(
+            expr=f"dist == {r + 1}").select_columns(["node"]).materialize()
+        dist = new_dist
+    return dist
+
+
+def triangle_count(edges_ds, n_buckets: Optional[int] = None) -> int:
+    """Exact number of triangles in the undirected graph Dataset[u, v]
+    (u < v, distinct).  Degree orientation + wedge close via one
+    bucketed join; returns the global count (a scalar)."""
+    from .agg import bucketed_apply, bucketed_sum
+    from .dedup import _bucket_pair_index
+    from .joins import bucketed_join
+
+    # 1. degrees: one exchange over both endpoints
+    def deg_partial(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks() if isinstance(t["u"], pa.ChunkedArray) \
+            else t["u"]
+        v = t["v"].combine_chunks() if isinstance(t["v"], pa.ChunkedArray) \
+            else t["v"]
+        nodes = pa.concat_arrays([u, v])
+        g = pa.table({"node": nodes}).group_by(["node"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"node": g["node"],
+                         "deg": g["count_all"].cast(pa.int64())})
+
+    degrees = bucketed_sum(
+        edges_ds.map_batches(deg_partial, batch_format="pyarrow"),
+        ["node"], ["deg"], n_buckets=n_buckets)
+
+    def _renamed(col: str):
+        def rn(t: pa.Table) -> pa.Table:
+            return pa.table({col: t["node"], "deg": t["deg"]})
+
+        return degrees.map_batches(rn, batch_format="pyarrow")
+
+    # 2. attach both degrees, orient by (deg, id)
+    e1 = bucketed_join(edges_ds, _renamed("u"), ["u"],
+                       ["u", "v"], ["u", "deg"],
+                       n_buckets=n_buckets)
+
+    def r1(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t["u"], "v": t["v"], "du": t["deg"]})
+
+    e2 = bucketed_join(e1.map_batches(r1, batch_format="pyarrow"),
+                       _renamed("v"), ["v"], ["u", "v", "du"], ["v", "deg"],
+                       n_buckets=n_buckets)
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        du = t["du"].to_numpy(zero_copy_only=False)
+        dv = t["deg"].to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+
+    # 3. wedges per source (canonical (a<b) closing pair), then close
+    # against the undirected edge set
+    def wedges(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, ia, ib, _ = _bucket_pair_index(s, d, 1 << 30)
+        dv = d[order]
+        a, b = dv[ia], dv[ib]   # sorted by dst -> a < b
+        return pa.table({"u": pa.array(a, pa.int64()),
+                         "v": pa.array(b, pa.int64())})
+
+    empty = pa.table({"u": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.int64())})
+    wedge_ds = bucketed_apply(oriented, ["src"], wedges, empty,
+                              n_buckets=n_buckets)
+
+    # inner join of the wedge MULTISET against the distinct edge set:
+    # each wedge row matches at most one edge row, so matched rows ==
+    # triangles (degree orientation enumerates each triangle exactly once,
+    # at its minimum-(deg, id) corner)
+    closed = bucketed_join(wedge_ds, edges_ds,
+                           ["u", "v"], ["u", "v"], ["u", "v"],
+                           n_buckets=n_buckets)
+    total = 0
+    for b in closed.iter_batches(batch_size=None, batch_format="pyarrow"):
+        total += b.num_rows
+    return total
