@@ -2180,6 +2180,20 @@ def _q_bfs_parts_cooccur(sf_dir: str, max_depth: int = 3):
     return bfs_distances(edges, seeds, max_depth)
 
 
+def _q_skyline_orders(sf_dir: str):
+    """Pareto frontier of orders: maximize o_totalprice, minimize
+    o_orderdate.  Local per-batch skyline prune (skyline-of-union ==
+    skyline-of-local-skylines) then one tiny merge task — the corpus
+    never moves."""
+    from rho_contracts_ray.stages.skyline import pareto_front
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    return pareto_front(ds, ["o_totalprice"], ["o_orderdate"],
+                        keep_cols=["o_orderkey", "o_totalprice",
+                                   "o_orderdate"])
+
+
 def _q_triangles_parts(sf_dir: str):
     """Exact triangle count of the part co-occurrence graph by degree
     orientation (wedges bounded by O(sqrt(m)) per source) + one bucketed
@@ -2200,6 +2214,19 @@ def _q_pmi_top20_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["text"]).repartition(16)
     return pmi_top_collocations(ds, k=20, min_count=3)
+
+
+def _q_bpe_merges_documents(sf_dir: str, n_merges: int = 40):
+    """BPE merge training: ONE distributed word-count pass (only
+    (word, n) partials shuffle), then the merge loop on the compressed
+    dictionary with an incremental pair index — the subword-nmt /
+    HF-tokenizers training split.  Deterministic tie-break (count desc,
+    pair asc) -> stable across cluster shapes; iterative, no SQL form
+    (rows-only)."""
+    from rho_contracts_ray.stages.bpe import bpe_merges
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return bpe_merges(ds, "text", n_merges)
 
 
 def _q_ewma_events_user(sf_dir: str):
@@ -2726,6 +2753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_k_sample_documents": _q_exact_k_sample_documents,
         "bfs_parts_cooccur": _q_bfs_parts_cooccur,
         "triangles_parts": _q_triangles_parts,
+        "skyline_orders": _q_skyline_orders,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -2744,6 +2772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": _q_pca_embeddings,
         "media_ahash_dedup": _q_media_ahash_dedup,
         "ewma_events_user": _q_ewma_events_user,
+        "bpe_merges_documents": _q_bpe_merges_documents,
     }
 
 
@@ -3802,6 +3831,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.dst, bfs.d + 1 FROM bfs "
             "JOIN dir e ON e.node = bfs.node WHERE bfs.d < 3) "
             "SELECT node, MIN(d)::BIGINT AS dist FROM bfs GROUP BY node"
+        ),
+        "skyline_orders": (
+            "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o "
+            "WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL "
+            "AND NOT EXISTS (SELECT 1 FROM orders b "
+            "WHERE b.o_totalprice >= o.o_totalprice "
+            "AND b.o_orderdate <= o.o_orderdate "
+            "AND (b.o_totalprice > o.o_totalprice "
+            "OR b.o_orderdate < o.o_orderdate))"
         ),
         "triangles_parts": (
             "WITH edges AS ("

@@ -1,0 +1,89 @@
+"""Pareto frontier (skyline) over a Dataset.
+
+The skyline — rows not dominated by any other row under a mix of
+maximize/minimize objectives — is the textbook local-prune operator:
+the skyline of a union is the skyline of the per-part skylines, so one
+`map_batches` pass shrinks each batch to its own frontier (typically
+O(log^{d-1} n) points for random data) and a single final task merges
+the tiny survivor set.  Nothing global moves; the one assumption,
+stated loudly, is that the global skyline itself fits in one task —
+true for every practical objective mix, and the same assumption SQL
+engines make when they answer the NOT EXISTS form.
+
+Dominance is SQL-faithful: row j dominates row i iff j is >= i on
+every maximize column, <= on every minimize column, and STRICTLY
+better on at least one — so exact duplicates never dominate each other
+and all survive.  Null objectives are excluded (SQL comparison with
+NULL is never true, which would make null rows unbeatable; dropping
+them matches the NOT EXISTS oracle over non-null rows).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _objective_arrays(t: pa.Table, maximize: Sequence[str],
+                      minimize: Sequence[str]) -> list:
+    """Per-objective 1-D arrays oriented so LARGER is always better.
+    Dtypes are preserved (int64 stays int64 — casting everything to
+    float64 would alias distinct keys past 2^53)."""
+    def numeric(c: str) -> np.ndarray:
+        a = np.asarray(t[c].to_numpy(zero_copy_only=False))
+        if a.dtype.kind in "Mm":          # datetime/timedelta -> epoch int
+            a = a.astype(np.int64)
+        return a
+
+    cols = [numeric(c) for c in maximize] + [-numeric(c) for c in minimize]
+    if not cols:
+        raise ValueError("pareto_front: at least one objective column")
+    return cols
+
+
+def _skyline_mask(cols: list, chunk: int = 512) -> np.ndarray:
+    """Boolean keep-mask of the non-dominated rows (larger-is-better on
+    every objective array).  Chunked O(n^2 d) broadcast — no Python loop
+    over rows; batches are bounded, survivors tiny."""
+    n = cols[0].shape[0]
+    if n == 0:
+        return np.zeros(0, bool)
+    keep = np.ones(n, bool)
+    for lo in range(0, n, chunk):
+        ge = gt = None
+        for a in cols:
+            sub = a[lo:lo + chunk]
+            c_ge = a[:, None] >= sub[None, :]        # (n, c)
+            c_gt = a[:, None] > sub[None, :]
+            ge = c_ge if ge is None else (ge & c_ge)
+            gt = c_gt if gt is None else (gt | c_gt)
+        dominated = (ge & gt).any(axis=0)            # (c,)
+        keep[lo:lo + chunk] &= ~dominated
+    return keep
+
+
+def pareto_front(ds, maximize: Sequence[str], minimize: Sequence[str],
+                 keep_cols: Optional[Sequence[str]] = None):
+    """Skyline of `ds` under the given objectives -> Dataset of the
+    non-dominated rows (columns `keep_cols`, default: objectives)."""
+    maximize, minimize = list(maximize), list(minimize)
+    obj = maximize + minimize
+    keep_cols = list(keep_cols) if keep_cols is not None else obj
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.select(keep_cols)
+        valid = np.ones(t.num_rows, bool)
+        for c in obj:
+            valid &= pc.is_valid(t[c]).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(valid))
+        cols = _objective_arrays(t, maximize, minimize)
+        return t.filter(pa.array(_skyline_mask(cols)))
+
+    survivors = ds.map_batches(local, batch_format="pyarrow",
+                               batch_size=4096)
+    # final merge: the survivor set is skyline-sized; one task suffices
+    return survivors.repartition(1).map_batches(
+        local, batch_format="pyarrow", batch_size=None)
