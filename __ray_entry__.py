@@ -2129,13 +2129,10 @@ def _q_global_rank_events(sf_dir: str):
     never sorts — only the distinct-value count table does (stages/
     rank.py); ranks attach back through one bucketed hash join.  The
     float columns are single divisions of exact ints -> bit-exact."""
-    from rho_contracts_ray.stages.joins import bucketed_join
-    from rho_contracts_ray.stages.rank import global_value_rank
+    from rho_contracts_ray.stages.rank import attach_global_ranks
 
     ds = _read(sf_dir, "events", columns=["event_id", "value"])
-    rk, n = global_value_rank(ds, "value")
-    j = bucketed_join(ds, rk, ["value"], ["event_id", "value"],
-                      ["value", "rank", "dense_rank", "cume_cnt"])
+    j, n = attach_global_ranks(ds, "value")
 
     def final(t: pa.Table) -> pa.Table:
         r = t["rank"].to_numpy(zero_copy_only=False).astype(np.float64)

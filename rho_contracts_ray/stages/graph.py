@@ -143,13 +143,100 @@ def bfs_distances(edges_ds, seeds: pa.Table, max_depth: int,
     return dist
 
 
-def triangle_count(edges_ds, n_buckets: Optional[int] = None) -> int:
+def _pack_edges(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """(u, v) int64 pairs with 0 <= id < 2^32 -> one sorted uint64 per
+    edge — membership tests become one searchsorted."""
+    if u.size and (u.min() < 0 or max(u.max(), v.max()) >= (1 << 32)):
+        raise ValueError("edge ids outside [0, 2^32) — use the exchange "
+                         "strategy")
+    return np.sort((u.astype(np.uint64) << np.uint64(32))
+                   | v.astype(np.uint64))
+
+
+def _triangle_count_broadcast(edges_ds, n_buckets: Optional[int]) -> int:
+    """Broadcast-edge-set path: the packed sorted edge array and the
+    degree table ship to workers ONCE (16 B/edge + 16 B/node); wedges
+    are enumerated per src bucket and closed IN-task by searchsorted —
+    no wedge ever crosses the network (the exchange path moves every
+    wedge, and wedge count ~ m^1.5 dwarfs m)."""
+    import ray
+
+    from .agg import bucketed_apply
+    from .dedup import _bucket_pair_index
+
+    parts = [b for b in edges_ds.iter_batches(batch_size=None,
+                                              batch_format="pyarrow")
+             if b.num_rows]
+    if not parts:
+        return 0
+    et = pa.concat_tables(parts)
+    u = et["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = et["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    packed = _pack_edges(u, v)
+    nodes, deg = np.unique(np.concatenate([u, v]), return_counts=True)
+    packed_ref = ray.put(packed)
+    nodes_ref, deg_ref = ray.put(nodes), ray.put(deg)
+
+    def orient(t: pa.Table) -> pa.Table:
+        nd, dg = ray.get(nodes_ref), ray.get(deg_ref)
+        uu = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vv = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        du = dg[np.searchsorted(nd, uu)]
+        dv = dg[np.searchsorted(nd, vv)]
+        u_first = (du < dv) | ((du == dv) & (uu < vv))
+        return pa.table({"src": pa.array(np.where(u_first, uu, vv)),
+                         "dst": pa.array(np.where(u_first, vv, uu))})
+
+    oriented = edges_ds.map_batches(orient, batch_format="pyarrow")
+
+    def close_in_bucket(t: pa.Table) -> pa.Table:
+        pk = ray.get(packed_ref)
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order, ia, ib, _ = _bucket_pair_index(s, d, 1 << 30)
+        dv = d[order]
+        a, b = dv[ia], dv[ib]                        # a < b
+        w = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+        pos = np.searchsorted(pk, w)
+        pos[pos >= pk.size] = pk.size - 1 if pk.size else 0
+        n = int((pk[pos] == w).sum()) if pk.size else 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    counts = bucketed_apply(oriented, ["src"], close_in_bucket,
+                            pa.table({"n": pa.array([], pa.int64())}),
+                            n_buckets=n_buckets)
+    total = 0
+    for b in counts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        total += int(pc.sum(b["n"]).as_py() or 0)
+    return total
+
+
+_BCAST_EDGE_LIMIT = 32_000_000   # edges; 16 B/edge -> ~0.5 GB broadcast
+
+
+def triangle_count(edges_ds, n_buckets: Optional[int] = None,
+                   strategy: str = "auto") -> int:
     """Exact number of triangles in the undirected graph Dataset[u, v]
-    (u < v, distinct).  Degree orientation + wedge close via one
-    bucketed join; returns the global count (a scalar)."""
+    (u < v, distinct).  Degree orientation + wedge close; returns the
+    global count (a scalar).
+
+    strategy='broadcast' (auto-picked while the edge set fits in
+    workers' memory) ships the packed edge array once and closes wedges
+    in-task; 'exchange' routes every wedge through a bucketed join —
+    the fallback when the edge set itself is too big to broadcast."""
     from .agg import bucketed_apply, bucketed_sum
     from .dedup import _bucket_pair_index
     from .joins import bucketed_join
+
+    if strategy == "auto":
+        edges_ds = edges_ds.materialize()
+        strategy = "broadcast" if edges_ds.count() <= _BCAST_EDGE_LIMIT \
+            else "exchange"
+    if strategy == "broadcast":
+        try:
+            return _triangle_count_broadcast(edges_ds, n_buckets)
+        except ValueError:       # ids outside [0, 2^32): unpackable
+            strategy = "exchange"
 
     # 1. degrees: one exchange over both endpoints
     def deg_partial(t: pa.Table) -> pa.Table:

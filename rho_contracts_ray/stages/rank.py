@@ -104,3 +104,56 @@ def global_value_rank(ds, value_col: str,
     import ray.data as rd
 
     return rd.from_arrow_refs(out_refs), total
+
+
+_BCAST_DISTINCT_LIMIT = 20_000_000   # distinct values; 4×8 B each
+
+
+def attach_global_ranks(ds, value_col: str,
+                        n_buckets: Optional[int] = None):
+    """Join each row of `ds` to its global rank/dense_rank/cume_cnt on
+    `value_col` (null values drop, as in the inner-join form).  Returns
+    (joined_ds, total_rows).
+
+    While the distinct-value table is broadcastable (< ~640 MB) the
+    ranks ship to workers ONCE as four sorted arrays and each batch
+    looks its rows up with one searchsorted — no second exchange.  Past
+    the limit it falls back to the bucketed hash join (exact float
+    equality: identical doubles are bitwise equal)."""
+    import ray
+
+    from .joins import bucketed_join
+
+    rk, total = global_value_rank(ds, value_col, n_buckets=n_buckets)
+    if rk.count() > _BCAST_DISTINCT_LIMIT:
+        j = bucketed_join(ds, rk, [value_col],
+                          [c for c in ds.schema().names],
+                          [value_col, "rank", "dense_rank", "cume_cnt"],
+                          n_buckets=n_buckets)
+        return j, total
+
+    parts = [b for b in rk.iter_batches(batch_size=None,
+                                        batch_format="pyarrow")
+             if b.num_rows]
+    if not parts:
+        return rk, 0
+    t = pa.concat_tables(parts)
+    vals = t[value_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(vals, kind="stable")
+    ref = ray.put((vals[order],
+                   t["rank"].to_numpy(zero_copy_only=False)[order],
+                   t["dense_rank"].to_numpy(zero_copy_only=False)[order],
+                   t["cume_cnt"].to_numpy(zero_copy_only=False)[order]))
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        sv, rrank, rdense, rcume = ray.get(ref)
+        col = batch[value_col]
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(valid))
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sv, v)
+        batch = batch.append_column("rank", pa.array(rrank[pos]))
+        batch = batch.append_column("dense_rank", pa.array(rdense[pos]))
+        return batch.append_column("cume_cnt", pa.array(rcume[pos]))
+
+    return ds.map_batches(lookup, batch_format="pyarrow"), total

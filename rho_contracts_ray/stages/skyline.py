@@ -44,24 +44,62 @@ def _objective_arrays(t: pa.Table, maximize: Sequence[str],
     return cols
 
 
-def _skyline_mask(cols: list, chunk: int = 512) -> np.ndarray:
-    """Boolean keep-mask of the non-dominated rows (larger-is-better on
-    every objective array).  Chunked O(n^2 d) broadcast — no Python loop
-    over rows; batches are bounded, survivors tiny."""
+def _pairwise_mask(cols: list) -> np.ndarray:
+    """Quadratic keep-mask (larger-is-better every dim) — used only on
+    chunk-sized subsets, never a whole batch."""
     n = cols[0].shape[0]
     if n == 0:
         return np.zeros(0, bool)
-    keep = np.ones(n, bool)
+    ge = gt = None
+    for a in cols:
+        c_ge = a[:, None] >= a[None, :]
+        c_gt = a[:, None] > a[None, :]
+        ge = c_ge if ge is None else (ge & c_ge)
+        gt = c_gt if gt is None else (gt | c_gt)
+    return ~(ge & gt).any(axis=0)
+
+
+def _skyline_mask(cols: list, chunk: int = 512) -> np.ndarray:
+    """Boolean keep-mask of the non-dominated rows (larger-is-better on
+    every objective array).  O(n·(k + chunk)) with k the running skyline
+    size, not O(n²): a full descending lexsort over ALL objectives means
+    a later row can never strictly dominate an earlier one (lex-≤ plus
+    ≥-everywhere forces equality), so rows stream best-first through
+    chunks, each chunk is pruned against the accumulated skyline
+    (vectorized over the tiny k) and quadratically within itself, and
+    chunk survivors are final."""
+    n = cols[0].shape[0]
+    if n == 0:
+        return np.zeros(0, bool)
+    # lexsort: last key is primary; reversed(cols) puts cols[0] primary.
+    # [::-1] flips ascending -> descending (order within ties is
+    # irrelevant: equal tuples never dominate each other).
+    order = np.lexsort(tuple(reversed(cols)))[::-1]
+    sorted_cols = [a[order] for a in cols]
+    keep_sorted = np.zeros(n, bool)
+    sky = [[] for _ in cols]                 # accumulated per-dim values
     for lo in range(0, n, chunk):
-        ge = gt = None
-        for a in cols:
-            sub = a[lo:lo + chunk]
-            c_ge = a[:, None] >= sub[None, :]        # (n, c)
-            c_gt = a[:, None] > sub[None, :]
-            ge = c_ge if ge is None else (ge & c_ge)
-            gt = c_gt if gt is None else (gt | c_gt)
-        dominated = (ge & gt).any(axis=0)            # (c,)
-        keep[lo:lo + chunk] &= ~dominated
+        sub = [a[lo:lo + chunk] for a in sorted_cols]
+        alive = np.ones(sub[0].shape[0], bool)
+        if sky[0]:
+            ge = gt = None
+            for s, a in zip(sky, sub):
+                sk = np.concatenate(s)
+                c_ge = sk[:, None] >= a[None, :]     # (k, c)
+                c_gt = sk[:, None] > a[None, :]
+                ge = c_ge if ge is None else (ge & c_ge)
+                gt = c_gt if gt is None else (gt | c_gt)
+            alive &= ~(ge & gt).any(axis=0)
+        if alive.any():
+            sub_alive = [a[alive] for a in sub]
+            inner = _pairwise_mask(sub_alive)
+            final = alive.copy()
+            final[np.flatnonzero(alive)[~inner]] = False
+            keep_sorted[lo:lo + chunk] = final
+            for s, a in zip(sky, sub_alive):
+                s.append(a[inner])
+    keep = np.zeros(n, bool)
+    keep[order] = keep_sorted
     return keep
 
 
@@ -83,7 +121,8 @@ def pareto_front(ds, maximize: Sequence[str], minimize: Sequence[str],
         return t.filter(pa.array(_skyline_mask(cols)))
 
     survivors = ds.map_batches(local, batch_format="pyarrow",
-                               batch_size=4096)
+                               batch_size=None)   # whole blocks: the
+    # streaming lexsort prune is O(rows·(k+chunk)), not quadratic
     # final merge: the survivor set is skyline-sized; one task suffices
     return survivors.repartition(1).map_batches(
         local, batch_format="pyarrow", batch_size=None)

@@ -90,7 +90,10 @@ def test_triangle_count_matches_local(ray_session):
     eds = rd.from_arrow(pa.table({
         "u": pa.array([e[0] for e in edges], pa.int64()),
         "v": pa.array([e[1] for e in edges], pa.int64())})).repartition(5)
-    assert triangle_count(eds) == _local_triangles(edges)
+    ref = _local_triangles(edges)
+    assert triangle_count(eds) == ref                          # auto
+    assert triangle_count(eds, strategy="exchange") == ref
+    assert triangle_count(eds, strategy="broadcast") == ref
 
 
 def test_triangle_count_clique_and_empty(ray_session):

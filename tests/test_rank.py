@@ -33,6 +33,25 @@ def test_global_value_rank_matches_reference(ray_session):
         assert (row["rank"], row["dense_rank"], row["cume_cnt"]) == (r, d, c)
 
 
+def test_attach_broadcast_equals_join_fallback(ray_session, monkeypatch):
+    import rho_contracts_ray.stages.rank as rankmod
+
+    vals = [None if i % 7 == 0 else float(x)
+            for i, x in enumerate(np.random.default_rng(5)
+                                  .integers(0, 25, 300))]
+    t = pa.table({"id": pa.array(range(300), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    ds = rd.from_arrow(t).repartition(4)
+    bc, n1 = rankmod.attach_global_ranks(ds, "v")
+    bc = bc.to_pandas().sort_values("id").reset_index(drop=True)
+    monkeypatch.setattr(rankmod, "_BCAST_DISTINCT_LIMIT", 0)
+    jn, n2 = rankmod.attach_global_ranks(ds, "v")
+    jn = jn.to_pandas().sort_values("id").reset_index(drop=True)
+    assert n1 == n2
+    cols = ["id", "v", "rank", "dense_rank", "cume_cnt"]
+    assert bc[cols].equals(jn[cols])
+
+
 def test_global_value_rank_empty_and_all_null(ray_session):
     ds = rd.from_arrow(pa.table({"v": pa.array([None, None],
                                                pa.float64())}))
