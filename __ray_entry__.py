@@ -2177,6 +2177,17 @@ def _q_bfs_parts_cooccur(sf_dir: str, max_depth: int = 3):
     return bfs_distances(edges, seeds, max_depth)
 
 
+def _q_source_overlap_documents(sf_dir: str):
+    """Pairwise token-set Jaccard overlap between document sources —
+    ONE token-hashed exchange of distinct (group, token) partials; pair
+    fan-out per token is bounded by #sources; the final fold is
+    #sources^2 scalars.  Division of exact ints -> bit-exact."""
+    from rho_contracts_ray.stages.text import group_token_jaccard
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    return group_token_jaccard(ds, "source", "text")
+
+
 def _q_skyline_orders(sf_dir: str):
     """Pareto frontier of orders: maximize o_totalprice, minimize
     o_orderdate.  Local per-batch skyline prune (skyline-of-union ==
@@ -2751,6 +2762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_parts_cooccur": _q_bfs_parts_cooccur,
         "triangles_parts": _q_triangles_parts,
         "skyline_orders": _q_skyline_orders,
+        "source_overlap_documents": _q_source_overlap_documents,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -3828,6 +3840,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.dst, bfs.d + 1 FROM bfs "
             "JOIN dir e ON e.node = bfs.node WHERE bfs.d < 3) "
             "SELECT node, MIN(d)::BIGINT AS dist FROM bfs GROUP BY node"
+        ),
+        "source_overlap_documents": (
+            "WITH ts AS (SELECT DISTINCT source AS g, "
+            "UNNEST(regexp_split_to_array(coalesce(text, ''), '\\s+')) "
+            "AS tok FROM documents), "
+            "t2 AS (SELECT g, tok FROM ts "
+            "WHERE length(tok) > 0 AND g IS NOT NULL), "
+            "sizes AS (SELECT g, count(*)::BIGINT AS n FROM t2 "
+            "GROUP BY g), "
+            "inter AS (SELECT a.g AS ga, b.g AS gb, count(*)::BIGINT "
+            "AS i FROM t2 a JOIN t2 b ON a.tok = b.tok AND a.g < b.g "
+            "GROUP BY 1, 2) "
+            "SELECT ga AS source_a, gb AS source_b, i AS n_common, "
+            "sa.n AS n_a, sb.n AS n_b, "
+            "i / (sa.n + sb.n - i) AS jaccard "
+            "FROM inter "
+            "JOIN sizes sa ON sa.g = ga JOIN sizes sb ON sb.g = gb"
         ),
         "skyline_orders": (
             "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o "

@@ -1049,3 +1049,88 @@ def pmi_top_collocations(ds, k: int = 20, min_count: int = 3,
     scored = j2.map_batches(score, batch_format="pyarrow")
     return global_topk(scored, ["pmi", "w1", "w2"], k,
                        descending=[True, False, False])
+
+
+def group_token_jaccard(ds, group_col: str, text_col: str,
+                        n_buckets=None) -> pa.Table:
+    """Pairwise token-SET Jaccard overlap between groups (e.g. corpus
+    sources) -> (source_a, source_b, n_common, n_a, n_b, jaccard).
+
+    The corpus-composition question ("how much does source X overlap
+    source Y?") without materializing token sets: per-batch DISTINCT
+    (group, token) partials stream into ONE exchange hashed by token,
+    each bucket dedups its tokens' (group, token) pairs and emits only
+    per-group size partials and per-group-PAIR co-occurrence partials
+    (the pair fan-out per token is bounded by the number of groups, not
+    the corpus).  The final fold runs over #groups^2 scalar rows.
+    Tokenization is the RE2 '\\s+' split shared with the quality ops, so
+    the SQL oracle's regexp_split_to_array agrees byte-for-byte; null
+    groups are dropped (SQL: NULL never satisfies a.g < b.g)."""
+    from .agg import bucketed_apply
+    from .dedup import _bucket_pair_index
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        toks = pc.split_pattern_regex(pc.fill_null(col, ""), r"\s+")
+        offs = toks.offsets.to_numpy()
+        parent = np.repeat(np.arange(batch.num_rows), np.diff(offs))
+        t = pa.table({"g": g.take(pa.array(parent)), "tok": toks.values})
+        t = t.filter(pc.and_(pc.not_equal(t["tok"], ""),
+                             pc.is_valid(t["g"])))
+        return t.group_by(["g", "tok"]).aggregate([])
+
+    def per_token_bucket(t: pa.Table) -> pa.Table:
+        t = t.group_by(["g", "tok"]).aggregate([])   # cross-batch dedup
+        g = np.asarray(t["g"].to_pylist(), dtype=object)
+        tok = np.asarray(t["tok"].to_pylist(), dtype=object)
+        guniq, gcode = np.unique(g, return_inverse=True)
+        _, tcode = np.unique(tok, return_inverse=True)
+        order, ia, ib, _ = _bucket_pair_index(
+            tcode.astype(np.int64), gcode.astype(np.int64), 1 << 30)
+        gv = gcode.astype(np.int64)[order]
+        pa_, pb_ = gv[ia], gv[ib]                    # a < b (sorted)
+        pair_key = pa_ * len(guniq) + pb_
+        pk, pn = np.unique(pair_key, return_counts=True)
+        sa = guniq[(pk // len(guniq))] if pk.size else np.array([], object)
+        sb = guniq[(pk % len(guniq))] if pk.size else np.array([], object)
+        sk, sn = np.unique(gcode, return_counts=True)
+        return pa.table({
+            "source_a": pa.array(list(guniq[sk]) + list(sa), pa.string()),
+            "source_b": pa.array([None] * len(sk) + list(sb), pa.string()),
+            "n": pa.array(list(sn) + list(pn), pa.int64()),
+        })
+
+    empty = pa.table({"source_a": pa.array([], pa.string()),
+                      "source_b": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+    parts = bucketed_apply(ds.map_batches(partial, batch_format="pyarrow"),
+                           ["tok"], per_token_bucket, empty,
+                           n_buckets=n_buckets)
+    sizes: dict = {}
+    pairs: dict = {}
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for a_, b_, n in zip(b["source_a"].to_pylist(),
+                             b["source_b"].to_pylist(),
+                             b["n"].to_pylist()):
+            if b_ is None:
+                sizes[a_] = sizes.get(a_, 0) + n
+            else:
+                pairs[(a_, b_)] = pairs.get((a_, b_), 0) + n
+    keys = sorted(pairs)
+    na = np.array([sizes[a] for a, _ in keys], np.int64)
+    nb = np.array([sizes[b] for _, b in keys], np.int64)
+    ni = np.array([pairs[k] for k in keys], np.int64)
+    return pa.table({
+        "source_a": pa.array([a for a, _ in keys], pa.string()),
+        "source_b": pa.array([b for _, b in keys], pa.string()),
+        "n_common": pa.array(ni, pa.int64()),
+        "n_a": pa.array(na, pa.int64()),
+        "n_b": pa.array(nb, pa.int64()),
+        "jaccard": pa.array(ni / (na + nb - ni) if len(keys)
+                            else np.array([], np.float64), pa.float64()),
+    })
