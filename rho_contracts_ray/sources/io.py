@@ -117,3 +117,70 @@ def read_table(path, columns=None, format=None, **kwargs):
     if columns:
         ds = ds.select_columns(list(columns))
     return ds
+
+
+def write_range_partitioned(ds, col: str, out_dir: str, n_parts: int,
+                            sample_target: int = 20_000):
+    """Range-partitioned parquet sink: rows land in `out_dir/part=K/`
+    with K monotone in `col` — the layout that lets a reader prune by
+    key range and a failed run re-do one range instead of everything.
+
+    No global sort: fences come from a deterministic hash sample of the
+    column (value-hash threshold — stable across runs, partitionings and
+    cluster shapes), every batch routes with one searchsorted, and Ray's
+    parquet writer fans the partition directories out.  Nulls go to the
+    dedicated last partition `part=<n_parts>` (they have no place in a
+    value range; SQL pruning never needs them mixed in).  Returns the
+    fence array so callers can prune reads.
+
+    Fences balance ONLY as well as the sample represents the
+    distribution — a heavily skewed column still writes skewed
+    partitions (the parquet writer splits big partitions into multiple
+    files, so nothing breaks; ranges just aren't equal-sized)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import stable_hash64
+
+    total = getattr(ds, "_rho_meta_count", None)
+    if total is None:
+        total = ds.count()
+    rate = min(1.0, sample_target / max(total, 1))
+    thresh = np.int64(int(rate * (1 << 62)))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        h = stable_hash64(c).view(np.int64) >> np.int64(1)   # nonneg
+        keep = (h < thresh) & pc.is_valid(c).to_numpy(
+            zero_copy_only=False)
+        return pa.table({col: c.filter(pa.array(keep))})
+
+    parts = [b for b in ds.map_batches(sample, batch_format="pyarrow")
+             .iter_batches(batch_size=None, batch_format="pyarrow")
+             if b.num_rows]
+    if parts:
+        sv = np.sort(pa.concat_tables(parts)[col].to_numpy(
+            zero_copy_only=False))
+        idx = (np.arange(1, n_parts) * len(sv)) // n_parts
+        fences = np.unique(sv[idx])
+    else:
+        fences = np.array([])
+
+    def route(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        v = c.to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(c).to_numpy(zero_copy_only=False)
+        part = np.where(valid,
+                        np.searchsorted(fences, v, side="right")
+                        if fences.size else 0,
+                        n_parts).astype(np.int64)
+        return batch.append_column("part", pa.array(part))
+
+    ds.map_batches(route, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["part"])
+    return fences

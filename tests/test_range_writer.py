@@ -1,0 +1,61 @@
+"""Range-partitioned parquet sink (sources/io.write_range_partitioned)."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from rho_contracts_ray.sources.io import write_range_partitioned
+
+
+def _read_part(out_dir, k):
+    files = glob.glob(os.path.join(out_dir, f"part={k}", "*.parquet"))
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def test_range_writer_disjoint_complete(ray_session, tmp_path):
+    rng = np.random.default_rng(4)
+    vals = [None if i % 37 == 0 else float(x)
+            for i, x in enumerate(rng.normal(size=5000))]
+    t = pa.table({"id": pa.array(range(5000), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    out = str(tmp_path / "ranged")
+    fences = write_range_partitioned(
+        rd.from_arrow(t).repartition(6), "v", out, 4)
+    assert 1 <= len(fences) <= 3
+
+    seen = 0
+    prev_max = -np.inf
+    for k in range(4):
+        part = _read_part(out, k)
+        if part is None:
+            continue
+        seen += part.num_rows
+        pv = part["v"].to_numpy(zero_copy_only=False)
+        assert not np.isnan(pv).any()
+        # ranges are contiguous and disjoint: [f_{k-1}, f_k)
+        assert pv.min() >= prev_max or prev_max == -np.inf
+        if k < len(fences):
+            assert pv.max() < fences[k]
+        if k > 0 and k - 1 < len(fences):
+            assert pv.min() >= fences[k - 1]
+        prev_max = pv.max()
+    nulls = _read_part(out, 4)
+    n_null = sum(v is None for v in vals)
+    assert nulls.num_rows == n_null
+    assert nulls["v"].null_count == n_null
+    assert seen + nulls.num_rows == 5000
+
+
+def test_range_writer_deterministic_fences(ray_session, tmp_path):
+    t = pa.table({"v": pa.array(np.arange(2000, dtype=np.float64))})
+    f1 = write_range_partitioned(rd.from_arrow(t).repartition(3), "v",
+                                 str(tmp_path / "a"), 3)
+    f2 = write_range_partitioned(rd.from_arrow(t).repartition(9), "v",
+                                 str(tmp_path / "b"), 3)
+    assert np.array_equal(f1, f2)   # partitioning-shape invariant
