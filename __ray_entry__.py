@@ -2237,6 +2237,18 @@ def _q_bpe_merges_documents(sf_dir: str, n_merges: int = 40):
     return bpe_merges(ds, "text", n_merges)
 
 
+def _q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup semantic dedup (Abbas et al. 2023): seeded k-means,
+    then duplicate groups resolved inside each cluster (pairwise cosine
+    only within a cluster, connected components, keep min id).  One
+    cluster-hashed exchange; rows-only (k-means is iterative float —
+    no SQL form)."""
+    from rho_contracts_ray.stages.ann import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(ds, k=16, threshold=0.99)
+
+
 def _q_ewma_events_user(sf_dir: str):
     """EWMA(alpha=0.3) of value per user by (ts, event_id): affine
     parallel scan inside the bucket — no sequential loop.  Rows-only
@@ -2782,6 +2794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_ahash_dedup": _q_media_ahash_dedup,
         "ewma_events_user": _q_ewma_events_user,
         "bpe_merges_documents": _q_bpe_merges_documents,
+        "semdedup_embeddings": _q_semdedup_embeddings,
     }
 
 

@@ -646,3 +646,81 @@ def pca_project(ds, components: np.ndarray, mean: np.ndarray,
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def semdedup(ds, k: int = 16, threshold: float = 0.95,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             seed: int = 42, n_buckets=None):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    k-means clusters the corpus, then near-duplicates are resolved
+    INSIDE each cluster — pairwise cosine is only ever computed within
+    a cluster, so the all-pairs matrix never exists.
+
+    -> Dataset[id, cluster, keep]: within a cluster, rows whose cosine
+    similarity reaches `threshold` form duplicate groups (connected
+    components of the >=threshold graph) and only the smallest id of
+    each group keeps.  Deterministic given the seeded k-means.
+
+    Scale shape: one kmeans_fit (streaming rounds, (k, dim) partials),
+    one broadcast assign pass, one cluster-hashed exchange;  per-bucket
+    work is O(cluster_size^2 · dim) — k is the knob that bounds cluster
+    sizes (the paper runs k ~ sqrt(n))."""
+    import ray
+
+    from .agg import bucketed_apply
+    from .dedup import connected_components
+
+    centroids, _, _ = kmeans_fit(ds, k, emb_col=emb_col, id_col=id_col,
+                                 seed=seed)
+    ref = ray.put(np.asarray(centroids, np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "__emb": pa.array([], pa.list_(pa.float32()))})
+        v = _batch_matrix(batch, emb_col).astype(np.float64)
+        d = (v ** 2).sum(1)[:, None] - 2.0 * (v @ c.T) \
+            + (c ** 2).sum(1)[None, :]
+        return pa.table({id_col: batch[id_col],
+                         "cluster": pa.array(np.argmin(d, 1)),
+                         "__emb": batch[emb_col]})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+
+    def dedup_cluster(t: pa.Table) -> pa.Table:
+        ids_np = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids_np, cl))
+        t = t.take(pa.array(order))
+        ids_np, cl = ids_np[order], cl[order]
+        emb = _batch_matrix(t, "__emb").astype(np.float64)
+        keep = np.ones(len(ids_np), bool)
+        starts = np.flatnonzero(
+            np.concatenate(([True], cl[1:] != cl[:-1])))
+        ends = np.concatenate((starts[1:], [len(cl)]))
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            x = _normalize(emb[s:e])
+            sim = x @ x.T
+            ii, jj = np.nonzero(np.triu(sim >= threshold, 1))
+            if not ii.size:
+                continue
+            groups = connected_components(
+                zip(ids_np[s + ii].tolist(), ids_np[s + jj].tolist()))
+            kill = {i for g in groups for i in g if i != min(g)}
+            if kill:
+                grp_ids = ids_np[s:e]
+                keep[s:e] = ~np.isin(grp_ids, list(kill))
+        return pa.table({"id": pa.array(ids_np),
+                         "cluster": pa.array(cl),
+                         "keep": pa.array(keep)})
+
+    empty = pa.table({"id": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64()),
+                      "keep": pa.array([], pa.bool_())})
+    return bucketed_apply(assigned, ["cluster"], dedup_cluster, empty,
+                          n_buckets=n_buckets)
