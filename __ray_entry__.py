@@ -2177,6 +2177,17 @@ def _q_bfs_parts_cooccur(sf_dir: str, max_depth: int = 3):
     return bfs_distances(edges, seeds, max_depth)
 
 
+def _q_bigram_logprob_documents(sf_dir: str):
+    """Interpolated bigram-LM document scoring — the quality rung above
+    the unigram proxy.  Three exchanges, vocabulary derived in-bucket
+    (never broadcast); the SQL oracle replays the identical expression
+    tree, 6-digit rounding absorbs summation order."""
+    from rho_contracts_ray.stages.text import bigram_logprob
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_logprob(ds)
+
+
 def _q_source_overlap_documents(sf_dir: str):
     """Pairwise token-set Jaccard overlap between document sources —
     ONE token-hashed exchange of distinct (group, token) partials; pair
@@ -2775,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_parts": _q_triangles_parts,
         "skyline_orders": _q_skyline_orders,
         "source_overlap_documents": _q_source_overlap_documents,
+        "bigram_logprob_documents": _q_bigram_logprob_documents,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -3853,6 +3865,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.dst, bfs.d + 1 FROM bfs "
             "JOIN dir e ON e.node = bfs.node WHERE bfs.d < 3) "
             "SELECT node, MIN(d)::BIGINT AS dist FROM bfs GROUP BY node"
+        ),
+        "bigram_logprob_documents": (
+            # identical tokenization (split ' ', empties kept) and the
+            # SAME interpolation expression tree as the Ray side; the
+            # 6-digit round absorbs per-doc float summation order
+            "WITH arrs AS (SELECT doc_id, "
+            "string_split(coalesce(text, ''), ' ') AS arr "
+            "FROM documents), "
+            "uni AS (SELECT w, count(*)::BIGINT AS c FROM "
+            "(SELECT unnest(arr) AS w FROM arrs) GROUP BY 1), "
+            "n1 AS (SELECT sum(c)::DOUBLE AS n FROM uni), "
+            "big AS (SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2, "
+            "count(*)::BIGINT AS c FROM arrs, "
+            "UNNEST(range(1, len(arr))) AS t(i) GROUP BY 1, 2, 3), "
+            "cb AS (SELECT w1, w2, sum(c)::BIGINT AS cb "
+            "FROM big GROUP BY 1, 2), "
+            "ctx AS (SELECT w1, sum(cb)::BIGINT AS cc "
+            "FROM cb GROUP BY 1), "
+            "score AS (SELECT b.doc_id, "
+            "sum(b.c * ln(0.75 * (cb.cb::DOUBLE / ctx.cc) "
+            "+ 0.25 * (u.c::DOUBLE / n1.n))) AS lp, "
+            "sum(b.c)::BIGINT AS n_bigrams "
+            "FROM big b "
+            "JOIN cb ON cb.w1 = b.w1 AND cb.w2 = b.w2 "
+            "JOIN ctx ON ctx.w1 = b.w1 "
+            "JOIN uni u ON u.w = b.w2, n1 GROUP BY 1) "
+            "SELECT doc_id, round(lp / n_bigrams, 6) AS avg_logprob, "
+            "n_bigrams FROM score"
         ),
         "source_overlap_documents": (
             "WITH ts AS (SELECT DISTINCT source AS g, "

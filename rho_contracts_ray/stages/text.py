@@ -1134,3 +1134,141 @@ def group_token_jaccard(ds, group_col: str, text_col: str,
         "jaccard": pa.array(ni / (na + nb - ni) if len(keys)
                             else np.array([], np.float64), pa.float64()),
     })
+
+
+def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
+                   lam: float = 0.75, sep: str = " ", ndigits: int = 6,
+                   n_buckets=None):
+    """Interpolated bigram-LM scoring: each document's average
+    log-probability of its bigram instances under the corpus's OWN
+    model, ln(lam·P(w2|w1) + (1-lam)·P_uni(w2)) ->
+    Dataset[doc_id, avg_logprob, n_bigrams].  The next quality rung
+    above `unigram_logprob` (repetitive word-salad scores high under a
+    unigram model but low under bigram context).
+
+    Scale shape — three exchanges, vocabulary never broadcast or
+    materialized (the same in-bucket-derivation trick as unigram):
+      1. scalar pass: corpus token count N;
+      2. per-(doc, w1, w2) bigram partials hash by w1 — the bucket
+         derives corpus bigram counts AND the w1 context totals
+         locally, emits (doc, w2, c, pcond);
+      3. those rows union with per-batch (tok, c) unigram partials and
+         hash by token — the bucket derives c_uni(w2) locally and
+         finishes each row's ln(lam·pcond + (1-lam)·cu/N);
+      4. per-doc sum + rounded average (rounding absorbs float
+         summation-order differences vs the SQL oracle, as validated
+         for unigram at sf0.01/sf0.1)."""
+    import math
+
+    from .agg import bucketed_apply
+
+    def cnt_partial(batch: pa.Table) -> pa.Table:
+        grams, _ = gram_arrays(batch[text_col], 1, sep)
+        return pa.table({"n": pa.array([len(grams)], pa.int64())})
+
+    total = 0
+    for b in ds.map_batches(cnt_partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if "n" in t.column_names and t.num_rows:
+            total += int(pc.sum(t["n"]).as_py() or 0)
+    import ray.data as rd
+    out_empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "avg_logprob": pa.array([], pa.float64()),
+                          "n_bigrams": pa.array([], pa.int64())})
+    if total == 0:
+        return rd.from_arrow(out_empty)
+    n_corpus = float(total)
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        grams, doc_idx, pos = gram_arrays(batch[text_col], 2, sep,
+                                          with_pos=True)
+        del pos
+        ids = batch[id_col].take(pa.array(doc_idx))
+        first = pc.split_pattern(grams, sep, max_splits=1)
+        offs = first.offsets.to_numpy()
+        vals = first.values
+        w1 = vals.take(pa.array(offs[:-1], pa.int64()))
+        w2 = vals.take(pa.array(offs[:-1] + 1, pa.int64()))
+        t = pa.table({id_col: ids, "w1": w1, "w2": w2})
+        g = t.group_by([id_col, "w1", "w2"]).aggregate([([], "count_all")])
+        return g.rename_columns([id_col, "w1", "w2", "c"])
+
+    def per_w1_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by([id_col, "w1", "w2"]).aggregate([("c", "sum")])
+        cb = g.group_by(["w1", "w2"]).aggregate([("c_sum", "sum")])
+        ctx = cb.group_by(["w1"]).aggregate([("c_sum_sum", "sum")])
+        key = pc.binary_join_element_wise(g["w1"], g["w2"], "\x1f")
+        cb_key = pc.binary_join_element_wise(cb["w1"], cb["w2"], "\x1f")
+        cbv = cb["c_sum_sum"].take(pc.index_in(key, value_set=cb_key)) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        ctv = ctx["c_sum_sum_sum"] \
+            .take(pc.index_in(g["w1"], value_set=ctx["w1"])) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        pcond = cbv / ctv
+        return pa.table({
+            id_col: g[id_col], "tok": g["w2"],
+            "c": g["c_sum"].cast(pa.int64()),
+            "pcond": pa.array(pcond, pa.float64()),
+            "kind": pa.array(["b"] * g.num_rows, pa.string())})
+
+    b_empty = pa.table({id_col: pa.array([], pa.int64()),
+                        "tok": pa.array([], pa.string()),
+                        "c": pa.array([], pa.int64()),
+                        "pcond": pa.array([], pa.float64()),
+                        "kind": pa.array([], pa.string())})
+    brows = bucketed_apply(
+        ds.map_batches(big_partial, batch_format="pyarrow"),
+        ["w1"], per_w1_bucket, b_empty, n_buckets=n_buckets)
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        grams, _ = gram_arrays(batch[text_col], 1, sep)
+        t = pa.table({"tok": grams})
+        g = t.group_by(["tok"]).aggregate([([], "count_all")])
+        n = g.num_rows
+        return pa.table({
+            id_col: pa.nulls(n, pa.int64()), "tok": g["tok"],
+            "c": g["count_all"].cast(pa.int64()),
+            "pcond": pa.nulls(n, pa.float64()),
+            "kind": pa.array(["u"] * n, pa.string())})
+
+    urows = ds.map_batches(uni_partial, batch_format="pyarrow")
+    log_lam, log_1mlam = lam, 1.0 - lam
+
+    def per_tok_bucket(t: pa.Table) -> pa.Table:
+        kind = t["kind"]
+        u = t.filter(pc.equal(kind, "u"))
+        b = t.filter(pc.equal(kind, "b"))
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "lp": pa.array([], pa.float64()),
+                             "c": pa.array([], pa.int64())})
+        cu = u.group_by(["tok"]).aggregate([("c", "sum")])
+        cuv = cu["c_sum"].take(pc.index_in(b["tok"], value_set=cu["tok"])) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pcond = b["pcond"].to_numpy(zero_copy_only=False)
+        lp = c * np.log(log_lam * pcond + log_1mlam * (cuv / n_corpus))
+        return pa.table({id_col: b[id_col],
+                         "lp": pa.array(lp, pa.float64()),
+                         "c": pa.array(c.astype(np.int64))})
+
+    t_empty = pa.table({id_col: pa.array([], pa.int64()),
+                        "lp": pa.array([], pa.float64()),
+                        "c": pa.array([], pa.int64())})
+    contribs = bucketed_apply(brows.union(urows), ["tok"],
+                              per_tok_bucket, t_empty,
+                              n_buckets=n_buckets)
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        g = t.group_by([id_col]).aggregate([("lp", "sum"), ("c", "sum")])
+        lp = g["lp_sum"].to_numpy(zero_copy_only=False)
+        n = g["c_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            id_col: g[id_col],
+            "avg_logprob": pa.array(np.round(lp / n, ndigits),
+                                    pa.float64()),
+            "n_bigrams": pa.array(n.astype(np.int64))})
+
+    return bucketed_apply(contribs, [id_col], per_doc, out_empty,
+                          n_buckets=n_buckets)
