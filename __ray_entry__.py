@@ -2248,6 +2248,19 @@ def _q_bpe_merges_documents(sf_dir: str, n_merges: int = 40):
     return bpe_merges(ds, "text", n_merges)
 
 
+def _q_cdc_dedup_documents(sf_dir: str):
+    """Content-defined chunking dedup analysis (gear hash, FastCDC
+    family): boundaries from a 64-byte rolling hash vectorized as 64
+    numpy shift-adds per batch, so shared content at different offsets
+    yields identical chunks; one (hash, doc, length) exchange counts
+    duplicates — payloads never move.  Rows-only (rolling-hash
+    boundaries have no SQL form)."""
+    from rho_contracts_ray.stages.cdc import chunk_dedup_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_dedup_stats(ds, mask=0xFF)
+
+
 def _q_semdedup_embeddings(sf_dir: str):
     """SemDeDup semantic dedup (Abbas et al. 2023): seeded k-means,
     then duplicate groups resolved inside each cluster (pairwise cosine
@@ -2807,6 +2820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_events_user": _q_ewma_events_user,
         "bpe_merges_documents": _q_bpe_merges_documents,
         "semdedup_embeddings": _q_semdedup_embeddings,
+        "cdc_dedup_documents": _q_cdc_dedup_documents,
     }
 
 
