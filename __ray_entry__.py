@@ -2161,7 +2161,10 @@ def _q_bfs_parts_cooccur(sf_dir: str, max_depth: int = 3):
                                                 cooccurrence_edges)
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    # BFS min-combine ignores edge multiplicity: skip the global dedup
+    # exchange (distinct=False) — one exchange fewer on the hot path
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               distinct=False)
 
     def seed_partial(t: pa.Table) -> pa.Table:
         p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)

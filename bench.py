@@ -219,7 +219,9 @@ def run_benchmarks() -> dict:
                  "corr_lineitem_by_flag",
                  "ohlc_daily_user", "unigram_logprob_documents",
                  "q7_nation_volume", "q9_profit",
-                 "q12_priority_shipping", "q21_waiting_suppliers"):
+                 "q12_priority_shipping", "q21_waiting_suppliers",
+                 "global_rank_events", "skyline_orders",
+                 "bfs_parts_cooccur", "bigram_logprob_documents"):
         def run(n=name):
             res = q[n](SF_DIR)
             # consume lazily-built results fully

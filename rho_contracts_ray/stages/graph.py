@@ -47,9 +47,15 @@ import pyarrow.compute as pc
 
 def cooccurrence_edges(ds, group_col: str, item_col: str,
                        max_group: int = 256,
-                       n_buckets: Optional[int] = None):
+                       n_buckets: Optional[int] = None,
+                       distinct: bool = True):
     """Distinct undirected edges (u, v) with u < v between items sharing
-    a `group_col` value.  Returns a Dataset[u: int64, v: int64]."""
+    a `group_col` value.  Returns a Dataset[u: int64, v: int64].
+
+    `distinct=False` skips the global (u, v) dedup exchange and returns
+    per-group-bucket-deduped edges with possible cross-bucket
+    duplicates — enough for consumers whose semantics ignore edge
+    multiplicity (BFS min-combine), and one exchange cheaper."""
     from .agg import bucketed_apply
     from .dedup import _bucket_pair_index
 
@@ -67,11 +73,13 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
                       "v": pa.array([], pa.int64())})
     local = bucketed_apply(ds, [group_col], pairs_in_bucket, empty,
                            n_buckets=n_buckets)
+    if not distinct:
+        return local
 
-    def distinct(t: pa.Table) -> pa.Table:
+    def dedup_edges(t: pa.Table) -> pa.Table:
         return t.group_by(["u", "v"]).aggregate([])
 
-    return bucketed_apply(local, ["u", "v"], distinct, empty,
+    return bucketed_apply(local, ["u", "v"], dedup_edges, empty,
                           n_buckets=n_buckets)
 
 
@@ -88,17 +96,94 @@ def _directed(edges_ds):
     return edges_ds.map_batches(both, batch_format="pyarrow")
 
 
+import ray
+
+
+@ray.remote
+def _bfs_local_task(seed_nodes: np.ndarray, max_depth: int,
+                    *blocks) -> pa.Table:
+    """Whole-graph BFS in one task — the small-graph fast path (the
+    edge list fits one worker's heap; same output as the iterative
+    exchange rounds, pytest-pinned)."""
+    tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+              for b in blocks]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table({"node": pa.array(seed_nodes, pa.int64()),
+                         "dist": pa.array([0] * len(seed_nodes),
+                                          pa.int64())})
+    et = pa.concat_tables(tables)
+    u = et["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = et["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.concatenate([u, v])
+    dst = np.concatenate([v, u])
+    nodes = np.unique(np.concatenate([src, seed_nodes]))
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    indptr = np.searchsorted(src_s, nodes, side="left")
+    indptr = np.concatenate((indptr, [src_s.size]))
+    dist = np.full(nodes.size, -1, np.int64)
+    frontier = np.searchsorted(nodes, seed_nodes)
+    frontier = frontier[(frontier < nodes.size)
+                        & (nodes[np.minimum(frontier, nodes.size - 1)]
+                           == seed_nodes)]
+    dist[frontier] = 0
+    for d in range(1, max_depth + 1):
+        if frontier.size == 0:
+            break
+        # gather all neighbors of the frontier
+        spans = [dst_s[indptr[i]:indptr[i + 1]] for i in frontier]
+        if not spans:
+            break
+        nbr = np.unique(np.concatenate(spans)) if spans else \
+            np.zeros(0, np.int64)
+        ni = np.searchsorted(nodes, nbr)
+        fresh = ni[dist[ni] < 0]
+        dist[fresh] = d
+        frontier = fresh
+    keep = dist >= 0
+    return pa.table({"node": pa.array(nodes[keep], pa.int64()),
+                     "dist": pa.array(dist[keep], pa.int64())})
+
+
+_BFS_LOCAL_EDGE_LIMIT = 5_000_000
+
+
 def bfs_distances(edges_ds, seeds: pa.Table, max_depth: int,
-                  n_buckets: Optional[int] = None):
+                  n_buckets: Optional[int] = None,
+                  strategy: str = "auto"):
     """Multi-source BFS: distance (<= max_depth) from the nearest seed.
 
     `edges_ds` is Dataset[u, v] undirected; `seeds` a pyarrow Table with
     a `node` column.  Returns Dataset[node: int64, dist: int64] holding
     every node reached within max_depth hops (seeds at dist 0).
-    Unreached nodes are absent (SQL's recursive CTE does the same)."""
+    Unreached nodes are absent (SQL's recursive CTE does the same).
+
+    strategy='auto' runs the whole traversal in ONE remote task while
+    the edge list is below ~5M edges (each exchange round costs more in
+    barriers than a small graph's entire BFS); 'exchange' forces the
+    iterative frontier -> bucketed join -> bucketed min rounds — the
+    path that scales past single-worker memory."""
     import ray.data as rd
 
     from .agg import bucketed_group_agg
+
+    materialized = None
+    if strategy == "auto":
+        materialized = edges_ds.materialize()
+        strategy = "local" if materialized.count() <= _BFS_LOCAL_EDGE_LIMIT \
+            else "exchange"
+        edges_ds = materialized
+    if strategy == "local":
+        if materialized is None:
+            materialized = edges_ds.materialize()
+        seed_nodes = np.unique(
+            seeds["node"].to_numpy(zero_copy_only=False).astype(np.int64))
+        blockrefs = []
+        for bundle in materialized.iter_internal_ref_bundles():
+            blockrefs.extend(bundle.block_refs)
+        ref = _bfs_local_task.remote(seed_nodes, max_depth, *blockrefs)
+        return rd.from_arrow_refs([ref])
 
     edges = _directed(edges_ds).materialize()   # static; reused per round
 

@@ -66,9 +66,11 @@ def test_bfs_matches_local_reference(ray_session):
         "v": pa.array([e[1] for e in el], pa.int64())})).repartition(4)
     seeds = pa.table({"node": pa.array([0, 17], pa.int64())})
     for depth in (1, 3):
-        got = bfs_distances(eds, seeds, depth).to_pandas()
         ref = _local_bfs(el, [0, 17], depth)
-        assert dict(zip(got["node"], got["dist"])) == ref
+        for strat in ("auto", "exchange", "local"):
+            got = bfs_distances(eds, seeds, depth,
+                                strategy=strat).to_pandas()
+            assert dict(zip(got["node"], got["dist"])) == ref, strat
 
 
 def test_bfs_unreached_absent_and_seed_zero(ray_session):
