@@ -147,14 +147,16 @@ def write_range_partitioned(ds, col: str, out_dir: str, n_parts: int,
     if total is None:
         total = ds.count()
     rate = min(1.0, sample_target / max(total, 1))
-    thresh = np.int64(int(rate * (1 << 62)))
+    # UNSIGNED threshold over the full uint64 range (an arithmetic-shift
+    # signed compare kept ~half of all rows regardless of rate)
+    thresh = np.uint64((1 << 64) - 1) if rate >= 1.0 \
+        else np.uint64(int(rate * float(1 << 64)))
 
     def sample(batch: pa.Table) -> pa.Table:
         c = batch[col]
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
-        h = stable_hash64(c).view(np.int64) >> np.int64(1)   # nonneg
-        keep = (h < thresh) & pc.is_valid(c).to_numpy(
+        keep = (stable_hash64(c) <= thresh) & pc.is_valid(c).to_numpy(
             zero_copy_only=False)
         return pa.table({col: c.filter(pa.array(keep))})
 
@@ -175,10 +177,13 @@ def write_range_partitioned(ds, col: str, out_dir: str, n_parts: int,
             c = c.combine_chunks()
         v = c.to_numpy(zero_copy_only=False)
         valid = pc.is_valid(c).to_numpy(zero_copy_only=False)
-        part = np.where(valid,
-                        np.searchsorted(fences, v, side="right")
-                        if fences.size else 0,
-                        n_parts).astype(np.int64)
+        part = np.full(batch.num_rows, n_parts, np.int64)   # nulls
+        if fences.size:
+            # searchsorted only over valid values: an object-dtype column
+            # with None entries cannot be compared wholesale
+            part[valid] = np.searchsorted(fences, v[valid], side="right")
+        else:
+            part[valid] = 0
         return batch.append_column("part", pa.array(part))
 
     ds.map_batches(route, batch_format="pyarrow") \

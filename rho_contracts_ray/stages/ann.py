@@ -677,9 +677,12 @@ def semdedup(ds, k: int = 16, threshold: float = 0.95,
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(ref)
         if batch.num_rows == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
+            # keep the REAL embedding type (hardcoding list<float32>
+            # would poison the exchange concat for float64/fixed-size
+            # embedding columns)
+            return pa.table({id_col: pa.array([], batch[id_col].type),
                              "cluster": pa.array([], pa.int64()),
-                             "__emb": pa.array([], pa.list_(pa.float32()))})
+                             "__emb": pa.array([], batch[emb_col].type)})
         v = _batch_matrix(batch, emb_col).astype(np.float64)
         d = (v ** 2).sum(1)[:, None] - 2.0 * (v @ c.T) \
             + (c ** 2).sum(1)[None, :]

@@ -131,12 +131,16 @@ def _bfs_local_task(seed_nodes: np.ndarray, max_depth: int,
     for d in range(1, max_depth + 1):
         if frontier.size == 0:
             break
-        # gather all neighbors of the frontier
-        spans = [dst_s[indptr[i]:indptr[i + 1]] for i in frontier]
-        if not spans:
+        # vectorized gather of every frontier node's adjacency span:
+        # one index array built from span lengths, no per-node slices
+        starts = indptr[frontier]
+        lens = indptr[frontier + 1] - starts
+        total = int(lens.sum())
+        if total == 0:
             break
-        nbr = np.unique(np.concatenate(spans)) if spans else \
-            np.zeros(0, np.int64)
+        idx = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)))
+                        [:-1], lens) + np.arange(total)
+        nbr = np.unique(dst_s[idx])
         ni = np.searchsorted(nodes, nbr)
         fresh = ni[dist[ni] < 0]
         dist[fresh] = d

@@ -52,6 +52,44 @@ def test_range_writer_disjoint_complete(ray_session, tmp_path):
     assert seen + nulls.num_rows == 5000
 
 
+def test_range_writer_sample_is_actually_small(ray_session, tmp_path):
+    """Regression: the signed-shift keep test sampled ~50% of the column
+    regardless of sample_target (code-review finding)."""
+    import rho_contracts_ray.sources.io as iomod
+
+    t = pa.table({"v": pa.array(np.arange(50_000, dtype=np.float64))})
+    ds = rd.from_arrow(t).repartition(4)
+    captured = {}
+    orig = np.sort
+
+    def spy(arr, *a, **k):
+        captured.setdefault("n", len(arr))
+        return orig(arr, *a, **k)
+
+    np.sort = spy
+    try:
+        iomod.write_range_partitioned(ds, "v", str(tmp_path / "s"), 4,
+                                      sample_target=500)
+    finally:
+        np.sort = orig
+    # binomial(50k, 0.01): ~500 expected; 2500 would mean the sign bug
+    assert captured["n"] < 2500
+
+
+def test_range_writer_string_key_with_nulls(ray_session, tmp_path):
+    """Regression: object-dtype searchsorted crashed on None entries."""
+    vals = [None if i % 11 == 0 else f"k{i:05d}" for i in range(2000)]
+    t = pa.table({"s": pa.array(vals, pa.string())})
+    out = str(tmp_path / "strkey")
+    write_range_partitioned(rd.from_arrow(t).repartition(3), "s", out, 3)
+    n_null = sum(v is None for v in vals)
+    nulls = _read_part(out, 3)
+    assert nulls.num_rows == n_null
+    total = sum(_read_part(out, k).num_rows
+                for k in range(4) if _read_part(out, k) is not None)
+    assert total == 2000
+
+
 def test_range_writer_deterministic_fences(ray_session, tmp_path):
     t = pa.table({"v": pa.array(np.arange(2000, dtype=np.float64))})
     f1 = write_range_partitioned(rd.from_arrow(t).repartition(3), "v",
