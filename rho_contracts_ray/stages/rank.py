@@ -60,11 +60,35 @@ def _assign_ranks(dense_off: int, cnt_off: int, block) -> pa.Table:
     return t
 
 
+def _rank_table_local(vals: np.ndarray, cnts: np.ndarray,
+                      value_col: str) -> pa.Table:
+    """Ranks over an already-collected distinct (value, cnt) table —
+    one vectorized pass, no Ray stages."""
+    order = np.argsort(vals, kind="stable")
+    v, c = vals[order], cnts[order].astype(np.int64)
+    cume = np.cumsum(c)
+    return pa.table({value_col: pa.array(v),
+                     "cnt": pa.array(c),
+                     "dense_rank": pa.array(
+                         np.arange(1, v.size + 1, dtype=np.int64)),
+                     "rank": pa.array(cume - c + 1),
+                     "cume_cnt": pa.array(cume)})
+
+
 def global_value_rank(ds, value_col: str,
-                      n_buckets: Optional[int] = None):
+                      n_buckets: Optional[int] = None,
+                      local_limit: int = 20_000_000):
     """Distinct-value rank table for `value_col` ->
     (value, cnt, dense_rank, rank, cume_cnt) as a Dataset, plus the
-    total non-null row count.  Returns (rank_ds, total_rows)."""
+    total non-null row count.  Returns (rank_ds, total_rows).
+
+    While the distinct-value table is below `local_limit` rows it is
+    collected and ranked in one vectorized driver pass (the same
+    smallness condition the broadcast attach path already relies on —
+    a Ray range-sort plus per-block offset tasks cost whole seconds of
+    barriers for a table this size).  Past the limit the distributed
+    path sorts only the distinct table and assigns ranks per block from
+    prefix offsets."""
     from .agg import bucketed_sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -75,7 +99,25 @@ def global_value_rank(ds, value_col: str,
                          "cnt": g[f"{value_col}_count"].cast(pa.int64())})
 
     d = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
-                     [value_col], ["cnt"], n_buckets=n_buckets)
+                     [value_col], ["cnt"], n_buckets=n_buckets) \
+        .materialize()
+    import ray.data as rd
+
+    if d.count() <= local_limit:
+        parts = [b for b in d.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+                 if b.num_rows]
+        if not parts:
+            t = pa.concat_tables([partial(pa.table(
+                {value_col: pa.array([], pa.float64())}))])
+            return rd.from_arrow(_rank_table_local(
+                np.array([]), np.array([], np.int64), value_col)), 0
+        t = pa.concat_tables(parts)
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        cnts = t["cnt"].to_numpy(zero_copy_only=False)
+        rk = _rank_table_local(vals, cnts, value_col)
+        return rd.from_arrow(rk), int(cnts.sum())
+
     d_sorted = d.sort(value_col).materialize()
 
     blockrefs = []

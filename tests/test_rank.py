@@ -33,6 +33,21 @@ def test_global_value_rank_matches_reference(ray_session):
         assert (row["rank"], row["dense_rank"], row["cume_cnt"]) == (r, d, c)
 
 
+def test_local_equals_distributed_rank_path(ray_session):
+    vals = [None if i % 9 == 0 else float(x)
+            for i, x in enumerate(np.random.default_rng(11)
+                                  .integers(0, 60, 700))]
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())})) \
+        .repartition(6)
+    a, na = global_value_rank(ds, "v")                    # local path
+    b, nb = global_value_rank(ds, "v", local_limit=0)     # distributed
+    assert na == nb
+    pa_ = a.to_pandas().sort_values("v").reset_index(drop=True)
+    pb_ = b.to_pandas().sort_values("v").reset_index(drop=True)
+    cols = ["v", "cnt", "dense_rank", "rank", "cume_cnt"]
+    assert pa_[cols].equals(pb_[cols])
+
+
 def test_attach_broadcast_equals_join_fallback(ray_session, monkeypatch):
     import rho_contracts_ray.stages.rank as rankmod
 
