@@ -153,6 +153,67 @@ def _bfs_local_task(seed_nodes: np.ndarray, max_depth: int,
 _BFS_LOCAL_EDGE_LIMIT = 5_000_000
 
 
+@ray.remote
+def _bfs_expand(n_buckets: int, frontier, edge_tbl):
+    """One BSP superstep, source side: the bucket's frontier nodes look
+    up their adjacency in the PINNED edge bucket and the unique
+    destinations split by destination bucket (num_returns fan-out).
+    Only node-scale tables move — the edge bucket never leaves the
+    object store after its one routing pass."""
+    from ..functions.hashing import stable_hash64
+    from .distagg import hash_range_buckets
+
+    empty = pa.table({"node": pa.array([], pa.int64())})
+    if frontier is None or frontier.num_rows == 0 or edge_tbl is None \
+            or edge_tbl.num_rows == 0:
+        return tuple([empty] * n_buckets)
+    f = np.sort(frontier["node"].to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+    src = edge_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.searchsorted(f, src)
+    pos[pos >= f.size] = f.size - 1
+    hit = f[pos] == src
+    dst = np.unique(edge_tbl["dst"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[hit])
+    if dst.size == 0:
+        return tuple([empty] * n_buckets)
+    kh = stable_hash64(pa.array(dst, pa.int64()))
+    bucket = hash_range_buckets(kh, n_buckets)
+    return tuple(
+        pa.table({"node": pa.array(dst[bucket == r], pa.int64())})
+        for r in range(n_buckets))
+
+
+@ray.remote(num_returns=3)
+def _bfs_combine(dist_tbl, depth: int, *cand_tbls):
+    """One BSP superstep, destination side: fold this bucket's candidate
+    nodes into its distance table (first arrival wins) and emit the new
+    frontier."""
+    cands = [t for t in cand_tbls if t is not None and t.num_rows]
+    if not cands:
+        return dist_tbl, None, 0
+    nodes = np.unique(np.concatenate(
+        [t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+         for t in cands]))
+    have = np.sort(dist_tbl["node"].to_numpy(zero_copy_only=False)
+                   .astype(np.int64)) if dist_tbl.num_rows \
+        else np.zeros(0, np.int64)
+    if have.size:
+        pos = np.searchsorted(have, nodes)
+        pos[pos >= have.size] = have.size - 1
+        fresh = nodes[have[pos] != nodes]
+    else:
+        fresh = nodes
+    if fresh.size == 0:
+        return dist_tbl, None, 0
+    add = pa.table({"node": pa.array(fresh, pa.int64()),
+                    "dist": pa.array(np.full(fresh.size, depth,
+                                             np.int64))})
+    new_dist = pa.concat_tables([dist_tbl, add]) if dist_tbl.num_rows \
+        else add
+    return new_dist, pa.table({"node": add["node"]}), int(fresh.size)
+
+
 def bfs_distances(edges_ds, seeds: pa.Table, max_depth: int,
                   n_buckets: Optional[int] = None,
                   strategy: str = "auto"):
@@ -189,47 +250,76 @@ def bfs_distances(edges_ds, seeds: pa.Table, max_depth: int,
         ref = _bfs_local_task.remote(seed_nodes, max_depth, *blockrefs)
         return rd.from_arrow_refs([ref])
 
-    edges = _directed(edges_ds).materialize()   # static; reused per round
+    # BSP form: the directed edge list routes into hash buckets ONCE
+    # (pinned in the object store); every round after that moves only
+    # node-scale frontier/candidate tables between B expand tasks and B
+    # combine tasks — the edges never cross the network again.  (The
+    # first version re-exchanged the full edge list through a
+    # bucketed_join every round: 3x edge shuffles for depth 3.)
+    from ..functions.hashing import stable_hash64
+    from .distagg import bucketed_reduce, default_buckets, \
+        hash_range_buckets
 
-    def dedup_nodes(t: pa.Table) -> pa.Table:
-        return t.group_by(["node"]).aggregate([])
+    if n_buckets is None:
+        n_buckets = default_buckets()
 
-    seed_nodes = pa.table(
-        {"node": pc.unique(seeds["node"]).cast(pa.int64())})
-    dist = rd.from_arrow(pa.table({
-        "node": seed_nodes["node"],
-        "dist": pa.array([0] * seed_nodes.num_rows, pa.int64()),
-    })).materialize()
-    frontier = rd.from_arrow(seed_nodes).materialize()
+    def add_kh(batch: pa.Table) -> pa.Table:
+        kh = stable_hash64(batch["node"])
+        return batch.append_column("__kh", pa.array(kh.view(np.int64)))
 
-    from .joins import bucketed_join
+    hashed = _directed(edges_ds).map_batches(add_kh,
+                                             batch_format="pyarrow")
 
-    for r in range(max_depth):
-        if frontier.count() == 0:
+    def strip(t: pa.Table):
+        return t.drop_columns(["__kh"]) if t.num_rows else None
+
+    pairs = bucketed_reduce(hashed, "__kh", strip,
+                            n_buckets=n_buckets, as_refs=True)
+    edge_refs = [p[1] for p in pairs]
+    n_buckets = len(edge_refs)   # reduce may have resized
+    if not edge_refs:
+        return rd.from_arrow(pa.table({
+            "node": pc.unique(seeds["node"]).cast(pa.int64()),
+            "dist": pa.array([0] * len(pc.unique(seeds["node"])),
+                             pa.int64())}))
+
+    seed_np = np.unique(
+        seeds["node"].to_numpy(zero_copy_only=False).astype(np.int64))
+    seed_bucket = hash_range_buckets(
+        stable_hash64(pa.array(seed_np, pa.int64())), n_buckets)
+    dist_refs, frontier_refs = [], []
+    for b in range(n_buckets):
+        sn = seed_np[seed_bucket == b]
+        dist_refs.append(ray.put(pa.table({
+            "node": pa.array(sn, pa.int64()),
+            "dist": pa.array(np.zeros(sn.size, np.int64))})))
+        frontier_refs.append(ray.put(
+            pa.table({"node": pa.array(sn, pa.int64())})
+            if sn.size else None))
+
+    expand = _bfs_expand.options(num_returns=n_buckets) \
+        if n_buckets > 1 else None
+    for d in range(1, max_depth + 1):
+        if n_buckets > 1:
+            outs = [expand.remote(n_buckets, frontier_refs[b],
+                                  edge_refs[b])
+                    for b in range(n_buckets)]
+        else:
+            outs = [[_bfs_expand.remote(1, frontier_refs[0],
+                                        edge_refs[0])]]
+        results = [_bfs_combine.remote(
+            dist_refs[r], d, *[outs[b][r] for b in range(n_buckets)])
+            for r in range(n_buckets)]
+        dist_refs = [res[0] for res in results]
+        frontier_refs = [res[1] for res in results]
+        counts = ray.get([res[2] for res in results])
+        if sum(counts) == 0:
             break
-        cand = bucketed_join(frontier, edges, ["node"],
-                             ["node"], ["node", "dst"],
-                             n_buckets=n_buckets)
+    from .distagg import dataset_from_refs
 
-        def to_dist(t: pa.Table, d=r + 1) -> pa.Table:
-            dst = pc.unique(t["dst"])
-            return pa.table({"node": dst.cast(pa.int64()),
-                             "dist": pa.array([d] * len(dst), pa.int64())})
-
-        cand_dist = cand.map_batches(to_dist, batch_format="pyarrow")
-        merged = bucketed_group_agg(dist.union(cand_dist), ["node"],
-                                    [("dist", "min")], n_buckets=n_buckets)
-
-        def fix(t: pa.Table) -> pa.Table:
-            return pa.table({"node": t["node"],
-                             "dist": t["dist_min"]})
-
-        new_dist = merged.map_batches(fix, batch_format="pyarrow") \
-            .materialize()
-        frontier = new_dist.filter(
-            expr=f"dist == {r + 1}").select_columns(["node"]).materialize()
-        dist = new_dist
-    return dist
+    return dataset_from_refs(dist_refs, pa.table({
+        "node": pa.array([], pa.int64()),
+        "dist": pa.array([], pa.int64())}))
 
 
 def _pack_edges(u: np.ndarray, v: np.ndarray) -> np.ndarray:
