@@ -2180,6 +2180,53 @@ def _q_bfs_parts_cooccur(sf_dir: str, max_depth: int = 3):
     return bfs_distances(edges, seeds, max_depth)
 
 
+def _q_dq_report(sf_dir: str):
+    """One-call data-quality report across tables — row counts,
+    duplicate keys, dangling FKs, null/domain violations — each check a
+    streaming fold or a reuse of the constraint ops; the result is six
+    exact-int scalars."""
+    from rho_contracts_ray.constraints import fk_violations, \
+        unique_violations
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    docs = _read(sf_dir, "documents", columns=["text"])
+    ev = _read(sf_dir, "events", columns=["value"])
+
+    def count_where(ds, fn):
+        total = 0
+        for b in ds.map_batches(fn, batch_format="pyarrow") \
+                .iter_batches(batch_size=None, batch_format="pyarrow"):
+            if b.num_rows and "n" in b.column_names:
+                total += int(pc.sum(b["n"]).as_py() or 0)
+        return total
+
+    def nrows(x):
+        return x.num_rows if isinstance(x, pa.Table) else x.count()
+
+    checks = {
+        "rows_orders": orders.count(),
+        "rows_lineitem": li.count(),
+        "dup_custkey_orders": nrows(
+            unique_violations(orders, ["o_custkey"])),
+        "fk_dangling_lineitem": nrows(fk_violations(
+            li, ["l_orderkey"],
+            _read(sf_dir, "orders", columns=["o_orderkey"]),
+            ["o_orderkey"])),
+        "null_text_documents": count_where(
+            docs, lambda t: pa.table({"n": pa.array(
+                [t["text"].null_count], pa.int64())})),
+        "negative_value_events": count_where(
+            ev, lambda t: pa.table({"n": pa.array([int(pc.sum(
+                pc.cast(pc.less(t["value"], 0.0), pa.int64())).as_py()
+                or 0)], pa.int64())})),
+    }
+    keys = sorted(checks)
+    return pa.table({"dq_check": pa.array(keys, pa.string()),
+                     "n": pa.array([int(checks[k]) for k in keys],
+                                   pa.int64())})
+
+
 def _q_bigram_logprob_documents(sf_dir: str):
     """Interpolated bigram-LM document scoring — the quality rung above
     the unigram proxy.  Three exchanges, vocabulary derived in-bucket
@@ -2803,6 +2850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline_orders": _q_skyline_orders,
         "source_overlap_documents": _q_source_overlap_documents,
         "bigram_logprob_documents": _q_bigram_logprob_documents,
+        "dq_report": _q_dq_report,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -3882,6 +3930,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.dst, bfs.d + 1 FROM bfs "
             "JOIN dir e ON e.node = bfs.node WHERE bfs.d < 3) "
             "SELECT node, MIN(d)::BIGINT AS dist FROM bfs GROUP BY node"
+        ),
+        "dq_report": (
+            "SELECT 'dup_custkey_orders' AS dq_check, count(*)::BIGINT "
+            "AS n FROM (SELECT o_custkey FROM orders GROUP BY o_custkey "
+            "HAVING count(*) >= 2) "
+            "UNION ALL SELECT 'fk_dangling_lineitem', "
+            "count(DISTINCT l_orderkey)::BIGINT FROM lineitem "
+            "WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN "
+            "(SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT "
+            "NULL) "
+            "UNION ALL SELECT 'negative_value_events', "
+            "count(*)::BIGINT FROM events WHERE value < 0 "
+            "UNION ALL SELECT 'null_text_documents', count(*)::BIGINT "
+            "FROM documents WHERE text IS NULL "
+            "UNION ALL SELECT 'rows_lineitem', count(*)::BIGINT "
+            "FROM lineitem "
+            "UNION ALL SELECT 'rows_orders', count(*)::BIGINT "
+            "FROM orders"
         ),
         "bigram_logprob_documents": (
             # identical tokenization (split ' ', empties kept) and the
