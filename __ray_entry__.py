@@ -2180,6 +2180,18 @@ def _q_bfs_parts_cooccur(sf_dir: str, max_depth: int = 3):
     return bfs_distances(edges, seeds, max_depth)
 
 
+def _q_classify_quality_documents(sf_dir: str):
+    """Actor-pool linear quality classifier (model-in-actor pattern:
+    weights built once per actor in __init__, vectorized scoring in
+    __call__).  Integer features -> the logit and 6-digit-rounded
+    sigmoid replay bit-for-bit in SQL.  Fixed artifact weights:
+    w = [0.02, -0.0005, -0.03, -0.05], b = 0.5."""
+    from rho_contracts_ray.stages.text import classify_quality
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return classify_quality(ds)
+
+
 def _q_dq_report(sf_dir: str):
     """One-call data-quality report across tables — row counts,
     duplicate keys, dangling FKs, null/domain violations — each check a
@@ -2851,6 +2863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_documents": _q_source_overlap_documents,
         "bigram_logprob_documents": _q_bigram_logprob_documents,
         "dq_report": _q_dq_report,
+        "classify_quality_documents": _q_classify_quality_documents,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -3930,6 +3943,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e.dst, bfs.d + 1 FROM bfs "
             "JOIN dir e ON e.node = bfs.node WHERE bfs.d < 3) "
             "SELECT node, MIN(d)::BIGINT AS dist FROM bfs GROUP BY node"
+        ),
+        "classify_quality_documents": (
+            # same integer features and the same left-to-right logit
+            # expression; round(,6) absorbs libm exp last-ulp skew
+            "WITH f AS (SELECT doc_id, "
+            "len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT "
+            "AS n_words, "
+            "coalesce(len(regexp_replace(coalesce(text, ''), "
+            "'\\s', '', 'g')), 0)::BIGINT AS n_chars, "
+            "len(regexp_extract_all(coalesce(text, ''), '[0-9]'))"
+            "::BIGINT AS n_digits, "
+            "len(regexp_extract_all(coalesce(text, ''), '[A-Z]'))"
+            "::BIGINT AS n_upper FROM documents), "
+            "g AS (SELECT doc_id, n_words, "
+            "CASE WHEN n_words > 0 THEN (n_chars * 1000) // n_words "
+            "ELSE 0 END AS mean_len_x1000, n_digits, n_upper FROM f), "
+            "z AS (SELECT *, 0.02::DOUBLE * n_words "
+            "+ (-0.0005)::DOUBLE * mean_len_x1000 "
+            "+ (-0.03)::DOUBLE * n_digits "
+            "+ (-0.05)::DOUBLE * n_upper "
+            "+ 0.5::DOUBLE AS logit FROM g) "
+            "SELECT doc_id, n_words, mean_len_x1000, n_digits, n_upper, "
+            "round(1.0 / (1.0 + exp(-logit)), 6) AS score, "
+            "round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS keep FROM z"
         ),
         "dq_report": (
             "SELECT 'dup_custkey_orders' AS dq_check, count(*)::BIGINT "

@@ -1272,3 +1272,81 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return bucketed_apply(contribs, [id_col], per_doc, out_empty,
                           n_buckets=n_buckets)
+
+
+class QualityClassifierStage:
+    """Actor-pool linear quality classifier — the model-in-actor shape:
+    weights are 'loaded' ONCE per actor in __init__ (here derived
+    deterministically from a seed; in production this is the
+    fasttext/sklearn artifact read from disk), scoring is one
+    vectorized pass per batch in __call__.  Run via
+    ``ds.map_batches(QualityClassifierStage, concurrency=N,
+    fn_constructor_kwargs={...})``.
+
+    Features are exact integers (token count, mean word length x1000
+    floored, digit count, uppercase count) so the logit w·x + b — and
+    the 6-digit-rounded sigmoid — replays bit-for-bit in SQL (the
+    rounding absorbs libm exp() last-ulp differences, the same
+    discipline as the logprob oracles)."""
+
+    #: fixed 'artifact' weights (per-feature scales chosen so typical
+    #: corpora land NEAR the decision boundary instead of saturating)
+    W = (0.02, -0.0005, -0.03, -0.05)
+    B = 0.5
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 threshold: float = 0.5):
+        self.w = np.array(self.W, np.float64)
+        self.b = float(self.B)
+        self.id_col, self.text_col = id_col, text_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        toks = pc.split_pattern_regex(filled, r"\s+")
+        offs = toks.offsets.to_numpy()
+        vals = toks.values
+        is_word = pc.not_equal(vals, "").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        wlen = pc.utf8_length(vals).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cs_w = np.concatenate(([0], np.cumsum(is_word)))
+        cs_l = np.concatenate(([0], np.cumsum(wlen * is_word)))
+        n_words = cs_w[offs[1:]] - cs_w[offs[:-1]]
+        n_chars = cs_l[offs[1:]] - cs_l[offs[:-1]]
+        mean_len_x1000 = np.where(
+            n_words > 0, (n_chars * 1000) // np.maximum(n_words, 1), 0)
+        digits = pc.count_substring_regex(filled, "[0-9]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        upper = pc.count_substring_regex(filled, "[A-Z]") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        z = (self.w[0] * n_words + self.w[1] * mean_len_x1000
+             + self.w[2] * digits + self.w[3] * upper + self.b)
+        score = np.round(1.0 / (1.0 + np.exp(-z)), 6)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_len_x1000": pa.array(mean_len_x1000, pa.int64()),
+            "n_digits": pa.array(digits, pa.int64()),
+            "n_upper": pa.array(upper, pa.int64()),
+            "score": pa.array(score, pa.float64()),
+            "keep": pa.array(score >= self.threshold),
+        })
+
+
+def classify_quality(ds, id_col: str = "doc_id", text_col: str = "text",
+                     threshold: float = 0.5, concurrency=None):
+    """Score documents with the actor-pool classifier (weights load once
+    per actor, batches score vectorized)."""
+    from ..validate import _cluster_cpus
+
+    return ds.map_batches(
+        QualityClassifierStage,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                               "threshold": threshold},
+        batch_format="pyarrow",
+        concurrency=concurrency if concurrency is not None
+        else (1, _cluster_cpus()))
