@@ -74,7 +74,7 @@ def read_table(path, columns=None, format=None, **kwargs):
     import ray.data as rd
 
     _EXT = {".parquet": "parquet", ".json": "json", ".jsonl": "json",
-            ".ndjson": "json", ".csv": "csv"}
+            ".ndjson": "json", ".csv": "csv", ".orc": "orc"}
     if format is None:
         paths = [path] if isinstance(path, str) else list(path)
         seen = set()
@@ -112,6 +112,43 @@ def read_table(path, columns=None, format=None, **kwargs):
             kwargs["convert_options"] = pacsv.ConvertOptions(
                 strings_can_be_null=True)
         ds = rd.read_csv(path, **kwargs)
+    elif format == "orc":
+        # Ray 2.49 has no read_orc; build one from pyarrow.orc with
+        # STRIPE-level parallelism: the driver reads only footers (one
+        # per file) to enumerate (file, stripe) work items, each task
+        # reads one stripe with column pruning pushed into the read.
+        import pyarrow as pa
+        from pyarrow import orc as paorc
+
+        paths = [path] if isinstance(path, str) else list(path)
+        files = []
+        for p in paths:
+            if os.path.isdir(p):
+                files.extend(sorted(
+                    os.path.join(p, f) for f in os.listdir(p)
+                    if f.lower().endswith(".orc")))
+            else:
+                files.append(p)
+        if not files:
+            raise ValueError(f"read_table: no .orc files under {path!r}")
+        items = []
+        for f in files:
+            for s in range(paorc.ORCFile(f).nstripes):
+                items.append({"path": f, "stripe": s})
+        cols = list(columns) if columns else None
+
+        def read_stripe(batch: "pa.Table") -> "pa.Table":
+            outs = []
+            for p, s in zip(batch["path"].to_pylist(),
+                            batch["stripe"].to_pylist()):
+                rb = paorc.ORCFile(p).read_stripe(int(s), columns=cols)
+                outs.append(pa.Table.from_batches([rb]))
+            return pa.concat_tables(outs)
+
+        return rd.from_items(items,
+                             override_num_blocks=max(1, len(items))) \
+            .map_batches(read_stripe, batch_format="pyarrow",
+                         batch_size=None)
     else:
         raise ValueError(f"read_table: unknown format {format!r}")
     if columns:
