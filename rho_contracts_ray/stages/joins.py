@@ -1144,3 +1144,83 @@ def group_iqr_outliers(ds, key: str, value: str, id_col: str,
 
     return bucketed_apply(sub, [key], body_full,
                           lambda: _empty_out(sub, body_full))
+
+
+def build_key_bloom(ds, on: Sequence[str], fpr: float = 0.01):
+    """One streaming pass -> a BloomFilter over `ds`'s key tuples
+    (stable 64-bit hashes; null keys excluded, matching SQL equality).
+    Per-batch partial blooms OR-fold on the driver as they stream —
+    bytes held at any moment = one filter (nbits/8), never a concat.
+    At 10^9 keys / 1% FPR that is ~1.2 GB broadcast vs ~8 GB for the
+    exact int64 key set — the prefilter for dimension sides too big to
+    broadcast exactly.  (Scale path past that: bit-range-partitioned
+    construction; documented, not needed below ~10^10 keys.)"""
+    import ray
+
+    from ..functions.hashing import combine_key, stable_hash64
+    from ..functions.sketches import BloomFilter
+
+    on = list(on)
+    n = getattr(ds, "_rho_meta_count", None)
+    if n is None:
+        n = ds.count()
+    bf = BloomFilter(max(1, n), fpr)
+
+    def part(batch: pa.Table) -> pa.Table:
+        if len(on) == 1:
+            col = batch[on[0]]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            h = stable_hash64(col)[valid]
+        else:
+            key = combine_key(batch, on)
+            valid = pc.is_valid(key).to_numpy(zero_copy_only=False)
+            h = stable_hash64(key)[valid]
+        p = BloomFilter(max(1, n), fpr)
+        p.add_hashes(h)
+        return pa.table({"bits": pa.array([p.bits.tobytes()],
+                                          pa.large_binary())})
+
+    for b in ds.map_batches(part, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows and "bits" in b.column_names:
+            for blob in b["bits"].to_pylist():
+                np.bitwise_or(bf.bits,
+                              np.frombuffer(blob, np.uint8),
+                              out=bf.bits)
+    return bf
+
+
+def bloom_filter_keys(ds, bloom, on: Sequence[str]):
+    """Keep rows whose key tuple is (probably) in `bloom` — one-sided:
+    real matches are never dropped, so running this BEFORE an exact join
+    shrinks the exchange without changing the join's output.  Null keys
+    drop (they cannot equality-match)."""
+    import ray
+
+    from ..functions.hashing import combine_key, stable_hash64
+
+    on = list(on)
+    ref = ray.put((bloom.bits, bloom.nbits, bloom.k))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..functions.sketches import BloomFilter
+
+        bits, nbits, k = ray.get(ref)
+        bf = BloomFilter.__new__(BloomFilter)
+        bf.bits, bf.nbits, bf.k = bits, nbits, k
+        if len(on) == 1:
+            col = batch[on[0]]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            h = stable_hash64(col)
+        else:
+            key = combine_key(batch, on)
+            valid = pc.is_valid(key).to_numpy(zero_copy_only=False)
+            h = stable_hash64(key)
+        keep = valid & bf.contains_hashes(h)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
