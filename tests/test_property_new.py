@@ -1,0 +1,84 @@
+"""Hypothesis property tests for the round-4 additions: token-set
+Jaccard overlap and multi-source BFS vs pure-Python references."""
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rho_contracts_ray.stages.graph import bfs_distances
+from rho_contracts_ray.stages.text import group_token_jaccard
+
+_word = st.sampled_from(["a", "b", "cc", "dd", "e"])
+_text = st.lists(_word, max_size=8).map(" ".join)
+_src = st.sampled_from(["s1", "s2", "s3", None])
+
+
+def _ref_jaccard(rows):
+    sets = defaultdict(set)
+    for g, txt in rows:
+        if g is None:
+            continue
+        for tok in (txt or "").split():
+            sets[g].add(tok)
+    out = {}
+    gs = sorted(sets)
+    for i, a in enumerate(gs):
+        for b in gs[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                out[(a, b)] = (inter, len(sets[a]), len(sets[b]),
+                               inter / (len(sets[a]) + len(sets[b])
+                                        - inter))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(rows=st.lists(st.tuples(_src, _text), min_size=0, max_size=40),
+       parts=st.integers(1, 4))
+def test_token_jaccard_property(ray_session, rows, parts):
+    t = pa.table({"src": pa.array([r[0] for r in rows], pa.string()),
+                  "text": pa.array([r[1] for r in rows], pa.string())})
+    got = group_token_jaccard(rd.from_arrow(t).repartition(parts),
+                              "src", "text")
+    gm = {(r["source_a"], r["source_b"]):
+          (r["n_common"], r["n_a"], r["n_b"], r["jaccard"])
+          for r in got.to_pylist()}
+    assert gm == _ref_jaccard(rows)
+
+
+def _ref_bfs(edges, seeds, depth):
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, depth + 1):
+        frontier = {m for n in frontier for m in adj[n] if m not in dist}
+        for m in frontier:
+            dist[m] = d
+    return dist
+
+
+@settings(max_examples=10, deadline=None)
+@given(pairs=st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                      min_size=0, max_size=60),
+       seeds=st.sets(st.integers(0, 25), min_size=1, max_size=3),
+       depth=st.integers(0, 4))
+def test_bfs_property_both_strategies(ray_session, pairs, seeds, depth):
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    if not edges:
+        return
+    eds = rd.from_arrow(pa.table({
+        "u": pa.array([e[0] for e in edges], pa.int64()),
+        "v": pa.array([e[1] for e in edges], pa.int64())}))
+    st_seeds = pa.table({"node": pa.array(sorted(seeds), pa.int64())})
+    ref = _ref_bfs(edges, seeds, depth)
+    for strat in ("local", "exchange"):
+        got = bfs_distances(eds, st_seeds, depth, strategy=strat,
+                            n_buckets=4).to_pandas()
+        assert dict(zip(got["node"], got["dist"])) == ref, strat
