@@ -2419,6 +2419,20 @@ def _q_dedup_spans_documents(sf_dir: str):
     return remove_dup_spans(ds, n=5, min_count=2)
 
 
+def _q_fuzzy_dup_pairs(sf_dir: str):
+    """Exact byte-Levenshtein fuzzy-dup pairs under (lang, byte-length
+    block +-1) candidate blocking (stages/editdist.py).  DuckDB's
+    levenshtein() is byte-based while its length() counts chars, so
+    both sides use strlen/byte semantics throughout; the byte-bag and
+    exact-4-gram prunes are pure lower bounds, so the surviving pair
+    set and distances compare bit-equal with the SQL join."""
+    from rho_contracts_ray.stages import fuzzy_dup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
+        .repartition(16)
+    return _collect_small(fuzzy_dup_pairs(ds, k=40, block=32))
+
+
 def _q_ohlc_daily_user(sf_dir: str):
     """Daily OHLC bars per user: open/close are the first/last value by
     ts inside each (user, day) — SQL arg_min/arg_max parity; one short
@@ -2816,6 +2830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_documents": _q_unigram_logprob_documents,
         "dedup_normalized_documents": _q_dedup_normalized_documents,
         "dedup_spans_documents": _q_dedup_spans_documents,
+        "fuzzy_dup_pairs_documents": _q_fuzzy_dup_pairs,
         "quality_buckets_documents": _q_quality_buckets_documents,
         "gopher_rules_documents": _q_gopher_rules_documents,
         "ntile_events_user": _q_ntile_events_user,
@@ -3516,6 +3531,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n "
             "FROM (SELECT doc_id, trim(regexp_replace(lower(text), "
             "'\\s+', ' ', 'g')) AS k FROM documents) GROUP BY k"
+        ),
+        "fuzzy_dup_pairs_documents": (
+            # levenshtein() is byte-based in DuckDB, so the blocking
+            # uses strlen (bytes) to match the Ray side exactly
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "levenshtein(a.text, b.text) AS lev "
+            "FROM documents a JOIN documents b "
+            "ON a.lang = b.lang AND a.doc_id < b.doc_id "
+            "AND abs(strlen(a.text)//32 - strlen(b.text)//32) <= 1 "
+            "WHERE levenshtein(a.text, b.text) <= 40"
         ),
         "quality_buckets_documents": (
             # fences are quantile_cont over the ROUNDED per-doc scores;

@@ -50,3 +50,4 @@ from .agg import (  # noqa: F401
     group_collect, group_mode, group_quantiles_sketch, grouping_sets_agg,
     histogram, pivot_counts, rollup_agg,
 )
+from .editdist import fuzzy_dup_pairs, levenshtein_bytes  # noqa: F401
