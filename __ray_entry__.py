@@ -2433,6 +2433,41 @@ def _q_fuzzy_dup_pairs(sf_dir: str):
     return _collect_small(fuzzy_dup_pairs(ds, k=40, block=32))
 
 
+def _q_upsert_orders(sf_dir: str):
+    """CDC changeset apply (SQL MERGE) on orders: keys ending in 0 are
+    deleted, 1/2 updated (totalprice doubled — one IEEE multiply, bit-
+    equal to the SQL's *2.0), 3 cloned as inserts under key+10^9.  Both
+    sides co-partition on the key hash through the bucketed exchange
+    (stages/upsert.py) — no broadcast, no driver merge."""
+    from rho_contracts_ray.stages import apply_changeset
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = _read(sf_dir, "orders", columns=cols)
+
+    def mk_changes(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = t["o_orderkey"].to_numpy()
+        tp = t["o_totalprice"].to_numpy()
+        m = k % 10
+        parts = []
+        for mask, newk, newp, op in (
+                (m == 0, k, tp, "D"),
+                ((m == 1) | (m == 2), k, tp * 2.0, "U"),
+                (m == 3, k + 1_000_000_000, tp, "I")):
+            parts.append(pa.table({
+                "o_orderkey": pa.array(newk[mask], pa.int64()),
+                "o_orderstatus": t["o_orderstatus"].filter(
+                    pa.array(mask)),
+                "o_totalprice": pa.array(newp[mask], pa.float64()),
+                "op": pa.array([op] * int(mask.sum()), pa.string())}))
+        return pa.concat_tables(parts)
+
+    changes = _read(sf_dir, "orders", columns=cols) \
+        .map_batches(mk_changes, batch_format="pyarrow")
+    return apply_changeset(base, changes, "o_orderkey")
+
+
 def _q_ohlc_daily_user(sf_dir: str):
     """Daily OHLC bars per user: open/close are the first/last value by
     ts inside each (user, day) — SQL arg_min/arg_max parity; one short
@@ -2831,6 +2866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_normalized_documents": _q_dedup_normalized_documents,
         "dedup_spans_documents": _q_dedup_spans_documents,
         "fuzzy_dup_pairs_documents": _q_fuzzy_dup_pairs,
+        "upsert_orders": _q_upsert_orders,
         "quality_buckets_documents": _q_quality_buckets_documents,
         "gopher_rules_documents": _q_gopher_rules_documents,
         "ntile_events_user": _q_ntile_events_user,
@@ -3541,6 +3577,22 @@ def oracle_sql() -> dict[str, str]:
             "ON a.lang = b.lang AND a.doc_id < b.doc_id "
             "AND abs(strlen(a.text)//32 - strlen(b.text)//32) <= 1 "
             "WHERE levenshtein(a.text, b.text) <= 40"
+        ),
+        "upsert_orders": (
+            "WITH base AS (SELECT o_orderkey, o_orderstatus, "
+            "o_totalprice FROM orders), "
+            "changes AS ("
+            "SELECT o_orderkey, o_orderstatus, o_totalprice, 'D' AS op "
+            "FROM base WHERE o_orderkey % 10 = 0 "
+            "UNION ALL SELECT o_orderkey, o_orderstatus, "
+            "o_totalprice * 2.0, 'U' FROM base "
+            "WHERE o_orderkey % 10 IN (1, 2) "
+            "UNION ALL SELECT o_orderkey + 1000000000, o_orderstatus, "
+            "o_totalprice, 'I' FROM base WHERE o_orderkey % 10 = 3) "
+            "SELECT * FROM base WHERE o_orderkey NOT IN "
+            "(SELECT o_orderkey FROM changes) "
+            "UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice "
+            "FROM changes WHERE op <> 'D'"
         ),
         "quality_buckets_documents": (
             # fences are quantile_cont over the ROUNDED per-doc scores;

@@ -51,3 +51,4 @@ from .agg import (  # noqa: F401
     histogram, pivot_counts, rollup_agg,
 )
 from .editdist import fuzzy_dup_pairs, levenshtein_bytes  # noqa: F401
+from .upsert import apply_changeset  # noqa: F401

@@ -1,0 +1,97 @@
+"""Changeset apply (CDC upsert / SQL MERGE): apply a table of keyed
+insert/update/delete operations to a base snapshot, distributed.
+
+Semantics (the SQL-oracle form): with unique keys on both sides,
+
+* base rows whose key appears in the changeset are REPLACED (op 'U'/'I')
+  or REMOVED (op 'D');
+* changeset rows with op != 'D' appear in the output (an update whose
+  key is absent from the base behaves as an insert — MERGE "when not
+  matched then insert" with identical payload).
+
+Scale shape: neither side broadcasts.  Both streams carry a key-hash
+column and union into ONE stream (base rows get a null op) that the
+bucketed exchange (stages/distagg.py) co-partitions, so each bucket task
+holds every row of its key range from both sides and resolves locally
+with one Arrow `is_in` — no sort shuffle, no driver materialization.
+At 100 TB the output is written per-bucket; only block refs move.
+
+Beyond-reference op (rho-contracts has no dataset mutation surface);
+pairs with the row-grain snapshot diff in constraints/diff.py — diff
+produces exactly the changeset shape this stage consumes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import stable_hash64
+
+_KH = "__upsert_kh"
+_OP = "__upsert_op"
+
+
+def _with_kh(t: pa.Table, key_col: str) -> pa.Table:
+    col = t[key_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    kh = stable_hash64(col).view(np.int64)
+    return t.append_column(_KH, pa.array(kh, pa.int64()))
+
+
+def apply_changeset(base, changes, key_col: str, op_col: str = "op",
+                    n_buckets: Optional[int] = None):
+    """Apply `changes` (base schema + `op_col` in {'I','U','D'}) to
+    `base`; keys must be unique within each side.  Returns a Dataset
+    with the base schema; block order is arbitrary (per-bucket)."""
+    base_schema = base.schema()   # ray Schema: .names + .types (Arrow)
+    cols = list(base_schema.names)
+    col_types = dict(zip(base_schema.names, base_schema.types))
+    if key_col not in cols:
+        raise ValueError(f"apply_changeset: key {key_col!r} not in base "
+                         f"columns {cols}")
+
+    def prep_base(t: pa.Table) -> pa.Table:
+        t = _with_kh(t, key_col)
+        return t.append_column(
+            _OP, pa.nulls(t.num_rows, pa.string()))
+
+    def prep_changes(t: pa.Table) -> pa.Table:
+        missing = [c for c in cols if c not in t.column_names]
+        if missing:
+            raise ValueError(f"apply_changeset: changeset lacks base "
+                             f"columns {missing}")
+        t = _with_kh(t.select(cols + [op_col]), key_col)
+        return t.rename_columns(cols + [_OP, _KH]) \
+            .select(cols + [_KH, _OP])
+
+    both = base.map_batches(prep_base, batch_format="pyarrow").union(
+        changes.map_batches(prep_changes, batch_format="pyarrow"))
+
+    def resolve(t: pa.Table) -> Optional[pa.Table]:
+        if t.num_rows == 0:
+            return None
+        is_change = pc.is_valid(t[_OP])
+        ch = t.filter(is_change)
+        ba = t.filter(pc.invert(is_change))
+        ch_keys = ch[key_col].combine_chunks() \
+            if isinstance(ch[key_col], pa.ChunkedArray) else ch[key_col]
+        keep_base = ba.filter(
+            pc.invert(pc.is_in(ba[key_col], value_set=ch_keys))) \
+            if ch.num_rows else ba
+        surviving = ch.filter(pc.not_equal(ch[_OP], "D")) \
+            if ch.num_rows else ch
+        out = pa.concat_tables([keep_base.select(cols),
+                                surviving.select(cols)])
+        return out if out.num_rows else None
+
+    from .distagg import bucketed_reduce, dataset_from_refs
+
+    refs = bucketed_reduce(both, _KH, resolve, n_buckets=n_buckets,
+                           as_refs=True)
+    empty = pa.table({c: pa.array([], col_types[c]) for c in cols})
+    return dataset_from_refs(refs, empty)
