@@ -2433,6 +2433,43 @@ def _q_fuzzy_dup_pairs(sf_dir: str):
     return _collect_small(fuzzy_dup_pairs(ds, k=40, block=32))
 
 
+def _q_transition_matrix_events(sf_dir: str):
+    """Markov transition counts over each user's event-type sequence:
+    LEAD(event_type) within (user, ts, event_id) order via the one-
+    exchange window_shift, then per-batch (from, to) partial counts —
+    at most |types|^2 = ~16 rows per batch ever move, and the final
+    merge handles that tiny partial set on the driver.  Integer counts
+    only (n, n_from) so no float-rounding divergence is possible; the
+    transition probability is n / n_from."""
+    from rho_contracts_ray.stages.joins import window_shift
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+    led = window_shift(ds, "user_id", ["ts", "event_id"], "event_type",
+                       periods=-1, out_col="to_type")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["to_type"]))
+        g = t.select(["event_type", "to_type"]) \
+            .rename_columns(["from_type", "to_type"]) \
+            .group_by(["from_type", "to_type"]).aggregate([([], "count_all")])
+        return g
+
+    parts = _collect_small(led.map_batches(partial, batch_format="pyarrow"))
+    df = parts.to_pandas()
+    if len(df) == 0:
+        return pa.table({"from_type": pa.array([], pa.string()),
+                         "to_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "n_from": pa.array([], pa.int64())})
+    out = df.groupby(["from_type", "to_type"], as_index=False)[
+        "count_all"].sum().rename(columns={"count_all": "n"})
+    out["n_from"] = out.groupby("from_type")["n"].transform("sum")
+    out["n"] = out["n"].astype("int64")
+    out["n_from"] = out["n_from"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _q_upsert_orders(sf_dir: str):
     """CDC changeset apply (SQL MERGE) on orders: keys ending in 0 are
     deleted, 1/2 updated (totalprice doubled — one IEEE multiply, bit-
@@ -2867,6 +2904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_documents": _q_dedup_spans_documents,
         "fuzzy_dup_pairs_documents": _q_fuzzy_dup_pairs,
         "upsert_orders": _q_upsert_orders,
+        "transition_matrix_events": _q_transition_matrix_events,
         "quality_buckets_documents": _q_quality_buckets_documents,
         "gopher_rules_documents": _q_gopher_rules_documents,
         "ntile_events_user": _q_ntile_events_user,
@@ -3577,6 +3615,16 @@ def oracle_sql() -> dict[str, str]:
             "ON a.lang = b.lang AND a.doc_id < b.doc_id "
             "AND abs(strlen(a.text)//32 - strlen(b.text)//32) <= 1 "
             "WHERE levenshtein(a.text, b.text) <= 40"
+        ),
+        "transition_matrix_events": (
+            "WITH seq AS (SELECT event_type AS from_type, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS to_type FROM events), "
+            "c AS (SELECT from_type, to_type, count(*)::BIGINT AS n "
+            "FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_type, to_type, n, "
+            "CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) "
+            "AS n_from FROM c"
         ),
         "upsert_orders": (
             "WITH base AS (SELECT o_orderkey, o_orderstatus, "
