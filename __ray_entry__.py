@@ -2433,6 +2433,22 @@ def _q_fuzzy_dup_pairs(sf_dir: str):
     return _collect_small(fuzzy_dup_pairs(ds, k=40, block=32))
 
 
+def _q_fuzzy_dup_clusters(sf_dir: str):
+    """Fuzzy-dup pairs (exact byte-Levenshtein, `fuzzy_dup_pairs_documents`
+    semantics) closed into components by the DISTRIBUTED large-star/
+    small-star connected components — the oracle recomputes the pairs in
+    SQL and closes them with a recursive CTE."""
+    from rho_contracts_ray.stages import (distributed_components,
+                                          fuzzy_dup_pairs)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
+        .repartition(16)
+    pairs = fuzzy_dup_pairs(ds, k=40, block=32) \
+        .rename_columns(["id_a", "id_b", "lev"])
+    return _collect_small(distributed_components(pairs)) \
+        .rename_columns(["doc_id", "component"])
+
+
 def _q_transition_matrix_events(sf_dir: str):
     """Markov transition counts over each user's event-type sequence:
     LEAD(event_type) within (user, ts, event_id) order via the one-
@@ -2905,6 +2921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_dup_pairs_documents": _q_fuzzy_dup_pairs,
         "upsert_orders": _q_upsert_orders,
         "transition_matrix_events": _q_transition_matrix_events,
+        "fuzzy_dup_clusters_documents": _q_fuzzy_dup_clusters,
         "quality_buckets_documents": _q_quality_buckets_documents,
         "gopher_rules_documents": _q_gopher_rules_documents,
         "ntile_events_user": _q_ntile_events_user,
@@ -3615,6 +3632,23 @@ def oracle_sql() -> dict[str, str]:
             "ON a.lang = b.lang AND a.doc_id < b.doc_id "
             "AND abs(strlen(a.text)//32 - strlen(b.text)//32) <= 1 "
             "WHERE levenshtein(a.text, b.text) <= 40"
+        ),
+        "fuzzy_dup_clusters_documents": (
+            # the fuzzy_dup_pairs_documents pair set closed into
+            # components by a recursive CTE (component = min reachable)
+            "WITH RECURSIVE pairs AS ("
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+            "FROM documents a JOIN documents b "
+            "ON a.lang = b.lang AND a.doc_id < b.doc_id "
+            "AND abs(strlen(a.text)//32 - strlen(b.text)//32) <= 1 "
+            "WHERE levenshtein(a.text, b.text) <= 40), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(node, other) AS (SELECT u, v FROM edges "
+            "UNION SELECT r.node, e.v FROM reach r JOIN edges e "
+            "ON e.u = r.other) "
+            "SELECT node AS doc_id, MIN(LEAST(node, other))::BIGINT "
+            "AS component FROM reach GROUP BY node"
         ),
         "transition_matrix_events": (
             "WITH seq AS (SELECT event_type AS from_type, "

@@ -221,7 +221,8 @@ def run_benchmarks() -> dict:
                  "q7_nation_volume", "q9_profit",
                  "q12_priority_shipping", "q21_waiting_suppliers",
                  "global_rank_events", "skyline_orders",
-                 "bfs_parts_cooccur", "bigram_logprob_documents"):
+                 "bfs_parts_cooccur", "bigram_logprob_documents",
+                 "upsert_orders", "transition_matrix_events"):
         def run(n=name):
             res = q[n](SF_DIR)
             # consume lazily-built results fully
