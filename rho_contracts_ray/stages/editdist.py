@@ -143,7 +143,8 @@ def _pair_schema() -> pa.Table:
                      "lev": pa.array([], pa.int64())})
 
 
-def _bucket_factory(id_col: str, text_col: str, lang_col: str, k: int):
+def _bucket_factory(id_col: str, text_col: str, lang_col: str, k: int,
+                    max_group: Optional[int]):
     def pairs_in_bucket(t: pa.Table) -> Optional[pa.Table]:
         if t.num_rows < 2:
             return None
@@ -165,6 +166,13 @@ def _bucket_factory(id_col: str, text_col: str, lang_col: str, k: int):
             g = e - s
             if g < 2:
                 continue
+            if max_group is not None and g > max_group:
+                # per-group work is quadratic; a degenerate corpus (one
+                # lang, one length block) must fail LOUDLY, not OOM
+                raise ValueError(
+                    f"fuzzy_dup_pairs: candidate group of {g} docs "
+                    f"exceeds max_group={max_group}; shrink `block` (finer "
+                    f"length blocking) or raise max_group explicitly")
             gb, gid = b_orig[s:e], ids[s:e]
             genc = enc[s:e]
             glen = np.fromiter((len(x) for x in genc), np.int64, g)
@@ -221,11 +229,17 @@ def _bucket_factory(id_col: str, text_col: str, lang_col: str, k: int):
 
 def fuzzy_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                     lang_col: str = "lang", k: int = 40, block: int = 32,
-                    n_buckets: Optional[int] = None):
+                    n_buckets: Optional[int] = None,
+                    max_group: Optional[int] = 100_000):
     """Exact byte-Levenshtein near-dup pairs (see module docstring for
     the blocking semantics the SQL oracle mirrors).  Returns a Dataset
     of (doc_a, doc_b, lev) with doc_a < doc_b; blocks are per-bucket,
-    sorted internally — sort the collected result for a global order."""
+    sorted internally — sort the collected result for a global order.
+
+    `max_group` bounds the quadratic per-(lang, block) work: a group
+    larger than it raises with guidance instead of attempting O(g^2)
+    candidate enumeration in one task (results are EXACT whenever the
+    call succeeds — the cap never silently truncates)."""
     from .distagg import bucketed_reduce, dataset_from_refs, \
         default_buckets
 
@@ -238,6 +252,7 @@ def fuzzy_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         # always spread across the cluster
         n_buckets = default_buckets()
     refs = bucketed_reduce(expanded, "kh",
-                           _bucket_factory(id_col, text_col, lang_col, k),
+                           _bucket_factory(id_col, text_col, lang_col, k,
+                                           max_group),
                            n_buckets=n_buckets, as_refs=True)
     return dataset_from_refs(refs, _pair_schema())

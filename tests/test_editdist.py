@@ -115,3 +115,12 @@ def test_fuzzy_pairs_vs_duckdb(ray_session, sf):
         "WHERE levenshtein(a.text, b.text) <= 40 ORDER BY 1, 2").df()
     assert got.astype("int64").values.tolist() == \
         want.astype("int64").values.tolist()
+
+
+def test_max_group_guard(ray_session):
+    rows = [(i, "aaaa", "en") for i in range(6)]
+    with pytest.raises(Exception, match="max_group"):
+        _pairs(rows, k=2, block=4, max_group=3)
+    # and the exact result is unaffected when the cap is not hit
+    got = _pairs(rows, k=2, block=4, max_group=100)
+    assert len(got) == 15   # all C(6,2) identical docs pair at lev 0
