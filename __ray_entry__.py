@@ -2180,6 +2180,23 @@ def _q_bfs_parts_cooccur(sf_dir: str, max_depth: int = 3):
     return bfs_distances(edges, seeds, max_depth)
 
 
+def _q_pagerank_parts(sf_dir: str):
+    """PageRank over the part co-occurrence graph (20 damped power
+    iterations on the BSP exchange — edges route once, per-round
+    traffic is per-destination contribution sums).  Iterative float —
+    no faithful SQL form, so rows-only for the driver; pytest pins a
+    local power-iteration reference to 1e-10 and partitioning
+    invariance byte-exact (tests/test_pagerank.py)."""
+    from rho_contracts_ray.stages.graph import (cooccurrence_edges,
+                                                pagerank)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    # pagerank degrees must count each undirected edge ONCE: keep the
+    # global distinct exchange (unlike BFS's min-combine)
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return pagerank(edges, iters=20)
+
+
 def _q_classify_quality_documents(sf_dir: str):
     """Actor-pool linear quality classifier (model-in-actor pattern:
     weights built once per actor in __init__, vectorized scoring in
@@ -2973,6 +2990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
+        "pagerank_parts": _q_pagerank_parts,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_documents": _q_simhash_documents,
         "fingerprints_documents": _q_fingerprints_documents,

@@ -52,3 +52,4 @@ from .agg import (  # noqa: F401
 )
 from .editdist import fuzzy_dup_pairs, levenshtein_bytes  # noqa: F401
 from .upsert import apply_changeset  # noqa: F401
+from .graph import pagerank  # noqa: F401

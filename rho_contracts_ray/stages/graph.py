@@ -491,3 +491,151 @@ def triangle_count(edges_ds, n_buckets: Optional[int] = None,
     for b in closed.iter_batches(batch_size=None, batch_format="pyarrow"):
         total += b.num_rows
     return total
+
+
+# --- PageRank ----------------------------------------------------------
+
+@ray.remote
+def _pr_prep(n_buckets: int, edge_tbl):
+    """Per-bucket static structures computed ONCE: node list (unique
+    sources — the graph is symmetric, so every node of the bucket
+    appears as a source), out-degrees, and the dst-compressed edge
+    arrays the per-round contribution kernel needs.  Everything numpy;
+    pinned in the object store for every round."""
+    from ..functions.hashing import stable_hash64
+    from .distagg import hash_range_buckets
+
+    if edge_tbl is None or edge_tbl.num_rows == 0:
+        return None
+    src = edge_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edge_tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # canonical (src, dst) order: the per-destination float folds below
+    # must not depend on how input blocks happened to arrive
+    o = np.lexsort((dst, src))
+    src, dst = src[o], dst[o]
+    nodes, src_idx, deg = np.unique(src, return_inverse=True,
+                                    return_counts=True)
+    dst_vals, dst_inv = np.unique(dst, return_inverse=True)
+    dst_bucket = hash_range_buckets(
+        stable_hash64(pa.array(dst_vals, pa.int64())), n_buckets)
+    return (nodes, deg.astype(np.float64), src_idx, dst_vals, dst_inv,
+            dst_bucket)
+
+
+@ray.remote
+def _pr_contrib(n_buckets: int, prep, rank: np.ndarray):
+    """One superstep, source side: every edge sends rank[src]/deg[src];
+    per-destination sums leave the task already grouped and split by
+    destination bucket — node-scale tables only."""
+    if prep is None:
+        return tuple([None] * n_buckets)
+    nodes, deg, src_idx, dst_vals, dst_inv, dst_bucket = prep
+    w = rank / deg
+    sums = np.bincount(dst_inv, weights=w[src_idx],
+                       minlength=dst_vals.size)
+    return tuple(
+        (pa.table({"node": pa.array(dst_vals[m], pa.int64()),
+                   "c": pa.array(sums[m], pa.float64())})
+         if (m := dst_bucket == r).any() else None)
+        for r in range(n_buckets))
+
+
+@ray.remote
+def _pr_combine(prep, n_total: int, damping: float, *contrib_tbls):
+    """One superstep, destination side: fold inbound contribution tables
+    (in FIXED bucket order, so float summation order is deterministic
+    for a given bucket count) into the bucket's new rank vector."""
+    if prep is None:
+        return None
+    nodes = prep[0]
+    acc = np.zeros(nodes.size, np.float64)
+    for t in contrib_tbls:
+        if t is None or t.num_rows == 0:
+            continue
+        n = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(nodes, n)   # inbound nodes ⊆ this bucket
+        acc[pos] += t["c"].to_numpy(zero_copy_only=False)
+    return (1.0 - damping) / n_total + damping * acc
+
+
+@ray.remote
+def _pr_finish(prep, rank):
+    if prep is None:
+        return None
+    return pa.table({"node": pa.array(prep[0], pa.int64()),
+                     "rank": pa.array(rank, pa.float64())})
+
+
+def pagerank(edges_ds, iters: int = 20, damping: float = 0.85,
+             n_buckets: Optional[int] = None):
+    """PageRank over an UNDIRECTED edge Dataset[u, v] (doubled into a
+    symmetric directed graph like the other graph ops — so there are no
+    dangling nodes and total rank mass stays 1).  Fixed `iters` power
+    iterations; returns Dataset[node: int64, rank: float64].
+
+    Scale shape (the BSP pattern `bfs_distances` uses): the directed
+    edge list routes into hash buckets ONCE and is then PREP-compressed
+    (node list, degrees, dst-compressed edge index) per bucket; every
+    round moves only per-destination contribution sums between B
+    contribution tasks and B combine tasks.  Within a bucket the fold
+    runs in fixed bucket order, so results are deterministic for a
+    given bucket count (pytest pins partitioning-invariance and a
+    local-reference match)."""
+    import ray.data as rd
+
+    from ..functions.hashing import stable_hash64
+    from .distagg import bucketed_reduce, dataset_from_refs, \
+        default_buckets
+
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    def add_kh(batch: pa.Table) -> pa.Table:
+        kh = stable_hash64(batch["node"])
+        return batch.append_column("__kh", pa.array(kh.view(np.int64)))
+
+    hashed = _directed(edges_ds).map_batches(add_kh,
+                                             batch_format="pyarrow")
+
+    def strip(t: pa.Table):
+        return t.drop_columns(["__kh"]) if t.num_rows else None
+
+    routed = bucketed_reduce(hashed, "__kh", strip,
+                             n_buckets=n_buckets, as_refs=True)
+    edge_refs = [p[1] for p in routed]
+    n_buckets = len(edge_refs)
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.float64())})
+    if not edge_refs:
+        return rd.from_arrow(empty)
+    preps = [_pr_prep.remote(n_buckets, e) for e in edge_refs]
+    sizes = ray.get([_pr_node_count.remote(p) for p in preps])
+    n_total = int(sum(sizes))
+    if n_total == 0:
+        return rd.from_arrow(empty)
+    ranks = [ray.put(np.full(s, 1.0 / n_total, np.float64))
+             if s else ray.put(None) for s in sizes]
+    contrib = _pr_contrib.options(num_returns=n_buckets) \
+        if n_buckets > 1 else None
+    for _ in range(iters):
+        if n_buckets > 1:
+            outs = [contrib.remote(n_buckets, preps[b], ranks[b])
+                    for b in range(n_buckets)]
+        else:
+            outs = [[_pr_contrib.remote(1, preps[0], ranks[0])]]
+        ranks = [_pr_combine.remote(
+            preps[r], n_total, damping,
+            *[outs[b][r] for b in range(n_buckets)])
+            for r in range(n_buckets)]
+    from .distagg import _ref_num_rows
+
+    finished = [_pr_finish.remote(preps[b], ranks[b])
+                for b in range(n_buckets)]
+    counted = [(_ref_num_rows.remote(f), f) for f in finished]
+    return dataset_from_refs(counted, empty)
+
+
+@ray.remote
+def _pr_node_count(prep) -> int:
+    return 0 if prep is None else int(prep[0].size)
+
