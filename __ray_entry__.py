@@ -2538,6 +2538,70 @@ def _q_upsert_orders(sf_dir: str):
     return apply_changeset(base, changes, "o_orderkey")
 
 
+def _q_delta_agg_orders(sf_dir: str):
+    """Incremental aggregate maintenance: the upsert_orders changeset
+    (delete keys %10==0, double-price updates on 1/2, key+10^9 inserts
+    on 3) maintains GROUP BY o_orderstatus count/sum via SIGNED deltas
+    derived from CDC before/after images — the merged table is never
+    built (stages/upsert.py incremental_group_agg).  The oracle is the
+    full recompute over the merged table; totals round to 4 digits to
+    absorb summation-order float noise."""
+    from rho_contracts_ray.stages.upsert import incremental_group_agg
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    base = _read(sf_dir, "orders", columns=cols)
+
+    def mk_deltas(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = t["o_orderkey"].to_numpy()
+        tp = t["o_totalprice"].to_numpy()
+        st = t["o_orderstatus"]
+        m = k % 10
+        parts = []
+        for msk, dn, dv in (
+                (m == 0, -1, None),            # delete: -old
+                ((m == 1) | (m == 2), -1, None),   # update: -old image
+                ((m == 1) | (m == 2), 1, 2.0),     # update: +new image
+                (m == 3, 1, 1.0)):             # insert: +new
+            v = tp[msk] if dv is None else tp[msk] * dv
+            parts.append(pa.table({
+                "o_orderstatus": st.filter(pa.array(msk)),
+                "dn": pa.array(
+                    np.full(int(msk.sum()), dn, np.int64)),
+                "dsum": pa.array(v if dn > 0 else -v)}))
+        return pa.concat_tables(parts)
+
+    deltas = _read(sf_dir, "orders", columns=cols) \
+        .map_batches(mk_deltas, batch_format="pyarrow")
+    return incremental_group_agg(base, deltas, "o_orderstatus",
+                                 "o_totalprice", ndigits=4)
+
+
+def _q_vocab_growth_documents(sf_dir: str):
+    """Heaps-law vocabulary-growth curve (doc_id, new_tokens, cum_vocab):
+    per-token first-appearance via one token-hash exchange, per-doc
+    new-token counts via a cardinality-sized second exchange, running
+    total via block prefix offsets (stages/text.py vocab_growth +
+    stages/rank.py sorted_prefix_sum)."""
+    from rho_contracts_ray.stages.text import vocab_growth
+
+    return vocab_growth(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"]))
+
+
+def _q_streak_events_user(sf_dir: str):
+    """Longest strictly-increasing value run per user ordered by
+    (ts, event_id) — the gaps-and-islands window collapsed to one
+    bucket-body Arrow sort + vectorized run segmentation
+    (stages/joins.py longest_streak)."""
+    from rho_contracts_ray.stages.joins import longest_streak
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    return longest_streak(ds, "user_id", ["ts", "event_id"], "value")
+
+
 def _q_ohlc_daily_user(sf_dir: str):
     """Daily OHLC bars per user: open/close are the first/last value by
     ts inside each (user, day) — SQL arg_min/arg_max parity; one short
@@ -2937,6 +3001,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans_documents": _q_dedup_spans_documents,
         "fuzzy_dup_pairs_documents": _q_fuzzy_dup_pairs,
         "upsert_orders": _q_upsert_orders,
+        "delta_agg_orders": _q_delta_agg_orders,
+        "vocab_growth_documents": _q_vocab_growth_documents,
+        "streak_events_user": _q_streak_events_user,
         "transition_matrix_events": _q_transition_matrix_events,
         "fuzzy_dup_clusters_documents": _q_fuzzy_dup_clusters,
         "quality_buckets_documents": _q_quality_buckets_documents,
@@ -3693,6 +3760,51 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT o_orderkey FROM changes) "
             "UNION ALL SELECT o_orderkey, o_orderstatus, o_totalprice "
             "FROM changes WHERE op <> 'D'"
+        ),
+        "delta_agg_orders": (
+            # full recompute over the merged table — the Ray side never
+            # builds it, maintaining the agg from signed CDC deltas
+            "WITH chg AS ("
+            "SELECT o_orderkey AS key, o_orderstatus AS status, "
+            "o_totalprice AS price, 'D' AS op FROM orders "
+            "WHERE o_orderkey % 10 = 0 "
+            "UNION ALL SELECT o_orderkey, o_orderstatus, "
+            "o_totalprice * 2.0, 'U' FROM orders "
+            "WHERE o_orderkey % 10 IN (1, 2) "
+            "UNION ALL SELECT o_orderkey + 1000000000, o_orderstatus, "
+            "o_totalprice, 'I' FROM orders WHERE o_orderkey % 10 = 3), "
+            "merged AS ("
+            "SELECT o_orderstatus, o_totalprice FROM orders "
+            "WHERE o_orderkey NOT IN (SELECT key FROM chg) "
+            "UNION ALL SELECT status, price FROM chg WHERE op <> 'D') "
+            "SELECT o_orderstatus, count(*)::BIGINT AS n_rows, "
+            "round(sum(o_totalprice), 4) AS total "
+            "FROM merged GROUP BY 1"
+        ),
+        "vocab_growth_documents": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), t -> t <> '')) AS tok "
+            "FROM documents), "
+            "f AS (SELECT min(doc_id) AS doc_id FROM toks GROUP BY tok), "
+            "per AS (SELECT doc_id, count(*)::BIGINT AS new_tokens "
+            "FROM f GROUP BY doc_id) "
+            "SELECT doc_id, new_tokens, "
+            "CAST(sum(new_tokens) OVER (ORDER BY doc_id) AS BIGINT) "
+            "AS cum_vocab FROM per"
+        ),
+        "streak_events_user": (
+            # strictly-increasing runs; no NaN in events.value (numpy
+            # and DuckDB disagree on NaN comparisons — see longest_streak)
+            "WITH s AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN value > lag(value) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) "
+            "THEN 0 ELSE 1 END AS brk FROM events), "
+            "g AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS grp FROM s), "
+            "r AS (SELECT user_id, count(*)::BIGINT AS len FROM g "
+            "GROUP BY user_id, grp) "
+            "SELECT user_id, max(len) AS max_streak, "
+            "count(*)::BIGINT AS n_runs FROM r GROUP BY user_id"
         ),
         "quality_buckets_documents": (
             # fences are quantile_cont over the ROUNDED per-doc scores;

@@ -222,7 +222,8 @@ def run_benchmarks() -> dict:
                  "q12_priority_shipping", "q21_waiting_suppliers",
                  "global_rank_events", "skyline_orders",
                  "bfs_parts_cooccur", "bigram_logprob_documents",
-                 "upsert_orders", "transition_matrix_events"):
+                 "upsert_orders", "transition_matrix_events",
+                 "vocab_growth_documents", "delta_agg_orders"):
         def run(n=name):
             res = q[n](SF_DIR)
             # consume lazily-built results fully

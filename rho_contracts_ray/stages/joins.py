@@ -1224,3 +1224,43 @@ def bloom_filter_keys(ds, bloom, on: Sequence[str]):
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def longest_streak(ds, key: str, order_by: Sequence[str], value: str):
+    """Longest strictly-increasing run of `value` per key, ordered by
+    `order_by` -> Dataset[key, max_streak, n_runs].  The gaps-and-islands
+    window shape (SQL: break where value <= lag(value), cumulative-sum
+    group ids, count per island, max per key) collapsed into one bucket
+    body: a single Arrow sort, one vectorized break mask, and
+    np.maximum.at/bincount over run segments — no per-group Python.
+
+    Null/NaN values break a run on both sides of the comparison (numpy
+    NaN-compare is False); note DuckDB's NaN sorts GREATEST and compares
+    true against numbers, so SQL oracles must pre-filter NaN if the
+    column can hold it (nulls agree without help)."""
+    from .agg import bucketed_apply
+
+    order_by = list(order_by)
+    sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_by]
+
+    def body(t: pa.Table) -> pa.Table:
+        t2 = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        starts = _key_run_starts(t2, key)
+        v = t2[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t2.num_rows
+        inc = np.zeros(n, bool)
+        if n > 1:
+            inc[1:] = v[1:] > v[:-1]
+        inc[starts] = False                      # a key begins a new run
+        run_starts = np.flatnonzero(~inc)
+        run_lens = np.diff(np.append(run_starts, n))
+        key_of_run = np.searchsorted(starts, run_starts, side="right") - 1
+        mx = np.zeros(starts.size, np.int64)
+        np.maximum.at(mx, key_of_run, run_lens)
+        cnt = np.bincount(key_of_run,
+                          minlength=starts.size).astype(np.int64)
+        return pa.table({key: t2[key].take(pa.array(starts)),
+                         "max_streak": pa.array(mx),
+                         "n_runs": pa.array(cnt)})
+
+    return bucketed_apply(ds, [key], body, lambda: _empty_out(ds, body))

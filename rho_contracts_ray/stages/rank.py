@@ -199,3 +199,67 @@ def attach_global_ranks(ds, value_col: str,
         return batch.append_column("cume_cnt", pa.array(rcume[pos]))
 
     return ds.map_batches(lookup, batch_format="pyarrow"), total
+
+
+@ray.remote
+def _block_col_sum(col: str, block) -> int:
+    t = block if isinstance(block, pa.Table) \
+        else pa.Table.from_batches([block])
+    if t.num_rows == 0 or col not in t.column_names:
+        return 0
+    return int(pc.sum(t[col]).as_py() or 0)
+
+
+@ray.remote
+def _block_running(off: int, col: str, out_col: str, block) -> pa.Table:
+    t = block if isinstance(block, pa.Table) \
+        else pa.Table.from_batches([block])
+    v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+    return t.append_column(out_col, pa.array(off + np.cumsum(v)))
+
+
+def sorted_prefix_sum(ds, key_col: str, val_col: str, out_col: str,
+                      local_limit: int = 20_000_000):
+    """Running total of `val_col` in ascending `key_col` order over an
+    ALREADY per-key-aggregated Dataset (one row per key) — SQL's
+    ``sum(val) OVER (ORDER BY key)`` -> input columns + `out_col`.
+
+    Same two-tier shape as `global_value_rank`: the input is
+    cardinality-sized (one row per distinct key), so under `local_limit`
+    rows it collects for one vectorized driver sort+cumsum; past the
+    limit a range sort on the key plus per-block sums -> driver prefix
+    offsets (n_blocks scalars, the one deliberate driver step) -> one
+    independent cumsum task per block, blocks never talk to each other."""
+    import ray.data as rd
+
+    d = ds.materialize()
+    if d.count() <= local_limit:
+        parts = [b for b in d.iter_batches(batch_size=None,
+                                           batch_format="pyarrow")
+                 if b.num_rows]
+        if not parts:
+            sch = ds.schema()
+            cols = {f.name: pa.array([], f.type)
+                    for f in sch.base_schema} if sch is not None else {
+                        key_col: pa.array([], pa.int64()),
+                        val_col: pa.array([], pa.int64())}
+            cols[out_col] = pa.array([], pa.int64())
+            return rd.from_arrow(pa.table(cols))
+        t = pa.concat_tables([p if isinstance(p, pa.Table)
+                              else pa.Table.from_batches([p])
+                              for p in parts])
+        t = t.take(pc.sort_indices(t, sort_keys=[(key_col, "ascending")]))
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return rd.from_arrow(t.append_column(
+            out_col, pa.array(np.cumsum(v))))
+
+    d_sorted = d.sort(key_col).materialize()
+    blockrefs = []
+    for bundle in d_sorted.iter_internal_ref_bundles():
+        blockrefs.extend(bundle.block_refs)
+    sums = ray.get([_block_col_sum.remote(val_col, r) for r in blockrefs])
+    offs = np.concatenate(([0], np.cumsum(np.array(sums, np.int64))))[:-1]
+    out_refs = [_block_running.remote(int(offs[i]), val_col, out_col,
+                                      blockrefs[i])
+                for i in range(len(blockrefs))]
+    return rd.from_arrow_refs(out_refs)

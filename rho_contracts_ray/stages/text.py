@@ -1350,3 +1350,56 @@ def classify_quality(ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow",
         concurrency=concurrency if concurrency is not None
         else (1, _cluster_cpus()))
+
+
+def vocab_growth(ds, text_col: str = "text", id_col: str = "doc_id",
+                 sep: str = " "):
+    """Heaps-law vocabulary-growth curve -> Dataset[doc_id, new_tokens,
+    cum_vocab], one row per document that introduces at least one new
+    token (first corpus occurrence, ties by ascending id).  The standard
+    corpus diagnostic for "is more data still adding vocabulary" when
+    sizing tokenizers.  SQL parity: tokens are string_split(text, sep)
+    with empties dropped; a token belongs to min(doc_id); cum_vocab is
+    sum(new_tokens) OVER (ORDER BY doc_id).
+
+    Scale shape — the corpus never shuffles, only token partials do:
+      1. each batch emits per-token min-id partials (batch-vocabulary
+         sized, pre-combined);
+      2. ONE exchange on the token hash finds the global first
+         appearance and reduces to (first_doc, count) partials inside
+         the bucket body — the vocabulary never lands on the driver;
+      3. a cardinality-sized exchange sums counts per doc;
+      4. the running total rides sorted_prefix_sum's block-offset pass
+         (driver sees n_blocks scalars, or the whole table only while
+         it is under the same broadcast limit the rank path uses)."""
+    from .agg import bucketed_apply, bucketed_sum
+    from .rank import sorted_prefix_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams, doc_idx = gram_arrays(batch[text_col], 1, sep)
+        mask = pc.not_equal(grams, "")
+        grams = grams.filter(mask)
+        doc_idx = doc_idx[mask.to_numpy(zero_copy_only=False)]
+        ids = batch[id_col].take(pa.array(doc_idx))
+        g = pa.table({"tok": grams, id_col: ids}) \
+            .group_by(["tok"]).aggregate([(id_col, "min")])
+        return g.rename_columns(["tok", "first_doc"])
+
+    def empty() -> pa.Table:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "new_tokens": pa.array([], pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        g = t.group_by(["tok"]).aggregate([("first_doc", "min")])
+        c = g.group_by(["first_doc_min"]).aggregate([([], "count_all")])
+        return pa.table({
+            id_col: c["first_doc_min"].cast(pa.int64()),
+            "new_tokens": c["count_all"].cast(pa.int64())})
+
+    per_doc = bucketed_apply(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["tok"], per_bucket, empty)
+    agg = bucketed_sum(per_doc, [id_col], ["new_tokens"])
+    return sorted_prefix_sum(agg, id_col, "new_tokens", "cum_vocab")

@@ -56,3 +56,24 @@ def test_chunk_dedup_stats_finds_planted_block(ray_session):
     # interior chunks of the planted block appear in all 4 docs
     assert (stats["n_docs"] == 4).any()
     assert (stats["n_copies"] >= 4).any()
+
+
+def test_incremental_group_agg_group_move_and_drop(ray_session):
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.upsert import incremental_group_agg
+
+    base = rd.from_arrow(pa.table({
+        "g": pa.array(["a", "a", "b", "c"], pa.string()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0])}))
+    # update moves a 'b' row (v=3) to group 'a' with v=30;
+    # delete empties group 'c' entirely; insert a new group 'd'
+    deltas = rd.from_arrow(pa.table({
+        "g": pa.array(["b", "a", "c", "d"], pa.string()),
+        "dn": pa.array([-1, 1, -1, 1], pa.int64()),
+        "dsum": pa.array([-3.0, 30.0, -4.0, 9.0])}))
+    out = incremental_group_agg(base, deltas, "g", "v", ndigits=4) \
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    assert list(out["g"]) == ["a", "d"]       # 'b' empty, 'c' deleted
+    assert list(out["n_rows"]) == [3, 1]
+    assert list(out["total"]) == [33.0, 9.0]

@@ -899,3 +899,33 @@ def test_window_ewma_matches_pandas(ray_session):
         {"k": [1], "o": [0], "v": [7.5]})), "k", ["o"], "v", 0.5) \
         .to_pandas()
     assert one["ewma"].iloc[0] == 7.5
+
+
+def test_longest_streak_planted(ray_session):
+    from rho_contracts_ray.stages.joins import longest_streak
+
+    # user 1: values 1,2,3,1,5 -> runs [3,2]; user 2: 4,3,2 -> [1,1,1];
+    # user 3 single row -> [1]; equal values break (strict increase)
+    t = pa.table({
+        "u": pa.array([1, 1, 1, 1, 1, 2, 2, 2, 3], pa.int64()),
+        "o": pa.array([1, 2, 3, 4, 5, 1, 2, 3, 1], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 1.0, 5.0, 4.0, 3.0, 2.0, 7.0]),
+    })
+    for parts in (1, 4):
+        out = longest_streak(rd.from_arrow(t).repartition(parts),
+                             "u", ["o"], "v") \
+            .to_pandas().sort_values("u").reset_index(drop=True)
+        assert list(out["max_streak"]) == [3, 1, 1]
+        assert list(out["n_runs"]) == [2, 3, 1]
+
+
+def test_longest_streak_equal_and_null_break(ray_session):
+    from rho_contracts_ray.stages.joins import longest_streak
+
+    t = pa.table({"u": pa.array([1, 1, 1, 1], pa.int64()),
+                  "o": pa.array([1, 2, 3, 4], pa.int64()),
+                  "v": pa.array([1.0, 1.0, None, 2.0])})
+    out = longest_streak(rd.from_arrow(t), "u", ["o"], "v").to_pandas()
+    # equal breaks, null breaks both sides -> runs [1,1,1,1]
+    assert list(out["max_streak"]) == [1]
+    assert list(out["n_runs"]) == [4]

@@ -91,3 +91,28 @@ def test_global_value_rank_block_invariance(ray_session):
     assert list(base["rank"]) == [1, 2, 4, 6]
     assert list(base["dense_rank"]) == [1, 2, 3, 4]
     assert list(base["cume_cnt"]) == [1, 3, 5, 6]
+
+
+def test_sorted_prefix_sum_local_and_distributed(ray_session):
+    from rho_contracts_ray.stages.rank import sorted_prefix_sum
+
+    t = pa.table({"k": pa.array([5, 1, 9, 3], pa.int64()),
+                  "v": pa.array([10, 2, 4, 1], pa.int64())})
+    for parts in (1, 3):
+        for limit in (20_000_000, 0):    # driver path / block-offset path
+            out = sorted_prefix_sum(
+                rd.from_arrow(t).repartition(parts), "k", "v", "cum",
+                local_limit=limit).to_pandas() \
+                .sort_values("k").reset_index(drop=True)
+            assert list(out["k"]) == [1, 3, 5, 9]
+            assert list(out["cum"]) == [2, 3, 13, 17]
+
+
+def test_sorted_prefix_sum_empty(ray_session):
+    from rho_contracts_ray.stages.rank import sorted_prefix_sum
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64())}))
+    out = sorted_prefix_sum(ds, "k", "v", "cum")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "v", "cum"}

@@ -1895,3 +1895,28 @@ def test_pmi_collocations_planted(ray_session):
         assert (g[1], g[2], g[3]) == (r[1], r[2], r[3])
         assert g[0] == pytest.approx(r[0], abs=1e-12)
     assert (out.loc[0, "w1"], out.loc[0, "w2"]) == ("new", "york")
+
+
+def test_vocab_growth_planted(ray_session):
+    from rho_contracts_ray.stages.text import vocab_growth
+
+    t = pa.table({
+        "doc_id": pa.array([3, 1, 2, 4], pa.int64()),
+        "text": pa.array(["b c", "a b", None, "  a"], pa.string()),
+    })
+    # doc 1 introduces {a, b}; doc 2 null -> nothing; doc 3 adds {c};
+    # doc 4 is only split artifacts + 'a' (seen) -> nothing
+    for parts in (1, 3):
+        out = vocab_growth(rd.from_arrow(t).repartition(parts)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert list(out["doc_id"]) == [1, 3]
+        assert list(out["new_tokens"]) == [2, 1]
+        assert list(out["cum_vocab"]) == [2, 3]
+
+
+def test_vocab_growth_empty(ray_session):
+    from rho_contracts_ray.stages.text import vocab_growth
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                 "text": pa.array([], pa.string())}))
+    assert vocab_growth(ds).count() == 0
