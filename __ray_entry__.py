@@ -2602,6 +2602,58 @@ def _q_streak_events_user(sf_dir: str):
     return longest_streak(ds, "user_id", ["ts", "event_id"], "value")
 
 
+def _q_trend_events_user(sf_dir: str):
+    """Per-user time trend of `value`: OLS slope/intercept + correlation
+    against days-since-2024-01-01 — the grouped bivariate moment
+    exchange (stages/statistics.py group_bivariate_stats, 7 doubles per
+    (batch, user)) on a derived time axis; SQL regr_slope/regr_intercept/
+    corr parity.  The x axis is centered so the moment sums stay small
+    (no catastrophic cancellation vs DuckDB's streaming kernels)."""
+    from rho_contracts_ray.stages.statistics import group_bivariate_stats
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def to_days(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        x = pc.subtract(pc.divide(pc.cast(us, pa.float64()),
+                                  86400000000.0), 19723.0)
+        return pa.table({"user_id": batch["user_id"], "x": x,
+                         "value": batch["value"]})
+
+    out = group_bivariate_stats(
+        ds.map_batches(to_days, batch_format="pyarrow"),
+        ["user_id"], "x", "value")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "n": t["n"],
+            "slope": pc.round(t["slope"], 6),
+            "icept": pc.round(t["icept"], 4),
+            "corr_xv": pc.round(t["corr_xy"], 6)})
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+def _q_ttr_documents(sf_dir: str):
+    """Per-document type-token ratio (lexical diversity): one stateless
+    vectorized pass, no exchange (stages/text.py type_token_ratio)."""
+    from rho_contracts_ray.stages.text import type_token_ratio
+
+    return type_token_ratio(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
+def _q_benford_orders(sf_dir: str):
+    """Benford first-significant-digit counts over o_totalprice —
+    integer-count output through one 9-row exchange
+    (stages/statistics.py first_digit_counts)."""
+    from rho_contracts_ray.stages.statistics import first_digit_counts
+
+    return first_digit_counts(_read(sf_dir, "orders",
+                                    columns=["o_totalprice"]),
+                              "o_totalprice")
+
+
 def _q_ohlc_daily_user(sf_dir: str):
     """Daily OHLC bars per user: open/close are the first/last value by
     ts inside each (user, day) — SQL arg_min/arg_max parity; one short
@@ -3004,6 +3056,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "delta_agg_orders": _q_delta_agg_orders,
         "vocab_growth_documents": _q_vocab_growth_documents,
         "streak_events_user": _q_streak_events_user,
+        "trend_events_user": _q_trend_events_user,
+        "ttr_documents": _q_ttr_documents,
+        "benford_orders": _q_benford_orders,
         "transition_matrix_events": _q_transition_matrix_events,
         "fuzzy_dup_clusters_documents": _q_fuzzy_dup_clusters,
         "quality_buckets_documents": _q_quality_buckets_documents,
@@ -3805,6 +3860,33 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, grp) "
             "SELECT user_id, max(len) AS max_streak, "
             "count(*)::BIGINT AS n_runs FROM r GROUP BY user_id"
+        ),
+        "trend_events_user": (
+            # x centered at 2024-01-01 (epoch day 19723) so both sides'
+            # moment sums stay small; regr slope is shift-invariant
+            "WITH s AS (SELECT user_id, "
+            "epoch_us(ts) / 86400000000.0 - 19723.0 AS x, value "
+            "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL) "
+            "SELECT user_id, count(*)::BIGINT AS n, "
+            "round(regr_slope(value, x), 6) AS slope, "
+            "round(regr_intercept(value, x), 4) AS icept, "
+            "round(corr(value, x), 6) AS corr_xv "
+            "FROM s GROUP BY 1"
+        ),
+        "ttr_documents": (
+            "WITH toks AS (SELECT doc_id, unnest(list_filter("
+            "string_split(text, ' '), t -> t <> '')) AS tok "
+            "FROM documents) "
+            "SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "count(DISTINCT tok)::BIGINT AS n_types, "
+            "round(count(DISTINCT tok) / count(*)::DOUBLE, 6) AS ttr "
+            "FROM toks GROUP BY 1"
+        ),
+        "benford_orders": (
+            "SELECT CAST(floor(o_totalprice / pow(10, "
+            "floor(log10(o_totalprice)))) AS BIGINT) AS digit, "
+            "count(*)::BIGINT AS n FROM orders "
+            "WHERE o_totalprice > 0 GROUP BY 1"
         ),
         "quality_buckets_documents": (
             # fences are quantile_cont over the ROUNDED per-doc scores;

@@ -1403,3 +1403,41 @@ def vocab_growth(ds, text_col: str = "text", id_col: str = "doc_id",
         ["tok"], per_bucket, empty)
     agg = bucketed_sum(per_doc, [id_col], ["new_tokens"])
     return sorted_prefix_sum(agg, id_col, "new_tokens", "cum_vocab")
+
+
+def type_token_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
+                     sep: str = " ", ndigits: int = 6):
+    """Per-document lexical-diversity stats -> Dataset[doc_id, n_tokens,
+    n_types, ttr]: token count, distinct-token count, and type-token
+    ratio (rounded) — a standard quality/repetition signal.  Purely
+    per-doc state, so it is ONE stateless map_batches pass (no exchange):
+    gram_arrays tokenizes the whole batch vectorized and one Arrow
+    group_by per batch collapses (doc, token) pairs.  Docs with zero
+    tokens (null / all-separator text) are omitted — SQL-parity with the
+    unnest form that produces no rows for them."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        grams, doc_idx = gram_arrays(batch[text_col], 1, sep)
+        mask = pc.not_equal(grams, "")
+        grams = grams.filter(mask)
+        doc_idx = doc_idx[mask.to_numpy(zero_copy_only=False)]
+        ids = batch[id_col].take(pa.array(doc_idx))
+        if len(grams) == 0:
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "n_types": pa.array([], pa.int64()),
+                             "ttr": pa.array([], pa.float64())})
+        pairs = pa.table({id_col: ids, "tok": grams})
+        per_tok = pairs.group_by([id_col, "tok"]) \
+            .aggregate([([], "count_all")])
+        g = per_tok.group_by([id_col]).aggregate(
+            [("count_all", "sum"), ([], "count_all")])
+        n_tok = g["count_all_sum"].cast(pa.int64())
+        n_typ = g["count_all"].cast(pa.int64())
+        ttr = pc.round(pc.divide(n_typ.cast(pa.float64()),
+                                 n_tok.cast(pa.float64())),
+                       ndigits=ndigits)
+        return pa.table({id_col: g[id_col], "n_tokens": n_tok,
+                         "n_types": n_typ, "ttr": ttr})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1920,3 +1920,29 @@ def test_vocab_growth_empty(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
                                  "text": pa.array([], pa.string())}))
     assert vocab_growth(ds).count() == 0
+
+
+def test_type_token_ratio_planted(ray_session):
+    from rho_contracts_ray.stages.text import type_token_ratio
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b a", None, " "], pa.string())})
+    out = type_token_ratio(rd.from_arrow(t)).to_pandas()
+    assert list(out["doc_id"]) == [1]      # empty-token docs omitted
+    assert list(out["n_tokens"]) == [3]
+    assert list(out["n_types"]) == [2]
+    assert out["ttr"].iloc[0] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_first_digit_counts_planted(ray_session):
+    from rho_contracts_ray.stages.statistics import first_digit_counts
+
+    t = pa.table({"v": pa.array(
+        [1.0, 19.5, 0.23, 923.0, 9.0, -5.0, 0.0, None])})
+    for parts in (1, 3):
+        out = first_digit_counts(rd.from_arrow(t).repartition(parts),
+                                 "v").to_pandas() \
+            .sort_values("digit").reset_index(drop=True)
+        # digits: 1, 1, 2, 9, 9 — negatives/zero/null dropped
+        assert list(out["digit"]) == [1, 2, 9]
+        assert list(out["n"]) == [2, 1, 2]
