@@ -2654,6 +2654,60 @@ def _q_benford_orders(sf_dir: str):
                               "o_totalprice")
 
 
+def _q_wmedian_events_by_type(sf_dir: str):
+    """Lower weighted median of value per event_type with deterministic
+    synthetic weights (event_id % 7 + 1) — the picked element is a data
+    value, so the window-cumsum SQL oracle compares value-exact
+    (stages/statistics.py group_weighted_median)."""
+    from rho_contracts_ray.stages.statistics import group_weighted_median
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def add_w(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        w = (eid % 7 + 1).astype(np.float64)
+        return pa.table({"event_type": batch["event_type"],
+                         "value": batch["value"],
+                         "wt": pa.array(w)})
+
+    return group_weighted_median(
+        ds.map_batches(add_w, batch_format="pyarrow"),
+        "event_type", "value", "wt")
+
+
+def _q_knn_recall_embeddings(sf_dir: str):
+    """ANN evaluation: recall@10 of the IVF-PQ quantized index against
+    the exact brute-force top-10 for the same (id-ordered) queries — the
+    metric you watch when tuning nprobe / codebook size at scale.  Both
+    sides stream the corpus once; the comparison set-intersect runs on
+    the two k-row results.  Deterministic (seeded codebooks); quantized
+    scores have no SQL form, so this is a rows-only query."""
+    import numpy as np
+
+    from rho_contracts_ray.stages import knn_brute_force, knn_ivf_pq
+
+    q = _smallest_vec_queries(sf_dir)
+    exact = knn_brute_force(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        q, k=10)
+    approx = knn_ivf_pq(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        q, k=10)
+    ex = exact.to_pandas().groupby("query_id")["vec_id"].apply(set)
+    ap = approx.to_pandas().groupby("query_id")["vec_id"].apply(set)
+    rows = []
+    for qid in sorted(ex.index):
+        hits = len(ex[qid] & ap.get(qid, set()))
+        rows.append((int(qid), hits, round(hits / len(ex[qid]), 6)))
+    return pa.table({
+        "query_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_hits": pa.array([r[1] for r in rows], pa.int64()),
+        "recall": pa.array([r[2] for r in rows], pa.float64())})
+
+
 def _q_ohlc_daily_user(sf_dir: str):
     """Daily OHLC bars per user: open/close are the first/last value by
     ts inside each (user, day) — SQL arg_min/arg_max parity; one short
@@ -3059,6 +3113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trend_events_user": _q_trend_events_user,
         "ttr_documents": _q_ttr_documents,
         "benford_orders": _q_benford_orders,
+        "wmedian_events_by_type": _q_wmedian_events_by_type,
         "transition_matrix_events": _q_transition_matrix_events,
         "fuzzy_dup_clusters_documents": _q_fuzzy_dup_clusters,
         "quality_buckets_documents": _q_quality_buckets_documents,
@@ -3131,6 +3186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges_documents": _q_bpe_merges_documents,
         "semdedup_embeddings": _q_semdedup_embeddings,
         "cdc_dedup_documents": _q_cdc_dedup_documents,
+        "knn_recall_embeddings": _q_knn_recall_embeddings,
     }
 
 
@@ -3887,6 +3943,21 @@ def oracle_sql() -> dict[str, str]:
             "floor(log10(o_totalprice)))) AS BIGINT) AS digit, "
             "count(*)::BIGINT AS n FROM orders "
             "WHERE o_totalprice > 0 GROUP BY 1"
+        ),
+        "wmedian_events_by_type": (
+            # lower weighted median: first value whose running weight
+            # (ordered by value) reaches half the group total — the
+            # crossing can only happen inside a tie run, so intra-tie
+            # order never changes the picked value
+            "WITH w AS (SELECT event_type, value AS v, "
+            "(event_id % 7 + 1)::DOUBLE AS wt FROM events "
+            "WHERE value IS NOT NULL), "
+            "c AS (SELECT event_type, v, sum(wt) OVER (PARTITION BY "
+            "event_type ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS cw, "
+            "sum(wt) OVER (PARTITION BY event_type) AS W FROM w) "
+            "SELECT event_type, min(v) AS wmedian FROM c "
+            "WHERE cw >= W / 2.0 GROUP BY 1"
         ),
         "quality_buckets_documents": (
             # fences are quantile_cont over the ROUNDED per-doc scores;

@@ -226,3 +226,92 @@ def write_range_partitioned(ds, col: str, out_dir: str, n_parts: int,
     ds.map_batches(route, batch_format="pyarrow") \
         .write_parquet(out_dir, partition_cols=["part"])
     return fences
+
+
+def write_hash_shards(ds, key: str, out_dir: str, n_shards: int,
+                      resume: bool = True):
+    """Hash-sharded parquet export — the training-data layout: rows land
+    in `out_dir/shard=K/data.parquet` with K = stable_hash64(key) mod
+    n_shards, so shard membership depends ONLY on the key value (stable
+    across runs, partitionings and cluster sizes) and a downstream
+    trainer can stream shards independently.  Returns the manifest as a
+    pyarrow table (shard, rows), also written to `out_dir/_manifest/`.
+
+    Resumable: with `resume=True`, shards whose file already exists are
+    filtered out BEFORE the exchange (a broadcast done-set predicate per
+    batch), so a re-run after a crash moves only the missing shards'
+    rows.  Each shard is written by exactly ONE reduce task (all rows of
+    a shard co-locate through the bucketed exchange), so there are no
+    concurrent writers per file and a shard file is either whole or
+    absent — the property resume relies on."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.hashing import stable_hash64
+    from ..stages.agg import bucketed_apply
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = set()
+    if resume:
+        for k in range(n_shards):
+            if os.path.exists(os.path.join(out_dir, f"shard={k}",
+                                           "data.parquet")):
+                done.add(k)
+
+    def route(batch: pa.Table) -> pa.Table:
+        col = batch[key]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sh = (stable_hash64(col) % np.uint64(n_shards)).astype(np.int64)
+        batch = batch.append_column("__shard", pa.array(sh))
+        if done:
+            keep = ~np.isin(sh, np.fromiter(done, np.int64))
+            batch = batch.filter(pa.array(keep))
+        return batch
+
+    def write_bucket(t: pa.Table) -> pa.Table:
+        # a bucket may hold several shards; write each wholly
+        sh = t["__shard"].to_numpy(zero_copy_only=False)
+        out_rows = []
+        for k in np.unique(sh):
+            part = t.filter(pa.array(sh == k)).drop_columns(["__shard"])
+            d = os.path.join(out_dir, f"shard={int(k)}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, ".data.parquet.tmp")
+            pq.write_table(part, tmp)
+            os.replace(tmp, os.path.join(d, "data.parquet"))
+            out_rows.append((int(k), part.num_rows))
+        return pa.table({
+            "shard": pa.array([r[0] for r in out_rows], pa.int64()),
+            "rows": pa.array([r[1] for r in out_rows], pa.int64())})
+
+    def empty() -> pa.Table:
+        return pa.table({"shard": pa.array([], pa.int64()),
+                         "rows": pa.array([], pa.int64())})
+
+    written = bucketed_apply(
+        ds.map_batches(route, batch_format="pyarrow"),
+        ["__shard"], write_bucket, empty)
+    parts = [b for b in written.iter_batches(batch_size=None,
+                                             batch_format="pyarrow")
+             if b.num_rows]
+    new = pa.concat_tables([p if isinstance(p, pa.Table)
+                            else pa.Table.from_batches([p])
+                            for p in parts]) if parts else empty()
+    # merge with rows of shards skipped this run (from their files)
+    rows_done = []
+    for k in sorted(done):
+        f = os.path.join(out_dir, f"shard={k}", "data.parquet")
+        rows_done.append((k, pq.read_metadata(f).num_rows))
+    full = pa.concat_tables([new, pa.table({
+        "shard": pa.array([r[0] for r in rows_done], pa.int64()),
+        "rows": pa.array([r[1] for r in rows_done], pa.int64())})])
+    full = full.take(pa.compute.sort_indices(
+        full, sort_keys=[("shard", "ascending")]))
+    mdir = os.path.join(out_dir, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    pq.write_table(full, os.path.join(mdir, "manifest.parquet"))
+    return full

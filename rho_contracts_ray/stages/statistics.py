@@ -710,3 +710,61 @@ def first_digit_counts(ds, col: str):
 
     return bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
                         ["digit"], ["n"])
+
+
+def group_weighted_median(ds, key: str, value: str, weight: str,
+                          out_col: str = "wmedian"):
+    """Lower weighted median per group -> Dataset[key, wmedian]: the
+    smallest value whose running weight (ordered by value) reaches half
+    the group's total weight.  The pick is a DATA value, so the SQL
+    oracle (window cumsum + threshold + min) compares value-exact; ties
+    in `value` are safe because the threshold can only be crossed inside
+    a tie run, whose value is the answer regardless of intra-run order.
+    Null values or null/non-positive weights drop first (SQL parity via
+    the WHERE clause).
+
+    One bucketed exchange; the bucket body is one Arrow sort + a
+    segment cumsum + one searchsorted across all key runs — no per-group
+    Python."""
+    from .agg import bucketed_apply
+
+    def body(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.and_(pc.is_valid(t[value]), pc.is_valid(t[weight])),
+                     pc.greater(t[weight], 0))
+        t = t.filter(ok)
+        if t.num_rows == 0:
+            return pa.table({key: pa.array([], t.schema.field(key).type),
+                             out_col: pa.array([], pa.float64())})
+        s = t.take(pc.sort_indices(
+            t, sort_keys=[(key, "ascending"), (value, "ascending")]))
+        from .agg import _run_starts_multi
+        starts = _run_starts_multi(s, [key])
+        w = s[weight].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = s[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = s.num_rows
+        cw = np.cumsum(w)
+        ends = np.append(starts[1:], n)
+        base = np.concatenate(([0.0], cw))[starts]      # cumw before run
+        totals = cw[ends - 1] - base
+        # first index in each group where (cw - base) >= totals / 2 —
+        # one vectorized mask + minimum.at, no per-group loop (the last
+        # row of every group always qualifies, so every pick resolves)
+        k = starts.size
+        lens = ends - starts
+        grp_of_row = np.repeat(np.arange(k, dtype=np.int64), lens)
+        rel = cw - base[grp_of_row]
+        idx = np.flatnonzero(rel >= totals[grp_of_row] / 2.0)
+        pick = np.full(k, n, np.int64)
+        np.minimum.at(pick, grp_of_row[idx], idx)
+        return pa.table({key: s[key].take(pa.array(starts)),
+                         out_col: pa.array(v[pick], pa.float64())})
+
+    def empty() -> pa.Table:
+        sch = ds.schema()
+        ktype = pa.int64()
+        if sch is not None:
+            ktype = {f.name: f.type for f in sch.base_schema}[key]
+        return pa.table({key: pa.array([], ktype),
+                         out_col: pa.array([], pa.float64())})
+
+    return bucketed_apply(ds, [key], body, empty)

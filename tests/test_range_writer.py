@@ -97,3 +97,51 @@ def test_range_writer_deterministic_fences(ray_session, tmp_path):
     f2 = write_range_partitioned(rd.from_arrow(t).repartition(9), "v",
                                  str(tmp_path / "b"), 3)
     assert np.array_equal(f1, f2)   # partitioning-shape invariant
+
+
+def test_hash_shards_complete_deterministic(ray_session, tmp_path):
+    from rho_contracts_ray.sources.io import write_hash_shards
+
+    t = pa.table({"id": pa.array(range(2000), pa.int64()),
+                  "v": pa.array([float(i) * 0.5 for i in range(2000)])})
+    outs = []
+    for i, parts in enumerate((1, 7)):
+        out = str(tmp_path / f"shards{i}")
+        man = write_hash_shards(rd.from_arrow(t).repartition(parts),
+                                "id", out, 8, resume=False)
+        assert int(pa.compute.sum(man["rows"]).as_py()) == 2000
+        per_shard = {}
+        for k in man["shard"].to_pylist():
+            f = os.path.join(out, f"shard={k}", "data.parquet")
+            per_shard[k] = sorted(pq.read_table(f)["id"].to_pylist())
+        outs.append(per_shard)
+        # manifest matches files
+        for k, r in zip(man["shard"].to_pylist(),
+                        man["rows"].to_pylist()):
+            assert len(per_shard[k]) == r
+    # same shard membership regardless of input partitioning
+    assert outs[0] == outs[1]
+    # every row lands exactly once
+    all_ids = sorted(i for s in outs[0].values() for i in s)
+    assert all_ids == list(range(2000))
+
+
+def test_hash_shards_resume_skips(ray_session, tmp_path):
+    from rho_contracts_ray.sources.io import write_hash_shards
+
+    t = pa.table({"id": pa.array(range(500), pa.int64())})
+    out = str(tmp_path / "resume")
+    man1 = write_hash_shards(rd.from_arrow(t), "id", out, 4,
+                             resume=False)
+    # simulate a crash that lost one shard
+    victim = int(man1["shard"][0].as_py())
+    os.remove(os.path.join(out, f"shard={victim}", "data.parquet"))
+    before = {k: os.path.getmtime(
+        os.path.join(out, f"shard={k}", "data.parquet"))
+        for k in man1["shard"].to_pylist() if k != victim}
+    man2 = write_hash_shards(rd.from_arrow(t), "id", out, 4)
+    # full manifest restored, surviving shards untouched
+    assert man2.equals(man1)
+    for k, mt in before.items():
+        assert os.path.getmtime(
+            os.path.join(out, f"shard={k}", "data.parquet")) == mt

@@ -1946,3 +1946,32 @@ def test_first_digit_counts_planted(ray_session):
         # digits: 1, 1, 2, 9, 9 — negatives/zero/null dropped
         assert list(out["digit"]) == [1, 2, 9]
         assert list(out["n"]) == [2, 1, 2]
+
+
+def test_group_weighted_median_planted(ray_session):
+    from rho_contracts_ray.stages.statistics import group_weighted_median
+
+    # group a: values 1..4 weights 1,1,1,10 -> half of 13 is 6.5,
+    # crossing at v=4; group b: equal weights -> lower median 2 of [1,2,3]
+    t = pa.table({
+        "g": pa.array(["a"] * 4 + ["b"] * 3),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 3.0, 1.0, 2.0]),
+        "w": pa.array([1.0, 1.0, 1.0, 10.0, 1.0, 1.0, 1.0]),
+    })
+    for parts in (1, 3):
+        out = group_weighted_median(
+            rd.from_arrow(t).repartition(parts), "g", "v", "w") \
+            .to_pandas().sort_values("g").reset_index(drop=True)
+        assert list(out["wmedian"]) == [4.0, 2.0]
+
+
+def test_group_weighted_median_null_and_nonpositive_weights(ray_session):
+    from rho_contracts_ray.stages.statistics import group_weighted_median
+
+    t = pa.table({"g": pa.array(["a"] * 4),
+                  "v": pa.array([10.0, 1.0, 2.0, None]),
+                  "w": pa.array([0.0, 1.0, 1.0, 5.0])})
+    out = group_weighted_median(rd.from_arrow(t), "g", "v", "w") \
+        .to_pandas()
+    # zero-weight 10.0 and null value drop -> median of {1: 1, 2: 1} = 1
+    assert list(out["wmedian"]) == [1.0]
