@@ -2708,6 +2708,73 @@ def _q_knn_recall_embeddings(sf_dir: str):
         "recall": pa.array([r[2] for r in rows], pa.float64())})
 
 
+def _q_langid_agreement_documents(sf_dir: str):
+    """Label-vs-prediction agreement: rate at which the stopword-argmax
+    lang-ID reproduces the declared `lang` column, grouped by declared
+    language — the sanity check you run before trusting either column at
+    scale.  TextFeaturesStage appends its columns to the input batch, so
+    `lang` rides along; per-batch (lang, match, total) partials cross
+    one tiny exchange.  Integer outputs; the SQL oracle nests the full
+    lang-ID replica query."""
+    from rho_contracts_ray.stages import text_features
+    from rho_contracts_ray.stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang"]).repartition(16)
+    feats = text_features(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.equal(t["lang_id"], t["lang"]), False)
+        tt = pa.table({"lang": t["lang"],
+                       "m": pc.cast(m, pa.int64())})
+        g = tt.group_by(["lang"]).aggregate(
+            [("m", "sum"), ([], "count_all")])
+        return pa.table({"lang": g["lang"],
+                         "n_match": g["m_sum"].cast(pa.int64()),
+                         "n_docs": g["count_all"].cast(pa.int64())})
+
+    return bucketed_sum(feats.map_batches(partial, batch_format="pyarrow"),
+                        ["lang"], ["n_match", "n_docs"])
+
+
+def _q_pct_change_daily_events(sf_dir: str):
+    """Day-over-day percent change of event counts per type: one
+    cardinality-sized aggregate exchange, then the LAG window on the
+    aggregated series (stages/joins.py window_shift) — integer counts,
+    so the ratio rounds identically on both sides."""
+    from rho_contracts_ray.stages.agg import bucketed_sum
+    from rho_contracts_ray.stages.joins import window_shift
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = pc.cast(batch["ts"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = np.floor(us.astype(np.float64) / 86400e6).astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "day": pa.array(day)})
+        g = t.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": g["event_type"], "day": g["day"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    daily = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["event_type", "day"], ["n"])
+    lagged = window_shift(daily, "event_type", ["day"], "n",
+                          periods=1, out_col="prev_n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        pct = pc.round(pc.divide(
+            pc.cast(pc.subtract(t["n"], t["prev_n"]), pa.float64()),
+            pc.cast(t["prev_n"], pa.float64())), ndigits=6)
+        return pa.table({"event_type": t["event_type"], "day": t["day"],
+                         "n": t["n"], "pct_change": pct})
+
+    return lagged.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_ohlc_daily_user(sf_dir: str):
     """Daily OHLC bars per user: open/close are the first/last value by
     ts inside each (user, day) — SQL arg_min/arg_max parity; one short
@@ -3114,6 +3181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttr_documents": _q_ttr_documents,
         "benford_orders": _q_benford_orders,
         "wmedian_events_by_type": _q_wmedian_events_by_type,
+        "langid_agreement_documents": _q_langid_agreement_documents,
+        "pct_change_daily_events": _q_pct_change_daily_events,
         "transition_matrix_events": _q_transition_matrix_events,
         "fuzzy_dup_clusters_documents": _q_fuzzy_dup_clusters,
         "quality_buckets_documents": _q_quality_buckets_documents,
@@ -3943,6 +4012,23 @@ def oracle_sql() -> dict[str, str]:
             "floor(log10(o_totalprice)))) AS BIGINT) AS digit, "
             "count(*)::BIGINT AS n FROM orders "
             "WHERE o_totalprice > 0 GROUP BY 1"
+        ),
+        "langid_agreement_documents": (
+            "SELECT d.lang, "
+            "sum(CASE WHEN qq.lang_id = d.lang THEN 1 ELSE 0 END)"
+            "::BIGINT AS n_match, "
+            "count(*)::BIGINT AS n_docs "
+            "FROM (" + _TEXT_QUALITY_SQL + ") qq "
+            "JOIN documents d USING (doc_id) GROUP BY 1"
+        ),
+        "pct_change_daily_events": (
+            "WITH d AS (SELECT event_type, "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "count(*)::BIGINT AS n FROM events GROUP BY 1, 2) "
+            "SELECT event_type, day, n, "
+            "round((n - lag(n) OVER w)::DOUBLE "
+            "/ (lag(n) OVER w)::DOUBLE, 6) AS pct_change FROM d "
+            "WINDOW w AS (PARTITION BY event_type ORDER BY day)"
         ),
         "wmedian_events_by_type": (
             # lower weighted median: first value whose running weight
