@@ -2775,6 +2775,22 @@ def _q_pct_change_daily_events(sf_dir: str):
     return lagged.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_fuzzy_decontam_documents(sf_dir: str):
+    """Near-duplicate decontamination: flag train docs sharing >= 1
+    MinHash LSH band with the 10% hash-split holdout — the fuzzy
+    complement of decontam_documents (light edits evade exact n-gram
+    overlap).  Holdout band keys build once and broadcast; the train
+    side streams one stateless pass.  LSH has no SQL form — rows-only
+    (deterministic: seeded permutations, hash split)."""
+    from rho_contracts_ray.stages import split_train_holdout
+    from rho_contracts_ray.stages.dedup import fuzzy_decontam
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .repartition(16)
+    train, hold = split_train_holdout(docs, "doc_id", holdout_rate=0.1)
+    return fuzzy_decontam(train, hold)
+
+
 def _q_ohlc_daily_user(sf_dir: str):
     """Daily OHLC bars per user: open/close are the first/last value by
     ts inside each (user, day) — SQL arg_min/arg_max parity; one short
@@ -3256,6 +3272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": _q_semdedup_embeddings,
         "cdc_dedup_documents": _q_cdc_dedup_documents,
         "knn_recall_embeddings": _q_knn_recall_embeddings,
+        "fuzzy_decontam_documents": _q_fuzzy_decontam_documents,
     }
 
 

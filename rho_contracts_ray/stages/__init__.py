@@ -7,7 +7,7 @@ from .text import (  # noqa: F401
     winnowing_fingerprints,
 )
 from .dedup import (  # noqa: F401
-    connected_components, dedup_tumbling, distributed_components,
+    connected_components, fuzzy_decontam, dedup_tumbling, distributed_components,
     exact_dedup, exact_dup_groups, jaccard_dup_pairs, minhash_dup_pairs,
     minhash_signatures, ngram_jaccard, simhash64, simhash_dup_pairs,
 )

@@ -1465,3 +1465,83 @@ def _empty_like_ds(ds) -> pa.Table:
         return pa.table({})
     return pa.table({f.name: pa.array([], f.type)
                      for f in schema.base_schema})
+
+
+class _FuzzyDecontamStage:
+    """Probe stage: the holdout's sorted band-key set ships once per
+    worker via ray.put; each batch signatures its docs (same MinHash
+    permutations — seed-matched) and counts band hits with one
+    searchsorted."""
+
+    def __init__(self, keys_ref, text_col, id_col, num_perm, bands,
+                 k, seed, min_bands):
+        import ray
+
+        self.keys = ray.get(keys_ref[0])
+        self.mh = MinHashStage(text_col=text_col, id_col=id_col,
+                               num_perm=num_perm, k=k, seed=seed)
+        self.bands = bands
+        self.min_bands = min_bands
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = self.mh(batch)
+        if sig.num_rows == 0 or self.keys.size == 0:
+            return pa.table({self.id_col: pa.array([], pa.int64()),
+                             "n_bands_hit": pa.array([], pa.int64())})
+        bk = _band_key_matrix(_sig_matrix(sig), self.bands)
+        flatk = bk.reshape(-1)
+        pos = np.minimum(np.searchsorted(self.keys, flatk),
+                         self.keys.size - 1)
+        hit = self.keys[pos] == flatk
+        nb = hit.reshape(-1, self.bands).sum(axis=1).astype(np.int64)
+        keep = nb >= self.min_bands
+        return pa.table({
+            self.id_col: sig[self.id_col].filter(pa.array(keep)),
+            "n_bands_hit": pa.array(nb[keep])})
+
+
+def fuzzy_decontam(train, holdout, text_col: str = "text",
+                   id_col: str = "doc_id", num_perm: int = 128,
+                   bands: int = 32, k: int = 5, seed: int = 42,
+                   min_bands: int = 1):
+    """NEAR-duplicate decontamination: flag train docs whose MinHash
+    signature shares >= `min_bands` LSH band keys with ANY holdout doc ->
+    Dataset[id, n_bands_hit] (flagged docs only).  The fuzzy complement
+    of `decontaminate_ngrams` — exact n-gram overlap misses light edits
+    (case, punctuation, a few swapped words); banded MinHash catches
+    them with tunable sensitivity (bands/num_perm set the S-curve, the
+    GPT-3-style benchmark-scrub shape).
+
+    Scale shape: the holdout is benchmark-sized BY DEFINITION, so its
+    signatures reduce to one sorted band-key array built on the driver
+    (bands x 8 B per holdout doc) and broadcast ONCE via ray.put; the
+    train corpus streams through a single stateless pass — signature +
+    searchsorted per batch, nothing shuffles, nothing else materializes.
+    Probabilistic recall like any LSH: a true near-dup evades with
+    probability (1 - J^r)^bands; exact copies always flag (their band
+    keys are identical)."""
+    import ray
+
+    from ..validate import stateless_stage
+
+    parts = [b for b in minhash_signatures(
+        holdout, text_col=text_col, id_col=id_col, num_perm=num_perm,
+        k=k, seed=seed).iter_batches(batch_size=None,
+                                     batch_format="pyarrow")
+        if b.num_rows]
+    if parts:
+        sigs = np.concatenate([_band_key_matrix(
+            _sig_matrix(p if isinstance(p, pa.Table)
+                        else pa.Table.from_batches([p])), bands)
+            .reshape(-1) for p in parts])
+        keys = np.unique(sigs)
+    else:
+        keys = np.array([], np.int64)
+    keys_ref = ray.put(keys)
+    return train.map_batches(
+        stateless_stage(_FuzzyDecontamStage, keys_ref=[keys_ref],
+                        text_col=text_col, id_col=id_col,
+                        num_perm=num_perm, bands=bands, k=k, seed=seed,
+                        min_bands=min_bands),
+        batch_format="pyarrow")

@@ -1975,3 +1975,36 @@ def test_group_weighted_median_null_and_nonpositive_weights(ray_session):
         .to_pandas()
     # zero-weight 10.0 and null value drop -> median of {1: 1, 2: 1} = 1
     assert list(out["wmedian"]) == [1.0]
+
+
+def test_fuzzy_decontam_catches_edits_and_self(ray_session):
+    from rho_contracts_ray.stages.dedup import fuzzy_decontam
+
+    hold_txt = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight")
+    near = hold_txt.replace("lazy", "sleepy")          # light edit
+    other = "completely different content about spark window functions"
+    train = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([hold_txt, near, other])})
+    hold = pa.table({"doc_id": pa.array([100], pa.int64()),
+                     "text": pa.array([hold_txt])})
+    out = fuzzy_decontam(rd.from_arrow(train), rd.from_arrow(hold)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    flagged = set(out["doc_id"])
+    assert 1 in flagged                  # exact copy always flags
+    assert 2 in flagged                  # near-dup caught by banding
+    assert 3 not in flagged
+    # exact copy hits every band
+    assert int(out.loc[out["doc_id"] == 1, "n_bands_hit"].iloc[0]) == 32
+
+
+def test_fuzzy_decontam_empty_holdout(ray_session):
+    from rho_contracts_ray.stages.dedup import fuzzy_decontam
+
+    train = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["anything"])})
+    hold = pa.table({"doc_id": pa.array([], pa.int64()),
+                     "text": pa.array([], pa.string())})
+    out = fuzzy_decontam(rd.from_arrow(train), rd.from_arrow(hold))
+    assert out.count() == 0
