@@ -2791,6 +2791,136 @@ def _q_fuzzy_decontam_documents(sf_dir: str):
     return fuzzy_decontam(train, hold)
 
 
+def _q_trigram_paths_events(sf_dir: str):
+    """Sequence mining: top-20 three-step event-type paths across all
+    user streams (t1 -> t2 -> t3, windows within one user ordered by
+    ts/event_id).  One user-bucketed exchange emits per-bucket path
+    partials (bodies are one Arrow sort + two shifted takes), a
+    cardinality-sized exchange sums them, and the top-20 rides the
+    k-per-block global selection — the corpus never sorts.  Ties break
+    (n desc, t1, t2, t3) deterministically on both sides."""
+    import numpy as np
+
+    from rho_contracts_ray.stages.agg import bucketed_apply, bucketed_sum
+    from rho_contracts_ray.stages.topk import global_topk
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def empty() -> pa.Table:
+        return pa.table({"t1": pa.array([], pa.string()),
+                         "t2": pa.array([], pa.string()),
+                         "t3": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+
+    def paths(t: pa.Table) -> pa.Table:
+        s = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        n = s.num_rows
+        if n < 3:
+            return empty()
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        ok = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        idx = np.flatnonzero(ok)
+        if idx.size == 0:
+            return empty()
+        et = s["event_type"]
+        trip = pa.table({"t1": et.take(pa.array(idx)),
+                         "t2": et.take(pa.array(idx + 1)),
+                         "t3": et.take(pa.array(idx + 2))})
+        g = trip.group_by(["t1", "t2", "t3"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"t1": g["t1"], "t2": g["t2"], "t3": g["t3"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    partials = bucketed_apply(ds, ["user_id"], paths, empty)
+    sums = bucketed_sum(partials, ["t1", "t2", "t3"], ["n"])
+    return global_topk(sums, ["n", "t1", "t2", "t3"], 20,
+                       descending=[True, False, False, False])
+
+
+def _q_gap_stats_events_user(sf_dir: str):
+    """Inactivity-gap statistics per user: max / mean gap (seconds)
+    between consecutive events — one bucketed exchange, bodies are one
+    sort + a vectorized diff over user runs.  Gaps are integer
+    microseconds, so the rounded outputs are bit-stable vs SQL."""
+    import numpy as np
+
+    from rho_contracts_ray.stages.agg import bucketed_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_gaps": pa.array([], pa.int64()),
+                         "max_gap_s": pa.array([], pa.float64()),
+                         "avg_gap_s": pa.array([], pa.float64())})
+
+    def body(t: pa.Table) -> pa.Table:
+        s = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")]))
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        us = pc.cast(s["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        n = s.num_rows
+        starts = np.flatnonzero(np.concatenate(
+            ([True], u[1:] != u[:-1])))
+        d = np.diff(us)
+        same = np.ones(n - 1, bool) if n > 1 else np.zeros(0, bool)
+        same[starts[1:] - 1] = False          # cross-user diffs drop
+        grp = (np.searchsorted(starts, np.arange(n - 1),
+                               side="right") - 1)
+        keep = np.flatnonzero(same)
+        if keep.size == 0:
+            return empty()
+        g, dv = grp[keep], d[keep]
+        k = starts.size
+        cnt = np.bincount(g, minlength=k).astype(np.int64)
+        tot = np.bincount(g, weights=dv.astype(np.float64),
+                          minlength=k)
+        mx = np.zeros(k, np.int64)
+        np.maximum.at(mx, g, dv)
+        has = cnt > 0                          # single-event users drop
+        return pa.table({
+            "user_id": s["user_id"].take(pa.array(starts[has])),
+            "n_gaps": pa.array(cnt[has]),
+            "max_gap_s": pa.array(np.round(mx[has] / 1e6, 6)),
+            "avg_gap_s": pa.array(
+                np.round(tot[has] / cnt[has] / 1e6, 6))})
+
+    return bucketed_apply(ds, ["user_id"], body, empty)
+
+
+def _q_hll_error_by_type(sf_dir: str):
+    """Sketch-accuracy evaluation: HLL approximate distinct users per
+    event_type vs the exact distinct count, with the relative error —
+    the calibration you run before trusting the sketch at 10^12 rows.
+    HLL register merge is order-independent, so the estimate is
+    deterministic; no SQL form for the estimate -> rows-only."""
+    import numpy as np
+
+    from rho_contracts_ray.stages.agg import group_approx_distinct
+    from rho_contracts_ray.stages.joins import group_count_distinct
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    approx = group_approx_distinct(ds, "event_type", "user_id") \
+        .to_pandas()
+    exact = group_count_distinct(
+        _read(sf_dir, "events", columns=["event_type", "user_id"]),
+        "event_type", "user_id").to_pandas()
+    # both sides are |event types| rows — the comparison IS the result
+    m = exact.merge(approx, on="event_type", how="inner") \
+        .sort_values("event_type").reset_index(drop=True)
+    ex_v = m["n_distinct"].to_numpy().astype("float64")
+    es_v = m["approx_distinct"].to_numpy().astype("float64")
+    rel = np.round(np.abs(es_v - ex_v) / np.maximum(ex_v, 1.0), 6)
+    return pa.table({"event_type": pa.array(m["event_type"]),
+                     "exact": pa.array(ex_v.astype("int64")),
+                     "estimate": pa.array(es_v.astype("int64")),
+                     "rel_err": pa.array(rel)})
+
+
 def _q_ohlc_daily_user(sf_dir: str):
     """Daily OHLC bars per user: open/close are the first/last value by
     ts inside each (user, day) — SQL arg_min/arg_max parity; one short
@@ -3199,6 +3329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wmedian_events_by_type": _q_wmedian_events_by_type,
         "langid_agreement_documents": _q_langid_agreement_documents,
         "pct_change_daily_events": _q_pct_change_daily_events,
+        "trigram_paths_events": _q_trigram_paths_events,
+        "gap_stats_events_user": _q_gap_stats_events_user,
         "transition_matrix_events": _q_transition_matrix_events,
         "fuzzy_dup_clusters_documents": _q_fuzzy_dup_clusters,
         "quality_buckets_documents": _q_quality_buckets_documents,
@@ -3273,6 +3405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dedup_documents": _q_cdc_dedup_documents,
         "knn_recall_embeddings": _q_knn_recall_embeddings,
         "fuzzy_decontam_documents": _q_fuzzy_decontam_documents,
+        "hll_error_by_type": _q_hll_error_by_type,
     }
 
 
@@ -4029,6 +4162,25 @@ def oracle_sql() -> dict[str, str]:
             "floor(log10(o_totalprice)))) AS BIGINT) AS digit, "
             "count(*)::BIGINT AS n FROM orders "
             "WHERE o_totalprice > 0 GROUP BY 1"
+        ),
+        "trigram_paths_events": (
+            "WITH s AS (SELECT user_id, event_type AS t1, "
+            "lead(event_type, 1) OVER w AS t2, "
+            "lead(event_type, 2) OVER w AS t3 FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "c AS (SELECT t1, t2, t3, count(*)::BIGINT AS n FROM s "
+            "WHERE t3 IS NOT NULL GROUP BY 1, 2, 3) "
+            "SELECT t1, t2, t3, n FROM c "
+            "ORDER BY n DESC, t1, t2, t3 LIMIT 20"
+        ),
+        "gap_stats_events_user": (
+            "WITH d AS (SELECT user_id, epoch_us(ts) "
+            "- lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS g FROM events) "
+            "SELECT user_id, count(g)::BIGINT AS n_gaps, "
+            "round(max(g) / 1000000.0, 6) AS max_gap_s, "
+            "round((sum(g) / count(g)) / 1000000.0, 6) AS avg_gap_s "
+            "FROM d WHERE g IS NOT NULL GROUP BY 1"
         ),
         "langid_agreement_documents": (
             "SELECT d.lang, "
