@@ -2921,6 +2921,39 @@ def _q_hll_error_by_type(sf_dir: str):
                      "rel_err": pa.array(rel)})
 
 
+def _q_mann_kendall_events_user(sf_dir: str):
+    """Mann-Kendall monotone-trend statistic S per user — integer sum of
+    pairwise value-comparison signs in time order, so the SQL self-join
+    oracle compares bit-exact (stages/statistics.py mann_kendall_s; the
+    O(n^2) per-series pass raises loudly past max_group)."""
+    from rho_contracts_ray.stages.statistics import mann_kendall_s
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    return mann_kendall_s(ds, "user_id", ["ts", "event_id"], "value")
+
+
+def _q_cusum_events_user(sf_dir: str):
+    """Integer-exact CUSUM change-point per user: values ride as cents,
+    the statistic D_k = n*cumsum_k - k*total stays integral, so the
+    peak and its FIRST index have no float argmax near-ties
+    (stages/statistics.py cusum_changepoint)."""
+    from rho_contracts_ray.stages.statistics import cusum_changepoint
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(batch["value"], 100.0)),
+                    pa.int64())
+        return pa.table({"user_id": batch["user_id"], "ts": batch["ts"],
+                         "event_id": batch["event_id"], "cents": c})
+
+    return cusum_changepoint(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "user_id", ["ts", "event_id"], "cents")
+
+
 def _q_ohlc_daily_user(sf_dir: str):
     """Daily OHLC bars per user: open/close are the first/last value by
     ts inside each (user, day) — SQL arg_min/arg_max parity; one short
@@ -3331,6 +3364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pct_change_daily_events": _q_pct_change_daily_events,
         "trigram_paths_events": _q_trigram_paths_events,
         "gap_stats_events_user": _q_gap_stats_events_user,
+        "mann_kendall_events_user": _q_mann_kendall_events_user,
+        "cusum_events_user": _q_cusum_events_user,
         "transition_matrix_events": _q_transition_matrix_events,
         "fuzzy_dup_clusters_documents": _q_fuzzy_dup_clusters,
         "quality_buckets_documents": _q_quality_buckets_documents,
@@ -4162,6 +4197,40 @@ def oracle_sql() -> dict[str, str]:
             "floor(log10(o_totalprice)))) AS BIGINT) AS digit, "
             "count(*)::BIGINT AS n FROM orders "
             "WHERE o_totalprice > 0 GROUP BY 1"
+        ),
+        "mann_kendall_events_user": (
+            "WITH p AS (SELECT a.user_id, "
+            "sum(CASE WHEN b.value > a.value THEN 1 "
+            "WHEN b.value < a.value THEN -1 ELSE 0 END)::BIGINT "
+            "AS s_stat FROM events a JOIN events b "
+            "ON a.user_id = b.user_id AND (a.ts < b.ts "
+            "OR (a.ts = b.ts AND a.event_id < b.event_id)) "
+            "GROUP BY 1), "
+            "n AS (SELECT user_id, count(*)::BIGINT AS n_obs "
+            "FROM events GROUP BY 1) "
+            "SELECT n.user_id, coalesce(p.s_stat, 0)::BIGINT AS s_stat, "
+            "n.n_obs FROM n LEFT JOIN p USING (user_id)"
+        ),
+        "cusum_events_user": (
+            # D_k = n*cumsum_k(cents) - k*total is integral: the peak
+            # and its FIRST index are exact, no float-mean argmax ties
+            "WITH c AS (SELECT user_id, ts, event_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "w AS (SELECT user_id, row_number() OVER win AS k, "
+            "sum(cents) OVER win AS cum, "
+            "count(*) OVER (PARTITION BY user_id) AS n, "
+            "sum(cents) OVER (PARTITION BY user_id) AS tot FROM c "
+            "WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), "
+            "d AS (SELECT user_id, k, n * cum - k * tot AS dv, n "
+            "FROM w), "
+            "m AS (SELECT user_id, max(abs(dv)) AS mx FROM d "
+            "GROUP BY 1) "
+            "SELECT d.user_id, min(d.k)::BIGINT AS cp_index, "
+            "arg_min(d.dv, d.k)::BIGINT AS d_max, "
+            "any_value(d.n)::BIGINT AS n_obs "
+            "FROM d JOIN m ON d.user_id = m.user_id "
+            "AND abs(d.dv) = m.mx GROUP BY 1"
         ),
         "trigram_paths_events": (
             "WITH s AS (SELECT user_id, event_type AS t1, "

@@ -768,3 +768,119 @@ def group_weighted_median(ds, key: str, value: str, weight: str,
                          out_col: pa.array([], pa.float64())})
 
     return bucketed_apply(ds, [key], body, empty)
+
+
+def mann_kendall_s(ds, key: str, order_by: Sequence[str], value: str,
+                   max_group: int = 100_000):
+    """Mann-Kendall trend statistic per group -> Dataset[key, s_stat,
+    n_obs]: S = sum over ordered pairs i<j of sign(v_j - v_i) — the
+    standard nonparametric monotone-trend test, integer-valued so the
+    SQL self-join oracle compares bit-exact (double compares, integer
+    sums; NaN-free columns only — numpy and SQL disagree on NaN sign
+    conventions).
+
+    Scale/complexity shape: one bucketed exchange; the body walks each
+    key run with an O(n^2) vectorized pairwise pass (searchsorted over
+    the run's sorted prefix would be O(n log n) but the constant loses
+    below ~10^4 rows/group).  Groups beyond `max_group` rows raise
+    loudly rather than silently burning quadratic time — the same
+    explicit ceiling convention as the fuzzy-dedup stage; long series
+    need a windowed/sampled variant, not a silent stall."""
+    from .agg import bucketed_apply
+
+    order_by = list(order_by)
+    sort_keys = [(key, "ascending")] + [(c, "ascending")
+                 for c in order_by]
+
+    def empty() -> pa.Table:
+        return pa.table({key: pa.array([], pa.int64()),
+                         "s_stat": pa.array([], pa.int64()),
+                         "n_obs": pa.array([], pa.int64())})
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        s = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        kcol = s[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kv = kcol.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], kv[1:] != kv[:-1])))
+        ends = np.append(starts[1:], s.num_rows)
+        v = s[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = ends - starts
+        if int(lens.max()) > max_group:
+            raise ValueError(
+                f"mann_kendall_s: a group has {int(lens.max())} rows "
+                f"(> max_group={max_group}); the O(n^2) pairwise pass "
+                f"would be quadratic — window or sample the series")
+        out_s = np.empty(starts.size, np.int64)
+        for i in range(starts.size):   # per-RUN loop; inner is n^2 numpy
+            seg = v[starts[i]:ends[i]]
+            d = seg[None, :] - seg[:, None]
+            out_s[i] = int(np.sign(np.triu(d, 1)).sum())
+        return pa.table({key: kcol.take(pa.array(starts)),
+                         "s_stat": pa.array(out_s),
+                         "n_obs": pa.array(lens.astype(np.int64))})
+
+    return bucketed_apply(ds, [key], body, empty)
+
+
+def cusum_changepoint(ds, key: str, order_by: Sequence[str],
+                      cents: str):
+    """Integer-exact CUSUM change-point per group ->
+    Dataset[key, cp_index, d_max, n_obs]: with c_1..c_n the group's
+    integer series in `order_by` order, D_k = n * cumsum_k(c) - k * C
+    (C = total) is n times the mean-centered cumulative sum — all
+    integers, so the peak |D_k| and its FIRST index compare bit-exact
+    against the SQL window form (no float mean, no argmax near-ties).
+    Callers pre-scale doubles to integer cents.
+
+    One exchange; the body is one sort + segment cumsum + one
+    vectorized argmax per key run."""
+    from .agg import bucketed_apply
+
+    order_by = list(order_by)
+    sort_keys = [(key, "ascending")] + [(c, "ascending")
+                 for c in order_by]
+
+    def empty() -> pa.Table:
+        return pa.table({key: pa.array([], pa.int64()),
+                         "cp_index": pa.array([], pa.int64()),
+                         "d_max": pa.array([], pa.int64()),
+                         "n_obs": pa.array([], pa.int64())})
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        s = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        kcol = s[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kv = kcol.to_numpy(zero_copy_only=False)
+        n_rows = s.num_rows
+        starts = np.flatnonzero(np.concatenate(
+            ([True], kv[1:] != kv[:-1])))
+        ends = np.append(starts[1:], n_rows)
+        lens = (ends - starts).astype(np.int64)
+        c = s[cents].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = np.repeat(np.arange(starts.size, dtype=np.int64), lens)
+        cw = np.cumsum(c)
+        base = np.concatenate(([0], cw))[starts]
+        cum = cw - base[grp]                       # per-run cumsum
+        tot = cw[ends - 1] - base                  # per-run totals
+        k = np.arange(n_rows, dtype=np.int64) - np.repeat(starts, lens) + 1
+        d = np.repeat(lens, lens) * cum - k * tot[grp]
+        ad = np.abs(d)
+        mx = np.zeros(starts.size, np.int64)
+        np.maximum.at(mx, grp, ad)
+        first = np.full(starts.size, n_rows, np.int64)
+        hit = np.flatnonzero(ad == mx[grp])
+        np.minimum.at(first, grp[hit], hit)
+        return pa.table({key: kcol.take(pa.array(starts)),
+                         "cp_index": pa.array(k[first]),
+                         "d_max": pa.array(d[first]),
+                         "n_obs": pa.array(lens)})
+
+    return bucketed_apply(ds, [key], body, empty)

@@ -2008,3 +2008,52 @@ def test_fuzzy_decontam_empty_holdout(ray_session):
                      "text": pa.array([], pa.string())})
     out = fuzzy_decontam(rd.from_arrow(train), rd.from_arrow(hold))
     assert out.count() == 0
+
+
+def test_mann_kendall_planted(ray_session):
+    from rho_contracts_ray.stages.statistics import mann_kendall_s
+
+    # key 1: strictly increasing 4 values -> S = C(4,2) = 6;
+    # key 2: strictly decreasing 3 -> S = -3; key 3: constant -> 0
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2, 2, 3, 3], pa.int64()),
+        "o": pa.array([1, 2, 3, 4, 1, 2, 3, 1, 2], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0, 9.0, 5.0, 1.0, 7.0, 7.0]),
+    })
+    for parts in (1, 4):
+        out = mann_kendall_s(rd.from_arrow(t).repartition(parts),
+                             "k", ["o"], "v") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        assert list(out["s_stat"]) == [6, -3, 0]
+        assert list(out["n_obs"]) == [4, 3, 2]
+
+
+def test_mann_kendall_group_ceiling_raises(ray_session):
+    import pytest as _pytest
+
+    from rho_contracts_ray.stages.statistics import mann_kendall_s
+
+    t = pa.table({"k": pa.array([1] * 10, pa.int64()),
+                  "o": pa.array(range(10), pa.int64()),
+                  "v": pa.array([float(i) for i in range(10)])})
+    with _pytest.raises(Exception, match="max_group"):
+        mann_kendall_s(rd.from_arrow(t), "k", ["o"], "v",
+                       max_group=5).materialize()
+
+
+def test_cusum_changepoint_planted(ray_session):
+    from rho_contracts_ray.stages.statistics import cusum_changepoint
+
+    # level shift after index 3: [0,0,0,0,10,10,10,10] ->
+    # D_k = n*cum - k*tot peaks (in |.|) at k=4
+    t = pa.table({
+        "k": pa.array([1] * 8, pa.int64()),
+        "o": pa.array(range(8), pa.int64()),
+        "c": pa.array([0, 0, 0, 0, 10, 10, 10, 10], pa.int64()),
+    })
+    for parts in (1, 3):
+        out = cusum_changepoint(rd.from_arrow(t).repartition(parts),
+                                "k", ["o"], "c").to_pandas()
+        assert list(out["cp_index"]) == [4]
+        assert list(out["d_max"]) == [8 * 0 - 4 * 40]   # -160
+        assert list(out["n_obs"]) == [8]
