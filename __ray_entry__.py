@@ -2954,6 +2954,57 @@ def _q_cusum_events_user(sf_dir: str):
         "user_id", ["ts", "event_id"], "cents")
 
 
+def _q_theil_sen_events_user(sf_dir: str):
+    """Theil-Sen robust slope of value over time (days) per user — the
+    median-of-pairwise-slopes estimator, interpolated exactly the way
+    DuckDB's median() does so the self-join SQL oracle agrees at 6-digit
+    rounding (stages/statistics.py theil_sen_slope; loud O(n^2) ceiling)."""
+    from rho_contracts_ray.stages.statistics import theil_sen_slope
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def to_x(batch: pa.Table) -> pa.Table:
+        xs = pc.divide(pc.cast(pc.cast(batch["ts"], pa.int64()),
+                               pa.float64()), 86400000000.0)
+        return pa.table({"user_id": batch["user_id"], "x": xs,
+                         "value": batch["value"]})
+
+    return theil_sen_slope(ds.map_batches(to_x, batch_format="pyarrow"),
+                           "user_id", "x", "value")
+
+
+def _q_bloom_fpr_documents(sf_dir: str):
+    """Bloom-filter calibration: doc-level false-positive rate of the
+    Bloom decontamination path against the exact-gram-set path on the
+    same split — Bloom flags are a proven SUPERSET (pytest), this
+    measures how much.  Flag-id sets are result-sized here; at corpus
+    scale the same comparison is an anti-join.  Deterministic hashes ->
+    rows-only."""
+    from rho_contracts_ray.stages import (
+        decontaminate_ngrams, split_train_holdout)
+
+    def flagged(method: str):
+        docs = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+            .repartition(16)
+        train, hold = split_train_holdout(docs, "doc_id",
+                                          holdout_rate=0.1)
+        out = decontaminate_ngrams(train, hold, n=3, min_shared=1,
+                                   method=method).to_pandas()
+        return set(out["doc_id"]), train
+
+    exact_ids, train = flagged("exact")
+    bloom_ids, _ = flagged("bloom")
+    n_train = train.count()
+    fp = bloom_ids - exact_ids
+    clean = max(n_train - len(exact_ids), 1)
+    return pa.table({
+        "n_train": pa.array([n_train], pa.int64()),
+        "n_flagged_exact": pa.array([len(exact_ids)], pa.int64()),
+        "n_flagged_bloom": pa.array([len(bloom_ids)], pa.int64()),
+        "n_false_pos": pa.array([len(fp)], pa.int64()),
+        "fp_rate": pa.array([round(len(fp) / clean, 6)], pa.float64())})
+
+
 def _q_ohlc_daily_user(sf_dir: str):
     """Daily OHLC bars per user: open/close are the first/last value by
     ts inside each (user, day) — SQL arg_min/arg_max parity; one short
@@ -3366,6 +3417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_stats_events_user": _q_gap_stats_events_user,
         "mann_kendall_events_user": _q_mann_kendall_events_user,
         "cusum_events_user": _q_cusum_events_user,
+        "theil_sen_events_user": _q_theil_sen_events_user,
         "transition_matrix_events": _q_transition_matrix_events,
         "fuzzy_dup_clusters_documents": _q_fuzzy_dup_clusters,
         "quality_buckets_documents": _q_quality_buckets_documents,
@@ -3441,6 +3493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_recall_embeddings": _q_knn_recall_embeddings,
         "fuzzy_decontam_documents": _q_fuzzy_decontam_documents,
         "hll_error_by_type": _q_hll_error_by_type,
+        "bloom_fpr_documents": _q_bloom_fpr_documents,
     }
 
 
@@ -4197,6 +4250,15 @@ def oracle_sql() -> dict[str, str]:
             "floor(log10(o_totalprice)))) AS BIGINT) AS digit, "
             "count(*)::BIGINT AS n FROM orders "
             "WHERE o_totalprice > 0 GROUP BY 1"
+        ),
+        "theil_sen_events_user": (
+            "WITH e AS (SELECT user_id, "
+            "epoch_us(ts) / 86400000000.0 AS x, value FROM events), "
+            "p AS (SELECT a.user_id, "
+            "(b.value - a.value) / (b.x - a.x) AS sl FROM e a "
+            "JOIN e b ON a.user_id = b.user_id AND b.x > a.x) "
+            "SELECT user_id, round(median(sl), 6) AS ts_slope, "
+            "count(*)::BIGINT AS n_pairs FROM p GROUP BY 1"
         ),
         "mann_kendall_events_user": (
             "WITH p AS (SELECT a.user_id, "

@@ -884,3 +884,67 @@ def cusum_changepoint(ds, key: str, order_by: Sequence[str],
                          "n_obs": pa.array(lens)})
 
     return bucketed_apply(ds, [key], body, empty)
+
+
+def theil_sen_slope(ds, key: str, x: str, value: str,
+                    max_group: int = 20_000, ndigits: int = 6):
+    """Theil-Sen robust slope per group -> Dataset[key, ts_slope,
+    n_pairs]: the median of all pairwise slopes (v_j - v_i)/(x_j - x_i)
+    over pairs with x_j > x_i — the estimator that shrugs off the
+    outliers OLS chases.  The median interpolates exactly the way
+    DuckDB's quantile_cont does (lo + frac*(hi - lo) at rn = 0.5*(n-1)),
+    so the SQL self-join oracle agrees at `ndigits` rounding.
+
+    Same loud O(n^2) ceiling convention as mann_kendall_s (`max_group`);
+    one bucketed exchange, per-run vectorized pairwise slopes."""
+    from .agg import bucketed_apply
+
+    def empty() -> pa.Table:
+        return pa.table({key: pa.array([], pa.int64()),
+                         "ts_slope": pa.array([], pa.float64()),
+                         "n_pairs": pa.array([], pa.int64())})
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        s = t.take(pc.sort_indices(t, sort_keys=[
+            (key, "ascending"), (x, "ascending")]))
+        kcol = s[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kv = kcol.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], kv[1:] != kv[:-1])))
+        ends = np.append(starts[1:], s.num_rows)
+        if int((ends - starts).max()) > max_group:
+            raise ValueError(
+                f"theil_sen_slope: a group has {int((ends-starts).max())}"
+                f" rows (> max_group={max_group}); the O(n^2) pairwise "
+                f"pass would be quadratic — window or sample the series")
+        xs = s[x].to_numpy(zero_copy_only=False).astype(np.float64)
+        vs = s[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        out_sl = np.full(starts.size, np.nan)
+        out_np = np.zeros(starts.size, np.int64)
+        for i in range(starts.size):   # per-RUN loop; inner is n^2 numpy
+            sx, sv = xs[starts[i]:ends[i]], vs[starts[i]:ends[i]]
+            dx = sx[None, :] - sx[:, None]
+            dv = sv[None, :] - sv[:, None]
+            m = np.triu(dx, 1) > 0      # strictly increasing x only
+            slopes = np.sort(dv[m] / dx[m])
+            out_np[i] = slopes.size
+            if slopes.size:
+                # DuckDB quantile_cont form: rn = q*(n-1), two-sided
+                # weights (ceil(rn)-rn)*v[floor] + (rn-floor(rn))*v[ceil]
+                rn = 0.5 * (slopes.size - 1)
+                lo = int(np.floor(rn))
+                hi = int(np.ceil(rn))
+                med = slopes[lo] if hi == lo else \
+                    (hi - rn) * slopes[lo] + (rn - lo) * slopes[hi]
+                out_sl[i] = np.round(med, ndigits)
+        keep = out_np > 0               # groups with no valid pair drop
+        return pa.table({
+            key: kcol.take(pa.array(starts[keep])),
+            "ts_slope": pa.array(out_sl[keep], pa.float64()),
+            "n_pairs": pa.array(out_np[keep])})
+
+    return bucketed_apply(ds, [key], body, empty)

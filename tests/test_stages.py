@@ -2057,3 +2057,41 @@ def test_cusum_changepoint_planted(ray_session):
         assert list(out["cp_index"]) == [4]
         assert list(out["d_max"]) == [8 * 0 - 4 * 40]   # -160
         assert list(out["n_obs"]) == [8]
+
+
+def test_theil_sen_planted(ray_session):
+    from rho_contracts_ray.stages.statistics import theil_sen_slope
+
+    # key 1: perfect line v = 3x + 1 -> slope exactly 3 (all pairs);
+    # key 2: one wild outlier barely moves the median
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2, 2, 2, 2], pa.int64()),
+        "x": pa.array([0.0, 1.0, 2.0, 3.0, 0.0, 1.0, 2.0, 3.0, 4.0]),
+        "v": pa.array([1.0, 4.0, 7.0, 10.0, 0.0, 1.0, 2.0, 3.0, 100.0]),
+    })
+    for parts in (1, 3):
+        out = theil_sen_slope(rd.from_arrow(t).repartition(parts),
+                              "k", "x", "v") \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        assert out.loc[0, "ts_slope"] == 3.0
+        assert out.loc[0, "n_pairs"] == 6
+        assert out.loc[1, "n_pairs"] == 10
+        assert out.loc[1, "ts_slope"] == 1.0   # median resists outlier
+
+
+def test_theil_sen_ties_and_ceiling(ray_session):
+    import pytest as _pytest
+
+    from rho_contracts_ray.stages.statistics import theil_sen_slope
+
+    # equal-x pairs are excluded; a group with ONLY tied x drops
+    t = pa.table({"k": pa.array([1, 1], pa.int64()),
+                  "x": pa.array([2.0, 2.0]),
+                  "v": pa.array([1.0, 9.0])})
+    assert theil_sen_slope(rd.from_arrow(t), "k", "x", "v").count() == 0
+    big = pa.table({"k": pa.array([1] * 9, pa.int64()),
+                    "x": pa.array([float(i) for i in range(9)]),
+                    "v": pa.array([float(i) for i in range(9)])})
+    with _pytest.raises(Exception, match="max_group"):
+        theil_sen_slope(rd.from_arrow(big), "k", "x", "v",
+                        max_group=5).materialize()
