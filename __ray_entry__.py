@@ -3005,6 +3005,81 @@ def _q_bloom_fpr_documents(sf_dir: str):
         "fp_rate": pa.array([round(len(fp) / clean, 6)], pa.float64())})
 
 
+def _q_chi2_lang_source_documents(sf_dir: str):
+    """Chi-square independence test for lang x source (+ Cramér's V):
+    the contingency table reduces to |langs| x |sources| integer cells
+    through one exchange, the statistic finishes on that tiny table
+    (cells sorted before summing for a deterministic float order).
+    Integer cells make the SQL parity exact to summation noise far
+    below the 6-digit rounding."""
+    import numpy as np
+
+    from rho_contracts_ray.stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"lang": g["lang"], "source": g["source"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    cells = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["lang", "source"], ["n"]).to_pandas() \
+        .sort_values(["lang", "source"]).reset_index(drop=True)
+    piv = cells.pivot_table(index="lang", columns="source", values="n",
+                            fill_value=0, aggfunc="sum").sort_index()
+    obs = piv.to_numpy().astype(np.float64)
+    n = obs.sum()
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        chi2 = np.where(exp > 0, (obs - exp) ** 2 / exp, 0.0).sum()
+    r, c = (obs.sum(1) > 0).sum(), (obs.sum(0) > 0).sum()
+    dof = max((r - 1) * (c - 1), 1)
+    v = float(np.sqrt(chi2 / (n * min(r - 1, c - 1)))) \
+        if min(r, c) > 1 and n > 0 else 0.0
+    return pa.table({
+        "n": pa.array([int(n)], pa.int64()),
+        "dof": pa.array([int(dof)], pa.int64()),
+        "chi2": pa.array([round(float(chi2), 6)], pa.float64()),
+        "cramers_v": pa.array([round(v, 6)], pa.float64())})
+
+
+def _q_trending_types_daily_events(sf_dir: str):
+    """Trending: top-3 event types per day by count (ties by type asc) —
+    the daily aggregate is cardinality-sized, then the existing
+    segment-vectorized per-group top-k takes over."""
+    import numpy as np
+
+    from rho_contracts_ray.stages.agg import bucketed_sum
+    from rho_contracts_ray.stages.joins import top_k_per_group
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = np.floor(us.astype(np.float64) / 86400e6).astype(np.int64)
+        t = pa.table({"day": pa.array(day),
+                      "event_type": batch["event_type"]})
+        g = t.group_by(["day", "event_type"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"day": g["day"], "event_type": g["event_type"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    daily = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["day", "event_type"], ["n"])
+
+    def neg(t: pa.Table) -> pa.Table:   # descending n, ascending type
+        return t.append_column("neg_n", pc.multiply(t["n"], -1))
+
+    top = top_k_per_group(daily.map_batches(neg, batch_format="pyarrow"),
+                          "day", ["neg_n", "event_type"], 3,
+                          descending=False)
+    return top.map_batches(
+        lambda t: t.drop_columns(["neg_n"]), batch_format="pyarrow")
+
+
 def _q_ohlc_daily_user(sf_dir: str):
     """Daily OHLC bars per user: open/close are the first/last value by
     ts inside each (user, day) — SQL arg_min/arg_max parity; one short
@@ -3418,6 +3493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall_events_user": _q_mann_kendall_events_user,
         "cusum_events_user": _q_cusum_events_user,
         "theil_sen_events_user": _q_theil_sen_events_user,
+        "chi2_lang_source_documents": _q_chi2_lang_source_documents,
+        "trending_types_daily_events": _q_trending_types_daily_events,
         "transition_matrix_events": _q_transition_matrix_events,
         "fuzzy_dup_clusters_documents": _q_fuzzy_dup_clusters,
         "quality_buckets_documents": _q_quality_buckets_documents,
@@ -4250,6 +4327,39 @@ def oracle_sql() -> dict[str, str]:
             "floor(log10(o_totalprice)))) AS BIGINT) AS digit, "
             "count(*)::BIGINT AS n FROM orders "
             "WHERE o_totalprice > 0 GROUP BY 1"
+        ),
+        "chi2_lang_source_documents": (
+            "WITH c AS (SELECT lang, source, count(*)::BIGINT AS n "
+            "FROM documents GROUP BY 1, 2), "
+            "tot AS (SELECT sum(n)::DOUBLE AS N, "
+            "count(DISTINCT lang)::BIGINT AS r, "
+            "count(DISTINCT source)::BIGINT AS cc FROM c), "
+            "rt AS (SELECT lang, sum(n)::DOUBLE AS rn FROM c GROUP BY 1), "
+            "ct AS (SELECT source, sum(n)::DOUBLE AS cn FROM c GROUP BY 1), "
+            # zero OBSERVED cells still contribute (0-e)^2/e = e: build
+            # the full margin cross product, not just the present rows
+            "x AS (SELECT rt.lang, ct.source, "
+            "coalesce(c.n, 0)::DOUBLE AS o, "
+            "rt.rn * ct.cn / tot.N AS e FROM rt CROSS JOIN ct "
+            "LEFT JOIN c ON c.lang = rt.lang AND c.source = ct.source, "
+            "tot) "
+            "SELECT CAST(tot.N AS BIGINT) AS n, "
+            "((tot.r - 1) * (tot.cc - 1))::BIGINT AS dof, "
+            "round((SELECT sum((o - e) * (o - e) / e) FROM x), 6) "
+            "AS chi2, "
+            "round(sqrt((SELECT sum((o - e) * (o - e) / e) FROM x) "
+            "/ (tot.N * least(tot.r - 1, tot.cc - 1))), 6) "
+            "AS cramers_v FROM tot"
+        ),
+        "trending_types_daily_events": (
+            "WITH d AS (SELECT "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "event_type, count(*)::BIGINT AS n FROM events "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT day, event_type, n, row_number() OVER "
+            "(PARTITION BY day ORDER BY n DESC, event_type) AS rk "
+            "FROM d) "
+            "SELECT day, event_type, n FROM r WHERE rk <= 3"
         ),
         "theil_sen_events_user": (
             "WITH e AS (SELECT user_id, "
