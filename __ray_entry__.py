@@ -3371,6 +3371,59 @@ def _q_pca_embeddings(sf_dir: str):
     return pca_project(ds, comps, mean)
 
 
+def _q_spearman_events_by_type(sf_dir: str):
+    """Spearman rank correlation of value vs event time per event type —
+    tie-aware fractional ranks (SQL: RANK() + (COUNT(*) OVER (PARTITION
+    BY type, x) - 1)/2.0 into corr()); ranks are exact halves so the
+    moment sums agree with DuckDB far below 6-digit rounding
+    (stages/statistics.py spearman_rho)."""
+    from rho_contracts_ray.stages.statistics import spearman_rho
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def to_x(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "x": pc.cast(pc.cast(batch["ts"], pa.int64()), pa.float64()),
+            "value": batch["value"]})
+
+    return spearman_rho(ds.map_batches(to_x, batch_format="pyarrow"),
+                        "event_type", "x", "value")
+
+
+def _q_autocorr_events_user(sf_dir: str):
+    """Lag-1 autocorrelation of value per user in (ts, event_id) order —
+    corr(value, lag(value)) with the first row of each user dropped;
+    users with < 2 lag pairs omitted (SQL HAVING parity)
+    (stages/statistics.py autocorr_lag1)."""
+    from rho_contracts_ray.stages.statistics import autocorr_lag1
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    return autocorr_lag1(ds, "user_id", ["ts", "event_id"], "value")
+
+
+def _q_gini_orders_priority(sf_dir: str):
+    """Gini concentration of order value inside each order priority —
+    integer-exact in cents (numerator / denominator match the SQL
+    ROW_NUMBER form exactly; only the final division sees floats)
+    (stages/statistics.py gini_coefficient)."""
+    from rho_contracts_ray.stages.statistics import gini_coefficient
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderpriority", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], 100.0)), pa.int64())})
+
+    return gini_coefficient(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "o_orderpriority", "cents")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rho_contracts_ray.pipelines import tpch as _tpch
 
@@ -3494,6 +3547,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_events_user": _q_cusum_events_user,
         "theil_sen_events_user": _q_theil_sen_events_user,
         "chi2_lang_source_documents": _q_chi2_lang_source_documents,
+        "spearman_events_by_type": _q_spearman_events_by_type,
+        "autocorr_events_user": _q_autocorr_events_user,
+        "gini_orders_priority": _q_gini_orders_priority,
         "trending_types_daily_events": _q_trending_types_daily_events,
         "transition_matrix_events": _q_transition_matrix_events,
         "fuzzy_dup_clusters_documents": _q_fuzzy_dup_clusters,
@@ -4369,6 +4425,41 @@ def oracle_sql() -> dict[str, str]:
             "JOIN e b ON a.user_id = b.user_id AND b.x > a.x) "
             "SELECT user_id, round(median(sl), 6) AS ts_slope, "
             "count(*)::BIGINT AS n_pairs FROM p GROUP BY 1"
+        ),
+        "spearman_events_by_type": (
+            # tie-aware fractional ranks: rank + (cnt_eq - 1)/2
+            "WITH f AS (SELECT event_type, "
+            "CAST(epoch_us(ts) AS DOUBLE) AS x, value AS y FROM events "
+            "WHERE ts IS NOT NULL AND value IS NOT NULL), "
+            "r AS (SELECT event_type, "
+            "rank() OVER (PARTITION BY event_type ORDER BY x) "
+            "+ (count(*) OVER (PARTITION BY event_type, x) - 1) / 2.0 "
+            "AS rx, "
+            "rank() OVER (PARTITION BY event_type ORDER BY y) "
+            "+ (count(*) OVER (PARTITION BY event_type, y) - 1) / 2.0 "
+            "AS ry FROM f) "
+            "SELECT event_type, count(*)::BIGINT AS n_obs, "
+            "round(corr(rx, ry), 6) AS rho FROM r GROUP BY 1"
+        ),
+        "autocorr_events_user": (
+            "WITH w AS (SELECT user_id, value, "
+            "lag(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS pv FROM events) "
+            "SELECT user_id, count(*)::BIGINT AS n_pairs, "
+            "round(corr(pv, value), 6) AS acf1 FROM w "
+            "WHERE pv IS NOT NULL GROUP BY 1 HAVING count(*) >= 2"
+        ),
+        "gini_orders_priority": (
+            "WITH c AS (SELECT o_orderpriority, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+            "FROM orders), "
+            "r AS (SELECT o_orderpriority, cents, row_number() OVER "
+            "(PARTITION BY o_orderpriority ORDER BY cents) AS i FROM c) "
+            "SELECT o_orderpriority, count(*)::BIGINT AS n_obs, "
+            "round(CAST(2 * sum(i * cents) "
+            "- (count(*) + 1) * sum(cents) AS DOUBLE) "
+            "/ CAST(count(*) * sum(cents) AS DOUBLE), 6) AS gini "
+            "FROM r GROUP BY 1"
         ),
         "mann_kendall_events_user": (
             "WITH p AS (SELECT a.user_id, "

@@ -948,3 +948,195 @@ def theil_sen_slope(ds, key: str, x: str, value: str,
             "n_pairs": pa.array(out_np[keep])})
 
     return bucketed_apply(ds, [key], body, empty)
+
+
+def spearman_rho(ds, key: str, x: str, y: str, ndigits: int = 6):
+    """Spearman rank correlation per group -> Dataset[key, n_obs, rho]:
+    Pearson correlation of the FRACTIONAL (average-for-ties) ranks of x
+    and y inside each group — the standard tie-aware Spearman, matching
+    the SQL window form `RANK() + (COUNT(*) OVER (PARTITION BY key, x)
+    - 1)/2.0` fed into corr().  Rows where either column is null drop
+    first (SQL `WHERE x IS NOT NULL AND y IS NOT NULL`).
+
+    Ranks are exact halves (k or k+0.5), so the moment sums stay exact
+    far beyond `ndigits` rounding for any realistic group size; groups
+    with n < 2 or zero rank variance emit a null rho (DuckDB corr()
+    parity).  One bucketed exchange; the body is one sort + per-run
+    O(n log n) ranking — no quadratic pass."""
+    from .agg import bucketed_apply
+
+    def empty() -> pa.Table:
+        return pa.table({key: pa.array([], pa.string()),
+                         "n_obs": pa.array([], pa.int64()),
+                         "rho": pa.array([], pa.float64())})
+
+    def _avg_ranks(seg: np.ndarray) -> np.ndarray:
+        # average rank: cnt_less + (cnt_eq + 1)/2, 1-based
+        order = np.argsort(seg, kind="stable")
+        _, inv, cnt = np.unique(seg[order], return_inverse=True,
+                                return_counts=True)
+        ends = np.cumsum(cnt).astype(np.float64)
+        avg = ends - (cnt - 1) / 2.0          # avg rank of each distinct
+        r = np.empty(seg.size, np.float64)
+        r[order] = avg[inv]
+        return r
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        ok = pc.and_(pc.is_valid(t[x]), pc.is_valid(t[y]))
+        t = t.filter(ok)
+        if t.num_rows == 0:
+            return empty()
+        s = t.take(pc.sort_indices(t, sort_keys=[(key, "ascending")]))
+        kcol = s[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kv = kcol.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], kv[1:] != kv[:-1])))
+        ends = np.append(starts[1:], s.num_rows)
+        xs = s[x].to_numpy(zero_copy_only=False).astype(np.float64)
+        ys = s[y].to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = (ends - starts).astype(np.int64)
+        rho = np.full(starts.size, np.nan)
+        for i in range(starts.size):       # per-RUN; inner is n log n
+            a, b = starts[i], ends[i]
+            n = b - a
+            if n < 2:
+                continue
+            rx, ry = _avg_ranks(xs[a:b]), _avg_ranks(ys[a:b])
+            sx, sy = rx.sum(), ry.sum()
+            cov = n * (rx * ry).sum() - sx * sy
+            vx = n * (rx * rx).sum() - sx * sx
+            vy = n * (ry * ry).sum() - sy * sy
+            if vx > 0 and vy > 0:
+                rho[i] = np.round(cov / np.sqrt(vx * vy), ndigits)
+        return pa.table({
+            key: kcol.take(pa.array(starts)),
+            "n_obs": pa.array(ns),
+            "rho": pa.array([None if np.isnan(v) else float(v)
+                             for v in rho], pa.float64())})
+
+    return bucketed_apply(ds, [key], body, empty)
+
+
+def autocorr_lag1(ds, key: str, order_by: Sequence[str], value: str,
+                  ndigits: int = 6):
+    """Lag-1 autocorrelation per group -> Dataset[key, n_pairs, acf1]:
+    sample Pearson correlation between each value and its predecessor in
+    `order_by` order — exactly `corr(value, lag(value) OVER (PARTITION
+    BY key ORDER BY order_by))` with the first row of each group dropped
+    (its lag is NULL).  Groups with fewer than 2 lag pairs are omitted
+    (matching the SQL HAVING); zero-variance pairs emit null acf1.
+
+    One bucketed exchange; the body is one sort + segment-vectorized
+    reduceat sums — no per-group python loop."""
+    from .agg import bucketed_apply
+
+    order_by = list(order_by)
+    sort_keys = [(key, "ascending")] + [(c, "ascending")
+                 for c in order_by]
+
+    def empty() -> pa.Table:
+        return pa.table({key: pa.array([], pa.int64()),
+                         "n_pairs": pa.array([], pa.int64()),
+                         "acf1": pa.array([], pa.float64())})
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        s = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        kcol = s[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kv = kcol.to_numpy(zero_copy_only=False)
+        n_rows = s.num_rows
+        starts = np.flatnonzero(np.concatenate(
+            ([True], kv[1:] != kv[:-1])))
+        lens = np.diff(np.append(starts, n_rows))
+        v = s[value].to_numpy(zero_copy_only=False).astype(np.float64)
+        # lag pairs: every position that is not a run start
+        is_start = np.zeros(n_rows, bool)
+        is_start[starts] = True
+        idx = np.flatnonzero(~is_start)
+        xs, ys = v[idx - 1], v[idx]            # (prev, cur) pairs
+        grp = np.repeat(np.arange(starts.size), lens)[idx]
+        # pairs are already grouped-contiguous -> reduceat per run
+        pair_starts = np.flatnonzero(np.concatenate(
+            ([True], grp[1:] != grp[:-1]))) if idx.size else \
+            np.array([], np.int64)
+        gids = grp[pair_starts] if idx.size else np.array([], np.int64)
+        def rsum(a):
+            return np.add.reduceat(a, pair_starts) if idx.size else \
+                np.array([], np.float64)
+        n = np.diff(np.append(pair_starts, idx.size)).astype(np.float64)
+        sx, sy = rsum(xs), rsum(ys)
+        sxx, syy, sxy = rsum(xs * xs), rsum(ys * ys), rsum(xs * ys)
+        keep = n >= 2
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = n * sxy - sx * sy
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            acf = cov / np.sqrt(vx * vy)
+        acf = np.where((vx > 0) & (vy > 0), np.round(acf, ndigits),
+                       np.nan)
+        gk, nn, aa = gids[keep], n[keep].astype(np.int64), acf[keep]
+        return pa.table({
+            key: kcol.take(pa.array(starts[gk])),
+            "n_pairs": pa.array(nn),
+            "acf1": pa.array([None if np.isnan(a) else float(a)
+                              for a in aa], pa.float64())})
+
+    return bucketed_apply(ds, [key], body, empty)
+
+
+def gini_coefficient(ds, key: str, cents: str, ndigits: int = 6):
+    """Gini concentration coefficient per group -> Dataset[key, n_obs,
+    gini]: with the group's non-negative integer series x_1<=...<=x_n
+    sorted ascending, G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)).
+    Every term is integer (callers pre-scale money to cents), so the
+    numerator/denominator match the SQL ROW_NUMBER window form exactly
+    and only the final division sees floats — bit-stable at `ndigits`
+    rounding regardless of summation order (ties are interchangeable in
+    sum(i*x_i)).  Groups with sum(x) == 0 emit null.
+
+    One bucketed exchange; the body is one sort + reduceat — fully
+    vectorized across runs."""
+    from .agg import bucketed_apply
+
+    def empty() -> pa.Table:
+        return pa.table({key: pa.array([], pa.string()),
+                         "n_obs": pa.array([], pa.int64()),
+                         "gini": pa.array([], pa.float64())})
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        s = t.take(pc.sort_indices(t, sort_keys=[
+            (key, "ascending"), (cents, "ascending")]))
+        kcol = s[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kv = kcol.to_numpy(zero_copy_only=False)
+        n_rows = s.num_rows
+        starts = np.flatnonzero(np.concatenate(
+            ([True], kv[1:] != kv[:-1])))
+        lens = np.diff(np.append(starts, n_rows)).astype(np.int64)
+        c = s[cents].to_numpy(zero_copy_only=False).astype(np.int64)
+        i_in_run = (np.arange(n_rows, dtype=np.int64)
+                    - np.repeat(starts, lens) + 1)
+        six = np.add.reduceat(i_in_run * c, starts)
+        sx = np.add.reduceat(c, starts)
+        num = 2 * six - (lens + 1) * sx
+        den = lens * sx
+        with np.errstate(invalid="ignore", divide="ignore"):
+            g = np.round(num.astype(np.float64) / den.astype(np.float64),
+                         ndigits)
+        return pa.table({
+            key: kcol.take(pa.array(starts)),
+            "n_obs": pa.array(lens),
+            "gini": pa.array([None if d == 0 else float(v)
+                              for v, d in zip(g, den)], pa.float64())})
+
+    return bucketed_apply(ds, [key], body, empty)

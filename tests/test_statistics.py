@@ -576,3 +576,91 @@ def test_winsorize_and_moments_property_random_tables(ray_session):
                                         rel_tol=1e-6, abs_tol=1e-6)
 
     check()
+
+
+def test_spearman_ties_and_edges(ray_session):
+    from rho_contracts_ray.stages.statistics import spearman_rho
+
+    t = pa.table({
+        "g": ["a"] * 5 + ["b"] * 3 + ["c"] + ["d"] * 4,
+        # a: perfectly monotone with ties in x; b: anti-monotone;
+        # c: single row (null rho); d: zero variance in y (null rho)
+        "x": [1.0, 2.0, 2.0, 3.0, 4.0, 1.0, 2.0, 3.0, 9.0,
+              1.0, 2.0, 3.0, 4.0],
+        "y": [10.0, 20.0, 25.0, 30.0, 40.0, 3.0, 2.0, 1.0, 7.0,
+              5.0, 5.0, 5.0, 5.0]})
+    out = _collect(spearman_rho(rd.from_arrow(t), "g", "x", "y")) \
+        .sort_by([("g", "ascending")])
+    got = {g: (n, r) for g, n, r in zip(
+        out["g"].to_pylist(), out["n_obs"].to_pylist(),
+        out["rho"].to_pylist())}
+    assert got["b"] == (3, -1.0)
+    assert got["c"] == (1, None)
+    assert got["d"] == (4, None)
+    n, rho_a = got["a"]
+    assert n == 5
+    # scipy-free check: ranks x = 1, 2.5, 2.5, 4, 5; y = 1..5
+    rx = np.array([1.0, 2.5, 2.5, 4.0, 5.0])
+    ry = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    expect = np.corrcoef(rx, ry)[0, 1]
+    assert rho_a == pytest.approx(expect, abs=1e-6)
+
+
+def test_spearman_null_rows_dropped(ray_session):
+    from rho_contracts_ray.stages.statistics import spearman_rho
+
+    t = pa.table({
+        "g": ["a"] * 4,
+        "x": pa.array([1.0, None, 3.0, 4.0], pa.float64()),
+        "y": pa.array([1.0, 2.0, None, 4.0], pa.float64())})
+    out = _collect(spearman_rho(rd.from_arrow(t), "g", "x", "y"))
+    assert out["n_obs"].to_pylist() == [2]
+    assert out["rho"].to_pylist() == [1.0]
+
+
+def test_autocorr_lag1_known_series(ray_session):
+    from rho_contracts_ray.stages.statistics import autocorr_lag1
+
+    # alternating series -> strong negative lag-1 correlation
+    n = 20
+    alt = [float(i % 2) for i in range(n)]
+    t = pa.table({
+        "u": pa.array([1] * n + [2] * 1 + [3] * 2, pa.int64()),
+        "o": pa.array(list(range(n)) + [0] + [0, 1], pa.int64()),
+        "v": pa.array(alt + [5.0] + [1.0, 2.0], pa.float64())})
+    out = _collect(autocorr_lag1(rd.from_arrow(t), "u", ["o"], "v")) \
+        .sort_by([("u", "ascending")])
+    # u=2 has no pair, u=3 has one pair -> both dropped (HAVING >= 2)
+    assert out["u"].to_pylist() == [1]
+    prev, cur = np.array(alt[:-1]), np.array(alt[1:])
+    expect = np.corrcoef(prev, cur)[0, 1]
+    assert out["acf1"].to_pylist()[0] == pytest.approx(expect, abs=1e-6)
+    assert out["n_pairs"].to_pylist() == [n - 1]
+
+
+def test_autocorr_constant_series_null(ray_session):
+    from rho_contracts_ray.stages.statistics import autocorr_lag1
+
+    t = pa.table({
+        "u": pa.array([7] * 5, pa.int64()),
+        "o": pa.array(range(5), pa.int64()),
+        "v": pa.array([3.0] * 5, pa.float64())})
+    out = _collect(autocorr_lag1(rd.from_arrow(t), "u", ["o"], "v"))
+    assert out["n_pairs"].to_pylist() == [4]
+    assert out["acf1"].to_pylist() == [None]
+
+
+def test_gini_known_values(ray_session):
+    from rho_contracts_ray.stages.statistics import gini_coefficient
+
+    t = pa.table({
+        "g": ["eq"] * 4 + ["one"] * 4 + ["zero"] * 2,
+        "cents": pa.array([5, 5, 5, 5,      # equal -> 0
+                           0, 0, 0, 100,    # one-takes-all, n=4 -> 0.75
+                           0, 0], pa.int64())})
+    out = _collect(gini_coefficient(rd.from_arrow(t), "g", "cents")) \
+        .sort_by([("g", "ascending")])
+    got = dict(zip(out["g"].to_pylist(), out["gini"].to_pylist()))
+    assert got["eq"] == 0.0
+    assert got["one"] == pytest.approx(0.75)
+    assert got["zero"] is None   # sum == 0 -> undefined
