@@ -3424,6 +3424,225 @@ def _q_gini_orders_priority(sf_dir: str):
         "o_orderpriority", "cents")
 
 
+def _q_scd2_customer_status(sf_dir: str):
+    """Type-2 SCD history of each customer's order status: consecutive
+    same-status runs in (date, orderkey) order collapse to validity
+    intervals [valid_from, valid_to) in epoch micros (null valid_to for
+    the open run) — the gaps-and-islands build every warehouse dimension
+    pipeline needs (stages/joins.py collapse_runs)."""
+    from rho_contracts_ray.stages.joins import collapse_runs
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderstatus", "o_orderdate",
+                        "o_orderkey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "o_orderstatus": batch["o_orderstatus"],
+            "d": pc.cast(batch["o_orderdate"], pa.int64()),
+            "k": batch["o_orderkey"]})
+
+    return collapse_runs(ds.map_batches(prep, batch_format="pyarrow"),
+                         "o_custkey", ["d", "k"], "o_orderstatus", "d") \
+        .map_batches(lambda t: t.rename_columns(
+            ["o_custkey", "o_orderstatus", "valid_from", "valid_to",
+             "n_orders"]), batch_format="pyarrow")
+
+
+def _q_reconcile_orders_lineitem(sf_dir: str):
+    """Cross-table reconciliation constraint: per order, the integer-cent
+    sum of its lineitem extended prices vs the order header total,
+    rolled up per order status — n_orders / n_no_lines / n_mismatch /
+    sum_abs_delta_cents, all integer-exact.  The header-vs-detail audit
+    every financial warehouse runs; lineitem partials reduce per batch
+    before the exchange, the header join rides the bucketed exchange."""
+    from rho_contracts_ray.stages.agg import bucketed_sum
+    from rho_contracts_ray.stages.joins import bucketed_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey",
+                                            "l_extendedprice"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch["l_extendedprice"], 100.0)), pa.int64())
+        t = pa.table({"o_orderkey": batch["l_orderkey"], "lsum": cents})
+        g = t.group_by(["o_orderkey"]).aggregate([("lsum", "sum")])
+        return g.rename_columns(["o_orderkey", "lsum"])
+
+    lsums = bucketed_sum(li.map_batches(li_partial,
+                                        batch_format="pyarrow"),
+                         ["o_orderkey"], ["lsum"])
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus",
+                            "o_totalprice"])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_orderstatus": batch["o_orderstatus"],
+            "ocents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], 100.0)), pa.int64())})
+
+    joined = bucketed_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"), lsums,
+        on=["o_orderkey"],
+        left_cols=["o_orderkey", "o_orderstatus", "ocents"],
+        right_cols=["o_orderkey", "lsum"], how="left")
+
+    def roll(batch: pa.Table) -> pa.Table:
+        has = pc.is_valid(batch["lsum"])
+        delta = pc.subtract(batch["ocents"],
+                            pc.fill_null(batch["lsum"], 0))
+        mismatch = pc.and_(has, pc.not_equal(delta, 0))
+        absd = pc.if_else(has, pc.abs(delta), pa.scalar(0, pa.int64()))
+        t = pa.table({
+            "o_orderstatus": batch["o_orderstatus"],
+            "n_orders": pa.array(np.ones(batch.num_rows, np.int64)),
+            "n_no_lines": pc.cast(pc.invert(has), pa.int64()),
+            "n_mismatch": pc.cast(mismatch, pa.int64()),
+            "sum_abs_delta_cents": absd})
+        g = t.group_by(["o_orderstatus"]).aggregate(
+            [("n_orders", "sum"), ("n_no_lines", "sum"),
+             ("n_mismatch", "sum"), ("sum_abs_delta_cents", "sum")])
+        return g.rename_columns(["o_orderstatus", "n_orders",
+                                 "n_no_lines", "n_mismatch",
+                                 "sum_abs_delta_cents"])
+
+    return bucketed_sum(joined.map_batches(roll, batch_format="pyarrow"),
+                        ["o_orderstatus"],
+                        ["n_orders", "n_no_lines", "n_mismatch",
+                         "sum_abs_delta_cents"])
+
+
+def _q_rolling7_distinct_users(sf_dir: str):
+    """7-day rolling distinct active users per day: distinct (user, day)
+    pairs fan out to the 7 window-days they count toward, dedup again,
+    then a per-day count — COUNT(DISTINCT) over a sliding window without
+    ever co-locating a day's raw events.  Exchange volume is 7x the
+    (user, day) DISTINCT cardinality, not 7x the event count; the output
+    keeps only days observed in the data (broadcast semi join)."""
+    import numpy as np
+
+    from rho_contracts_ray.stages.agg import bucketed_sum
+    from rho_contracts_ray.stages.joins import semi_join
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_user_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor(us.astype(np.float64) / 86400e6).astype(np.int64)
+        t = pa.table({"user_id": batch["user_id"],
+                      "day": pa.array(day)})
+        g = t.group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        return pa.table({"user_id": g["user_id"], "day": g["day"],
+                         "one": pa.array(
+                             np.ones(g.num_rows, np.int64))})
+
+    user_day = bucketed_sum(
+        ds.map_batches(to_user_day, batch_format="pyarrow"),
+        ["user_id", "day"], ["one"])
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        day = batch["day"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        wday = (day[:, None] + np.arange(7)).reshape(-1)
+        t = pa.table({"user_id": pa.array(np.repeat(uid, 7)),
+                      "wday": pa.array(wday)})
+        g = t.group_by(["user_id", "wday"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"user_id": g["user_id"], "wday": g["wday"],
+                         "one": pa.array(
+                             np.ones(g.num_rows, np.int64))})
+
+    user_wday = bucketed_sum(
+        user_day.map_batches(fan_out, batch_format="pyarrow"),
+        ["user_id", "wday"], ["one"])
+
+    def per_day(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["wday"]).aggregate([([], "count_all")])
+        return pa.table({"day": g["wday"],
+                         "n_users": g["count_all"].cast(pa.int64())})
+
+    counts = bucketed_sum(
+        user_wday.map_batches(per_day, batch_format="pyarrow"),
+        ["day"], ["n_users"])
+    # keep only days that actually occur (the fan-out invents up to 6
+    # trailing days past the corpus end) — reduce to the tiny distinct-day
+    # table BEFORE anything reaches the driver
+    def day_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["day"]).aggregate([([], "count_all")])
+        return pa.table({"day": g["day"],
+                         "one": g["count_all"].cast(pa.int64())})
+
+    days = _collect(bucketed_sum(
+        user_day.map_batches(day_partial, batch_format="pyarrow"),
+        ["day"], ["one"])).column("day")
+    return semi_join(counts, pa.table({"day": days}), ["day"])
+
+
+def _q_topshare_revenue_customers(sf_dir: str):
+    """Revenue concentration: share of total order revenue captured by
+    the top 1% / top 10% of customers (by revenue, ties by custkey) —
+    integer-cent sums end to end, floats only in the final two shares.
+    Per-customer totals reduce on the bucketed exchange; the top slice
+    rides global_topk (k rows per block move, not the aggregate); the
+    k = ceil(p*n) cut matches the SQL ROW_NUMBER form exactly.  Scale
+    ceiling (documented): the top-10% slice materializes k rows."""
+    import math
+
+    from rho_contracts_ray.stages.agg import bucketed_sum
+    from rho_contracts_ray.stages.topk import global_topk
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey",
+                                              "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            batch["o_totalprice"], 100.0)), pa.int64())
+        t = pa.table({"o_custkey": batch["o_custkey"], "cents": cents})
+        g = t.group_by(["o_custkey"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    per_cust = bucketed_sum(
+        orders.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], ["cents"])
+
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n": pa.array([batch.num_rows], pa.int64()),
+            "tot": pa.array([pc.sum(batch["cents"]).as_py() or 0],
+                            pa.int64())})
+
+    tots = _collect(per_cust.map_batches(tot_partial,
+                                         batch_format="pyarrow"))
+    n = int(pc.sum(tots["n"]).as_py() or 0)
+    total = int(pc.sum(tots["tot"]).as_py() or 0)
+    if n == 0:
+        return pa.table({"n_customers": pa.array([0], pa.int64()),
+                         "total_cents": pa.array([0], pa.int64()),
+                         "top1_cents": pa.array([0], pa.int64()),
+                         "top10_cents": pa.array([0], pa.int64()),
+                         "top1_share": pa.array([None], pa.float64()),
+                         "top10_share": pa.array([None], pa.float64())})
+    k1, k10 = math.ceil(0.01 * n), math.ceil(0.10 * n)
+    top = _collect(global_topk(per_cust, ["cents", "o_custkey"], k10,
+                               descending=[True, False]))
+    top = top.take(pc.sort_indices(top, sort_keys=[
+        ("cents", "descending"), ("o_custkey", "ascending")]))
+    cv = top["cents"].to_numpy(zero_copy_only=False)
+    c1, c10 = int(cv[:k1].sum()), int(cv.sum())
+    return pa.table({
+        "n_customers": pa.array([n], pa.int64()),
+        "total_cents": pa.array([total], pa.int64()),
+        "top1_cents": pa.array([c1], pa.int64()),
+        "top10_cents": pa.array([c10], pa.int64()),
+        "top1_share": pa.array([round(c1 / total, 6)], pa.float64()),
+        "top10_share": pa.array([round(c10 / total, 6)], pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rho_contracts_ray.pipelines import tpch as _tpch
 
@@ -3550,6 +3769,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_events_by_type": _q_spearman_events_by_type,
         "autocorr_events_user": _q_autocorr_events_user,
         "gini_orders_priority": _q_gini_orders_priority,
+        "scd2_customer_status": _q_scd2_customer_status,
+        "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
+        "rolling7_distinct_users": _q_rolling7_distinct_users,
+        "topshare_revenue_customers": _q_topshare_revenue_customers,
         "trending_types_daily_events": _q_trending_types_daily_events,
         "transition_matrix_events": _q_transition_matrix_events,
         "fuzzy_dup_clusters_documents": _q_fuzzy_dup_clusters,
@@ -4460,6 +4683,66 @@ def oracle_sql() -> dict[str, str]:
             "- (count(*) + 1) * sum(cents) AS DOUBLE) "
             "/ CAST(count(*) * sum(cents) AS DOUBLE), 6) AS gini "
             "FROM r GROUP BY 1"
+        ),
+        "scd2_customer_status": (
+            "WITH o AS (SELECT o_custkey, o_orderstatus AS s, "
+            "epoch_us(o_orderdate) AS d, o_orderkey AS k FROM orders), "
+            "m AS (SELECT *, CASE WHEN lag(s) OVER w IS DISTINCT FROM s "
+            "THEN 1 ELSE 0 END AS chg FROM o "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY d, k)), "
+            "g AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey "
+            "ORDER BY d, k ROWS UNBOUNDED PRECEDING) AS grp FROM m), "
+            "r AS (SELECT o_custkey, grp, any_value(s) AS o_orderstatus, "
+            "min(d) AS valid_from, count(*)::BIGINT AS n_orders "
+            "FROM g GROUP BY o_custkey, grp) "
+            "SELECT o_custkey, o_orderstatus, valid_from, "
+            "lead(valid_from) OVER (PARTITION BY o_custkey "
+            "ORDER BY grp) AS valid_to, n_orders FROM r"
+        ),
+        "reconcile_orders_lineitem": (
+            "WITH l AS (SELECT l_orderkey AS o_orderkey, "
+            "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS lsum "
+            "FROM lineitem GROUP BY 1), "
+            "j AS (SELECT o.o_orderstatus, "
+            "CAST(round(o.o_totalprice * 100) AS BIGINT) AS ocents, "
+            "l.lsum FROM orders o LEFT JOIN l USING (o_orderkey)) "
+            "SELECT o_orderstatus, count(*)::BIGINT AS n_orders, "
+            "sum(CASE WHEN lsum IS NULL THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_no_lines, "
+            "sum(CASE WHEN lsum IS NOT NULL AND ocents != lsum "
+            "THEN 1 ELSE 0 END)::BIGINT AS n_mismatch, "
+            "sum(CASE WHEN lsum IS NULL THEN 0 "
+            "ELSE abs(ocents - lsum) END)::BIGINT "
+            "AS sum_abs_delta_cents FROM j GROUP BY 1"
+        ),
+        "rolling7_distinct_users": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day "
+            "FROM events), "
+            "days AS (SELECT DISTINCT day FROM ud) "
+            "SELECT w.day, count(DISTINCT u.user_id)::BIGINT AS n_users "
+            "FROM days w JOIN ud u "
+            "ON u.day BETWEEN w.day - 6 AND w.day GROUP BY 1"
+        ),
+        "topshare_revenue_customers": (
+            "WITH pc AS (SELECT o_custkey, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "r AS (SELECT cents, row_number() OVER "
+            "(ORDER BY cents DESC, o_custkey) AS i FROM pc), "
+            "t AS (SELECT count(*)::BIGINT AS n, "
+            "sum(cents)::BIGINT AS total FROM pc) "
+            "SELECT t.n AS n_customers, t.total AS total_cents, "
+            "(SELECT sum(cents) FROM r WHERE i <= ceil(0.01 * t.n))"
+            "::BIGINT AS top1_cents, "
+            "(SELECT sum(cents) FROM r WHERE i <= ceil(0.10 * t.n))"
+            "::BIGINT AS top10_cents, "
+            "round((SELECT sum(cents) FROM r "
+            "WHERE i <= ceil(0.01 * t.n)) / CAST(t.total AS DOUBLE), 6) "
+            "AS top1_share, "
+            "round((SELECT sum(cents) FROM r "
+            "WHERE i <= ceil(0.10 * t.n)) / CAST(t.total AS DOUBLE), 6) "
+            "AS top10_share FROM t"
         ),
         "mann_kendall_events_user": (
             "WITH p AS (SELECT a.user_id, "

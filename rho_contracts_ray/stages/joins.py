@@ -1264,3 +1264,66 @@ def longest_streak(ds, key: str, order_by: Sequence[str], value: str):
                          "n_runs": pa.array(cnt)})
 
     return bucketed_apply(ds, [key], body, lambda: _empty_out(ds, body))
+
+
+def collapse_runs(ds, key: str, order_by: Sequence[str], value: str,
+                  ts_col: str):
+    """SCD2 interval build (gaps-and-islands): collapse consecutive runs
+    of equal `value` per key in `order_by` order into validity intervals
+    -> Dataset[key, value, valid_from, valid_to, n_rows], where
+    valid_from is `ts_col` at the run's first row and valid_to is the
+    NEXT run's valid_from inside the same key (null for the key's last
+    run) — the type-2 slowly-changing-dimension history every warehouse
+    derives from a change log.  Matches the SQL lag-flag + windowed-sum
+    island numbering with lead(valid_from) ordered by island index.
+
+    One bucketed exchange on `key`; the body is one sort + vectorized
+    run detection — no per-group python."""
+    from .agg import bucketed_apply
+
+    order_by = list(order_by)
+    sort_keys = [(key, "ascending")] + [(c, "ascending")
+                 for c in order_by]
+
+    def empty() -> pa.Table:
+        return pa.table({key: pa.array([], pa.int64()),
+                         value: pa.array([], pa.string()),
+                         "valid_from": pa.array([], pa.int64()),
+                         "valid_to": pa.array([], pa.int64()),
+                         "n_rows": pa.array([], pa.int64())})
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        s = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        kcol, vcol = s[key], s[value]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        kv = kcol.to_numpy(zero_copy_only=False)
+        vv = vcol.to_numpy(zero_copy_only=False)
+        k_chg = np.concatenate(([True], kv[1:] != kv[:-1]))
+        v_chg = np.concatenate(([True], vv[1:] != vv[:-1]))
+        starts = np.flatnonzero(k_chg | v_chg)
+        lens = np.diff(np.append(starts, s.num_rows)).astype(np.int64)
+        from_vals = s[ts_col].take(pa.array(starts))
+        if isinstance(from_vals, pa.ChunkedArray):
+            from_vals = from_vals.combine_chunks()
+        # valid_to = next run's valid_from iff the next run shares the key
+        run_keys = kv[starts]
+        same_key_next = np.concatenate(
+            (run_keys[1:] == run_keys[:-1], [False]))
+        fv = from_vals.to_numpy(zero_copy_only=False)
+        to_vals = np.empty(starts.size, object)
+        to_vals[:-1] = fv[1:]
+        to_vals[-1] = None
+        to_vals[~same_key_next] = None
+        return pa.table({
+            key: kcol.take(pa.array(starts)),
+            value: vcol.take(pa.array(starts)),
+            "valid_from": from_vals,
+            "valid_to": pa.array(to_vals.tolist(), from_vals.type),
+            "n_rows": pa.array(lens)})
+
+    return bucketed_apply(ds, [key], body, empty)

@@ -929,3 +929,47 @@ def test_longest_streak_equal_and_null_break(ray_session):
     # equal breaks, null breaks both sides -> runs [1,1,1,1]
     assert list(out["max_streak"]) == [1]
     assert list(out["n_runs"]) == [4]
+
+
+def test_collapse_runs_scd2_semantics(ray_session):
+    from rho_contracts_ray.stages.joins import collapse_runs
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "o": pa.array([10, 20, 30, 40, 10, 20, 10], pa.int64()),
+        "s": ["A", "A", "B", "A", "B", "B", "C"],
+    })
+    ds = rd.from_arrow(t)
+    out = pa.concat_tables(
+        [b for b in collapse_runs(ds, "k", ["o"], "s", "o")
+         .iter_batches(batch_size=None, batch_format="pyarrow")
+         if b.num_rows]).sort_by([("k", "ascending"),
+                                  ("valid_from", "ascending")])
+    rows = list(zip(out["k"].to_pylist(), out["s"].to_pylist(),
+                    out["valid_from"].to_pylist(),
+                    out["valid_to"].to_pylist(),
+                    out["n_rows"].to_pylist()))
+    assert rows == [
+        (1, "A", 10, 30, 2),   # run closes at the NEXT run's start
+        (1, "B", 30, 40, 1),
+        (1, "A", 40, None, 1),  # re-appearing value opens a NEW interval
+        (2, "B", 10, None, 2),  # single-run key: open-ended
+        (3, "C", 10, None, 1),
+    ]
+
+
+def test_collapse_runs_key_boundary_no_leak(ray_session):
+    """valid_to must NOT leak across keys even when the next bucket row
+    belongs to a different key with an earlier timestamp."""
+    from rho_contracts_ray.stages.joins import collapse_runs
+
+    t = pa.table({
+        "k": pa.array([5, 9], pa.int64()),
+        "o": pa.array([100, 1], pa.int64()),
+        "s": ["X", "X"],
+    })
+    out = pa.concat_tables(
+        [b for b in collapse_runs(rd.from_arrow(t), "k", ["o"], "s", "o")
+         .iter_batches(batch_size=None, batch_format="pyarrow")
+         if b.num_rows]).sort_by([("k", "ascending")])
+    assert out["valid_to"].to_pylist() == [None, None]
