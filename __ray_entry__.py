@@ -3643,6 +3643,91 @@ def _q_topshare_revenue_customers(sf_dir: str):
         "top10_share": pa.array([round(c10 / total, 6)], pa.float64())})
 
 
+def _q_conversion_lag_events(sf_dir: str):
+    """Click-to-purchase conversion lag per user: first click, first
+    purchase strictly after it, gap in seconds (6dp) — non-converting
+    users omitted (SQL inner-join parity).  Only the two event types
+    ride the exchange (stages/statistics.py conversion_lag)."""
+    from rho_contracts_ray.stages.statistics import conversion_lag
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    out = conversion_lag(ds, "user_id", "ts", "event_type",
+                         "click", "purchase")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "from_us": t["from_us"],
+            "to_us": t["to_us"],
+            "lag_s": pc.round(pc.divide(pc.cast(t["lag_us"],
+                                                pa.float64()),
+                                        1e6), 6)})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_key_skew_report_events(sf_dir: str):
+    """Partitioning-diagnostics report over the events fact: per-user row
+    counts reduce on the exchange, then a single summary row — key count,
+    min/max/avg group size, and how many keys exceed 2x the mean (the
+    hot keys a salting strategy would target).  Integer counts end to
+    end; only the rounded mean sees floats."""
+    import numpy as np
+
+    from rho_contracts_ray.stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["user_id"]).aggregate([([], "count_all")])
+        return pa.table({"user_id": g["user_id"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    per_key = bucketed_sum(ds.map_batches(partial,
+                                          batch_format="pyarrow"),
+                           ["user_id"], ["n"])
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n_keys": pa.array([n.size], pa.int64()),
+            "n_rows": pa.array([int(n.sum())], pa.int64()),
+            "min_sz": pa.array([int(n.min()) if n.size else 0],
+                               pa.int64()),
+            "max_sz": pa.array([int(n.max()) if n.size else 0],
+                               pa.int64())})
+
+    parts = _collect(per_key.map_batches(summarize,
+                                         batch_format="pyarrow"))
+    n_keys = int(pc.sum(parts["n_keys"]).as_py() or 0)
+    n_rows = int(pc.sum(parts["n_rows"]).as_py() or 0)
+    if n_keys == 0:
+        return pa.table({"n_keys": pa.array([0], pa.int64()),
+                         "n_rows": pa.array([0], pa.int64()),
+                         "min_sz": pa.array([None], pa.int64()),
+                         "max_sz": pa.array([None], pa.int64()),
+                         "avg_sz": pa.array([None], pa.float64()),
+                         "n_hot": pa.array([0], pa.int64())})
+    mn = int(pc.min(parts["min_sz"]).as_py())
+    mx = int(pc.max(parts["max_sz"]).as_py())
+    # hot = keys with > 2x the mean rows (the integer-exact predicate
+    # n * n_keys > 2 * n_rows avoids float threshold ties)
+    def hot(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"h": pa.array(
+            [int((n * n_keys > 2 * n_rows).sum())], pa.int64())})
+
+    n_hot = int(pc.sum(_collect(per_key.map_batches(
+        hot, batch_format="pyarrow"))["h"]).as_py() or 0)
+    return pa.table({
+        "n_keys": pa.array([n_keys], pa.int64()),
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "min_sz": pa.array([mn], pa.int64()),
+        "max_sz": pa.array([mx], pa.int64()),
+        "avg_sz": pa.array([round(n_rows / n_keys, 6)], pa.float64()),
+        "n_hot": pa.array([n_hot], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rho_contracts_ray.pipelines import tpch as _tpch
 
@@ -3770,6 +3855,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_events_user": _q_autocorr_events_user,
         "gini_orders_priority": _q_gini_orders_priority,
         "scd2_customer_status": _q_scd2_customer_status,
+        "conversion_lag_events": _q_conversion_lag_events,
+        "key_skew_report_events": _q_key_skew_report_events,
         "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
         "rolling7_distinct_users": _q_rolling7_distinct_users,
         "topshare_revenue_customers": _q_topshare_revenue_customers,
@@ -4683,6 +4770,29 @@ def oracle_sql() -> dict[str, str]:
             "- (count(*) + 1) * sum(cents) AS DOUBLE) "
             "/ CAST(count(*) * sum(cents) AS DOUBLE), 6) AS gini "
             "FROM r GROUP BY 1"
+        ),
+        "conversion_lag_events": (
+            "WITH c AS (SELECT user_id, min(epoch_us(ts)) AS from_us "
+            "FROM events WHERE event_type = 'click' GROUP BY 1), "
+            "p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS to_us "
+            "FROM events e JOIN c ON e.user_id = c.user_id "
+            "WHERE e.event_type = 'purchase' "
+            "AND epoch_us(e.ts) > c.from_us GROUP BY 1) "
+            "SELECT c.user_id, c.from_us, p.to_us, "
+            "round((p.to_us - c.from_us) / 1000000.0, 6) AS lag_s "
+            "FROM c JOIN p USING (user_id)"
+        ),
+        "key_skew_report_events": (
+            "WITH k AS (SELECT user_id, count(*)::BIGINT AS n "
+            "FROM events GROUP BY 1), "
+            "t AS (SELECT count(*)::BIGINT AS n_keys, "
+            "sum(n)::BIGINT AS n_rows, min(n)::BIGINT AS min_sz, "
+            "max(n)::BIGINT AS max_sz FROM k) "
+            "SELECT t.n_keys, t.n_rows, t.min_sz, t.max_sz, "
+            "round(CAST(t.n_rows AS DOUBLE) / t.n_keys, 6) AS avg_sz, "
+            "(SELECT count(*) FROM k, t "
+            "WHERE k.n * t.n_keys > 2 * t.n_rows)::BIGINT AS n_hot "
+            "FROM t"
         ),
         "scd2_customer_status": (
             "WITH o AS (SELECT o_custkey, o_orderstatus AS s, "

@@ -57,6 +57,7 @@ from .joins import collapse_runs, longest_streak  # noqa: F401
 from .rank import sorted_prefix_sum  # noqa: F401
 from .text import type_token_ratio, vocab_growth  # noqa: F401
 from .statistics import (  # noqa: F401
-    autocorr_lag1, cusum_changepoint, first_digit_counts, gini_coefficient,
-    group_weighted_median, mann_kendall_s, spearman_rho, theil_sen_slope,
+    autocorr_lag1, conversion_lag, cusum_changepoint, first_digit_counts,
+    gini_coefficient, group_weighted_median, mann_kendall_s, spearman_rho,
+    theil_sen_slope,
 )

@@ -1140,3 +1140,65 @@ def gini_coefficient(ds, key: str, cents: str, ndigits: int = 6):
                               for v, d in zip(g, den)], pa.float64())})
 
     return bucketed_apply(ds, [key], body, empty)
+
+
+def conversion_lag(ds, key: str, ts: str, type_col: str,
+                   from_type: str, to_type: str):
+    """Time-to-convert per key -> Dataset[key, from_us, to_us, lag_us]:
+    the FIRST `from_type` event's timestamp, the first `to_type` event
+    STRICTLY after it, and their gap in micros; keys that never convert
+    are omitted (SQL inner-join parity).  Rows of other types are
+    filtered before the exchange, so the shuffle moves only the two
+    event types.
+
+    One bucketed exchange; the body is one sort + masked reduceat-min
+    per run — no per-group python."""
+    from .agg import bucketed_apply
+
+    def empty() -> pa.Table:
+        return pa.table({key: pa.array([], pa.int64()),
+                         "from_us": pa.array([], pa.int64()),
+                         "to_us": pa.array([], pa.int64()),
+                         "lag_us": pa.array([], pa.int64())})
+
+    def pre(batch: pa.Table) -> pa.Table:
+        m = pc.is_in(batch[type_col],
+                     value_set=pa.array([from_type, to_type]))
+        t = batch.filter(m)
+        return pa.table({key: t[key],
+                         "us": pc.cast(t[ts], pa.int64()),
+                         type_col: t[type_col]})
+
+    slim = ds.map_batches(pre, batch_format="pyarrow")
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        s = t.take(pc.sort_indices(t, sort_keys=[
+            (key, "ascending"), ("us", "ascending")]))
+        kcol = s[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kv = kcol.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], kv[1:] != kv[:-1])))
+        us = s["us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_from = pc.equal(s[type_col], from_type) \
+            .to_numpy(zero_copy_only=False)
+        BIG = np.iinfo(np.int64).max
+        f = np.where(is_from, us, BIG)
+        first_from = np.minimum.reduceat(f, starts)
+        grp = np.repeat(np.arange(starts.size), np.diff(
+            np.append(starts, s.num_rows)))
+        # first to_type strictly after the key's first from_type
+        is_to_after = (~is_from) & (us > first_from[grp])
+        g2 = np.where(is_to_after, us, BIG)
+        first_to = np.minimum.reduceat(g2, starts)
+        keep = (first_from < BIG) & (first_to < BIG)
+        return pa.table({
+            key: kcol.take(pa.array(starts[keep])),
+            "from_us": pa.array(first_from[keep]),
+            "to_us": pa.array(first_to[keep]),
+            "lag_us": pa.array(first_to[keep] - first_from[keep])})
+
+    return bucketed_apply(slim, [key], body, empty)

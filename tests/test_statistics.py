@@ -664,3 +664,35 @@ def test_gini_known_values(ray_session):
     assert got["eq"] == 0.0
     assert got["one"] == pytest.approx(0.75)
     assert got["zero"] is None   # sum == 0 -> undefined
+
+
+def test_conversion_lag_strictly_after(ray_session):
+    from rho_contracts_ray.stages.statistics import conversion_lag
+
+    TS = pa.timestamp("us")
+    rows = [
+        # u1: click@10, purchase@10 (same instant -> NOT counted),
+        #     purchase@25 -> lag 15
+        (1, 10, "click"), (1, 10, "purchase"), (1, 25, "purchase"),
+        # u2: purchase BEFORE first click only -> no conversion
+        (2, 5, "purchase"), (2, 9, "click"),
+        # u3: click only
+        (3, 7, "click"),
+        # u4: purchase only
+        (4, 3, "purchase"),
+        # u5: two clicks, purchase between them -> first click wins
+        (5, 10, "click"), (5, 20, "purchase"), (5, 15, "click"),
+        # noise type must be ignored
+        (1, 11, "view"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], TS),
+        "event_type": [r[2] for r in rows]})
+    out = _collect(conversion_lag(rd.from_arrow(t), "user_id", "ts",
+                                  "event_type", "click", "purchase")) \
+        .sort_by([("user_id", "ascending")])
+    assert out["user_id"].to_pylist() == [1, 5]
+    assert out["from_us"].to_pylist() == [10, 10]
+    assert out["to_us"].to_pylist() == [25, 20]
+    assert out["lag_us"].to_pylist() == [15, 10]
