@@ -3728,6 +3728,44 @@ def _q_key_skew_report_events(sf_dir: str):
         "n_hot": pa.array([n_hot], pa.int64())})
 
 
+def _q_max_concurrent_sessions(sf_dir: str):
+    """Peak simultaneous sessions across all users (+ the first instant
+    it is reached): session intervals build inside the per-user bucket
+    task, then the +1/-1 sweep runs as a day-routed distributed prefix
+    scan whose driver fold sees ONE summary row per day
+    (stages/skew.py session_intervals / max_concurrent_intervals)."""
+    from rho_contracts_ray.stages.skew import (max_concurrent_intervals,
+                                               session_intervals)
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    iv = session_intervals(ds, "user_id", "ts", gap_seconds=1800)
+    return max_concurrent_intervals(iv)
+
+
+def _q_connected_components_parts(sf_dir: str):
+    """Connected components of the part co-occurrence graph (comp = the
+    smallest part key in the component): Shiloach-Vishkin in one task
+    below the edge limit, BSP min-label propagation on the pinned edge
+    buckets beyond — node-scale tables per round, edges shuffle once
+    (stages/graph.py connected_components)."""
+    from rho_contracts_ray.stages.graph import (connected_components,
+                                                cooccurrence_edges)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    # restrict to parts ≡ 0 mod 5: the ORACLE's transitive closure is
+    # quadratic in component size (72 s on the full sf0.01 graph, 0.5 s
+    # here); the distributed side has no such limit
+    def keep_mod5(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(p % 5 == 0))
+
+    li = li.map_batches(keep_mod5, batch_format="pyarrow")
+    # min-label ignores multiplicity: skip the global edge dedup
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               distinct=False)
+    return connected_components(edges)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rho_contracts_ray.pipelines import tpch as _tpch
 
@@ -3856,6 +3894,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_orders_priority": _q_gini_orders_priority,
         "scd2_customer_status": _q_scd2_customer_status,
         "conversion_lag_events": _q_conversion_lag_events,
+        "max_concurrent_sessions_events": _q_max_concurrent_sessions,
+        "connected_components_parts": _q_connected_components_parts,
         "key_skew_report_events": _q_key_skew_report_events,
         "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
         "rolling7_distinct_users": _q_rolling7_distinct_users,
@@ -4771,6 +4811,28 @@ def oracle_sql() -> dict[str, str]:
             "/ CAST(count(*) * sum(cents) AS DOUBLE), 6) AS gini "
             "FROM r GROUP BY 1"
         ),
+        "max_concurrent_sessions_events": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+            "m AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL "
+            "OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END "
+            "AS new_s FROM e WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY us)), "
+            "s AS (SELECT user_id, us, sum(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY us "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+            "iv AS (SELECT user_id, sid, min(us) AS s_us, "
+            "max(us) AS e_us FROM s GROUP BY 1, 2), "
+            "d AS (SELECT s_us AS ts, 1 AS delta FROM iv "
+            "UNION ALL SELECT e_us, -1 FROM iv), "
+            "r AS (SELECT ts, sum(delta) OVER "
+            "(ORDER BY ts, delta DESC ROWS UNBOUNDED PRECEDING) "
+            "AS cur FROM d), "
+            "mx AS (SELECT max(cur)::BIGINT AS m FROM r) "
+            "SELECT (SELECT count(*) FROM iv)::BIGINT AS n_intervals, "
+            "mx.m AS max_concurrent, "
+            "(SELECT min(ts) FROM r WHERE cur = mx.m)::BIGINT AS at_us "
+            "FROM mx"
+        ),
         "conversion_lag_events": (
             "WITH c AS (SELECT user_id, min(epoch_us(ts)) AS from_us "
             "FROM events WHERE event_type = 'click' GROUP BY 1), "
@@ -5348,6 +5410,26 @@ def oracle_sql() -> dict[str, str]:
         "exact_k_sample_documents": (
             "SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents "
             "ORDER BY h, doc_id LIMIT 100"
+        ),
+        "connected_components_parts": (
+            # transitive closure is quadratic in component size — fine at
+            # oracle scale, which is exactly why the distributed side
+            # uses min-label propagation instead
+            "WITH RECURSIVE edges AS ("
+            "SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "WHERE a.l_partkey % 5 = 0 AND b.l_partkey % 5 = 0), "
+            "dir AS (SELECT u AS node, v AS dst FROM edges "
+            "UNION ALL SELECT v, u FROM edges), "
+            "reach(node, r) AS ("
+            "SELECT node, node FROM (SELECT DISTINCT node FROM dir) n "
+            "UNION "
+            "SELECT reach.node, d.dst FROM reach "
+            "JOIN dir d ON d.node = reach.r) "
+            "SELECT node, MIN(r)::BIGINT AS comp FROM reach "
+            "GROUP BY node"
         ),
         "bfs_parts_cooccur": (
             "WITH RECURSIVE edges AS ("

@@ -28,7 +28,10 @@ from .joins import (  # noqa: F401
     window_fill_forward, window_rank, window_rolling, window_seq,
     window_shift,
 )
-from .skew import salted_groupby_count, sessionize  # noqa: F401
+from .skew import (  # noqa: F401
+    max_concurrent_intervals, salted_groupby_count, session_intervals,
+    sessionize,
+)
 from .sampling import (  # noqa: F401
     hash_sample, sample_threshold, split_train_holdout, stratified_sample,
     weighted_sample,
@@ -52,7 +55,7 @@ from .agg import (  # noqa: F401
 )
 from .editdist import fuzzy_dup_pairs, levenshtein_bytes  # noqa: F401
 from .upsert import apply_changeset, incremental_group_agg  # noqa: F401
-from .graph import pagerank  # noqa: F401
+from .graph import connected_components, pagerank  # noqa: F401
 from .joins import collapse_runs, longest_streak  # noqa: F401
 from .rank import sorted_prefix_sum  # noqa: F401
 from .text import type_token_ratio, vocab_growth  # noqa: F401

@@ -639,3 +639,210 @@ def pagerank(edges_ds, iters: int = 20, damping: float = 0.85,
 def _pr_node_count(prep) -> int:
     return 0 if prep is None else int(prep[0].size)
 
+
+
+@ray.remote
+def _cc_local_task(*blocks) -> pa.Table:
+    """Whole-graph connected components in one task (Shiloach-Vishkin
+    style: scatter-min hooking + pointer jumping, each O(log n) rounds
+    of pure numpy) — the small-graph fast path, same output as the BSP
+    exchange rounds (pytest-pinned)."""
+    tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+              for b in blocks]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "comp": pa.array([], pa.int64())})
+    et = pa.concat_tables(tables)
+    u = et["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = et["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes = np.unique(np.concatenate([u, v]))
+    ui = np.searchsorted(nodes, u)
+    vi = np.searchsorted(nodes, v)
+    lab = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        old = lab.copy()
+        np.minimum.at(lab, ui, lab[vi])
+        np.minimum.at(lab, vi, lab[ui])
+        while True:                      # pointer jumping to the root
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        if np.array_equal(lab, old):
+            break
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "comp": pa.array(nodes[lab], pa.int64())})
+
+
+@ray.remote
+def _cc_expand(n_buckets: int, labels, edge_tbl):
+    """One label-propagation superstep, source side: every edge whose
+    source lives in this bucket proposes the source's current label to
+    its destination; proposals reduce to one min per destination INSIDE
+    the task, then split by destination bucket.  The pinned edge bucket
+    never moves."""
+    from ..functions.hashing import stable_hash64
+    from .distagg import hash_range_buckets
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "cand": pa.array([], pa.int64())})
+    if labels is None or labels.num_rows == 0 or edge_tbl is None \
+            or edge_tbl.num_rows == 0:
+        return tuple([empty] * n_buckets)
+    ln = labels["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ll = labels["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ln, kind="stable")
+    ln, ll = ln[order], ll[order]
+    src = edge_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edge_tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.searchsorted(ln, src)
+    pos[pos >= ln.size] = ln.size - 1
+    hit = ln[pos] == src
+    dst, cand = dst[hit], ll[pos[hit]]
+    if dst.size == 0:
+        return tuple([empty] * n_buckets)
+    # reduce to one min proposal per destination before anything moves
+    o = np.argsort(dst, kind="stable")
+    dst, cand = dst[o], cand[o]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], dst[1:] != dst[:-1])))
+    d_u = dst[starts]
+    c_u = np.minimum.reduceat(cand, starts)
+    kh = stable_hash64(pa.array(d_u, pa.int64()))
+    bucket = hash_range_buckets(kh, n_buckets)
+    return tuple(
+        pa.table({"node": pa.array(d_u[bucket == r], pa.int64()),
+                  "cand": pa.array(c_u[bucket == r], pa.int64())})
+        for r in range(n_buckets))
+
+
+@ray.remote(num_returns=2)
+def _cc_combine(label_tbl, *cand_tbls):
+    """One superstep, destination side: fold proposed labels into this
+    bucket's label table with a min; report how many labels improved
+    (global fixpoint = zero improvements everywhere)."""
+    cands = [t for t in cand_tbls if t is not None and t.num_rows]
+    if not cands:
+        return label_tbl, 0
+    ln = label_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ll = label_tbl["lab"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64).copy()
+    cat = pa.concat_tables(cands)
+    cn = cat["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cc = cat["cand"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ln, kind="stable")
+    ln_s, inv = ln[order], np.empty_like(order)
+    inv[order] = np.arange(order.size)
+    pos = np.searchsorted(ln_s, cn)
+    pos[pos >= ln_s.size] = ln_s.size - 1
+    hit = ln_s[pos] == cn
+    before = ll.copy()
+    np.minimum.at(ll, order[pos[hit]], cc[hit])
+    changed = int((ll < before).sum())
+    if changed == 0:
+        return label_tbl, 0
+    return pa.table({"node": pa.array(ln, pa.int64()),
+                     "lab": pa.array(ll, pa.int64())}), changed
+
+
+def connected_components(edges_ds, n_buckets: Optional[int] = None,
+                         strategy: str = "auto",
+                         max_rounds: int = 200):
+    """Connected components -> Dataset[node, comp] with comp = the
+    smallest node id in the component (every node that appears in an
+    edge; an edge list has no isolated nodes).
+
+    strategy='auto': below ~5M edges the whole graph solves in ONE task
+    (Shiloach-Vishkin, O(log n) numpy rounds); above, BSP min-label
+    propagation over the SAME pinned-edge-bucket machinery as
+    bfs_distances — edges route into hash buckets once, every round
+    moves only node-scale (node, proposed-label) tables, and each round
+    pre-reduces proposals per destination inside the source task.
+    Plain propagation advances a label one hop per round, so rounds ~
+    component diameter; raises loudly past `max_rounds` rather than
+    silently spinning (same explicit-ceiling convention as the
+    quadratic-group guards)."""
+    import ray.data as rd
+
+    materialized = None
+    if strategy == "auto":
+        materialized = edges_ds.materialize()
+        strategy = "local" if materialized.count() <= _BFS_LOCAL_EDGE_LIMIT \
+            else "exchange"
+        edges_ds = materialized
+    if strategy == "local":
+        if materialized is None:
+            materialized = edges_ds.materialize()
+        blockrefs = []
+        for bundle in materialized.iter_internal_ref_bundles():
+            blockrefs.extend(bundle.block_refs)
+        ref = _cc_local_task.remote(*blockrefs)
+        return rd.from_arrow_refs([ref])
+
+    from ..functions.hashing import stable_hash64
+    from .distagg import (bucketed_reduce, dataset_from_refs,
+                          default_buckets, hash_range_buckets)
+
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    def add_kh(batch: pa.Table) -> pa.Table:
+        kh = stable_hash64(batch["node"])
+        return batch.append_column("__kh", pa.array(kh.view(np.int64)))
+
+    hashed = _directed(edges_ds).map_batches(add_kh,
+                                             batch_format="pyarrow")
+
+    def strip(t: pa.Table):
+        return t.drop_columns(["__kh"]) if t.num_rows else None
+
+    pairs = bucketed_reduce(hashed, "__kh", strip,
+                            n_buckets=n_buckets, as_refs=True)
+    edge_refs = [p[1] for p in pairs]
+    n_buckets = len(edge_refs)
+    if not edge_refs:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "comp": pa.array([], pa.int64())}))
+
+    @ray.remote
+    def init_labels(edge_tbl):
+        if edge_tbl is None or edge_tbl.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "lab": pa.array([], pa.int64())})
+        n = np.unique(edge_tbl["node"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "lab": pa.array(n, pa.int64())})
+
+    label_refs = [init_labels.remote(r) for r in edge_refs]
+    expand = _cc_expand.options(num_returns=n_buckets) \
+        if n_buckets > 1 else None
+    for rnd in range(max_rounds):
+        if n_buckets > 1:
+            outs = [expand.remote(n_buckets, label_refs[b], edge_refs[b])
+                    for b in range(n_buckets)]
+        else:
+            outs = [[_cc_expand.remote(1, label_refs[0], edge_refs[0])]]
+        results = [_cc_combine.remote(
+            label_refs[r], *[outs[b][r] for b in range(n_buckets)])
+            for r in range(n_buckets)]
+        label_refs = [res[0] for res in results]
+        counts = ray.get([res[1] for res in results])
+        if sum(counts) == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_rounds} "
+            f"rounds — component diameter exceeds the round budget; "
+            f"raise max_rounds or use strategy='local'")
+
+    @ray.remote
+    def finish(t):
+        return t.rename_columns(["node", "comp"])
+
+    return dataset_from_refs(
+        [finish.remote(r) for r in label_refs],
+        pa.table({"node": pa.array([], pa.int64()),
+                  "comp": pa.array([], pa.int64())}))

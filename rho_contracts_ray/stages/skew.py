@@ -102,3 +102,139 @@ def sessionize(ds, key: str, ts: str, gap_seconds: int = 1800,
 
     return bucketed_apply(ds, [key], body,
                           lambda: _empty_out(ds, body))
+
+
+def session_intervals(ds, key: str, ts: str, gap_seconds: int = 1800,
+                      order_tiebreak: Sequence[str] = ()):
+    """Per-key session INTERVALS -> Dataset[key, session_id, s_us, e_us]:
+    sessionize's boundary rule (gap > gap_seconds starts a new session)
+    reduced to one (start, end) row per session in epoch micros.  The
+    reduction happens inside the same bucket task that owns the key's
+    rows — no second exchange and no reliance on downstream block
+    boundaries preserving groups."""
+    from .agg import bucketed_apply
+    from .joins import _key_run_starts
+
+    sort_keys = [(key, "ascending")] \
+        + [(c, "ascending") for c in [ts] + list(order_tiebreak)]
+
+    def empty() -> pa.Table:
+        return pa.table({key: pa.array([], pa.int64()),
+                         "session_id": pa.array([], pa.int64()),
+                         "s_us": pa.array([], pa.int64()),
+                         "e_us": pa.array([], pa.int64())})
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        starts = _key_run_starts(t, key)
+        col = t[ts]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        tsv = col.to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        new_session = np.zeros(t.num_rows, dtype=bool)
+        gaps = np.diff(tsv) / 1e6        # pandas total_seconds parity
+        new_session[1:] = gaps > gap_seconds
+        new_session[starts] = True
+        s_idx = np.flatnonzero(new_session)
+        e_idx = np.append(s_idx[1:], t.num_rows) - 1
+        # session_id restarts at 1 per key (sessionize parity)
+        c = np.cumsum(new_session.astype(np.int64))
+        lens = np.diff(np.append(starts, t.num_rows))
+        base = np.repeat(c[starts] - 1, lens)
+        sid = (c - base)[s_idx]
+        kcol = t[key]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        return pa.table({key: kcol.take(pa.array(s_idx)),
+                         "session_id": pa.array(sid),
+                         "s_us": pa.array(tsv[s_idx]),
+                         "e_us": pa.array(tsv[e_idx])})
+
+    return bucketed_apply(ds, [key], body, empty)
+
+
+def max_concurrent_intervals(intervals, s_col: str = "s_us",
+                             e_col: str = "e_us") -> pa.Table:
+    """Global peak concurrency over CLOSED intervals -> one-row Table
+    (n_intervals, max_concurrent, at_us): the classic +1/-1 sweep, run
+    distributed — each interval emits (ts, +1) and (ts, -1) delta events
+    routed by DAY; each day bucket computes its delta total, its local
+    running-max and the first timestamp achieving it (one sort +
+    cumsum); the driver folds the per-day summary rows (one per day, not
+    per event) in day order to place the global prefix offsets.  Tie
+    rule: at equal ts the +1 sorts first, so an interval ending exactly
+    when another starts DOES overlap it (SQL `ORDER BY ts, delta DESC`
+    running-sum parity).  `at_us` is the earliest timestamp at which the
+    peak is reached."""
+    from .agg import bucketed_apply
+
+    def empty() -> pa.Table:
+        return pa.table({"day": pa.array([], pa.int64()),
+                         "tot": pa.array([], pa.int64()),
+                         "loc_max": pa.array([], pa.int64()),
+                         "at_us": pa.array([], pa.int64())})
+
+    def to_deltas(batch: pa.Table) -> pa.Table:
+        s = batch[s_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch[e_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = np.concatenate([s, e])
+        delta = np.concatenate([np.ones(s.size, np.int64),
+                                np.full(e.size, -1, np.int64)])
+        day = np.floor(tsv.astype(np.float64) / 86400e6).astype(np.int64)
+        return pa.table({"day": pa.array(day), "ts": pa.array(tsv),
+                         "delta": pa.array(delta)})
+
+    deltas = intervals.map_batches(to_deltas, batch_format="pyarrow")
+
+    def day_scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        # +1 before -1 at equal ts: closed-interval overlap
+        s = t.take(pc.sort_indices(t, sort_keys=[
+            ("day", "ascending"), ("ts", "ascending"),
+            ("delta", "descending")]))
+        dv = s["day"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(
+            ([True], dv[1:] != dv[:-1])))
+        lens = np.diff(np.append(starts, s.num_rows))
+        d = s["delta"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tsv = s["ts"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cw = np.cumsum(d)
+        base = np.concatenate(([0], cw))[starts]
+        grp = np.repeat(np.arange(starts.size), lens)
+        pref = cw - base[grp]                  # per-day running sum
+        mx = np.full(starts.size, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, grp, pref)
+        first = np.full(starts.size, s.num_rows, np.int64)
+        hit = np.flatnonzero(pref == mx[grp])
+        np.minimum.at(first, grp[hit], hit)
+        return pa.table({"day": pa.array(dv[starts]),
+                         "tot": pa.array(cw[starts + lens - 1] - base),
+                         "loc_max": pa.array(mx),
+                         "at_us": pa.array(tsv[first])})
+
+    day_rows = bucketed_apply(deltas, ["day"], day_scan, empty)
+    parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in day_rows.iter_batches(batch_size=None,
+                                            batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    n_intervals = intervals.count()
+    if not parts:
+        return pa.table({
+            "n_intervals": pa.array([0], pa.int64()),
+            "max_concurrent": pa.array([0], pa.int64()),
+            "at_us": pa.array([None], pa.int64())})
+    summ = pa.concat_tables(parts).sort_by([("day", "ascending")])
+    tot = summ["tot"].to_numpy(zero_copy_only=False)
+    loc = summ["loc_max"].to_numpy(zero_copy_only=False)
+    ats = summ["at_us"].to_numpy(zero_copy_only=False)
+    off = np.concatenate(([0], np.cumsum(tot)[:-1]))
+    cand = off + loc
+    best = int(np.argmax(cand))            # first day achieving the peak
+    return pa.table({
+        "n_intervals": pa.array([int(n_intervals)], pa.int64()),
+        "max_concurrent": pa.array([int(cand[best])], pa.int64()),
+        "at_us": pa.array([int(ats[best])], pa.int64())})

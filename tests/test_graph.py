@@ -3,6 +3,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from rho_contracts_ray.stages.graph import (bfs_distances,
@@ -108,3 +109,53 @@ def test_triangle_count_clique_and_empty(ray_session):
     path = rd.from_arrow(pa.table({"u": pa.array([0, 1], pa.int64()),
                                    "v": pa.array([1, 2], pa.int64())}))
     assert triangle_count(path) == 0
+
+
+def _cc_collect(ds):
+    import pyarrow as pa
+
+    parts = [b for b in ds.iter_batches(batch_size=None,
+                                        batch_format="pyarrow")
+             if b.num_rows]
+    return pa.concat_tables(parts) if parts else None
+
+
+@pytest.mark.parametrize("strategy", ["local", "exchange"])
+def test_connected_components_planted(ray_session, strategy):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.graph import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11} (edge), {20,21,22} (cycle)
+    edges = pa.table({
+        "u": pa.array([1, 2, 3, 10, 20, 21, 22], pa.int64()),
+        "v": pa.array([2, 3, 4, 11, 21, 22, 20], pa.int64())})
+    out = _cc_collect(connected_components(rd.from_arrow(edges),
+                                           strategy=strategy))
+    got = dict(zip(out["node"].to_pylist(), out["comp"].to_pylist()))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain_exchange(ray_session):
+    """A 40-node path: plain propagation needs ~diameter rounds — make
+    sure the exchange path converges and matches, and that an
+    insufficient round budget raises loudly instead of returning a
+    wrong fixpoint."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.graph import connected_components
+
+    n = 40
+    edges = pa.table({"u": pa.array(np.arange(n - 1), pa.int64()),
+                      "v": pa.array(np.arange(1, n), pa.int64())})
+    out = _cc_collect(connected_components(rd.from_arrow(edges),
+                                           strategy="exchange"))
+    assert set(out["comp"].to_pylist()) == {0}
+    assert out.num_rows == n
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(rd.from_arrow(edges), strategy="exchange",
+                             max_rounds=3)

@@ -57,3 +57,74 @@ def test_sessionize_vs_duckdb(ray_session):
     ).df()
     assert (out["session_id"].values == ref["session_id"].values).all()
     assert out["session_id"].max() > 1  # sessions actually split
+
+
+def test_session_intervals_match_sessionize(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.skew import session_intervals
+
+    TS = pa.timestamp("us")
+    rng = np.random.default_rng(42)
+    n = 400
+    t = pa.table({
+        "user_id": pa.array(rng.integers(1, 12, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 86400 * 3, n) * 1_000_000, TS)})
+    out = pa.concat_tables(
+        [b for b in session_intervals(rd.from_arrow(t), "user_id", "ts",
+                                      gap_seconds=1800)
+         .iter_batches(batch_size=None, batch_format="pyarrow")
+         if b.num_rows])
+    # oracle: single-core replay of the gap rule
+    import pandas as pd
+    df = t.to_pandas().sort_values(["user_id", "ts"])
+    expect = []
+    for uid, g in df.groupby("user_id"):
+        us = g["ts"].astype("int64").to_numpy()
+        new = np.ones(us.size, bool)
+        new[1:] = np.diff(us) / 1e6 > 1800
+        sid = np.cumsum(new)
+        for s in np.unique(sid):
+            seg = us[sid == s]
+            expect.append((uid, int(s), int(seg.min()), int(seg.max())))
+    got = sorted(zip(out["user_id"].to_pylist(),
+                     out["session_id"].to_pylist(),
+                     out["s_us"].to_pylist(), out["e_us"].to_pylist()))
+    assert got == sorted(expect)
+
+
+def test_max_concurrent_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.skew import max_concurrent_intervals
+
+    DAY = 86_400_000_000
+    iv = pa.table({
+        # three overlapping around 2.5*DAY (peak 3, first reached at
+        # 2*DAY + 30), one touching endpoint (closed intervals DO
+        # overlap at the exact instant), one isolated
+        "s_us": pa.array([2 * DAY + 10, 2 * DAY + 20, 2 * DAY + 30,
+                          DAY - 5, 5 * DAY], pa.int64()),
+        "e_us": pa.array([3 * DAY + 50, 2 * DAY + 35, 2 * DAY + 40,
+                          DAY - 5, 5 * DAY + 1], pa.int64())})
+    out = max_concurrent_intervals(rd.from_arrow(iv))
+    assert out["n_intervals"].to_pylist() == [5]
+    assert out["max_concurrent"].to_pylist() == [3]
+    assert out["at_us"].to_pylist() == [2 * DAY + 30]
+
+
+def test_max_concurrent_touching_endpoints_overlap(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.skew import max_concurrent_intervals
+
+    iv = pa.table({"s_us": pa.array([0, 100], pa.int64()),
+                   "e_us": pa.array([100, 200], pa.int64())})
+    out = max_concurrent_intervals(rd.from_arrow(iv))
+    # +1 sorts before -1 at ts=100 -> both live at that instant
+    assert out["max_concurrent"].to_pylist() == [2]
+    assert out["at_us"].to_pylist() == [100]
