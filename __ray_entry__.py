@@ -3766,6 +3766,147 @@ def _q_connected_components_parts(sf_dir: str):
     return connected_components(edges)
 
 
+def _q_also_bought_top3_parts(sf_dir: str):
+    """Co-purchase recommendations: for every part, the top-3 parts most
+    often sharing an order with it (ties by partkey) — distinct-per-order
+    pairs enumerate with the shared vectorized pair index inside the
+    orderkey bucket, counts reduce on a (part, other) exchange, and the
+    per-part top-k is the segment-vectorized k-select."""
+    from rho_contracts_ray.stages.agg import bucketed_apply, bucketed_sum
+    from rho_contracts_ray.stages.dedup import _bucket_pair_index
+    from rho_contracts_ray.stages.joins import top_k_per_group
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def empty() -> pa.Table:
+        return pa.table({"part": pa.array([], pa.int64()),
+                         "other": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        g = t["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        it = t["l_partkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order, ia, ib, _trunc = _bucket_pair_index(g, it, 256)
+        iv = it[order]
+        u, v = iv[ia], iv[ib]
+        tbl = pa.table({
+            "part": pa.array(np.concatenate([u, v])),
+            "other": pa.array(np.concatenate([v, u]))})
+        cg = tbl.group_by(["part", "other"]).aggregate([([], "count_all")])
+        return pa.table({"part": cg["part"], "other": cg["other"],
+                         "n": cg["count_all"].cast(pa.int64())})
+
+    pairs = bucketed_apply(li, ["l_orderkey"], body, empty)
+    counts = bucketed_sum(pairs, ["part", "other"], ["n"])
+
+    def neg(t: pa.Table) -> pa.Table:
+        return t.append_column("neg_n", pc.multiply(t["n"], -1))
+
+    top = top_k_per_group(counts.map_batches(neg, batch_format="pyarrow"),
+                          "part", ["neg_n", "other"], 3,
+                          descending=False)
+    return top.map_batches(lambda t: t.drop_columns(["neg_n"]),
+                           batch_format="pyarrow")
+
+
+def _q_centroid_norm_by_label(sf_dir: str):
+    """Per-label embedding centroid L2 norm: each batch reduces its
+    vectors to (label, dim) float64 partial sums in long form — 64 short
+    rows per (batch, label) move, never vectors — then the label-sized
+    result finishes in one pass.  6-digit rounding absorbs the
+    summation-order skew vs the SQL UNNEST form."""
+    import numpy as np
+
+    from rho_contracts_ray.stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if lab.size == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        dim = flat.size // lab.size
+        X = flat.reshape(lab.size, dim)
+        order = np.argsort(lab, kind="stable")
+        lab_s, X_s = lab[order], X[order]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], lab_s[1:] != lab_s[:-1])))
+        S = np.add.reduceat(X_s, starts, axis=0)       # runs x dim
+        cnt = np.diff(np.append(starts, lab.size)).astype(np.int64)
+        k = starts.size
+        return pa.table({
+            "label": pa.array(np.repeat(lab_s[starts], dim)),
+            "i": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64),
+                                  k)),
+            "s": pa.array(S.reshape(-1)),
+            "n": pa.array(np.repeat(cnt, dim))})
+
+    sums = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                        ["label", "i"], ["s", "n"])
+    t = _collect(sums)          # |labels| x dim rows — label-sized
+    lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = t["s"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.argsort(lab, kind="stable")
+    lab_s, m = lab[order], (s / n)[order]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], lab_s[1:] != lab_s[:-1])))
+    norm2 = np.add.reduceat(m * m, starts)
+    nv = t["n"].to_numpy(zero_copy_only=False)[order][starts]
+    return pa.table({
+        "label": pa.array(lab_s[starts]),
+        "n_vecs": pa.array(nv.astype(np.int64)),
+        "centroid_norm": pa.array(np.round(np.sqrt(norm2), 6),
+                                  pa.float64())})
+
+
+def _q_session_time_user(sf_dir: str):
+    """Per-user total active session time: sessions can't overlap by
+    construction (the gap rule separates them), so coverage is the plain
+    interval-length sum — n_sessions + active seconds (6dp) per user on
+    one count/sum exchange over the session intervals."""
+    from rho_contracts_ray.stages.agg import bucketed_sum
+    from rho_contracts_ray.stages.skew import session_intervals
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    iv = session_intervals(ds, "user_id", "ts", gap_seconds=1800)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dur = pc.subtract(batch["e_us"], batch["s_us"])
+        t = pa.table({"user_id": batch["user_id"],
+                      "n_sessions": pa.array(
+                          np.ones(batch.num_rows, np.int64)),
+                      "active_us": dur})
+        g = t.group_by(["user_id"]).aggregate(
+            [("n_sessions", "sum"), ("active_us", "sum")])
+        return g.rename_columns(["user_id", "n_sessions", "active_us"])
+
+    agg = bucketed_sum(iv.map_batches(partial, batch_format="pyarrow"),
+                       ["user_id"], ["n_sessions", "active_us"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_sessions": t["n_sessions"],
+            "active_s": pc.round(pc.divide(
+                pc.cast(t["active_us"], pa.float64()), 1e6), 6)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rho_contracts_ray.pipelines import tpch as _tpch
 
@@ -3896,6 +4037,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversion_lag_events": _q_conversion_lag_events,
         "max_concurrent_sessions_events": _q_max_concurrent_sessions,
         "connected_components_parts": _q_connected_components_parts,
+        "also_bought_top3_parts": _q_also_bought_top3_parts,
+        "centroid_norm_by_label": _q_centroid_norm_by_label,
+        "session_time_user": _q_session_time_user,
         "key_skew_report_events": _q_key_skew_report_events,
         "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
         "rolling7_distinct_users": _q_rolling7_distinct_users,
@@ -4810,6 +4954,43 @@ def oracle_sql() -> dict[str, str]:
             "- (count(*) + 1) * sum(cents) AS DOUBLE) "
             "/ CAST(count(*) * sum(cents) AS DOUBLE), 6) AS gini "
             "FROM r GROUP BY 1"
+        ),
+        "also_bought_top3_parts": (
+            "WITH pr AS (SELECT DISTINCT a.l_orderkey, "
+            "a.l_partkey AS part, b.l_partkey AS other "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey != b.l_partkey), "
+            "c AS (SELECT part, other, count(*)::BIGINT AS n "
+            "FROM pr GROUP BY 1, 2), "
+            "r AS (SELECT part, other, n, row_number() OVER "
+            "(PARTITION BY part ORDER BY n DESC, other) AS rk FROM c) "
+            "SELECT part, other, n FROM r WHERE rk <= 3"
+        ),
+        "centroid_norm_by_label": (
+            "WITH u AS (SELECT label, "
+            "generate_subscripts(embedding, 1) AS i, "
+            "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), "
+            "a AS (SELECT label, i, sum(x) AS s, count(*)::BIGINT AS n "
+            "FROM u GROUP BY 1, 2) "
+            "SELECT label, any_value(n) AS n_vecs, "
+            "round(sqrt(sum((s / n) * (s / n))), 6) AS centroid_norm "
+            "FROM a GROUP BY label"
+        ),
+        "session_time_user": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
+            "m AS (SELECT user_id, us, CASE WHEN lag(us) OVER w IS NULL "
+            "OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END "
+            "AS new_s FROM e WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY us)), "
+            "s AS (SELECT user_id, us, sum(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY us "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM m), "
+            "iv AS (SELECT user_id, sid, max(us) - min(us) AS dur "
+            "FROM s GROUP BY 1, 2) "
+            "SELECT user_id, count(*)::BIGINT AS n_sessions, "
+            "round(sum(dur) / 1000000.0, 6) AS active_s "
+            "FROM iv GROUP BY 1"
         ),
         "max_concurrent_sessions_events": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events), "
