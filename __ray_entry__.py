@@ -3747,9 +3747,9 @@ def _q_connected_components_parts(sf_dir: str):
     smallest part key in the component): Shiloach-Vishkin in one task
     below the edge limit, BSP min-label propagation on the pinned edge
     buckets beyond — node-scale tables per round, edges shuffle once
-    (stages/graph.py connected_components)."""
-    from rho_contracts_ray.stages.graph import (connected_components,
-                                                cooccurrence_edges)
+    (stages/graph.py graph_connected_components)."""
+    from rho_contracts_ray.stages.graph import (
+        cooccurrence_edges, graph_connected_components)
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     # restrict to parts ≡ 0 mod 5: the ORACLE's transitive closure is
@@ -3763,7 +3763,7 @@ def _q_connected_components_parts(sf_dir: str):
     # min-label ignores multiplicity: skip the global edge dedup
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
                                distinct=False)
-    return connected_components(edges)
+    return graph_connected_components(edges)
 
 
 def _q_also_bought_top3_parts(sf_dir: str):
@@ -3907,6 +3907,100 @@ def _q_session_time_user(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_active_streak_user(sf_dir: str):
+    """Longest consecutive-active-day streak per user (plus total active
+    days): distinct (user, day) reduces on one exchange, then the
+    classic day-minus-rank island detection runs segment-vectorized in
+    the user bucket — integer day arithmetic end to end."""
+    import numpy as np
+
+    from rho_contracts_ray.stages.agg import bucketed_apply, bucketed_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_user_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor(us.astype(np.float64) / 86400e6).astype(np.int64)
+        t = pa.table({"user_id": batch["user_id"],
+                      "day": pa.array(day)})
+        g = t.group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        return pa.table({"user_id": g["user_id"], "day": g["day"],
+                         "one": pa.array(np.ones(g.num_rows, np.int64))})
+
+    user_day = bucketed_sum(
+        ds.map_batches(to_user_day, batch_format="pyarrow"),
+        ["user_id", "day"], ["one"])
+
+    def empty() -> pa.Table:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_days": pa.array([], pa.int64()),
+                         "max_streak": pa.array([], pa.int64())})
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        s = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("day", "ascending")]))
+        kcol = s["user_id"]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        kv = kcol.to_numpy(zero_copy_only=False)
+        dv = s["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k_chg = np.concatenate(([True], kv[1:] != kv[:-1]))
+        brk = np.concatenate(([True], dv[1:] != dv[:-1] + 1)) | k_chg
+        run_starts = np.flatnonzero(brk)
+        run_lens = np.diff(np.append(run_starts, s.num_rows)) \
+            .astype(np.int64)
+        ustarts = np.flatnonzero(k_chg)
+        n_days = np.diff(np.append(ustarts, s.num_rows)).astype(np.int64)
+        uid_of_run = np.searchsorted(ustarts, run_starts, side="right") - 1
+        mx = np.zeros(ustarts.size, np.int64)
+        np.maximum.at(mx, uid_of_run, run_lens)
+        return pa.table({"user_id": kcol.take(pa.array(ustarts)),
+                         "n_days": pa.array(n_days),
+                         "max_streak": pa.array(mx)})
+
+    return bucketed_apply(user_day, ["user_id"], body, empty)
+
+
+def _q_geomean_value_by_type(sf_dir: str):
+    """Geometric mean of positive values per event type: per-batch
+    (sum ln v, n) partials — one short row per (batch, type) moves —
+    6-digit rounding absorbs libm last-ulp skew vs SQL exp(avg(ln))."""
+    import numpy as np
+
+    from rho_contracts_ray.stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch["value"]),
+                    pc.greater(batch["value"], 0.0))
+        t = batch.filter(m)
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tt = pa.table({"event_type": t["event_type"],
+                       "slog": pa.array(np.log(v)),
+                       "n": pa.array(np.ones(v.size, np.int64))})
+        g = tt.group_by(["event_type"]).aggregate(
+            [("slog", "sum"), ("n", "sum")])
+        return g.rename_columns(["event_type", "slog", "n"])
+
+    agg = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                       ["event_type"], ["slog", "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["slog"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_pos": t["n"],
+            "geomean": pa.array(np.round(np.exp(s / n), 6),
+                                pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rho_contracts_ray.pipelines import tpch as _tpch
 
@@ -4040,6 +4134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "also_bought_top3_parts": _q_also_bought_top3_parts,
         "centroid_norm_by_label": _q_centroid_norm_by_label,
         "session_time_user": _q_session_time_user,
+        "active_streak_user": _q_active_streak_user,
+        "geomean_value_by_type": _q_geomean_value_by_type,
         "key_skew_report_events": _q_key_skew_report_events,
         "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
         "rolling7_distinct_users": _q_rolling7_distinct_users,
@@ -4954,6 +5050,22 @@ def oracle_sql() -> dict[str, str]:
             "- (count(*) + 1) * sum(cents) AS DOUBLE) "
             "/ CAST(count(*) * sum(cents) AS DOUBLE), 6) AS gini "
             "FROM r GROUP BY 1"
+        ),
+        "active_streak_user": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day "
+            "FROM events), "
+            "r AS (SELECT user_id, day, day - row_number() OVER "
+            "(PARTITION BY user_id ORDER BY day) AS isl FROM ud), "
+            "g AS (SELECT user_id, isl, count(*)::BIGINT AS len "
+            "FROM r GROUP BY 1, 2) "
+            "SELECT user_id, sum(len)::BIGINT AS n_days, "
+            "max(len)::BIGINT AS max_streak FROM g GROUP BY 1"
+        ),
+        "geomean_value_by_type": (
+            "SELECT event_type, count(*)::BIGINT AS n_pos, "
+            "round(exp(avg(ln(value))), 6) AS geomean FROM events "
+            "WHERE value > 0 GROUP BY 1"
         ),
         "also_bought_top3_parts": (
             "WITH pr AS (SELECT DISTINCT a.l_orderkey, "

@@ -55,7 +55,7 @@ from .agg import (  # noqa: F401
 )
 from .editdist import fuzzy_dup_pairs, levenshtein_bytes  # noqa: F401
 from .upsert import apply_changeset, incremental_group_agg  # noqa: F401
-from .graph import connected_components, pagerank  # noqa: F401
+from .graph import graph_connected_components, pagerank  # noqa: F401
 from .joins import collapse_runs, longest_streak  # noqa: F401
 from .rank import sorted_prefix_sum  # noqa: F401
 from .text import type_token_ratio, vocab_growth  # noqa: F401

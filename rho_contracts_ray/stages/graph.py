@@ -746,7 +746,7 @@ def _cc_combine(label_tbl, *cand_tbls):
                      "lab": pa.array(ll, pa.int64())}), changed
 
 
-def connected_components(edges_ds, n_buckets: Optional[int] = None,
+def graph_connected_components(edges_ds, n_buckets: Optional[int] = None,
                          strategy: str = "auto",
                          max_rounds: int = 200):
     """Connected components -> Dataset[node, comp] with comp = the
@@ -834,7 +834,7 @@ def connected_components(edges_ds, n_buckets: Optional[int] = None,
             break
     else:
         raise RuntimeError(
-            f"connected_components: no fixpoint after {max_rounds} "
+            f"graph_connected_components: no fixpoint after {max_rounds} "
             f"rounds — component diameter exceeds the round budget; "
             f"raise max_rounds or use strategy='local'")
 

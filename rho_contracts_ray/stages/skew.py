@@ -157,7 +157,8 @@ def session_intervals(ds, key: str, ts: str, gap_seconds: int = 1800,
 
 
 def max_concurrent_intervals(intervals, s_col: str = "s_us",
-                             e_col: str = "e_us") -> pa.Table:
+                             e_col: str = "e_us",
+                             bucket_us: int = 86_400_000_000) -> pa.Table:
     """Global peak concurrency over CLOSED intervals -> one-row Table
     (n_intervals, max_concurrent, at_us): the classic +1/-1 sweep, run
     distributed — each interval emits (ts, +1) and (ts, -1) delta events
@@ -168,7 +169,10 @@ def max_concurrent_intervals(intervals, s_col: str = "s_us",
     rule: at equal ts the +1 sorts first, so an interval ending exactly
     when another starts DOES overlap it (SQL `ORDER BY ts, delta DESC`
     running-sum parity).  `at_us` is the earliest timestamp at which the
-    peak is reached."""
+    peak is reached.  `bucket_us` is the routing granularity (default a
+    day): shrink it (hour/minute) when one bucket's delta events would
+    outgrow a task — the driver fold cost grows only with the number of
+    non-empty buckets, one summary row each."""
     from .agg import bucketed_apply
 
     def empty() -> pa.Table:
@@ -183,7 +187,8 @@ def max_concurrent_intervals(intervals, s_col: str = "s_us",
         tsv = np.concatenate([s, e])
         delta = np.concatenate([np.ones(s.size, np.int64),
                                 np.full(e.size, -1, np.int64)])
-        day = np.floor(tsv.astype(np.float64) / 86400e6).astype(np.int64)
+        day = np.floor(tsv.astype(np.float64) / bucket_us) \
+            .astype(np.int64)
         return pa.table({"day": pa.array(day), "ts": pa.array(tsv),
                          "delta": pa.array(delta)})
 

@@ -125,13 +125,13 @@ def test_connected_components_planted(ray_session, strategy):
     import pyarrow as pa
     import ray.data as rd
 
-    from rho_contracts_ray.stages.graph import connected_components
+    from rho_contracts_ray.stages.graph import graph_connected_components
 
     # components: {1,2,3,4} (chain), {10,11} (edge), {20,21,22} (cycle)
     edges = pa.table({
         "u": pa.array([1, 2, 3, 10, 20, 21, 22], pa.int64()),
         "v": pa.array([2, 3, 4, 11, 21, 22, 20], pa.int64())})
-    out = _cc_collect(connected_components(rd.from_arrow(edges),
+    out = _cc_collect(graph_connected_components(rd.from_arrow(edges),
                                            strategy=strategy))
     got = dict(zip(out["node"].to_pylist(), out["comp"].to_pylist()))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
@@ -147,15 +147,15 @@ def test_connected_components_long_chain_exchange(ray_session):
     import pyarrow as pa
     import ray.data as rd
 
-    from rho_contracts_ray.stages.graph import connected_components
+    from rho_contracts_ray.stages.graph import graph_connected_components
 
     n = 40
     edges = pa.table({"u": pa.array(np.arange(n - 1), pa.int64()),
                       "v": pa.array(np.arange(1, n), pa.int64())})
-    out = _cc_collect(connected_components(rd.from_arrow(edges),
+    out = _cc_collect(graph_connected_components(rd.from_arrow(edges),
                                            strategy="exchange"))
     assert set(out["comp"].to_pylist()) == {0}
     assert out.num_rows == n
     with pytest.raises(RuntimeError, match="fixpoint"):
-        connected_components(rd.from_arrow(edges), strategy="exchange",
+        graph_connected_components(rd.from_arrow(edges), strategy="exchange",
                              max_rounds=3)

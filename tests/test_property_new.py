@@ -82,3 +82,77 @@ def test_bfs_property_both_strategies(ray_session, pairs, seeds, depth):
         got = bfs_distances(eds, st_seeds, depth, strategy=strat,
                             n_buckets=4).to_pandas()
         assert dict(zip(got["node"], got["dist"])) == ref, strat
+
+
+def _ref_components(edges):
+    # union-find reference
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None)
+@given(pairs=st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                      min_size=1, max_size=80))
+def test_connected_components_property(ray_session, pairs):
+    from rho_contracts_ray.stages.graph import graph_connected_components
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    if not edges:
+        return
+    eds = rd.from_arrow(pa.table({
+        "u": pa.array([e[0] for e in edges], pa.int64()),
+        "v": pa.array([e[1] for e in edges], pa.int64())}))
+    ref = _ref_components(edges)
+    for strat in ("local", "exchange"):
+        got = graph_connected_components(eds, strategy=strat,
+                                   n_buckets=4).to_pandas()
+        assert dict(zip(got["node"], got["comp"])) == ref, strat
+
+
+def _ref_max_concurrent(iv):
+    events = []
+    for s, e in iv:
+        events.append((s, 1))
+        events.append((e, -1))
+    events.sort(key=lambda x: (x[0], -x[1]))   # +1 before -1 at ties
+    cur = best = 0
+    at = None
+    for ts, d in events:
+        cur += d
+        if cur > best:
+            best, at = cur, ts
+    return best, at
+
+
+@settings(max_examples=15, deadline=None)
+@given(iv=st.lists(
+    st.tuples(st.integers(0, 4 * 86_400_000_000),
+              st.integers(0, 600_000_000)),
+    min_size=1, max_size=40))
+def test_max_concurrent_property(ray_session, iv):
+    from rho_contracts_ray.stages.skew import max_concurrent_intervals
+
+    spans = [(s, s + d) for s, d in iv]
+    t = pa.table({"s_us": pa.array([s for s, _ in spans], pa.int64()),
+                  "e_us": pa.array([e for _, e in spans], pa.int64())})
+    out = max_concurrent_intervals(rd.from_arrow(t).repartition(3))
+    best, at = _ref_max_concurrent(spans)
+    assert out["max_concurrent"].to_pylist() == [best]
+    assert out["at_us"].to_pylist() == [at]
+    assert out["n_intervals"].to_pylist() == [len(spans)]
+    # routing granularity must not change the answer (scale knob)
+    hourly = max_concurrent_intervals(rd.from_arrow(t).repartition(3),
+                                      bucket_us=3_600_000_000)
+    assert hourly.equals(out)
