@@ -39,6 +39,20 @@ def _first_per_key_run(t: pa.Table, keys: list[str],
     return t.filter(pa.array(new_run))
 
 
+def col_type(ds, col: str, default=None) -> "pa.DataType":
+    """Arrow type of `col` in a Dataset (metadata-only when the plan
+    allows) — for building schema-correct empty OUTPUT tables whose key
+    column must mirror the input's key type (int keys and string keys
+    both ride the same stages)."""
+    try:
+        for f in ds.schema().base_schema:
+            if f.name == col:
+                return f.type
+    except Exception:
+        pass
+    return default if default is not None else pa.int64()
+
+
 def bucketed_apply(ds, keys: Sequence[str], fn, empty,
                    n_buckets=None):
     """`ds.groupby(keys).map_groups(fn)` without the sort shuffle: rows are

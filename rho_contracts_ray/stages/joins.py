@@ -1279,17 +1279,19 @@ def collapse_runs(ds, key: str, order_by: Sequence[str], value: str,
 
     One bucketed exchange on `key`; the body is one sort + vectorized
     run detection — no per-group python."""
-    from .agg import bucketed_apply
+    from .agg import bucketed_apply, col_type
 
     order_by = list(order_by)
     sort_keys = [(key, "ascending")] + [(c, "ascending")
                  for c in order_by]
+    ktype, vtype = col_type(ds, key), col_type(ds, value, pa.string())
+    ttype = col_type(ds, ts_col)
 
     def empty() -> pa.Table:
-        return pa.table({key: pa.array([], pa.int64()),
-                         value: pa.array([], pa.string()),
-                         "valid_from": pa.array([], pa.int64()),
-                         "valid_to": pa.array([], pa.int64()),
+        return pa.table({key: pa.array([], ktype),
+                         value: pa.array([], vtype),
+                         "valid_from": pa.array([], ttype),
+                         "valid_to": pa.array([], ttype),
                          "n_rows": pa.array([], pa.int64())})
 
     def body(t: pa.Table) -> pa.Table:

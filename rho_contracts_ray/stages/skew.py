@@ -112,14 +112,15 @@ def session_intervals(ds, key: str, ts: str, gap_seconds: int = 1800,
     reduction happens inside the same bucket task that owns the key's
     rows — no second exchange and no reliance on downstream block
     boundaries preserving groups."""
-    from .agg import bucketed_apply
+    from .agg import bucketed_apply, col_type
     from .joins import _key_run_starts
 
     sort_keys = [(key, "ascending")] \
         + [(c, "ascending") for c in [ts] + list(order_tiebreak)]
+    ktype = col_type(ds, key)
 
     def empty() -> pa.Table:
-        return pa.table({key: pa.array([], pa.int64()),
+        return pa.table({key: pa.array([], ktype),
                          "session_id": pa.array([], pa.int64()),
                          "s_us": pa.array([], pa.int64()),
                          "e_us": pa.array([], pa.int64())})

@@ -963,10 +963,12 @@ def spearman_rho(ds, key: str, x: str, y: str, ndigits: int = 6):
     with n < 2 or zero rank variance emit a null rho (DuckDB corr()
     parity).  One bucketed exchange; the body is one sort + per-run
     O(n log n) ranking — no quadratic pass."""
-    from .agg import bucketed_apply
+    from .agg import bucketed_apply, col_type
+
+    ktype = col_type(ds, key)
 
     def empty() -> pa.Table:
-        return pa.table({key: pa.array([], pa.string()),
+        return pa.table({key: pa.array([], ktype),
                          "n_obs": pa.array([], pa.int64()),
                          "rho": pa.array([], pa.float64())})
 
@@ -1032,14 +1034,16 @@ def autocorr_lag1(ds, key: str, order_by: Sequence[str], value: str,
 
     One bucketed exchange; the body is one sort + segment-vectorized
     reduceat sums — no per-group python loop."""
-    from .agg import bucketed_apply
+    from .agg import bucketed_apply, col_type
 
     order_by = list(order_by)
     sort_keys = [(key, "ascending")] + [(c, "ascending")
                  for c in order_by]
 
+    ktype = col_type(ds, key)
+
     def empty() -> pa.Table:
-        return pa.table({key: pa.array([], pa.int64()),
+        return pa.table({key: pa.array([], ktype),
                          "n_pairs": pa.array([], pa.int64()),
                          "acf1": pa.array([], pa.float64())})
 
@@ -1103,10 +1107,12 @@ def gini_coefficient(ds, key: str, cents: str, ndigits: int = 6):
 
     One bucketed exchange; the body is one sort + reduceat — fully
     vectorized across runs."""
-    from .agg import bucketed_apply
+    from .agg import bucketed_apply, col_type
+
+    ktype = col_type(ds, key)
 
     def empty() -> pa.Table:
-        return pa.table({key: pa.array([], pa.string()),
+        return pa.table({key: pa.array([], ktype),
                          "n_obs": pa.array([], pa.int64()),
                          "gini": pa.array([], pa.float64())})
 
@@ -1153,10 +1159,12 @@ def conversion_lag(ds, key: str, ts: str, type_col: str,
 
     One bucketed exchange; the body is one sort + masked reduceat-min
     per run — no per-group python."""
-    from .agg import bucketed_apply
+    from .agg import bucketed_apply, col_type
+
+    ktype = col_type(ds, key)
 
     def empty() -> pa.Table:
-        return pa.table({key: pa.array([], pa.int64()),
+        return pa.table({key: pa.array([], ktype),
                          "from_us": pa.array([], pa.int64()),
                          "to_us": pa.array([], pa.int64()),
                          "lag_us": pa.array([], pa.int64())})

@@ -696,3 +696,28 @@ def test_conversion_lag_strictly_after(ray_session):
     assert out["from_us"].to_pylist() == [10, 10]
     assert out["to_us"].to_pylist() == [25, 20]
     assert out["lag_us"].to_pylist() == [15, 10]
+
+
+def test_new_stage_empty_inputs_keep_key_type(ray_session):
+    """Zero-output runs must emit the INPUT's key type in the empty
+    schema (col_type plumbing) — int keys and string keys both ride the
+    same stages."""
+    from rho_contracts_ray.stages.statistics import (
+        conversion_lag, gini_coefficient, spearman_rho)
+
+    ti = pa.table({"k": pa.array([], pa.int64()),
+                   "x": pa.array([], pa.float64()),
+                   "y": pa.array([], pa.float64())})
+    out = spearman_rho(rd.from_arrow(ti), "k", "x", "y")
+    assert out.schema().base_schema.field("k").type == pa.int64()
+
+    ts_ = pa.table({"k": pa.array([], pa.string()),
+                    "cents": pa.array([], pa.int64())})
+    out = gini_coefficient(rd.from_arrow(ts_), "k", "cents")
+    assert out.schema().base_schema.field("k").type == pa.string()
+
+    tc = pa.table({"k": pa.array([], pa.string()),
+                   "ts": pa.array([], pa.timestamp("us")),
+                   "et": pa.array([], pa.string())})
+    out = conversion_lag(rd.from_arrow(tc), "k", "ts", "et", "a", "b")
+    assert out.schema().base_schema.field("k").type == pa.string()
