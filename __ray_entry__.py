@@ -4001,6 +4001,59 @@ def _q_geomean_value_by_type(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_ztest_longdoc_sources(sf_dir: str):
+    """Two-proportion z-test between every source pair on the share of
+    long documents (n_chars > 500): per-source (n, n_long) integer
+    counts reduce on one exchange; the |sources|^2 pair combinatorics
+    finish on the cardinality-sized table.  Pooled-variance form,
+    6-digit rounding; zero-variance pairs emit null z."""
+    import numpy as np
+
+    from rho_contracts_ray.stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lng = pc.cast(pc.greater(batch["n_chars"], 500), pa.int64())
+        t = pa.table({"source": batch["source"],
+                      "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "n_long": lng})
+        g = t.group_by(["source"]).aggregate(
+            [("n", "sum"), ("n_long", "sum")])
+        return g.rename_columns(["source", "n", "n_long"])
+
+    agg = _collect(bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["source"], ["n", "n_long"])) \
+        .sort_by([("source", "ascending")])
+    src = agg["source"].to_pylist()
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    k = agg["n_long"].to_numpy(zero_copy_only=False).astype(np.float64)
+    rows = {"source_a": [], "source_b": [], "n_a": [], "n_b": [],
+            "p_a": [], "p_b": [], "z": []}
+    for i in range(len(src)):
+        for j in range(i + 1, len(src)):
+            pa_, pb = k[i] / n[i], k[j] / n[j]
+            pool = (k[i] + k[j]) / (n[i] + n[j])
+            var = pool * (1 - pool) * (1 / n[i] + 1 / n[j])
+            z = round((pa_ - pb) / np.sqrt(var), 6) if var > 0 else None
+            rows["source_a"].append(src[i])
+            rows["source_b"].append(src[j])
+            rows["n_a"].append(int(n[i]))
+            rows["n_b"].append(int(n[j]))
+            rows["p_a"].append(round(pa_, 6))
+            rows["p_b"].append(round(pb, 6))
+            rows["z"].append(z)
+    return pa.table({
+        "source_a": pa.array(rows["source_a"], pa.string()),
+        "source_b": pa.array(rows["source_b"], pa.string()),
+        "n_a": pa.array(rows["n_a"], pa.int64()),
+        "n_b": pa.array(rows["n_b"], pa.int64()),
+        "p_a": pa.array(rows["p_a"], pa.float64()),
+        "p_b": pa.array(rows["p_b"], pa.float64()),
+        "z": pa.array(rows["z"], pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rho_contracts_ray.pipelines import tpch as _tpch
 
@@ -4136,6 +4189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_time_user": _q_session_time_user,
         "active_streak_user": _q_active_streak_user,
         "geomean_value_by_type": _q_geomean_value_by_type,
+        "ztest_longdoc_sources": _q_ztest_longdoc_sources,
         "key_skew_report_events": _q_key_skew_report_events,
         "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
         "rolling7_distinct_users": _q_rolling7_distinct_users,
@@ -5050,6 +5104,23 @@ def oracle_sql() -> dict[str, str]:
             "- (count(*) + 1) * sum(cents) AS DOUBLE) "
             "/ CAST(count(*) * sum(cents) AS DOUBLE), 6) AS gini "
             "FROM r GROUP BY 1"
+        ),
+        "ztest_longdoc_sources": (
+            "WITH s AS (SELECT source, count(*)::BIGINT AS n, "
+            "sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_long FROM documents GROUP BY 1) "
+            "SELECT a.source AS source_a, b.source AS source_b, "
+            "a.n AS n_a, b.n AS n_b, "
+            "round(a.n_long / CAST(a.n AS DOUBLE), 6) AS p_a, "
+            "round(b.n_long / CAST(b.n AS DOUBLE), 6) AS p_b, "
+            "CASE WHEN (a.n_long + b.n_long) > 0 "
+            "AND (a.n_long + b.n_long) < (a.n + b.n) THEN "
+            "round((a.n_long / CAST(a.n AS DOUBLE) "
+            "- b.n_long / CAST(b.n AS DOUBLE)) "
+            "/ sqrt(((a.n_long + b.n_long) / CAST(a.n + b.n AS DOUBLE)) "
+            "* (1 - (a.n_long + b.n_long) / CAST(a.n + b.n AS DOUBLE)) "
+            "* (1.0 / a.n + 1.0 / b.n)), 6) ELSE NULL END AS z "
+            "FROM s a JOIN s b ON a.source < b.source"
         ),
         "active_streak_user": (
             "WITH ud AS (SELECT DISTINCT user_id, "
