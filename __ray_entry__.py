@@ -4405,6 +4405,153 @@ def _q_basket_lift_parts(sf_dir: str):
                                   / (ca * cb), 6), pa.float64())})
 
 
+def _q_mad_value_by_type(sf_dir: str):
+    """Median absolute deviation (about the exact interpolated median)
+    per event type: two group_quantiles_cont exchanges — medians first
+    (cardinality-sized, broadcast back in the task closure), then the
+    deviation median.  DuckDB quantile_cont arithmetic end to end."""
+    from rho_contracts_ray.stages.joins import group_quantiles_cont
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    med = _collect(group_quantiles_cont(ds, "event_type", "value",
+                                        qs=[0.5])) \
+        .sort_by([("event_type", "ascending")])
+    keys = med["event_type"].to_pylist()
+    mvals = med["p50"].to_numpy(zero_copy_only=False)
+    keys_arr = pa.array(keys, pa.string())
+
+    def adev(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["value"]))
+        idx = pc.index_in(t["event_type"], value_set=keys_arr) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"],
+                         "adev": pa.array(np.abs(v - mvals[idx]))})
+
+    madt = _collect(group_quantiles_cont(
+        ds.map_batches(adev, batch_format="pyarrow"),
+        "event_type", "adev", qs=[0.5])) \
+        .sort_by([("event_type", "ascending")])
+    assert madt["event_type"].to_pylist() == keys
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "med": pa.array(np.round(mvals, 6), pa.float64()),
+        "mad": pa.array(np.round(
+            madt["p50"].to_numpy(zero_copy_only=False), 6), pa.float64())})
+
+
+def _q_bounce_rate_events(sf_dir: str):
+    """Share of 30-minute-gap sessions containing exactly one event:
+    the user bucket sorts its own rows once, detects gap breaks
+    vectorized, and emits a single (n_sessions, n_bounce) partial —
+    the driver folds one row per bucket.  Tie order within equal
+    timestamps cannot change session membership (equal values are
+    adjacent in any sorted order), so no tiebreak column rides along."""
+    from rho_contracts_ray.stages.agg import bucketed_apply
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    GAP_US = 1_800_000_000
+
+    def empty() -> pa.Table:
+        return pa.table({"n_sessions": pa.array([], pa.int64()),
+                         "n_bounce": pa.array([], pa.int64())})
+
+    def body(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty()
+        s = t.take(pc.sort_indices(t, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending")]))
+        kv = s["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(s["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        k_chg = np.concatenate(([True], kv[1:] != kv[:-1]))
+        brk = np.concatenate(([True], ts[1:] - ts[:-1] > GAP_US)) | k_chg
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.append(starts, s.num_rows))
+        return pa.table({
+            "n_sessions": pa.array([int(starts.size)], pa.int64()),
+            "n_bounce": pa.array([int((lens == 1).sum())], pa.int64())})
+
+    parts = _collect(bucketed_apply(ds, ["user_id"], body, empty))
+    ns = int(pc.sum(parts["n_sessions"]).as_py() or 0)
+    nb = int(pc.sum(parts["n_bounce"]).as_py() or 0)
+    return pa.table({
+        "n_sessions": pa.array([ns], pa.int64()),
+        "n_bounce": pa.array([nb], pa.int64()),
+        "bounce_rate": pa.array(
+            [round(nb / ns, 6) if ns else None], pa.float64())})
+
+
+def _q_rfm_segments_customers(sf_dir: str):
+    """RFM segmentation: per-customer recency (days since last order,
+    vs the global max order day) / frequency / monetary (cents) reduce
+    on ONE exchange to a customer-cardinality table; exact interpolated
+    quartile fences come from exact_global_quantile over that
+    materialized small side; segment codes assign in a stateless pass
+    and the <=64 (r_q, f_q, m_q) cells sum on a tiny second exchange."""
+    from rho_contracts_ray.stages.agg import bucketed_group_agg, bucketed_sum
+    from rho_contracts_ray.stages.selection import exact_global_quantile
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor(us.astype(np.float64) / 86400e6).astype(np.int64)
+        cents = pc.cast(pc.round(pc.multiply(batch["o_totalprice"],
+                                             100.0)), pa.int64())
+        t = pa.table({"o_custkey": batch["o_custkey"],
+                      "lastd": pa.array(day),
+                      "f": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "m": cents})
+        g = t.group_by(["o_custkey"]).aggregate(
+            [("lastd", "max"), ("f", "sum"), ("m", "sum")])
+        return g.rename_columns(["o_custkey", "lastd", "f", "m"])
+
+    percust = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["o_custkey"], [("lastd", "max"), ("f", "sum"), ("m", "sum")])
+
+    def rn(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["o_custkey", "lastd", "f", "m"])
+
+    percust = percust.map_batches(rn, batch_format="pyarrow")
+    gmax_parts = _collect(percust.map_batches(
+        lambda t: pa.table({"g": pa.array(
+            [pc.max(t["lastd"]).as_py()], pa.int64())}),
+        batch_format="pyarrow"))
+    gmax = int(pc.max(gmax_parts["g"]).as_py())
+
+    def add_rec(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rec", pc.subtract(pa.scalar(gmax, pa.int64()), t["lastd"]))
+
+    pcm = percust.map_batches(add_rec, batch_format="pyarrow") \
+        .materialize()   # customer-cardinality small side, scanned 9x
+    fences = {}
+    for col in ("rec", "f", "m"):
+        fences[col] = np.array(
+            [exact_global_quantile(pcm, col, q)[0]
+             for q in (0.25, 0.5, 0.75)], np.float64)
+
+    def seg(t: pa.Table) -> pa.Table:
+        out = {}
+        for col, name in (("rec", "r_q"), ("f", "f_q"), ("m", "m_q")):
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            q = np.ones(v.size, np.int64)
+            for th in fences[col]:
+                q += (v > th).astype(np.int64)
+            out[name] = pa.array(q)
+        g = pa.table(out).group_by(["r_q", "f_q", "m_q"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"r_q": g["r_q"], "f_q": g["f_q"],
+                         "m_q": g["m_q"],
+                         "n_customers": g["count_all"].cast(pa.int64())})
+
+    return bucketed_sum(pcm.map_batches(seg, batch_format="pyarrow"),
+                        ["r_q", "f_q", "m_q"], ["n_customers"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rho_contracts_ray.pipelines import tpch as _tpch
 
@@ -4544,6 +4691,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohort_events": _q_retention_cohort_events,
         "zscore_outliers_events": _q_zscore_outliers_events,
         "funnel3_events": _q_funnel3_events,
+        "mad_value_by_type": _q_mad_value_by_type,
+        "bounce_rate_events": _q_bounce_rate_events,
+        "rfm_segments_customers": _q_rfm_segments_customers,
         "vocab_jaccard_sources": _q_vocab_jaccard_sources,
         "basket_lift_parts": _q_basket_lift_parts,
         "key_skew_report_events": _q_key_skew_report_events,
@@ -5497,6 +5647,56 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN s ON e.event_type = s.event_type "
             "WHERE e.value IS NOT NULL AND s.sd > 0 "
             "AND abs((e.value - s.mu) / s.sd) >= 3.0"
+        ),
+        "mad_value_by_type": (
+            "WITH m AS (SELECT event_type, median(value) AS med "
+            "FROM events GROUP BY 1) "
+            "SELECT e.event_type, round(min(m.med), 6) AS med, "
+            "round(median(abs(e.value - m.med)), 6) AS mad "
+            "FROM events e JOIN m ON e.event_type = m.event_type "
+            "WHERE e.value IS NOT NULL GROUP BY 1"
+        ),
+        "bounce_rate_events": (
+            "WITH s AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) > 1800000000 "
+            "THEN 1 ELSE 0 END AS brk FROM events), "
+            "g AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid "
+            "FROM s), "
+            "c AS (SELECT user_id, sid, count(*)::BIGINT AS n FROM g "
+            "GROUP BY 1, 2) "
+            "SELECT count(*)::BIGINT AS n_sessions, "
+            "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce, "
+            "round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) "
+            "/ CAST(count(*) AS DOUBLE), 6) AS bounce_rate FROM c"
+        ),
+        "rfm_segments_customers": (
+            "WITH pc2 AS (SELECT o_custkey, "
+            "max(CAST(floor(epoch_us(o_orderdate) / 86400000000.0) "
+            "AS BIGINT)) AS lastd, count(*)::BIGINT AS f, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m "
+            "FROM orders GROUP BY 1), "
+            "r AS (SELECT o_custkey, "
+            "(SELECT max(lastd) FROM pc2) - lastd AS rec, f, m FROM pc2), "
+            "t AS (SELECT quantile_cont(rec, 0.25) AS r1, "
+            "quantile_cont(rec, 0.5) AS r2, "
+            "quantile_cont(rec, 0.75) AS r3, "
+            "quantile_cont(f, 0.25) AS f1, quantile_cont(f, 0.5) AS f2, "
+            "quantile_cont(f, 0.75) AS f3, "
+            "quantile_cont(m, 0.25) AS m1, quantile_cont(m, 0.5) AS m2, "
+            "quantile_cont(m, 0.75) AS m3 FROM r) "
+            "SELECT 1 + CASE WHEN rec > r1 THEN 1 ELSE 0 END "
+            "+ CASE WHEN rec > r2 THEN 1 ELSE 0 END "
+            "+ CASE WHEN rec > r3 THEN 1 ELSE 0 END AS r_q, "
+            "1 + CASE WHEN f > f1 THEN 1 ELSE 0 END "
+            "+ CASE WHEN f > f2 THEN 1 ELSE 0 END "
+            "+ CASE WHEN f > f3 THEN 1 ELSE 0 END AS f_q, "
+            "1 + CASE WHEN m > m1 THEN 1 ELSE 0 END "
+            "+ CASE WHEN m > m2 THEN 1 ELSE 0 END "
+            "+ CASE WHEN m > m3 THEN 1 ELSE 0 END AS m_q, "
+            "count(*)::BIGINT AS n_customers "
+            "FROM r CROSS JOIN t GROUP BY 1, 2, 3"
         ),
         "funnel3_events": (
             "WITH v AS (SELECT user_id, min(ts) AS tv FROM events "
