@@ -4054,277 +4054,6 @@ def _q_ztest_longdoc_sources(sf_dir: str):
         "z": pa.array(rows["z"], pa.float64())})
 
 
-def _q_retention_cohort_events(sf_dir: str):
-    """Cohort retention matrix: cohort = each user's first active day,
-    cell = how many of that cohort were active `offset_days` later.
-    Distinct (user, day) reduces on one exchange, the user bucket
-    derives cohort and offsets locally (min over the user's own days —
-    raw events never move twice), and the (cohort, offset) cells sum on
-    a second cardinality-sized exchange."""
-    from rho_contracts_ray.stages.agg import bucketed_apply, bucketed_sum
-
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-
-    def to_user_day(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
-            zero_copy_only=False)
-        day = np.floor(us.astype(np.float64) / 86400e6).astype(np.int64)
-        t = pa.table({"user_id": batch["user_id"], "day": pa.array(day)})
-        g = t.group_by(["user_id", "day"]).aggregate([([], "count_all")])
-        return pa.table({"user_id": g["user_id"], "day": g["day"],
-                         "one": pa.array(np.ones(g.num_rows, np.int64))})
-
-    user_day = bucketed_sum(
-        ds.map_batches(to_user_day, batch_format="pyarrow"),
-        ["user_id", "day"], ["one"])
-
-    def empty() -> pa.Table:
-        return pa.table({"cohort_day": pa.array([], pa.int64()),
-                         "offset_days": pa.array([], pa.int64()),
-                         "n_users": pa.array([], pa.int64())})
-
-    def body(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return empty()
-        s = t.take(pc.sort_indices(t, sort_keys=[
-            ("user_id", "ascending"), ("day", "ascending")]))
-        kcol = s["user_id"]
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = kcol.combine_chunks()
-        kv = kcol.to_numpy(zero_copy_only=False)
-        dv = s["day"].to_numpy(zero_copy_only=False).astype(np.int64)
-        k_chg = np.concatenate(([True], kv[1:] != kv[:-1]))
-        run_id = np.cumsum(k_chg) - 1
-        cohort = dv[np.flatnonzero(k_chg)]       # min day per user (sorted)
-        co = cohort[run_id]
-        g = pa.table({"cohort_day": pa.array(co),
-                      "offset_days": pa.array(dv - co)}) \
-            .group_by(["cohort_day", "offset_days"]) \
-            .aggregate([([], "count_all")])
-        return pa.table({"cohort_day": g["cohort_day"],
-                         "offset_days": g["offset_days"],
-                         "n_users": g["count_all"].cast(pa.int64())})
-
-    cells = bucketed_apply(user_day, ["user_id"], body, empty)
-    return bucketed_sum(cells, ["cohort_day", "offset_days"], ["n_users"])
-
-
-def _q_zscore_outliers_events(sf_dir: str):
-    """Per-type z-score outliers (|z| >= 3): pass A reduces (n, sum) per
-    type, pass B sums squared deviations about the EXACT mean (two-pass
-    variance, stable vs DuckDB's streaming stddev at 6dp), then a
-    stateless filter pass with the broadcast per-type stats emits only
-    the outlier rows — per-type moments ride the exchanges, never raw
-    rows, and the tiny stats table ships in the task closure."""
-    from rho_contracts_ray.stages.agg import bucketed_sum
-
-    ds = _read(sf_dir, "events",
-               columns=["event_id", "event_type", "value"])
-
-    def part_a(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.is_valid(batch["value"]))
-        tt = pa.table({"event_type": t["event_type"],
-                       "n": pa.array(np.ones(t.num_rows, np.int64)),
-                       "s": t["value"]})
-        g = tt.group_by(["event_type"]).aggregate(
-            [("n", "sum"), ("s", "sum")])
-        return g.rename_columns(["event_type", "n", "s"])
-
-    a = _collect(bucketed_sum(
-        ds.map_batches(part_a, batch_format="pyarrow"),
-        ["event_type"], ["n", "s"])).sort_by([("event_type", "ascending")])
-    keys = a["event_type"].to_pylist()
-    n_by = a["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    means = a["s"].to_numpy(zero_copy_only=False) / n_by
-    keys_arr = pa.array(keys, pa.string())
-
-    def part_b(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.is_valid(batch["value"]))
-        idx = pc.index_in(t["event_type"], value_set=keys_arr) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        v = t["value"].to_numpy(zero_copy_only=False)
-        d = v - means[idx]
-        tt = pa.table({"event_type": t["event_type"],
-                       "ssd": pa.array(d * d)})
-        g = tt.group_by(["event_type"]).aggregate([("ssd", "sum")])
-        return g.rename_columns(["event_type", "ssd"])
-
-    b = _collect(bucketed_sum(
-        ds.map_batches(part_b, batch_format="pyarrow"),
-        ["event_type"], ["ssd"])).sort_by([("event_type", "ascending")])
-    assert b["event_type"].to_pylist() == keys
-    ssd = b["ssd"].to_numpy(zero_copy_only=False)
-    sds = np.where(n_by > 1, np.sqrt(ssd / np.maximum(n_by - 1, 1)), 0.0)
-
-    def flag(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.is_valid(batch["value"]))
-        idx = pc.index_in(t["event_type"], value_set=keys_arr) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        v = t["value"].to_numpy(zero_copy_only=False)
-        sd = sds[idx]
-        ok = sd > 0
-        z = np.where(ok, (v - means[idx]) / np.where(ok, sd, 1.0), 0.0)
-        m = ok & (np.abs(z) >= 3.0)
-        out = t.filter(pa.array(m))
-        return pa.table({"event_id": out["event_id"],
-                         "event_type": out["event_type"],
-                         "value": out["value"],
-                         "z": pa.array(np.round(z[m], 6), pa.float64())})
-
-    return ds.map_batches(flag, batch_format="pyarrow")
-
-
-def _q_funnel3_events(sf_dir: str):
-    """Ordered three-step funnel (view -> click -> purchase): per user,
-    the first view, the first click STRICTLY after it, and the first
-    purchase strictly after that — masked np.minimum.at per user run
-    inside the bucket.  Only the three event types ride the exchange
-    and the driver folds one 3-integer partial row per bucket."""
-    from rho_contracts_ray.stages.agg import bucketed_apply
-
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
-
-    def keep3(batch: pa.Table) -> pa.Table:
-        m = pc.is_in(batch["event_type"],
-                     value_set=pa.array(["view", "click", "purchase"]))
-        return batch.filter(m)
-
-    ds3 = ds.map_batches(keep3, batch_format="pyarrow")
-
-    def empty() -> pa.Table:
-        return pa.table({"n_view": pa.array([], pa.int64()),
-                         "n_click_after": pa.array([], pa.int64()),
-                         "n_purchase_after": pa.array([], pa.int64())})
-
-    BIG = np.iinfo(np.int64).max
-
-    def body(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return empty()
-        kcol = t["user_id"]
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = kcol.combine_chunks()
-        kv = kcol.to_numpy(zero_copy_only=False)
-        order = np.argsort(kv, kind="stable")
-        kv = kv[order]
-        ts = pc.cast(t["ts"], pa.int64()).to_numpy(
-            zero_copy_only=False)[order]
-        et = t["event_type"].to_numpy(zero_copy_only=False)[order]
-        k_chg = np.concatenate(([True], kv[1:] != kv[:-1]))
-        run_id = np.cumsum(k_chg) - 1
-        nruns = int(run_id[-1]) + 1
-
-        def first_after(kind: str, lower: np.ndarray) -> np.ndarray:
-            lo = np.full(nruns, BIG, np.int64)
-            m = (et == kind) & (ts > lower[run_id])
-            np.minimum.at(lo, run_id[m], ts[m])
-            return lo
-
-        neg_inf = np.full(nruns, np.int64(-(2 ** 62)), np.int64)
-        tview = first_after("view", neg_inf)
-        tclick = first_after("click", tview)
-        tpurch = first_after("purchase", tclick)
-        return pa.table({
-            "n_view": pa.array([int((tview < BIG).sum())], pa.int64()),
-            "n_click_after": pa.array([int((tclick < BIG).sum())],
-                                      pa.int64()),
-            "n_purchase_after": pa.array([int((tpurch < BIG).sum())],
-                                         pa.int64())})
-
-    parts = _collect(bucketed_apply(ds3, ["user_id"], body, empty))
-    return pa.table({
-        "n_view": pa.array([int(pc.sum(parts["n_view"]).as_py() or 0)],
-                           pa.int64()),
-        "n_click_after": pa.array(
-            [int(pc.sum(parts["n_click_after"]).as_py() or 0)], pa.int64()),
-        "n_purchase_after": pa.array(
-            [int(pc.sum(parts["n_purchase_after"]).as_py() or 0)],
-            pa.int64())})
-
-
-def _q_vocab_jaccard_sources(sf_dir: str):
-    """Pairwise vocabulary Jaccard between sources: distinct (token,
-    source) partials reduce on the token exchange; each token bucket
-    emits C(k,2) source-pair intersection partials PLUS (s, s) diagonal
-    rows carrying the per-source vocab sizes (k <= |sources|, so the
-    pair fan-out is bounded); the |sources|^2-sized finish runs on the
-    driver.  The corpus text never shuffles — only token-set rows."""
-    from rho_contracts_ray.stages.agg import bucketed_apply, bucketed_sum
-    from rho_contracts_ray.stages.text import gram_arrays
-
-    ds = _read(sf_dir, "documents", columns=["source", "text"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        grams, doc_idx = gram_arrays(batch["text"], 1, " ")
-        mask = pc.not_equal(grams, "")
-        grams = grams.filter(mask)
-        doc_idx = doc_idx[mask.to_numpy(zero_copy_only=False)]
-        src = batch["source"].take(pa.array(doc_idx))
-        g = pa.table({"tok": grams, "source": src}) \
-            .group_by(["tok", "source"]).aggregate([([], "count_all")])
-        return pa.table({"tok": g["tok"], "source": g["source"],
-                         "one": pa.array(np.ones(g.num_rows, np.int64))})
-
-    st = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
-                      ["tok", "source"], ["one"])
-
-    def empty() -> pa.Table:
-        return pa.table({"source_a": pa.array([], pa.string()),
-                         "source_b": pa.array([], pa.string()),
-                         "n": pa.array([], pa.int64())})
-
-    def pairs_body(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return empty()
-        s = t.take(pc.sort_indices(t, sort_keys=[
-            ("tok", "ascending"), ("source", "ascending")]))
-        tv = s["tok"].to_numpy(zero_copy_only=False)
-        src = s["source"].to_numpy(zero_copy_only=False)
-        k_chg = np.concatenate(([True], tv[1:] != tv[:-1]))
-        run_id = np.cumsum(k_chg) - 1
-        lens = np.bincount(run_id)
-        a_parts, b_parts = [src], [src]          # diagonal: vocab sizes
-        for d in range(1, int(lens.max())):
-            m = run_id[d:] == run_id[:-d]
-            ia = np.flatnonzero(m)
-            a_parts.append(src[ia])
-            b_parts.append(src[ia + d])
-        A = np.concatenate(a_parts)
-        B = np.concatenate(b_parts)
-        g = pa.table({"source_a": pa.array(A.tolist(), pa.string()),
-                      "source_b": pa.array(B.tolist(), pa.string())}) \
-            .group_by(["source_a", "source_b"]) \
-            .aggregate([([], "count_all")])
-        return pa.table({"source_a": g["source_a"],
-                         "source_b": g["source_b"],
-                         "n": g["count_all"].cast(pa.int64())})
-
-    cnt = _collect(bucketed_sum(
-        bucketed_apply(st, ["tok"], pairs_body, empty),
-        ["source_a", "source_b"], ["n"]))
-    sa = cnt["source_a"].to_pylist()
-    sb = cnt["source_b"].to_pylist()
-    nn = cnt["n"].to_pylist()
-    nv = {a: c for a, b, c in zip(sa, sb, nn) if a == b}
-    rows = {"source_a": [], "source_b": [], "n_inter": [],
-            "n_union": [], "jaccard": []}
-    for a, b, c in zip(sa, sb, nn):
-        if a == b:
-            continue
-        un = nv[a] + nv[b] - c
-        rows["source_a"].append(a)
-        rows["source_b"].append(b)
-        rows["n_inter"].append(c)
-        rows["n_union"].append(un)
-        rows["jaccard"].append(round(c / un, 6))
-    return pa.table({
-        "source_a": pa.array(rows["source_a"], pa.string()),
-        "source_b": pa.array(rows["source_b"], pa.string()),
-        "n_inter": pa.array(rows["n_inter"], pa.int64()),
-        "n_union": pa.array(rows["n_union"], pa.int64()),
-        "jaccard": pa.array(rows["jaccard"], pa.float64())})
-
-
 def _q_basket_lift_parts(sf_dir: str):
     """Market-basket association for the 20 most co-purchased part pairs
     (support and lift): the order bucket dedups its parts and emits
@@ -4403,41 +4132,6 @@ def _q_basket_lift_parts(sf_dir: str):
         "support": pa.array(np.round(on / n_orders, 6), pa.float64()),
         "lift": pa.array(np.round(on.astype(np.float64) * n_orders
                                   / (ca * cb), 6), pa.float64())})
-
-
-def _q_mad_value_by_type(sf_dir: str):
-    """Median absolute deviation (about the exact interpolated median)
-    per event type: two group_quantiles_cont exchanges — medians first
-    (cardinality-sized, broadcast back in the task closure), then the
-    deviation median.  DuckDB quantile_cont arithmetic end to end."""
-    from rho_contracts_ray.stages.joins import group_quantiles_cont
-
-    ds = _read(sf_dir, "events", columns=["event_type", "value"])
-    med = _collect(group_quantiles_cont(ds, "event_type", "value",
-                                        qs=[0.5])) \
-        .sort_by([("event_type", "ascending")])
-    keys = med["event_type"].to_pylist()
-    mvals = med["p50"].to_numpy(zero_copy_only=False)
-    keys_arr = pa.array(keys, pa.string())
-
-    def adev(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.is_valid(batch["value"]))
-        idx = pc.index_in(t["event_type"], value_set=keys_arr) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        v = t["value"].to_numpy(zero_copy_only=False)
-        return pa.table({"event_type": t["event_type"],
-                         "adev": pa.array(np.abs(v - mvals[idx]))})
-
-    madt = _collect(group_quantiles_cont(
-        ds.map_batches(adev, batch_format="pyarrow"),
-        "event_type", "adev", qs=[0.5])) \
-        .sort_by([("event_type", "ascending")])
-    assert madt["event_type"].to_pylist() == keys
-    return pa.table({
-        "event_type": pa.array(keys, pa.string()),
-        "med": pa.array(np.round(mvals, 6), pa.float64()),
-        "mad": pa.array(np.round(
-            madt["p50"].to_numpy(zero_copy_only=False), 6), pa.float64())})
 
 
 def _q_bounce_rate_events(sf_dir: str):
@@ -4688,13 +4382,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_streak_user": _q_active_streak_user,
         "geomean_value_by_type": _q_geomean_value_by_type,
         "ztest_longdoc_sources": _q_ztest_longdoc_sources,
-        "retention_cohort_events": _q_retention_cohort_events,
-        "zscore_outliers_events": _q_zscore_outliers_events,
-        "funnel3_events": _q_funnel3_events,
-        "mad_value_by_type": _q_mad_value_by_type,
         "bounce_rate_events": _q_bounce_rate_events,
         "rfm_segments_customers": _q_rfm_segments_customers,
-        "vocab_jaccard_sources": _q_vocab_jaccard_sources,
         "basket_lift_parts": _q_basket_lift_parts,
         "key_skew_report_events": _q_key_skew_report_events,
         "reconcile_orders_lineitem": _q_reconcile_orders_lineitem,
@@ -5628,34 +5317,6 @@ def oracle_sql() -> dict[str, str]:
             "* (1.0 / a.n + 1.0 / b.n)), 6) ELSE NULL END AS z "
             "FROM s a JOIN s b ON a.source < b.source"
         ),
-        "retention_cohort_events": (
-            "WITH ud AS (SELECT DISTINCT user_id, "
-            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day "
-            "FROM events), "
-            "c AS (SELECT user_id, min(day) AS cohort FROM ud GROUP BY 1) "
-            "SELECT c.cohort AS cohort_day, "
-            "ud.day - c.cohort AS offset_days, "
-            "count(*)::BIGINT AS n_users "
-            "FROM ud JOIN c ON ud.user_id = c.user_id GROUP BY 1, 2"
-        ),
-        "zscore_outliers_events": (
-            "WITH s AS (SELECT event_type, avg(value) AS mu, "
-            "stddev_samp(value) AS sd FROM events "
-            "WHERE value IS NOT NULL GROUP BY 1) "
-            "SELECT e.event_id, e.event_type, e.value, "
-            "round((e.value - s.mu) / s.sd, 6) AS z "
-            "FROM events e JOIN s ON e.event_type = s.event_type "
-            "WHERE e.value IS NOT NULL AND s.sd > 0 "
-            "AND abs((e.value - s.mu) / s.sd) >= 3.0"
-        ),
-        "mad_value_by_type": (
-            "WITH m AS (SELECT event_type, median(value) AS med "
-            "FROM events GROUP BY 1) "
-            "SELECT e.event_type, round(min(m.med), 6) AS med, "
-            "round(median(abs(e.value - m.med)), 6) AS mad "
-            "FROM events e JOIN m ON e.event_type = m.event_type "
-            "WHERE e.value IS NOT NULL GROUP BY 1"
-        ),
         "bounce_rate_events": (
             "WITH s AS (SELECT user_id, ts, event_id, "
             "CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
@@ -5697,35 +5358,6 @@ def oracle_sql() -> dict[str, str]:
             "+ CASE WHEN m > m3 THEN 1 ELSE 0 END AS m_q, "
             "count(*)::BIGINT AS n_customers "
             "FROM r CROSS JOIN t GROUP BY 1, 2, 3"
-        ),
-        "funnel3_events": (
-            "WITH v AS (SELECT user_id, min(ts) AS tv FROM events "
-            "WHERE event_type = 'view' GROUP BY 1), "
-            "c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e "
-            "JOIN v ON e.user_id = v.user_id "
-            "WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1), "
-            "p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e "
-            "JOIN c ON e.user_id = c.user_id "
-            "WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1) "
-            "SELECT (SELECT count(*) FROM v)::BIGINT AS n_view, "
-            "(SELECT count(*) FROM c)::BIGINT AS n_click_after, "
-            "(SELECT count(*) FROM p)::BIGINT AS n_purchase_after"
-        ),
-        "vocab_jaccard_sources": (
-            "WITH tok AS (SELECT DISTINCT source, tok FROM "
-            "(SELECT source, unnest(list_filter(string_split(text, ' '), "
-            "t -> t <> '')) AS tok FROM documents)), "
-            "v AS (SELECT source, count(*)::BIGINT AS nv "
-            "FROM tok GROUP BY 1), "
-            "i AS (SELECT a.source AS source_a, b.source AS source_b, "
-            "count(*)::BIGINT AS n_inter FROM tok a JOIN tok b "
-            "ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2) "
-            "SELECT i.source_a, i.source_b, i.n_inter, "
-            "va.nv + vb.nv - i.n_inter AS n_union, "
-            "round(i.n_inter "
-            "/ CAST(va.nv + vb.nv - i.n_inter AS DOUBLE), 6) AS jaccard "
-            "FROM i JOIN v va ON va.source = i.source_a "
-            "JOIN v vb ON vb.source = i.source_b"
         ),
         "basket_lift_parts": (
             "WITH op AS (SELECT DISTINCT l_orderkey, l_partkey "
