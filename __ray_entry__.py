@@ -4098,31 +4098,40 @@ def _q_basket_lift_parts(sf_dir: str):
             .group_by(["part_a", "part_b"]).aggregate([("n", "sum")])
         return g.rename_columns(["part_a", "part_b", "n"])
 
+    # materialize once: the local-top candidate scan AND the ≤40-part
+    # frequency lookup both read it — without re-running the pair build,
+    # and without ever landing the part-cardinality diagonal on the
+    # driver (at 10^8 parts that collect would be the scale bug)
     counts = bucketed_sum(bucketed_apply(li, ["l_orderkey"], body, empty),
-                          ["part_a", "part_b"], ["n"])
+                          ["part_a", "part_b"], ["n"]).materialize()
 
     def local_top(t: pa.Table) -> pa.Table:
-        diag = t.filter(pc.and_(pc.equal(t["part_a"], t["part_b"]),
-                                pc.not_equal(t["part_a"], -1)))
         mark = t.filter(pc.equal(t["part_a"], -1))
         off = t.filter(pc.and_(pc.not_equal(t["part_a"], t["part_b"]),
                                pc.not_equal(t["part_a"], -1)))
         off = off.take(pc.sort_indices(off, sort_keys=[
             ("n", "descending"), ("part_a", "ascending"),
             ("part_b", "ascending")])).slice(0, 20)
-        return pa.concat_tables([diag, mark, off])
+        return pa.concat_tables([mark, off])
 
     small = _collect(counts.map_batches(local_top, batch_format="pyarrow"))
     p_a = small["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
     p_b = small["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
     n = small["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     n_orders = int(n[p_a == -1].sum())
-    freq = {int(a): int(c) for a, b, c in zip(p_a, p_b, n)
-            if a == b and a != -1}
     off = (p_a != p_b) & (p_a != -1)
     oa, ob, on = p_a[off], p_b[off], n[off]
     order = np.lexsort((ob, oa, -on))[:20]
     oa, ob, on = oa[order], ob[order], on[order]
+    need = pa.array(np.unique(np.concatenate([oa, ob])))
+
+    def diag_lookup(t: pa.Table) -> pa.Table:
+        d = t.filter(pc.and_(pc.equal(t["part_a"], t["part_b"]),
+                             pc.is_in(t["part_a"], value_set=need)))
+        return d.select(["part_a", "n"])
+
+    dt = _collect(counts.map_batches(diag_lookup, batch_format="pyarrow"))
+    freq = dict(zip(dt["part_a"].to_pylist(), dt["n"].to_pylist()))
     ca = np.array([freq[int(x)] for x in oa], np.float64)
     cb = np.array([freq[int(x)] for x in ob], np.float64)
     return pa.table({
