@@ -4024,8 +4024,12 @@ def _q_ztest_longdoc_sources(sf_dir: str):
 
     agg = _collect(bucketed_sum(
         ds.map_batches(partial, batch_format="pyarrow"),
-        ["source"], ["n", "n_long"])) \
-        .sort_by([("source", "ascending")])
+        ["source"], ["n", "n_long"]))
+    if "source" not in agg.column_names:   # all-empty input: no blocks
+        agg = pa.table({"source": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                        "n_long": pa.array([], pa.int64())})
+    agg = agg.sort_by([("source", "ascending")])
     src = agg["source"].to_pylist()
     n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
     k = agg["n_long"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -4115,6 +4119,10 @@ def _q_basket_lift_parts(sf_dir: str):
         return pa.concat_tables([mark, off])
 
     small = _collect(counts.map_batches(local_top, batch_format="pyarrow"))
+    if "part_a" not in small.column_names:   # all-empty input: no blocks
+        small = pa.table({"part_a": pa.array([], pa.int64()),
+                          "part_b": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
     p_a = small["part_a"].to_numpy(zero_copy_only=False).astype(np.int64)
     p_b = small["part_b"].to_numpy(zero_copy_only=False).astype(np.int64)
     n = small["n"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -4131,7 +4139,8 @@ def _q_basket_lift_parts(sf_dir: str):
         return d.select(["part_a", "n"])
 
     dt = _collect(counts.map_batches(diag_lookup, batch_format="pyarrow"))
-    freq = dict(zip(dt["part_a"].to_pylist(), dt["n"].to_pylist()))
+    freq = (dict(zip(dt["part_a"].to_pylist(), dt["n"].to_pylist()))
+            if "part_a" in dt.column_names else {})
     ca = np.array([freq[int(x)] for x in oa], np.float64)
     cb = np.array([freq[int(x)] for x in ob], np.float64)
     return pa.table({
@@ -4175,8 +4184,9 @@ def _q_bounce_rate_events(sf_dir: str):
             "n_bounce": pa.array([int((lens == 1).sum())], pa.int64())})
 
     parts = _collect(bucketed_apply(ds, ["user_id"], body, empty))
-    ns = int(pc.sum(parts["n_sessions"]).as_py() or 0)
-    nb = int(pc.sum(parts["n_bounce"]).as_py() or 0)
+    has = "n_sessions" in parts.column_names   # all-empty input: no blocks
+    ns = int(pc.sum(parts["n_sessions"]).as_py() or 0) if has else 0
+    nb = int(pc.sum(parts["n_bounce"]).as_py() or 0) if has else 0
     return pa.table({
         "n_sessions": pa.array([ns], pa.int64()),
         "n_bounce": pa.array([nb], pa.int64()),
@@ -4223,7 +4233,13 @@ def _q_rfm_segments_customers(sf_dir: str):
         lambda t: pa.table({"g": pa.array(
             [pc.max(t["lastd"]).as_py()], pa.int64())}),
         batch_format="pyarrow"))
-    gmax = int(pc.max(gmax_parts["g"]).as_py())
+    gmax_v = pc.max(gmax_parts["g"]).as_py() if gmax_parts.num_rows else None
+    if gmax_v is None:        # no orders at all
+        return pa.table({"r_q": pa.array([], pa.int64()),
+                         "f_q": pa.array([], pa.int64()),
+                         "m_q": pa.array([], pa.int64()),
+                         "n_customers": pa.array([], pa.int64())})
+    gmax = int(gmax_v)
 
     def add_rec(t: pa.Table) -> pa.Table:
         return t.append_column(
