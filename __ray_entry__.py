@@ -3516,6 +3516,29 @@ def _q_reconcile_orders_lineitem(sf_dir: str):
                          "sum_abs_delta_cents"])
 
 
+def _distinct_user_day(sf_dir: str):
+    """Distinct (user_id, day) activity set over events — the shared
+    first stage of the rolling-distinct / streak / retention family:
+    per-batch (user, floor-day) dedup partials reduce on ONE exchange;
+    raw events never move again."""
+    from rho_contracts_ray.stages.agg import bucketed_sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_user_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor(us.astype(np.float64) / 86400e6).astype(np.int64)
+        t = pa.table({"user_id": batch["user_id"], "day": pa.array(day)})
+        g = t.group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        return pa.table({"user_id": g["user_id"], "day": g["day"],
+                         "one": pa.array(np.ones(g.num_rows, np.int64))})
+
+    return bucketed_sum(ds.map_batches(to_user_day,
+                                       batch_format="pyarrow"),
+                        ["user_id", "day"], ["one"])
+
+
 def _q_rolling7_distinct_users(sf_dir: str):
     """7-day rolling distinct active users per day: distinct (user, day)
     pairs fan out to the 7 window-days they count toward, dedup again,
@@ -3528,22 +3551,7 @@ def _q_rolling7_distinct_users(sf_dir: str):
     from rho_contracts_ray.stages.agg import bucketed_sum
     from rho_contracts_ray.stages.joins import semi_join
 
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-
-    def to_user_day(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
-            zero_copy_only=False)
-        day = np.floor(us.astype(np.float64) / 86400e6).astype(np.int64)
-        t = pa.table({"user_id": batch["user_id"],
-                      "day": pa.array(day)})
-        g = t.group_by(["user_id", "day"]).aggregate([([], "count_all")])
-        return pa.table({"user_id": g["user_id"], "day": g["day"],
-                         "one": pa.array(
-                             np.ones(g.num_rows, np.int64))})
-
-    user_day = bucketed_sum(
-        ds.map_batches(to_user_day, batch_format="pyarrow"),
-        ["user_id", "day"], ["one"])
+    user_day = _distinct_user_day(sf_dir)
 
     def fan_out(batch: pa.Table) -> pa.Table:
         day = batch["day"].to_numpy(zero_copy_only=False)
@@ -3639,8 +3647,11 @@ def _q_topshare_revenue_customers(sf_dir: str):
         "total_cents": pa.array([total], pa.int64()),
         "top1_cents": pa.array([c1], pa.int64()),
         "top10_cents": pa.array([c10], pa.int64()),
-        "top1_share": pa.array([round(c1 / total, 6)], pa.float64()),
-        "top10_share": pa.array([round(c10 / total, 6)], pa.float64())})
+        # total == 0 -> null shares (DuckDB's x / 0.0 surfaces as NaN/NULL)
+        "top1_share": pa.array(
+            [round(c1 / total, 6) if total else None], pa.float64()),
+        "top10_share": pa.array(
+            [round(c10 / total, 6) if total else None], pa.float64())})
 
 
 def _q_conversion_lag_events(sf_dir: str):
@@ -3702,8 +3713,9 @@ def _q_key_skew_report_events(sf_dir: str):
     n_keys = int(pc.sum(parts["n_keys"]).as_py() or 0)
     n_rows = int(pc.sum(parts["n_rows"]).as_py() or 0)
     if n_keys == 0:
+        # SQL parity: sum(n) over the empty key CTE is NULL, count is 0
         return pa.table({"n_keys": pa.array([0], pa.int64()),
-                         "n_rows": pa.array([0], pa.int64()),
+                         "n_rows": pa.array([None], pa.int64()),
                          "min_sz": pa.array([None], pa.int64()),
                          "max_sz": pa.array([None], pa.int64()),
                          "avg_sz": pa.array([None], pa.float64()),
@@ -3790,7 +3802,14 @@ def _q_also_bought_top3_parts(sf_dir: str):
             .astype(np.int64)
         it = t["l_partkey"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        order, ia, ib, _trunc = _bucket_pair_index(g, it, 256)
+        order, ia, ib, trunc = _bucket_pair_index(g, it, 256)
+        if np.any(trunc):
+            # the SQL oracle enumerates EVERY pair; a silently-capped
+            # order would diverge — fail loudly (explicit-ceiling
+            # convention), TPC-H orders hold <=7 distinct parts
+            raise ValueError(
+                "also_bought: an order exceeds 256 distinct parts; "
+                "raise the pair cap to keep oracle parity")
         iv = it[order]
         u, v = iv[ia], iv[ib]
         tbl = pa.table({
@@ -3916,21 +3935,7 @@ def _q_active_streak_user(sf_dir: str):
 
     from rho_contracts_ray.stages.agg import bucketed_apply, bucketed_sum
 
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
-
-    def to_user_day(batch: pa.Table) -> pa.Table:
-        us = pc.cast(batch["ts"], pa.int64()).to_numpy(
-            zero_copy_only=False)
-        day = np.floor(us.astype(np.float64) / 86400e6).astype(np.int64)
-        t = pa.table({"user_id": batch["user_id"],
-                      "day": pa.array(day)})
-        g = t.group_by(["user_id", "day"]).aggregate([([], "count_all")])
-        return pa.table({"user_id": g["user_id"], "day": g["day"],
-                         "one": pa.array(np.ones(g.num_rows, np.int64))})
-
-    user_day = bucketed_sum(
-        ds.map_batches(to_user_day, batch_format="pyarrow"),
-        ["user_id", "day"], ["one"])
+    user_day = _distinct_user_day(sf_dir)
 
     def empty() -> pa.Table:
         return pa.table({"user_id": pa.array([], pa.int64()),

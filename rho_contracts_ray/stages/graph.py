@@ -717,6 +717,12 @@ def _cc_expand(n_buckets: int, labels, edge_tbl):
         for r in range(n_buckets))
 
 
+@ray.remote
+def _cc_unwrap1(tup):
+    """Unwrap the 1-tuple a num_returns=1 _cc_expand call yields."""
+    return tup[0]
+
+
 @ray.remote(num_returns=2)
 def _cc_combine(label_tbl, *cand_tbls):
     """One superstep, destination side: fold proposed labels into this
@@ -732,8 +738,7 @@ def _cc_combine(label_tbl, *cand_tbls):
     cn = cat["node"].to_numpy(zero_copy_only=False).astype(np.int64)
     cc = cat["cand"].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(ln, kind="stable")
-    ln_s, inv = ln[order], np.empty_like(order)
-    inv[order] = np.arange(order.size)
+    ln_s = ln[order]
     pos = np.searchsorted(ln_s, cn)
     pos[pos >= ln_s.size] = ln_s.size - 1
     hit = ln_s[pos] == cn
@@ -824,7 +829,11 @@ def graph_connected_components(edges_ds, n_buckets: Optional[int] = None,
             outs = [expand.remote(n_buckets, label_refs[b], edge_refs[b])
                     for b in range(n_buckets)]
         else:
-            outs = [[_cc_expand.remote(1, label_refs[0], edge_refs[0])]]
+            # with num_returns=1 Ray hands back ONE ref to the whole
+            # 1-tuple _cc_expand returns — unwrap it so _cc_combine
+            # receives the table, not the tuple
+            outs = [[_cc_unwrap1.remote(
+                _cc_expand.remote(1, label_refs[0], edge_refs[0]))]]
         results = [_cc_combine.remote(
             label_refs[r], *[outs[b][r] for b in range(n_buckets)])
             for r in range(n_buckets)]

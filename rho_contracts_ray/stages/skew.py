@@ -180,7 +180,8 @@ def max_concurrent_intervals(intervals, s_col: str = "s_us",
         return pa.table({"day": pa.array([], pa.int64()),
                          "tot": pa.array([], pa.int64()),
                          "loc_max": pa.array([], pa.int64()),
-                         "at_us": pa.array([], pa.int64())})
+                         "at_us": pa.array([], pa.int64()),
+                         "n_ev": pa.array([], pa.int64())})
 
     def to_deltas(batch: pa.Table) -> pa.Table:
         s = batch[s_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -220,14 +221,14 @@ def max_concurrent_intervals(intervals, s_col: str = "s_us",
         return pa.table({"day": pa.array(dv[starts]),
                          "tot": pa.array(cw[starts + lens - 1] - base),
                          "loc_max": pa.array(mx),
-                         "at_us": pa.array(tsv[first])})
+                         "at_us": pa.array(tsv[first]),
+                         "n_ev": pa.array(lens.astype(np.int64))})
 
     day_rows = bucketed_apply(deltas, ["day"], day_scan, empty)
     parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
              for b in day_rows.iter_batches(batch_size=None,
                                             batch_format="pyarrow")]
     parts = [p for p in parts if p.num_rows]
-    n_intervals = intervals.count()
     if not parts:
         return pa.table({
             "n_intervals": pa.array([0], pa.int64()),
@@ -240,6 +241,10 @@ def max_concurrent_intervals(intervals, s_col: str = "s_us",
     off = np.concatenate(([0], np.cumsum(tot)[:-1]))
     cand = off + loc
     best = int(np.argmax(cand))            # first day achieving the peak
+    # every interval emits exactly two deltas (start + end, possibly in
+    # different day buckets) — count them in the same scan instead of a
+    # second full pass over the (possibly lazy) input plan
+    n_intervals = int(pc.sum(summ["n_ev"]).as_py() or 0) // 2
     return pa.table({
         "n_intervals": pa.array([int(n_intervals)], pa.int64()),
         "max_concurrent": pa.array([int(cand[best])], pa.int64()),

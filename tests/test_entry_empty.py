@@ -66,10 +66,11 @@ def test_new_queries_empty_input(name, cols, empty_sf, ray_session):
     import __ray_entry__ as e
 
     t = _as_table(e.queries()[name](empty_sf))
-    # single-summary-row queries may legitimately emit one all-zero row;
-    # everything else must be zero rows — but ALWAYS the full schema
-    assert set(cols) <= set(t.column_names) or t.num_rows == 0, \
-        (name, t.column_names)
+    # the schema must survive empty input UNCONDITIONALLY (the failure
+    # mode is a schemaless pa.table({}) leaking out)
+    assert set(cols) <= set(t.column_names), (name, t.column_names)
+    # single-summary-row queries legitimately emit one all-zero row;
+    # everything else must be zero rows
     if t.num_rows:
         assert name == "bounce_rate_events"
         assert t["n_sessions"][0].as_py() == 0
