@@ -5288,7 +5288,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "theil_sen_events_user": (
             "WITH e AS (SELECT user_id, "
-            "epoch_us(ts) / 86400000000.0 AS x, value FROM events), "
+            "epoch_us(ts) / 86400000000.0 AS x, value FROM events "
+            "WHERE value IS NOT NULL AND ts IS NOT NULL), "
             "p AS (SELECT a.user_id, "
             "(b.value - a.value) / (b.x - a.x) AS sl FROM e a "
             "JOIN e b ON a.user_id = b.user_id AND b.x > a.x) "
@@ -5574,9 +5575,10 @@ def oracle_sql() -> dict[str, str]:
             "AS s_stat FROM events a JOIN events b "
             "ON a.user_id = b.user_id AND (a.ts < b.ts "
             "OR (a.ts = b.ts AND a.event_id < b.event_id)) "
+            "WHERE a.value IS NOT NULL AND b.value IS NOT NULL "
             "GROUP BY 1), "
             "n AS (SELECT user_id, count(*)::BIGINT AS n_obs "
-            "FROM events GROUP BY 1) "
+            "FROM events WHERE value IS NOT NULL GROUP BY 1) "
             "SELECT n.user_id, coalesce(p.s_stat, 0)::BIGINT AS s_stat, "
             "n.n_obs FROM n LEFT JOIN p USING (user_id)"
         ),

@@ -254,6 +254,24 @@ def write_hash_shards(ds, key: str, out_dir: str, n_shards: int,
     from ..stages.agg import bucketed_apply
 
     os.makedirs(out_dir, exist_ok=True)
+    # pin the layout: resuming with a DIFFERENT n_shards (or key) would
+    # treat the old run's shards as "done" under the new modulus and
+    # silently drop every row that now routes elsewhere
+    import json
+    layout_path = os.path.join(out_dir, "_layout.json")
+    if os.path.exists(layout_path):
+        with open(layout_path) as fh:
+            prev = json.load(fh)
+        if prev.get("n_shards") != n_shards or prev.get("key") != key:
+            raise ValueError(
+                f"write_hash_shards: {out_dir} was written with "
+                f"n_shards={prev.get('n_shards')}, key={prev.get('key')!r}"
+                f" — resuming with n_shards={n_shards}, key={key!r} would "
+                f"silently mis-route rows; use a fresh out_dir or delete "
+                f"the old layout")
+    else:
+        with open(layout_path, "w") as fh:
+            json.dump({"n_shards": n_shards, "key": key}, fh)
     done = set()
     if resume:
         for k in range(n_shards):

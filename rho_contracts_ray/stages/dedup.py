@@ -1487,7 +1487,11 @@ class _FuzzyDecontamStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         sig = self.mh(batch)
         if sig.num_rows == 0 or self.keys.size == 0:
-            return pa.table({self.id_col: pa.array([], pa.int64()),
+            # mirror the INPUT id type (string ids must not silently
+            # become int64 blocks on the empty path)
+            idt = (batch[self.id_col].type
+                   if self.id_col in batch.column_names else pa.int64())
+            return pa.table({self.id_col: pa.array([], idt),
                              "n_bands_hit": pa.array([], pa.int64())})
         bk = _band_key_matrix(_sig_matrix(sig), self.bands)
         flatk = bk.reshape(-1)

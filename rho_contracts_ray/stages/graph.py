@@ -100,6 +100,15 @@ import ray
 
 
 @ray.remote
+def _unwrap1(tup):
+    """Unwrap the 1-tuple a num_returns=1 expand/contrib call yields —
+    with num_returns=1 Ray hands back ONE ref to the whole tuple, so the
+    downstream combine would otherwise receive the tuple, not the
+    table/array inside it."""
+    return tup[0]
+
+
+@ray.remote
 def _bfs_local_task(seed_nodes: np.ndarray, max_depth: int,
                     *blocks) -> pa.Table:
     """Whole-graph BFS in one task — the small-graph fast path (the
@@ -305,8 +314,8 @@ def bfs_distances(edges_ds, seeds: pa.Table, max_depth: int,
                                   edge_refs[b])
                     for b in range(n_buckets)]
         else:
-            outs = [[_bfs_expand.remote(1, frontier_refs[0],
-                                        edge_refs[0])]]
+            outs = [[_unwrap1.remote(_bfs_expand.remote(
+                1, frontier_refs[0], edge_refs[0]))]]
         results = [_bfs_combine.remote(
             dist_refs[r], d, *[outs[b][r] for b in range(n_buckets)])
             for r in range(n_buckets)]
@@ -622,7 +631,8 @@ def pagerank(edges_ds, iters: int = 20, damping: float = 0.85,
             outs = [contrib.remote(n_buckets, preps[b], ranks[b])
                     for b in range(n_buckets)]
         else:
-            outs = [[_pr_contrib.remote(1, preps[0], ranks[0])]]
+            outs = [[_unwrap1.remote(
+                _pr_contrib.remote(1, preps[0], ranks[0]))]]
         ranks = [_pr_combine.remote(
             preps[r], n_total, damping,
             *[outs[b][r] for b in range(n_buckets)])
@@ -717,10 +727,7 @@ def _cc_expand(n_buckets: int, labels, edge_tbl):
         for r in range(n_buckets))
 
 
-@ray.remote
-def _cc_unwrap1(tup):
-    """Unwrap the 1-tuple a num_returns=1 _cc_expand call yields."""
-    return tup[0]
+
 
 
 @ray.remote(num_returns=2)
@@ -829,10 +836,7 @@ def graph_connected_components(edges_ds, n_buckets: Optional[int] = None,
             outs = [expand.remote(n_buckets, label_refs[b], edge_refs[b])
                     for b in range(n_buckets)]
         else:
-            # with num_returns=1 Ray hands back ONE ref to the whole
-            # 1-tuple _cc_expand returns — unwrap it so _cc_combine
-            # receives the table, not the tuple
-            outs = [[_cc_unwrap1.remote(
+            outs = [[_unwrap1.remote(
                 _cc_expand.remote(1, label_refs[0], edge_refs[0]))]]
         results = [_cc_combine.remote(
             label_refs[r], *[outs[b][r] for b in range(n_buckets)])

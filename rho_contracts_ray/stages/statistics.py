@@ -289,7 +289,7 @@ def ohlc_bars(ds, key: str, ts: str, value: str, unit: str = "day",
     bar); the exchange combines partials with two sorted run-scans (for
     open/close provenance via the partials' min/max ts) and one Arrow
     group_by — raw rows never move."""
-    from .agg import _first_per_key_run, bucketed_apply
+    from .agg import _first_per_key_run, bucketed_apply, col_type
 
     keys = [key, "bar"]
 
@@ -361,10 +361,12 @@ def ohlc_bars(ds, key: str, ts: str, value: str, unit: str = "day",
             "n": pc.cast(out["n_sum"], pa.int64()),
             "total": pc.round(out["s_sum"], sum_digits)})
 
+    ktype = col_type(ds, key)
+
     def empty() -> pa.Table:
         tt = pa.timestamp("us")
         f = pa.float64()
-        return pa.table({key: pa.array([], pa.int64()),
+        return pa.table({key: pa.array([], ktype),
                          "bar": pa.array([], tt), "open": pa.array([], f),
                          "high": pa.array([], f), "low": pa.array([], f),
                          "close": pa.array([], f),
@@ -453,7 +455,7 @@ def resample_ffill(ds, key: str, ts: str, value: str, out_col: str):
     row per (batch, key, day); one exchange by key; the fill itself is a
     pure np.repeat of observed values over their gap lengths — no grid
     materialization beyond the output rows, no per-key Python."""
-    from .agg import bucketed_apply
+    from .agg import bucketed_apply, col_type
 
     DAY = 86_400_000_000
 
@@ -513,8 +515,10 @@ def resample_ffill(ds, key: str, ts: str, value: str, out_col: str):
             out_col: pa.array(v[src]),
         })
 
+    ktype = col_type(ds, key)
+
     def empty() -> pa.Table:
-        return pa.table({key: pa.array([], pa.int64()),
+        return pa.table({key: pa.array([], ktype),
                          "day": pa.array([], pa.timestamp("us")),
                          out_col: pa.array([], pa.float64())})
 
@@ -725,7 +729,14 @@ def group_weighted_median(ds, key: str, value: str, weight: str,
 
     One bucketed exchange; the bucket body is one Arrow sort + a
     segment cumsum + one searchsorted across all key runs — no per-group
-    Python."""
+    Python.
+
+    Numerics: the per-group running weight is derived from one
+    bucket-global float cumsum (rel = cw - run_base), so FLOAT weights
+    accumulate ~n*eps cancellation error across earlier groups in the
+    bucket and a value landing EXACTLY on half the total can flip the
+    pick vs the SQL per-group cumsum; integer weights (the oracled
+    queries use counts/cents) are exact."""
     from .agg import bucketed_apply
 
     def body(t: pa.Table) -> pa.Table:
@@ -786,18 +797,21 @@ def mann_kendall_s(ds, key: str, order_by: Sequence[str], value: str,
     loudly rather than silently burning quadratic time — the same
     explicit ceiling convention as the fuzzy-dedup stage; long series
     need a windowed/sampled variant, not a silent stall."""
-    from .agg import bucketed_apply
+    from .agg import bucketed_apply, col_type
 
     order_by = list(order_by)
     sort_keys = [(key, "ascending")] + [(c, "ascending")
                  for c in order_by]
 
+    ktype = col_type(ds, key)
+
     def empty() -> pa.Table:
-        return pa.table({key: pa.array([], pa.int64()),
+        return pa.table({key: pa.array([], ktype),
                          "s_stat": pa.array([], pa.int64()),
                          "n_obs": pa.array([], pa.int64())})
 
     def body(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[value]))   # SQL null-skipping parity
         if t.num_rows == 0:
             return empty()
         s = t.take(pc.sort_indices(t, sort_keys=sort_keys))
@@ -816,10 +830,18 @@ def mann_kendall_s(ds, key: str, order_by: Sequence[str], value: str,
                 f"(> max_group={max_group}); the O(n^2) pairwise pass "
                 f"would be quadratic — window or sample the series")
         out_s = np.empty(starts.size, np.int64)
+        STRIP = 256   # bounds the pairwise temp at STRIP x n, not n x n
         for i in range(starts.size):   # per-RUN loop; inner is n^2 numpy
             seg = v[starts[i]:ends[i]]
-            d = seg[None, :] - seg[:, None]
-            out_s[i] = int(np.sign(np.triu(d, 1)).sum())
+            n = seg.size
+            acc = 0
+            cols = np.arange(n)
+            for j0 in range(1, n, STRIP):
+                jend = min(j0 + STRIP, n)
+                d = seg[j0:jend, None] - seg[None, :]
+                mask = cols[None, :] < np.arange(j0, jend)[:, None]
+                acc += int((np.sign(d) * mask).sum())
+            out_s[i] = acc
         return pa.table({key: kcol.take(pa.array(starts)),
                          "s_stat": pa.array(out_s),
                          "n_obs": pa.array(lens.astype(np.int64))})
@@ -839,14 +861,16 @@ def cusum_changepoint(ds, key: str, order_by: Sequence[str],
 
     One exchange; the body is one sort + segment cumsum + one
     vectorized argmax per key run."""
-    from .agg import bucketed_apply
+    from .agg import bucketed_apply, col_type
 
     order_by = list(order_by)
     sort_keys = [(key, "ascending")] + [(c, "ascending")
                  for c in order_by]
 
+    ktype = col_type(ds, key)
+
     def empty() -> pa.Table:
-        return pa.table({key: pa.array([], pa.int64()),
+        return pa.table({key: pa.array([], ktype),
                          "cp_index": pa.array([], pa.int64()),
                          "d_max": pa.array([], pa.int64()),
                          "n_obs": pa.array([], pa.int64())})
@@ -887,7 +911,7 @@ def cusum_changepoint(ds, key: str, order_by: Sequence[str],
 
 
 def theil_sen_slope(ds, key: str, x: str, value: str,
-                    max_group: int = 20_000, ndigits: int = 6):
+                    max_group: int = 10_000, ndigits: int = 6):
     """Theil-Sen robust slope per group -> Dataset[key, ts_slope,
     n_pairs]: the median of all pairwise slopes (v_j - v_i)/(x_j - x_i)
     over pairs with x_j > x_i — the estimator that shrugs off the
@@ -895,16 +919,23 @@ def theil_sen_slope(ds, key: str, x: str, value: str,
     DuckDB's quantile_cont does (lo + frac*(hi - lo) at rn = 0.5*(n-1)),
     so the SQL self-join oracle agrees at `ndigits` rounding.
 
-    Same loud O(n^2) ceiling convention as mann_kendall_s (`max_group`);
+    Same loud O(n^2) ceiling convention as mann_kendall_s — the cap is
+    MEMORY-motivated too: the dense pairwise pass allocates ~3 float64
+    n x n temporaries (2.4 GB at the 10k default), so raising it needs
+    a matching worker heap;
     one bucketed exchange, per-run vectorized pairwise slopes."""
-    from .agg import bucketed_apply
+    from .agg import bucketed_apply, col_type
+
+    ktype = col_type(ds, key)
 
     def empty() -> pa.Table:
-        return pa.table({key: pa.array([], pa.int64()),
+        return pa.table({key: pa.array([], ktype),
                          "ts_slope": pa.array([], pa.float64()),
                          "n_pairs": pa.array([], pa.int64())})
 
     def body(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[value]),   # SQL null parity
+                             pc.is_valid(t[x])))
         if t.num_rows == 0:
             return empty()
         s = t.take(pc.sort_indices(t, sort_keys=[
