@@ -2495,9 +2495,13 @@ def _q_transition_matrix_events(sf_dir: str):
                          "to_type": pa.array([], pa.string()),
                          "n": pa.array([], pa.int64()),
                          "n_from": pa.array([], pa.int64())})
-    out = df.groupby(["from_type", "to_type"], as_index=False)[
-        "count_all"].sum().rename(columns={"count_all": "n"})
-    out["n_from"] = out.groupby("from_type")["n"].transform("sum")
+    # dropna=False: SQL GROUP BY keeps NULL groups (a lead() past the
+    # last event yields a NULL to_type row the oracle also counts)
+    out = df.groupby(["from_type", "to_type"], as_index=False,
+                     dropna=False)["count_all"].sum() \
+        .rename(columns={"count_all": "n"})
+    out["n_from"] = out.groupby("from_type", dropna=False)["n"] \
+        .transform("sum")
     out["n"] = out["n"].astype("int64")
     out["n_from"] = out["n_from"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)

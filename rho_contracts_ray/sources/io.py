@@ -136,6 +136,16 @@ def read_table(path, columns=None, format=None, **kwargs):
             for s in range(paorc.ORCFile(f).nstripes):
                 items.append({"path": f, "stripe": s})
         cols = list(columns) if columns else None
+        if not items:
+            # all files are zero-stripe: return a SCHEMA-CORRECT empty
+            # dataset (rd.from_items([]) would lose the schema)
+            sch = paorc.ORCFile(files[0]).schema
+            empty = pa.table({f.name: pa.array([], f.type)
+                              for f in sch
+                              if cols is None or f.name in cols})
+            if cols:
+                empty = empty.select(cols)
+            return rd.from_arrow(empty)
 
         def read_stripe(batch: "pa.Table") -> "pa.Table":
             outs = []
@@ -143,7 +153,9 @@ def read_table(path, columns=None, format=None, **kwargs):
                             batch["stripe"].to_pylist()):
                 rb = paorc.ORCFile(p).read_stripe(int(s), columns=cols)
                 outs.append(pa.Table.from_batches([rb]))
-            return pa.concat_tables(outs)
+            out = pa.concat_tables(outs)
+            # read_stripe returns FILE column order; honor the caller's
+            return out.select(cols) if cols else out
 
         return rd.from_items(items,
                              override_num_blocks=max(1, len(items))) \

@@ -177,12 +177,29 @@ def _bucket_factory(id_col: str, text_col: str, lang_col: str, k: int,
             genc = enc[s:e]
             glen = np.fromiter((len(x) for x in genc), np.int64, g)
             mv = gm[s]
-            ii, jj = np.triu_indices(g, 1)
-            cand = ((np.maximum(gb[ii], gb[jj]) == mv)
-                    & (np.abs(glen[ii] - glen[jj]) <= k))
-            ii, jj = ii[cand], jj[cand]
-            if ii.size == 0:
+            # chunked pair generation: a full np.triu_indices(g) is
+            # O(g^2) int64 BEFORE any prune (80 GB at the 100k cap) —
+            # build i-row strips and apply the meeting-block + length
+            # candidate mask per strip, so peak temp is STRIP x g
+            STRIP_I = 2048
+            ii_parts, jj_parts = [], []
+            for i0 in range(0, g - 1, STRIP_I):
+                iend = min(i0 + STRIP_I, g - 1)
+                ivals = np.arange(i0, iend)
+                cnts = g - 1 - ivals
+                ii_c = np.repeat(ivals, cnts)
+                csum = np.cumsum(cnts)
+                jj_c = (np.arange(int(csum[-1]))
+                        - np.repeat(csum - cnts, cnts)) + ii_c + 1
+                cand = ((np.maximum(gb[ii_c], gb[jj_c]) == mv)
+                        & (np.abs(glen[ii_c] - glen[jj_c]) <= k))
+                if cand.any():
+                    ii_parts.append(ii_c[cand])
+                    jj_parts.append(jj_c[cand])
+            if not ii_parts:
                 continue
+            ii = np.concatenate(ii_parts)
+            jj = np.concatenate(jj_parts)
             H = _byte_hist(genc)
             # byte-bag lower bound: with A = sum|h_a - h_b| and
             # S = len_a - len_b (same parity), max(|A\B|,|B\A|) =

@@ -1146,15 +1146,27 @@ def group_iqr_outliers(ds, key: str, value: str, id_col: str,
                           lambda: _empty_out(sub, body_full))
 
 
+def _key_valid_mask(batch: pa.Table, on: Sequence[str]) -> np.ndarray:
+    """True where EVERY key component is non-null — SQL equality
+    semantics for single- and multi-column keys alike."""
+    valid = np.ones(batch.num_rows, bool)
+    for c in on:
+        valid &= pc.is_valid(batch[c]).to_numpy(zero_copy_only=False)
+    return valid
+
+
 def build_key_bloom(ds, on: Sequence[str], fpr: float = 0.01):
     """One streaming pass -> a BloomFilter over `ds`'s key tuples
-    (stable 64-bit hashes; null keys excluded, matching SQL equality).
-    Per-batch partial blooms OR-fold on the driver as they stream —
-    bytes held at any moment = one filter (nbits/8), never a concat.
-    At 10^9 keys / 1% FPR that is ~1.2 GB broadcast vs ~8 GB for the
-    exact int64 key set — the prefilter for dimension sides too big to
-    broadcast exactly.  (Scale path past that: bit-range-partitioned
-    construction; documented, not needed below ~10^10 keys.)"""
+    (stable 64-bit hashes; null keys excluded — any null COMPONENT of a
+    multi-column key drops, matching SQL equality).  Batches emit their
+    unique SET BIT POSITIONS (k*8 B per key, deduped) and the driver
+    folds them into the one filter as they stream — bytes held at any
+    moment = one filter (nbits/8) plus a batch's position list, never a
+    per-batch full bitmap.  At 10^9 keys / 1% FPR the filter is ~1.2 GB
+    broadcast vs ~8 GB for the exact int64 key set — the prefilter for
+    dimension sides too big to broadcast exactly.  (Scale path past
+    that: bit-range-partitioned construction; documented, not needed
+    below ~10^10 keys.)"""
     import ray
 
     from ..functions.hashing import combine_key, stable_hash64
@@ -1165,30 +1177,36 @@ def build_key_bloom(ds, on: Sequence[str], fpr: float = 0.01):
     if n is None:
         n = ds.count()
     bf = BloomFilter(max(1, n), fpr)
+    nbits, k = bf.nbits, bf.k
 
     def part(batch: pa.Table) -> pa.Table:
-        if len(on) == 1:
-            col = batch[on[0]]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
-            h = stable_hash64(col)[valid]
-        else:
-            key = combine_key(batch, on)
-            valid = pc.is_valid(key).to_numpy(zero_copy_only=False)
-            h = stable_hash64(key)[valid]
-        p = BloomFilter(max(1, n), fpr)
-        p.add_hashes(h)
-        return pa.table({"bits": pa.array([p.bits.tobytes()],
-                                          pa.large_binary())})
+        # validity from the ORIGINAL columns: combine_key fills nulls
+        # with a sentinel token, so is_valid on the combined key would
+        # never drop a null component
+        valid = _key_valid_mask(batch, on)
+        key = batch[on[0]] if len(on) == 1 else combine_key(batch, on)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        h = stable_hash64(key)[valid]
+        if h.size == 0:
+            return pa.table({"pos": pa.array([], pa.int64())})
+        # emit the UNIQUE set bit positions, not a full nbits/8 bitmap —
+        # per-batch bytes scale with the batch's keys (k*8 B each), not
+        # with the final filter size (1.2 GB at the 10^9-key design point)
+        p = BloomFilter.__new__(BloomFilter)
+        p.nbits, p.k = nbits, k
+        pos = np.unique(p._positions(h).reshape(-1)).astype(np.int64)
+        return pa.table({"pos": pa.array(pos)})
 
     for b in ds.map_batches(part, batch_format="pyarrow") \
             .iter_batches(batch_size=None, batch_format="pyarrow"):
-        if b.num_rows and "bits" in b.column_names:
-            for blob in b["bits"].to_pylist():
-                np.bitwise_or(bf.bits,
-                              np.frombuffer(blob, np.uint8),
-                              out=bf.bits)
+        if b.num_rows and "pos" in b.column_names:
+            pos = b["pos"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            np.bitwise_or.at(
+                bf.bits, (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(np.uint8(1),
+                              (pos & np.uint64(7)).astype(np.uint8)))
     return bf
 
 
@@ -1210,16 +1228,13 @@ def bloom_filter_keys(ds, bloom, on: Sequence[str]):
         bits, nbits, k = ray.get(ref)
         bf = BloomFilter.__new__(BloomFilter)
         bf.bits, bf.nbits, bf.k = bits, nbits, k
-        if len(on) == 1:
-            col = batch[on[0]]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
-            h = stable_hash64(col)
-        else:
-            key = combine_key(batch, on)
-            valid = pc.is_valid(key).to_numpy(zero_copy_only=False)
-            h = stable_hash64(key)
+        # null components drop via the ORIGINAL columns (combine_key's
+        # sentinel would otherwise hash and possibly pass the filter)
+        valid = _key_valid_mask(batch, on)
+        key = batch[on[0]] if len(on) == 1 else combine_key(batch, on)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        h = stable_hash64(key)
         keep = valid & bf.contains_hashes(h)
         return batch.filter(pa.array(keep))
 

@@ -108,8 +108,6 @@ def global_value_rank(ds, value_col: str,
                                            batch_format="pyarrow")
                  if b.num_rows]
         if not parts:
-            t = pa.concat_tables([partial(pa.table(
-                {value_col: pa.array([], pa.float64())}))])
             return rd.from_arrow(_rank_table_local(
                 np.array([]), np.array([], np.int64), value_col)), 0
         t = pa.concat_tables(parts)
