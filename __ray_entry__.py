@@ -28,6 +28,16 @@ def _read(sf_dir: str, table: str, columns=None):
     return clean_read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _md5_rank_column(batch: pa.Table, col: str) -> pa.Array:
+    """Deterministic md5-hex rank of an id column — the SHARED ranking
+    both exact-k sampling queries use, so the oracle's md5(CAST(id AS
+    VARCHAR)) stays byte-identical in exactly one place."""
+    import hashlib
+
+    return pa.array([hashlib.md5(str(i).encode()).hexdigest()
+                     for i in batch[col].to_pylist()], pa.string())
+
+
 def _collect(ds) -> pa.Table:
     if isinstance(ds, pa.Table):
         return ds
@@ -949,17 +959,13 @@ def _q_exact_k_sample_documents(sf_dir: str, k: int = 100):
     approximate k; training-data splits usually need exact k).  Scale
     shape: k rows survive per block, then one sort+limit over the
     k x n_blocks short partials — the corpus never sorts."""
-    import hashlib
-
     from rho_contracts_ray.stages.topk import global_topk
 
     ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def rank(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
         return pa.table({"doc_id": batch["doc_id"],
-                         "h": pa.array(h, pa.string())})
+                         "h": _md5_rank_column(batch, "doc_id")})
 
     ranked = ds.map_batches(rank, batch_format="pyarrow")
     out = global_topk(ranked, ["h", "doc_id"], k,
@@ -2106,16 +2112,12 @@ def _q_sample_k_per_source(sf_dir: str, k: int = 10):
     md5(doc_id) within each source — deterministic on any cluster shape,
     stratified the way training-data mixes need.  Rides the per-group
     top-k exchange (segment-offset filter, no per-group call)."""
-    import hashlib
-
     from rho_contracts_ray.stages.joins import top_k_per_group
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
 
     def rank(batch: pa.Table) -> pa.Table:
-        h = [hashlib.md5(str(i).encode()).hexdigest()
-             for i in batch["doc_id"].to_pylist()]
-        return batch.append_column("h", pa.array(h, pa.string()))
+        return batch.append_column("h", _md5_rank_column(batch, "doc_id"))
 
     ranked = ds.map_batches(rank, batch_format="pyarrow")
     out = top_k_per_group(ranked, "source", ["h", "doc_id"], k,

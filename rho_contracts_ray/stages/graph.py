@@ -48,21 +48,38 @@ import pyarrow.compute as pc
 def cooccurrence_edges(ds, group_col: str, item_col: str,
                        max_group: int = 256,
                        n_buckets: Optional[int] = None,
-                       distinct: bool = True):
+                       distinct: bool = True,
+                       on_truncate: str = "raise"):
     """Distinct undirected edges (u, v) with u < v between items sharing
     a `group_col` value.  Returns a Dataset[u: int64, v: int64].
 
     `distinct=False` skips the global (u, v) dedup exchange and returns
     per-group-bucket-deduped edges with possible cross-bucket
     duplicates — enough for consumers whose semantics ignore edge
-    multiplicity (BFS min-combine), and one exchange cheaper."""
+    multiplicity (BFS min-combine), and one exchange cheaper.
+
+    A group wider than `max_group` items emits C(n,2) pairs; the default
+    `on_truncate='raise'` fails LOUDLY (no-silent-caps convention —
+    downstream BFS/triangle/CC results would quietly diverge from their
+    pair-complete oracles otherwise); pass on_truncate='truncate' to
+    keep only each degenerate group's `max_group` smallest item ids."""
     from .agg import bucketed_apply
     from .dedup import _bucket_pair_index
+
+    if on_truncate not in ("raise", "truncate"):
+        raise ValueError(f"on_truncate must be 'raise' or 'truncate', "
+                         f"got {on_truncate!r}")
 
     def pairs_in_bucket(t: pa.Table) -> pa.Table:
         g = t[group_col].to_numpy(zero_copy_only=False).astype(np.int64)
         it = t[item_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order, ia, ib, _trunc = _bucket_pair_index(g, it, max_group)
+        order, ia, ib, trunc = _bucket_pair_index(g, it, max_group)
+        if on_truncate == "raise" and bool(np.any(trunc)):
+            raise ValueError(
+                f"cooccurrence_edges: a {group_col} group exceeds "
+                f"max_group={max_group} items — its pair set would be "
+                f"silently incomplete; raise max_group or pass "
+                f"on_truncate='truncate' explicitly")
         iv = it[order]
         u, v = iv[ia], iv[ib]   # sorted by item within group -> u < v
         e = pa.table({"u": pa.array(u, pa.int64()),

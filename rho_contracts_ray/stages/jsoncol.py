@@ -75,15 +75,84 @@ def _extract_columns(parsed: pa.Table,
     return out
 
 
-def _slow_parse(col: pa.Array, schema: pa.Schema) -> pa.Table:
-    rows = []
+def _try_cast(v, typ):
+    """TRY_CAST semantics per value (DuckDB parity: numeric strings cast
+    with round-half-away-from-zero, 'true' does NOT cast to int, any
+    mismatch yields null instead of raising)."""
+    import math
+
+    if v is None:
+        return None
+    if pa.types.is_integer(typ):
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            if not math.isfinite(v):
+                return None
+            return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+        if isinstance(v, str):
+            s = v.strip()
+            try:
+                return int(s)
+            except ValueError:
+                try:
+                    f = float(s)
+                except ValueError:
+                    return None
+                if not math.isfinite(f):
+                    return None
+                return math.floor(f + 0.5) if f >= 0 \
+                    else math.ceil(f - 0.5)
+        return None
+    if pa.types.is_floating(typ):
+        if isinstance(v, bool):
+            return None
+        if isinstance(v, (int, float)):
+            return float(v)
+        if isinstance(v, str):
+            try:
+                return float(v.strip())
+            except ValueError:
+                return None
+        return None
+    if pa.types.is_string(typ):
+        if isinstance(v, str):
+            return v
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return json.dumps(v)
+        return json.dumps(v, separators=(",", ":"))
+    try:
+        return pa.scalar(v, typ).as_py()
+    except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, TypeError):
+        return None
+
+
+def _slow_extract(col: pa.Array,
+                  fields: Mapping[str, pa.DataType]) -> dict:
+    """Row-at-a-time fallback with per-VALUE TRY_CAST: a single
+    type-mismatched row nulls only its own cell — never the task."""
+    vals = []
     for s in col.to_pylist():
         try:
             v = json.loads(s) if s and s.strip() else {}
         except (ValueError, TypeError):
             v = {}
-        rows.append(v if isinstance(v, dict) else {})
-    return pa.Table.from_pylist(rows, schema=schema)
+        vals.append(v if isinstance(v, dict) else {})
+    out = {}
+    for path, typ in fields.items():
+        parts = path.split(".")
+        cells = []
+        for v in vals:
+            cur = v
+            for p in parts:
+                cur = cur.get(p) if isinstance(cur, dict) else None
+            cells.append(_try_cast(cur, typ))
+        out[path.replace(".", "_")] = pa.array(cells, typ)
+    return out
 
 
 def json_extract(ds_or_table, json_col: str,
@@ -104,14 +173,17 @@ def json_extract(ds_or_table, json_col: str,
         col = batch[json_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        cols = {c: batch[c] for c in keep_cols}
         try:
             parsed = pj.read_json(_ndjson_buffer(col), parse_options=popts)
             if parsed.num_rows != batch.num_rows:
                 raise ValueError("row drift (embedded newline?)")
+            cols.update(_extract_columns(parsed, fields))
         except (pa.ArrowInvalid, ValueError):
-            parsed = _slow_parse(col, schema)
-        cols = {c: batch[c] for c in keep_cols}
-        cols.update(_extract_columns(parsed, fields))
+            # a type-mismatched value anywhere in the batch lands here:
+            # per-value TRY_CAST keeps the task alive and nulls only the
+            # offending cells (SQL parity)
+            cols.update(_slow_extract(col, fields))
         return pa.table(cols)
 
     if isinstance(ds_or_table, pa.Table):

@@ -106,13 +106,16 @@ def _skyline_mask(cols: list, chunk: int = 512) -> np.ndarray:
 def pareto_front(ds, maximize: Sequence[str], minimize: Sequence[str],
                  keep_cols: Optional[Sequence[str]] = None):
     """Skyline of `ds` under the given objectives -> Dataset of the
-    non-dominated rows (columns `keep_cols`, default: objectives)."""
+    non-dominated rows (columns `keep_cols`, default: objectives;
+    objective columns ride along internally even when keep_cols omits
+    them, and drop from the output at the end)."""
     maximize, minimize = list(maximize), list(minimize)
     obj = maximize + minimize
     keep_cols = list(keep_cols) if keep_cols is not None else obj
+    work_cols = keep_cols + [c for c in obj if c not in keep_cols]
 
     def local(t: pa.Table) -> pa.Table:
-        t = t.select(keep_cols)
+        t = t.select(work_cols)
         valid = np.ones(t.num_rows, bool)
         for c in obj:
             valid &= pc.is_valid(t[c]).to_numpy(zero_copy_only=False)
@@ -124,5 +127,9 @@ def pareto_front(ds, maximize: Sequence[str], minimize: Sequence[str],
                                batch_size=None)   # whole blocks: the
     # streaming lexsort prune is O(rows·(k+chunk)), not quadratic
     # final merge: the survivor set is skyline-sized; one task suffices
-    return survivors.repartition(1).map_batches(
+    merged = survivors.repartition(1).map_batches(
         local, batch_format="pyarrow", batch_size=None)
+    if work_cols == keep_cols:
+        return merged
+    return merged.map_batches(lambda t: t.select(keep_cols),
+                              batch_format="pyarrow")

@@ -886,12 +886,15 @@ def gopher_rules(ds_or_table, text_col: str = "text", id_col: str = "doc_id",
 
 def top_ngram_stats(ds_or_table, ns: Sequence[int] = (2, 3),
                     text_col: str = "text", id_col: str = "doc_id"):
-    """Gopher repetition statistics (Rae et al. 2021, App. A1.1 "fraction
-    of characters in the most frequent n-gram"): for each n, the char
-    MASS of the heaviest word n-gram — occurrences (overlapping) x
-    characters in the gram's words — and its fraction of the doc's total
-    word characters.  Count ties resolve by taking the maximal mass, so
-    the statistic is deterministic and a SQL max() reproduces it exactly.
+    """Gopher-STYLE repetition statistics: for each n, the char MASS of
+    the heaviest word n-gram — max over ALL grams of occurrences
+    (overlapping) x characters in the gram's words — and its fraction of
+    the doc's total word characters.  NOTE this deviates deliberately
+    from Rae et al. 2021 App. A1.1 (which takes the mass of the MOST
+    FREQUENT gram, ties broken arbitrarily): max-mass-overall is
+    deterministic, upper-bounds the Gopher statistic (never under-flags
+    a repetitive doc), and a SQL max() reproduces it exactly — the
+    Gopher tie rule has no deterministic SQL form.
     -> (id, n_words, word_chars, top{n}_mass, top{n}_frac ...).
 
     Per-doc and per-batch local — NO exchange; tokens come from one RE2
