@@ -4282,6 +4282,60 @@ def _q_rfm_segments_customers(sf_dir: str):
                         ["r_q", "f_q", "m_q"], ["n_customers"])
 
 
+_BLOCKLIST_TERMS = ("spark", "hash", "merge", "tab", "table", "slow")
+
+
+def _q_blocklist_scan_documents(sf_dir: str):
+    """Blocklist/badwords content gate: every occurrence of every term —
+    including overlapping and nested matches ('tab' inside 'table'),
+    which non-overlapping replace/count tricks undercount — plus
+    distinct-term presence and a flagged bool per document.  Vectorized
+    byte-buffer scan (stages/text.py:blocklist_scan); the SQL oracle
+    enumerates every character position, so overlap counting is exact on
+    both sides."""
+    from rho_contracts_ray.stages.text import blocklist_scan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return blocklist_scan(ds, list(_BLOCKLIST_TERMS))
+
+
+def _q_auc_quality_documents(sf_dir: str):
+    """Exact ROC-AUC of the quality-classifier score against the
+    lang=='en' label — model evaluation as a first-class distributed op
+    (Mann-Whitney rank form, exact tie handling over distinct scores).
+    The score is the bit-exact 6dp sigmoid the classify_quality oracle
+    already replays, so the tie structure matches SQL exactly; the
+    numerator stays x2 in int64."""
+    from rho_contracts_ray.stages.statistics import roc_auc
+    from rho_contracts_ray.stages.text import QualityClassifierStage
+    from rho_contracts_ray.validate import _cluster_cpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    scored = ds.map_batches(
+        QualityClassifierStage,
+        fn_constructor_kwargs={"extra_cols": ["lang"]},
+        batch_format="pyarrow",
+        concurrency=(1, _cluster_cpus()))
+
+    def lab(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "label", pc.equal(pc.fill_null(t["lang"], ""), "en"))
+
+    return roc_auc(scored.map_batches(lab, batch_format="pyarrow"),
+                   "score", "label")
+
+
+def _q_k_anonymity_customers(sf_dir: str):
+    """k-anonymity privacy audit on the (nation, market-segment) quasi
+    identifiers: rows in equivalence classes smaller than k=5 are
+    re-identifiable.  One cardinality-sized class-count exchange; the
+    driver folds integer scalars only."""
+    from rho_contracts_ray.stages.statistics import k_anonymity
+
+    ds = _read(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
+    return k_anonymity(ds, ["c_nationkey", "c_mktsegment"], k=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rho_contracts_ray.pipelines import tpch as _tpch
 
@@ -4476,6 +4530,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_logprob_documents": _q_bigram_logprob_documents,
         "dq_report": _q_dq_report,
         "classify_quality_documents": _q_classify_quality_documents,
+        "blocklist_scan_documents": _q_blocklist_scan_documents,
+        "auc_quality_documents": _q_auc_quality_documents,
+        "k_anonymity_customers": _q_k_anonymity_customers,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -6304,6 +6361,76 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.user_id, -sum((cnt / n) * ln(cnt / n)) AS entropy, "
             "n::BIGINT AS n FROM c JOIN t USING (user_id) "
             "GROUP BY c.user_id, n"
+        ),
+        "blocklist_scan_documents": (
+            # exact OVERLAPPING-occurrence counts: the recursive CTE
+            # walks each (doc, term)'s occurrences advancing one char at
+            # a time, so nested/overlapping matches ('tab' in 'table')
+            # count on both sides; char-based strpos/substr agree with
+            # the engine's byte-level scan because an exact UTF-8 byte
+            # match is always a char match
+            "WITH RECURSIVE terms AS (SELECT unnest(['spark', 'hash', "
+            "'merge', 'tab', 'table', 'slow']) AS t), "
+            "occ AS (SELECT d.doc_id, tm.t, "
+            "strpos(d.text, tm.t)::BIGINT AS pos "
+            "FROM documents d, terms tm "
+            "WHERE strpos(coalesce(d.text, ''), tm.t) > 0 "
+            "UNION ALL "
+            "SELECT o.doc_id, o.t, o.pos + "
+            "strpos(substr(d.text, (o.pos + 1)::INT), o.t)::BIGINT "
+            "FROM occ o JOIN documents d USING (doc_id) "
+            "WHERE strpos(substr(d.text, (o.pos + 1)::INT), o.t) > 0), "
+            "h AS (SELECT doc_id, t, count(*)::BIGINT AS c "
+            "FROM occ GROUP BY 1, 2) "
+            "SELECT d.doc_id, coalesce(sum(h.c), 0)::BIGINT AS n_hits, "
+            "count(h.t)::BIGINT AS n_terms, count(h.t) > 0 AS flagged "
+            "FROM documents d LEFT JOIN h USING (doc_id) GROUP BY 1"
+        ),
+        "auc_quality_documents": (
+            # the classify_quality feature/logit expressions verbatim
+            # (bit-exact 6dp score => identical tie structure), then the
+            # Mann-Whitney AUC over distinct scores with the numerator
+            # kept x2 in integers
+            "WITH f AS (SELECT doc_id, "
+            "coalesce(lang, '') = 'en' AS label, "
+            "len(regexp_extract_all(coalesce(text, ''), '\\S+'))::BIGINT "
+            "AS n_words, "
+            "coalesce(len(regexp_replace(coalesce(text, ''), "
+            "'\\s', '', 'g')), 0)::BIGINT AS n_chars, "
+            "len(regexp_extract_all(coalesce(text, ''), '[0-9]'))"
+            "::BIGINT AS n_digits, "
+            "len(regexp_extract_all(coalesce(text, ''), '[A-Z]'))"
+            "::BIGINT AS n_upper FROM documents), "
+            "z AS (SELECT label, 0.02::DOUBLE * n_words "
+            "+ (-0.0005)::DOUBLE * (CASE WHEN n_words > 0 "
+            "THEN (n_chars * 1000) // n_words ELSE 0 END) "
+            "+ (-0.03)::DOUBLE * n_digits "
+            "+ (-0.05)::DOUBLE * n_upper + 0.5::DOUBLE AS logit FROM f), "
+            "s AS (SELECT round(1.0 / (1.0 + exp(-logit)), 6) AS score, "
+            "label FROM z), "
+            "g AS (SELECT score, "
+            "sum(CASE WHEN label THEN 1 ELSE 0 END)::BIGINT AS np, "
+            "sum(CASE WHEN label THEN 0 ELSE 1 END)::BIGINT AS nn "
+            "FROM s GROUP BY 1), "
+            "c AS (SELECT np, nn, coalesce(sum(nn) OVER (ORDER BY score "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            "::BIGINT AS below FROM g) "
+            "SELECT sum(np)::BIGINT AS n_pos, sum(nn)::BIGINT AS n_neg, "
+            "round(sum(np * (2 * below + nn)) "
+            "/ (2.0 * sum(np) * sum(nn)), 6) AS auc FROM c"
+        ),
+        "k_anonymity_customers": (
+            "WITH g AS (SELECT c_nationkey, c_mktsegment, "
+            "count(*)::BIGINT AS n FROM customer GROUP BY 1, 2) "
+            "SELECT 5::BIGINT AS k, sum(n)::BIGINT AS n_rows, "
+            "count(*)::BIGINT AS n_groups, min(n)::BIGINT "
+            "AS min_group_size, "
+            "sum(CASE WHEN n < 5 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_small_groups, "
+            "coalesce(sum(CASE WHEN n < 5 THEN n END), 0)::BIGINT "
+            "AS rows_at_risk, "
+            "round(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) "
+            "/ sum(n)::DOUBLE, 6) AS risk_share FROM g"
         ),
         # minhash/simhash/fingerprints/media/corpus_prep/packing:
         # rows-only (non-SQL-expressible: sketches, iterative packing,

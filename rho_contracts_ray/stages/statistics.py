@@ -1241,3 +1241,130 @@ def conversion_lag(ds, key: str, ts: str, type_col: str,
             "lag_us": pa.array(first_to[keep] - first_from[keep])})
 
     return bucketed_apply(slim, [key], body, empty)
+
+
+def k_anonymity(ds, quasi_cols: Sequence[str], k: int = 5):
+    """k-anonymity audit over quasi-identifier columns -> ONE row:
+    (k, n_rows, n_groups, min_group_size, n_small_groups, rows_at_risk,
+    risk_share round 6).  A group is an equivalence class on the quasi
+    identifiers; rows in classes smaller than k are re-identifiable.
+
+    Per-batch group-count partials reduce on one cardinality-sized
+    exchange; the final fold over per-class sizes is another integer
+    partial sum per block, so the driver only ever folds scalars.
+    Null quasi values form their own class (SQL GROUP BY parity)."""
+    from .agg import bucketed_sum
+
+    quasi = list(quasi_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(quasi).append_column(
+            "n", pa.array(np.ones(batch.num_rows, np.int64))) \
+            .group_by(quasi).aggregate([("n", "sum")])
+        return g.rename_columns(quasi + ["n"])
+
+    sizes = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                         quasi, ["n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = 0 if n.size == 0 else 1   # empty blocks emit NO partial row
+        small = n < k
+        return pa.table({
+            "n_rows": pa.array([int(n.sum())] * rep, pa.int64()),
+            "n_groups": pa.array([int(n.size)] * rep, pa.int64()),
+            "min_group_size": pa.array(
+                [int(n.min())] if rep else [], pa.int64()),
+            "n_small_groups": pa.array(
+                [int(small.sum())] * rep, pa.int64()),
+            "rows_at_risk": pa.array(
+                [int(n[small].sum())] * rep, pa.int64())})
+
+    parts = [p for p in sizes.map_batches(
+        fold, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow")]
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+             for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if parts:
+        m = pa.concat_tables(parts)
+        n_rows = int(pc.sum(m["n_rows"]).as_py() or 0)
+        n_groups = int(pc.sum(m["n_groups"]).as_py() or 0)
+        mins = m["min_group_size"].to_numpy(zero_copy_only=False)
+        min_sz = int(mins.min()) if n_groups else 0
+        n_small = int(pc.sum(m["n_small_groups"]).as_py() or 0)
+        at_risk = int(pc.sum(m["rows_at_risk"]).as_py() or 0)
+    else:
+        n_rows = n_groups = min_sz = n_small = at_risk = 0
+    share = round(at_risk / n_rows, 6) if n_rows else 0.0
+    return pa.table({
+        "k": pa.array([k], pa.int64()),
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "n_groups": pa.array([n_groups], pa.int64()),
+        "min_group_size": pa.array([min_sz], pa.int64()),
+        "n_small_groups": pa.array([n_small], pa.int64()),
+        "rows_at_risk": pa.array([at_risk], pa.int64()),
+        "risk_share": pa.array([share], pa.float64())})
+
+
+def roc_auc(scored_ds, score_col: str, label_col: str):
+    """Exact ROC-AUC of `score_col` against boolean `label_col` -> ONE
+    row (n_pos, n_neg, auc round 6) — the Mann-Whitney rank form with
+    exact tie handling: AUC = Σ_s np(s)·(N_below(s) + nn(s)/2) / (n1·n0),
+    where s ranges over DISTINCT scores.
+
+    Scale shape: per-batch (score -> n_pos, n_neg) integer partials, one
+    cardinality-sized exchange (`bucketed_sum` on the distinct score),
+    then the cumulative-negatives term rides `sorted_prefix_sum` (range
+    sort + per-block offsets past its local tier) — the corpus itself
+    never sorts and the driver folds one integer pair per block.  The
+    numerator is kept ×2 so it stays exact in int64 up to ~3e18."""
+    from .agg import bucketed_sum
+    from .rank import sorted_prefix_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(pc.is_valid(batch[score_col]),
+                                 pc.is_valid(batch[label_col])))
+        lab = pc.cast(t[label_col], pa.int64())
+        tt = pa.table({
+            "score": t[score_col],
+            "np_": pc.cast(lab, pa.int64()),
+            "nn_": pc.subtract(pa.scalar(1, pa.int64()), lab)})
+        g = tt.group_by(["score"]).aggregate(
+            [("np_", "sum"), ("nn_", "sum")])
+        return g.rename_columns(["score", "np_", "nn_"])
+
+    per_score = bucketed_sum(
+        scored_ds.map_batches(partial, batch_format="pyarrow"),
+        ["score"], ["np_", "nn_"])
+    with_cum = sorted_prefix_sum(per_score, "score", "nn_", "cum_nn")
+
+    def fold(t: pa.Table) -> pa.Table:
+        np_ = t["np_"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn_ = t["nn_"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = t["cum_nn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        below = cum - nn_
+        return pa.table({
+            "num2": pa.array([int((np_ * (2 * below + nn_)).sum())],
+                             pa.int64()),
+            "n_pos": pa.array([int(np_.sum())], pa.int64()),
+            "n_neg": pa.array([int(nn_.sum())], pa.int64())})
+
+    parts = [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+             for p in with_cum.map_batches(
+                 fold, batch_format="pyarrow").iter_batches(
+                     batch_size=None, batch_format="pyarrow")]
+    parts = [p for p in parts if p.num_rows]
+    if parts:
+        m = pa.concat_tables(parts)
+        num2 = int(pc.sum(m["num2"]).as_py() or 0)
+        n_pos = int(pc.sum(m["n_pos"]).as_py() or 0)
+        n_neg = int(pc.sum(m["n_neg"]).as_py() or 0)
+    else:
+        num2 = n_pos = n_neg = 0
+    auc = round(num2 / (2.0 * n_pos * n_neg), 6) if n_pos and n_neg \
+        else None
+    return pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "auc": pa.array([auc], pa.float64())})

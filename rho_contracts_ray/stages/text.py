@@ -1298,7 +1298,9 @@ class QualityClassifierStage:
     B = 0.5
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text",
-                 threshold: float = 0.5):
+                 threshold: float = 0.5,
+                 extra_cols: Sequence[str] = ()):
+        self.extra_cols = list(extra_cols)
         self.w = np.array(self.W, np.float64)
         self.b = float(self.B)
         self.id_col, self.text_col = id_col, text_col
@@ -1337,6 +1339,7 @@ class QualityClassifierStage:
             "n_upper": pa.array(upper, pa.int64()),
             "score": pa.array(score, pa.float64()),
             "keep": pa.array(score >= self.threshold),
+            **{c: batch[c] for c in self.extra_cols},
         })
 
 
@@ -1442,5 +1445,77 @@ def type_token_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
                        ndigits=ndigits)
         return pa.table({id_col: g[id_col], "n_tokens": n_tok,
                          "n_types": n_typ, "ttr": ttr})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def blocklist_scan(ds, terms: Sequence[str], text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Multi-term content scan -> Dataset[id, n_hits, n_terms, flagged]:
+    for a (small, broadcastable) list of literal terms, count EVERY
+    occurrence of every term — including overlapping occurrences, which
+    `pc.count_substring` / non-overlapping `replace` tricks undercount —
+    plus the number of distinct terms present and a flagged bool.  The
+    blocklist/badwords gate of a training-data pipeline.
+
+    Vectorized across the whole batch: the batch's string column is
+    scanned in place through its Arrow data buffer (zero-copy view); each
+    term reduces to len(term) shifted byte-equality passes over the
+    buffer, match positions crossing document boundaries are discarded
+    with one searchsorted, and per-doc counts fall out of bincount.
+    O(total_bytes x len(term)) per term, no per-row Python.  UTF-8 byte
+    matching equals character matching for exact substrings (a multi-byte
+    sequence can never match mid-codepoint), so char-based SQL oracles
+    agree.  Null texts scan as empty."""
+    tbytes = [np.frombuffer(t.encode("utf-8"), np.uint8) for t in terms]
+    if not tbytes or min(t.size for t in tbytes) == 0:
+        raise ValueError("blocklist_scan: terms must be non-empty strings")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = pc.fill_null(col, "")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        nd = len(arr)
+        if nd == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({id_col: batch[id_col], "n_hits": z,
+                             "n_terms": z,
+                             "flagged": pa.array([], pa.bool_())})
+        if pa.types.is_large_string(arr.type):
+            odt, ow = np.int64, 8
+        else:
+            odt, ow = np.int32, 4
+        offs = np.frombuffer(arr.buffers()[1], odt, count=nd + 1,
+                             offset=arr.offset * ow).astype(np.int64)
+        dbuf = arr.buffers()[2]
+        data = np.frombuffer(dbuf, np.uint8) if dbuf is not None \
+            else np.zeros(0, np.uint8)
+        lo, hi = int(offs[0]), int(offs[-1])
+        seg = data[lo:hi]
+        n_hits = np.zeros(nd, np.int64)
+        n_terms = np.zeros(nd, np.int64)
+        for T in tbytes:
+            m = T.size
+            if seg.size < m:
+                continue
+            mask = seg[: seg.size - m + 1] == T[0]
+            for j in range(1, m):
+                mask &= seg[j: seg.size - m + j + 1] == T[j]
+            pos = np.flatnonzero(mask) + lo
+            if pos.size == 0:
+                continue
+            d = np.searchsorted(offs, pos, side="right") - 1
+            ok = pos + m <= offs[d + 1]
+            cnt = np.bincount(d[ok], minlength=nd)
+            n_hits += cnt
+            n_terms += cnt > 0
+        return pa.table({
+            id_col: batch[id_col],
+            "n_hits": pa.array(n_hits),
+            "n_terms": pa.array(n_terms),
+            "flagged": pa.array(n_terms > 0)})
 
     return ds.map_batches(fn, batch_format="pyarrow")

@@ -721,3 +721,75 @@ def test_new_stage_empty_inputs_keep_key_type(ray_session):
                    "et": pa.array([], pa.string())})
     out = conversion_lag(rd.from_arrow(tc), "k", "ts", "et", "a", "b")
     assert out.schema().base_schema.field("k").type == pa.string()
+
+
+def test_k_anonymity_report(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.statistics import k_anonymity
+
+    t = pa.table({
+        "zip": ["a", "a", "a", "b", "b", "c", None],
+        "age": [1, 1, 1, 2, 2, 3, 3],
+    })
+    for parts in (1, 3):
+        out = k_anonymity(rd.from_arrow(t).repartition(parts),
+                          ["zip", "age"], k=3).to_pylist()[0]
+        # classes: (a,1)x3, (b,2)x2, (c,3)x1, (None,3)x1 — null is its
+        # own class, SQL GROUP BY parity
+        assert out == {"k": 3, "n_rows": 7, "n_groups": 4,
+                       "min_group_size": 1, "n_small_groups": 3,
+                       "rows_at_risk": 4,
+                       "risk_share": round(4 / 7, 6)}
+
+
+def test_k_anonymity_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.statistics import k_anonymity
+
+    t = pa.table({"zip": pa.array([], pa.string()),
+                  "age": pa.array([], pa.int64())})
+    out = k_anonymity(rd.from_arrow(t), ["zip", "age"], k=5).to_pylist()[0]
+    assert out["n_rows"] == 0 and out["n_groups"] == 0
+    assert out["risk_share"] == 0.0
+
+
+def test_roc_auc_exact_ties_and_perfect(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.statistics import roc_auc
+
+    # perfect separation -> 1.0; all-tied -> 0.5; known mixed case
+    t = pa.table({"s": [0.1, 0.2, 0.8, 0.9],
+                  "y": [False, False, True, True]})
+    assert roc_auc(rd.from_arrow(t), "s", "y")["auc"][0].as_py() == 1.0
+
+    t = pa.table({"s": [0.5] * 6, "y": [True, False] * 3})
+    assert roc_auc(rd.from_arrow(t), "s", "y")["auc"][0].as_py() == 0.5
+
+    # hand case: pos scores {0.3, 0.5}, neg {0.3, 0.4}
+    # pairs: (0.3 vs 0.3 tie=0.5) (0.3 vs 0.4 lose=0) (0.5 vs both win=2)
+    # AUC = 2.5 / 4
+    t = pa.table({"s": [0.3, 0.5, 0.3, 0.4],
+                  "y": [True, True, False, False]})
+    for parts in (1, 4):
+        got = roc_auc(rd.from_arrow(t).repartition(parts), "s", "y")
+        assert got["auc"][0].as_py() == round(2.5 / 4, 6)
+        assert got["n_pos"][0].as_py() == 2
+        assert got["n_neg"][0].as_py() == 2
+
+
+def test_roc_auc_degenerate_single_class(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.statistics import roc_auc
+
+    t = pa.table({"s": [0.1, 0.2], "y": [True, True]})
+    got = roc_auc(rd.from_arrow(t), "s", "y")
+    assert got["auc"][0].as_py() is None
+    assert got["n_neg"][0].as_py() == 0

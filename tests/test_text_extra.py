@@ -47,3 +47,49 @@ def test_classifier_stage_deterministic_and_actor_pool(ray_session):
                               "n_digits", "n_upper", "score", "keep"}
     assert ((a["score"] >= 0) & (a["score"] <= 1)).all()
     assert bool(((a["score"] >= 0.5) == a["keep"]).all())
+
+
+def test_blocklist_scan_overlaps_nulls_and_slices(ray_session):
+    from rho_contracts_ray.stages.text import blocklist_scan
+
+    t = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(["a table on a tab", None, "",
+                          "aaa spark sparkspark", "tabtable"]),
+    })
+    for parts in (1, 3):
+        out = blocklist_scan(rd.from_arrow(t).repartition(parts),
+                             ["tab", "table", "aa", "spark"])
+        got = {r["doc_id"]: (r["n_hits"], r["n_terms"], r["flagged"])
+               for r in out.take_all()}
+        # doc0: 'tab' x2 (standalone + inside 'table'), 'table' x1
+        # doc3: 'aa' OVERLAPPING in 'aaa' = 2, 'spark' x3
+        # doc4: 'tab' at 0 and 3, 'table' at 3 — nested matches count
+        assert got == {0: (3, 2, True), 1: (0, 0, False),
+                       2: (0, 0, False), 3: (5, 2, True),
+                       4: (3, 2, True)}
+
+
+def test_blocklist_scan_multibyte_and_empty(ray_session):
+    from rho_contracts_ray.stages.text import blocklist_scan
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["héllo héé", "plain"])})
+    out = blocklist_scan(rd.from_arrow(t), ["é", "hé"])
+    got = {r["doc_id"]: (r["n_hits"], r["n_terms"])
+           for r in out.take_all()}
+    assert got == {0: (3 + 2, 2), 1: (0, 0)}
+
+    e = pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    out = blocklist_scan(rd.from_arrow(e), ["x"])
+    assert out.count() == 0
+    sch = out.schema()
+    if sch is not None:   # Ray reports no schema when no block ran
+        assert sch.names == ["doc_id", "n_hits", "n_terms", "flagged"]
+
+    import pytest
+    with pytest.raises(ValueError):
+        blocklist_scan(rd.from_arrow(t), [])
+    with pytest.raises(ValueError):
+        blocklist_scan(rd.from_arrow(t), ["ok", ""])
