@@ -4325,6 +4325,38 @@ def _q_auc_quality_documents(sf_dir: str):
                    "score", "label")
 
 
+def _q_xcorr_daily_events(sf_dir: str):
+    """Cross-correlation of click vs purchase daily counts at day lags
+    -1/0/+1 — does click volume lead purchase volume?  Calendar-bounded
+    exchange; the lag alignment folds on the day-cardinality series."""
+    from rho_contracts_ray.stages.statistics import daily_xcorr
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    return daily_xcorr(ds, "ts", "event_type", "click", "purchase")
+
+
+def _q_minhash_pr_documents(sf_dir: str):
+    """Precision/recall/F1 of the MinHash-LSH near-dup candidates against
+    the EXACT word-3-gram Jaccard join on the same corpus — the tuning
+    harness for bands/num_perm/threshold (how much recall does the sketch
+    give up, and what does its false-positive budget cost?).  Both pair
+    sets are deterministic; the union rides one pair-keyed exchange
+    (stages/dedup.py:pair_set_pr).  The MinHash side estimates char-
+    shingle Jaccard while the truth is word-gram Jaccard — the eval
+    measures the operational agreement of the two dedup definitions, the
+    question an engineer tuning the cheap pass actually asks.  No SQL
+    form (LSH side) — rows-only."""
+    from rho_contracts_ray.stages import jaccard_dup_pairs, \
+        minhash_dup_pairs
+    from rho_contracts_ray.stages.dedup import pair_set_pr
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pred = minhash_dup_pairs(ds, threshold=0.5)
+    truth = jaccard_dup_pairs(ds, n=3, threshold=0.5,
+                              max_bucket=1_000_000)
+    return pair_set_pr(pred, truth)
+
+
 def _q_k_anonymity_customers(sf_dir: str):
     """k-anonymity privacy audit on the (nation, market-segment) quasi
     identifiers: rows in equivalence classes smaller than k=5 are
@@ -4533,6 +4565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_scan_documents": _q_blocklist_scan_documents,
         "auc_quality_documents": _q_auc_quality_documents,
         "k_anonymity_customers": _q_k_anonymity_customers,
+        "xcorr_daily_events": _q_xcorr_daily_events,
         # --- rows-only (genuinely non-SQL: sketches, LSH, binary
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
@@ -4559,6 +4592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontam_documents": _q_fuzzy_decontam_documents,
         "hll_error_by_type": _q_hll_error_by_type,
         "bloom_fpr_documents": _q_bloom_fpr_documents,
+        "minhash_pr_documents": _q_minhash_pr_documents,
     }
 
 
@@ -6431,6 +6465,22 @@ def oracle_sql() -> dict[str, str]:
             "AS rows_at_risk, "
             "round(coalesce(sum(CASE WHEN n < 5 THEN n END), 0) "
             "/ sum(n)::DOUBLE, 6) AS risk_share FROM g"
+        ),
+        "xcorr_daily_events": (
+            # day universe = observed days (at least one click/purchase);
+            # lag pairing over days where BOTH d and d+L are observed
+            "WITH c AS (SELECT (epoch(date_trunc('day', ts)) // 86400)"
+            "::BIGINT AS d, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            "::BIGINT AS xa, "
+            "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            "::BIGINT AS xb FROM events "
+            "WHERE event_type IN ('click', 'purchase') GROUP BY 1), "
+            "l AS (SELECT unnest([-1, 0, 1])::BIGINT AS lag), "
+            "p AS (SELECT l.lag, a.xa AS x, b.xb AS y "
+            "FROM l, c a, c b WHERE b.d = a.d + l.lag) "
+            "SELECT lag, count(*)::BIGINT AS n_days, "
+            "round(corr(x, y), 6) AS xcorr FROM p GROUP BY 1"
         ),
         # minhash/simhash/fingerprints/media/corpus_prep/packing:
         # rows-only (non-SQL-expressible: sketches, iterative packing,

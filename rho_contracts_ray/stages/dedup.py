@@ -1549,3 +1549,80 @@ def fuzzy_decontam(train, holdout, text_col: str = "text",
                         num_perm=num_perm, bands=bands, k=k, seed=seed,
                         min_bands=min_bands),
         batch_format="pyarrow")
+
+
+def pair_set_pr(pred_pairs, truth_pairs,
+                id_a: str = "id_a", id_b: str = "id_b"):
+    """Precision/recall/F1 of a PREDICTED pair set against a ground-truth
+    pair set -> ONE row (n_pred, n_truth, tp, fp, fn, precision, recall,
+    f1; ratios round 6).  The tuning harness for the probabilistic pair
+    finders: e.g. MinHash-LSH candidates scored against the exact n-gram
+    Jaccard join on the same corpus.
+
+    Both inputs are pair Datasets/Tables keyed (id_a, id_b) — already
+    canonicalized id_a < id_b by every pair finder in this module.  Each
+    side reduces to per-batch (pair -> flag) partials; ONE bucketed
+    exchange on the pair key unions them (pair sets are output-sized, far
+    smaller than the corpus), and the confusion counts fold per bucket to
+    scalar partials — the driver only ever adds integers."""
+    import ray.data as rd
+
+    from .agg import bucketed_sum
+
+    def tag(src, flag_col: str):
+        if isinstance(src, pa.Table):
+            src = rd.from_arrow(src)
+
+        def fn(t: pa.Table) -> pa.Table:
+            one = pa.array(np.ones(t.num_rows, np.int64))
+            zero = pa.array(np.zeros(t.num_rows, np.int64))
+            return pa.table({
+                id_a: pc.cast(t[id_a], pa.int64()),
+                id_b: pc.cast(t[id_b], pa.int64()),
+                "pred": one if flag_col == "pred" else zero,
+                "truth": one if flag_col == "truth" else zero})
+
+        return src.map_batches(fn, batch_format="pyarrow")
+
+    both = tag(pred_pairs, "pred").union(tag(truth_pairs, "truth"))
+    merged = bucketed_sum(both, [id_a, id_b], ["pred", "truth"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            z = pa.array([], pa.int64())
+            return pa.table({"tp": z, "fp": z, "fn": z})
+        p = pc.greater(t["pred"], 0)
+        y = pc.greater(t["truth"], 0)
+        tp = pc.sum(pc.cast(pc.and_(p, y), pa.int64())).as_py() or 0
+        fp = pc.sum(pc.cast(pc.and_(p, pc.invert(y)), pa.int64())) \
+            .as_py() or 0
+        fn_ = pc.sum(pc.cast(pc.and_(pc.invert(p), y), pa.int64())) \
+            .as_py() or 0
+        return pa.table({"tp": pa.array([tp], pa.int64()),
+                         "fp": pa.array([fp], pa.int64()),
+                         "fn": pa.array([fn_], pa.int64())})
+
+    parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in merged.map_batches(
+                 fold, batch_format="pyarrow").iter_batches(
+                     batch_size=None, batch_format="pyarrow")]
+    parts = [t for t in parts if t.num_rows]
+    tp = fp = fn_ = 0
+    for t in parts:
+        tp += int(pc.sum(t["tp"]).as_py() or 0)
+        fp += int(pc.sum(t["fp"]).as_py() or 0)
+        fn_ += int(pc.sum(t["fn"]).as_py() or 0)
+    n_pred, n_truth = tp + fp, tp + fn_
+    prec = round(tp / n_pred, 6) if n_pred else None
+    rec = round(tp / n_truth, 6) if n_truth else None
+    f1 = round(2 * tp / (n_pred + n_truth), 6) \
+        if (n_pred + n_truth) else None
+    return pa.table({
+        "n_pred": pa.array([n_pred], pa.int64()),
+        "n_truth": pa.array([n_truth], pa.int64()),
+        "tp": pa.array([tp], pa.int64()),
+        "fp": pa.array([fp], pa.int64()),
+        "fn": pa.array([fn_], pa.int64()),
+        "precision": pa.array([prec], pa.float64()),
+        "recall": pa.array([rec], pa.float64()),
+        "f1": pa.array([f1], pa.float64())})

@@ -1368,3 +1368,67 @@ def roc_auc(scored_ds, score_col: str, label_col: str):
         "n_pos": pa.array([n_pos], pa.int64()),
         "n_neg": pa.array([n_neg], pa.int64()),
         "auc": pa.array([auc], pa.float64())})
+
+
+def daily_xcorr(ds, ts_col: str, type_col: str, type_a: str, type_b: str,
+                lags: Sequence[int] = (-1, 0, 1)):
+    """Cross-correlation of two event types' DAILY count series at the
+    given day lags -> ONE row per lag (lag, n_days, xcorr round 6):
+    does series A lead or trail series B?  xcorr(L) = corr(x_d, y_{d+L})
+    over every day d where both d and d+L are in the observed-day
+    universe (days with at least one A or B event).
+
+    Scale shape: per-batch (day -> n_a, n_b) integer partials, one
+    calendar-bounded exchange (`bucketed_sum` on the day ordinal), then
+    the lag alignment runs on the driver over the day-cardinality series
+    — bounded by calendar days, not data volume (the max_concurrent
+    per-day-fold convention).  Pearson r from integer moment sums,
+    6dp-rounded against SQL corr()."""
+    from .agg import bucketed_sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(batch[ts_col]),
+                    pc.is_in(batch[type_col],
+                             value_set=pa.array([type_a, type_b])))
+        t = batch.filter(m)
+        us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        d = us // 86_400_000_000
+        is_a = pc.equal(t[type_col], type_a).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        tt = pa.table({"d": pa.array(d), "n_a": pa.array(is_a),
+                       "n_b": pa.array(1 - is_a)})
+        g = tt.group_by(["d"]).aggregate([("n_a", "sum"), ("n_b", "sum")])
+        return g.rename_columns(["d", "n_a", "n_b"])
+
+    daily = bucketed_sum(ds.map_batches(partial, batch_format="pyarrow"),
+                         ["d"], ["n_a", "n_b"])
+    parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in daily.iter_batches(batch_size=None,
+                                         batch_format="pyarrow")]
+    parts = [t for t in parts if t.num_rows]
+    out_lag, out_n, out_r = [], [], []
+    if parts:
+        t = pa.concat_tables(parts)
+        t = t.take(pc.sort_indices(t, sort_keys=[("d", "ascending")]))
+        d = t["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xa = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        xb = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        for lag in lags:
+            j = np.searchsorted(d, d + lag)
+            ok = (j < d.size) & (d[np.minimum(j, d.size - 1)] == d + lag)
+            x, y = xa[ok], xb[j[ok]]
+            n = x.size
+            out_lag.append(int(lag))
+            out_n.append(int(n))
+            if n < 2:
+                out_r.append(None)
+                continue
+            sx, sy = x.sum(), y.sum()
+            sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+            den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            out_r.append(round(float((n * sxy - sx * sy)
+                                     / np.sqrt(den)), 6)
+                         if den > 0 else None)
+    return pa.table({"lag": pa.array(out_lag, pa.int64()),
+                     "n_days": pa.array(out_n, pa.int64()),
+                     "xcorr": pa.array(out_r, pa.float64())})

@@ -2095,3 +2095,35 @@ def test_theil_sen_ties_and_ceiling(ray_session):
     with _pytest.raises(Exception, match="max_group"):
         theil_sen_slope(rd.from_arrow(big), "k", "x", "v",
                         max_group=5).materialize()
+
+
+def test_pair_set_pr_confusion(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.dedup import pair_set_pr
+
+    pred = pa.table({"id_a": [1, 1, 2, 5], "id_b": [2, 3, 3, 6]})
+    truth = pa.table({"id_a": [1, 2, 7], "id_b": [2, 3, 8]})
+    # tp = {(1,2),(2,3)}; fp = {(1,3),(5,6)}; fn = {(7,8)}
+    for wrap in (lambda t: t, lambda t: rd.from_arrow(t).repartition(2)):
+        out = pair_set_pr(wrap(pred), wrap(truth)).to_pylist()[0]
+        assert out == {"n_pred": 4, "n_truth": 3, "tp": 2, "fp": 2,
+                       "fn": 1, "precision": 0.5,
+                       "recall": round(2 / 3, 6),
+                       "f1": round(4 / 7, 6)}
+
+
+def test_pair_set_pr_empty_sides(ray_session):
+    import pyarrow as pa
+
+    from rho_contracts_ray.stages.dedup import pair_set_pr
+
+    e = pa.table({"id_a": pa.array([], pa.int64()),
+                  "id_b": pa.array([], pa.int64())})
+    p = pa.table({"id_a": [1], "id_b": [2]})
+    out = pair_set_pr(p, e).to_pylist()[0]
+    assert (out["n_pred"], out["n_truth"], out["tp"]) == (1, 0, 0)
+    assert out["precision"] == 0.0 and out["recall"] is None
+    out = pair_set_pr(e, e).to_pylist()[0]
+    assert out["f1"] is None

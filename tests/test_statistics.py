@@ -793,3 +793,66 @@ def test_roc_auc_degenerate_single_class(ray_session):
     got = roc_auc(rd.from_arrow(t), "s", "y")
     assert got["auc"][0].as_py() is None
     assert got["n_neg"][0].as_py() == 0
+
+
+def test_daily_xcorr_gaps_and_alignment(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.statistics import daily_xcorr
+
+    US = 86_400_000_000
+    # days 0,1,2,4 observed (3 missing): lag pairing must skip the gap
+    rows = []
+    for day, (na, nb) in {0: (3, 1), 1: (1, 2), 2: (5, 0),
+                          4: (2, 2)}.items():
+        rows += [("a", day)] * na + [("b", day)] * nb
+    t = pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] * US + 7 for r in rows],
+                       pa.timestamp("us")),
+    })
+    out = daily_xcorr(rd.from_arrow(t).repartition(3), "ts",
+                      "event_type", "a", "b", lags=(-1, 0, 1))
+    rowsd = {r["lag"]: (r["n_days"], r["xcorr"])
+             for r in out.to_pylist()}
+    import numpy as np
+    x = {0: 3, 1: 1, 2: 5, 4: 2}
+    y = {0: 1, 1: 2, 2: 0, 4: 2}
+
+    def ref(lag):
+        ds = [d for d in x if d + lag in x]
+        if len(ds) < 2:
+            return (len(ds), None)
+        xs = np.array([x[d] for d in ds], float)
+        ys = np.array([y[d + lag] for d in ds], float)
+        n = len(ds)
+        den = (n * (xs * xs).sum() - xs.sum() ** 2) * \
+              (n * (ys * ys).sum() - ys.sum() ** 2)
+        if den <= 0:
+            return (n, None)
+        return (n, round(float((n * (xs * ys).sum() - xs.sum() * ys.sum())
+                               / np.sqrt(den)), 6))
+
+    for lag in (-1, 0, 1):
+        assert rowsd[lag] == ref(lag), lag
+
+
+def test_daily_xcorr_zero_variance_and_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.statistics import daily_xcorr
+
+    US = 86_400_000_000
+    t = pa.table({"event_type": ["a", "a", "b", "b"],
+                  "ts": pa.array([0, US, 0, US], pa.timestamp("us"))})
+    out = {r["lag"]: r["xcorr"]
+           for r in daily_xcorr(rd.from_arrow(t), "ts", "event_type",
+                                "a", "b", lags=(0,)).to_pylist()}
+    assert out == {0: None}   # constant series -> undefined corr
+
+    e = pa.table({"event_type": pa.array([], pa.string()),
+                  "ts": pa.array([], pa.timestamp("us"))})
+    out = daily_xcorr(rd.from_arrow(e), "ts", "event_type", "a", "b")
+    assert out.num_rows == 0
