@@ -253,6 +253,96 @@ def _q_column_stats_lineitem(sf_dir: str):
     })
 
 
+# constraint suggestion (Deequ-style, constraints/suggest.py): the column
+# spec carries the dtype label so the SQL oracle emits the same hasType
+_SUGGEST_LI = [("l_orderkey", "int64"), ("l_partkey", "int64"),
+               ("l_suppkey", "int64"), ("l_linenumber", "int32"),
+               ("l_quantity", "double"), ("l_extendedprice", "double"),
+               ("l_discount", "double"), ("l_tax", "double"),
+               ("l_returnflag", "str"), ("l_linestatus", "str"),
+               ("l_shipdate", "ts")]
+_SUGGEST_EV = [("event_id", "int64"), ("ts", "ts"), ("user_id", "int64"),
+               ("event_type", "str"), ("value", "double"), ("props", "str")]
+
+
+def _q_suggest_constraints_lineitem(sf_dir: str):
+    from rho_contracts_ray.constraints.suggest import suggest_constraints
+
+    return suggest_constraints(_read(sf_dir, "lineitem"),
+                               [c for c, _ in _SUGGEST_LI])
+
+
+def _q_suggest_constraints_events(sf_dir: str):
+    from rho_contracts_ray.constraints.suggest import suggest_constraints
+
+    return suggest_constraints(_read(sf_dir, "events"),
+                               [c for c, _ in _SUGGEST_EV])
+
+
+def _suggest_oracle_sql(table: str, cols_types, cap: int = 20) -> str:
+    """One UNION ALL arm per column, each a 1-row aggregate (so EMPTY
+    inputs still emit a profile row per column, like the engine)."""
+    sels = []
+    for col, kind in cols_types:
+        if kind in ("int64", "int32", "double"):
+            iv = ("|| CASE WHEN ai THEN '; integerValued' ELSE '' END "
+                  if kind == "double" else "")
+            sels.append(f"""
+SELECT '{col}' AS "column", '{kind}' AS dtype, n AS n_rows,
+  n - nn AS n_null,
+  CASE WHEN n > 0 THEN (nn * 10000) // n END AS completeness_bp,
+  mn AS min_num, mx AS max_num,
+  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+  CAST(ai AS BIGINT) AS all_int, CAST(NULL AS VARCHAR) AS domain,
+  CAST(NULL AS BIGINT) AS n_distinct_capped,
+  'hasType:{kind}'
+    || CASE WHEN n > 0 AND n = nn THEN '; complete' ELSE '' END
+    || CASE WHEN mn >= 0 THEN '; nonNegative' ELSE '' END {iv}
+  AS suggestions
+FROM (SELECT count(*) n, count({col}) nn,
+             CAST(min({col}) AS DOUBLE) mn, CAST(max({col}) AS DOUBLE) mx,
+             bool_and({col} = floor({col})) ai FROM {table})""")
+        elif kind == "ts":
+            sels.append(f"""
+SELECT '{col}' AS "column", 'timestamp' AS dtype, n AS n_rows,
+  n - nn AS n_null,
+  CASE WHEN n > 0 THEN (nn * 10000) // n END AS completeness_bp,
+  mn AS min_num, mx AS max_num,
+  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+  CAST(NULL AS BIGINT) AS all_int, CAST(NULL AS VARCHAR) AS domain,
+  CAST(NULL AS BIGINT) AS n_distinct_capped,
+  'hasType:timestamp'
+    || CASE WHEN n > 0 AND n = nn THEN '; complete' ELSE '' END
+  AS suggestions
+FROM (SELECT count(*) n, count({col}) nn,
+             CAST(epoch_us(min({col})) AS DOUBLE) mn,
+             CAST(epoch_us(max({col})) AS DOUBLE) mx FROM {table})""")
+        else:
+            sels.append(f"""
+SELECT '{col}' AS "column", 'string' AS dtype, n AS n_rows,
+  n - nn AS n_null,
+  CASE WHEN n > 0 THEN (nn * 10000) // n END AS completeness_bp,
+  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+  mn AS min_str, mx AS max_str,
+  CAST(NULL AS BIGINT) AS all_int, d.domain AS domain,
+  d.n_dom AS n_distinct_capped,
+  'hasType:string'
+    || CASE WHEN n > 0 AND n = nn THEN '; complete' ELSE '' END
+    || CASE WHEN d.domain IS NOT NULL THEN '; inSet:' || d.domain
+       ELSE '' END
+  AS suggestions
+FROM (SELECT count(*) n, count({col}) nn, min({col}) mn, max({col}) mx
+      FROM {table}) s,
+     (SELECT CASE WHEN count(*) BETWEEN 1 AND {cap}
+                  THEN string_agg(v, '|' ORDER BY v) END AS domain,
+             CASE WHEN count(*) BETWEEN 1 AND {cap}
+                  THEN count(*) END AS n_dom
+      FROM (SELECT DISTINCT {col} AS v FROM {table}
+            WHERE {col} IS NOT NULL)) d""")
+    return ("SELECT * FROM (" + " UNION ALL ".join(sels)
+            + ') ORDER BY "column"')
+
+
 def _q_sha256_documents(sf_dir: str):
     from rho_contracts_ray.constraints import with_sha256
 
@@ -4379,6 +4469,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the window.  Every window slot is an oracle-checkable query.
     return {
         # --- oracled, newly rotated into the driver window -----------
+        "suggest_constraints_lineitem": _q_suggest_constraints_lineitem,
+        "suggest_constraints_events": _q_suggest_constraints_events,
         "knn_embeddings": _q_knn_embeddings,
         "knn_ivf_embeddings": _q_knn_ivf_embeddings,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -4598,6 +4690,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "suggest_constraints_lineitem":
+            _suggest_oracle_sql("lineitem", _SUGGEST_LI),
+        "suggest_constraints_events":
+            _suggest_oracle_sql("events", _SUGGEST_EV),
         "contract_oneof_violations": (
             "SELECT event_id, event_type FROM events "
             "WHERE event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup')"

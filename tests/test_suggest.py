@@ -1,0 +1,135 @@
+"""Constraint suggestion (constraints/suggest.py): profile stats, domain
+capping, the suggestion string, and the Deequ-style roundtrip — the
+suggested contract validates the profiled snapshot violation-free and
+catches planted regressions on the next one.  (Bit-exact SQL-oracle
+parity for the full profile runs in tests/test_entry_oracle.py via the
+`suggest_constraints_*` driver queries.)"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from rho_contracts_ray.constraints.suggest import (
+    PROFILE_SCHEMA, suggest_constraints, suggested_contract)
+
+
+def _ds(table: pa.Table, blocks: int = 3):
+    return ray.data.from_arrow(table).repartition(blocks)
+
+
+@pytest.fixture
+def sample():
+    return pa.table({
+        "k": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "price": pa.array([1.5, 2.0, None, 4.0, 0.0, 9.25], pa.float64()),
+        "whole": pa.array([1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float64()),
+        "flag": pa.array(["A", "B", "A", None, "B", "A"], pa.string()),
+        "wide": pa.array([f"v{i}" for i in range(6)], pa.string()),
+        "ts": pa.array([1_000_000 * i for i in range(6)],
+                       pa.timestamp("us")),
+    })
+
+
+def test_profile_stats_and_suggestions(ray_session, sample):
+    prof = suggest_constraints(_ds(sample), domain_cap=3)
+    assert prof.schema.equals(PROFILE_SCHEMA)
+    rows = {r["column"]: r for r in prof.to_pylist()}
+    assert list(rows) == sorted(rows)   # sorted by column name
+
+    k = rows["k"]
+    assert (k["dtype"], k["n_rows"], k["n_null"]) == ("int64", 6, 0)
+    assert (k["min_num"], k["max_num"]) == (1.0, 6.0)
+    assert k["completeness_bp"] == 10000
+    assert k["suggestions"] == "hasType:int64; complete; nonNegative"
+
+    price = rows["price"]
+    assert price["n_null"] == 1
+    assert price["completeness_bp"] == (5 * 10000) // 6
+    assert price["all_int"] == 0
+    assert "complete" not in price["suggestions"]
+    assert "integerValued" not in price["suggestions"]
+
+    whole = rows["whole"]
+    assert whole["all_int"] == 1
+    assert whole["suggestions"] == \
+        "hasType:double; complete; nonNegative; integerValued"
+
+    flag = rows["flag"]
+    assert flag["domain"] == "A|B"
+    assert flag["n_distinct_capped"] == 2
+    assert flag["min_str"] == "A" and flag["max_str"] == "B"
+    assert flag["suggestions"] == "hasType:string; inSet:A|B"
+
+    wide = rows["wide"]                 # 6 distinct > cap 3
+    assert wide["domain"] is None and wide["n_distinct_capped"] is None
+    assert "inSet" not in wide["suggestions"]
+
+    ts = rows["ts"]
+    assert ts["dtype"] == "timestamp"
+    assert ts["min_num"] == 0.0 and ts["max_num"] == 5_000_000.0
+    assert ts["suggestions"] == "hasType:timestamp; complete"
+
+
+def test_domain_cap_sticky_across_batches(ray_session):
+    # each 1-row batch is under the cap; only the MERGED domain exceeds
+    # it — the union must still overflow to null
+    t = pa.table({"s": pa.array([f"x{i}" for i in range(8)], pa.string())})
+    prof = suggest_constraints(_ds(t, blocks=8), domain_cap=3)
+    r = prof.to_pylist()[0]
+    assert r["domain"] is None
+
+
+def test_empty_input_emits_schema_rows(ray_session):
+    t = pa.table({"a": pa.array([], pa.int64()),
+                  "b": pa.array([], pa.string())})
+    # no repartition: an all-to-all op on an EMPTY dataset drops the
+    # schema entirely (suggest then raises — covered below)
+    prof = suggest_constraints(ray.data.from_arrow(t))
+    rows = {r["column"]: r for r in prof.to_pylist()}
+    assert set(rows) == {"a", "b"}
+    a = rows["a"]
+    assert a["n_rows"] == 0 and a["completeness_bp"] is None
+    assert a["min_num"] is None and a["all_int"] is None
+    assert a["suggestions"] == "hasType:int64"
+    assert rows["b"]["suggestions"] == "hasType:string"
+
+
+def test_unknown_column_raises(ray_session, sample):
+    with pytest.raises(ValueError, match="not in"):
+        suggest_constraints(_ds(sample), ["k", "nope"])
+
+
+def test_schemaless_empty_input_raises(ray_session):
+    t = pa.table({"a": pa.array([], pa.int64())})
+    with pytest.raises(ValueError, match="no schema"):
+        suggest_constraints(ray.data.from_arrow(t).repartition(2))
+
+
+def test_suggested_contract_roundtrip(ray_session, sample):
+    """The Deequ loop: infer on snapshot A -> zero violations on A;
+    planted regressions in snapshot B are each caught."""
+    from rho_contracts_ray import validate
+
+    prof = suggest_constraints(_ds(sample), domain_cap=3)
+    con = suggested_contract(prof)
+    rep = validate(_ds(sample), con, name="sample")
+    assert rep.summary()["violations"] == 0
+
+    bad = sample.to_pydict()
+    bad["k"][0] = None            # breaks `complete`
+    bad["whole"][1] = 2.5         # breaks `integerValued`
+    bad["flag"][2] = "Z"          # breaks `inSet:A|B`
+    bad["price"][3] = -1.0        # breaks `nonNegative`
+    snapshot_b = pa.Table.from_pydict(bad, schema=sample.schema)
+    rep_b = validate(_ds(snapshot_b), con, name="sample")
+    assert rep_b.summary()["violations"] == 4
+
+
+def test_profile_matches_single_block(ray_session, sample):
+    """Partial merge is exact: 1-block and 6-block runs agree."""
+    one = suggest_constraints(_ds(sample, blocks=1), domain_cap=3)
+    six = suggest_constraints(_ds(sample, blocks=6), domain_cap=3)
+    assert one.equals(six)
