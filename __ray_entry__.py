@@ -2289,6 +2289,22 @@ def _q_pagerank_parts(sf_dir: str):
     return pagerank(edges, iters=20)
 
 
+def _q_kcore_parts_cooccur(sf_dir: str):
+    """Core number per part over the part co-occurrence graph (h-index
+    convergence on the BSP exchange — edges route once, per-round
+    traffic is (dst, value, count)-compressed estimates).  Iterative
+    peeling fixpoint — no faithful SQL form, so rows-only for the
+    driver; pytest pins two independent peeling references and
+    bucket-count invariance (tests/test_kcore.py)."""
+    from rho_contracts_ray.stages.graph import (cooccurrence_edges,
+                                                kcore_decomposition)
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    # coreness depends on exact degrees: keep the distinct exchange
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return kcore_decomposition(edges)
+
+
 def _q_classify_quality_documents(sf_dir: str):
     """Actor-pool linear quality classifier (model-in-actor pattern:
     weights built once per actor in __init__, vectorized scoring in
@@ -3452,6 +3468,34 @@ def _q_media_ahash_dedup(sf_dir: str):
     })
     allimg = pa.concat_tables([images.select(extra.column_names), extra])
     return media_ahash_dedup(rd.from_arrow(allimg), concurrency=(1, 4))
+
+
+def _q_media_phash_dedup(sf_dir: str):
+    """DCT perceptual-hash (pHash) image dedup over the same synthetic
+    media table as media_ahash_dedup — the frequency-domain variant
+    that survives brightness/contrast shifts.  Rows-only (binary
+    decode); pytest pins cross-format collapse, brightness robustness
+    and Hamming separation (tests/test_stages.py)."""
+    import numpy as np
+    import ray.data as rd
+
+    from rho_contracts_ray.stages import make_media_table
+    from rho_contracts_ray.stages.multimodal import (encode_bmp, encode_png,
+                                                     media_ahash_dedup)
+
+    media = make_media_table(200, seed=7, real=True)
+    images = media.filter(pc.equal(media["kind"], "image"))
+    rng = np.random.default_rng(123)
+    px = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
+    extra = pa.table({
+        "media_id": pa.array([10_001, 10_002], pa.int64()),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([encode_bmp(px), encode_png(px)],
+                            pa.large_binary()),
+    })
+    allimg = pa.concat_tables([images.select(extra.column_names), extra])
+    return media_ahash_dedup(rd.from_arrow(allimg), concurrency=(1, 4),
+                             method="phash")
 
 
 def _q_pca_embeddings(sf_dir: str):
@@ -4662,6 +4706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     decode, iterative packing) — kept OUT of the window ------
         "drift_events_value": _q_drift_events_value,
         "pagerank_parts": _q_pagerank_parts,
+        "kcore_parts_cooccur": _q_kcore_parts_cooccur,
         "minhash_pairs_documents": _q_minhash_pairs_documents,
         "simhash_documents": _q_simhash_documents,
         "fingerprints_documents": _q_fingerprints_documents,
@@ -4676,6 +4721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_documents": _q_tfidf_documents,
         "pca_embeddings": _q_pca_embeddings,
         "media_ahash_dedup": _q_media_ahash_dedup,
+        "media_phash_dedup": _q_media_phash_dedup,
         "ewma_events_user": _q_ewma_events_user,
         "bpe_merges_documents": _q_bpe_merges_documents,
         "semdedup_embeddings": _q_semdedup_embeddings,

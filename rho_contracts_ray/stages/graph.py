@@ -876,3 +876,252 @@ def graph_connected_components(edges_ds, n_buckets: Optional[int] = None,
         [finish.remote(r) for r in label_refs],
         pa.table({"node": pa.array([], pa.int64()),
                   "comp": pa.array([], pa.int64())}))
+
+
+# -- k-core decomposition -----------------------------------------------------
+
+
+def _h_index_segments(node_sorted: np.ndarray, vals: np.ndarray,
+                      cnts: np.ndarray) -> tuple:
+    """Per-node h-index of a (node, value, count) multiset.  Input rows
+    must be sorted by (node asc, value DESC); returns (unique_nodes, h).
+
+    h = max_i min(v_i, C_i) with C_i the cumulative count through the
+    i-th distinct value in descending order — the standard closed form
+    of "largest h with >= h values >= h", evaluated with one cumsum and
+    one reduceat (no per-node loop)."""
+    starts = np.flatnonzero(np.concatenate(
+        ([True], node_sorted[1:] != node_sorted[:-1])))
+    cum = np.cumsum(cnts)
+    seg_base = np.concatenate(([0], cum[starts[1:] - 1]))
+    cum_in_seg = cum - np.repeat(seg_base, np.diff(
+        np.concatenate((starts, [node_sorted.size]))))
+    m = np.minimum(vals, cum_in_seg)
+    return node_sorted[starts], np.maximum.reduceat(m, starts)
+
+
+@ray.remote
+def _kcore_init(edge_tbl):
+    """Initial coreness estimate = degree (directed out-degree of the
+    doubled graph = undirected degree; edges are DISTINCT by contract)."""
+    if edge_tbl is None or edge_tbl.num_rows == 0:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "est": pa.array([], pa.int64())})
+    src = edge_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n, deg = np.unique(src, return_counts=True)
+    return pa.table({"node": pa.array(n, pa.int64()),
+                     "est": pa.array(deg.astype(np.int64), pa.int64())})
+
+
+@ray.remote
+def _kcore_expand(n_buckets: int, est_tbl, edge_tbl):
+    """One superstep, source side: every directed edge (u -> v) with u in
+    this bucket sends u's current estimate to v — COMPRESSED to
+    (v, value, count) rows before anything moves (the h-index needs the
+    multiset of neighbor values, and counts are a lossless encoding of
+    it, so the exchange is O(distinct (dst, value)) not O(edges))."""
+    from ..functions.hashing import stable_hash64
+    from .distagg import hash_range_buckets
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "val": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+    if est_tbl is None or est_tbl.num_rows == 0 or edge_tbl is None \
+            or edge_tbl.num_rows == 0:
+        return tuple([empty] * n_buckets)
+    en = est_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ee = est_tbl["est"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(en, kind="stable")
+    en, ee = en[order], ee[order]
+    src = edge_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = edge_tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.searchsorted(en, src)
+    pos[pos >= en.size] = en.size - 1
+    hit = en[pos] == src
+    dst, val = dst[hit], ee[pos[hit]]
+    if dst.size == 0:
+        return tuple([empty] * n_buckets)
+    o = np.lexsort((-val, dst))
+    dst, val = dst[o], val[o]
+    starts = np.flatnonzero(np.concatenate(
+        ([True], (dst[1:] != dst[:-1]) | (val[1:] != val[:-1]))))
+    cnt = np.diff(np.concatenate((starts, [dst.size])))
+    d_u, v_u = dst[starts], val[starts]
+    kh = stable_hash64(pa.array(d_u, pa.int64()))
+    bucket = hash_range_buckets(kh, n_buckets)
+    return tuple(
+        pa.table({"node": pa.array(d_u[bucket == r], pa.int64()),
+                  "val": pa.array(v_u[bucket == r], pa.int64()),
+                  "cnt": pa.array(cnt[bucket == r], pa.int64())})
+        for r in range(n_buckets))
+
+
+@ray.remote(num_returns=2)
+def _kcore_combine(est_tbl, *msg_tbls):
+    """One superstep, destination side: new estimate = min(old, h-index
+    of the neighbors' sent values).  Estimates only DECREASE, so the
+    fixpoint (zero changes everywhere) is the exact core number
+    (Montresor, De Pellegrini & Miorandi, "Distributed k-Core
+    Decomposition", IEEE TPDS 2013 — public algorithm)."""
+    msgs = [t for t in msg_tbls if t is not None and t.num_rows]
+    if not msgs or est_tbl is None or est_tbl.num_rows == 0:
+        return est_tbl, 0
+    cat = pa.concat_tables(msgs)
+    n = cat["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = cat["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = cat["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # re-sort: messages arrive from many source buckets, and equal
+    # (node, val) rows must merge before the cumulative count
+    o = np.lexsort((-v, n))
+    n, v, c = n[o], v[o], c[o]
+    same = np.concatenate(
+        ([False], (n[1:] == n[:-1]) & (v[1:] == v[:-1])))
+    if np.any(same):
+        starts = np.flatnonzero(~same)
+        c = np.add.reduceat(c, starts)
+        n, v = n[starts], v[starts]
+    hn, h = _h_index_segments(n, v, c)
+    en = est_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ee = est_tbl["est"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64).copy()
+    order = np.argsort(en, kind="stable")
+    en_s = en[order]
+    pos = np.searchsorted(en_s, hn)
+    pos[pos >= en_s.size] = en_s.size - 1
+    hit = en_s[pos] == hn
+    before = ee.copy()
+    np.minimum.at(ee, order[pos[hit]], h[hit])
+    changed = int((ee < before).sum())
+    if changed == 0:
+        return est_tbl, 0
+    return pa.table({"node": pa.array(en, pa.int64()),
+                     "est": pa.array(ee, pa.int64())}), changed
+
+
+@ray.remote
+def _kcore_local_task(*blocks) -> pa.Table:
+    """Whole-graph core numbers in one task: the same h-index iteration
+    run to fixpoint in pure numpy (identical output to the BSP path,
+    pytest-pinned)."""
+    tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+              for b in blocks]
+    tables = [t for t in tables if t.num_rows]
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "core": pa.array([], pa.int64())})
+    if not tables:
+        return empty
+    t = pa.concat_tables(tables)
+    u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.concatenate((u, v))
+    dst = np.concatenate((v, u))
+    nodes, inv_src = np.unique(src, return_inverse=True)
+    inv_dst = np.searchsorted(nodes, dst)
+    est = np.bincount(inv_src, minlength=nodes.size).astype(np.int64)
+    order = np.argsort(inv_src, kind="stable")
+    s_i, d_i = inv_src[order], inv_dst[order]
+    while True:
+        vals = est[s_i]            # what each src sends along its edges
+        o = np.lexsort((-vals, d_i))
+        n_, v_ = d_i[o], vals[o]
+        starts = np.flatnonzero(np.concatenate(
+            ([True], n_[1:] != n_[:-1])))
+        seg_len = np.diff(np.concatenate((starts, [n_.size])))
+        rank = np.arange(n_.size) - np.repeat(starts, seg_len) + 1
+        m = np.minimum(v_, rank)      # per-edge count = 1 -> 1-based rank
+        h = np.maximum.reduceat(m, starts)
+        new = est.copy()
+        new[n_[starts]] = np.minimum(est[n_[starts]], h)
+        if np.array_equal(new, est):
+            break
+        est = new
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "core": pa.array(est, pa.int64())})
+
+
+def kcore_decomposition(edges_ds, n_buckets: Optional[int] = None,
+                        strategy: str = "auto", max_rounds: int = 200):
+    """Core number of every node of an UNDIRECTED, DISTINCT edge
+    Dataset[u, v] -> Dataset[node: int64, core: int64] (core = the
+    largest k such that the node survives repeated removal of all
+    nodes with degree < k).
+
+    Distributed shape (the h-index convergence algorithm of Montresor
+    et al., TPDS 2013, on the same pinned-edge-bucket BSP machinery as
+    pagerank/graph_connected_components): edges route into hash buckets
+    ONCE; every round each bucket sends its nodes' current estimates
+    along their edges — compressed to (dst, value, count) rows — and
+    each destination bucket lowers its estimates to the h-index of the
+    received multiset.  Estimates start at degree and only decrease, so
+    the zero-change fixpoint is exact.  Edge multiplicity changes
+    degrees: feed DISTINCT edges (cooccurrence_edges default)."""
+    import ray.data as rd
+
+    from ..functions.hashing import stable_hash64
+    from .distagg import bucketed_reduce, dataset_from_refs, \
+        default_buckets
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "core": pa.array([], pa.int64())})
+    materialized = None
+    if strategy == "auto":
+        materialized = edges_ds.materialize()
+        strategy = "local" if materialized.count() <= _BFS_LOCAL_EDGE_LIMIT \
+            else "exchange"
+        edges_ds = materialized
+    if strategy == "local":
+        if materialized is None:
+            materialized = edges_ds.materialize()
+        blockrefs = []
+        for bundle in materialized.iter_internal_ref_bundles():
+            blockrefs.extend(bundle.block_refs)
+        ref = _kcore_local_task.remote(*blockrefs)
+        return rd.from_arrow_refs([ref])
+
+    if n_buckets is None:
+        n_buckets = default_buckets()
+
+    def add_kh(batch: pa.Table) -> pa.Table:
+        kh = stable_hash64(batch["node"])
+        return batch.append_column("__kh", pa.array(kh.view(np.int64)))
+
+    hashed = _directed(edges_ds).map_batches(add_kh,
+                                             batch_format="pyarrow")
+
+    def strip(t: pa.Table):
+        return t.drop_columns(["__kh"]) if t.num_rows else None
+
+    pairs = bucketed_reduce(hashed, "__kh", strip,
+                            n_buckets=n_buckets, as_refs=True)
+    edge_refs = [p[1] for p in pairs]
+    n_buckets = len(edge_refs)
+    if not edge_refs:
+        return rd.from_arrow(empty)
+    est_refs = [_kcore_init.remote(r) for r in edge_refs]
+    expand = _kcore_expand.options(num_returns=n_buckets) \
+        if n_buckets > 1 else None
+    for _ in range(max_rounds):
+        if n_buckets > 1:
+            outs = [expand.remote(n_buckets, est_refs[b], edge_refs[b])
+                    for b in range(n_buckets)]
+        else:
+            outs = [[_unwrap1.remote(
+                _kcore_expand.remote(1, est_refs[0], edge_refs[0]))]]
+        results = [_kcore_combine.remote(
+            est_refs[r], *[outs[b][r] for b in range(n_buckets)])
+            for r in range(n_buckets)]
+        est_refs = [res[0] for res in results]
+        counts = ray.get([res[1] for res in results])
+        if sum(counts) == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"kcore_decomposition: no fixpoint after {max_rounds} "
+            f"rounds; raise max_rounds or use strategy='local'")
+
+    @ray.remote
+    def finish(t):
+        return t.rename_columns(["node", "core"])
+
+    return dataset_from_refs(
+        [finish.remote(r) for r in est_refs], empty)

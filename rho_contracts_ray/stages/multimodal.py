@@ -1135,16 +1135,60 @@ def ahash64_pixels(px: np.ndarray) -> int:
     return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
 
 
+def _dct_matrix_n(n: int) -> np.ndarray:
+    """Orthonormal n x n DCT-II matrix (the 8x8 _dct_matrix generalized
+    for pHash's 32-point transform)."""
+    k = np.arange(n)
+    a = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n)) \
+        * np.sqrt(2.0 / n)
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+_DCT_A32 = _dct_matrix_n(32)
+
+
+def phash64_pixels(px: np.ndarray) -> int:
+    """DCT perceptual hash (pHash, public-domain algorithm): grayscale
+    -> 32x32 nearest-neighbor downsample (same pixel-center map as
+    ahash64_pixels) -> 32x32 DCT-II -> top-left 8x8 low-frequency block
+    -> 64 bits of 'coefficient > median of the block excluding DC',
+    packed row-major MSB-first.  Robust to brightness/contrast shifts
+    (unlike aHash, the threshold is a frequency-domain median) and to
+    re-encode noise; identical pixels hash identically."""
+    g = px.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    ri = np.minimum(((np.arange(32) + 0.5) * h // 32).astype(np.int64),
+                    h - 1)
+    ci = np.minimum(((np.arange(32) + 0.5) * w // 32).astype(np.int64),
+                    w - 1)
+    cells = g[ri][:, ci]
+    coef = (_DCT_A32 @ cells @ _DCT_A32.T)[:8, :8]
+    med = np.median(coef.ravel()[1:])      # exclude the DC term
+    bits = (coef > med).astype(np.uint64).ravel()
+    return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
+
+
+_PIXEL_HASHES = {"ahash": ahash64_pixels, "phash": phash64_pixels}
+
+
 class AHashStage:
     """Actor-pool stage: image payload bytes -> 64-bit perceptual hash
-    (aHash) -> (media_id, ahash, decoded).  on_undecodable='flag' emits
-    a null hash with decoded=False; 'raise' surfaces the decoder error.
-    Non-image magic bytes are treated as undecodable."""
+    -> (media_id, <method>, decoded) with method 'ahash' (average hash)
+    or 'phash' (DCT hash).  on_undecodable='flag' emits a null hash with
+    decoded=False; 'raise' surfaces the decoder error.  Non-image magic
+    bytes are treated as undecodable."""
 
-    def __init__(self, on_undecodable: str = "raise"):
+    def __init__(self, on_undecodable: str = "raise",
+                 method: str = "ahash"):
         if on_undecodable not in ("raise", "flag"):
             raise ValueError(f"unknown on_undecodable {on_undecodable!r}")
+        if method not in _PIXEL_HASHES:
+            raise ValueError(f"unknown perceptual-hash method {method!r} "
+                             f"(supported: {sorted(_PIXEL_HASHES)})")
         self.on_undecodable = on_undecodable
+        self.method = method
+        self._hash = _PIXEL_HASHES[method]
         self._decoders = {"bmp": decode_bmp, "png": decode_png,
                           "gif": decode_gif, "jpg": decode_jpeg}
 
@@ -1177,23 +1221,26 @@ class AHashStage:
                     raise
                 continue
             # int64 view keeps the column hashable/groupable everywhere
-            hashes[i] = np.uint64(ahash64_pixels(px)).astype(
+            hashes[i] = np.uint64(self._hash(px)).astype(
                 np.int64).item()
             decoded[i] = True
         return pa.table({
             "media_id": batch["media_id"],
-            "ahash": pa.array(hashes, pa.int64()),
+            self.method: pa.array(hashes, pa.int64()),
             "decoded": pa.array(decoded, pa.bool_()),
         })
 
 
 def media_ahash_dedup(ds, min_count: int = 1, concurrency=None,
                       batch_size: int = 256,
-                      on_undecodable: str = "flag"):
-    """Perceptual dedup of an image dataset -> Dataset[ahash, keep_id,
-    cnt]: groups payloads by exact aHash equality (identical or
+                      on_undecodable: str = "flag",
+                      method: str = "ahash"):
+    """Perceptual dedup of an image dataset -> Dataset[<method>, keep_id,
+    cnt]: groups payloads by exact perceptual-hash equality (identical or
     near-identical frames collapse regardless of container format), keeps
-    the minimum media_id per group.  Undecodable payloads are dropped.
+    the minimum media_id per group.  method='ahash' (average hash) or
+    'phash' (DCT hash — robust to brightness/contrast shifts).
+    Undecodable payloads are dropped.
 
     Scale shape: decode runs in an actor pool (large payloads stay in
     their tasks; only 16 B (hash, id) rows move), the grouping is the
@@ -1202,7 +1249,8 @@ def media_ahash_dedup(ds, min_count: int = 1, concurrency=None,
 
     hashed = ds.map_batches(
         AHashStage,
-        fn_constructor_kwargs={"on_undecodable": on_undecodable},
+        fn_constructor_kwargs={"on_undecodable": on_undecodable,
+                               "method": method},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency if concurrency is not None
         else (1, _cluster_cpus()))
@@ -1212,10 +1260,10 @@ def media_ahash_dedup(ds, min_count: int = 1, concurrency=None,
 
     agg = bucketed_group_agg(
         hashed.map_batches(keep, batch_format="pyarrow"),
-        ["ahash"], [("media_id", "min"), ([], "count_all")])
+        [method], [("media_id", "min"), ([], "count_all")])
 
     def finish(t: pa.Table) -> pa.Table:
-        out = pa.table({"ahash": t["ahash"],
+        out = pa.table({method: t[method],
                         "keep_id": t["media_id_min"],
                         "cnt": pc.cast(t["count_all"], pa.int64())})
         if min_count > 1:

@@ -1743,6 +1743,45 @@ def test_ahash_raise_on_undecodable(ray_session):
                     "payload": pa.array([b"junk"], pa.large_binary())})
     with pytest.raises(ValueError):
         stage(bad)
+    with pytest.raises(ValueError, match="method"):
+        AHashStage(method="dhash")
+
+
+def test_phash_cross_format_dedup_and_robustness(ray_session):
+    from rho_contracts_ray.stages.multimodal import (
+        decode_jpeg, encode_bmp, encode_jpeg, encode_png,
+        media_ahash_dedup, phash64_pixels)
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(40, 200, (24, 18, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, (24, 18, 3), dtype=np.uint8)
+    t = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["image"] * 3),
+        "payload": pa.array([encode_bmp(base), encode_png(base),
+                             encode_bmp(other)], pa.large_binary()),
+    })
+    res = media_ahash_dedup(rd.from_arrow(t), concurrency=(1, 2),
+                            method="phash")
+    parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+             for b in res.iter_batches(batch_size=None,
+                                       batch_format="pyarrow")]
+    got = pa.concat_tables([p for p in parts if p.num_rows]) \
+        .to_pandas().set_index("keep_id").sort_index()
+    assert "phash" in got.columns
+    assert int(got.loc[1, "cnt"]) == 2 and 2 not in got.index
+    assert int(got.loc[3, "cnt"]) == 1
+
+    # the pHash differentiator: a global brightness shift flips few bits
+    # (frequency-domain median threshold), and JPEG noise stays close
+    h = phash64_pixels(base)
+    brighter = np.clip(base.astype(np.int64) + 40, 0, 255) \
+        .astype(np.uint8)
+    assert bin(h ^ phash64_pixels(brighter)).count("1") <= 4
+    h_jpeg = phash64_pixels(decode_jpeg(encode_jpeg(base)))
+    assert bin(h ^ h_jpeg).count("1") <= 8
+    # a genuinely different image is far in Hamming distance
+    assert bin(h ^ phash64_pixels(other)).count("1") >= 16
 
 
 def test_quality_buckets_planted_fence_ties(ray_session):
