@@ -1,0 +1,146 @@
+"""Metrics repository + cross-run anomaly detection — the second half of
+the Deequ loop (Schelter et al., "Automating Large-Scale Data Quality
+Verification", VLDB 2018): every validation run RECORDS its column
+profile; the next run's profile is checked against the recorded history
+and metrics that moved more than `z_thresh` standard deviations flag as
+anomalies BEFORE the regression ships.
+
+Storage shape mirrors state/checkpoint.py: one parquet file per run
+(atomic tmp+rename commit, so a killed job never leaves a torn record and
+re-recording a run id is idempotent-by-overwrite), history loads as one
+Arrow table.  Profiles are the tiny O(columns) tables of
+constraints/suggest.py (or any table with a `column` column + numeric
+metric columns), so the repository stays kilobytes per run at any input
+scale — the 100-TB input never touches this path.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+_RUN_ID_RE = re.compile(r"^[A-Za-z0-9._=-]+$")
+
+ANOMALY_SCHEMA = pa.schema([
+    ("column", pa.string()),
+    ("metric", pa.string()),
+    ("value", pa.float64()),
+    ("hist_mean", pa.float64()),
+    ("hist_std", pa.float64()),
+    ("n_history", pa.int64()),
+    ("z", pa.float64()),           # null when hist_std == 0
+    ("anomaly", pa.bool_()),
+])
+
+
+class MetricsRepository:
+    """Append-only per-run profile store under one directory."""
+
+    def __init__(self, repo_dir: str):
+        self.dir = repo_dir
+        os.makedirs(repo_dir, exist_ok=True)
+
+    def _path(self, run_id: str) -> str:
+        if not _RUN_ID_RE.match(run_id):
+            raise ValueError(
+                f"run_id {run_id!r} must match {_RUN_ID_RE.pattern} "
+                f"(it becomes a filename)")
+        return os.path.join(self.dir, f"{run_id}.parquet")
+
+    def record(self, run_id: str, profile: pa.Table) -> str:
+        """Commit one run's profile atomically (tmp + rename); recording
+        the same run_id again overwrites — idempotent retries."""
+        if "column" not in profile.column_names:
+            raise ValueError("profile must carry a 'column' column")
+        path = self._path(run_id)
+        tmp = path + ".tmp"
+        pq.write_table(
+            profile.append_column("run_id", pa.array(
+                [run_id] * profile.num_rows, pa.string())), tmp)
+        os.replace(tmp, path)
+        return path
+
+    def run_ids(self) -> list[str]:
+        return sorted(f[:-8] for f in os.listdir(self.dir)
+                      if f.endswith(".parquet"))
+
+    def history(self, exclude: Optional[str] = None) -> pa.Table:
+        """All recorded profiles as one table (empty-but-typed when no
+        runs exist)."""
+        parts = [pq.read_table(self._path(r)) for r in self.run_ids()
+                 if r != exclude]
+        if not parts:
+            return pa.table({"column": pa.array([], pa.string()),
+                             "run_id": pa.array([], pa.string())})
+        return pa.concat_tables(parts, promote_options="default")
+
+
+def anomaly_check(history: pa.Table, current: pa.Table,
+                  metrics: Sequence[str], z_thresh: float = 3.0,
+                  min_history: int = 2) -> pa.Table:
+    """Per (column, metric) z-score of the current profile against the
+    history -> ANOMALY_SCHEMA rows, sorted by (column, metric).
+
+    Null metric values (a column that is all-null has no min) are
+    skipped on both sides.  A zero-variance history flags on ANY exact
+    change (the strictest consistent rule); fewer than `min_history`
+    usable runs yields anomaly=false with z null — never a spurious
+    alarm from an unlearnable baseline."""
+    metrics = list(metrics)
+    missing = [m for m in metrics if m not in current.column_names]
+    if missing:
+        raise ValueError(f"anomaly_check: metrics {missing} not in the "
+                         f"current profile {current.column_names}")
+    hist_ok = all(m in history.column_names for m in metrics) \
+        and "column" in history.column_names
+    out = {f.name: [] for f in ANOMALY_SCHEMA}
+    cur_rows = sorted(current.to_pylist(), key=lambda r: r["column"])
+    hist_rows = history.to_pylist() if hist_ok else []
+    for r in cur_rows:
+        col = r["column"]
+        for m in metrics:
+            v = r.get(m)
+            if v is None:
+                continue
+            v = float(v)
+            hv = np.array([float(h[m]) for h in hist_rows
+                           if h["column"] == col and h.get(m) is not None],
+                          np.float64)
+            n = int(hv.size)
+            mean = float(hv.mean()) if n else None
+            std = float(hv.std(ddof=0)) if n else None
+            z = None
+            flag = False
+            if n >= min_history:
+                if std and std > 0:
+                    z = (v - mean) / std
+                    flag = abs(z) > z_thresh
+                else:
+                    flag = v != mean
+            out["column"].append(col)
+            out["metric"].append(m)
+            out["value"].append(v)
+            out["hist_mean"].append(mean)
+            out["hist_std"].append(std)
+            out["n_history"].append(n)
+            out["z"].append(z)
+            out["anomaly"].append(flag)
+    return pa.Table.from_pydict(out, schema=ANOMALY_SCHEMA)
+
+
+def record_and_check(repo: MetricsRepository, run_id: str,
+                     profile: pa.Table, metrics: Sequence[str],
+                     z_thresh: float = 3.0,
+                     min_history: int = 2) -> pa.Table:
+    """The per-run loop: check `profile` against every EARLIER run, then
+    record it (so a flagged run is still on file for forensics)."""
+    report = anomaly_check(repo.history(exclude=run_id), profile,
+                           metrics, z_thresh, min_history)
+    repo.record(run_id, profile)
+    return report

@@ -1,0 +1,106 @@
+"""Metrics repository + anomaly detection (constraints/metrics_repo.py):
+atomic per-run records, history loading, z-score anomaly flags, and the
+end-to-end Deequ loop with suggest_constraints profiles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from rho_contracts_ray.constraints.metrics_repo import (
+    ANOMALY_SCHEMA, MetricsRepository, anomaly_check, record_and_check)
+from rho_contracts_ray.constraints.suggest import suggest_constraints
+
+
+def _profile(comp, mn):
+    return pa.table({"column": pa.array(["value"], pa.string()),
+                     "completeness_bp": pa.array([comp], pa.int64()),
+                     "min_num": pa.array([mn], pa.float64())})
+
+
+def test_record_history_roundtrip(tmp_path):
+    repo = MetricsRepository(str(tmp_path / "runs"))
+    assert repo.run_ids() == []
+    repo.record("2024-01-01", _profile(10000, 0.0))
+    repo.record("2024-01-02", _profile(9990, 0.0))
+    assert repo.run_ids() == ["2024-01-01", "2024-01-02"]
+    h = repo.history()
+    assert h.num_rows == 2
+    assert set(h["run_id"].to_pylist()) == {"2024-01-01", "2024-01-02"}
+    # re-record is idempotent-by-overwrite, not a duplicate
+    repo.record("2024-01-02", _profile(9991, 0.0))
+    assert repo.history().num_rows == 2
+    assert repo.history(exclude="2024-01-02").num_rows == 1
+
+
+def test_record_rejects_path_escaping_run_id(tmp_path):
+    repo = MetricsRepository(str(tmp_path / "runs"))
+    with pytest.raises(ValueError, match="run_id"):
+        repo.record("../evil", _profile(1, 0.0))
+
+
+def test_anomaly_zscore_and_zero_variance(tmp_path):
+    repo = MetricsRepository(str(tmp_path / "runs"))
+    for i, comp in enumerate([10000, 9990, 10000, 9995]):
+        repo.record(f"r{i}", _profile(comp, 0.0))
+    hist = repo.history()
+    # in-family value: no flag
+    rep = anomaly_check(hist, _profile(9996, 0.0),
+                        ["completeness_bp", "min_num"])
+    assert rep.schema.equals(ANOMALY_SCHEMA)
+    rows = {r["metric"]: r for r in rep.to_pylist()}
+    assert rows["completeness_bp"]["anomaly"] is False
+    assert rows["completeness_bp"]["n_history"] == 4
+    # way-out value: flags with a large |z|
+    rep2 = anomaly_check(hist, _profile(5000, 0.0), ["completeness_bp"])
+    r2 = rep2.to_pylist()[0]
+    assert r2["anomaly"] is True and abs(r2["z"]) > 3
+    # min_num history is constant 0.0 -> zero variance: ANY change flags
+    rep3 = anomaly_check(hist, _profile(10000, -1.0), ["min_num"])
+    r3 = rep3.to_pylist()[0]
+    assert r3["anomaly"] is True and r3["z"] is None
+    rep4 = anomaly_check(hist, _profile(10000, 0.0), ["min_num"])
+    assert rep4.to_pylist()[0]["anomaly"] is False
+
+
+def test_min_history_gate(tmp_path):
+    repo = MetricsRepository(str(tmp_path / "runs"))
+    repo.record("only", _profile(10000, 0.0))
+    rep = anomaly_check(repo.history(), _profile(0, 0.0),
+                        ["completeness_bp"])
+    r = rep.to_pylist()[0]
+    assert r["anomaly"] is False and r["n_history"] == 1
+
+
+def test_unknown_metric_raises(tmp_path):
+    with pytest.raises(ValueError, match="not in"):
+        anomaly_check(_profile(1, 0.0), _profile(1, 0.0), ["nope"])
+
+
+def test_deequ_loop_with_suggest_profiles(ray_session, tmp_path):
+    """End to end: profile real snapshots with suggest_constraints,
+    record each, and catch a planted null-rate regression."""
+    repo = MetricsRepository(str(tmp_path / "runs"))
+    rng = np.random.default_rng(0)
+
+    def snapshot(null_every):
+        vals = rng.normal(50, 5, 400)
+        arr = [None if null_every and i % null_every == 0 else float(v)
+               for i, v in enumerate(vals)]
+        t = pa.table({"value": pa.array(arr, pa.float64())})
+        return suggest_constraints(ray.data.from_arrow(t))
+
+    reports = []
+    for day, null_every in [("d1", 100), ("d2", 100), ("d3", 100),
+                            ("d4", 100), ("d5", 3)]:   # d5 regresses
+        prof = snapshot(null_every)
+        reports.append(record_and_check(
+            repo, day, prof, ["completeness_bp"], z_thresh=3.0))
+    healthy = [r.to_pylist()[0]["anomaly"] for r in reports[:4]]
+    assert healthy == [False, False, False, False]
+    bad = reports[4].to_pylist()[0]
+    assert bad["anomaly"] is True
+    # the flagged run is still on file for forensics
+    assert "d5" in repo.run_ids()
