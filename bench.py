@@ -223,7 +223,8 @@ def run_benchmarks() -> dict:
                  "global_rank_events", "skyline_orders",
                  "bfs_parts_cooccur", "bigram_logprob_documents",
                  "upsert_orders", "transition_matrix_events",
-                 "vocab_growth_documents", "delta_agg_orders"):
+                 "vocab_growth_documents", "delta_agg_orders",
+                 "suggest_constraints_lineitem", "kcore_parts_cooccur"):
         def run(n=name):
             res = q[n](SF_DIR)
             # consume lazily-built results fully

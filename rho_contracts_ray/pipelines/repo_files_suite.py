@@ -447,7 +447,9 @@ def run_suite(input_path, out_dir: Optional[str] = None,
               strict: bool = False, concurrency=None,
               batch_size: int = 16384, use_actors: bool = False,
               capture_limit: int = 64, combine_size: int = 32,
-              n_uniq_buckets: Optional[int] = None) -> dict:
+              n_uniq_buckets: Optional[int] = None,
+              metrics_repo_dir: Optional[str] = None,
+              run_id: Optional[str] = None) -> dict:
     """Full suite over parquet path(s) or a Dataset.  Returns the summary;
     writes violations parquet under out_dir if given.
 
@@ -455,7 +457,15 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     per-worker cache — measured ~3.5s faster per run than an autoscaling
     actor pool at this scale because tasks reuse prestarted workers.  Pass
     use_actors=True for long-lived deployments where heavier per-actor
-    state (models, large broadcast sets) should pin to a pool."""
+    state (models, large broadcast sets) should pin to a pool.
+
+    metrics_repo_dir + run_id: record this run's health metrics (row
+    count, violation rate, duplicate keys, content-length quantiles,
+    distinct repos — all already computed by the pass, no extra scan) in
+    a constraints.metrics_repo.MetricsRepository and z-score-check them
+    against the recorded history; `metric_anomalies` lands in the
+    summary.  The Deequ run loop: a regression in the NEXT snapshot
+    flags before it ships."""
     import functools
     import pickle
 
@@ -658,6 +668,40 @@ def run_suite(input_path, out_dir: Optional[str] = None,
             "fk_and_stats_s": round(time.monotonic() - t_uniq, 3),
         },
     }
+    if (metrics_repo_dir is None) != (run_id is None):
+        raise ValueError("run_suite: metrics_repo_dir and run_id must be "
+                         "passed together")
+    if metrics_repo_dir is not None:
+        from ..constraints.metrics_repo import (MetricsRepository,
+                                                record_and_check)
+
+        profile = pa.table({
+            "column": pa.array(["__run__", "content_len", "repo"],
+                               pa.string()),
+            "rows": pa.array([rows, None, None], pa.int64()),
+            "violation_bp": pa.array(
+                [(failed * 10000) // rows if rows else None, None, None],
+                pa.int64()),
+            "duplicate_keys": pa.array([dup_keys.num_rows, None, None],
+                                       pa.int64()),
+            "p50": pa.array([None, summary["content_len_p50"], None],
+                            pa.float64()),
+            "p99": pa.array([None, summary["content_len_p99"], None],
+                            pa.float64()),
+            "approx_distinct": pa.array(
+                [None, None, summary["approx_distinct_repo"]],
+                pa.float64()),
+        })
+        report = record_and_check(
+            MetricsRepository(metrics_repo_dir), run_id, profile,
+            metrics=["rows", "violation_bp", "duplicate_keys",
+                     "p50", "p99", "approx_distinct"])
+        flagged = report.filter(pc.equal(report["anomaly"], True))
+        summary["metric_anomalies"] = flagged.num_rows
+        summary["metric_anomaly_report"] = [
+            {"column": r["column"], "metric": r["metric"],
+             "value": r["value"], "z": r["z"]}
+            for r in flagged.to_pylist()]
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         import pyarrow.parquet as pq

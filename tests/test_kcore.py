@@ -98,6 +98,22 @@ def test_exchange_matches_local_and_bucket_invariance(ray_session):
         assert got == local, f"n_buckets={nb}"
 
 
+def test_sort_kernel_matches_hist_kernel(ray_session):
+    """The local fixpoint's two round kernels (clipped histogram vs
+    lexsort) reach the same fixpoint — force the sort path with a zero
+    cell budget and compare."""
+    rng = np.random.default_rng(9)
+    edges = set()
+    while len(edges) < 150:
+        a, b = int(rng.integers(50)), int(rng.integers(50))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    hist = _run(edges, strategy="local")
+    sort = _run(edges, strategy="local", hist_cells=0)
+    assert hist == sort == _simple_coreness(edges)
+
+
 def test_empty_edges(ray_session):
     out = kcore_decomposition(
         ray.data.from_arrow(pa.table({"u": pa.array([], pa.int64()),

@@ -104,3 +104,35 @@ def test_deequ_loop_with_suggest_profiles(ray_session, tmp_path):
     assert bad["anomaly"] is True
     # the flagged run is still on file for forensics
     assert "d5" in repo.run_ids()
+
+
+def test_run_suite_records_and_flags(ray_session, tmp_path):
+    """Flagship-suite integration: same corpus -> no anomalies; a
+    half-size next snapshot flags its row count (and quantile shifts)
+    against the recorded history; mismatched args rejected."""
+    from rho_contracts_ray.pipelines import run_suite
+    from rho_contracts_ray.sources import write_repo_files
+
+    corpus = str(tmp_path / "corpus")
+    write_repo_files(corpus, n_rows=2000, n_shards=4)
+    repo_dir = str(tmp_path / "runs")
+
+    with pytest.raises(ValueError, match="together"):
+        run_suite(corpus, metrics_repo_dir=repo_dir)
+
+    summaries = [run_suite(corpus, metrics_repo_dir=repo_dir,
+                           run_id=f"r{i}") for i in range(3)]
+    assert summaries[0]["metric_anomalies"] == 0   # no history yet
+    assert summaries[1]["metric_anomalies"] == 0   # identical run
+    assert summaries[2]["metric_anomalies"] == 0
+
+    small = str(tmp_path / "corpus_small")
+    write_repo_files(small, n_rows=1000, n_shards=4)
+    s_bad = run_suite(small, metrics_repo_dir=repo_dir, run_id="r3")
+    flagged = {(r["column"], r["metric"])
+               for r in s_bad["metric_anomaly_report"]}
+    assert ("__run__", "rows") in flagged
+    assert s_bad["metric_anomalies"] >= 1
+    # the flagged run is still recorded for forensics
+    from rho_contracts_ray.constraints.metrics_repo import MetricsRepository
+    assert "r3" in MetricsRepository(repo_dir).run_ids()
