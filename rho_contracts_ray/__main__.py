@@ -1,6 +1,7 @@
 """CLI entry point — the `ray job submit` surface.
 
     python -m rho_contracts_ray suite --input DIR [--out DIR] [--strict]
+        [--metrics-repo DIR --run-id ID]     # record + anomaly-check run metrics
     python -m rho_contracts_ray suite --input DIR --ckpt DIR --out DIR \
         [--group-size N]                     # checkpointed / resumable
     python -m rho_contracts_ray gen --out DIR --rows N [--shards N] [--epoch E]
@@ -39,6 +40,11 @@ def main(argv=None) -> int:
     ps.add_argument("--group-size", type=int, default=2)
     ps.add_argument("--strict", action="store_true")
     ps.add_argument("--num-cpus", type=int, default=None)
+    ps.add_argument("--metrics-repo", default=None,
+                    help="record run health metrics here and z-score-"
+                         "check them against the recorded history "
+                         "(requires --run-id)")
+    ps.add_argument("--run-id", default=None)
 
     pg = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
     pg.add_argument("--out", required=True)
@@ -167,7 +173,9 @@ def main(argv=None) -> int:
         else:
             from .pipelines import run_suite
 
-            s = run_suite(args.input, out_dir=args.out, strict=args.strict)
+            s = run_suite(args.input, out_dir=args.out, strict=args.strict,
+                          metrics_repo_dir=args.metrics_repo,
+                          run_id=args.run_id)
         print(json.dumps(s, default=str))
         return 0
     finally:
