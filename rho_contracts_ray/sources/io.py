@@ -74,7 +74,8 @@ def read_table(path, columns=None, format=None, **kwargs):
     import ray.data as rd
 
     _EXT = {".parquet": "parquet", ".json": "json", ".jsonl": "json",
-            ".ndjson": "json", ".csv": "csv", ".orc": "orc"}
+            ".ndjson": "json", ".csv": "csv", ".orc": "orc",
+            ".arrow": "arrow", ".feather": "arrow", ".ipc": "arrow"}
     if format is None:
         paths = [path] if isinstance(path, str) else list(path)
         seen = set()
@@ -160,6 +161,57 @@ def read_table(path, columns=None, format=None, **kwargs):
         return rd.from_items(items,
                              override_num_blocks=max(1, len(items))) \
             .map_batches(read_stripe, batch_format="pyarrow",
+                         batch_size=None)
+    elif format == "arrow":
+        # Arrow IPC / Feather V2: the file footer indexes its record
+        # batches, so (like the ORC stripe reader) the driver reads only
+        # footers to enumerate (file, batch) work items and each task
+        # memory-maps ONE record batch — zero-copy out of the page cache,
+        # column pruning applied in-task.
+        import pyarrow as pa
+        from pyarrow import ipc as paipc
+
+        paths = [path] if isinstance(path, str) else list(path)
+        files = []
+        for p in paths:
+            if os.path.isdir(p):
+                files.extend(sorted(
+                    os.path.join(p, f) for f in os.listdir(p)
+                    if f.lower().endswith((".arrow", ".feather", ".ipc"))))
+            else:
+                files.append(p)
+        if not files:
+            raise ValueError(f"read_table: no .arrow/.feather files "
+                             f"under {path!r}")
+
+        def _open(p):
+            return paipc.open_file(pa.memory_map(p))
+
+        items = []
+        for f in files:
+            for b in range(_open(f).num_record_batches):
+                items.append({"path": f, "batch": b})
+        cols = list(columns) if columns else None
+        if not items:
+            sch = _open(files[0]).schema
+            empty = pa.table({f.name: pa.array([], f.type) for f in sch
+                              if cols is None or f.name in cols})
+            if cols:
+                empty = empty.select(cols)
+            return rd.from_arrow(empty)
+
+        def read_batch(batch: "pa.Table") -> "pa.Table":
+            outs = []
+            for p, b in zip(batch["path"].to_pylist(),
+                            batch["batch"].to_pylist()):
+                rb = _open(p).get_batch(int(b))
+                t = pa.Table.from_batches([rb])
+                outs.append(t.select(cols) if cols else t)
+            return pa.concat_tables(outs)
+
+        return rd.from_items(items,
+                             override_num_blocks=max(1, len(items))) \
+            .map_batches(read_batch, batch_format="pyarrow",
                          batch_size=None)
     else:
         raise ValueError(f"read_table: unknown format {format!r}")
