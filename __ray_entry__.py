@@ -3442,22 +3442,18 @@ def _q_entropy_events_user(sf_dir: str):
     return group_entropy(ds, "user_id", "event_type")
 
 
-def _q_media_ahash_dedup(sf_dir: str):
-    """Perceptual (aHash) image dedup over a deterministic synthetic
-    media table with planted cross-format duplicates: the same pixels
-    encoded as BMP and as PNG collapse to one hash group.  Rows-only
-    (binary decode); pytest pins the planted-group structure."""
-    import ray.data as rd
+def _planted_dup_images() -> pa.Table:
+    """The synthetic image corpus BOTH perceptual-dedup queries hash:
+    real encoded images plus one planted pixel array in two containers
+    (BMP + PNG) that must collapse to one hash group — shared so the
+    queries stay byte-comparable."""
+    import numpy as np
 
     from rho_contracts_ray.stages import make_media_table
-    from rho_contracts_ray.stages.multimodal import (encode_bmp, encode_png,
-                                                     media_ahash_dedup)
+    from rho_contracts_ray.stages.multimodal import encode_bmp, encode_png
 
     media = make_media_table(200, seed=7, real=True)
     images = media.filter(pc.equal(media["kind"], "image"))
-    # plant cross-format duplicates: one pixel array, two containers
-    import numpy as np
-
     rng = np.random.default_rng(123)
     px = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
     extra = pa.table({
@@ -3466,8 +3462,20 @@ def _q_media_ahash_dedup(sf_dir: str):
         "payload": pa.array([encode_bmp(px), encode_png(px)],
                             pa.large_binary()),
     })
-    allimg = pa.concat_tables([images.select(extra.column_names), extra])
-    return media_ahash_dedup(rd.from_arrow(allimg), concurrency=(1, 4))
+    return pa.concat_tables([images.select(extra.column_names), extra])
+
+
+def _q_media_ahash_dedup(sf_dir: str):
+    """Perceptual (aHash) image dedup over a deterministic synthetic
+    media table with planted cross-format duplicates: the same pixels
+    encoded as BMP and as PNG collapse to one hash group.  Rows-only
+    (binary decode); pytest pins the planted-group structure."""
+    import ray.data as rd
+
+    from rho_contracts_ray.stages.multimodal import media_ahash_dedup
+
+    return media_ahash_dedup(rd.from_arrow(_planted_dup_images()),
+                             concurrency=(1, 4))
 
 
 def _q_media_phash_dedup(sf_dir: str):
@@ -3476,26 +3484,12 @@ def _q_media_phash_dedup(sf_dir: str):
     that survives brightness/contrast shifts.  Rows-only (binary
     decode); pytest pins cross-format collapse, brightness robustness
     and Hamming separation (tests/test_stages.py)."""
-    import numpy as np
     import ray.data as rd
 
-    from rho_contracts_ray.stages import make_media_table
-    from rho_contracts_ray.stages.multimodal import (encode_bmp, encode_png,
-                                                     media_ahash_dedup)
+    from rho_contracts_ray.stages.multimodal import media_ahash_dedup
 
-    media = make_media_table(200, seed=7, real=True)
-    images = media.filter(pc.equal(media["kind"], "image"))
-    rng = np.random.default_rng(123)
-    px = rng.integers(0, 256, (12, 9, 3), dtype=np.uint8)
-    extra = pa.table({
-        "media_id": pa.array([10_001, 10_002], pa.int64()),
-        "kind": pa.array(["image", "image"]),
-        "payload": pa.array([encode_bmp(px), encode_png(px)],
-                            pa.large_binary()),
-    })
-    allimg = pa.concat_tables([images.select(extra.column_names), extra])
-    return media_ahash_dedup(rd.from_arrow(allimg), concurrency=(1, 4),
-                             method="phash")
+    return media_ahash_dedup(rd.from_arrow(_planted_dup_images()),
+                             concurrency=(1, 4), method="phash")
 
 
 def _q_pca_embeddings(sf_dir: str):

@@ -162,6 +162,15 @@ def main(argv=None) -> int:
 
     try:
         if args.ckpt:
+            if args.metrics_repo or args.run_id:
+                # fail loudly instead of silently not recording: the
+                # checkpointed mode runs one suite per PARTITION, which
+                # has no single run-level profile to record
+                print(json.dumps({"error": "--metrics-repo/--run-id are "
+                                  "not supported with --ckpt (per-"
+                                  "partition mode has no run-level "
+                                  "profile); run the plain suite"}))
+                return 2
             from .pipelines import run_suite_checkpointed
 
             frags = sorted(glob.glob(os.path.join(args.input, "*.parquet")))

@@ -39,6 +39,14 @@ ANOMALY_SCHEMA = pa.schema([
 ])
 
 
+def validate_run_id(run_id: str) -> None:
+    """Callable up front (run_suite validates BEFORE its long pass)."""
+    if not _RUN_ID_RE.match(run_id):
+        raise ValueError(
+            f"run_id {run_id!r} must match {_RUN_ID_RE.pattern} "
+            f"(it becomes a filename)")
+
+
 class MetricsRepository:
     """Append-only per-run profile store under one directory."""
 
@@ -47,10 +55,7 @@ class MetricsRepository:
         os.makedirs(repo_dir, exist_ok=True)
 
     def _path(self, run_id: str) -> str:
-        if not _RUN_ID_RE.match(run_id):
-            raise ValueError(
-                f"run_id {run_id!r} must match {_RUN_ID_RE.pattern} "
-                f"(it becomes a filename)")
+        validate_run_id(run_id)
         return os.path.join(self.dir, f"{run_id}.parquet")
 
     def record(self, run_id: str, profile: pa.Table) -> str:
@@ -97,11 +102,19 @@ def anomaly_check(history: pa.Table, current: pa.Table,
     if missing:
         raise ValueError(f"anomaly_check: metrics {missing} not in the "
                          f"current profile {current.column_names}")
-    hist_ok = all(m in history.column_names for m in metrics) \
-        and "column" in history.column_names
+    if min_history < 1:
+        # with an empty baseline the zero-variance branch would compare
+        # against mean=None and flag EVERYTHING
+        raise ValueError(f"anomaly_check: min_history must be >= 1, "
+                         f"got {min_history}")
+    # per-metric availability: a history recorded by an OLDER profile
+    # shape may lack a newly added metric column — that metric gets
+    # n_history=0, the others keep their full baseline (an all-or-
+    # nothing gate here silently disabled every check)
     out = {f.name: [] for f in ANOMALY_SCHEMA}
     cur_rows = sorted(current.to_pylist(), key=lambda r: r["column"])
-    hist_rows = history.to_pylist() if hist_ok else []
+    hist_rows = history.to_pylist() \
+        if "column" in history.column_names else []
     for r in cur_rows:
         col = r["column"]
         for m in metrics:

@@ -472,6 +472,14 @@ def run_suite(input_path, out_dir: Optional[str] = None,
     import ray.data as rd
 
     t0 = time.monotonic()
+    # fail BEFORE the (possibly hours-long) pass, not at summary time
+    if (metrics_repo_dir is None) != (run_id is None):
+        raise ValueError("run_suite: metrics_repo_dir and run_id must be "
+                         "passed together")
+    if run_id is not None:
+        from ..constraints.metrics_repo import validate_run_id
+
+        validate_run_id(run_id)
     if isinstance(input_path, (str, list)):
         from ..sources import read_table
 
@@ -668,9 +676,6 @@ def run_suite(input_path, out_dir: Optional[str] = None,
             "fk_and_stats_s": round(time.monotonic() - t_uniq, 3),
         },
     }
-    if (metrics_repo_dir is None) != (run_id is None):
-        raise ValueError("run_suite: metrics_repo_dir and run_id must be "
-                         "passed together")
     if metrics_repo_dir is not None:
         from ..constraints.metrics_repo import (MetricsRepository,
                                                 record_and_check)

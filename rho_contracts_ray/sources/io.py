@@ -54,6 +54,51 @@ def ensure_empty_dir(path: str) -> None:
             f"silently duplicate rows)")
 
 
+def _list_files(path, exts, label: str) -> list:
+    import os
+
+    paths = [path] if isinstance(path, str) else list(path)
+    files = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(sorted(
+                os.path.join(p, f) for f in os.listdir(p)
+                if f.lower().endswith(exts)))
+        else:
+            files.append(p)
+    if not files:
+        raise ValueError(f"read_table: no {label} files under {path!r}")
+    return files
+
+
+def _unit_parallel_read(files, enumerate_units, read_units, file_schema,
+                        cols):
+    """Shared scaffolding for formats Ray has no reader for (ORC stripes,
+    Arrow IPC record batches): the driver enumerates (file, unit) work
+    items from footers only, each task reads one chunk of units with
+    column pruning applied in the task, and an all-zero-unit input
+    returns a SCHEMA-CORRECT empty dataset."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    items = [{"path": f, "unit": u}
+             for f in files for u in enumerate_units(f)]
+    if not items:
+        sch = file_schema(files[0])
+        empty = pa.table({f.name: pa.array([], f.type) for f in sch
+                          if cols is None or f.name in cols})
+        if cols:
+            empty = empty.select(cols)
+        return rd.from_arrow(empty)
+
+    def read(batch: "pa.Table") -> "pa.Table":
+        return read_units(batch["path"].to_pylist(),
+                          [int(u) for u in batch["unit"].to_pylist()])
+
+    return rd.from_items(items, override_num_blocks=max(1, len(items))) \
+        .map_batches(read, batch_format="pyarrow", batch_size=None)
+
+
 def read_table(path, columns=None, format=None, **kwargs):
     """Format-dispatching reader: parquet (default), JSONL, or CSV ->
     ray.data.Dataset.
@@ -93,7 +138,7 @@ def read_table(path, columns=None, format=None, **kwargs):
             raise ValueError(
                 f"read_table: cannot infer format from {path!r} "
                 f"(found {sorted(seen) or 'no known extensions'}); pass "
-                f"format='parquet'|'json'|'csv'")
+                f"format='parquet'|'json'|'csv'|'orc'|'arrow'")
         format = seen.pop()
     if format == "parquet":
         return clean_read_parquet(path, columns=columns, **kwargs)
@@ -114,105 +159,50 @@ def read_table(path, columns=None, format=None, **kwargs):
                 strings_can_be_null=True)
         ds = rd.read_csv(path, **kwargs)
     elif format == "orc":
-        # Ray 2.49 has no read_orc; build one from pyarrow.orc with
-        # STRIPE-level parallelism: the driver reads only footers (one
-        # per file) to enumerate (file, stripe) work items, each task
-        # reads one stripe with column pruning pushed into the read.
+        # Ray 2.49 has no read_orc; STRIPE-level parallelism via the
+        # shared unit reader (footer-only enumeration, in-task pruning)
         import pyarrow as pa
         from pyarrow import orc as paorc
 
-        paths = [path] if isinstance(path, str) else list(path)
-        files = []
-        for p in paths:
-            if os.path.isdir(p):
-                files.extend(sorted(
-                    os.path.join(p, f) for f in os.listdir(p)
-                    if f.lower().endswith(".orc")))
-            else:
-                files.append(p)
-        if not files:
-            raise ValueError(f"read_table: no .orc files under {path!r}")
-        items = []
-        for f in files:
-            for s in range(paorc.ORCFile(f).nstripes):
-                items.append({"path": f, "stripe": s})
+        files = _list_files(path, ".orc", ".orc")
         cols = list(columns) if columns else None
-        if not items:
-            # all files are zero-stripe: return a SCHEMA-CORRECT empty
-            # dataset (rd.from_items([]) would lose the schema)
-            sch = paorc.ORCFile(files[0]).schema
-            empty = pa.table({f.name: pa.array([], f.type)
-                              for f in sch
-                              if cols is None or f.name in cols})
-            if cols:
-                empty = empty.select(cols)
-            return rd.from_arrow(empty)
 
-        def read_stripe(batch: "pa.Table") -> "pa.Table":
+        def read_stripes(paths_, stripes_):
             outs = []
-            for p, s in zip(batch["path"].to_pylist(),
-                            batch["stripe"].to_pylist()):
-                rb = paorc.ORCFile(p).read_stripe(int(s), columns=cols)
+            for p, s in zip(paths_, stripes_):
+                rb = paorc.ORCFile(p).read_stripe(s, columns=cols)
                 outs.append(pa.Table.from_batches([rb]))
             out = pa.concat_tables(outs)
             # read_stripe returns FILE column order; honor the caller's
             return out.select(cols) if cols else out
 
-        return rd.from_items(items,
-                             override_num_blocks=max(1, len(items))) \
-            .map_batches(read_stripe, batch_format="pyarrow",
-                         batch_size=None)
+        return _unit_parallel_read(
+            files, lambda f: range(paorc.ORCFile(f).nstripes),
+            read_stripes, lambda f: paorc.ORCFile(f).schema, cols)
     elif format == "arrow":
         # Arrow IPC / Feather V2: the file footer indexes its record
-        # batches, so (like the ORC stripe reader) the driver reads only
-        # footers to enumerate (file, batch) work items and each task
-        # memory-maps ONE record batch — zero-copy out of the page cache,
-        # column pruning applied in-task.
+        # batches — each task memory-maps ONE record batch (zero-copy
+        # out of the page cache) via the shared unit reader
         import pyarrow as pa
         from pyarrow import ipc as paipc
 
-        paths = [path] if isinstance(path, str) else list(path)
-        files = []
-        for p in paths:
-            if os.path.isdir(p):
-                files.extend(sorted(
-                    os.path.join(p, f) for f in os.listdir(p)
-                    if f.lower().endswith((".arrow", ".feather", ".ipc"))))
-            else:
-                files.append(p)
-        if not files:
-            raise ValueError(f"read_table: no .arrow/.feather files "
-                             f"under {path!r}")
+        files = _list_files(path, (".arrow", ".feather", ".ipc"),
+                            ".arrow/.feather")
+        cols = list(columns) if columns else None
 
         def _open(p):
             return paipc.open_file(pa.memory_map(p))
 
-        items = []
-        for f in files:
-            for b in range(_open(f).num_record_batches):
-                items.append({"path": f, "batch": b})
-        cols = list(columns) if columns else None
-        if not items:
-            sch = _open(files[0]).schema
-            empty = pa.table({f.name: pa.array([], f.type) for f in sch
-                              if cols is None or f.name in cols})
-            if cols:
-                empty = empty.select(cols)
-            return rd.from_arrow(empty)
-
-        def read_batch(batch: "pa.Table") -> "pa.Table":
+        def read_batches(paths_, batches_):
             outs = []
-            for p, b in zip(batch["path"].to_pylist(),
-                            batch["batch"].to_pylist()):
-                rb = _open(p).get_batch(int(b))
-                t = pa.Table.from_batches([rb])
+            for p, b in zip(paths_, batches_):
+                t = pa.Table.from_batches([_open(p).get_batch(b)])
                 outs.append(t.select(cols) if cols else t)
             return pa.concat_tables(outs)
 
-        return rd.from_items(items,
-                             override_num_blocks=max(1, len(items))) \
-            .map_batches(read_batch, batch_format="pyarrow",
-                         batch_size=None)
+        return _unit_parallel_read(
+            files, lambda f: range(_open(f).num_record_batches),
+            read_batches, lambda f: _open(f).schema, cols)
     else:
         raise ValueError(f"read_table: unknown format {format!r}")
     if columns:

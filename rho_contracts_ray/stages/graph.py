@@ -1000,8 +1000,11 @@ def _kcore_combine(est_tbl, *msg_tbls):
 
 # N x W histogram cells per local-fixpoint round; above this the round
 # falls back to the sort path (a degree-10^6 hub would otherwise blow up
-# the dense histogram)
-_KCORE_HIST_CELLS = 200_000_000
+# the dense histogram).  Peak memory per round is ~9 B/cell (the int64
+# suffix-summed histogram + the bool feasibility mask — the cumsum runs
+# in place and h comes from argmax, no extra W-wide temporaries), so the
+# default budget bounds a task at ~0.9 GB.
+_KCORE_HIST_CELLS = 100_000_000
 
 
 def _kcore_round_sort(est, s_i, d_i):
@@ -1029,10 +1032,13 @@ def _kcore_round_hist(est, s_i, d_i, n_nodes, width):
     clipped = np.minimum(est[s_i], est[d_i])
     hist = np.bincount(d_i * width + clipped,
                        minlength=n_nodes * width).reshape(n_nodes, width)
-    suffix = hist[:, ::-1].cumsum(axis=1)[:, ::-1]  # [:,h]=count(vals>=h)
+    rev = hist[:, ::-1]
+    np.cumsum(rev, axis=1, out=rev)      # in place: [:,h]=count(vals>=h)
     idx = np.arange(width)
-    ok = (suffix >= idx) & (idx <= est[:, None])
-    h = np.where(ok, idx, 0).max(axis=1)
+    ok = (hist >= idx) & (idx <= est[:, None])
+    # ok[:, 0] is always True (count >= 0, 0 <= est), so argmax over the
+    # reversed row finds the LAST feasible h with no no-hit sentinel
+    h = width - 1 - np.argmax(ok[:, ::-1], axis=1)
     return np.minimum(est, h)
 
 

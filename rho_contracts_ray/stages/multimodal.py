@@ -406,16 +406,18 @@ _ZIGZAG = np.array([
 ], np.int64)
 
 
-def _dct_matrix() -> np.ndarray:
-    """Orthonormal 8x8 DCT-II matrix A: forward DCT = A @ x @ A.T,
-    inverse = A.T @ X @ A."""
-    k = np.arange(8)
-    a = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+def _dct_matrix_n(n: int) -> np.ndarray:
+    """Orthonormal n x n DCT-II matrix A: forward DCT = A @ x @ A.T,
+    inverse = A.T @ X @ A.  n=8 serves the JPEG codec, n=32 pHash."""
+    k = np.arange(n)
+    a = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n)) \
+        * np.sqrt(2.0 / n)
     a[0] /= np.sqrt(2.0)
     return a
 
 
-_DCT_A = _dct_matrix()
+_DCT_A = _dct_matrix_n(8)
+_DCT_A32 = _dct_matrix_n(32)
 
 
 class _HuffTable:
@@ -1133,19 +1135,6 @@ def ahash64_pixels(px: np.ndarray) -> int:
     cells = g[ri][:, ci]
     bits = (cells >= cells.mean()).astype(np.uint64).ravel()
     return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
-
-
-def _dct_matrix_n(n: int) -> np.ndarray:
-    """Orthonormal n x n DCT-II matrix (the 8x8 _dct_matrix generalized
-    for pHash's 32-point transform)."""
-    k = np.arange(n)
-    a = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n)) \
-        * np.sqrt(2.0 / n)
-    a[0] /= np.sqrt(2.0)
-    return a
-
-
-_DCT_A32 = _dct_matrix_n(32)
 
 
 def phash64_pixels(px: np.ndarray) -> int:

@@ -136,3 +136,39 @@ def test_run_suite_records_and_flags(ray_session, tmp_path):
     # the flagged run is still recorded for forensics
     from rho_contracts_ray.constraints.metrics_repo import MetricsRepository
     assert "r3" in MetricsRepository(repo_dir).run_ids()
+
+
+def test_partial_history_checks_per_metric(tmp_path):
+    """A history recorded by an OLDER profile shape (no 'min_num'
+    column) must not disable checking for metrics it DOES have."""
+    repo = MetricsRepository(str(tmp_path / "runs"))
+    old_shape = pa.table({
+        "column": pa.array(["value"], pa.string()),
+        "completeness_bp": pa.array([10000], pa.int64())})
+    for i in range(3):
+        repo.record(f"r{i}", old_shape)
+    rep = anomaly_check(repo.history(), _profile(5000, -9.0),
+                        ["completeness_bp", "min_num"])
+    rows = {r["metric"]: r for r in rep.to_pylist()}
+    # the metric with full history still flags the regression
+    assert rows["completeness_bp"]["anomaly"] is True
+    assert rows["completeness_bp"]["n_history"] == 3
+    # the metric absent from history reports an empty baseline, no flag
+    assert rows["min_num"]["n_history"] == 0
+    assert rows["min_num"]["anomaly"] is False
+
+
+def test_min_history_zero_rejected(tmp_path):
+    with pytest.raises(ValueError, match="min_history"):
+        anomaly_check(_profile(1, 0.0), _profile(1, 0.0),
+                      ["completeness_bp"], min_history=0)
+
+
+def test_run_suite_validates_before_the_pass(ray_session, tmp_path):
+    """A bad run_id fails at entry, not after the full scan."""
+    from rho_contracts_ray.pipelines import run_suite
+
+    with pytest.raises(ValueError, match="run_id"):
+        run_suite(str(tmp_path / "nonexistent"),
+                  metrics_repo_dir=str(tmp_path / "runs"),
+                  run_id="has space")
