@@ -343,3 +343,17 @@ def test_q2_property_random_corpora(ray_session, tmp_path):
         assert got == want
 
     check()
+
+
+def test_q7_q9_exchange_path_matches_broadcast(ray_session, monkeypatch):
+    """The adaptive small-side broadcast must be a pure plan change:
+    forcing the bucketed-exchange fallback (threshold 0) yields
+    byte-identical tables."""
+    from rho_contracts_ray.pipelines.tpch import q7_nation_volume, q9_profit
+
+    sf = "/root/testdata/sf0.001"
+    bcast = {"q7": q7_nation_volume(sf), "q9": q9_profit(sf)}
+    monkeypatch.setenv("RHO_TPCH_BCAST_ROWS", "0")
+    exch = {"q7": q7_nation_volume(sf), "q9": q9_profit(sf)}
+    for k in bcast:
+        assert bcast[k].equals(exch[k]), k
