@@ -1086,18 +1086,43 @@ def q12_priority_shipping(sf_dir: str, year: str = "1996"):
                          "l_returnflag": g["l_returnflag"],
                          "n": pc.cast(g["count_all"], pa.int64())})
 
-    def ord_slim(batch: pa.Table) -> pa.Table:
-        high = pc.is_in(batch["o_orderpriority"],
-                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
-        return pa.table({"l_orderkey": batch["o_orderkey"],
-                         "is_high": pc.cast(high, pa.int64())})
+    n_orders = _meta_rows(orders_raw)
+    if n_orders is not None and n_orders <= _tpch_bcast_rows():
+        # q7/q9's adaptive plan: broadcast the (orderkey -> is_high)
+        # int64 map and fold the priority lookup into the lineitem
+        # partial — no exchange under the threshold
+        import ray
 
-    joined = bucketed_join(
-        li_raw.map_batches(li_partial, batch_format="pyarrow"),
-        orders_raw.map_batches(ord_slim, batch_format="pyarrow"),
-        on=["l_orderkey"],
-        left_cols=["l_orderkey", "l_returnflag", "n"],
-        right_cols=["l_orderkey", "is_high"], n_buckets=n_buckets)
+        orders = _collect(orders_raw)
+        high = pc.is_in(orders["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        ord_ref = ray.put(_sorted_map(
+            _np(orders["o_orderkey"]).astype(np.int64),
+            pc.cast(high, pa.int64()).to_numpy(zero_copy_only=False)))
+
+        def li_join_partial(batch: pa.Table) -> pa.Table:
+            t = li_partial(batch)
+            ok, ishigh = ray.get(ord_ref)
+            pos, hit = _probe(ok, _np(t["l_orderkey"]).astype(np.int64))
+            sub = t.filter(pa.array(hit))
+            return sub.append_column(
+                "is_high", pa.array(ishigh[pos[hit]]))
+
+        joined = li_raw.map_batches(li_join_partial,
+                                    batch_format="pyarrow")
+    else:
+        def ord_slim(batch: pa.Table) -> pa.Table:
+            high = pc.is_in(batch["o_orderpriority"],
+                            value_set=pa.array(["1-URGENT", "2-HIGH"]))
+            return pa.table({"l_orderkey": batch["o_orderkey"],
+                             "is_high": pc.cast(high, pa.int64())})
+
+        joined = bucketed_join(
+            li_raw.map_batches(li_partial, batch_format="pyarrow"),
+            orders_raw.map_batches(ord_slim, batch_format="pyarrow"),
+            on=["l_orderkey"],
+            left_cols=["l_orderkey", "l_returnflag", "n"],
+            right_cols=["l_orderkey", "is_high"], n_buckets=n_buckets)
 
     def regroup(batch: pa.Table) -> pa.Table:
         hi_n = pc.multiply(batch["n"], batch["is_high"])
@@ -1246,13 +1271,41 @@ def q21_waiting_suppliers(sf_dir: str, status: str = "F"):
                          "is_ord": pa.array(
                              np.ones(sub.num_rows, np.int64))})
 
-    unioned = li.map_batches(li_partial, batch_format="pyarrow").union(
-        orders.map_batches(ord_marker, batch_format="pyarrow"))
+    n_orders = _meta_rows(orders)
+    if n_orders is not None and n_orders <= _tpch_bcast_rows():
+        # adaptive plan (q7/q9/q12): broadcast the status-filtered
+        # orderkey SET and prefilter lineitem in-task — the exchange
+        # then carries only qualifying orders' rows and no marker rows
+        import ray
+
+        ot = _collect(orders)
+        fkeys = np.unique(_np(
+            ot.filter(pc.equal(ot["o_orderstatus"], status))
+            ["o_orderkey"]).astype(np.int64))
+        fref = ray.put(fkeys)
+
+        def li_prefiltered(batch: pa.Table) -> pa.Table:
+            _, hit = _probe(ray.get(fref),
+                            _np(batch["l_orderkey"]).astype(np.int64))
+            t = li_partial(batch.filter(pa.array(hit)))
+            # every surviving row IS an F-order row: mark each group as
+            # its own seed so per_order's marker logic works unchanged
+            return t.set_column(
+                t.schema.get_field_index("is_ord"), "is_ord",
+                pa.array(np.ones(t.num_rows, np.int64)))
+
+        # is_ord=1 rows double as both marker and data below, so the
+        # marker filter must keep them: unioned rows carry is_ord=1 with
+        # REAL suppkey/md — per_order treats l_suppkey >= 0 as data
+        unioned = li.map_batches(li_prefiltered, batch_format="pyarrow")
+    else:
+        unioned = li.map_batches(li_partial, batch_format="pyarrow") \
+            .union(orders.map_batches(ord_marker, batch_format="pyarrow"))
 
     def per_order(t: pa.Table) -> pa.Table:
         fset = np.unique(_np(t.filter(pc.equal(t["is_ord"], 1))
                              ["l_orderkey"]).astype(np.int64))
-        p = t.filter(pc.equal(t["is_ord"], 0))
+        p = t.filter(pc.greater_equal(t["l_suppkey"], 0))
         p = p.group_by(["l_orderkey", "l_suppkey"]) \
             .aggregate([("md", "max")]) \
             .rename_columns(["l_orderkey", "l_suppkey", "md"])

@@ -349,11 +349,19 @@ def test_q7_q9_exchange_path_matches_broadcast(ray_session, monkeypatch):
     """The adaptive small-side broadcast must be a pure plan change:
     forcing the bucketed-exchange fallback (threshold 0) yields
     byte-identical tables."""
-    from rho_contracts_ray.pipelines.tpch import q7_nation_volume, q9_profit
+    from rho_contracts_ray.pipelines.tpch import (
+        q7_nation_volume, q9_profit, q12_priority_shipping,
+        q21_waiting_suppliers)
 
     sf = "/root/testdata/sf0.001"
-    bcast = {"q7": q7_nation_volume(sf), "q9": q9_profit(sf)}
+
+    def all_four():
+        return {"q7": q7_nation_volume(sf), "q9": q9_profit(sf),
+                "q12": q12_priority_shipping(sf),
+                "q21": q21_waiting_suppliers(sf)}
+
+    bcast = all_four()
     monkeypatch.setenv("RHO_TPCH_BCAST_ROWS", "0")
-    exch = {"q7": q7_nation_volume(sf), "q9": q9_profit(sf)}
+    exch = all_four()
     for k in bcast:
         assert bcast[k].equals(exch[k]), k
