@@ -343,6 +343,52 @@ FROM (SELECT count(*) n, count({col}) nn, min({col}) mn, max({col}) mx
             + ') ORDER BY "column"')
 
 
+def _q_anomaly_weekly_events(sf_dir: str):
+    """Leave-one-out z-score anomaly screen over weekly event profiles
+    (constraints/metrics_repo.weekly_profile_anomalies) — the metrics-
+    repository anomaly math as an oracled batch query.  Integer metrics
+    + floor(1e6*z) keep the SQL compare bit-exact."""
+    from rho_contracts_ray.constraints.metrics_repo import (
+        weekly_profile_anomalies)
+
+    return weekly_profile_anomalies(
+        _read(sf_dir, "events", columns=["ts", "event_type"]))
+
+
+_ANOMALY_WEEKLY_SQL = """
+WITH wk AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         count(*)::BIGINT AS n_events,
+         count(*) FILTER (WHERE event_type = 'purchase')::BIGINT
+           AS n_match
+  FROM events GROUP BY 1
+), st AS (
+  SELECT count(*)::BIGINT AS k,
+         SUM(n_events)::BIGINT AS s_n,
+         SUM(n_events * n_events)::BIGINT AS q_n,
+         SUM(n_match)::BIGINT AS s_m,
+         SUM(n_match * n_match)::BIGINT AS q_m
+  FROM wk
+)
+SELECT week, n_events, n_match,
+  CASE WHEN k >= 3 AND
+            (q_n - n_events*n_events)/(k-1.0)
+              - ((s_n-n_events)/(k-1.0))*((s_n-n_events)/(k-1.0)) > 0
+       THEN CAST(floor(1e6 * (n_events - (s_n-n_events)/(k-1.0))
+            / sqrt((q_n - n_events*n_events)/(k-1.0)
+                   - ((s_n-n_events)/(k-1.0))*((s_n-n_events)/(k-1.0))))
+            AS BIGINT) END AS z_n_e6,
+  CASE WHEN k >= 3 AND
+            (q_m - n_match*n_match)/(k-1.0)
+              - ((s_m-n_match)/(k-1.0))*((s_m-n_match)/(k-1.0)) > 0
+       THEN CAST(floor(1e6 * (n_match - (s_m-n_match)/(k-1.0))
+            / sqrt((q_m - n_match*n_match)/(k-1.0)
+                   - ((s_m-n_match)/(k-1.0))*((s_m-n_match)/(k-1.0))))
+            AS BIGINT) END AS z_match_e6
+FROM wk, st ORDER BY week
+"""
+
+
 def _q_sha256_documents(sf_dir: str):
     from rho_contracts_ray.constraints import with_sha256
 
@@ -4509,6 +4555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- oracled, newly rotated into the driver window -----------
         "suggest_constraints_lineitem": _q_suggest_constraints_lineitem,
         "suggest_constraints_events": _q_suggest_constraints_events,
+        "anomaly_weekly_events": _q_anomaly_weekly_events,
         "knn_embeddings": _q_knn_embeddings,
         "knn_ivf_embeddings": _q_knn_ivf_embeddings,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -4734,6 +4781,7 @@ def oracle_sql() -> dict[str, str]:
             _suggest_oracle_sql("lineitem", _SUGGEST_LI),
         "suggest_constraints_events":
             _suggest_oracle_sql("events", _SUGGEST_EV),
+        "anomaly_weekly_events": _ANOMALY_WEEKLY_SQL,
         "contract_oneof_violations": (
             "SELECT event_id, event_type FROM events "
             "WHERE event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup')"

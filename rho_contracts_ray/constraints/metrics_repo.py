@@ -157,3 +157,83 @@ def record_and_check(repo: MetricsRepository, run_id: str,
                            metrics, z_thresh, min_history)
     repo.record(run_id, profile)
     return report
+
+
+def weekly_profile_anomalies(ds, ts_col: str = "ts",
+                             type_col: str = "event_type",
+                             match_type: str = "purchase") -> pa.Table:
+    """Treat each ISO week of an event stream as one 'run', profile it
+    (row count + matching-type count — integer metrics only, so the SQL
+    oracle is bit-exact), and score every week with a LEAVE-ONE-OUT
+    z-score against the other weeks — the anomaly_check() math expressed
+    as an oracled batch query.
+
+    Scale shape: per-batch (week, n, n_match) partials pre-combine
+    inside map_batches, one week-keyed exchange reduces them, and the
+    z-scores fold on the week-cardinality table (weeks are always tiny).
+    z is emitted as floor(1e6 * z) so float rounding-mode differences
+    cannot break the value-hash compare; zero-variance weeks emit null.
+    -> Table[week(date32), n_events, n_match, z_n_e6, z_match_e6],
+    sorted by week."""
+    from ..stages.agg import bucketed_group_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wk = pc.cast(pc.floor_temporal(batch[ts_col], unit="week"),
+                     pa.date32())
+        m = pc.cast(pc.equal(batch[type_col], match_type), pa.int64())
+        t = pa.table({"week": wk,
+                      "n": pa.array(np.ones(batch.num_rows, np.int64)),
+                      "n_match": pc.fill_null(m, 0)})
+        g = t.group_by(["week"]).aggregate([("n", "sum"),
+                                            ("n_match", "sum")])
+        return g.rename_columns(["week", "n", "n_match"])
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["week"], [("n", "sum"), ("n_match", "sum")])
+    parts = []
+    for b in agg.iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if {"week", "n_sum"} <= set(t.column_names) and t.num_rows:
+            parts.append(t)
+    empty = pa.table({"week": pa.array([], pa.date32()),
+                      "n_events": pa.array([], pa.int64()),
+                      "n_match": pa.array([], pa.int64()),
+                      "z_n_e6": pa.array([], pa.int64()),
+                      "z_match_e6": pa.array([], pa.int64())})
+    if not parts:
+        return empty
+    t = pa.concat_tables(parts).group_by(["week"]).aggregate(
+        [("n_sum", "sum"), ("n_match_sum", "sum")])
+    t = t.sort_by([("week", "ascending")])
+    weeks = t["week"]
+    n = t["n_sum_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = t["n_match_sum_sum"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+
+    def loo_z_e6(x: np.ndarray):
+        """floor(1e6 * leave-one-out z) per element; null when the
+        other-weeks variance is zero or fewer than 2 others exist.
+        Same op order as the SQL oracle: mean=(S-x)/(k-1),
+        var=(Q-x^2)/(k-1)-mean^2."""
+        k = x.size
+        if k < 3:
+            return [None] * k
+        S = float(x.sum())
+        Q = float((x.astype(np.float64) ** 2).sum())
+        out = []
+        for xi in x.astype(np.float64):
+            mean = (S - xi) / (k - 1)
+            var = (Q - xi * xi) / (k - 1) - mean * mean
+            if var <= 0:
+                out.append(None)
+            else:
+                out.append(int(np.floor(
+                    1e6 * (xi - mean) / np.sqrt(var))))
+        return out
+
+    return pa.table({"week": weeks,
+                     "n_events": pa.array(n, pa.int64()),
+                     "n_match": pa.array(m, pa.int64()),
+                     "z_n_e6": pa.array(loo_z_e6(n), pa.int64()),
+                     "z_match_e6": pa.array(loo_z_e6(m), pa.int64())})

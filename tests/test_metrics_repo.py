@@ -172,3 +172,40 @@ def test_run_suite_validates_before_the_pass(ray_session, tmp_path):
         run_suite(str(tmp_path / "nonexistent"),
                   metrics_repo_dir=str(tmp_path / "runs"),
                   run_id="has space")
+
+
+def test_weekly_profile_anomalies_shapes(ray_session):
+    """Planted spike week flags; empty input returns the typed empty."""
+    import pyarrow as pa
+
+    from rho_contracts_ray.constraints.metrics_repo import (
+        weekly_profile_anomalies)
+
+    # 8 calm-but-jittery weeks (10-12 events; jitter keeps the others'
+    # variance nonzero — a spike against a CONSTANT background gets a
+    # null leave-one-out z because the other weeks have zero variance)
+    # + one 100-event spike week
+    ts, et = [], []
+    base = 1_700_000_000_000_000   # us epoch, arbitrary anchor
+    week_us = 7 * 24 * 3600 * 1_000_000
+    for w in range(9):
+        n = 100 if w == 4 else 10 + (w % 3)
+        for i in range(n):
+            ts.append(base + w * week_us + i)
+            et.append("purchase" if i % 2 == 0 else "click")
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "event_type": pa.array(et, pa.string())})
+    out = weekly_profile_anomalies(ray.data.from_arrow(t).repartition(3))
+    rows = out.to_pylist()
+    assert len(rows) == 9
+    zs = [r["z_n_e6"] for r in rows]
+    spike = max(r for r in zs if r is not None)
+    assert rows[zs.index(spike)]["n_events"] == 100
+    assert spike > 2_000_000        # z > 2 on the spike week
+
+    empty = weekly_profile_anomalies(ray.data.from_arrow(pa.table({
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_type": pa.array([], pa.string())})))
+    assert empty.num_rows == 0
+    assert empty.column_names == ["week", "n_events", "n_match",
+                                  "z_n_e6", "z_match_e6"]
