@@ -343,6 +343,47 @@ FROM (SELECT count(*) n, count({col}) nn, min({col}) mn, max({col}) mx
             + ') ORDER BY "column"')
 
 
+def _q_contract_branch_coverage_events(sf_dir: str):
+    """or-branch coverage telemetry (validate.or_branch_coverage):
+    first-passing-branch and any-branch acceptance counts per
+    alternative of or(value(click), matches(/i/), string) over
+    event_type — dead branches and traffic shifts become visible.
+    Branches OVERLAP deliberately so n_first != n_any exercises the
+    first-match semantics."""
+    from rho_contracts_ray import c
+    from rho_contracts_ray.validate import or_branch_coverage
+
+    con = c.or_(c.value("click"), c.matches("i"), c.string)
+    return or_branch_coverage(
+        _read(sf_dir, "events", columns=["event_type"]), con,
+        "event_type")
+
+
+_BRANCH_COVERAGE_SQL = """
+WITH s AS (SELECT event_type AS v FROM events)
+SELECT * FROM (
+ SELECT 0::BIGINT AS branch, 'c.value(click)' AS branch_str,
+   count(*) FILTER (WHERE v = 'click')::BIGINT AS n_first,
+   count(*) FILTER (WHERE v = 'click')::BIGINT AS n_any FROM s
+ UNION ALL
+ SELECT 1, 'c.matches(/i/)',
+   count(*) FILTER (WHERE v IS NOT NULL AND regexp_matches(v, 'i')
+                    AND v <> 'click'),
+   count(*) FILTER (WHERE v IS NOT NULL AND regexp_matches(v, 'i'))
+ FROM s
+ UNION ALL
+ SELECT 2, 'c.string',
+   count(*) FILTER (WHERE v IS NOT NULL AND v <> 'click'
+                    AND NOT regexp_matches(v, 'i')),
+   count(*) FILTER (WHERE v IS NOT NULL) FROM s
+ UNION ALL
+ SELECT -1, '<no branch>',
+   count(*) FILTER (WHERE v IS NULL),
+   count(*) FILTER (WHERE v IS NULL) FROM s
+) ORDER BY branch
+"""
+
+
 def _q_anomaly_weekly_events(sf_dir: str):
     """Leave-one-out z-score anomaly screen over weekly event profiles
     (constraints/metrics_repo.weekly_profile_anomalies) — the metrics-
@@ -4556,6 +4597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_constraints_lineitem": _q_suggest_constraints_lineitem,
         "suggest_constraints_events": _q_suggest_constraints_events,
         "anomaly_weekly_events": _q_anomaly_weekly_events,
+        "contract_branch_coverage_events": _q_contract_branch_coverage_events,
         "knn_embeddings": _q_knn_embeddings,
         "knn_ivf_embeddings": _q_knn_ivf_embeddings,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -4782,6 +4824,7 @@ def oracle_sql() -> dict[str, str]:
         "suggest_constraints_events":
             _suggest_oracle_sql("events", _SUGGEST_EV),
         "anomaly_weekly_events": _ANOMALY_WEEKLY_SQL,
+        "contract_branch_coverage_events": _BRANCH_COVERAGE_SQL,
         "contract_oneof_violations": (
             "SELECT event_id, event_type FROM events "
             "WHERE event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup')"

@@ -294,3 +294,77 @@ def filter_valid(ds, contract, keep: bool = True):
         return batch.filter(pa.array(mask if keep else ~mask))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def or_branch_coverage(ds, or_contract, column: str):
+    """Branch-coverage telemetry for an `or` contract over one column —
+    which alternatives actually carry the data (dead branches are
+    contract-rot; a branch that suddenly picks up traffic is a schema
+    shift).  -> Table[branch: int64, branch_str: string, n_first: int64,
+    n_any: int64] plus one branch = -1 row counting rows NO branch
+    accepts, sorted by branch.
+
+    Semantics mirror the interpreter: `n_first` counts rows the branch
+    accepts that every EARLIER branch rejected (or() takes the first
+    passing branch, contract.impl.js:420-482); `n_any` counts all rows
+    the branch accepts regardless of order.
+
+    Scale shape: one streaming pass; each batch evaluates the compiled
+    kernel of every branch (vectorized, zero-copy) and emits one
+    (branch, n_first, n_any) partial row per branch — the fold is
+    O(batches x branches)."""
+    from .contracts import ast as _ast
+    from .contracts import compile as cc
+
+    if not isinstance(or_contract, _ast.OrC):
+        raise ValueError("or_branch_coverage: contract must be c.or_(...)"
+                         f", got {or_contract.to_string()}")
+    branches = or_contract.contracts
+    nb = len(branches)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        masks = [cc.eval_mask(b, col) for b in branches]
+        taken = np.zeros(len(col), bool)
+        n_first = np.zeros(nb + 1, np.int64)
+        n_any = np.zeros(nb + 1, np.int64)
+        for i, m in enumerate(masks):
+            n_any[i] = int(m.sum())
+            first = m & ~taken
+            n_first[i] = int(first.sum())
+            taken |= m
+        n_first[nb] = n_any[nb] = int((~taken).sum())   # rejected rows
+        return pa.table({
+            "branch": pa.array(list(range(nb)) + [-1], pa.int64()),
+            "n_first": pa.array(n_first, pa.int64()),
+            "n_any": pa.array(n_any, pa.int64())})
+
+    parts = []
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if {"branch", "n_first"} <= set(t.column_names) and t.num_rows:
+            parts.append(t)
+    names = [b.to_string() for b in branches] + ["<no branch>"]
+    if not parts:
+        agg_first = np.zeros(nb + 1, np.int64)
+        agg_any = np.zeros(nb + 1, np.int64)
+    else:
+        cat = pa.concat_tables(parts)
+        g = cat.group_by(["branch"]).aggregate([("n_first", "sum"),
+                                                ("n_any", "sum")])
+        bidx = g["branch"].to_numpy(zero_copy_only=False).astype(np.int64)
+        agg_first = np.zeros(nb + 1, np.int64)
+        agg_any = np.zeros(nb + 1, np.int64)
+        pos = np.where(bidx >= 0, bidx, nb)
+        agg_first[pos] = g["n_first_sum"].to_numpy(zero_copy_only=False)
+        agg_any[pos] = g["n_any_sum"].to_numpy(zero_copy_only=False)
+    order = list(range(nb)) + [-1]
+    return pa.table({
+        "branch": pa.array(order, pa.int64()),
+        "branch_str": pa.array(names, pa.string()),
+        "n_first": pa.array(agg_first, pa.int64()),
+        "n_any": pa.array(agg_any, pa.int64()),
+    }).sort_by([("branch", "ascending")])

@@ -133,3 +133,30 @@ def test_profile_matches_single_block(ray_session, sample):
     one = suggest_constraints(_ds(sample, blocks=1), domain_cap=3)
     six = suggest_constraints(_ds(sample, blocks=6), domain_cap=3)
     assert one.equals(six)
+
+
+def test_or_branch_coverage(ray_session):
+    """First-match vs any-match branch counts, null rejection, and the
+    non-or guard (validate.or_branch_coverage)."""
+    import pyarrow as pa
+
+    from rho_contracts_ray import c
+    from rho_contracts_ray.validate import or_branch_coverage
+
+    t = pa.table({"v": pa.array(["a", "ab", "b", None, "a"], pa.string())})
+    con = c.or_(c.value("a"), c.matches("a"), c.string)
+    out = or_branch_coverage(ray.data.from_arrow(t).repartition(2),
+                             con, "v").to_pylist()
+    rows = {r["branch"]: r for r in out}
+    assert rows[-1]["branch_str"] == "<no branch>"
+    assert rows[-1]["n_first"] == 1            # the null
+    assert (rows[0]["n_first"], rows[0]["n_any"]) == (2, 2)   # 'a' x2
+    assert (rows[1]["n_first"], rows[1]["n_any"]) == (1, 3)   # 'ab'
+    assert (rows[2]["n_first"], rows[2]["n_any"]) == (1, 4)   # 'b'
+
+    with pytest.raises(ValueError, match="or_"):
+        or_branch_coverage(ray.data.from_arrow(t), c.string, "v")
+
+    empty = or_branch_coverage(ray.data.from_arrow(
+        pa.table({"v": pa.array([], pa.string())})), con, "v")
+    assert empty["n_first"].to_pylist() == [0, 0, 0, 0]
