@@ -384,6 +384,51 @@ SELECT * FROM (
 """
 
 
+def _q_contract_field_breakdown_events(sf_dir: str):
+    """Per-field violation counts for the flagship events contract
+    (validate.field_violation_breakdown) — WHICH field drives failures,
+    plus the <row> total that must equal validate()'s count."""
+    from rho_contracts_ray import c
+    from rho_contracts_ray.validate import field_violation_breakdown
+
+    con = c.object({"event_id": c.integer,
+                    "event_type": c.oneOf("click", "view", "purchase",
+                                          "signup"),
+                    "value": c.number,
+                    "props": c.optional(c.string)})
+    return field_violation_breakdown(_read(sf_dir, "events"), con)
+
+
+_FIELD_BREAKDOWN_SQL = """
+WITH s AS (SELECT count(*)::BIGINT AS n FROM events)
+SELECT * FROM (
+ SELECT 'event_id' AS field, 'c.integer' AS contract_str,
+   (SELECT count(*) FILTER (WHERE event_id IS NULL)::BIGINT
+    FROM events) AS n_violations, n AS n_rows FROM s
+ UNION ALL
+ SELECT 'event_type', 'c.oneOf(click, view, purchase, signup)',
+   (SELECT count(*) FILTER (WHERE event_type IS NULL OR event_type
+      NOT IN ('click','view','purchase','signup'))::BIGINT
+    FROM events), n FROM s
+ UNION ALL
+ SELECT 'value', 'c.number',
+   (SELECT count(*) FILTER (WHERE value IS NULL)::BIGINT FROM events),
+   n FROM s
+ UNION ALL
+ SELECT 'props', 'c.optional(c.string)', 0::BIGINT, n FROM s
+ UNION ALL
+ SELECT '<row>',
+   'c.object({event_id: c.integer, event_type: c.oneOf(click, view, '
+     || 'purchase, signup), value: c.number, props: '
+     || 'c.optional(c.string)})',
+   (SELECT count(*) FILTER (WHERE event_id IS NULL OR value IS NULL
+      OR event_type IS NULL OR event_type
+      NOT IN ('click','view','purchase','signup'))::BIGINT
+    FROM events), n FROM s
+) ORDER BY field
+"""
+
+
 def _q_anomaly_weekly_events(sf_dir: str):
     """Leave-one-out z-score anomaly screen over weekly event profiles
     (constraints/metrics_repo.weekly_profile_anomalies) — the metrics-
@@ -4598,6 +4643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_constraints_events": _q_suggest_constraints_events,
         "anomaly_weekly_events": _q_anomaly_weekly_events,
         "contract_branch_coverage_events": _q_contract_branch_coverage_events,
+        "contract_field_breakdown_events": _q_contract_field_breakdown_events,
         "knn_embeddings": _q_knn_embeddings,
         "knn_ivf_embeddings": _q_knn_ivf_embeddings,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -4825,6 +4871,7 @@ def oracle_sql() -> dict[str, str]:
             _suggest_oracle_sql("events", _SUGGEST_EV),
         "anomaly_weekly_events": _ANOMALY_WEEKLY_SQL,
         "contract_branch_coverage_events": _BRANCH_COVERAGE_SQL,
+        "contract_field_breakdown_events": _FIELD_BREAKDOWN_SQL,
         "contract_oneof_violations": (
             "SELECT event_id, event_type FROM events "
             "WHERE event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup')"

@@ -368,3 +368,72 @@ def or_branch_coverage(ds, or_contract, column: str):
         "n_first": pa.array(agg_first, pa.int64()),
         "n_any": pa.array(agg_any, pa.int64()),
     }).sort_by([("branch", "ascending")])
+
+
+def field_violation_breakdown(ds, object_contract):
+    """WHICH fields drive an object contract's failures — per-field
+    violation counts plus the all-fields row count and overall failures
+    -> Table[field: string, contract_str: string, n_violations: int64,
+    n_rows: int64], one row per declared field + one `<row>` total row,
+    sorted by field.
+
+    A field's violation count uses the same per-field kernel the full
+    validator compiles, so the `<row>` total equals validate()'s
+    violation count on the same contract (a row fails iff >= 1 field
+    fails; pytest-pinned).  One streaming pass, one compiled-kernel
+    eval per field per batch — O(batches x fields) partials."""
+    from .contracts import ast as _ast
+    from .contracts import compile as cc
+
+    if not isinstance(object_contract, _ast.ObjectC):
+        raise ValueError("field_violation_breakdown: contract must be "
+                         "c.object({...}), got "
+                         f"{object_contract.to_string()}")
+    fields = object_contract.fields
+    names = sorted(fields)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row_fail = ~cc.eval_table_mask(object_contract, batch)
+        counts = []
+        for f in names:
+            if f in batch.column_names:
+                col = batch[f]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                counts.append(int((~cc.eval_mask(fields[f], col)).sum()))
+            else:
+                # a declared field missing from the schema fails every
+                # row unless the field contract is optional
+                counts.append(0 if fields[f].is_optional
+                              else batch.num_rows)
+        return pa.table({
+            "field": pa.array(names + ["<row>"], pa.string()),
+            "n_violations": pa.array(
+                counts + [int(row_fail.sum())], pa.int64()),
+            "n_rows": pa.array([batch.num_rows] * (len(names) + 1),
+                               pa.int64())})
+
+    parts = []
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if {"field", "n_violations"} <= set(t.column_names) and t.num_rows:
+            parts.append(t)
+    strs = {f: fields[f].to_string() for f in names}
+    strs["<row>"] = object_contract.to_string()
+    if parts:
+        g = pa.concat_tables(parts).group_by(["field"]).aggregate(
+            [("n_violations", "sum"), ("n_rows", "sum")])
+        got = {r["field"]: (r["n_violations_sum"], r["n_rows_sum"])
+               for r in g.to_pylist()}
+    else:
+        got = {}
+    keys = names + ["<row>"]
+    return pa.table({
+        "field": pa.array(keys, pa.string()),
+        "contract_str": pa.array([strs[k] for k in keys], pa.string()),
+        "n_violations": pa.array([got.get(k, (0, 0))[0] for k in keys],
+                                 pa.int64()),
+        "n_rows": pa.array([got.get(k, (0, 0))[1] for k in keys],
+                           pa.int64()),
+    }).sort_by([("field", "ascending")])

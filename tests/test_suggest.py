@@ -160,3 +160,38 @@ def test_or_branch_coverage(ray_session):
     empty = or_branch_coverage(ray.data.from_arrow(
         pa.table({"v": pa.array([], pa.string())})), con, "v")
     assert empty["n_first"].to_pylist() == [0, 0, 0, 0]
+
+
+def test_field_violation_breakdown(ray_session):
+    """Per-field counts + the <row> total equal to validate()'s count."""
+    import pyarrow as pa
+
+    from rho_contracts_ray import c, validate
+    from rho_contracts_ray.validate import field_violation_breakdown
+
+    t = pa.table({
+        "a": pa.array([1, None, 3, 2.5], pa.float64()),
+        "b": pa.array(["x", "y", None, "x"], pa.string()),
+    })
+    con = c.object({"a": c.integer, "b": c.string})
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = {r["field"]: r for r in
+           field_violation_breakdown(ds, con).to_pylist()}
+    assert out["a"]["n_violations"] == 2      # null + 2.5
+    assert out["b"]["n_violations"] == 1      # null
+    assert out["a"]["n_rows"] == 4
+    rep = validate(ray.data.from_arrow(t), con, name="t")
+    assert out["<row>"]["n_violations"] == rep.summary()["violations"] == 3
+    assert out["<row>"]["contract_str"] == con.to_string()
+
+    # missing declared column: optional passes, required fails all rows
+    t2 = pa.table({"a": pa.array([1.0, 2.0], pa.float64())})
+    con2 = c.object({"a": c.number, "b": c.string,
+                     "o": c.optional(c.string)})
+    out2 = {r["field"]: r for r in field_violation_breakdown(
+        ray.data.from_arrow(t2), con2).to_pylist()}
+    assert out2["b"]["n_violations"] == 2
+    assert out2["o"]["n_violations"] == 0
+
+    with pytest.raises(ValueError, match="object"):
+        field_violation_breakdown(ds, c.string)
