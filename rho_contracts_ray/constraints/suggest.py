@@ -276,3 +276,50 @@ def suggested_contract(profile: pa.Table):
             base = c.optional(base)
         fields[r["column"]] = base
     return c.object(fields)
+
+
+DRIFT_SCHEMA = pa.schema([
+    ("column", pa.string()),
+    ("change", pa.string()),       # added | removed | dtype | rules
+    ("before", pa.string()),
+    ("after", pa.string()),
+])
+
+
+def profile_drift(before: pa.Table, after: pa.Table) -> pa.Table:
+    """Rule-level drift between two suggest_constraints profiles —
+    columns added/removed, dtype changes, and suggestion-rule changes
+    (a lost `complete`, a grown `inSet` domain, a lost `nonNegative`)
+    -> DRIFT_SCHEMA rows sorted by (column, change); empty = no drift.
+
+    This is the contract-shaped complement of the value-level drift
+    checks (constraints/drift.py): those ask "did the DISTRIBUTION
+    move", this asks "did the RULES the data satisfies move"."""
+    for t, side in ((before, "before"), (after, "after")):
+        missing = {"column", "dtype", "suggestions"} \
+            - set(t.column_names)
+        if missing:
+            raise ValueError(f"profile_drift: {side} profile lacks "
+                             f"{sorted(missing)}")
+    b = {r["column"]: r for r in before.to_pylist()}
+    a = {r["column"]: r for r in after.to_pylist()}
+    rows = []
+    for col in sorted(set(b) | set(a)):
+        if col not in a:
+            rows.append((col, "removed", b[col]["suggestions"], None))
+            continue
+        if col not in b:
+            rows.append((col, "added", None, a[col]["suggestions"]))
+            continue
+        if b[col]["dtype"] != a[col]["dtype"]:
+            rows.append((col, "dtype", b[col]["dtype"], a[col]["dtype"]))
+        if b[col]["suggestions"] != a[col]["suggestions"]:
+            rows.append((col, "rules", b[col]["suggestions"],
+                         a[col]["suggestions"]))
+    out = {f.name: [] for f in DRIFT_SCHEMA}
+    for col, change, bef, aft in rows:
+        out["column"].append(col)
+        out["change"].append(change)
+        out["before"].append(bef)
+        out["after"].append(aft)
+    return pa.Table.from_pydict(out, schema=DRIFT_SCHEMA)

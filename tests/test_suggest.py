@@ -195,3 +195,32 @@ def test_field_violation_breakdown(ray_session):
 
     with pytest.raises(ValueError, match="object"):
         field_violation_breakdown(ds, c.string)
+
+
+def test_profile_drift(ray_session, sample):
+    """Rule-level drift: added/removed columns, dtype and rule changes;
+    identical profiles drift empty."""
+    from rho_contracts_ray.constraints.suggest import (profile_drift,
+                                                       suggest_constraints)
+
+    p1 = suggest_constraints(_ds(sample), domain_cap=3)
+    assert profile_drift(p1, p1).num_rows == 0
+
+    bad = sample.to_pydict()
+    bad["k"][0] = None                 # k loses `complete`
+    bad["flag"][0] = "C"               # flag domain grows A|B -> A|B|C
+    t2 = pa.Table.from_pydict(bad, schema=sample.schema) \
+        .drop_columns(["ts"])          # ts removed
+    t2 = t2.append_column("new", pa.array([1.0] * 6, pa.float64()))
+    p2 = suggest_constraints(_ds(t2), domain_cap=3)
+    d = {(r["column"], r["change"]): r
+         for r in profile_drift(p1, p2).to_pylist()}
+    assert ("ts", "removed") in d
+    assert ("new", "added") in d
+    assert "complete" in d[("k", "rules")]["before"]
+    assert "complete" not in d[("k", "rules")]["after"]
+    assert d[("flag", "rules")]["after"].endswith("inSet:A|B|C")
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="lacks"):
+        profile_drift(p1, pa.table({"column": pa.array(["x"])}))
