@@ -100,12 +100,13 @@ def _unit_parallel_read(files, enumerate_units, read_units, file_schema,
 
 
 def read_table(path, columns=None, format=None, **kwargs):
-    """Format-dispatching reader: parquet (default), JSONL, or CSV ->
-    ray.data.Dataset.
+    """Format-dispatching reader: parquet (default), JSONL, CSV, ORC or
+    Arrow IPC/Feather -> ray.data.Dataset.
 
-    `format` in {"parquet", "json", "csv"}; when None it is sniffed from
-    the file extensions under `path` (.parquet / .json/.jsonl/.ndjson /
-    .csv — a mixed directory raises rather than guessing).  Parquet goes
+    `format` in {"parquet", "json", "csv", "orc", "arrow"}; when None it
+    is sniffed from the file extensions under `path` (.parquet /
+    .json/.jsonl/.ndjson / .csv / .orc / .arrow/.feather/.ipc — a mixed
+    directory raises rather than guessing).  Parquet goes
     through `clean_read_parquet` (schema-metadata strip + footer row
     counts + column pruning at the read).  JSONL/CSV have no column
     statistics or row-group pruning — they exist so a suite can ingest a
