@@ -429,6 +429,64 @@ SELECT * FROM (
 """
 
 
+def _q_suggest_grouped_documents(sf_dir: str):
+    """Per-lang constraint suggestion over documents (n_chars + source):
+    segment-level rules the global profile cannot see
+    (constraints/suggest.suggest_constraints_grouped)."""
+    from rho_contracts_ray.constraints.suggest import (
+        suggest_constraints_grouped)
+
+    return suggest_constraints_grouped(
+        _read(sf_dir, "documents",
+              columns=["lang", "n_chars", "source"]),
+        "lang", ["n_chars", "source"])
+
+
+_SUGGEST_GROUPED_SQL = """
+SELECT * FROM (
+ SELECT lang AS grp, 'n_chars' AS "column", 'int64' AS dtype,
+   count(*)::BIGINT AS n_rows,
+   (count(*) - count(n_chars))::BIGINT AS n_null,
+   CASE WHEN count(*) > 0
+        THEN (count(n_chars) * 10000) // count(*) END AS completeness_bp,
+   CAST(min(n_chars) AS DOUBLE) AS min_num,
+   CAST(max(n_chars) AS DOUBLE) AS max_num,
+   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+   CAST(bool_and(n_chars = floor(n_chars)) AS BIGINT) AS all_int,
+   CAST(NULL AS VARCHAR) AS domain,
+   CAST(NULL AS BIGINT) AS n_distinct_capped,
+   'hasType:int64'
+     || CASE WHEN count(*) > 0 AND count(*) = count(n_chars)
+             THEN '; complete' ELSE '' END
+     || CASE WHEN min(n_chars) >= 0 THEN '; nonNegative' ELSE '' END
+   AS suggestions
+ FROM documents GROUP BY lang
+ UNION ALL
+ SELECT d1.lang, 'source', 'string',
+   count(*)::BIGINT, (count(*) - count(d1.source))::BIGINT,
+   CASE WHEN count(*) > 0
+        THEN (count(d1.source) * 10000) // count(*) END,
+   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+   min(d1.source), max(d1.source), CAST(NULL AS BIGINT),
+   dom.domain, dom.n_dom,
+   'hasType:string'
+     || CASE WHEN count(*) > 0 AND count(*) = count(d1.source)
+             THEN '; complete' ELSE '' END
+     || CASE WHEN dom.domain IS NOT NULL
+             THEN '; inSet:' || dom.domain ELSE '' END
+ FROM documents d1 LEFT JOIN (
+    SELECT lang,
+      CASE WHEN count(*) BETWEEN 1 AND 20
+           THEN string_agg(v, '|' ORDER BY v) END AS domain,
+      CASE WHEN count(*) BETWEEN 1 AND 20 THEN count(*) END AS n_dom
+    FROM (SELECT DISTINCT lang, source AS v FROM documents
+          WHERE source IS NOT NULL) GROUP BY lang
+ ) dom ON d1.lang IS NOT DISTINCT FROM dom.lang
+ GROUP BY d1.lang, dom.domain, dom.n_dom
+) ORDER BY grp, "column"
+"""
+
+
 def _q_anomaly_weekly_events(sf_dir: str):
     """Leave-one-out z-score anomaly screen over weekly event profiles
     (constraints/metrics_repo.weekly_profile_anomalies) — the metrics-
@@ -4644,6 +4702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_weekly_events": _q_anomaly_weekly_events,
         "contract_branch_coverage_events": _q_contract_branch_coverage_events,
         "contract_field_breakdown_events": _q_contract_field_breakdown_events,
+        "suggest_grouped_documents": _q_suggest_grouped_documents,
         "knn_embeddings": _q_knn_embeddings,
         "knn_ivf_embeddings": _q_knn_ivf_embeddings,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -4872,6 +4931,7 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_weekly_events": _ANOMALY_WEEKLY_SQL,
         "contract_branch_coverage_events": _BRANCH_COVERAGE_SQL,
         "contract_field_breakdown_events": _FIELD_BREAKDOWN_SQL,
+        "suggest_grouped_documents": _SUGGEST_GROUPED_SQL,
         "contract_oneof_violations": (
             "SELECT event_id, event_type FROM events "
             "WHERE event_type IS NULL OR event_type NOT IN ('click','view','purchase','signup')"

@@ -323,3 +323,118 @@ def profile_drift(before: pa.Table, after: pa.Table) -> pa.Table:
         out["before"].append(bef)
         out["after"].append(aft)
     return pa.Table.from_pydict(out, schema=DRIFT_SCHEMA)
+
+
+def suggest_constraints_grouped(ds, group_col: str,
+                                cols: Optional[Sequence[str]] = None,
+                                domain_cap: int = 20) -> pa.Table:
+    """Per-GROUP constraint suggestion — the rules each segment
+    satisfies (a column complete in one lang and nullable in another is
+    invisible to the global profile) -> PROFILE_SCHEMA plus a leading
+    `grp` column, sorted by (grp, column).
+
+    Scale shape: one streaming pass; each batch loops over ITS OWN
+    distinct group values (bounded by per-batch group cardinality) and
+    reuses the single-column partial kernels; the driver fold is
+    O(batches x groups x cols x cap).  High-cardinality group columns
+    belong on the bucketed exchange instead — this raises above
+    `max_groups` distinct groups rather than melting the driver."""
+    sch = ds.schema()
+    if sch is None:
+        raise ValueError("suggest_constraints_grouped: input dataset has "
+                         "no schema")
+    schema = sch.base_schema
+    if group_col not in schema.names:
+        raise ValueError(f"group column {group_col!r} not in "
+                         f"{schema.names}")
+    if cols is None:
+        cols = [n for n in schema.names if n != group_col]
+    missing = [n for n in cols if n not in schema.names]
+    if missing:
+        raise ValueError(f"columns {missing} not in the input schema")
+    max_groups = 10_000
+    stage = SuggestPartialStage(cols, domain_cap)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        for g in pc.unique(batch[group_col]).to_pylist():
+            if g is None:
+                sub = batch.filter(pc.is_null(batch[group_col]))
+            else:
+                sub = batch.filter(pc.equal(batch[group_col], g))
+            t = stage(sub)
+            outs.append(t.append_column(
+                "grp", pa.array([g] * t.num_rows,
+                                schema.field(group_col).type)))
+        return pa.concat_tables(outs) if outs else \
+            stage(batch).append_column(
+                "grp", pa.array([], schema.field(group_col).type))
+
+    parts = []
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if {"grp", "column"} <= set(t.column_names) and t.num_rows:
+            parts.append(t)
+    merged: dict[tuple, dict] = {}
+    for t in parts:
+        for r in t.to_pylist():
+            key = (r["grp"], r["column"])
+            m = merged.setdefault(key, {
+                "dtype": r["dtype"], "cnt": 0, "nulls": 0, "vmin": None,
+                "vmax": None, "smin": None, "smax": None,
+                "all_int": None, "dom": set(), "dom_over": False})
+            m["cnt"] += r["cnt"]
+            m["nulls"] += r["nulls"]
+            m["vmin"] = _merge_min(m["vmin"], r["vmin"])
+            m["vmax"] = _merge_max(m["vmax"], r["vmax"])
+            m["smin"] = _merge_min(m["smin"], r["smin"])
+            m["smax"] = _merge_max(m["smax"], r["smax"])
+            if r["all_int"] is not None:
+                m["all_int"] = r["all_int"] if m["all_int"] is None \
+                    else (m["all_int"] and r["all_int"])
+            if r["dtype"] == "string":
+                if r["dom"] is None:
+                    m["dom_over"] = True
+                else:
+                    m["dom"].update(r["dom"])
+                    if len(m["dom"]) > domain_cap:
+                        m["dom_over"] = True
+        if len({k[0] for k in merged}) > max_groups:
+            raise ValueError(
+                f"suggest_constraints_grouped: more than {max_groups} "
+                f"distinct {group_col!r} groups — use the bucketed "
+                f"exchange (high-cardinality grouping melts the driver "
+                f"fold)")
+    out = {"grp": []}
+    out.update({f.name: [] for f in PROFILE_SCHEMA})
+    for grp, name in sorted(merged, key=lambda k: (str(k[0]), k[1])):
+        m = merged[(grp, name)]
+        n_rows = m["cnt"] + m["nulls"]
+        domain = None
+        n_dom = None
+        if m["dtype"] == "string" and not m["dom_over"] and m["dom"]:
+            vals = sorted(m["dom"])
+            domain = "|".join(vals)
+            n_dom = len(vals)
+        out["grp"].append(grp)
+        out["column"].append(name)
+        out["dtype"].append(m["dtype"])
+        out["n_rows"].append(n_rows)
+        out["n_null"].append(m["nulls"])
+        out["completeness_bp"].append(
+            (m["cnt"] * 10000) // n_rows if n_rows > 0 else None)
+        out["min_num"].append(m["vmin"])
+        out["max_num"].append(m["vmax"])
+        out["min_str"].append(m["smin"])
+        out["max_str"].append(m["smax"])
+        out["all_int"].append(
+            None if m["all_int"] is None else int(m["all_int"]))
+        out["domain"].append(domain)
+        out["n_distinct_capped"].append(n_dom)
+        out["suggestions"].append(_suggestion_string(
+            m["dtype"], n_rows, m["nulls"], m["vmin"], m["all_int"],
+            domain))
+    fields = [pa.field("grp", schema.field(group_col).type)] \
+        + list(PROFILE_SCHEMA)
+    return pa.Table.from_pydict(out, schema=pa.schema(fields))

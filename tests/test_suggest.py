@@ -224,3 +224,35 @@ def test_profile_drift(ray_session, sample):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="lacks"):
         profile_drift(p1, pa.table({"column": pa.array(["x"])}))
+
+
+def test_suggest_grouped(ray_session):
+    """Per-group rules the global profile misses; null group; cap;
+    high-cardinality guard."""
+    from rho_contracts_ray.constraints.suggest import (
+        suggest_constraints_grouped)
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "b", "b", None], pa.string()),
+        "x": pa.array([1.0, 2.0, None, 4.0, 5.0], pa.float64()),
+        "s": pa.array(["p", "q", "p", "p", "r"], pa.string()),
+    })
+    out = suggest_constraints_grouped(_ds(t, 2), "g", domain_cap=3)
+    rows = {(r["grp"], r["column"]): r for r in out.to_pylist()}
+    # x complete in group a, nullable in group b — invisible globally
+    assert "complete" in rows[("a", "x")]["suggestions"]
+    assert "complete" not in rows[("b", "x")]["suggestions"]
+    assert rows[("b", "x")]["completeness_bp"] == 5000
+    assert rows[("a", "s")]["domain"] == "p|q"
+    assert rows[("b", "s")]["domain"] == "p"
+    assert rows[(None, "s")]["domain"] == "r"        # null group kept
+
+    big = pa.table({
+        "g": pa.array([str(i) for i in range(50)], pa.string()),
+        "x": pa.array([1.0] * 50, pa.float64()),
+    })
+    ok = suggest_constraints_grouped(_ds(big, 2), "g")
+    assert ok.num_rows == 50
+
+    with pytest.raises(ValueError, match="not in"):
+        suggest_constraints_grouped(_ds(t, 2), "nope")
