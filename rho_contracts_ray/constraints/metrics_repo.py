@@ -214,22 +214,29 @@ def weekly_profile_anomalies(ds, ts_col: str = "ts",
     def loo_z_e6(x: np.ndarray):
         """floor(1e6 * leave-one-out z) per element; null when the
         other-weeks variance is zero or fewer than 2 others exist.
-        Same op order as the SQL oracle: mean=(S-x)/(k-1),
+        Same op order as the SQL oracle — and S/Q accumulate as PYTHON
+        ints (the oracle's BIGINT sums are exact; a float64 sum of
+        squares rounds once weekly counts pass ~9.5e7 and the floored
+        z could then differ by 1): mean=(S-x)/(k-1),
         var=(Q-x^2)/(k-1)-mean^2."""
         k = x.size
         if k < 3:
             return [None] * k
-        S = float(x.sum())
-        Q = float((x.astype(np.float64) ** 2).sum())
+        xs = [int(v) for v in x]
+        S = sum(xs)
+        Q = sum(v * v for v in xs)
         out = []
-        for xi in x.astype(np.float64):
-            mean = (S - xi) / (k - 1)
-            var = (Q - xi * xi) / (k - 1) - mean * mean
+        for xi in xs:
+            # float() the EXACT integer difference first, then divide —
+            # the oracle casts its BIGINT to float64 before the division,
+            # and Python's int/int single-rounding could differ past 2^53
+            mean = float(S - xi) / (k - 1.0)
+            var = float(Q - xi * xi) / (k - 1.0) - mean * mean
             if var <= 0:
                 out.append(None)
             else:
                 out.append(int(np.floor(
-                    1e6 * (xi - mean) / np.sqrt(var))))
+                    1e6 * (float(xi) - mean) / np.sqrt(var))))
         return out
 
     return pa.table({"week": weeks,

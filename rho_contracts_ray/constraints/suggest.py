@@ -154,6 +154,62 @@ def _suggestion_string(dtype: str, n_rows: int, n_null: int,
     return "; ".join(parts)
 
 
+def _fresh_acc(dtype: str) -> dict:
+    return {"dtype": dtype, "cnt": 0, "nulls": 0, "vmin": None,
+            "vmax": None, "smin": None, "smax": None, "all_int": None,
+            "dom": set(), "dom_over": False}
+
+
+def _fold_partial_row(m: dict, r: dict, domain_cap: int) -> None:
+    """Fold one partial row into an accumulator — the ONE merge shared
+    by the global and the grouped profile."""
+    m["cnt"] += r["cnt"]
+    m["nulls"] += r["nulls"]
+    m["vmin"] = _merge_min(m["vmin"], r["vmin"])
+    m["vmax"] = _merge_max(m["vmax"], r["vmax"])
+    m["smin"] = _merge_min(m["smin"], r["smin"])
+    m["smax"] = _merge_max(m["smax"], r["smax"])
+    if r["all_int"] is not None:
+        m["all_int"] = r["all_int"] if m["all_int"] is None \
+            else (m["all_int"] and r["all_int"])
+    if r["dtype"] == "string":
+        if r["dom"] is None:
+            m["dom_over"] = True
+        elif not m["dom_over"]:
+            # once overflowed, stop growing the (discarded) set — the
+            # fold must stay at O(cap) per key, not O(batches x cap)
+            m["dom"].update(r["dom"])
+            if len(m["dom"]) > domain_cap:
+                m["dom_over"] = True
+
+
+def _emit_acc(out: dict, name: str, m: dict) -> None:
+    """Append one PROFILE_SCHEMA row from an accumulator."""
+    n_rows = m["cnt"] + m["nulls"]
+    domain = None
+    n_dom = None
+    if m["dtype"] == "string" and not m["dom_over"] and m["dom"]:
+        vals = sorted(m["dom"])
+        domain = "|".join(vals)
+        n_dom = len(vals)
+    out["column"].append(name)
+    out["dtype"].append(m["dtype"])
+    out["n_rows"].append(n_rows)
+    out["n_null"].append(m["nulls"])
+    out["completeness_bp"].append(
+        (m["cnt"] * 10000) // n_rows if n_rows > 0 else None)
+    out["min_num"].append(m["vmin"])
+    out["max_num"].append(m["vmax"])
+    out["min_str"].append(m["smin"])
+    out["max_str"].append(m["smax"])
+    out["all_int"].append(
+        None if m["all_int"] is None else int(m["all_int"]))
+    out["domain"].append(domain)
+    out["n_distinct_capped"].append(n_dom)
+    out["suggestions"].append(_suggestion_string(
+        m["dtype"], n_rows, m["nulls"], m["vmin"], m["all_int"], domain))
+
+
 def suggest_constraints(ds, cols: Optional[Sequence[str]] = None,
                         domain_cap: int = 20) -> pa.Table:
     """Profile `ds` and return one PROFILE_SCHEMA row per column, sorted
@@ -182,57 +238,14 @@ def suggest_constraints(ds, cols: Optional[Sequence[str]] = None,
     # yields one profile row per column (the SQL oracle's aggregate-only
     # form always returns a row)
     merged: dict[str, dict] = {
-        name: {"dtype": _dtype_label(schema.field(name).type), "cnt": 0,
-               "nulls": 0, "vmin": None, "vmax": None, "smin": None,
-               "smax": None, "all_int": None, "dom": set(),
-               "dom_over": False}
+        name: _fresh_acc(_dtype_label(schema.field(name).type))
         for name in cols}
     for t in (parts or []):
         for r in t.to_pylist():
-            m = merged[r["column"]]
-            m["cnt"] += r["cnt"]
-            m["nulls"] += r["nulls"]
-            m["vmin"] = _merge_min(m["vmin"], r["vmin"])
-            m["vmax"] = _merge_max(m["vmax"], r["vmax"])
-            m["smin"] = _merge_min(m["smin"], r["smin"])
-            m["smax"] = _merge_max(m["smax"], r["smax"])
-            if r["all_int"] is not None:
-                m["all_int"] = r["all_int"] if m["all_int"] is None \
-                    else (m["all_int"] and r["all_int"])
-            if r["dtype"] == "string":
-                if r["dom"] is None:
-                    m["dom_over"] = True
-                else:
-                    m["dom"].update(r["dom"])
-                    if len(m["dom"]) > domain_cap:
-                        m["dom_over"] = True
+            _fold_partial_row(merged[r["column"]], r, domain_cap)
     out = {f.name: [] for f in PROFILE_SCHEMA}
     for name in sorted(merged):
-        m = merged[name]
-        n_rows = m["cnt"] + m["nulls"]
-        domain = None
-        n_dom = None
-        if m["dtype"] == "string" and not m["dom_over"] and m["dom"]:
-            vals = sorted(m["dom"])
-            domain = "|".join(vals)
-            n_dom = len(vals)
-        out["column"].append(name)
-        out["dtype"].append(m["dtype"])
-        out["n_rows"].append(n_rows)
-        out["n_null"].append(m["nulls"])
-        out["completeness_bp"].append(
-            (m["cnt"] * 10000) // n_rows if n_rows > 0 else None)
-        out["min_num"].append(m["vmin"])
-        out["max_num"].append(m["vmax"])
-        out["min_str"].append(m["smin"])
-        out["max_str"].append(m["smax"])
-        out["all_int"].append(
-            None if m["all_int"] is None else int(m["all_int"]))
-        out["domain"].append(domain)
-        out["n_distinct_capped"].append(n_dom)
-        out["suggestions"].append(_suggestion_string(
-            m["dtype"], n_rows, m["nulls"], m["vmin"], m["all_int"],
-            domain))
+        _emit_acc(out, name, merged[name])
     return pa.Table.from_pydict(out, schema=PROFILE_SCHEMA)
 
 
@@ -355,6 +368,8 @@ def suggest_constraints_grouped(ds, group_col: str,
     max_groups = 10_000
     stage = SuggestPartialStage(cols, domain_cap)
 
+    gtype = schema.field(group_col).type
+
     def partial(batch: pa.Table) -> pa.Table:
         outs = []
         for g in pc.unique(batch[group_col]).to_pylist():
@@ -364,11 +379,14 @@ def suggest_constraints_grouped(ds, group_col: str,
                 sub = batch.filter(pc.equal(batch[group_col], g))
             t = stage(sub)
             outs.append(t.append_column(
-                "grp", pa.array([g] * t.num_rows,
-                                schema.field(group_col).type)))
-        return pa.concat_tables(outs) if outs else \
-            stage(batch).append_column(
-                "grp", pa.array([], schema.field(group_col).type))
+                "grp", pa.array([g] * t.num_rows, gtype)))
+        if outs:
+            return pa.concat_tables(outs)
+        # empty batch: a ZERO-ROW, schema-correct table (stage() emits
+        # one row per column even on zero rows, which a length-0 grp
+        # column cannot attach to)
+        return stage(batch).slice(0, 0).append_column(
+            "grp", pa.array([], gtype))
 
     parts = []
     for b in ds.map_batches(partial, batch_format="pyarrow") \
@@ -379,27 +397,9 @@ def suggest_constraints_grouped(ds, group_col: str,
     merged: dict[tuple, dict] = {}
     for t in parts:
         for r in t.to_pylist():
-            key = (r["grp"], r["column"])
-            m = merged.setdefault(key, {
-                "dtype": r["dtype"], "cnt": 0, "nulls": 0, "vmin": None,
-                "vmax": None, "smin": None, "smax": None,
-                "all_int": None, "dom": set(), "dom_over": False})
-            m["cnt"] += r["cnt"]
-            m["nulls"] += r["nulls"]
-            m["vmin"] = _merge_min(m["vmin"], r["vmin"])
-            m["vmax"] = _merge_max(m["vmax"], r["vmax"])
-            m["smin"] = _merge_min(m["smin"], r["smin"])
-            m["smax"] = _merge_max(m["smax"], r["smax"])
-            if r["all_int"] is not None:
-                m["all_int"] = r["all_int"] if m["all_int"] is None \
-                    else (m["all_int"] and r["all_int"])
-            if r["dtype"] == "string":
-                if r["dom"] is None:
-                    m["dom_over"] = True
-                else:
-                    m["dom"].update(r["dom"])
-                    if len(m["dom"]) > domain_cap:
-                        m["dom_over"] = True
+            m = merged.setdefault((r["grp"], r["column"]),
+                                  _fresh_acc(r["dtype"]))
+            _fold_partial_row(m, r, domain_cap)
         if len({k[0] for k in merged}) > max_groups:
             raise ValueError(
                 f"suggest_constraints_grouped: more than {max_groups} "
@@ -408,33 +408,12 @@ def suggest_constraints_grouped(ds, group_col: str,
                 f"fold)")
     out = {"grp": []}
     out.update({f.name: [] for f in PROFILE_SCHEMA})
-    for grp, name in sorted(merged, key=lambda k: (str(k[0]), k[1])):
-        m = merged[(grp, name)]
-        n_rows = m["cnt"] + m["nulls"]
-        domain = None
-        n_dom = None
-        if m["dtype"] == "string" and not m["dom_over"] and m["dom"]:
-            vals = sorted(m["dom"])
-            domain = "|".join(vals)
-            n_dom = len(vals)
+    for (grp, name), m in merged.items():
         out["grp"].append(grp)
-        out["column"].append(name)
-        out["dtype"].append(m["dtype"])
-        out["n_rows"].append(n_rows)
-        out["n_null"].append(m["nulls"])
-        out["completeness_bp"].append(
-            (m["cnt"] * 10000) // n_rows if n_rows > 0 else None)
-        out["min_num"].append(m["vmin"])
-        out["max_num"].append(m["vmax"])
-        out["min_str"].append(m["smin"])
-        out["max_str"].append(m["smax"])
-        out["all_int"].append(
-            None if m["all_int"] is None else int(m["all_int"]))
-        out["domain"].append(domain)
-        out["n_distinct_capped"].append(n_dom)
-        out["suggestions"].append(_suggestion_string(
-            m["dtype"], n_rows, m["nulls"], m["vmin"], m["all_int"],
-            domain))
-    fields = [pa.field("grp", schema.field(group_col).type)] \
-        + list(PROFILE_SCHEMA)
-    return pa.Table.from_pydict(out, schema=pa.schema(fields))
+        _emit_acc(out, name, m)
+    fields = [pa.field("grp", gtype)] + list(PROFILE_SCHEMA)
+    # typed sort (Arrow, nulls last) — a str(grp) sort key would order
+    # int groups lexically and place a null group before the langs,
+    # diverging from the oracle's ORDER BY grp
+    return pa.Table.from_pydict(out, schema=pa.schema(fields)) \
+        .sort_by([("grp", "ascending"), ("column", "ascending")])

@@ -319,6 +319,12 @@ def or_branch_coverage(ds, or_contract, column: str):
     if not isinstance(or_contract, _ast.OrC):
         raise ValueError("or_branch_coverage: contract must be c.or_(...)"
                          f", got {or_contract.to_string()}")
+    sch = ds.schema()
+    if sch is not None and column not in sch.base_schema.names:
+        # fail at the driver with a clear message, not as a KeyError
+        # inside a Ray task after the pass starts
+        raise ValueError(f"or_branch_coverage: column {column!r} not in "
+                         f"the input schema {sch.base_schema.names}")
     branches = or_contract.contracts
     nb = len(branches)
 

@@ -197,6 +197,18 @@ def test_field_violation_breakdown(ray_session):
         field_violation_breakdown(ds, c.string)
 
 
+def test_or_branch_coverage_column_check(ray_session):
+    import pyarrow as pa
+
+    from rho_contracts_ray import c
+    from rho_contracts_ray.validate import or_branch_coverage
+
+    t = pa.table({"v": pa.array(["a"], pa.string())})
+    con = c.or_(c.value("a"), c.string)
+    with pytest.raises(ValueError, match="typo"):
+        or_branch_coverage(ray.data.from_arrow(t), con, "typo")
+
+
 def test_profile_drift(ray_session, sample):
     """Rule-level drift: added/removed columns, dtype and rule changes;
     identical profiles drift empty."""
