@@ -296,6 +296,50 @@ def filter_valid(ds, contract, keep: bool = True):
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
+def filter_valid_quarantine(ds, contract, quarantine_dir: str):
+    """ONE-pass dead-letter split: valid rows stream onward as the
+    returned Dataset; failing rows are written to `quarantine_dir` as
+    parquet shards FROM INSIDE each task (no second validation pass, no
+    driver materialization, no shuffle).  Shard names are content-hashed,
+    so a Ray task retry overwrites its own shard instead of duplicating
+    rows, and the quarantine is readable mid-run.
+
+    The dir must be fresh (same appends-duplicate rule as
+    sources.ensure_empty_dir).  Read it back with read_table() /
+    read_parquet to inspect or replay the quarantined rows."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from .sources.io import ensure_empty_dir
+
+    contract = ast.auto_to_contract(contract)
+    ensure_empty_dir(quarantine_dir)
+    os.makedirs(quarantine_dir, exist_ok=True)
+
+    def _split(batch: pa.Table) -> pa.Table:
+        mask = cc.eval_table_mask(contract, batch)
+        bad = batch.filter(pa.array(~mask))
+        if bad.num_rows:
+            # deterministic name from the shard's own content (hashed as
+            # Arrow IPC bytes — one C++ serialization, no Python row
+            # walk): a task retry rewrites the same file (idempotent),
+            # two different batches cannot collide on anything but
+            # identical rows
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, bad.schema) as w:
+                w.write_table(bad)
+            digest = hashlib.sha256(sink.getvalue())
+            name = f"quarantine-{digest.hexdigest()[:16]}.parquet"
+            tmp = os.path.join(quarantine_dir, f".{name}.tmp")
+            _pq.write_table(bad, tmp)
+            os.replace(tmp, os.path.join(quarantine_dir, name))
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_split, batch_format="pyarrow")
+
+
 def or_branch_coverage(ds, or_contract, column: str):
     """Branch-coverage telemetry for an `or` contract over one column —
     which alternatives actually carry the data (dead branches are

@@ -268,3 +268,37 @@ def test_suggest_grouped(ray_session):
 
     with pytest.raises(ValueError, match="not in"):
         suggest_constraints_grouped(_ds(t, 2), "nope")
+
+
+def test_filter_valid_quarantine(ray_session, tmp_path):
+    """One-pass dead-letter split: valid rows forward, failing rows land
+    in the quarantine dir, counts add up, retries cannot duplicate."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rho_contracts_ray import c
+    from rho_contracts_ray.validate import filter_valid_quarantine
+
+    t = pa.table({
+        "id": pa.array(list(range(100)), pa.int64()),
+        "v": pa.array([float(i) if i % 7 else -1.0 for i in range(100)],
+                      pa.float64()),
+    })
+    con = c.object({"v": c.pred(lambda x: x is not None and x >= 0)})
+    qdir = str(tmp_path / "quarantine")
+    good = filter_valid_quarantine(
+        ray.data.from_arrow(t).repartition(4), con, qdir)
+    good_rows = good.take_all()
+    files = [f for f in os.listdir(qdir) if f.endswith(".parquet")]
+    bad = pa.concat_tables([pq.read_table(os.path.join(qdir, f))
+                            for f in files])
+    assert len(good_rows) + bad.num_rows == 100
+    assert all(r["v"] >= 0 for r in good_rows)
+    assert set(bad["v"].to_pylist()) == {-1.0}
+    assert sorted([r["id"] for r in good_rows]
+                  + bad["id"].to_pylist()) == list(range(100))
+    # non-empty dir refused (appends would duplicate rows)
+    with pytest.raises(ValueError, match="not empty"):
+        filter_valid_quarantine(ray.data.from_arrow(t), con, qdir)
