@@ -970,27 +970,54 @@ def _kcore_combine(est_tbl, *msg_tbls):
     n = cat["node"].to_numpy(zero_copy_only=False).astype(np.int64)
     v = cat["val"].to_numpy(zero_copy_only=False).astype(np.int64)
     c = cat["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-    # re-sort: messages arrive from many source buckets, and equal
-    # (node, val) rows must merge before the cumulative count
-    o = np.lexsort((-v, n))
-    n, v, c = n[o], v[o], c[o]
-    same = np.concatenate(
-        ([False], (n[1:] == n[:-1]) & (v[1:] == v[:-1])))
-    if np.any(same):
-        starts = np.flatnonzero(~same)
-        c = np.add.reduceat(c, starts)
-        n, v = n[starts], v[starts]
-    hn, h = _h_index_segments(n, v, c)
     en = est_tbl["node"].to_numpy(zero_copy_only=False).astype(np.int64)
     ee = est_tbl["est"].to_numpy(zero_copy_only=False) \
         .astype(np.int64).copy()
     order = np.argsort(en, kind="stable")
     en_s = en[order]
-    pos = np.searchsorted(en_s, hn)
-    pos[pos >= en_s.size] = en_s.size - 1
-    hit = en_s[pos] == hn
     before = ee.copy()
-    np.minimum.at(ee, order[pos[hit]], h[hit])
+    width = int(ee.max()) + 1
+    if ee.size * width <= _KCORE_HIST_CELLS:
+        # histogram kernel (same trick as the local fixpoint): map each
+        # message to its node's est-table slot, clip its value at that
+        # node's own estimate (lossless for every h <= estimate), and
+        # fold counts into a per-node value histogram — no lexsort
+        pos = np.searchsorted(en_s, n)
+        pos[pos >= en_s.size] = en_s.size - 1
+        hit = en_s[pos] == n
+        slot = order[pos[hit]]
+        vclip = np.minimum(v[hit], ee[slot])
+        hist = np.bincount(slot * width + vclip,
+                           weights=c[hit].astype(np.float64),
+                           minlength=ee.size * width) \
+            .reshape(ee.size, width)
+        rev = hist[:, ::-1]
+        np.cumsum(rev, axis=1, out=rev)
+        idx = np.arange(width)
+        ok = (hist >= idx) & (idx <= ee[:, None])
+        h_all = width - 1 - np.argmax(ok[:, ::-1], axis=1)
+        # nodes that received NO message keep their estimate (an all-
+        # zero histogram row would otherwise collapse them to h=0)
+        received = np.zeros(ee.size, bool)
+        received[slot] = True
+        np.minimum(ee, h_all, out=ee, where=received)
+    else:
+        # sort fallback for degree-skewed buckets: equal (node, val)
+        # rows from different source buckets must merge before the
+        # cumulative count
+        o = np.lexsort((-v, n))
+        n, v, c = n[o], v[o], c[o]
+        same = np.concatenate(
+            ([False], (n[1:] == n[:-1]) & (v[1:] == v[:-1])))
+        if np.any(same):
+            starts = np.flatnonzero(~same)
+            c = np.add.reduceat(c, starts)
+            n, v = n[starts], v[starts]
+        hn, h = _h_index_segments(n, v, c)
+        pos = np.searchsorted(en_s, hn)
+        pos[pos >= en_s.size] = en_s.size - 1
+        hit = en_s[pos] == hn
+        np.minimum.at(ee, order[pos[hit]], h[hit])
     changed = int((ee < before).sum())
     if changed == 0:
         return est_tbl, 0

@@ -120,3 +120,31 @@ def test_empty_edges(ray_session):
                                       "v": pa.array([], pa.int64())})))
     t = out.take_all()
     assert t == []
+
+
+def test_combine_hist_matches_sort_fallback(monkeypatch):
+    """_kcore_combine's histogram kernel and its lexsort fallback reach
+    identical estimates (direct in-process call; the cell budget flips
+    the branch)."""
+    from rho_contracts_ray.stages import graph as g
+
+    rng = np.random.default_rng(2)
+    nodes = np.arange(20, dtype=np.int64)
+    rng.shuffle(nodes)
+    est = pa.table({"node": pa.array(nodes, pa.int64()),
+                    "est": pa.array(rng.integers(1, 9, 20), pa.int64())})
+    msgs = []
+    for _ in range(3):
+        n = rng.integers(0, 20, 15).astype(np.int64)
+        msgs.append(pa.table({
+            "node": pa.array(nodes[n], pa.int64()),
+            "val": pa.array(rng.integers(1, 9, 15), pa.int64()),
+            "cnt": pa.array(rng.integers(1, 4, 15), pa.int64())}))
+    fn = g._kcore_combine._function
+    hist_out, hist_ch = fn(est, *msgs)
+    monkeypatch.setattr(g, "_KCORE_HIST_CELLS", 0)
+    sort_out, sort_ch = fn(est, *msgs)
+    assert hist_ch == sort_ch
+    ho = {r["node"]: r["est"] for r in hist_out.to_pylist()}
+    so = {r["node"]: r["est"] for r in sort_out.to_pylist()}
+    assert ho == so
