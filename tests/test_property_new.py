@@ -156,3 +156,58 @@ def test_max_concurrent_property(ray_session, iv):
     hourly = max_concurrent_intervals(rd.from_arrow(t).repartition(3),
                                       bucket_us=3_600_000_000)
     assert hourly.equals(out)
+
+
+# -- round-4 continuation: suggest_constraints vs a pure-Python reference ----
+
+_ints = st.lists(st.one_of(st.none(), st.integers(-5, 5)),
+                 min_size=1, max_size=25)
+_strs = st.lists(st.one_of(st.none(), st.sampled_from(["p", "q", "r", ""])),
+                 min_size=1, max_size=25)
+
+
+def _ref_profile(ints, strs, cap):
+    """Scalar reference of the suggest fold for one int + one str col."""
+    out = {}
+    nn = [v for v in ints if v is not None]
+    n = len(ints)
+    out["i"] = {
+        "n_null": n - len(nn),
+        "completeness_bp": (len(nn) * 10000) // n,
+        "min_num": float(min(nn)) if nn else None,
+        "max_num": float(max(nn)) if nn else None,
+    }
+    sv = [v for v in strs if v is not None]
+    dom = sorted(set(sv))
+    out["s"] = {
+        "n_null": len(strs) - len(sv),
+        "min_str": min(sv) if sv else None,
+        "max_str": max(sv) if sv else None,
+        "domain": "|".join(dom) if 0 < len(dom) <= cap else None,
+    }
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(ints=_ints, strs=_strs, blocks=st.integers(1, 4),
+       cap=st.integers(1, 4))
+def test_suggest_profile_property(ray_session, ints, strs, blocks, cap):
+    from rho_contracts_ray.constraints.suggest import suggest_constraints
+
+    m = min(len(ints), len(strs))
+    ints, strs = ints[:m], strs[:m]
+    t = pa.table({"i": pa.array(ints, pa.int64()),
+                  "s": pa.array(strs, pa.string())})
+    prof = suggest_constraints(rd.from_arrow(t).repartition(blocks),
+                               domain_cap=cap)
+    rows = {r["column"]: r for r in prof.to_pylist()}
+    ref = _ref_profile(ints, strs, cap)
+    for col, exp in ref.items():
+        for k, v in exp.items():
+            assert rows[col][k] == v, (col, k, rows[col][k], v)
+    # suggestion string internally consistent
+    if ref["i"]["n_null"] == 0:
+        assert "complete" in rows["i"]["suggestions"]
+    if ref["s"]["domain"] is not None:
+        assert rows["s"]["suggestions"].endswith(
+            "inSet:" + ref["s"]["domain"])
