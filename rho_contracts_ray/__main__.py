@@ -3,7 +3,8 @@
     python -m rho_contracts_ray suite --input DIR [--out DIR] [--strict]
         [--metrics-repo DIR --run-id ID]     # record + anomaly-check run metrics
     python -m rho_contracts_ray suite --input DIR --ckpt DIR --out DIR \
-        [--group-size N]                     # checkpointed / resumable
+        [--group-size N] [--metrics-repo DIR]  # checkpointed / resumable
+                                             # (+ per-partition screening)
     python -m rho_contracts_ray gen --out DIR --rows N [--shards N] [--epoch E]
     python -m rho_contracts_ray query NAME --sf-dir DIR [--out FILE.parquet]
     python -m rho_contracts_ray query --list
@@ -43,7 +44,8 @@ def main(argv=None) -> int:
     ps.add_argument("--metrics-repo", default=None,
                     help="record run health metrics here and z-score-"
                          "check them against the recorded history "
-                         "(requires --run-id)")
+                         "(requires --run-id; with --ckpt, partitions "
+                         "record + screen themselves instead)")
     ps.add_argument("--run-id", default=None)
 
     pg = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
@@ -162,14 +164,13 @@ def main(argv=None) -> int:
 
     try:
         if args.ckpt:
-            if args.metrics_repo or args.run_id:
-                # fail loudly instead of silently not recording: the
-                # checkpointed mode runs one suite per PARTITION, which
-                # has no single run-level profile to record
-                print(json.dumps({"error": "--metrics-repo/--run-id are "
-                                  "not supported with --ckpt (per-"
-                                  "partition mode has no run-level "
-                                  "profile); run the plain suite"}))
+            if args.run_id:
+                # per-partition mode derives its own run ids; a single
+                # --run-id has no referent here
+                print(json.dumps({"error": "--run-id is not supported "
+                                  "with --ckpt (partitions get their own "
+                                  "run ids); pass only --metrics-repo "
+                                  "for per-partition anomaly screening"}))
                 return 2
             from .pipelines import run_suite_checkpointed
 
@@ -177,7 +178,8 @@ def main(argv=None) -> int:
             s = run_suite_checkpointed(frags, args.ckpt,
                                        args.out or os.path.join(args.ckpt, "out"),
                                        group_size=args.group_size,
-                                       strict=args.strict)
+                                       strict=args.strict,
+                                       metrics_repo_dir=args.metrics_repo)
             s.pop("records", None)
         else:
             from .pipelines import run_suite

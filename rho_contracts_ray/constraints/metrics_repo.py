@@ -88,7 +88,8 @@ class MetricsRepository:
 
 def anomaly_check(history: pa.Table, current: pa.Table,
                   metrics: Sequence[str], z_thresh: float = 3.0,
-                  min_history: int = 2) -> pa.Table:
+                  min_history: int = 2,
+                  min_dev: float = 0.0) -> pa.Table:
     """Per (column, metric) z-score of the current profile against the
     history -> ANOMALY_SCHEMA rows, sorted by (column, metric).
 
@@ -96,7 +97,10 @@ def anomaly_check(history: pa.Table, current: pa.Table,
     skipped on both sides.  A zero-variance history flags on ANY exact
     change (the strictest consistent rule); fewer than `min_history`
     usable runs yields anomaly=false with z null — never a spurious
-    alarm from an unlearnable baseline."""
+    alarm from an unlearnable baseline.  `min_dev`: absolute deviation
+    floor — |value - mean| must also exceed it to flag (0 = off); use it
+    where the baseline has NATURAL variation (partition screening) so a
+    tiny-variance history cannot flag noise-level differences."""
     metrics = list(metrics)
     missing = [m for m in metrics if m not in current.column_names]
     if missing:
@@ -136,6 +140,8 @@ def anomaly_check(history: pa.Table, current: pa.Table,
                     flag = abs(z) > z_thresh
                 else:
                     flag = v != mean
+                if flag and min_dev > 0 and abs(v - mean) <= min_dev:
+                    flag = False
             out["column"].append(col)
             out["metric"].append(m)
             out["value"].append(v)
@@ -244,3 +250,23 @@ def weekly_profile_anomalies(ds, ts_col: str = "ts",
                      "n_match": pa.array(m, pa.int64()),
                      "z_n_e6": pa.array(loo_z_e6(n), pa.int64()),
                      "z_match_e6": pa.array(loo_z_e6(m), pa.int64())})
+
+
+def screen_runs(repo: MetricsRepository, metrics: Sequence[str],
+                z_thresh: float = 3.0, min_history: int = 2,
+                min_dev: float = 0.0) -> dict:
+    """Leave-one-out anomaly screen across EVERY recorded run: each
+    run's profile is checked against all the others -> {run_id:
+    flagged-rows table} for runs with >= 1 anomaly.  The post-hoc
+    complement of record_and_check (which only sees earlier runs):
+    use it when all runs exist up front — e.g. partitions of one job,
+    where a corrupt input shard is the partition whose rates deviate."""
+    out = {}
+    for rid in repo.run_ids():
+        cur = pq.read_table(repo._path(rid)).drop_columns(["run_id"])
+        rep = anomaly_check(repo.history(exclude=rid), cur, metrics,
+                            z_thresh, min_history, min_dev)
+        flagged = rep.filter(pc.equal(rep["anomaly"], True))
+        if flagged.num_rows:
+            out[rid] = flagged
+    return out

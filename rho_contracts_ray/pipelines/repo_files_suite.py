@@ -722,18 +722,60 @@ def run_suite(input_path, out_dir: Optional[str] = None,
 def run_suite_checkpointed(fragments: Sequence[str], ckpt_dir: str,
                            out_dir: str, group_size: int = 2,
                            max_partitions: Optional[int] = None,
-                           strict: bool = False) -> dict:
+                           strict: bool = False,
+                           metrics_repo_dir: Optional[str] = None,
+                           anomaly_min_dev_bp: int = 500) -> dict:
     """Resumable flagship run: one checkpointed partition per fragment
-    group; violations land in out_dir/part=<id>/ (resumable output layout)."""
+    group; violations land in out_dir/part=<id>/ (resumable output layout).
+
+    metrics_repo_dir: record each partition's RATE metrics (violation
+    rate, duplicate rate — size-independent so the short remainder
+    partition cannot false-flag) into a MetricsRepository and, after the
+    run, screen every partition against the others — a corrupt input
+    shard is the partition whose rates deviate.  The summary gains
+    `partition_anomalies` = {partition run id: flagged (column, metric)
+    pairs}.  Resume-safe: recording is idempotent per partition id."""
     from ..state.checkpoint import run_partitioned
+
+    repo = None
+    if metrics_repo_dir is not None:
+        from ..constraints.metrics_repo import MetricsRepository
+
+        repo = MetricsRepository(metrics_repo_dir)
 
     def do_partition(pid: str, files: list[str]) -> dict:
         s = run_suite(files, out_dir=os.path.join(out_dir, f"part={pid}"),
                       strict=strict)
+        if repo is not None:
+            rows = s["rows"]
+            repo.record(f"part-{pid}", pa.table({
+                "column": pa.array(["__partition__"], pa.string()),
+                "violation_bp": pa.array(
+                    [(s["contract_violations"] * 10000) // rows
+                     if rows else None], pa.int64()),
+                "duplicate_bp": pa.array(
+                    [(s["duplicate_keys"] * 10000) // rows
+                     if rows else None], pa.int64()),
+            }))
         return {"rows": s["rows"], "violations": s["contract_violations"],
                 "sha256_rollup": s["sha256_rollup"],
                 "duplicate_keys": s["duplicate_keys"]}
 
-    return run_partitioned(fragments, do_partition, ckpt_dir,
-                           group_size=group_size,
-                           max_partitions=max_partitions)
+    summary = run_partitioned(fragments, do_partition, ckpt_dir,
+                              group_size=group_size,
+                              max_partitions=max_partitions)
+    if repo is not None:
+        from ..constraints.metrics_repo import screen_runs
+
+        # partitions vary NATURALLY shard to shard; the basis-point
+        # deviation floor keeps noise-level differences from flagging
+        # under a tiny-variance baseline (a corrupt shard deviates by
+        # thousands of bp, healthy ones by tens)
+        flagged = screen_runs(repo, ["violation_bp", "duplicate_bp"],
+                              min_history=3,
+                              min_dev=float(anomaly_min_dev_bp))
+        summary["partition_anomalies"] = {
+            rid: [(r["column"], r["metric"], r["value"])
+                  for r in t.to_pylist()]
+            for rid, t in flagged.items()}
+    return summary

@@ -209,3 +209,44 @@ def test_weekly_profile_anomalies_shapes(ray_session):
     assert empty.num_rows == 0
     assert empty.column_names == ["week", "n_events", "n_match",
                                   "z_n_e6", "z_match_e6"]
+
+
+def test_checkpointed_partition_screening(ray_session, tmp_path):
+    """A corrupt shard surfaces as the partition whose violation rate
+    deviates; resume does not duplicate records."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rho_contracts_ray.constraints.metrics_repo import MetricsRepository
+    from rho_contracts_ray.pipelines import run_suite_checkpointed
+    from rho_contracts_ray.sources import write_repo_files
+
+    corpus = str(tmp_path / "corpus")
+    frags = write_repo_files(corpus, n_rows=2400, n_shards=12)
+    # corrupt ONE shard: null out the lang column -> violation spike
+    t = pq.read_table(frags[7])
+    t = t.set_column(t.schema.get_field_index("lang"), "lang",
+                     pa.nulls(t.num_rows, pa.string()))
+    pq.write_table(t, frags[7])
+
+    repo_dir = str(tmp_path / "runs")
+    s = run_suite_checkpointed(sorted(glob.glob(corpus + "/*.parquet")),
+                               str(tmp_path / "ckpt"),
+                               str(tmp_path / "out"), group_size=2,
+                               metrics_repo_dir=repo_dir)
+    anoms = s["partition_anomalies"]
+    # ONLY the corrupt shard's partition flags (the deviation floor
+    # keeps healthy partitions' natural variation quiet)
+    assert list(anoms) == ["part-p00003"]
+    assert any(m == "violation_bp" for _, m, _v in anoms["part-p00003"])
+    n_recorded = len(MetricsRepository(repo_dir).run_ids())
+    assert n_recorded == 6               # 12 shards / group_size 2
+
+    # resume: everything skipped, records not duplicated, same screen
+    s2 = run_suite_checkpointed(sorted(glob.glob(corpus + "/*.parquet")),
+                                str(tmp_path / "ckpt"),
+                                str(tmp_path / "out"), group_size=2,
+                                metrics_repo_dir=repo_dir)
+    assert len(MetricsRepository(repo_dir).run_ids()) == 6
+    assert s2["partition_anomalies"].keys() == anoms.keys()
