@@ -47,6 +47,11 @@ def main(argv=None) -> int:
                          "(requires --run-id; with --ckpt, partitions "
                          "record + screen themselves instead)")
     ps.add_argument("--run-id", default=None)
+    ps.add_argument("--anomaly-min-dev-bp", type=int, default=500,
+                    help="basis-point deviation floor for --ckpt "
+                         "partition screening; a corrupt shard's signal "
+                         "dilutes by ~1/group-size, so lower this for "
+                         "large groups")
 
     pg = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
     pg.add_argument("--out", required=True)
@@ -179,7 +184,8 @@ def main(argv=None) -> int:
                                        args.out or os.path.join(args.ckpt, "out"),
                                        group_size=args.group_size,
                                        strict=args.strict,
-                                       metrics_repo_dir=args.metrics_repo)
+                                       metrics_repo_dir=args.metrics_repo,
+                                       anomaly_min_dev_bp=args.anomaly_min_dev_bp)
             s.pop("records", None)
         else:
             from .pipelines import run_suite

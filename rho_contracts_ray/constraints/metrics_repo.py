@@ -254,17 +254,32 @@ def weekly_profile_anomalies(ds, ts_col: str = "ts",
 
 def screen_runs(repo: MetricsRepository, metrics: Sequence[str],
                 z_thresh: float = 3.0, min_history: int = 2,
-                min_dev: float = 0.0) -> dict:
-    """Leave-one-out anomaly screen across EVERY recorded run: each
-    run's profile is checked against all the others -> {run_id:
-    flagged-rows table} for runs with >= 1 anomaly.  The post-hoc
-    complement of record_and_check (which only sees earlier runs):
-    use it when all runs exist up front — e.g. partitions of one job,
-    where a corrupt input shard is the partition whose rates deviate."""
+                min_dev: float = 0.0,
+                include: Optional[Sequence[str]] = None) -> dict:
+    """Leave-one-out anomaly screen across recorded runs: each run's
+    profile is checked against all the others -> {run_id: flagged-rows
+    table} for runs with >= 1 anomaly.  The post-hoc complement of
+    record_and_check (which only sees earlier runs): use it when all
+    runs exist up front — e.g. partitions of one job, where a corrupt
+    input shard is the partition whose rates deviate.
+
+    `include`: restrict to these run ids (both as screened runs AND as
+    each other's baseline) — a shared repo dir may hold records from
+    OTHER jobs with different profile shapes, which must neither be
+    screened nor pollute the baseline.  Every profile loads exactly
+    once (one parquet read per run, not one per PAIR)."""
+    rids = repo.run_ids()
+    if include is not None:
+        want = set(include)
+        rids = [r for r in rids if r in want]
+    profiles = {rid: pq.read_table(repo._path(rid)) for rid in rids}
     out = {}
-    for rid in repo.run_ids():
-        cur = pq.read_table(repo._path(rid)).drop_columns(["run_id"])
-        rep = anomaly_check(repo.history(exclude=rid), cur, metrics,
+    for rid in rids:
+        others = [profiles[r] for r in rids if r != rid]
+        history = pa.concat_tables(others, promote_options="default") \
+            if others else pa.table({"column": pa.array([], pa.string())})
+        cur = profiles[rid].drop_columns(["run_id"])
+        rep = anomaly_check(history, cur, metrics,
                             z_thresh, min_history, min_dev)
         flagged = rep.filter(pc.equal(rep["anomaly"], True))
         if flagged.num_rows:

@@ -728,35 +728,26 @@ def run_suite_checkpointed(fragments: Sequence[str], ckpt_dir: str,
     """Resumable flagship run: one checkpointed partition per fragment
     group; violations land in out_dir/part=<id>/ (resumable output layout).
 
-    metrics_repo_dir: record each partition's RATE metrics (violation
-    rate, duplicate rate — size-independent so the short remainder
-    partition cannot false-flag) into a MetricsRepository and, after the
-    run, screen every partition against the others — a corrupt input
-    shard is the partition whose rates deviate.  The summary gains
-    `partition_anomalies` = {partition run id: flagged (column, metric)
-    pairs}.  Resume-safe: recording is idempotent per partition id."""
+    metrics_repo_dir: after the run, derive each completed partition's
+    RATE metrics (violation rate, duplicate rate — size-independent so
+    the short remainder partition cannot false-flag) FROM THE CHECKPOINT
+    RECORDS, record them into a MetricsRepository, and screen every
+    partition of THIS job against the others — a corrupt input shard is
+    the partition whose rates deviate.  The summary gains
+    `partition_anomalies` = {partition run id: flagged (column, metric,
+    value) rows} plus a `partition_screening` status note.  Deriving
+    from the checkpoint records makes this resume-safe in every order:
+    adding --metrics-repo on a resume backfills profiles for partitions
+    completed before the flag existed, and records from OTHER jobs or
+    plain-suite runs sharing the repo dir are never screened (only this
+    job's partition ids are).  `anomaly_min_dev_bp` (default 500) is the
+    basis-point deviation floor — note a corrupt shard's signal dilutes
+    by ~1/group_size, so lower the floor for large groups."""
     from ..state.checkpoint import run_partitioned
-
-    repo = None
-    if metrics_repo_dir is not None:
-        from ..constraints.metrics_repo import MetricsRepository
-
-        repo = MetricsRepository(metrics_repo_dir)
 
     def do_partition(pid: str, files: list[str]) -> dict:
         s = run_suite(files, out_dir=os.path.join(out_dir, f"part={pid}"),
                       strict=strict)
-        if repo is not None:
-            rows = s["rows"]
-            repo.record(f"part-{pid}", pa.table({
-                "column": pa.array(["__partition__"], pa.string()),
-                "violation_bp": pa.array(
-                    [(s["contract_violations"] * 10000) // rows
-                     if rows else None], pa.int64()),
-                "duplicate_bp": pa.array(
-                    [(s["duplicate_keys"] * 10000) // rows
-                     if rows else None], pa.int64()),
-            }))
         return {"rows": s["rows"], "violations": s["contract_violations"],
                 "sha256_rollup": s["sha256_rollup"],
                 "duplicate_keys": s["duplicate_keys"]}
@@ -764,18 +755,42 @@ def run_suite_checkpointed(fragments: Sequence[str], ckpt_dir: str,
     summary = run_partitioned(fragments, do_partition, ckpt_dir,
                               group_size=group_size,
                               max_partitions=max_partitions)
-    if repo is not None:
-        from ..constraints.metrics_repo import screen_runs
+    if metrics_repo_dir is not None:
+        from ..constraints.metrics_repo import (MetricsRepository,
+                                                screen_runs)
 
+        repo = MetricsRepository(metrics_repo_dir)
+        expected = []
+        for pid, rec in summary["records"].items():
+            rows = rec.get("rows", 0)
+            rid = f"part-{pid}"
+            expected.append(rid)
+            repo.record(rid, pa.table({
+                "column": pa.array(["__partition__"], pa.string()),
+                "violation_bp": pa.array(
+                    [(rec.get("violations", 0) * 10000) // rows
+                     if rows else None], pa.int64()),
+                "duplicate_bp": pa.array(
+                    [(rec.get("duplicate_keys", 0) * 10000) // rows
+                     if rows else None], pa.int64()),
+            }))
         # partitions vary NATURALLY shard to shard; the basis-point
         # deviation floor keeps noise-level differences from flagging
         # under a tiny-variance baseline (a corrupt shard deviates by
         # thousands of bp, healthy ones by tens)
+        min_hist = 3
         flagged = screen_runs(repo, ["violation_bp", "duplicate_bp"],
-                              min_history=3,
-                              min_dev=float(anomaly_min_dev_bp))
+                              min_history=min_hist,
+                              min_dev=float(anomaly_min_dev_bp),
+                              include=expected)
         summary["partition_anomalies"] = {
             rid: [(r["column"], r["metric"], r["value"])
                   for r in t.to_pylist()]
             for rid, t in flagged.items()}
+        # "screened clean" and "too few partitions to screen" must not
+        # read the same
+        summary["partition_screening"] = (
+            "active" if len(expected) > min_hist
+            else f"inactive: {len(expected)} partitions <= min_history="
+                 f"{min_hist}")
     return summary

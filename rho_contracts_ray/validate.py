@@ -305,8 +305,10 @@ def filter_valid_quarantine(ds, contract, quarantine_dir: str):
     rows, and the quarantine is readable mid-run.
 
     The dir must be fresh (same appends-duplicate rule as
-    sources.ensure_empty_dir).  Read it back with read_table() /
-    read_parquet to inspect or replay the quarantined rows."""
+    sources.ensure_empty_dir) and, on a multi-node cluster, SHARED
+    storage (NFS/cloud mount) — each task writes its shard locally to
+    that path.  Read it back with read_table() / read_parquet to
+    inspect or replay the quarantined rows."""
     import hashlib
     import os
 
@@ -322,16 +324,21 @@ def filter_valid_quarantine(ds, contract, quarantine_dir: str):
         mask = cc.eval_table_mask(contract, batch)
         bad = batch.filter(pa.array(~mask))
         if bad.num_rows:
-            # deterministic name from the shard's own content (hashed as
-            # Arrow IPC bytes — one C++ serialization, no Python row
-            # walk): a task retry rewrites the same file (idempotent),
-            # two different batches cannot collide on anything but
-            # identical rows
+            # deterministic name hashed over the WHOLE input batch
+            # (as Arrow IPC bytes — one C++ serialization, no Python
+            # row walk): a task retry re-reads the same block and
+            # rewrites the same file (idempotent), while two DIFFERENT
+            # batches that happen to share identical failing rows still
+            # get distinct names (hashing only the bad subset would
+            # silently collapse them).  Only two byte-identical whole
+            # input blocks collide — and then their quarantine shards
+            # are identical too.
             sink = pa.BufferOutputStream()
-            with pa.ipc.new_stream(sink, bad.schema) as w:
-                w.write_table(bad)
+            with pa.ipc.new_stream(sink, batch.schema) as w:
+                w.write_table(batch)
             digest = hashlib.sha256(sink.getvalue())
             name = f"quarantine-{digest.hexdigest()[:16]}.parquet"
+            os.makedirs(quarantine_dir, exist_ok=True)   # worker-side
             tmp = os.path.join(quarantine_dir, f".{name}.tmp")
             _pq.write_table(bad, tmp)
             os.replace(tmp, os.path.join(quarantine_dir, name))

@@ -250,3 +250,27 @@ def test_checkpointed_partition_screening(ray_session, tmp_path):
                                 metrics_repo_dir=repo_dir)
     assert len(MetricsRepository(repo_dir).run_ids()) == 6
     assert s2["partition_anomalies"].keys() == anoms.keys()
+
+
+def test_screen_runs_include_and_shared_dir(tmp_path):
+    """A shared repo dir holding foreign-shape records must neither
+    crash the screen nor pollute the baseline when `include` scopes it."""
+    from rho_contracts_ray.constraints.metrics_repo import (
+        MetricsRepository, screen_runs)
+
+    repo = MetricsRepository(str(tmp_path / "runs"))
+    # foreign record with a DIFFERENT profile shape
+    repo.record("other-job", pa.table({
+        "column": pa.array(["x"], pa.string()),
+        "rows": pa.array([1], pa.int64())}))
+    for i, bp in enumerate([100, 110, 105, 9000]):
+        repo.record(f"part-p{i}", pa.table({
+            "column": pa.array(["__partition__"], pa.string()),
+            "violation_bp": pa.array([bp], pa.int64())}))
+    include = [f"part-p{i}" for i in range(4)]
+    out = screen_runs(repo, ["violation_bp"], min_history=3,
+                      min_dev=500.0, include=include)
+    assert list(out) == ["part-p3"]
+    # without include the foreign record would raise on missing metrics
+    with pytest.raises(ValueError, match="not in"):
+        screen_runs(repo, ["violation_bp"], min_history=3)

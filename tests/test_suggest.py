@@ -302,3 +302,18 @@ def test_filter_valid_quarantine(ray_session, tmp_path):
     # non-empty dir refused (appends would duplicate rows)
     with pytest.raises(ValueError, match="not empty"):
         filter_valid_quarantine(ray.data.from_arrow(t), con, qdir)
+
+    # two blocks with IDENTICAL failing rows but different good rows
+    # must produce two distinct shards (hash covers the whole batch)
+    t2a = pa.table({"id": pa.array([1, 2], pa.int64()),
+                    "v": pa.array([-1.0, 5.0], pa.float64())})
+    t2b = pa.table({"id": pa.array([1, 3], pa.int64()),
+                    "v": pa.array([-1.0, 7.0], pa.float64())})
+    q2 = str(tmp_path / "q2")
+    ds2 = ray.data.from_arrow(t2a).union(ray.data.from_arrow(t2b))
+    good2 = filter_valid_quarantine(ds2, con, q2).take_all()
+    files2 = [f for f in os.listdir(q2) if f.endswith(".parquet")]
+    assert len(files2) == 2
+    bad2 = pa.concat_tables([pq.read_table(os.path.join(q2, f))
+                             for f in files2])
+    assert len(good2) + bad2.num_rows == 4
