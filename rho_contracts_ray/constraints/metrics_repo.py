@@ -271,6 +271,11 @@ def screen_runs(repo: MetricsRepository, metrics: Sequence[str],
     rids = repo.run_ids()
     if include is not None:
         want = set(include)
+        missing = sorted(want - set(rids))
+        if missing:
+            # an expected-but-unrecorded run must not read as "clean"
+            raise ValueError(f"screen_runs: include ids {missing} have "
+                             f"no recorded profile")
         rids = [r for r in rids if r in want]
     profiles = {rid: pq.read_table(repo._path(rid)) for rid in rids}
     out = {}

@@ -756,14 +756,35 @@ def run_suite_checkpointed(fragments: Sequence[str], ckpt_dir: str,
                               group_size=group_size,
                               max_partitions=max_partitions)
     if metrics_repo_dir is not None:
+        import hashlib
+
         from ..constraints.metrics_repo import (MetricsRepository,
                                                 screen_runs)
+        from ..state.checkpoint import plan_partitions
 
         repo = MetricsRepository(metrics_repo_dir)
+        # run ids are namespaced by THIS job's identity (fragment set +
+        # grouping) — two jobs sharing one repo dir must not overwrite
+        # each other's records, and index-only partition ids collide
+        # across every checkpointed job
+        job_key = hashlib.sha256(
+            ("\n".join(sorted(fragments)) + f"|g={group_size}")
+            .encode()).hexdigest()[:8]
+        # screen only records matching the CURRENT plan: a reused ckpt
+        # dir with a changed group_size/fragment set holds stale
+        # partitions that are NOT partitions of this job
+        plan = dict(plan_partitions(fragments, group_size))
         expected = []
+        foreign = []
+        usable = 0
         for pid, rec in summary["records"].items():
+            if pid not in plan or rec.get("fragments") != plan[pid]:
+                foreign.append(pid)
+                continue
             rows = rec.get("rows", 0)
-            rid = f"part-{pid}"
+            if rows:
+                usable += 1
+            rid = f"part-{job_key}-{pid}"
             expected.append(rid)
             repo.record(rid, pa.table({
                 "column": pa.array(["__partition__"], pa.string()),
@@ -788,9 +809,12 @@ def run_suite_checkpointed(fragments: Sequence[str], ckpt_dir: str,
                   for r in t.to_pylist()]
             for rid, t in flagged.items()}
         # "screened clean" and "too few partitions to screen" must not
-        # read the same
+        # read the same; zero-row partitions record null rates and do
+        # not contribute baseline, so the status counts USABLE profiles
         summary["partition_screening"] = (
-            "active" if len(expected) > min_hist
-            else f"inactive: {len(expected)} partitions <= min_history="
-                 f"{min_hist}")
+            "active" if usable > min_hist
+            else f"inactive: {usable} non-empty partitions <= "
+                 f"min_history={min_hist}")
+        if foreign:
+            summary["partitions_foreign"] = sorted(foreign)
     return summary

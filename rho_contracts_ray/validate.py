@@ -333,10 +333,26 @@ def filter_valid_quarantine(ds, contract, quarantine_dir: str):
             # silently collapse them).  Only two byte-identical whole
             # input blocks collide — and then their quarantine shards
             # are identical too.
-            sink = pa.BufferOutputStream()
-            with pa.ipc.new_stream(sink, batch.schema) as w:
+            digest = hashlib.sha256()
+
+            class _HashSink:
+                """File-like: streams IPC bytes straight into the hash —
+                no second whole-batch buffer in the task's memory."""
+
+                closed = False
+
+                def write(self, b):
+                    digest.update(b)
+                    return len(b)
+
+                def flush(self):
+                    pass
+
+                def close(self):
+                    self.closed = True
+
+            with pa.ipc.new_stream(_HashSink(), batch.schema) as w:
                 w.write_table(batch)
-            digest = hashlib.sha256(sink.getvalue())
             name = f"quarantine-{digest.hexdigest()[:16]}.parquet"
             os.makedirs(quarantine_dir, exist_ok=True)   # worker-side
             tmp = os.path.join(quarantine_dir, f".{name}.tmp")

@@ -237,11 +237,17 @@ def test_checkpointed_partition_screening(ray_session, tmp_path):
                                metrics_repo_dir=repo_dir)
     anoms = s["partition_anomalies"]
     # ONLY the corrupt shard's partition flags (the deviation floor
-    # keeps healthy partitions' natural variation quiet)
-    assert list(anoms) == ["part-p00003"]
-    assert any(m == "violation_bp" for _, m, _v in anoms["part-p00003"])
+    # keeps healthy partitions' natural variation quiet); run ids are
+    # job-namespaced so shared repo dirs cannot collide across jobs
+    assert len(anoms) == 1
+    (rid,) = anoms
+    assert rid.startswith("part-") and rid.endswith("-p00003")
+    assert any(m == "violation_bp" for _, m, _v in anoms[rid])
+    assert s["partition_screening"] == "active"
     n_recorded = len(MetricsRepository(repo_dir).run_ids())
     assert n_recorded == 6               # 12 shards / group_size 2
+    assert all(r.startswith("part-") for r in
+               MetricsRepository(repo_dir).run_ids())
 
     # resume: everything skipped, records not duplicated, same screen
     s2 = run_suite_checkpointed(sorted(glob.glob(corpus + "/*.parquet")),
