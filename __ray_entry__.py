@@ -4686,16 +4686,78 @@ def _q_k_anonymity_customers(sf_dir: str):
     return k_anonymity(ds, ["c_nationkey", "c_mktsegment"], k=5)
 
 
+# The driver's correctness gate checks only the FIRST 50 queries()
+# entries.  Round-5 window (VERDICT r4 next-steps #1/#3): the ~20
+# contract/constraint flagships stay pinned, the three r4 hash-red
+# queries (cumsum/rolling/order_stats — oracle BIGINT casts fixed this
+# round) stay in to prove green, and 27 of the 50 slots (54%) are
+# oracled queries that have NEVER received a driver row in r1–r4.
+_R5_WINDOW = [
+    # pinned contract/constraint flagships (driver-green r3/r4)
+    "validate_events_summary",
+    "contract_oneof_violations",
+    "contract_matches_violations",
+    "contract_and_violations",
+    "contract_integer_violations",
+    "contract_pred_violations",
+    "contract_or_optional_verdicts",
+    "contract_tuple_embeddings",
+    "contract_field_breakdown_events",
+    "contract_branch_coverage_events",
+    "unique_orders_custkey",
+    "fk_lineitem_orders",
+    "column_stats_lineitem",
+    "drift_events_split",
+    "sha256_documents",
+    "schema_validate_all_tables",
+    "heavy_hitters_events",
+    "anomaly_weekly_events",
+    "snapshot_diff_orders",
+    "dedup_exact_documents",
+    # r4 hash-red, oracle-cast fixed this round — must prove green
+    "cumsum_events_user",
+    "rolling_events_user",
+    "order_stats_by_status",
+    # never-driver-checked oracled queries (27 = 54% of the window)
+    "intersect_click_purchase_users",
+    "except_returned_orderkeys",
+    "upsert_orders",
+    "delta_agg_orders",
+    "quality_buckets_documents",
+    "gopher_rules_documents",
+    "classify_quality_documents",
+    "q7_nation_volume",
+    "q9_profit",
+    "q12_priority_shipping",
+    "q21_waiting_suppliers",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "corr_lineitem_by_flag",
+    "zscore_events_by_type",
+    "moments_lineitem_by_flag",
+    "wmedian_events_by_type",
+    "iqr_outliers_events",
+    "lag_events_user",
+    "ffill_events_user",
+    "global_rank_events",
+    "skyline_orders",
+    "transition_matrix_events",
+    "ohlc_daily_user",
+    "unigram_logprob_documents",
+    "bigram_logprob_documents",
+    "dedup_spans_documents",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from rho_contracts_ray.pipelines import tpch as _tpch
 
     # ORDER MATTERS for the driver's correctness gate: it checks only the
-    # FIRST 50 entries against oracle_sql().  So the dict lists every
-    # SQL-oracled query first — leading with the 21 that had never
-    # received a driver row through round 3 (VERDICT r3 "what's wrong"
-    # #2) — and the 8 genuinely non-SQL rows-only queries LAST, outside
-    # the window.  Every window slot is an oracle-checkable query.
-    return {
+    # FIRST 50 entries against oracle_sql().  The catalog below is the
+    # full registry; _R5_WINDOW (above) picks this round's 50 window
+    # slots — every one SQL-oracled — and the genuinely non-SQL
+    # rows-only queries stay LAST, outside the window.
+    all_q = {
         # --- oracled, newly rotated into the driver window -----------
         "suggest_constraints_lineitem": _q_suggest_constraints_lineitem,
         "suggest_constraints_events": _q_suggest_constraints_events,
@@ -4920,6 +4982,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_fpr_documents": _q_bloom_fpr_documents,
         "minhash_pr_documents": _q_minhash_pr_documents,
     }
+    out = {k: all_q[k] for k in _R5_WINDOW}
+    out.update((k, v) for k, v in all_q.items() if k not in out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5358,9 +5423,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cumsum_events_user": (
             "SELECT event_id, user_id, "
-            "sum(CAST(round(value * 100) AS BIGINT)) OVER ("
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS UNBOUNDED PRECEDING) AS running_cents FROM events"
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents FROM events"
         ),
         "intersect_click_purchase_users": (
             "SELECT user_id FROM events WHERE event_type = 'click' "
@@ -5431,7 +5496,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rolling_events_user": (
             "SELECT event_id, user_id, "
-            "sum(c) OVER w AS wsum, min(c) OVER w AS wmin, "
+            "CAST(sum(c) OVER w AS BIGINT) AS wsum, min(c) OVER w AS wmin, "
             "max(c) OVER w AS wmax, count(c) OVER w AS wcount FROM "
             "(SELECT event_id, ts, user_id, "
             "CAST(round(value * 100) AS BIGINT) AS c FROM events) "
@@ -5440,7 +5505,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "order_stats_by_status": (
             "SELECT o_orderstatus, "
-            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents, "
+            "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents, "
             "min(o_totalprice) AS min_price, "
             "max(o_totalprice) AS max_price, "
             "count(*)::BIGINT AS n_orders FROM orders GROUP BY o_orderstatus"

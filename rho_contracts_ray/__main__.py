@@ -52,6 +52,10 @@ def main(argv=None) -> int:
                          "partition screening; a corrupt shard's signal "
                          "dilutes by ~1/group-size, so lower this for "
                          "large groups")
+    ps.add_argument("--anomaly-min-history", type=int, default=3,
+                    help="minimum non-empty partition profiles before "
+                         "--ckpt screening activates; lower it for jobs "
+                         "with only 3-4 partitions")
 
     pg = sub.add_parser("gen", help="generate a deterministic synthetic corpus")
     pg.add_argument("--out", required=True)
@@ -167,6 +171,17 @@ def main(argv=None) -> int:
         finally:
             ray.shutdown()
 
+    # same JSON-error contract as the --ckpt/--run-id conflict below:
+    # run_suite requires metrics-repo and run-id together; surface the
+    # pairing error here instead of as an uncaught ValueError traceback
+    if not args.ckpt and (args.metrics_repo is None) != (args.run_id is None):
+        print(json.dumps({"error": "--metrics-repo and --run-id must be "
+                          "passed together (both or neither) without "
+                          "--ckpt; per-partition --ckpt mode takes only "
+                          "--metrics-repo"}))
+        ray.shutdown()
+        return 2
+
     try:
         if args.ckpt:
             if args.run_id:
@@ -185,7 +200,8 @@ def main(argv=None) -> int:
                                        group_size=args.group_size,
                                        strict=args.strict,
                                        metrics_repo_dir=args.metrics_repo,
-                                       anomaly_min_dev_bp=args.anomaly_min_dev_bp)
+                                       anomaly_min_dev_bp=args.anomaly_min_dev_bp,
+                                       min_history=args.anomaly_min_history)
             s.pop("records", None)
         else:
             from .pipelines import run_suite

@@ -6,10 +6,11 @@ Data; the reference library's fromExample (contract.impl.js:744-760)
 does the same for ONE value, this does it for a corpus).
 
 Scale design: one partial row per (batch, column) — a dozen scalars plus
-a distinct-value list HARD-CAPPED at `domain_cap + 1` entries (a batch
-that exceeds the cap emits a null domain, and null is sticky through the
-merge), so the driver-side fold is O(#batches x #columns x domain_cap)
-regardless of input size.  No shuffle; the input streams once.
+a distinct-value list of at most `domain_cap` entries (a batch with more
+than `domain_cap` distinct values emits a NULL domain instead, and null
+is sticky through the merge), so the driver-side fold is
+O(#batches x #columns x domain_cap) regardless of input size.  No
+shuffle; the input streams once.
 
 Every emitted statistic is SQL-exact (integer basis points, exact
 min/max, epoch-microsecond timestamps) so the whole profile has a
@@ -105,8 +106,8 @@ class SuggestPartialStage:
                     mm = pc.min_max(nn)
                     smin, smax = mm["min"].as_py(), mm["max"].as_py()
                 u = pc.unique(nn)
-                # cap + 1: enough to PROVE overflow without carrying the
-                # full distinct set out of the task
+                # more than cap distinct values -> NULL (sticky-overflow)
+                # domain; the full distinct set never leaves the task
                 dom = u.to_pylist() if len(u) <= self.cap else None
             rows["column"].append(name)
             rows["dtype"].append(_dtype_label(t))

@@ -724,7 +724,8 @@ def run_suite_checkpointed(fragments: Sequence[str], ckpt_dir: str,
                            max_partitions: Optional[int] = None,
                            strict: bool = False,
                            metrics_repo_dir: Optional[str] = None,
-                           anomaly_min_dev_bp: int = 500) -> dict:
+                           anomaly_min_dev_bp: int = 500,
+                           min_history: int = 3) -> dict:
     """Resumable flagship run: one checkpointed partition per fragment
     group; violations land in out_dir/part=<id>/ (resumable output layout).
 
@@ -742,7 +743,10 @@ def run_suite_checkpointed(fragments: Sequence[str], ckpt_dir: str,
     plain-suite runs sharing the repo dir are never screened (only this
     job's partition ids are).  `anomaly_min_dev_bp` (default 500) is the
     basis-point deviation floor — note a corrupt shard's signal dilutes
-    by ~1/group_size, so lower the floor for large groups."""
+    by ~1/group_size, so lower the floor for large groups.
+    `min_history` (default 3) is the minimum count of non-empty partition
+    profiles before screening activates — lower it for jobs with only
+    3-4 partitions (CLI: --anomaly-min-history)."""
     from ..state.checkpoint import run_partitioned
 
     def do_partition(pid: str, files: list[str]) -> dict:
@@ -798,8 +802,10 @@ def run_suite_checkpointed(fragments: Sequence[str], ckpt_dir: str,
         # partitions vary NATURALLY shard to shard; the basis-point
         # deviation floor keeps noise-level differences from flagging
         # under a tiny-variance baseline (a corrupt shard deviates by
-        # thousands of bp, healthy ones by tens)
-        min_hist = 3
+        # thousands of bp, healthy ones by tens).  min_history is
+        # caller-tunable (CLI: --anomaly-min-history) so jobs with only
+        # 3-4 partitions can still opt into screening.
+        min_hist = min_history
         flagged = screen_runs(repo, ["violation_bp", "duplicate_bp"],
                               min_history=min_hist,
                               min_dev=float(anomaly_min_dev_bp),

@@ -95,7 +95,13 @@ def _unit_parallel_read(files, enumerate_units, read_units, file_schema,
         return read_units(batch["path"].to_pylist(),
                           [int(u) for u in batch["unit"].to_pylist()])
 
-    return rd.from_items(items, override_num_blocks=max(1, len(items))) \
+    # cap the block count at a few x the core count: units of the same
+    # file then land in the same task consecutively (items are in file
+    # order), so read_units' group-by-path opens each file once per task
+    # instead of once per unit, while still leaving every core busy
+    import os as _os
+    n_blocks = max(1, min(len(items), (_os.cpu_count() or 8) * 4))
+    return rd.from_items(items, override_num_blocks=n_blocks) \
         .map_batches(read, batch_format="pyarrow", batch_size=None)
 
 
@@ -169,10 +175,17 @@ def read_table(path, columns=None, format=None, **kwargs):
         cols = list(columns) if columns else None
 
         def read_stripes(paths_, stripes_):
-            outs = []
-            for p, s in zip(paths_, stripes_):
-                rb = paorc.ORCFile(p).read_stripe(s, columns=cols)
-                outs.append(pa.Table.from_batches([rb]))
+            # group units by path: ONE ORCFile (footer read + fd) per
+            # file per task, not one per stripe
+            by_path: dict = {}
+            for i, (p, s) in enumerate(zip(paths_, stripes_)):
+                by_path.setdefault(p, []).append((i, s))
+            outs = [None] * len(paths_)
+            for p, units in by_path.items():
+                f = paorc.ORCFile(p)
+                for i, s in units:
+                    rb = f.read_stripe(s, columns=cols)
+                    outs[i] = pa.Table.from_batches([rb])
             out = pa.concat_tables(outs)
             # read_stripe returns FILE column order; honor the caller's
             return out.select(cols) if cols else out
@@ -195,10 +208,20 @@ def read_table(path, columns=None, format=None, **kwargs):
             return paipc.open_file(pa.memory_map(p))
 
         def read_batches(paths_, batches_):
-            outs = []
-            for p, b in zip(paths_, batches_):
-                t = pa.Table.from_batches([_open(p).get_batch(b)])
-                outs.append(t.select(cols) if cols else t)
+            # group units by path: ONE memory map + IPC footer parse per
+            # file per task, not one per record batch.  The map is NOT
+            # explicitly closed: get_batch is zero-copy into it, so the
+            # buffers keep it alive until the task output is serialized
+            # into the object store, at which point it is dropped.
+            by_path: dict = {}
+            for i, (p, b) in enumerate(zip(paths_, batches_)):
+                by_path.setdefault(p, []).append((i, b))
+            outs = [None] * len(paths_)
+            for p, units in by_path.items():
+                r = _open(p)
+                for i, b in units:
+                    t = pa.Table.from_batches([r.get_batch(b)])
+                    outs[i] = t.select(cols) if cols else t
             return pa.concat_tables(outs)
 
         return _unit_parallel_read(

@@ -161,33 +161,79 @@ def _combine_for_hash(table: pa.Table, cols: list):
 
 
 def _exact_dup_groups_shuffle(ds, cols: list, id_col: str, min_count: int):
-    """All-keys form (keep-lists): per-batch combine then key groupby —
-    every batch-distinct key ships once."""
+    """All-keys form (keep-lists): per-batch combine, then the
+    batch-distinct (key, keep_id, cnt) partials — each key ships ONCE per
+    batch — route by key-hash range into bucket tasks
+    (stages/distagg.bucketed_reduce: block refs to reduce tasks, no
+    sort-based shuffle) where they are re-grouped by the REAL key values
+    (a hash collision only co-locates extra keys, never merges them).
+    Bucket outputs become the returned Dataset's blocks without landing
+    on the driver."""
+    import ray.data as rd
+
+    from .distagg import bucketed_reduce, dataset_from_refs
 
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.select(cols + [id_col]).group_by(cols).aggregate(
             [(id_col, "min"), ([], "count_all")])
-        return g.rename_columns(cols + ["keep_id", "cnt"])
+        g = g.rename_columns(cols + ["keep_id", "cnt"])
+        kh = stable_hash64(_combine_for_hash(g, cols)).view(np.int64)
+        return g.append_column("__kh", pa.array(kh))
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(cols, as_index=False).agg(
-            keep_id=("keep_id", "min"), cnt=("cnt", "sum"))
-        return out[out["cnt"] >= min_count]
+    def finish(t: pa.Table):
+        g = t.group_by(cols).aggregate([("keep_id", "min"), ("cnt", "sum")])
+        g = g.rename_columns(cols + ["keep_id", "cnt"])
+        g = g.filter(pc.greater_equal(g["cnt"], min_count))
+        return g if g.num_rows else None
 
-    return ds.map_batches(partial, batch_format="pyarrow") \
-             .groupby(cols).map_groups(finish, batch_format="pandas")
+    def make_empty() -> pa.Table:
+        schema = ds.schema().base_schema
+        return pa.table({
+            **{c: pa.array([], schema.field(c).type) for c in cols},
+            "keep_id": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64())})
+
+    refs = bucketed_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                           "__kh", finish, as_refs=True)
+    if not refs:
+        return rd.from_arrow(make_empty())
+    return dataset_from_refs(refs, make_empty)
 
 
 def exact_dedup(ds, cols: Sequence[str], id_col: str):
-    """Keep exactly one row (min id) per distinct `cols` value.  This one
-    shuffles whole rows (hash partition by key) — use exact_dup_groups +
-    an anti-filter when rows are wide."""
+    """Keep exactly one row (min id) per distinct `cols` value.  Whole
+    rows route by key-hash range into bucket tasks (bucketed_reduce —
+    block refs, no sort-based shuffle); inside a bucket one stable
+    sort-by-id + drop_duplicates keeps the min-id row per key.  Use
+    exact_dup_groups + an anti-filter when rows are wide (this variant
+    still moves every row once)."""
+    import ray.data as rd
+
+    from .distagg import bucketed_reduce, dataset_from_refs
+
     cols = list(cols)
 
-    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(id_col).head(1)
+    def add_kh(batch: pa.Table) -> pa.Table:
+        kh = stable_hash64(_combine_for_hash(batch, cols)).view(np.int64)
+        return batch.append_column("__kh", pa.array(kh))
 
-    return ds.groupby(cols).map_groups(keep_first, batch_format="pandas")
+    def keep_first(t: pa.Table):
+        if not t.num_rows:
+            return None
+        df = t.drop_columns(["__kh"]).to_pandas()
+        out = df.sort_values(id_col, kind="mergesort") \
+                .drop_duplicates(subset=cols, keep="first")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def make_empty() -> pa.Table:
+        schema = ds.schema().base_schema
+        return pa.table({f.name: pa.array([], f.type) for f in schema})
+
+    refs = bucketed_reduce(ds.map_batches(add_kh, batch_format="pyarrow"),
+                           "__kh", keep_first, as_refs=True)
+    if not refs:
+        return rd.from_arrow(make_empty())
+    return dataset_from_refs(refs, make_empty)
 
 
 # ---------------------------------------------------------------------------

@@ -72,10 +72,14 @@ def auto_buckets(left_ds, right_ds, target_rows: int = 250_000) -> int:
         try:
             if ds._plan.has_computed_output():   # already materialized
                 return ds.count()
-            from ray.data._internal.logical.operators.read_operator import \
-                Read
+            # private-API feature test (written against Ray 2.49.2):
+            # match the logical plan's root operator by NAME instead of
+            # importing ray.data._internal...read_operator.Read, so a
+            # module move in a future Ray only disables the fast path
+            # (fall through to the warned CPU-scaled default) instead of
+            # raising at import time
             dag = ds._logical_plan.dag
-            if isinstance(dag, Read) and not dag.input_dependencies:
+            if type(dag).__name__ == "Read" and not dag.input_dependencies:
                 return ds.count()                # metadata-only
         except Exception:
             pass
@@ -186,15 +190,25 @@ def bucketed_join(left_ds, right_ds, on: Sequence[str],
                           n_buckets=n_buckets)
 
 
+# Named Ray actor (created by tests) that, when present, counts how many
+# times an asof broadcast side is materialized — lets the test suite assert
+# the sorted right table is built once per ACTOR, not once per task.
+_ASOF_PROBE_NAME = "rho_asof_init_probe"
+
+
 def asof_join(left_ds, right_table: pa.Table, key: str, ts: str,
               value_cols: Sequence[str], right_ts: Optional[str] = None,
-              suffix: str = "_asof", direction: str = "backward"):
+              suffix: str = "_asof", direction: str = "backward",
+              concurrency=(2, 16)):
     """For each left row, the nearest right row with the same key under
     `direction`: "backward" (latest right.ts <= left.ts — DuckDB's ASOF
     `>=` form), "forward" (earliest right.ts >= left.ts — the `<=` form),
     or "nearest" (smallest |right.ts - left.ts|, backward wins ties; no
-    SQL form).  The right side is broadcast (sorted once per worker);
-    per-batch merge_asof on the left stream."""
+    SQL form).  The right side is sorted ONCE on the driver (it is
+    immutable thereafter), `ray.put` once, and fetched + converted to
+    pandas once per ACTOR in `__init__` (model-in-actor pattern) — never
+    re-sorted or re-fetched per task; per-batch merge_asof on the left
+    stream."""
     import ray
 
     if direction not in ("backward", "forward", "nearest"):
@@ -203,23 +217,32 @@ def asof_join(left_ds, right_table: pa.Table, key: str, ts: str,
 
     right_ts = right_ts or ts
     cols = [key, right_ts] + list(value_cols)
-    ref = ray.put(right_table.select(cols))
-    _cache: dict = {}
+    rt = right_table.select(cols)
+    # Sort once, Arrow-native, BEFORE the broadcast: at 100 TB the right
+    # side is a few GB — re-sorting it in every task (the old closure
+    # cache was re-pickled per task) is O(#tasks) wasted sort work.
+    rt = rt.take(pc.sort_indices(
+        rt, sort_keys=[(right_ts, "ascending"), (key, "ascending")]))
+    ref = ray.put(rt)
 
-    def merge(batch: pd.DataFrame) -> pd.DataFrame:
-        right = _cache.get("right")
-        if right is None:
-            right = ray.get(ref).to_pandas() \
-                .sort_values([right_ts, key], kind="mergesort") \
-                .reset_index(drop=True)
-            _cache["right"] = right
-        left = batch.sort_values([ts, key], kind="mergesort")
-        out = pd.merge_asof(left, right, left_on=ts, right_on=right_ts,
-                            by=key, suffixes=("", suffix),
-                            direction=direction)
-        return out
+    class _AsofMerge:
+        def __init__(self):
+            try:  # test-only probe; absent in production (once per actor)
+                probe = ray.get_actor(_ASOF_PROBE_NAME)
+            except ValueError:
+                pass
+            else:
+                ray.get(probe.incr.remote())
+            self.right = ray.get(ref).to_pandas()
 
-    return left_ds.map_batches(merge, batch_format="pandas")
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            left = batch.sort_values([ts, key], kind="mergesort")
+            return pd.merge_asof(left, self.right, left_on=ts,
+                                 right_on=right_ts, by=key,
+                                 suffixes=("", suffix), direction=direction)
+
+    return left_ds.map_batches(_AsofMerge, batch_format="pandas",
+                               concurrency=concurrency)
 
 
 def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
