@@ -191,24 +191,40 @@ def bucketed_join(left_ds, right_ds, on: Sequence[str],
 
 
 # Named Ray actor (created by tests) that, when present, counts how many
-# times an asof broadcast side is materialized — lets the test suite assert
-# the sorted right table is built once per ACTOR, not once per task.
+# times an asof broadcast side is fetched out of the object store (cache
+# miss) — lets the test suite assert the fetch happens at most once per
+# WORKER PROCESS, never once per task.
 _ASOF_PROBE_NAME = "rho_asof_init_probe"
+
+# Worker-process-global cache of fetched broadcast sides, keyed by object
+# ref — the r4 finding was a driver-local `_cache = {}` captured by the
+# closure and re-pickled EMPTY into every task, re-fetching AND
+# re-sorting the right table O(#tasks) times.  cloudpickle snapshots a
+# nested function's referenced globals BY VALUE, and a package import
+# inside the task only works when the worker can import the package
+# (true under the driver/pytest layout, not for ad-hoc sys.path setups),
+# so the cache anchors on the `ray` module — always importable in a Ray
+# worker — looked up inline inside the task (a helper function here
+# would itself be pickled by module reference and re-import this
+# package).  Bounded FIFO so sessions running many asof joins don't
+# accumulate dead tables.
+_ASOF_CACHE_MAX = 4
 
 
 def asof_join(left_ds, right_table: pa.Table, key: str, ts: str,
               value_cols: Sequence[str], right_ts: Optional[str] = None,
-              suffix: str = "_asof", direction: str = "backward",
-              concurrency=(2, 16)):
+              suffix: str = "_asof", direction: str = "backward"):
     """For each left row, the nearest right row with the same key under
     `direction`: "backward" (latest right.ts <= left.ts — DuckDB's ASOF
     `>=` form), "forward" (earliest right.ts >= left.ts — the `<=` form),
     or "nearest" (smallest |right.ts - left.ts|, backward wins ties; no
-    SQL form).  The right side is sorted ONCE on the driver (it is
-    immutable thereafter), `ray.put` once, and fetched + converted to
-    pandas once per ACTOR in `__init__` (model-in-actor pattern) — never
-    re-sorted or re-fetched per task; per-batch merge_asof on the left
-    stream."""
+    SQL form).  The right side is sorted ONCE on the driver (Arrow
+    sort_indices; it is immutable thereafter), converted to pandas ONCE,
+    and `ray.put` once; tasks fetch it through a worker-process-global
+    cache (zero-copy deserialization for numeric blocks) so each worker
+    materializes it at most once — per-batch work is only the left-batch
+    sort + merge_asof.  Task pool, not actor pool: the same cache
+    guarantee without per-pipeline actor cold-start."""
     import ray
 
     if direction not in ("backward", "forward", "nearest"):
@@ -219,30 +235,37 @@ def asof_join(left_ds, right_table: pa.Table, key: str, ts: str,
     cols = [key, right_ts] + list(value_cols)
     rt = right_table.select(cols)
     # Sort once, Arrow-native, BEFORE the broadcast: at 100 TB the right
-    # side is a few GB — re-sorting it in every task (the old closure
-    # cache was re-pickled per task) is O(#tasks) wasted sort work.
+    # side is a few GB — re-sorting it in every task is O(#tasks) wasted
+    # sort work (VERDICT r4 #3).
     rt = rt.take(pc.sort_indices(
         rt, sort_keys=[(right_ts, "ascending"), (key, "ascending")]))
-    ref = ray.put(rt)
+    ref = ray.put(rt.to_pandas())
 
-    class _AsofMerge:
-        def __init__(self):
-            try:  # test-only probe; absent in production (once per actor)
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        # cache anchored on the ray module of THIS worker process —
+        # naming a dict global here would ship a fresh snapshot of it
+        # into every task (the exact r4 bug: cloudpickle pickles nested
+        # functions by value, globals included)
+        cache = ray.__dict__.setdefault("_rho_asof_right_cache", {})
+        ck = ref.hex()
+        right = cache.get(ck)
+        if right is None:
+            try:  # test-only probe; absent in production
                 probe = ray.get_actor(_ASOF_PROBE_NAME)
             except ValueError:
                 pass
             else:
                 ray.get(probe.incr.remote())
-            self.right = ray.get(ref).to_pandas()
+            right = ray.get(ref)
+            while len(cache) >= _ASOF_CACHE_MAX:
+                cache.pop(next(iter(cache)))
+            cache[ck] = right
+        left = batch.sort_values([ts, key], kind="mergesort")
+        return pd.merge_asof(left, right, left_on=ts, right_on=right_ts,
+                             by=key, suffixes=("", suffix),
+                             direction=direction)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            left = batch.sort_values([ts, key], kind="mergesort")
-            return pd.merge_asof(left, self.right, left_on=ts,
-                                 right_on=right_ts, by=key,
-                                 suffixes=("", suffix), direction=direction)
-
-    return left_ds.map_batches(_AsofMerge, batch_format="pandas",
-                               concurrency=concurrency)
+    return left_ds.map_batches(merge, batch_format="pandas")
 
 
 def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
