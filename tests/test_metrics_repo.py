@@ -258,6 +258,31 @@ def test_checkpointed_partition_screening(ray_session, tmp_path):
     assert s2["partition_anomalies"].keys() == anoms.keys()
 
 
+def test_checkpointed_screening_min_history_tunable(ray_session, tmp_path):
+    """A 3-partition job reports 'inactive' screening under the default
+    min_history=3 but activates when the caller lowers the floor (r4
+    advisor finding: the floor was hardcoded)."""
+    import glob
+
+    from rho_contracts_ray.pipelines import run_suite_checkpointed
+    from rho_contracts_ray.sources import write_repo_files
+
+    corpus = str(tmp_path / "corpus")
+    write_repo_files(corpus, n_rows=900, n_shards=6)
+    frags = sorted(glob.glob(corpus + "/*.parquet"))
+
+    s = run_suite_checkpointed(frags, str(tmp_path / "ckpt_a"),
+                               str(tmp_path / "out_a"), group_size=2,
+                               metrics_repo_dir=str(tmp_path / "runs_a"))
+    assert s["partition_screening"].startswith("inactive")
+
+    s2 = run_suite_checkpointed(frags, str(tmp_path / "ckpt_b"),
+                                str(tmp_path / "out_b"), group_size=2,
+                                metrics_repo_dir=str(tmp_path / "runs_b"),
+                                min_history=2)
+    assert s2["partition_screening"] == "active"
+
+
 def test_screen_runs_include_and_shared_dir(tmp_path):
     """A shared repo dir holding foreign-shape records must neither
     crash the screen nor pollute the baseline when `include` scopes it."""

@@ -152,6 +152,28 @@ def test_cli_query_subcommand(tmp_path):
     assert r.returncode == 2
 
 
+def test_cli_metrics_repo_pairing_error(tmp_path):
+    """--metrics-repo without --run-id (non-ckpt path) must fail with the
+    same JSON error + exit-2 contract as the --ckpt/--run-id conflict,
+    not an uncaught ValueError traceback (r4 advisor finding)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "rho_contracts_ray", "suite",
+         "--input", "/root/testdata/sf0.001",
+         "--metrics-repo", str(tmp_path / "mrepo"), "--num-cpus", "2"],
+        capture_output=True, env=env, timeout=180, cwd=str(tmp_path))
+    assert r.returncode == 2
+    d = json.loads(r.stdout.decode().strip().splitlines()[-1])
+    assert "error" in d and "--run-id" in d["error"]
+    assert b"Traceback" not in r.stderr
+
+
 def test_suite_reads_jsonl_and_csv(ray_session, corpus, tmp_path):
     """read_table format dispatch: the SAME corpus exported as .jsonl and
     .csv yields identical suite totals to the parquet run (sha rollup is
