@@ -2071,6 +2071,42 @@ def _q_weighted_sample_documents(sf_dir: str):
     return out.select_columns(["doc_id", "n_chars"])
 
 
+def _q_dsir_scores_documents(sf_dir: str):
+    """DSIR importance scores (Xie et al. 2023) of every document against
+    an in-corpus target domain (the lang='en' slice): mean hashed-bigram
+    log-likelihood ratio target-vs-raw under add-1-smoothed hashed-gram
+    models.  Two fixed 2^16-bucket histogram folds + one broadcast
+    weight vector + one streaming scoring pass — no shuffle (see
+    stages/text.py:dsir_scores).  The hashed feature space has no SQL
+    form — rows-only; a single-process numpy reference pins the scores
+    bit-for-bit in pytest (tests/test_text_extra.py)."""
+    from rho_contracts_ray.stages.text import dsir_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    target = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]) \
+        .filter(expr="lang == 'en'").select_columns(["doc_id", "text"])
+    return dsir_scores(ds, target)
+
+
+_MIX_SHARES = {f"src{i}": (0.07 if i % 2 == 0 else 0.03)
+               for i in range(20)}
+
+
+def _q_mix_sources_documents(sf_dir: str):
+    """Deterministic corpus mixing (stages/sampling.py:mix_sources): build
+    a ~200-row corpus where even-numbered sources get share 0.07 and odd
+    ones 0.03 — the "data mixing" step of a training-data pipeline.  One
+    cardinality-sized counting pass derives each source's exact keep
+    rate; membership is the pure per-row multiplicative-hash predicate,
+    so the SQL oracle replays the selection bit-for-bit from its own
+    count CTE."""
+    from rho_contracts_ray.stages.sampling import mix_sources
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return mix_sources(ds, "doc_id", "source", _MIX_SHARES,
+                       target_rows=200)
+
+
 def _q_iqr_outliers_events(sf_dir: str):
     """Per-event-type IQR outlier rows with their fences — quantile_disc
     picks are data values and the fence arithmetic is the same handful of
@@ -4852,6 +4888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ffill_events_user": _q_ffill_events_user,
         "iqr_outliers_events": _q_iqr_outliers_events,
         "weighted_sample_documents": _q_weighted_sample_documents,
+        "mix_sources_documents": _q_mix_sources_documents,
         "dedup_tumbling_events": _q_dedup_tumbling_events,
         "corr_lineitem_by_flag": _q_corr_lineitem_by_flag,
         "zscore_events_by_type": _q_zscore_events_by_type,
@@ -4981,6 +5018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_error_by_type": _q_hll_error_by_type,
         "bloom_fpr_documents": _q_bloom_fpr_documents,
         "minhash_pr_documents": _q_minhash_pr_documents,
+        "dsir_scores_documents": _q_dsir_scores_documents,
     }
     out = {k: all_q[k] for k in _R5_WINDOW}
     out.update((k, v) for k, v in all_q.items() if k not in out)
@@ -5460,6 +5498,18 @@ def oracle_sql() -> dict[str, str]:
             "(doc_id * 2654435761) % 4294967296 < "
             "round(least(greatest(0.4 * (n_chars / 1000.0), 0.0), 1.0) "
             "* 4294967296.0)"
+        ),
+        "mix_sources_documents": (
+            "WITH cnt AS (SELECT source, count(*)::BIGINT AS c "
+            "FROM documents WHERE source IS NOT NULL GROUP BY source) "
+            "SELECT d.doc_id, d.source FROM documents d "
+            "JOIN cnt ON d.source = cnt.source "
+            "WHERE d.doc_id IS NOT NULL AND "
+            "(d.doc_id * 2654435761) % 4294967296 < "
+            "CAST(floor(least(1.0, "
+            "(CASE WHEN CAST(substr(d.source, 4) AS INT) % 2 = 0 "
+            "THEN 0.07 ELSE 0.03 END) * CAST(200 AS DOUBLE) / "
+            "CAST(cnt.c AS DOUBLE)) * 4294967296.0) AS BIGINT)"
         ),
         "iqr_outliers_events": (
             "SELECT event_id, event_type, value, "

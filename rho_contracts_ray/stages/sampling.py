@@ -171,3 +171,80 @@ def weighted_sample(ds, id_col: str, weight_col: str, base_rate: float):
         return batch.filter(pa.array(m))
 
     return ds.map_batches(fil, batch_format="pyarrow")
+
+
+def mix_sources(ds, id_col: str, source_col: str,
+                target_shares: Mapping[str, float], target_rows: int):
+    """Deterministic mixture resampling: downsample each source to
+    approximately `target_shares[source] * target_rows` rows, i.e. build
+    a corpus of ~target_rows rows with the requested source mixture
+    (the "data mixing" step of a training-data pipeline — e.g. 50% web,
+    30% books, 20% code — applied to whatever the raw corpus actually
+    contains).
+
+    One tiny counting pass first: per-batch (source, count) partials
+    fold on the driver to the EXACT per-source totals (cardinality-
+    sized, no shuffle of rows), giving each source the keep rate
+    min(1, share * target_rows / count).  Membership is then the same
+    pure per-row multiplicative-hash predicate as `hash_sample` with a
+    per-source threshold — stable across runs, partitionings and
+    cluster sizes, resumable, and reproducible verbatim in SQL:
+
+        (id * 2654435761) % 2^32 < floor(min(1, share*T/cnt) * 2^32)
+
+    Sources missing from `target_shares` (and null sources / null ids)
+    are dropped.  A source with fewer rows than its quota keeps all its
+    rows (rate clamps at 1) — the mixture then undershoots rather than
+    inventing rows; callers wanting upsampling must repeat rows
+    explicitly."""
+    if target_rows < 0:
+        raise ValueError("mix_sources: target_rows must be >= 0")
+    for s, v in target_shares.items():
+        if v < 0:
+            raise ValueError(f"mix_sources: negative share for {s!r}")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([source_col]).group_by([source_col]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns([source_col, "c"])
+
+    counts: dict = {}
+    for b in ds.map_batches(count_partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for s, c in zip(t[source_col].to_pylist(), t["c"].to_pylist()):
+            if s is not None:
+                counts[s] = counts.get(s, 0) + int(c)
+
+    # float64 arithmetic in the exact order the SQL oracle writes it:
+    # share * target_rows / count, clamped, floored at 2^32
+    thresholds = {}
+    for s, share in target_shares.items():
+        c = counts.get(s, 0)
+        if c > 0:
+            rate = min(1.0, share * float(target_rows) / float(c))
+            thresholds[s] = sample_threshold(rate)
+    src_arr = pa.array(list(thresholds.keys()), pa.string())
+    thr_arr = np.fromiter(thresholds.values(), np.uint64,
+                          len(thresholds))
+
+    def fil(batch: pa.Table) -> pa.Table:
+        ids_raw, valid = _ids_from_arrow(batch[id_col])
+        ids_np = _validate_ids(ids_raw)
+        strata = batch[source_col]
+        if isinstance(strata, pa.ChunkedArray):
+            strata = strata.combine_chunks()
+        idx = pc.index_in(strata, value_set=src_arr) \
+            .to_numpy(zero_copy_only=False)
+        miss = np.isnan(idx) if idx.dtype.kind == "f" else (idx < 0)
+        pos = np.where(miss, 0, idx).astype(np.int64)
+        thr = np.where(miss, np.uint64(0),
+                       thr_arr[pos] if thr_arr.size else np.uint64(0))
+        with np.errstate(over="ignore"):
+            prod = ids_np.view(np.uint64) * np.uint64(2654435761)
+        m = (prod % np.uint64(1 << 32)) < thr
+        if valid is not None:
+            m &= valid
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(fil, batch_format="pyarrow")

@@ -1519,3 +1519,96 @@ def blocklist_scan(ds, terms: Sequence[str], text_col: str = "text",
             "flagged": pa.array(n_terms > 0)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _hashed_gram_hist(ds, text_col: str, n: int, log_k: int,
+                      sep: str) -> tuple:
+    """(2^log_k,) int64 hashed-n-gram occurrence histogram + total, one
+    streaming pass: each batch bincounts its gram hashes into the fixed
+    bucket space and ships only the NONZERO (bucket, count) rows — the
+    driver fold is O(batches x min(2^log_k, batch grams)) regardless of
+    vocabulary size, and no raw gram ever leaves its task."""
+    from ..functions.hashing import stable_hash64
+
+    k = 1 << log_k
+    mask = np.uint64(k - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams, _ = gram_arrays(batch[text_col], n, sep)
+        if len(grams) == 0:
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        h = (stable_hash64(grams) & mask).astype(np.int64)
+        cnt = np.bincount(h, minlength=k)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"b": pa.array(nz), "c": pa.array(cnt[nz])})
+
+    hist = np.zeros(k, np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+            .iter_batches(batch_size=None, batch_format="pyarrow"):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if t.num_rows:
+            np.add.at(hist, t["b"].to_numpy(zero_copy_only=False),
+                      t["c"].to_numpy(zero_copy_only=False))
+    return hist, int(hist.sum())
+
+
+def dsir_scores(ds, target_ds, text_col: str = "text",
+                id_col: str = "doc_id", n: int = 2, log_k: int = 16,
+                alpha: float = 1.0, sep: str = " ", ndigits: int = 6):
+    """Data Selection with Importance Resampling (Xie et al., 2023,
+    arXiv:2302.03169): score every raw document by the mean hashed
+    n-gram log-likelihood ratio  mean_g[ ln p_target(h(g)) -
+    ln p_raw(h(g)) ]  under add-alpha-smoothed bag-of-hashed-grams
+    models of a (small) TARGET corpus and the raw corpus itself —
+    documents that look like the target domain score high and can then
+    be kept by threshold or quantile (pair with
+    stages.rank.exact_global_quantile or weighted_sample).
+
+    Scale shape: two fixed-size histogram folds (one pass over each
+    corpus, 2^log_k int64 counters — 512 KB at the default — per fold;
+    see _hashed_gram_hist), then ONE weight vector (2^log_k float64)
+    `ray.put` once and read zero-copy per task; scoring is one more
+    streaming pass (gram hash -> np.bincount per-doc weighted sums).
+    No shuffle anywhere; every stage is a pure batch map.
+
+    -> Dataset[id_col, dsir_score (rounded to ndigits), n_grams]
+    (documents with no n-gram score null)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.hashing import stable_hash64
+
+    k = 1 << log_k
+    t_hist, t_tot = _hashed_gram_hist(target_ds, text_col, n, log_k, sep)
+    r_hist, r_tot = _hashed_gram_hist(ds, text_col, n, log_k, sep)
+    if r_tot == 0:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "dsir_score": pa.array([], pa.float64()),
+            "n_grams": pa.array([], pa.int64())}))
+    w = ((np.log(t_hist + alpha) - np.log(float(t_tot) + alpha * k))
+         - (np.log(r_hist + alpha) - np.log(float(r_tot) + alpha * k)))
+    ref = ray.put(w)
+    mask = np.uint64(k - 1)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ww = ray.get(ref)        # zero-copy numpy from the object store
+        nrows = batch.num_rows
+        grams, doc_idx = gram_arrays(batch[text_col], n, sep)
+        if len(grams):
+            h = (stable_hash64(grams) & mask).astype(np.int64)
+            sums = np.bincount(doc_idx, weights=ww[h], minlength=nrows)
+            cnts = np.bincount(doc_idx, minlength=nrows)
+        else:
+            sums = np.zeros(nrows)
+            cnts = np.zeros(nrows, np.int64)
+        avg = np.round(
+            np.divide(sums, cnts, out=np.zeros(nrows),
+                      where=cnts > 0), ndigits)
+        return pa.table({
+            id_col: batch[id_col],
+            "dsir_score": pa.array(avg, pa.float64(), mask=cnts == 0),
+            "n_grams": pa.array(cnts)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -435,3 +435,50 @@ def test_weighted_sample_matches_sql_and_rate(ray_session):
         assert lo <= rate <= hi, (wval, rate)
     assert not df[df.w.isna()]["id"].isin(kept).any()
     assert not df[df.w == 0.0]["id"].isin(kept).any()
+
+
+def test_mix_sources_quota_clamp_and_drop(ray_session):
+    """mix_sources: per-source keep rate = min(1, share*T/count); sources
+    outside the share map and null ids/sources drop; a source smaller
+    than its quota keeps everything (clamp at 1, no invention)."""
+    from rho_contracts_ray.stages.sampling import mix_sources
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(1, 401)) + [None], pa.int64()),
+        "source": pa.array(
+            ["big"] * 300 + ["tiny"] * 50 + ["unlisted"] * 50 + [None]),
+    })
+    shares = {"big": 0.5, "tiny": 0.5, "ghost": 1.0}
+    out = _collect(mix_sources(rd.from_arrow(t), "doc_id", "source",
+                               shares, target_rows=100))
+    src = out["source"].to_pylist()
+    assert "unlisted" not in src and None not in src
+    assert None not in out["doc_id"].to_pylist()
+    # tiny: quota 50 >= its 50 rows -> rate clamps to 1, ALL kept
+    assert src.count("tiny") == 50
+    # big: rate = 50/300; the hash keeps roughly that share
+    n_big = src.count("big")
+    assert 20 <= n_big <= 90
+    # exact membership is the hash predicate with the derived threshold
+    thr = sample_threshold(min(1.0, 0.5 * 100.0 / 300.0))
+    ids = np.array([i for i, s in zip(t["doc_id"].to_pylist(),
+                                      t["source"].to_pylist())
+                    if s == "big"], dtype=np.uint64)
+    expect = ids[(ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+                 < np.uint64(thr)]
+    got = sorted(i for i, s in zip(out["doc_id"].to_pylist(), src)
+                 if s == "big")
+    assert got == sorted(int(x) for x in expect)
+
+
+def test_mix_sources_partition_invariant(ray_session):
+    from rho_contracts_ray.stages.sampling import mix_sources
+
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"])
+    shares = {f"src{i}": (0.07 if i % 2 == 0 else 0.03)
+              for i in range(20)}
+    a = _collect(mix_sources(ds, "doc_id", "source", shares, 30))
+    b = _collect(mix_sources(ds.repartition(7), "doc_id", "source",
+                             shares, 30))
+    assert sorted(a["doc_id"].to_pylist()) == sorted(b["doc_id"].to_pylist())

@@ -93,3 +93,63 @@ def test_blocklist_scan_multibyte_and_empty(ray_session):
         blocklist_scan(rd.from_arrow(t), [])
     with pytest.raises(ValueError):
         blocklist_scan(rd.from_arrow(t), ["ok", ""])
+
+
+def test_dsir_scores_match_single_process_reference(ray_session):
+    """dsir_scores vs a single-process numpy reference on real sf0.001
+    documents (target = lang=='en' slice): same hashed-gram histograms,
+    same smoothed log-ratio weights, same per-doc means — bit-for-bit
+    at the rounded 6dp output, partition-invariant."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from rho_contracts_ray.functions.hashing import stable_hash64
+    from rho_contracts_ray.stages.text import dsir_scores, gram_arrays
+
+    SF = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", "lang"])
+    raw = t.select(["doc_id", "text"])
+    tgt = t.filter(pa.compute.equal(
+        pa.compute.fill_null(t["lang"], ""), "en")).select(
+        ["doc_id", "text"])
+
+    # single-process reference
+    k, alpha, n = 1 << 16, 1.0, 2
+    mask = np.uint64(k - 1)
+
+    def hist(tab):
+        grams, _ = gram_arrays(tab["text"].combine_chunks(), n, " ")
+        h = np.zeros(k, np.int64)
+        if len(grams):
+            idx = (stable_hash64(grams) & mask).astype(np.int64)
+            np.add.at(h, idx, 1)
+        return h, int(h.sum())
+
+    th, tt = hist(tgt)
+    rh, rt = hist(raw)
+    w = ((np.log(th + alpha) - np.log(float(tt) + alpha * k))
+         - (np.log(rh + alpha) - np.log(float(rt) + alpha * k)))
+    grams, doc_idx = gram_arrays(raw["text"].combine_chunks(), n, " ")
+    idx = (stable_hash64(grams) & mask).astype(np.int64)
+    sums = np.bincount(doc_idx, weights=w[idx], minlength=raw.num_rows)
+    cnts = np.bincount(doc_idx, minlength=raw.num_rows)
+    want = {int(d): (None if c == 0 else round(float(s / c), 6))
+            for d, s, c in zip(raw["doc_id"].to_pylist(), sums, cnts)}
+
+    for parts in (2, 7):
+        out = dsir_scores(rd.from_arrow(raw).repartition(parts),
+                          rd.from_arrow(tgt)).to_pandas()
+        assert len(out) == raw.num_rows
+        got = {int(r.doc_id):
+               (None if r.n_grams == 0 else round(float(r.dsir_score), 6))
+               for r in out.itertuples()}
+        assert got == want
+    # en documents should, on average, outscore the rest (sanity of sign)
+    out = dsir_scores(rd.from_arrow(raw), rd.from_arrow(tgt)).to_pandas()
+    lang = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+    en = [s for d, s in zip(out.doc_id, out.dsir_score)
+          if lang.get(d) == "en" and s == s]
+    rest = [s for d, s in zip(out.doc_id, out.dsir_score)
+            if lang.get(d) != "en" and s == s]
+    assert np.mean(en) > np.mean(rest)
