@@ -87,6 +87,17 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
 
+    # argparse-level validation: a pure usage error must not pay Ray
+    # startup.  Same JSON-error + exit-2 contract as the --ckpt/--run-id
+    # conflict: run_suite requires metrics-repo and run-id together.
+    if args.cmd == "suite" and not args.ckpt \
+            and (args.metrics_repo is None) != (args.run_id is None):
+        print(json.dumps({"error": "--metrics-repo and --run-id must be "
+                          "passed together (both or neither) without "
+                          "--ckpt; per-partition --ckpt mode takes only "
+                          "--metrics-repo"}))
+        return 2
+
     if args.cmd == "gen":
         from .sources import write_repo_files
 
@@ -170,17 +181,6 @@ def main(argv=None) -> int:
             return 0
         finally:
             ray.shutdown()
-
-    # same JSON-error contract as the --ckpt/--run-id conflict below:
-    # run_suite requires metrics-repo and run-id together; surface the
-    # pairing error here instead of as an uncaught ValueError traceback
-    if not args.ckpt and (args.metrics_repo is None) != (args.run_id is None):
-        print(json.dumps({"error": "--metrics-repo and --run-id must be "
-                          "passed together (both or neither) without "
-                          "--ckpt; per-partition --ckpt mode takes only "
-                          "--metrics-repo"}))
-        ray.shutdown()
-        return 2
 
     try:
         if args.ckpt:

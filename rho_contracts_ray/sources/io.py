@@ -95,12 +95,21 @@ def _unit_parallel_read(files, enumerate_units, read_units, file_schema,
         return read_units(batch["path"].to_pylist(),
                           [int(u) for u in batch["unit"].to_pylist()])
 
-    # cap the block count at a few x the core count: units of the same
-    # file then land in the same task consecutively (items are in file
-    # order), so read_units' group-by-path opens each file once per task
-    # instead of once per unit, while still leaving every core busy
-    import os as _os
-    n_blocks = max(1, min(len(items), (_os.cpu_count() or 8) * 4))
+    # cap the block count at a few x the CLUSTER core count: units of the
+    # same file then land in the same task consecutively (items are in
+    # file order), so read_units' group-by-path opens each file once per
+    # task instead of once per unit, while still leaving every core of
+    # every node busy (os.cpu_count() alone would throttle a multi-node
+    # cluster to the driver machine's width)
+    try:
+        import ray as _ray
+        cores = int(_ray.cluster_resources().get("CPU", 0)) or None
+    except Exception:
+        cores = None
+    if cores is None:
+        import os as _os
+        cores = _os.cpu_count() or 8
+    n_blocks = max(1, min(len(items), cores * 4))
     return rd.from_items(items, override_num_blocks=n_blocks) \
         .map_batches(read, batch_format="pyarrow", batch_size=None)
 

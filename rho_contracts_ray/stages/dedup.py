@@ -190,7 +190,10 @@ def _exact_dup_groups_shuffle(ds, cols: list, id_col: str, min_count: int):
         schema = ds.schema().base_schema
         return pa.table({
             **{c: pa.array([], schema.field(c).type) for c in cols},
-            "keep_id": pa.array([], pa.int64()),
+            # keep_id keeps the id column's NATIVE type (a string id's
+            # min is a string) — the empty-input schema must match every
+            # non-empty bucket's output, not hardcode int64
+            "keep_id": pa.array([], schema.field(id_col).type),
             "cnt": pa.array([], pa.int64())})
 
     refs = bucketed_reduce(ds.map_batches(partial, batch_format="pyarrow"),
@@ -220,10 +223,15 @@ def exact_dedup(ds, cols: Sequence[str], id_col: str):
     def keep_first(t: pa.Table):
         if not t.num_rows:
             return None
-        df = t.drop_columns(["__kh"]).to_pandas()
+        sub = t.drop_columns(["__kh"])
+        df = sub.to_pandas()
         out = df.sort_values(id_col, kind="mergesort") \
                 .drop_duplicates(subset=cols, keep="first")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # pin the ORIGINAL Arrow schema: to_pandas turns nullable int64
+        # into float64 and all-null strings into object-None — without
+        # the pin, per-bucket type inference could diverge block to block
+        return pa.Table.from_pandas(out, schema=sub.schema,
+                                    preserve_index=False)
 
     def make_empty() -> pa.Table:
         schema = ds.schema().base_schema

@@ -206,9 +206,12 @@ _ASOF_PROBE_NAME = "rho_asof_init_probe"
 # so the cache anchors on the `ray` module — always importable in a Ray
 # worker — looked up inline inside the task (a helper function here
 # would itself be pickled by module reference and re-import this
-# package).  Bounded FIFO so sessions running many asof joins don't
-# accumulate dead tables.
-_ASOF_CACHE_MAX = 4
+# package).  Bounded FIFO: each cached frame is a zero-copy view that
+# PINS its object-store entry even after the driver drops the ref, so
+# the cap is the worker's worst-case pinned broadcast count — 2 covers
+# a pipeline unioning two asof joins while keeping at most one stale
+# broadcast pinned after a pipeline ends.
+_ASOF_CACHE_MAX = 2
 
 
 def asof_join(left_ds, right_table: pa.Table, key: str, ts: str,

@@ -92,14 +92,17 @@ def hash_sample(ds, id_col: str, rate: Optional[float] = None,
     return ds.map_batches(fil, batch_format="pyarrow")
 
 
-def stratified_sample(ds, id_col: str, stratum_col: str,
-                      rates: Mapping[str, float],
-                      default_rate: float = 0.0):
-    """Per-stratum hash sampling: each stratum value gets its own rate
-    (e.g. downsample boilerplate languages, keep all rare ones).  Still a
-    pure per-row predicate — the stratum only selects the threshold."""
-    thresholds = {k: sample_threshold(v) for k, v in rates.items()}
-    default_threshold = sample_threshold(default_rate)
+def _per_stratum_filter(ds, id_col: str, stratum_col: str,
+                        thresholds: Mapping, default_threshold: int = 0):
+    """Shared per-stratum hash predicate (stratified_sample AND
+    mix_sources ride it — ONE copy of the SQL-parity arithmetic): the
+    stratum value selects a threshold (vectorized index_in lookup; a
+    stratum outside the map — and a null stratum — gets
+    `default_threshold`), membership is hash32(id) < threshold."""
+    src_arr = pa.array(list(thresholds.keys()))
+    thr_arr = np.fromiter((int(v) for v in thresholds.values()),
+                          np.uint64, len(thresholds))
+    dflt = np.uint64(default_threshold)
 
     def fil(batch: pa.Table) -> pa.Table:
         ids_raw, valid = _ids_from_arrow(batch[id_col])
@@ -107,10 +110,14 @@ def stratified_sample(ds, id_col: str, stratum_col: str,
         strata = batch[stratum_col]
         if isinstance(strata, pa.ChunkedArray):
             strata = strata.combine_chunks()
-        thr = np.fromiter(
-            (thresholds.get(s, default_threshold)
-             for s in strata.to_pylist()),
-            np.uint64, batch.num_rows)
+        if thr_arr.size:
+            idx = pc.index_in(strata, value_set=src_arr) \
+                .to_numpy(zero_copy_only=False)
+            miss = np.isnan(idx) if idx.dtype.kind == "f" else (idx < 0)
+            pos = np.where(miss, 0, idx).astype(np.int64)
+            thr = np.where(miss, dflt, thr_arr[pos])
+        else:
+            thr = np.full(batch.num_rows, dflt, np.uint64)
         with np.errstate(over="ignore"):
             prod = ids_np.view(np.uint64) * np.uint64(2654435761)
         m = (prod % np.uint64(1 << 32)) < thr
@@ -119,6 +126,17 @@ def stratified_sample(ds, id_col: str, stratum_col: str,
         return batch.filter(pa.array(m))
 
     return ds.map_batches(fil, batch_format="pyarrow")
+
+
+def stratified_sample(ds, id_col: str, stratum_col: str,
+                      rates: Mapping[str, float],
+                      default_rate: float = 0.0):
+    """Per-stratum hash sampling: each stratum value gets its own rate
+    (e.g. downsample boilerplate languages, keep all rare ones).  Still a
+    pure per-row predicate — the stratum only selects the threshold."""
+    thresholds = {k: sample_threshold(v) for k, v in rates.items()}
+    return _per_stratum_filter(ds, id_col, stratum_col, thresholds,
+                               sample_threshold(default_rate))
 
 
 def split_train_holdout(ds, id_col: str, holdout_rate: float = 0.01):
@@ -224,27 +242,4 @@ def mix_sources(ds, id_col: str, source_col: str,
         if c > 0:
             rate = min(1.0, share * float(target_rows) / float(c))
             thresholds[s] = sample_threshold(rate)
-    src_arr = pa.array(list(thresholds.keys()), pa.string())
-    thr_arr = np.fromiter(thresholds.values(), np.uint64,
-                          len(thresholds))
-
-    def fil(batch: pa.Table) -> pa.Table:
-        ids_raw, valid = _ids_from_arrow(batch[id_col])
-        ids_np = _validate_ids(ids_raw)
-        strata = batch[source_col]
-        if isinstance(strata, pa.ChunkedArray):
-            strata = strata.combine_chunks()
-        idx = pc.index_in(strata, value_set=src_arr) \
-            .to_numpy(zero_copy_only=False)
-        miss = np.isnan(idx) if idx.dtype.kind == "f" else (idx < 0)
-        pos = np.where(miss, 0, idx).astype(np.int64)
-        thr = np.where(miss, np.uint64(0),
-                       thr_arr[pos] if thr_arr.size else np.uint64(0))
-        with np.errstate(over="ignore"):
-            prod = ids_np.view(np.uint64) * np.uint64(2654435761)
-        m = (prod % np.uint64(1 << 32)) < thr
-        if valid is not None:
-            m &= valid
-        return batch.filter(pa.array(m))
-
-    return ds.map_batches(fil, batch_format="pyarrow")
+    return _per_stratum_filter(ds, id_col, source_col, thresholds)

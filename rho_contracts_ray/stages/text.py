@@ -1575,18 +1575,15 @@ def dsir_scores(ds, target_ds, text_col: str = "text",
     -> Dataset[id_col, dsir_score (rounded to ndigits), n_grams]
     (documents with no n-gram score null)."""
     import ray
-    import ray.data as rd
 
     from ..functions.hashing import stable_hash64
 
     k = 1 << log_k
     t_hist, t_tot = _hashed_gram_hist(target_ds, text_col, n, log_k, sep)
     r_hist, r_tot = _hashed_gram_hist(ds, text_col, n, log_k, sep)
-    if r_tot == 0:
-        return rd.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
-            "dsir_score": pa.array([], pa.float64()),
-            "n_grams": pa.array([], pa.int64())}))
+    # no early return when the corpus has rows but zero n-grams: every
+    # document still gets its (null score, n_grams=0) row — the weights
+    # are well-defined at zero totals under add-alpha smoothing
     w = ((np.log(t_hist + alpha) - np.log(float(t_tot) + alpha * k))
          - (np.log(r_hist + alpha) - np.log(float(r_tot) + alpha * k)))
     ref = ray.put(w)

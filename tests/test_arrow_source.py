@@ -47,10 +47,15 @@ def test_arrow_many_batches_share_one_reader_per_task(ray_session, tmp_path,
     exactly once, in correct content."""
     import os
 
+    import ray
+
     t = pq.read_table("/root/testdata/sf0.001/events.parquet")
     d = tmp_path / "many"
     d.mkdir()
     _write_ipc(d / "x.arrow", t, rows_per_batch=10)   # 100 batches
+    # the cap sizes from the cluster CPU count (fallback cpu_count);
+    # pin both so the test gets exactly 4 blocks
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {})
     monkeypatch.setattr(os, "cpu_count", lambda: 1)   # cap -> 4 blocks
     ds = read_table(str(d))
     m = ds.materialize()

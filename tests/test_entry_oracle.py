@@ -62,8 +62,8 @@ def _col_kind(col: pd.Series) -> str:
     k = _kind(col.dtype)
     if k == "object" and len(col):
         import datetime as _dt
-        v = col.iloc[0]
-        if isinstance(v, (_dt.date, _dt.datetime)):
+        nn = col.dropna()
+        if len(nn) and isinstance(nn.iloc[0], (_dt.date, _dt.datetime)):
             return "datetime"
     return k
 

@@ -2166,3 +2166,30 @@ def test_pair_set_pr_empty_sides(ray_session):
     assert out["precision"] == 0.0 and out["recall"] is None
     out = pair_set_pr(e, e).to_pylist()[0]
     assert out["f1"] is None
+
+
+def test_exact_dedup_nullable_int_schema_stable(ray_session):
+    """exact_dedup buckets rebuild through pandas; a nullable int64
+    column must come back int64 in EVERY block (schema pinned), not
+    float64 in the buckets whose kept rows contain a null
+    (code-review regression)."""
+    import numpy as np
+
+    from rho_contracts_ray.stages.dedup import exact_dedup
+
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "key": pa.array([f"k{i % 10}" for i in range(100)]),
+        "extra": pa.array([None if i % 7 == 0 else i for i in range(100)],
+                          pa.int64()),
+    })
+    out = exact_dedup(rd.from_arrow(t).repartition(5), ["key"], "doc_id")
+    tab = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    assert tab.schema.field("extra").type == pa.int64()
+    assert tab.num_rows == 10
+    # min doc_id per key kept
+    want = {f"k{i}": i for i in range(10)}
+    got = dict(zip(tab["key"].to_pylist(), tab["doc_id"].to_pylist()))
+    assert got == want

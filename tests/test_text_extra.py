@@ -153,3 +153,17 @@ def test_dsir_scores_match_single_process_reference(ray_session):
     rest = [s for d, s in zip(out.doc_id, out.dsir_score)
             if lang.get(d) != "en" and s == s]
     assert np.mean(en) > np.mean(rest)
+
+
+def test_dsir_zero_gram_corpus_keeps_rows(ray_session):
+    """A corpus with rows but no n-grams (every doc < n tokens) must
+    still emit one (null score, n_grams=0) row per document, not an
+    empty Dataset (code-review regression)."""
+    from rho_contracts_ray.stages.text import dsir_scores
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["one", "word", None])})
+    out = dsir_scores(rd.from_arrow(t), rd.from_arrow(t)).to_pandas()
+    assert len(out) == 3
+    assert out["n_grams"].tolist() == [0, 0, 0]
+    assert out["dsir_score"].isna().all()
