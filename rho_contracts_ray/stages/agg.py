@@ -21,22 +21,14 @@ import pyarrow.compute as pc
 def _first_per_key_run(t: pa.Table, keys: list[str],
                        sort_keys: list[tuple]) -> pa.Table:
     """Sort t by sort_keys and keep the FIRST row of each run of equal
-    `keys` values — vectorized run-boundary mask, no per-group loop."""
+    `keys` values — the shared null-safe run-boundary mask
+    (_run_starts_multi), no per-group loop."""
     t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
     if t.num_rows <= 1:
         return t
-    new_run = np.zeros(t.num_rows, dtype=bool)
-    new_run[0] = True
-    for k in keys:
-        col = t[k]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        a, b = col.slice(1), col.slice(0, len(col) - 1)
-        # null-safe inequality: null==null counts as equal within a run
-        ne = pc.fill_null(pc.not_equal(a, b), False)
-        diff = pc.or_(ne, pc.xor(pc.is_null(a), pc.is_null(b)))
-        new_run[1:] |= diff.to_numpy(zero_copy_only=False)
-    return t.filter(pa.array(new_run))
+    mask = np.zeros(t.num_rows, dtype=bool)
+    mask[_run_starts_multi(t, keys)] = True
+    return t.filter(pa.array(mask))
 
 
 def col_type(ds, col: str, default=None) -> "pa.DataType":
@@ -170,6 +162,14 @@ def group_collect(ds, key: str, val: str, sep: str = ",",
             s = pa.table({key: s[key].filter(m)})
             sv = sv.filter(m)
             starts = _run_starts_multi(s, [key])
+        if len(sv) > np.iinfo(np.int32).max:
+            # int32 list offsets would wrap SILENTLY into corrupt lists;
+            # a single key this hot survived the oversized-bucket split
+            # (equal keys cannot be separated) — fail loudly instead
+            raise ValueError(
+                f"group_collect: one bucket holds {len(sv)} values — "
+                "exceeds 32-bit list offsets; a pathologically hot key "
+                "needs pre-aggregation or sampling upstream")
         offsets = np.append(starts, len(sv)).astype(np.int32)
         lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), sv)
         return pa.table({key: s[key].take(pa.array(starts)),
@@ -185,6 +185,14 @@ def group_collect(ds, key: str, val: str, sep: str = ",",
 
     return bucketed_apply(ds.select_columns([key, val]), [key], collect,
                           make_empty)
+
+
+def quantile_col_name(q: float) -> str:
+    """Column label for a quantile: p50, p95, ... — sub-percent quantiles
+    keep their fraction (0.999 -> p99_9) instead of rounding into a
+    NEIGHBORING percentile's name (round(99.9) == 100 would mislabel the
+    99.9th as the max and collide 0.995 with 1.0)."""
+    return ("p%g" % (q * 100)).replace(".", "_").replace("-", "m")
 
 
 def _run_starts_multi(t: pa.Table, keys: list[str]) -> np.ndarray:
@@ -292,11 +300,13 @@ def rollup_agg(ds, keys: Sequence[str], value: str,
                                        batch_format="pyarrow"))
 
     def grand(t: pa.Table) -> pa.Table:
+        # DuckDB ROLLUP grand total: SUM over no/all-null values is NULL
+        # (count 0) — coercing to 0 here would diverge from the oracle
+        # AND from this op's own finer levels
         sv = pc.sum(t["s"]).as_py()
         return pa.table({
             **{k: pa.nulls(1, key_types[k]) for k in keys},
-            sum_col: pa.array([0 if sv is None else sv],
-                              t.schema.field("s").type),
+            sum_col: pa.array([sv], t.schema.field("s").type),
             cnt_col: pa.array([int(pc.sum(t["n"]).as_py() or 0)],
                               pa.int64()),
         })
@@ -304,15 +314,14 @@ def rollup_agg(ds, keys: Sequence[str], value: str,
     # grand total from the coarsest level (tiny): collapse to one row
     total_src = prev.map_batches(
         lambda t: t.select(["s", "n"]), batch_format="pyarrow")
-    import pyarrow as _pa
     parts = [b for b in total_src.iter_batches(batch_size=None,
                                                batch_format="pyarrow")]
     sum_type = pa.int64() if pa.types.is_integer(schema.field(value).type) \
         else pa.float64()
-    tot_t = _pa.concat_tables(
-        [p if isinstance(p, _pa.Table) else _pa.Table.from_batches([p])
-         for p in parts]) if parts else _pa.table(
-        {"s": _pa.array([], sum_type), "n": _pa.array([], _pa.int64())})
+    tot_t = pa.concat_tables(
+        [p if isinstance(p, pa.Table) else pa.Table.from_batches([p])
+         for p in parts]) if parts else pa.table(
+        {"s": pa.array([], sum_type), "n": pa.array([], pa.int64())})
     levels.append(rd.from_arrow(grand(tot_t)))
 
     out = levels[0]
@@ -412,9 +421,12 @@ def grouping_sets_agg(ds, sets: Sequence[Sequence[str]], value: str,
                                                       ("n", "sum")])
                 g = g.rename_columns(level_keys + ["s", "n"])
             else:
+                # SUM over no/all-null values stays NULL — the SQL
+                # grand-total row has s=NULL, n=0 (coercing to 0 would
+                # diverge from the oracle and the finer sets)
                 sv = pc.sum(t["s"]).as_py()
                 g = pa.table({
-                    "s": pa.array([0 if sv is None else sv], sum_type),
+                    "s": pa.array([sv], sum_type),
                     "n": pa.array([int(pc.sum(t["n"]).as_py() or 0)],
                                   pa.int64())})
             cols = {}
@@ -580,17 +592,10 @@ def group_approx_distinct(ds, key: str, val: str, p: int = 12,
     alpha = 0.7213 / (1.0 + 1.079 / m)
 
     def _key_runs(t: pa.Table):
-        """(sorted table, run-start indices) by `key` (nulls form a run)."""
+        """(sorted table, run-start indices) by `key` (nulls form a run)
+        — the shared null-safe run-boundary mask."""
         t = t.take(pc.sort_indices(t, sort_keys=[(key, "ascending")]))
-        col = t[key]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        a, b = col.slice(1), col.slice(0, len(col) - 1)
-        ne = pc.fill_null(pc.not_equal(a, b), False)
-        diff = pc.or_(ne, pc.xor(pc.is_null(a), pc.is_null(b)))
-        starts = np.flatnonzero(
-            np.concatenate(([True], diff.to_numpy(zero_copy_only=False))))
-        return t, starts
+        return t, _run_starts_multi(t, [key])
 
     def _rho(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(register index, rank) per hash — same math as
@@ -632,6 +637,16 @@ def group_approx_distinct(ds, key: str, val: str, p: int = 12,
     def _blob_matrix(col) -> np.ndarray:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        # fixed-width m-byte blobs: when the BinaryArray is dense (no
+        # nulls, contiguous offsets — the only shape the partial emits),
+        # view its data buffer directly instead of materializing every
+        # blob as a Python bytes object + one joined copy
+        offs = np.frombuffer(col.buffers()[1], np.int32,
+                             len(col) + 1, col.offset * 4)
+        if col.null_count == 0 and offs[0] + m * len(col) == offs[-1] \
+                and np.all(np.diff(offs) == m):
+            return np.frombuffer(col.buffers()[2], np.uint8,
+                                 m * len(col), offs[0]).reshape(-1, m)
         return np.frombuffer(b"".join(col.to_pylist()), np.uint8) \
             .reshape(-1, m)
 
@@ -682,7 +697,7 @@ def group_quantiles_sketch(ds, key: str, value: str,
     from ..functions.sketches import TDigest
 
     qs = list(qs)
-    names = [f"p{round(q * 100)}" for q in qs]
+    names = [quantile_col_name(q) for q in qs]
     if len(set(names)) != len(names):
         raise ValueError(
             f"group_quantiles_sketch: quantiles {qs} collide in the p<NN> "

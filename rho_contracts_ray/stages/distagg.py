@@ -97,9 +97,11 @@ def _partial_fn(col: str, n_buckets: int):
 @ray.remote
 def _split_block(n_buckets: int, block):
     t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
-    if "bucket" not in t.column_names:
-        # empty input blocks pass through map_batches with the input
-        # schema (the partial fn never ran on them)
+    if t.num_rows == 0 or "blob" not in t.column_names:
+        # empty input blocks pass through map_batches with the INPUT
+        # schema (the partial fn never ran on them) — test num_rows and
+        # the blob column, not just "bucket": an input dataset may
+        # legitimately carry a column named "bucket"
         return tuple([] for _ in range(n_buckets))
     buckets = t["bucket"].to_numpy(zero_copy_only=False)
     blob_col = t["blob"].combine_chunks()
@@ -470,6 +472,10 @@ def hot_keys(ds, col: str, min_count: int = 2,
     distributed: driver memory is O(#hot keys) only."""
     if n_buckets is None:
         n_buckets = default_buckets()
+    # num_returns=1 would make Ray hand back a bare ObjectRef that the
+    # `s[r]` indexing below cannot subscript (same guard bucketed_reduce
+    # carries); bucket count never changes results
+    n_buckets = max(2, n_buckets)
     part = ds.map_batches(_partial_fn(col, n_buckets),
                           batch_format="pyarrow")
     split = _split_block.options(num_returns=n_buckets)

@@ -630,7 +630,8 @@ def group_quantiles(ds, key: str, value: str,
     import pyarrow.compute as pc
 
     qs = list(qs)
-    names = [f"p{round(q * 100)}" for q in qs]
+    from .agg import quantile_col_name
+    names = [quantile_col_name(q) for q in qs]
     if len(set(names)) != len(names):
         raise ValueError(
             f"group_quantiles: quantiles {qs} collide in the p<NN> column "
@@ -695,7 +696,8 @@ def group_quantiles_cont(ds, key: str, value: str,
     import pyarrow.compute as pc
 
     qs = list(qs)
-    names = [f"p{round(q * 100)}" for q in qs]
+    from .agg import quantile_col_name
+    names = [quantile_col_name(q) for q in qs]
     if len(set(names)) != len(names):
         raise ValueError(
             f"group_quantiles_cont: quantiles {qs} collide in the p<NN> "

@@ -482,3 +482,31 @@ def test_mix_sources_partition_invariant(ray_session):
     b = _collect(mix_sources(ds.repartition(7), "doc_id", "source",
                              shares, 30))
     assert sorted(a["doc_id"].to_pylist()) == sorted(b["doc_id"].to_pylist())
+
+
+def test_hot_keys_n_buckets_one_and_bucket_named_column(ray_session):
+    """Two code-review regressions: explicit n_buckets=1 must not crash
+    (Ray num_returns=1 returns a bare ref), and an input dataset that
+    itself carries a column named 'bucket' must not confuse the
+    empty-block pass-through detection."""
+    from rho_contracts_ray.stages.distagg import hot_keys
+
+    t = pa.table({
+        "bkey": pa.array([1, 1, 1, 2, 3, 3], pa.int64()),
+        "bucket": pa.array([9, 9, 9, 9, 9, 9], pa.int64()),
+    })
+    # several blocks, some empty after a filter -> empty pass-through
+    ds = rd.from_arrow(t).repartition(4).filter(expr="bkey < 100")
+    out = hot_keys(ds, "bkey", min_count=2, n_buckets=1)
+    assert out.tolist() == [1, 3]
+
+
+def test_quantile_col_name_sub_percent():
+    from rho_contracts_ray.stages.agg import quantile_col_name
+
+    assert quantile_col_name(0.5) == "p50"
+    assert quantile_col_name(0.95) == "p95"
+    assert quantile_col_name(1.0) == "p100"
+    assert quantile_col_name(0.999) == "p99_9"   # NOT p100
+    assert quantile_col_name(0.995) == "p99_5"   # distinct from 1.0
+    assert quantile_col_name(0.004) == "p0_4"    # NOT p0

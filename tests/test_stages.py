@@ -2193,3 +2193,28 @@ def test_exact_dedup_nullable_int_schema_stable(ray_session):
     want = {f"k{i}": i for i in range(10)}
     got = dict(zip(tab["key"].to_pylist(), tab["doc_id"].to_pylist()))
     assert got == want
+
+
+def test_rollup_all_null_values_grand_total_is_null(ray_session):
+    """GROUP BY ROLLUP parity on an all-null value column: every level's
+    sum — INCLUDING the grand total — is NULL with count 0, exactly what
+    DuckDB returns (code-review regression: the grand total coerced to
+    0)."""
+    import duckdb
+
+    from rho_contracts_ray.stages.agg import rollup_agg
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y"]),
+        "v": pa.array([None, None, None], pa.int64()),
+    })
+    out = rollup_agg(rd.from_arrow(t), ["a"], "v").to_pandas() \
+        .sort_values("a", na_position="last").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    ref = con.execute(
+        "SELECT a, sum(v) AS sum_value, count(v) AS n FROM t "
+        "GROUP BY ROLLUP(a) ORDER BY a NULLS LAST").df()
+    assert out["sum_value"].isna().all() and ref["sum_value"].isna().all()
+    assert out["a"].fillna("<null>").tolist() == \
+        ref["a"].fillna("<null>").tolist()
