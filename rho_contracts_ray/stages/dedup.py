@@ -111,11 +111,13 @@ def exact_dup_groups_ds(ds, cols: Sequence[str], id_col: str,
 
     def make_empty() -> pa.Table:
         # ds.schema() on a mapped input executes a block — only pay it on
-        # the no-duplicates / all-empty paths
+        # the no-duplicates / all-empty paths.  keep_id keeps the id
+        # column's NATIVE type (string ids are legal), matching the
+        # min_count=1 and pa.Table paths.
         schema = ds.schema().base_schema
         return pa.table({
             **{c: pa.array([], schema.field(c).type) for c in cols},
-            "keep_id": pa.array([], pa.int64()),
+            "keep_id": pa.array([], schema.field(id_col).type),
             "cnt": pa.array([], pa.int64())})
 
     if not outs:
@@ -135,8 +137,10 @@ def exact_dup_groups_ds(ds, cols: Sequence[str], id_col: str,
         keep = pa.array(sd[pos] == kh)
         sub = g.filter(keep)
         return pa.table({**{c: sub[c] for c in cols},
-                         "keep_id": pc.cast(sub[f"{id_col}_min"],
-                                            pa.int64()),
+                         # native id type — string/uint64 ids must not
+                         # crash on an int64 cast (the sibling paths
+                         # preserve the type)
+                         "keep_id": sub[f"{id_col}_min"],
                          "cnt": pc.cast(sub["count_all"], pa.int64()),
                          "kh": pa.array(kh[keep.to_numpy(
                              zero_copy_only=False)])})
@@ -275,14 +279,27 @@ class MinHashStage:
         self.num_perm = num_perm
         self.k = k
 
+    # chunk the perm x shingle matrix: min is associative, so a running
+    # np.minimum over shingle slices gives the identical signature while
+    # bounding the allocation at num_perm x CHUNK (one 100 MB document
+    # would otherwise materialize num_perm x ~1e8 uint64 in one shot)
+    _SHINGLE_CHUNK = 1 << 20
+
     def signature(self, text: str) -> np.ndarray:
         # min over the shingle SET — dedupe first (typical text repeats
         # shingles 3-5x, and min() is set-semantics anyway; the dedup is
         # also what keeps the perm x shingle matrix small)
         h = np.unique(_shingle_hashes(text, self.k))
         # universal-ish hash family with uint64 wraparound; min per perm
-        vals = self.a[:, None] * h[None, :] + self.b[:, None]
-        return vals.min(axis=1)
+        if h.size <= self._SHINGLE_CHUNK:
+            vals = self.a[:, None] * h[None, :] + self.b[:, None]
+            return vals.min(axis=1)
+        sig = np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
+        for i in range(0, h.size, self._SHINGLE_CHUNK):
+            hc = h[i:i + self._SHINGLE_CHUNK]
+            vals = self.a[:, None] * hc[None, :] + self.b[:, None]
+            np.minimum(sig, vals.min(axis=1), out=sig)
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = pc.fill_null(batch[self.text_col], "").to_pylist()
@@ -304,6 +321,7 @@ def minhash_signatures(ds, text_col="text", id_col="doc_id", num_perm=128,
         stateless_stage(MinHashStage, text_col=text_col, id_col=id_col,
                         num_perm=num_perm, k=k, seed=seed),
         batch_format="pyarrow",
+        **({"concurrency": concurrency} if concurrency else {}),
     )
 
 
@@ -320,6 +338,13 @@ def _band_key_matrix(flat: np.ndarray, bands: int) -> np.ndarray:
     (one mixed int64 per band CONTENT + band index)."""
     n, num_perm = flat.shape
     r = num_perm // bands
+    if r == 0:
+        # silently degenerating to content-independent salt keys would
+        # put EVERY doc in EVERY band bucket (quadratic pairing, zero
+        # selectivity) — refuse the misconfiguration loudly
+        raise ValueError(
+            f"minhash banding: bands={bands} exceeds num_perm={num_perm} "
+            "(rows per band would be 0); use bands <= num_perm")
     mix = np.power(np.uint64(1099511628211),
                    np.arange(r, dtype=np.uint64), dtype=np.uint64)
     salt = _splitmix64_np(np.arange(1, bands + 1, dtype=np.uint64))
@@ -548,6 +573,14 @@ def minhash_dup_pairs(ds, text_col="text", id_col="doc_id", num_perm=128,
     from ..validate import stateless_stage
     from .distagg import bucketed_reduce, hot_keys
 
+    if num_perm // bands == 0:
+        # driver-side duplicate of the _band_key_matrix guard so the
+        # misconfiguration fails as a plain ValueError, not a RayTaskError
+        raise ValueError(
+            f"minhash_dup_pairs: bands={bands} exceeds num_perm="
+            f"{num_perm} (rows per band would be 0); use bands <= "
+            "num_perm")
+
     sig_pipe = ds.map_batches(
         stateless_stage(MinHashStage, text_col=text_col, id_col=id_col,
                         num_perm=num_perm, k=k, seed=seed),
@@ -719,6 +752,7 @@ def simhash64(ds, text_col="text", id_col="doc_id", concurrency=None):
     return ds.map_batches(
         stateless_stage(SimHashStage, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
+        **({"concurrency": concurrency} if concurrency else {}),
     )
 
 
@@ -771,7 +805,8 @@ def simhash_dup_pairs(ds, text_col="text", id_col="doc_id",
 
     empty = pa.table({"id_a": pa.array([], pa.int64()),
                       "id_b": pa.array([], pa.int64()),
-                      "hamming": pa.array([], pa.int64())})
+                      "hamming": pa.array([], pa.int64()),
+                      "truncated": pa.array([], pa.bool_())})
     hot = hot_keys(sh.map_batches(band_keys_only, batch_format="pyarrow"),
                    "bkey", min_count=2)
     if hot.size == 0:
@@ -798,7 +833,7 @@ def simhash_dup_pairs(ds, text_col="text", id_col="doc_id",
         ids = t[id_col].to_numpy(zero_copy_only=False)
         hs = t["simhash"].to_numpy(zero_copy_only=False) \
             .astype(np.int64).view(np.uint64)
-        order, ia, ib, _ = _bucket_pair_index(bkey, ids, max_bucket)
+        order, ia, ib, trunc = _bucket_pair_index(bkey, ids, max_bucket)
         if ia.size == 0:
             return None
         h = hs[order]
@@ -814,6 +849,9 @@ def simhash_dup_pairs(ds, text_col="text", id_col="doc_id",
             "id_a": pa.array(ka),
             "id_b": pa.array(kb),
             "hamming": pa.array(ham[m]),
+            # no-silent-caps: a pair discovered in a max_bucket-truncated
+            # band carries the flag (same contract as minhash/jaccard)
+            "truncated": pa.array(trunc[ia[m]].astype(bool)),
             "pkh": pa.array(_pair_hash(ka, kb)),
         })
 
@@ -822,14 +860,19 @@ def simhash_dup_pairs(ds, text_col="text", id_col="doc_id",
         "bkey", bucket_fn, as_refs=True)
 
     # a pair found in several bands has the SAME hamming each time — keep
-    # the run-start value
+    # the run-start value; the truncated flag ORs across discoveries
     def merge_fn(t: pa.Table):
         po, da, db, run = _group_pairs(t)
         ham = t["hamming"].to_numpy(zero_copy_only=False)[po]
+        tr = t["truncated"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint8)[po]
+        tr_pair = (np.maximum.reduceat(tr, run).astype(bool)
+                   if tr.size else np.zeros(0, bool))
         return pa.table({
             "id_a": pa.array(da[run]),
             "id_b": pa.array(db[run]),
             "hamming": pa.array(ham[run]),
+            "truncated": pa.array(tr_pair),
         })
 
     return _pair_merge_dataset(cand_refs, merge_fn, empty)
@@ -1058,13 +1101,26 @@ def distributed_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         cnt, out = _cc_small.remote(*[tref for _, tref in refs])
         return dataset_from_refs([(cnt, out)], _EMPTY_COMPONENTS)
 
+    def _node_hash(u: np.ndarray) -> pa.Array:
+        # route on a HASH of the star center, never the raw id:
+        # hash_range_buckets splits the uint64 range by top bits, so raw
+        # sequential doc ids would all land in bucket 0 and serialize
+        # every star round through one task
+        return pa.array(_splitmix64_np(
+            np.ascontiguousarray(u, np.int64).view(np.uint64))
+            .view(np.int64))
+
     def symmetrize(t: pa.Table) -> pa.Table:
         lo, hi = _int64_np(t["lo"]), _int64_np(t["hi"])
-        return pa.table({"u": pa.array(np.concatenate((lo, hi))),
-                         "v": pa.array(np.concatenate((hi, lo)))})
+        u = np.concatenate((lo, hi))
+        return pa.table({"u": pa.array(u),
+                         "v": pa.array(np.concatenate((hi, lo))),
+                         "ukh": _node_hash(u)})
 
     def assign_to_hi(t: pa.Table) -> pa.Table:
-        return pa.table({"u": t["hi"], "v": t["lo"]})
+        u = _int64_np(t["hi"])
+        return pa.table({"u": t["hi"], "v": t["lo"],
+                         "ukh": _node_hash(u)})
 
     large, streak, rounds = True, 0, 0
     while streak < 2:
@@ -1077,7 +1133,7 @@ def distributed_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
         keyed = cur.map_batches(symmetrize if large else assign_to_hi,
                                 batch_format="pyarrow")
         star_refs = bucketed_reduce(
-            keyed, "u", lambda t, lg=large: _star_emit(t, lg),
+            keyed, "ukh", lambda t, lg=large: _star_emit(t, lg),
             n_buckets=n_buckets, as_refs=True)
         star_ds = dataset_from_refs(star_refs, _EMPTY_EDGES)
         refs = bucketed_reduce(star_ds, "ekh", _edge_distinct,
@@ -1091,13 +1147,15 @@ def distributed_components(pairs, id_a: str = "id_a", id_b: str = "id_b",
     # themselves; one exchange on node dedups the repeated root rows
     def to_map(t: pa.Table) -> pa.Table:
         lo, hi = _int64_np(t["lo"]), _int64_np(t["hi"])
+        node = np.concatenate((hi, lo))
         return pa.table({
-            "node": pa.array(np.concatenate((hi, lo))),
-            "component": pa.array(np.concatenate((lo, lo)))})
+            "node": pa.array(node),
+            "component": pa.array(np.concatenate((lo, lo))),
+            "nkh": _node_hash(node)})
 
     map_ds = dataset_from_refs(refs, _EMPTY_EDGES) \
         .map_batches(to_map, batch_format="pyarrow")
-    map_refs = bucketed_reduce(map_ds, "node", _node_map_distinct,
+    map_refs = bucketed_reduce(map_ds, "nkh", _node_map_distinct,
                                n_buckets=n_buckets, as_refs=True)
     return dataset_from_refs(map_refs, _EMPTY_COMPONENTS)
 

@@ -89,7 +89,10 @@ def _mark_batch(batch: pa.Table, dup: np.ndarray, text_col: str,
     covered = np.zeros(n_tok, bool)
 
     if dup.size:
-        grams, doc_idx, pos = gram_arrays(col, n, sep, with_pos=True)
+        # reuse the batch's tokenization (split_pattern above) instead
+        # of re-splitting inside gram_arrays — pass 2 is the hot path
+        grams, doc_idx, pos = gram_arrays(col, n, sep, with_pos=True,
+                                          toks=toks)
         if len(grams):
             q = np.empty(len(grams), _PAIR_DT)
             q["a"] = stable_hash64(grams, seed=101)
@@ -146,6 +149,13 @@ def remove_dup_spans(ds_or_table, text_col: str = "text",
         lambda b: _gram_hash_partial(b[text_col], n, sep),
         batch_format="pyarrow")
     agg = bucketed_sum(partial, ["h1", "h2"], ["cnt"], n_buckets=n_buckets)
+    # apply the min_count filter INSIDE the reduce output, before the
+    # driver gather: the distinct-gram table is ~one row per corpus
+    # token (singleton majority) — only the duplicated grams may land on
+    # the driver, as the module docstring promises
+    agg = agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], min_count)),
+        batch_format="pyarrow")
     parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
              for b in agg.iter_batches(batch_size=None,
                                        batch_format="pyarrow")]

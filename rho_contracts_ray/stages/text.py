@@ -30,7 +30,7 @@ def _count(col: pa.Array, pattern: str) -> np.ndarray:
 
 
 def gram_arrays(col: pa.Array, n: int, sep: str = " ",
-                with_pos: bool = False):
+                with_pos: bool = False, toks: Optional[pa.Array] = None):
     """Vectorized word-n-gram construction over a string column: returns
     (grams, doc_idx) with one row per gram OCCURRENCE — `grams` a pyarrow
     string array, `doc_idx` the int64 row index each gram came from.
@@ -44,7 +44,8 @@ def gram_arrays(col: pa.Array, n: int, sep: str = " ",
     binary_join_element_wise); no Python loop over rows or grams."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    toks = pc.split_pattern(pc.fill_null(col, ""), sep)
+    if toks is None:
+        toks = pc.split_pattern(pc.fill_null(col, ""), sep)
     offs = toks.offsets.to_numpy()
     vals = toks.values
     cnt = np.maximum(np.diff(offs) - n + 1, 0)

@@ -2218,3 +2218,70 @@ def test_rollup_all_null_values_grand_total_is_null(ray_session):
     assert out["sum_value"].isna().all() and ref["sum_value"].isna().all()
     assert out["a"].fillna("<null>").tolist() == \
         ref["a"].fillna("<null>").tolist()
+
+
+def test_exact_dup_groups_string_ids_native_keep_id(ray_session):
+    """min_count>=2 path with STRING ids: keep_id keeps the native type
+    (code-review regression: an int64 cast crashed on string ids while
+    the min_count=1 and pa.Table paths preserved them)."""
+    from rho_contracts_ray.stages.dedup import exact_dup_groups
+
+    t = pa.table({
+        "text": pa.array(["a", "a", "b", "b", "b", "c"]),
+        "uid": pa.array(["u5", "u1", "u9", "u2", "u8", "u0"]),
+    })
+    out = exact_dup_groups(rd.from_arrow(t).repartition(3),
+                           ["text"], "uid", min_count=2).to_pandas()
+    got = dict(zip(out["text"], out["keep_id"]))
+    assert got == {"a": "u1", "b": "u2"}
+    assert out["keep_id"].dtype == object        # string, not int
+
+
+def test_minhash_bands_exceed_num_perm_raises(ray_session):
+    from rho_contracts_ray.stages.dedup import minhash_dup_pairs
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["hello world test", "hello world test"])})
+    import pytest
+    with pytest.raises(ValueError, match="bands"):
+        minhash_dup_pairs(rd.from_arrow(t), num_perm=16, bands=32)
+
+
+def test_simhash_truncated_flag_surfaces(ray_session):
+    """A band bucket larger than max_bucket truncates; every emitted pair
+    from that bucket must carry truncated=True (code-review regression:
+    the flag was silently dropped)."""
+    from rho_contracts_ray.stages.dedup import simhash_dup_pairs
+
+    n = 8
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["identical boilerplate text content here"] * n),
+    })
+    out = simhash_dup_pairs(rd.from_arrow(t), max_hamming=3,
+                            max_bucket=4).to_pandas()
+    assert "truncated" in out.columns
+    assert len(out) > 0 and out["truncated"].all()
+    # and an untruncated corpus reports False
+    out2 = simhash_dup_pairs(rd.from_arrow(t), max_hamming=3,
+                             max_bucket=100).to_pandas()
+    assert len(out2) == n * (n - 1) // 2 and not out2["truncated"].any()
+
+
+def test_distributed_components_sequential_ids_forced_exchange(ray_session):
+    """Star rounds route on a HASH of the center (code-review regression:
+    raw sequential ids all collapsed into hash-range bucket 0).  Forcing
+    the distributed path on a sequential-id chain+clique graph must give
+    the same components as the single-task union-find."""
+    from rho_contracts_ray.stages.dedup import distributed_components
+
+    edges = [(i, i + 1) for i in range(0, 40, 2)]          # 20 tiny comps
+    edges += [(100 + i, 100 + i + 1) for i in range(30)]   # one chain
+    t = pa.table({"id_a": pa.array([a for a, _ in edges], pa.int64()),
+                  "id_b": pa.array([b for _, b in edges], pa.int64())})
+    big = distributed_components(rd.from_arrow(t).repartition(4),
+                                 small_rows=0, n_buckets=8).to_pandas()
+    small = distributed_components(rd.from_arrow(t)).to_pandas()
+    a = dict(zip(big["node"], big["component"]))
+    b = dict(zip(small["node"], small["component"]))
+    assert a == b and len(a) == 40 + 31
