@@ -117,15 +117,6 @@ import ray
 
 
 @ray.remote
-def _unwrap1(tup):
-    """Unwrap the 1-tuple a num_returns=1 expand/contrib call yields —
-    with num_returns=1 Ray hands back ONE ref to the whole tuple, so the
-    downstream combine would otherwise receive the tuple, not the
-    table/array inside it."""
-    return tup[0]
-
-
-@ray.remote
 def _bfs_local_task(seed_nodes: np.ndarray, max_depth: int,
                     *blocks) -> pa.Table:
     """Whole-graph BFS in one task — the small-graph fast path (the
@@ -323,16 +314,12 @@ def bfs_distances(edges_ds, seeds: pa.Table, max_depth: int,
             pa.table({"node": pa.array(sn, pa.int64())})
             if sn.size else None))
 
-    expand = _bfs_expand.options(num_returns=n_buckets) \
-        if n_buckets > 1 else None
+    # n_buckets = len(edge_refs) >= 2 always (bucketed_reduce clamps to
+    # avoid Ray's bare-ref num_returns=1 shape), so no 1-bucket branch
+    expand = _bfs_expand.options(num_returns=n_buckets)
     for d in range(1, max_depth + 1):
-        if n_buckets > 1:
-            outs = [expand.remote(n_buckets, frontier_refs[b],
-                                  edge_refs[b])
-                    for b in range(n_buckets)]
-        else:
-            outs = [[_unwrap1.remote(_bfs_expand.remote(
-                1, frontier_refs[0], edge_refs[0]))]]
+        outs = [expand.remote(n_buckets, frontier_refs[b], edge_refs[b])
+                for b in range(n_buckets)]
         results = [_bfs_combine.remote(
             dist_refs[r], d, *[outs[b][r] for b in range(n_buckets)])
             for r in range(n_buckets)]
@@ -348,12 +335,20 @@ def bfs_distances(edges_ds, seeds: pa.Table, max_depth: int,
         "dist": pa.array([], pa.int64())}))
 
 
+class _UnpackableIds(ValueError):
+    """Edge ids outside [0, 2^32) — the packed-uint64 broadcast path
+    cannot represent them; callers fall back to the exchange strategy.
+    A DEDICATED type so the fallback catch cannot swallow unrelated
+    ValueErrors from inside remote tasks (Ray's RayTaskError subclasses
+    the original exception type)."""
+
+
 def _pack_edges(u: np.ndarray, v: np.ndarray) -> np.ndarray:
     """(u, v) int64 pairs with 0 <= id < 2^32 -> one sorted uint64 per
     edge — membership tests become one searchsorted."""
     if u.size and (u.min() < 0 or max(u.max(), v.max()) >= (1 << 32)):
-        raise ValueError("edge ids outside [0, 2^32) — use the exchange "
-                         "strategy")
+        raise _UnpackableIds("edge ids outside [0, 2^32) — use the "
+                             "exchange strategy")
     return np.sort((u.astype(np.uint64) << np.uint64(32))
                    | v.astype(np.uint64))
 
@@ -440,8 +435,8 @@ def triangle_count(edges_ds, n_buckets: Optional[int] = None,
     if strategy == "broadcast":
         try:
             return _triangle_count_broadcast(edges_ds, n_buckets)
-        except ValueError:       # ids outside [0, 2^32): unpackable
-            strategy = "exchange"
+        except _UnpackableIds:   # ids outside [0, 2^32) only — any
+            strategy = "exchange"   # other error propagates
 
     # 1. degrees: one exchange over both endpoints
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -641,15 +636,10 @@ def pagerank(edges_ds, iters: int = 20, damping: float = 0.85,
         return rd.from_arrow(empty)
     ranks = [ray.put(np.full(s, 1.0 / n_total, np.float64))
              if s else ray.put(None) for s in sizes]
-    contrib = _pr_contrib.options(num_returns=n_buckets) \
-        if n_buckets > 1 else None
+    contrib = _pr_contrib.options(num_returns=n_buckets)   # n_buckets >= 2
     for _ in range(iters):
-        if n_buckets > 1:
-            outs = [contrib.remote(n_buckets, preps[b], ranks[b])
-                    for b in range(n_buckets)]
-        else:
-            outs = [[_unwrap1.remote(
-                _pr_contrib.remote(1, preps[0], ranks[0]))]]
+        outs = [contrib.remote(n_buckets, preps[b], ranks[b])
+                for b in range(n_buckets)]
         ranks = [_pr_combine.remote(
             preps[r], n_total, damping,
             *[outs[b][r] for b in range(n_buckets)])
@@ -846,15 +836,10 @@ def graph_connected_components(edges_ds, n_buckets: Optional[int] = None,
                          "lab": pa.array(n, pa.int64())})
 
     label_refs = [init_labels.remote(r) for r in edge_refs]
-    expand = _cc_expand.options(num_returns=n_buckets) \
-        if n_buckets > 1 else None
+    expand = _cc_expand.options(num_returns=n_buckets)   # n_buckets >= 2
     for rnd in range(max_rounds):
-        if n_buckets > 1:
-            outs = [expand.remote(n_buckets, label_refs[b], edge_refs[b])
-                    for b in range(n_buckets)]
-        else:
-            outs = [[_unwrap1.remote(
-                _cc_expand.remote(1, label_refs[0], edge_refs[0]))]]
+        outs = [expand.remote(n_buckets, label_refs[b], edge_refs[b])
+                for b in range(n_buckets)]
         results = [_cc_combine.remote(
             label_refs[r], *[outs[b][r] for b in range(n_buckets)])
             for r in range(n_buckets)]
@@ -1163,15 +1148,10 @@ def kcore_decomposition(edges_ds, n_buckets: Optional[int] = None,
     if not edge_refs:
         return rd.from_arrow(empty)
     est_refs = [_kcore_init.remote(r) for r in edge_refs]
-    expand = _kcore_expand.options(num_returns=n_buckets) \
-        if n_buckets > 1 else None
+    expand = _kcore_expand.options(num_returns=n_buckets)   # n_buckets >= 2
     for _ in range(max_rounds):
-        if n_buckets > 1:
-            outs = [expand.remote(n_buckets, est_refs[b], edge_refs[b])
-                    for b in range(n_buckets)]
-        else:
-            outs = [[_unwrap1.remote(
-                _kcore_expand.remote(1, est_refs[0], edge_refs[0]))]]
+        outs = [expand.remote(n_buckets, est_refs[b], edge_refs[b])
+                for b in range(n_buckets)]
         results = [_kcore_combine.remote(
             est_refs[r], *[outs[b][r] for b in range(n_buckets)])
             for r in range(n_buckets)]

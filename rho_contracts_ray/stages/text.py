@@ -134,6 +134,7 @@ def text_features(ds, text_col: str = "text", concurrency=None):
     return ds.map_batches(
         stateless_stage(TextFeaturesStage, text_col=text_col),
         batch_format="pyarrow",
+        **({"concurrency": concurrency} if concurrency else {}),
     )
 
 
@@ -464,7 +465,9 @@ def decontaminate_ngrams(train_ds, holdout_ds, n: int = 3,
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         return pa.table({
-            id_col: pc.cast(ids.filter(pa.array(m)), pa.int64()),
+            # native id type — an int64 cast would silently parse
+            # numeric-LOOKING string ids ('007' -> 7) and crash on others
+            id_col: ids.filter(pa.array(m)),
             "n_shared": pa.array(shared[m].astype(np.int64)),
         })
 
@@ -492,12 +495,17 @@ def regex_extract(ds_or_table, pattern: str, text_col: str = "text",
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         st = pc.extract_regex(pc.fill_null(col, ""), pattern)
+        valid = pc.is_valid(col)
         cols = {id_col: batch[id_col]}
         for nm in names:
-            cols[nm] = pc.struct_field(st, nm)
+            # null text never matches: even when the pattern matches the
+            # fill_null('') placeholder, its groups stay null
+            cols[nm] = pc.if_else(valid, pc.struct_field(st, nm),
+                                  pa.scalar(None, pa.string()))
         out = pa.table(cols)
         if drop_unmatched:
-            out = out.filter(pc.is_valid(st))
+            # SQL inner semantics: unmatched AND null-text rows drop
+            out = out.filter(pc.and_(pc.is_valid(st), valid))
         return out
 
     if isinstance(ds_or_table, pa.Table):
@@ -645,7 +653,9 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
     at sf0.01/sf0.1)."""
     import math
 
-    from .agg import bucketed_apply, bucketed_group_agg
+    from .agg import bucketed_apply, bucketed_group_agg, col_type
+
+    idt = col_type(ds, id_col)   # native id type (string ids are legal)
 
     def cnt_partial(batch: pa.Table) -> pa.Table:
         grams, _ = gram_arrays(batch[text_col], 1, sep)
@@ -662,7 +672,7 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
     if total == 0:
         import ray.data as rd
         return rd.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
+            id_col: pa.array([], idt),
             "avg_logprob": pa.array([], pa.float64()),
             "n_tokens": pa.array([], pa.int64())}))
     log_total = math.log(float(total))
@@ -692,7 +702,7 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
                          "c": pa.array(c.astype(np.int64))})
 
     def tok_empty() -> pa.Table:
-        return pa.table({id_col: pa.array([], pa.int64()),
+        return pa.table({id_col: pa.array([], idt),
                          "lp": pa.array([], pa.float64()),
                          "c": pa.array([], pa.int64())})
 
@@ -782,6 +792,15 @@ def quality_buckets(ds, text_col: str = "text", id_col: str = "doc_id",
     (len(qs) floats) broadcast via closure."""
     from .selection import exact_global_quantile
 
+    qs, labels = list(qs), list(labels)
+    if len(labels) != len(qs) + 1:
+        raise ValueError(
+            f"quality_buckets: {len(qs)} fences need {len(qs) + 1} "
+            f"labels, got {len(labels)}")
+    if any(b <= a for a, b in zip(qs, qs[1:])):
+        raise ValueError(f"quality_buckets: qs must be strictly "
+                         f"ascending, got {qs}")
+
     lp = unigram_logprob(ds, text_col=text_col, id_col=id_col,
                          sep=sep).materialize()
     fences = np.array([exact_global_quantile(lp, "avg_logprob", q)[0]
@@ -825,7 +844,11 @@ def gopher_rules(ds_or_table, text_col: str = "text", id_col: str = "doc_id",
     All reported ratios are UNROUNDED float64: every numerator and
     denominator is an exact integer (< 2^53), so the division — and the
     `keep` CASE computed from it — is bit-identical to the SQL oracle's."""
-    stop_pats = [r"(?i)\b" + w + r"\b" for w in stopwords]
+    import re as _re
+
+    # escape user-supplied stopwords: 'c++' would otherwise build an
+    # invalid RE2 repetition and 'a.b' would silently over-match
+    stop_pats = [r"(?i)\b" + _re.escape(w) + r"\b" for w in stopwords]
 
     def _segsum(x: np.ndarray, offs: np.ndarray) -> np.ndarray:
         cs = np.concatenate([[0], np.cumsum(x, dtype=np.float64)])
@@ -1020,10 +1043,14 @@ def pmi_top_collocations(ds, k: int = 20, min_count: int = 3,
     n1 = float(uni.sum("cnt") or 0)
     n2 = float(bi.sum("cnt") or 0)
     if n1 == 0 or n2 == 0:
-        return pa.table({"w1": pa.array([], pa.string()),
-                         "w2": pa.array([], pa.string()),
-                         "pair_count": pa.array([], pa.int64()),
-                         "pmi": pa.array([], pa.float64())})
+        # same return TYPE as the normal path (a Dataset, not a bare
+        # table) so callers' .count()/.take_all() never type-switch
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "pair_count": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64())}))
 
     from .joins import bucketed_join
     from .topk import global_topk
@@ -1164,7 +1191,9 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
          for unigram at sf0.01/sf0.1)."""
     import math
 
-    from .agg import bucketed_apply
+    from .agg import bucketed_apply, col_type
+
+    idt = col_type(ds, id_col)   # native id type (string ids are legal)
 
     def cnt_partial(batch: pa.Table) -> pa.Table:
         grams, _ = gram_arrays(batch[text_col], 1, sep)
@@ -1177,7 +1206,7 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
         if "n" in t.column_names and t.num_rows:
             total += int(pc.sum(t["n"]).as_py() or 0)
     import ray.data as rd
-    out_empty = pa.table({id_col: pa.array([], pa.int64()),
+    out_empty = pa.table({id_col: pa.array([], idt),
                           "avg_logprob": pa.array([], pa.float64()),
                           "n_bigrams": pa.array([], pa.int64())})
     if total == 0:
@@ -1216,7 +1245,7 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
             "pcond": pa.array(pcond, pa.float64()),
             "kind": pa.array(["b"] * g.num_rows, pa.string())})
 
-    b_empty = pa.table({id_col: pa.array([], pa.int64()),
+    b_empty = pa.table({id_col: pa.array([], idt),
                         "tok": pa.array([], pa.string()),
                         "c": pa.array([], pa.int64()),
                         "pcond": pa.array([], pa.float64()),
@@ -1231,7 +1260,7 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
         g = t.group_by(["tok"]).aggregate([([], "count_all")])
         n = g.num_rows
         return pa.table({
-            id_col: pa.nulls(n, pa.int64()), "tok": g["tok"],
+            id_col: pa.nulls(n, batch[id_col].type), "tok": g["tok"],
             "c": g["count_all"].cast(pa.int64()),
             "pcond": pa.nulls(n, pa.float64()),
             "kind": pa.array(["u"] * n, pa.string())})
@@ -1244,7 +1273,7 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
         u = t.filter(pc.equal(kind, "u"))
         b = t.filter(pc.equal(kind, "b"))
         if b.num_rows == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
+            return pa.table({id_col: pa.array([], idt),
                              "lp": pa.array([], pa.float64()),
                              "c": pa.array([], pa.int64())})
         cu = u.group_by(["tok"]).aggregate([("c", "sum")])
@@ -1257,7 +1286,7 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id",
                          "lp": pa.array(lp, pa.float64()),
                          "c": pa.array(c.astype(np.int64))})
 
-    t_empty = pa.table({id_col: pa.array([], pa.int64()),
+    t_empty = pa.table({id_col: pa.array([], idt),
                         "lp": pa.array([], pa.float64()),
                         "c": pa.array([], pa.int64())})
     contribs = bucketed_apply(brows.union(urows), ["tok"],
@@ -1380,7 +1409,10 @@ def vocab_growth(ds, text_col: str = "text", id_col: str = "doc_id",
          (driver sees n_blocks scalars, or the whole table only while
          it is under the same broadcast limit the rank path uses)."""
     from .agg import bucketed_apply, bucketed_sum
+    from .agg import col_type
     from .rank import sorted_prefix_sum
+
+    idt = col_type(ds, id_col)   # native id type (string ids are legal)
 
     def partial(batch: pa.Table) -> pa.Table:
         grams, doc_idx = gram_arrays(batch[text_col], 1, sep)
@@ -1393,7 +1425,7 @@ def vocab_growth(ds, text_col: str = "text", id_col: str = "doc_id",
         return g.rename_columns(["tok", "first_doc"])
 
     def empty() -> pa.Table:
-        return pa.table({id_col: pa.array([], pa.int64()),
+        return pa.table({id_col: pa.array([], idt),
                          "new_tokens": pa.array([], pa.int64())})
 
     def per_bucket(t: pa.Table) -> pa.Table:
@@ -1402,7 +1434,8 @@ def vocab_growth(ds, text_col: str = "text", id_col: str = "doc_id",
         g = t.group_by(["tok"]).aggregate([("first_doc", "min")])
         c = g.group_by(["first_doc_min"]).aggregate([([], "count_all")])
         return pa.table({
-            id_col: c["first_doc_min"].cast(pa.int64()),
+            # native id type — no int64 cast (string ids are legal)
+            id_col: c["first_doc_min"],
             "new_tokens": c["count_all"].cast(pa.int64())})
 
     per_doc = bucketed_apply(

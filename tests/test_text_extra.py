@@ -167,3 +167,81 @@ def test_dsir_zero_gram_corpus_keeps_rows(ray_session):
     assert len(out) == 3
     assert out["n_grams"].tolist() == [0, 0, 0]
     assert out["dsir_score"].isna().all()
+
+
+def test_text_ops_preserve_string_ids(ray_session):
+    """decontaminate_ngrams / unigram_logprob / bigram_logprob /
+    vocab_growth with a STRING id column: native type preserved end to
+    end, no int64 cast crash or silent '007'->7 corruption
+    (code-review regression batch)."""
+    from rho_contracts_ray.stages.text import (bigram_logprob,
+                                               decontaminate_ngrams,
+                                               unigram_logprob,
+                                               vocab_growth)
+
+    t = pa.table({
+        "doc_id": pa.array(["007", "7", "doc-a", "doc-b"]),
+        "text": pa.array(["alpha beta gamma delta",
+                          "alpha beta gamma delta",
+                          "epsilon zeta eta theta",
+                          "alpha beta unique words"]),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    holdout = pa.table({"text": pa.array(["alpha beta gamma delta"])})
+    out = decontaminate_ngrams(ds, rd.from_arrow(holdout), n=3,
+                               min_shared=1).to_pandas()
+    assert set(out["doc_id"]) == {"007", "7"}   # distinct ids preserved
+    uni = unigram_logprob(ds).to_pandas()
+    assert set(uni["doc_id"]) == {"007", "7", "doc-a", "doc-b"}
+    bi = bigram_logprob(ds).to_pandas()
+    assert set(bi["doc_id"]) == {"007", "7", "doc-a", "doc-b"}
+    vg = vocab_growth(ds).to_pandas()
+    assert vg["doc_id"].map(type).eq(str).all()
+
+
+def test_regex_extract_null_text_never_matches(ray_session):
+    """An empty-matchable pattern must not match the null-text
+    placeholder: nulls drop under drop_unmatched and keep null groups
+    otherwise (code-review regression)."""
+    from rho_contracts_ray.stages.text import regex_extract
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["abc", None, ""])})
+    out = regex_extract(t, r"(?P<word>\w*)")
+    assert out["doc_id"].to_pylist() == [1, 3]   # null dropped, '' kept
+    keep = regex_extract(t, r"(?P<word>\w*)", drop_unmatched=False)
+    assert keep["doc_id"].to_pylist() == [1, 2, 3]
+    assert keep["word"].to_pylist() == ["abc", None, ""]
+
+
+def test_gopher_stopwords_regex_escaped(ray_session):
+    from rho_contracts_ray.stages.text import gopher_rules
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["using c++ and a.b daily here now "
+                                    "with many more words to pass rules"])})
+    out = gopher_rules(rd.from_arrow(t), stopwords=("c++", "axb")) \
+        .to_pandas()
+    assert len(out) == 1   # 'c++' must not be an invalid RE2 repetition
+
+
+def test_quality_buckets_validates_labels_and_fences(ray_session):
+    import pytest
+
+    from rho_contracts_ray.stages.text import quality_buckets
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": pa.array(["hello world"])}))
+    with pytest.raises(ValueError, match="labels"):
+        quality_buckets(ds, qs=(0.2, 0.4, 0.6, 0.8))
+    with pytest.raises(ValueError, match="ascending"):
+        quality_buckets(ds, qs=(0.6, 0.4), labels=("a", "b", "c"))
+
+
+def test_pmi_empty_corpus_returns_dataset(ray_session):
+    from rho_contracts_ray.stages.text import pmi_top_collocations
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": pa.array([""])}))
+    out = pmi_top_collocations(ds, k=5)
+    assert out.count() == 0     # Dataset API works on the empty path
