@@ -145,6 +145,7 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
         stateless_stage(_TopKStage, q_ref=[q_ref], k=k, emb_col=emb_col,
                         id_col=id_col),
         batch_format="pyarrow",
+        **({"concurrency": concurrency} if concurrency else {}),
     )
     return _merge_topk(partials, k)
 
@@ -196,7 +197,12 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         for b in sample.iter_batches(batch_size=None, batch_format="pyarrow")
     ]
-    x = np.concatenate([_batch_matrix(t, emb_col) for t in parts])
+    # skip empty blocks: _batch_matrix cannot know a variable-length
+    # list column's dim from 0 rows and would emit shape (0, 1)
+    mats = [_batch_matrix(t, emb_col) for t in parts if t.num_rows]
+    if not mats:
+        raise ValueError("knn_ivf: no vectors to train centroids on")
+    x = np.concatenate(mats)
     cent = _kmeans(x, n_clusters, seed=seed)
     q = _normalize(np.asarray(queries, dtype=np.float32))
     probe_scores = q @ _normalize(cent).T
@@ -211,6 +217,7 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
                         probed_ref=[ray.put(probed)], k=k, emb_col=emb_col,
                         id_col=id_col),
         batch_format="pyarrow",
+        **({"concurrency": concurrency} if concurrency else {}),
     )
     return _merge_topk(partials, k)
 
@@ -331,8 +338,11 @@ def knn_ivf_pq(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
              for b in sample.iter_batches(batch_size=None,
                                           batch_format="pyarrow")]
-    x = _normalize(np.concatenate([_batch_matrix(t, emb_col)
-                                   for t in parts]))
+    # skip empty blocks (a 0-row variable-length list block reports dim 1)
+    mats = [_batch_matrix(t, emb_col) for t in parts if t.num_rows]
+    if not mats:
+        raise ValueError("knn_ivf_pq: no vectors to train the quantizer on")
+    x = _normalize(np.concatenate(mats))
     dim = x.shape[1]
     if dim % m_sub:
         raise ValueError(f"knn_ivf_pq: dim {dim} not divisible by "
@@ -362,6 +372,7 @@ def knn_ivf_pq(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
         stateless_stage(_IVFPQStage, state_ref=[state_ref], k=k,
                         emb_col=emb_col, id_col=id_col),
         batch_format="pyarrow",
+        **({"concurrency": concurrency} if concurrency else {}),
     )
     return _merge_topk(partials, k)
 
@@ -389,6 +400,13 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 16,
         return p
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # pa.array(list(empty)) would type the vec column NULL and
+            # poison the exchange concat — emit a typed empty instead
+            return pa.table({
+                id_col: batch[id_col],
+                "bkey": pa.array([], pa.int64()),
+                "vec": pa.array([], pa.list_(pa.float32()))})
         v = _normalize(_batch_matrix(batch, emb_col))
         signs = (v @ _planes(v.shape[1])) > 0
         bucket = (signs.astype(np.uint64)
@@ -476,8 +494,10 @@ def kmeans_fit(ds, k: int, iters: int = 10, emb_col: str = "embedding",
     parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
              for b in sample.iter_batches(batch_size=None,
                                           batch_format="pyarrow")]
-    x0 = np.concatenate([_batch_matrix(t, emb_col) for t in parts]) \
-        .astype(np.float64)
+    mats0 = [_batch_matrix(t, emb_col) for t in parts if t.num_rows]
+    if not mats0:
+        raise ValueError("kmeans_fit: no vectors in the init sample")
+    x0 = np.concatenate(mats0).astype(np.float64)
     if x0.shape[0] < k:
         raise ValueError(f"kmeans_fit: k={k} exceeds sample of {x0.shape[0]}")
     rng = np.random.default_rng(seed)
@@ -496,6 +516,13 @@ def kmeans_fit(ds, k: int, iters: int = 10, emb_col: str = "embedding",
         ref = ray.put(cent)
 
         def partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                # a 0-row variable-length list block reports dim 1 —
+                # emit nothing instead of a shape-poisoned partial
+                return pa.table({"sums": pa.array([], pa.binary()),
+                                 "cnt": pa.array([], pa.binary()),
+                                 "sse": pa.array([], pa.float64()),
+                                 "n": pa.array([], pa.int64())})
             v = _batch_matrix(batch, emb_col).astype(np.float64)
             c = ray.get(ref)
             d = (v ** 2).sum(1)[:, None] - 2.0 * (v @ c.T) \
@@ -582,6 +609,12 @@ def pca_fit(ds, n_components: int = 2, emb_col: str = "embedding"):
     dim = None
     partials = []
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # a 0-row variable-length list block reports dim 1 — its
+            # moment blob would corrupt the driver fold; emit nothing
+            return pa.table({"s": pa.array([], pa.binary()),
+                             "o": pa.array([], pa.binary()),
+                             "n": pa.array([], pa.int64())})
         v = _batch_matrix(batch, emb_col).astype(np.float64)
         return pa.table({
             "s": pa.array([v.sum(0).tobytes()], pa.binary()),
@@ -693,7 +726,9 @@ def semdedup(ds, k: int = 16, threshold: float = 0.95,
     assigned = ds.map_batches(assign, batch_format="pyarrow")
 
     def dedup_cluster(t: pa.Table) -> pa.Table:
-        ids_np = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # native id dtype (string ids are legal — an int64 cast would
+        # silently renumber '007' and crash on 'doc_41')
+        ids_np = t[id_col].to_numpy(zero_copy_only=False)
         cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((ids_np, cl))
         t = t.take(pa.array(order))
@@ -722,7 +757,8 @@ def semdedup(ds, k: int = 16, threshold: float = 0.95,
                          "cluster": pa.array(cl),
                          "keep": pa.array(keep)})
 
-    empty = pa.table({"id": pa.array([], pa.int64()),
+    from .agg import col_type
+    empty = pa.table({"id": pa.array([], col_type(ds, id_col)),
                       "cluster": pa.array([], pa.int64()),
                       "keep": pa.array([], pa.bool_())})
     return bucketed_apply(assigned, ["cluster"], dedup_cluster, empty,

@@ -121,10 +121,19 @@ def group_zscore(ds, key: str, value: str, id_cols: Sequence[str],
     stats = bucketed_group_agg(
         ds.map_batches(partial, batch_format="pyarrow"), [key],
         [("s", "sum"), ("ss", "sum"), ("n", "sum")])
-    st = pa.concat_tables(
-        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-         for b in stats.iter_batches(batch_size=None,
-                                     batch_format="pyarrow")])
+    _parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+              for b in stats.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")]
+    if _parts:
+        st = pa.concat_tables(_parts)
+    else:
+        # all-null value column / empty input: zero stats batches —
+        # concat of [] would raise; every z then falls to null
+        from .agg import col_type
+        st = pa.table({key: pa.array([], col_type(ds, key)),
+                       "s_sum": pa.array([], pa.float64()),
+                       "ss_sum": pa.array([], pa.float64()),
+                       "n_sum": pa.array([], pa.int64())})
     n = st["n_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
     s = st["s_sum"].to_numpy(zero_copy_only=False)
     ss = st["ss_sum"].to_numpy(zero_copy_only=False)
@@ -164,6 +173,9 @@ def retention_counts(ds, user: str, ts: str):
     a second short exchange counts users per cell.  Raw events never
     move."""
     def partial(batch: pa.Table) -> pa.Table:
+        # null timestamps drop (documented; a null wk would NaN-poison
+        # the int64 week arithmetic in the bucket body)
+        batch = batch.filter(pc.is_valid(batch[ts]))
         t = pa.table({user: batch[user],
                       "wk": pc.floor_temporal(batch[ts], unit="week")})
         g = t.group_by([user, "wk"]).aggregate([([], "count_all")])
@@ -258,10 +270,12 @@ def funnel_steps(ds, user: str, ts: str, type_col: str,
     parts = bucketed_apply(ds.map_batches(filt, batch_format="pyarrow"),
                            [user], per_bucket, empty)
     # per-bucket single rows -> one global row (tiny: <= n_buckets rows)
-    tbl = pa.concat_tables(
-        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-         for b in parts.iter_batches(batch_size=None,
-                                     batch_format="pyarrow")])
+    _parts = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+              for b in parts.iter_batches(batch_size=None,
+                                          batch_format="pyarrow")]
+    # zero matching events -> zero batches; report zero counts, not a
+    # concat ValueError
+    tbl = pa.concat_tables(_parts) if _parts else pa.table({})
     cols = {}
     for i, s in enumerate(steps):
         c = f"step_{i+1}_{s}"
@@ -298,7 +312,9 @@ def ohlc_bars(ds, key: str, ts: str, value: str, unit: str = "day",
                       "bar": pc.floor_temporal(batch[ts], unit=unit),
                       "ts": batch[ts],
                       "v": _f64(batch[value])})
-        t = t.filter(pc.is_valid(t["v"]))
+        # null value OR null timestamp rows drop (null bar/ts would
+        # NaN-poison the int64 casts in the bucket body)
+        t = t.filter(pc.and_(pc.is_valid(t["v"]), pc.is_valid(t["ts"])))
         if t.num_rows == 0:
             return _ohlc_partial_empty(t)
         t = t.take(pc.sort_indices(t, sort_keys=[
@@ -463,7 +479,9 @@ def resample_ffill(ds, key: str, ts: str, value: str, out_col: str):
         t = pa.table({key: batch[key],
                       "day": pc.floor_temporal(batch[ts], unit="day"),
                       "o": batch[ts], "v": _f64(batch[value])})
-        t = t.filter(pc.is_valid(t["v"]))
+        # null value OR null timestamp rows drop (null day/o would
+        # NaN-poison the int64 casts in the bucket body)
+        t = t.filter(pc.and_(pc.is_valid(t["v"]), pc.is_valid(t["o"])))
         if t.num_rows == 0:
             return pa.table({key: t[key],
                              "day": pa.array([], pa.timestamp("us")),
@@ -590,6 +608,13 @@ def group_winsorize(ds, key: str, value: str,
     sane rounding)."""
     from .agg import bucketed_apply
     from .joins import _empty_out, _key_run_starts
+
+    if not (0.0 <= lo_q <= hi_q <= 1.0):
+        # np.clip with lo > hi silently collapses every value to hi —
+        # refuse a swapped/out-of-range fence pair loudly
+        raise ValueError(
+            f"group_winsorize: need 0 <= lo_q <= hi_q <= 1, got "
+            f"lo_q={lo_q}, hi_q={hi_q}")
 
     def body(t: pa.Table) -> pa.Table:
         s = t.select([key, value]).take(pc.sort_indices(
@@ -771,11 +796,8 @@ def group_weighted_median(ds, key: str, value: str, weight: str,
                          out_col: pa.array(v[pick], pa.float64())})
 
     def empty() -> pa.Table:
-        sch = ds.schema()
-        ktype = pa.int64()
-        if sch is not None:
-            ktype = {f.name: f.type for f in sch.base_schema}[key]
-        return pa.table({key: pa.array([], ktype),
+        from .agg import col_type
+        return pa.table({key: pa.array([], col_type(ds, key)),
                          out_col: pa.array([], pa.float64())})
 
     return bucketed_apply(ds, [key], body, empty)
@@ -895,6 +917,14 @@ def cusum_changepoint(ds, key: str, order_by: Sequence[str],
         cum = cw - base[grp]                       # per-run cumsum
         tot = cw[ends - 1] - base                  # per-run totals
         k = np.arange(n_rows, dtype=np.int64) - np.repeat(starts, lens) + 1
+        # |d| <= 2 * max|cents| * group_len^2: guard LOUDLY before the
+        # int64 product wraps silently (docstring promises exactness)
+        amax = float(np.abs(c).max()) if c.size else 0.0
+        if 2.0 * amax * float(lens.max()) ** 2 >= float(1 << 62):
+            raise ValueError(
+                "cusum_changepoint: |cents| x group size risks int64 "
+                "overflow in the cumulative statistic — rescale the "
+                "series or split oversized groups")
         d = np.repeat(lens, lens) * cum - k * tot[grp]
         ad = np.abs(d)
         mx = np.zeros(starts.size, np.int64)
@@ -1163,6 +1193,14 @@ def gini_coefficient(ds, key: str, cents: str, ndigits: int = 6):
         c = s[cents].to_numpy(zero_copy_only=False).astype(np.int64)
         i_in_run = (np.arange(n_rows, dtype=np.int64)
                     - np.repeat(starts, lens) + 1)
+        # |num| <= 3 * max|cents| * group_len^2: guard LOUDLY before
+        # the int64 product wraps silently (docstring promises exactness)
+        amax = float(np.abs(c).max()) if c.size else 0.0
+        if 3.0 * amax * float(lens.max()) ** 2 >= float(1 << 62):
+            raise ValueError(
+                "gini_coefficient: |cents| x group size risks int64 "
+                "overflow in sum(i*x_i) — rescale the series or split "
+                "oversized groups")
         six = np.add.reduceat(i_in_run * c, starts)
         sx = np.add.reduceat(c, starts)
         num = 2 * six - (lens + 1) * sx
@@ -1201,8 +1239,9 @@ def conversion_lag(ds, key: str, ts: str, type_col: str,
                          "lag_us": pa.array([], pa.int64())})
 
     def pre(batch: pa.Table) -> pa.Table:
-        m = pc.is_in(batch[type_col],
-                     value_set=pa.array([from_type, to_type]))
+        m = pc.and_(pc.is_in(batch[type_col],
+                             value_set=pa.array([from_type, to_type])),
+                    pc.is_valid(batch[ts]))   # null ts never converts
         t = batch.filter(m)
         return pa.table({key: t[key],
                          "us": pc.cast(t[ts], pa.int64()),

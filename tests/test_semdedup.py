@@ -64,3 +64,28 @@ def test_semdedup_deterministic_and_no_false_kills(ray_session):
         .sort_values("id").reset_index(drop=True)
     assert a["keep"].all()
     assert a[["id", "keep"]].equals(b[["id", "keep"]])
+
+
+def test_semdedup_string_ids_native(ray_session):
+    """semdedup with STRING ids: native type preserved, '007' and '7'
+    stay distinct (code-review regression — the int64 cast renumbered
+    numeric-looking strings and crashed on others)."""
+    import numpy as np
+
+    from rho_contracts_ray.stages.ann import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8).astype(np.float32)
+    vecs = [base, base + 1e-4, rng.normal(size=8).astype(np.float32)]
+    t = pa.table({
+        "vec_id": pa.array(["007", "7", "doc_x"]),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    out = semdedup(rd.from_arrow(t), k=1,
+                   threshold=0.999).to_pandas()
+    assert set(out["id"]) == {"007", "7", "doc_x"}
+    kept = set(out[out["keep"]]["id"])
+    # the two near-identical vectors collapse to ONE kept id ('007' <
+    # '7' lexicographically); the distinct vector survives
+    assert "doc_x" in kept and len(kept) == 2

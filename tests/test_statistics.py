@@ -856,3 +856,85 @@ def test_daily_xcorr_zero_variance_and_empty(ray_session):
                   "ts": pa.array([], pa.timestamp("us"))})
     out = daily_xcorr(rd.from_arrow(e), "ts", "event_type", "a", "b")
     assert out.num_rows == 0
+
+
+def test_null_timestamps_dropped_not_crashed(ray_session):
+    """retention/ohlc/resample/conversion_lag with a null ts row: the row
+    drops instead of NaN-poisoning the int64 time arithmetic
+    (code-review regression batch)."""
+    from rho_contracts_ray.stages.statistics import (conversion_lag,
+                                                     ohlc_bars,
+                                                     resample_ffill,
+                                                     retention_counts)
+
+    ts = pa.array([1_700_000_000_000_000 + i * 86_400_000_000
+                   for i in range(4)] + [None], pa.timestamp("us"))
+    t = pa.table({"user_id": pa.array([1, 1, 2, 2, 1], pa.int64()),
+                  "ts": ts,
+                  "event_type": pa.array(["click", "purchase", "click",
+                                          "purchase", "click"]),
+                  "value": pa.array([1.0, 2.0, 3.0, 4.0, 5.0])})
+    ds = rd.from_arrow(t)
+    assert retention_counts(ds, "user_id", "ts").count() > 0
+    assert ohlc_bars(ds, "user_id", "ts", "value").count() > 0
+    assert resample_ffill(ds, "user_id", "ts", "value",
+                          "v_filled").count() > 0
+    assert conversion_lag(ds, "user_id", "ts", "event_type",
+                          "click", "purchase").count() > 0
+
+
+def test_funnel_and_zscore_empty_inputs(ray_session):
+    """Zero matching events / all-null values: graceful zero-count row
+    (funnel) and all-null z (zscore), not a concat ValueError."""
+    from rho_contracts_ray.stages.statistics import funnel_steps, \
+        group_zscore
+
+    t = pa.table({"user_id": pa.array([1, 2], pa.int64()),
+                  "ts": pa.array([1, 2], pa.timestamp("us")),
+                  "event_type": pa.array(["view", "view"]),
+                  "value": pa.array([None, None], pa.float64())})
+    ds = rd.from_arrow(t)
+    f = funnel_steps(ds, "user_id", "ts", "event_type",
+                     ["signup", "purchase"])
+    ftab = f if isinstance(f, pa.Table) else None
+    if ftab is None:
+        ftab = pa.concat_tables(
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in f.iter_batches(batch_size=None,
+                                    batch_format="pyarrow"))
+    assert ftab["step_1_signup"][0].as_py() == 0
+    z = group_zscore(ds, "event_type", "value",
+                     ["user_id"]).to_pandas()
+    assert len(z) == 2 and z["z"].isna().all()
+
+
+def test_winsorize_validates_fences(ray_session):
+    import pytest
+
+    from rho_contracts_ray.stages.statistics import group_winsorize
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                 "v": pa.array([1.0])}))
+    with pytest.raises(ValueError, match="lo_q"):
+        group_winsorize(ds, "k", "v", 0.95, 0.05)
+
+
+def test_cusum_gini_overflow_guard(ray_session):
+    """Magnitudes that would silently wrap int64 fail loudly instead
+    (the docstrings promise integer-exact results)."""
+    import pytest
+
+    from rho_contracts_ray.stages.statistics import cusum_changepoint, \
+        gini_coefficient
+
+    n = 3000
+    big = 2_000_000_000_000  # 2e12 cents; n^2 * amax ~ 1.8e19 > 2^63
+    t = pa.table({"k": pa.array([1] * n, pa.int64()),
+                  "c": pa.array([big] * n, pa.int64())})
+    ds = rd.from_arrow(t)
+    with pytest.raises((ValueError, Exception)) as ei:
+        cusum_changepoint(ds, "k", ["c"], "c").to_pandas()
+    assert "overflow" in str(ei.value)
+    with pytest.raises((ValueError, Exception)) as ei2:
+        gini_coefficient(ds, "k", "c").to_pandas()
+    assert "overflow" in str(ei2.value)
