@@ -32,15 +32,22 @@ def broadcast_join(ds, small: pa.Table, on: Sequence[str],
     small table is `ray.put` ONCE and read zero-copy per worker; the join
     itself is Arrow's hash join per batch — no arrow->pandas->arrow round
     trip of the payload columns, and null keys follow SQL semantics
-    (never match) instead of pandas' NaN==NaN."""
+    (never match) instead of pandas' NaN==NaN.
+
+    Only inner/left are offered: a right/full-outer join applied
+    independently PER BATCH would emit every never-matched small-side
+    row once per batch and a phantom null-padded row for small rows that
+    match in some OTHER batch — use `bucketed_join` (or
+    full_outer-style pre-aggregation) for outer semantics."""
     import ray
 
     on = list(on)
-    _HOWS = {"inner": "inner", "left": "left outer",
-             "outer": "full outer", "right": "right outer"}
+    _HOWS = {"inner": "inner", "left": "left outer"}
     if how not in _HOWS:
-        raise ValueError(f"broadcast_join: unsupported how={how!r} "
-                         f"(supported: {sorted(_HOWS)})")
+        raise ValueError(
+            f"broadcast_join: unsupported how={how!r} (supported: "
+            f"{sorted(_HOWS)}; right/outer need both sides in one "
+            f"exchange — use bucketed_join)")
     arrow_how = _HOWS[how]
     ref = ray.put(small)
 
@@ -122,6 +129,11 @@ def bucketed_join(left_ds, right_ds, on: Sequence[str],
     the salting pattern."""
     from .agg import bucketed_apply
 
+    _BHOWS = {"inner": "inner", "left": "left outer",
+              "outer": "full outer", "right": "right outer"}
+    if how not in _BHOWS:
+        raise ValueError(f"bucketed_join: unsupported how={how!r} "
+                         f"(supported: {sorted(_BHOWS)})")
     on = list(on)
     if n_buckets is None:
         n_buckets = auto_buckets(left_ds, right_ds)
@@ -168,8 +180,7 @@ def bucketed_join(left_ds, right_ds, on: Sequence[str],
                                  batch_format="pyarrow")
     both = left.union(right)
 
-    arrow_how = {"inner": "inner", "left": "left outer",
-                 "outer": "full outer", "right": "right outer"}[how]
+    arrow_how = _BHOWS[how]
 
     def join_bucket(t: pa.Table) -> pa.Table:
         # Arrow-native hash join per bucket: no arrow->pandas->arrow round
@@ -237,12 +248,21 @@ def asof_join(left_ds, right_table: pa.Table, key: str, ts: str,
     right_ts = right_ts or ts
     cols = [key, right_ts] + list(value_cols)
     rt = right_table.select(cols)
+    # null timestamps / null keys never match (SQL asof semantics) and
+    # crash pandas merge_asof outright — drop them on both sides
+    rt = rt.filter(pc.and_(pc.is_valid(rt[right_ts]),
+                           pc.is_valid(rt[key])))
     # Sort once, Arrow-native, BEFORE the broadcast: at 100 TB the right
     # side is a few GB — re-sorting it in every task is O(#tasks) wasted
     # sort work (VERDICT r4 #3).
     rt = rt.take(pc.sort_indices(
         rt, sort_keys=[(right_ts, "ascending"), (key, "ascending")]))
     ref = ray.put(rt.to_pandas())
+    # right-side int columns come back float64+NaN from merge_asof on
+    # unmatched rows; remember which to restore as NULLABLE int so every
+    # output block keeps ONE schema regardless of match pattern
+    int_base = {c for c in cols
+                if pa.types.is_integer(rt.schema.field(c).type)}
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:
         # cache anchored on the ray module of THIS worker process —
@@ -263,10 +283,30 @@ def asof_join(left_ds, right_table: pa.Table, key: str, ts: str,
             while len(cache) >= _ASOF_CACHE_MAX:
                 cache.pop(next(iter(cache)))
             cache[ck] = right
+        # drop left rows whose ts or key is null (they can never match;
+        # merge_asof raises on null merge keys)
+        batch = batch[batch[ts].notna() & batch[key].notna()]
+        # a nullable int key/ts arrives as float64 in pandas; align to
+        # the right side's dtype once the nulls are gone (merge_asof
+        # requires matching key dtypes)
+        for c in (key, ts):
+            rc = key if c == key else right_ts
+            if c in batch.columns and rc in right.columns \
+                    and batch[c].dtype != right[rc].dtype:
+                try:
+                    batch[c] = batch[c].astype(right[rc].dtype)
+                except (TypeError, ValueError):
+                    pass
         left = batch.sort_values([ts, key], kind="mergesort")
-        return pd.merge_asof(left, right, left_on=ts, right_on=right_ts,
-                             by=key, suffixes=("", suffix),
-                             direction=direction)
+        out = pd.merge_asof(left, right, left_on=ts, right_on=right_ts,
+                            by=key, suffixes=("", suffix),
+                            direction=direction)
+        lcols = set(batch.columns)
+        for c in int_base:
+            name = c + suffix if c in lcols else c
+            if name in out.columns and out[name].dtype.kind == "f":
+                out[name] = out[name].astype("Int64")
+        return out
 
     return left_ds.map_batches(merge, batch_format="pandas")
 
@@ -339,8 +379,16 @@ def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
 
     def join_bucket(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
-        lhs = _restore(df[df["__side"] == "l"][left_names].copy(), left_names)
-        rhs = _restore(df[df["__side"] == "r"][rcols].copy(), rcols)
+        lhs = df[df["__side"] == "l"][left_names].copy()
+        rhs = df[df["__side"] == "r"][rcols].copy()
+        # null ts / null key rows never match (SQL asof semantics) and
+        # crash pandas merge_asof — drop them on both sides BEFORE the
+        # dtype restore (a nullable int key only casts back to int once
+        # its nulls are gone)
+        lhs = lhs[lhs[ts].notna() & lhs[key].notna()]
+        rhs = rhs[rhs[right_ts].notna() & rhs[key].notna()]
+        lhs = _restore(lhs, left_names)
+        rhs = _restore(rhs, rcols)
         lhs = lhs.sort_values([ts, key], kind="mergesort") \
             .reset_index(drop=True)
         rhs = rhs.sort_values([right_ts, key], kind="mergesort") \
@@ -348,6 +396,14 @@ def asof_join_partitioned(left_ds, right_ds, key: str, ts: str,
         out = pd.merge_asof(lhs, rhs, left_on=ts, right_on=right_ts,
                             by=key, suffixes=("", suffix),
                             direction=direction)
+        # unmatched rows float-poison right int columns — restore as
+        # NULLABLE int so every bucket block keeps one schema
+        for c in rcols:
+            if not pa.types.is_integer(types[c]):
+                continue
+            name = c + suffix if c in left_names else c
+            if name in out.columns and out[name].dtype.kind == "f":
+                out[name] = out[name].astype("Int64")
         return pa.Table.from_pandas(out, preserve_index=False)
 
     empty_both = pa.table({
@@ -531,18 +587,11 @@ def hopping_window_count(ds, ts_col: str, size_us: int, hop_us: int):
 
 def _key_run_starts(t: pa.Table, key: str) -> np.ndarray:
     """Start indices of equal-`key` runs in an ALREADY key-sorted table —
-    null-safe (null==null continues a run), vectorized."""
-    col = t[key]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if len(col) <= 1:
-        return np.zeros(min(len(col), 1), dtype=np.int64)
-    a, b = col.slice(1), col.slice(0, len(col) - 1)
-    ne = pc.fill_null(pc.not_equal(a, b), False)
-    diff = pc.or_(ne, pc.xor(pc.is_null(a), pc.is_null(b)))
-    starts = np.concatenate(
-        ([True], diff.to_numpy(zero_copy_only=False)))
-    return np.flatnonzero(starts).astype(np.int64)
+    the shared null-safe run-boundary mask (one implementation:
+    agg._run_starts_multi)."""
+    from .agg import _run_starts_multi
+
+    return _run_starts_multi(t, [key])
 
 
 def _empty_like(ds) -> pa.Table:
@@ -810,6 +859,23 @@ def window_cumsum(ds, key: str, order_by: Sequence[str], value: str,
         col = t[value]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            # branch on the ARROW type, not the converted numpy dtype: an
+            # int column with a null converts to float64+NaN, which would
+            # make this bucket's out_col float while null-free buckets
+            # stay int — mixed block schemas.  SQL SUM OVER skips nulls;
+            # output is NULLABLE int64 in every bucket.
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            x = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+            run = np.cumsum(x, dtype=np.int64)
+            base = np.repeat(run[starts] - x[starts], lens) \
+                if starts.size else np.zeros(0, np.int64)
+            cnt = np.cumsum(valid)
+            cbase = np.repeat(cnt[starts] - valid[starts].astype(np.int64),
+                              lens) if starts.size else np.zeros(0, np.int64)
+            out = pa.array(run - base, type=pa.int64(),
+                           mask=(cnt - cbase) == 0)
+            return t.append_column(out_col, out)
         vals = col.to_numpy(zero_copy_only=False)
         if np.issubdtype(vals.dtype, np.floating):
             # SQL SUM OVER skips nulls: a null row gets the running sum of
@@ -872,10 +938,23 @@ def window_rolling(ds, key: str, order_by: Sequence[str], value: str,
             col = col.combine_chunks()
         vals = col.to_numpy(zero_copy_only=False)
         n = vals.size
-        is_int = np.issubdtype(vals.dtype, np.integer)
-        fvals = vals.astype(np.float64) if is_int else vals
-        valid = ~np.isnan(fvals) if fvals.dtype.kind == "f" \
-            else np.ones(n, bool)
+        # int-ness from the ARROW type: an int column with a null
+        # converts to float64+NaN, which would flip this bucket's output
+        # columns to float while null-free buckets stay int (mixed block
+        # schemas); the NaN rows are exactly the nulls and the valid
+        # mask below skips them
+        is_int = pa.types.is_integer(col.type)
+        fvals = vals.astype(np.float64) \
+            if vals.dtype.kind != "f" else vals
+        valid = ~np.isnan(fvals)
+        if is_int and n:
+            amax = float(np.nanmax(np.abs(fvals))) if valid.any() else 0.0
+            if amax * float(k) >= float(1 << 53):
+                # the window sum rides float64; beyond 2^53 the cast
+                # back to int64 would be silently wrong
+                raise ValueError(
+                    "window_rolling: |value| x k exceeds float64's "
+                    "exact-integer range (2^53) — rescale the values")
         run_start = np.repeat(starts, lens) if starts.size \
             else np.zeros(0, np.int64)
         idx = np.arange(n, dtype=np.int64)
@@ -1109,7 +1188,14 @@ def window_ewma(ds, key: str, order_by: "Sequence[str]", value: str,
     sort_keys = [(key, "ascending")] + [(c, "ascending") for c in order_by]
 
     def ew(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[value]))
+        # NaN mirrors null (the window_cumsum/rolling convention): a NaN
+        # entering the affine scan would poison every later row of its
+        # key run, where pandas ewm skips it
+        vcol = t[value]
+        ok = pc.is_valid(vcol)
+        if pa.types.is_floating(vcol.type):
+            ok = pc.and_(ok, pc.invert(pc.is_nan(vcol)))
+        t = t.filter(ok)
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
         n = t.num_rows
         col = t[value]

@@ -176,7 +176,19 @@ def attach_global_ranks(ds, value_col: str,
                                         batch_format="pyarrow")
              if b.num_rows]
     if not parts:
-        return rk, 0
+        # empty input: return the documented JOINED schema (ds's columns
+        # + the three rank columns), not the internal rank table whose
+        # shape (value/cnt/... columns) nothing downstream expects.
+        # Built directly (map_batches over an empty dataset may never
+        # run, leaving the schema unknown).
+        import ray.data as _rd
+
+        sch = ds.schema()
+        base = sch.base_schema if sch is not None else pa.schema([])
+        cols = {f.name: pa.array([], f.type) for f in base}
+        for c in ("rank", "dense_rank", "cume_cnt"):
+            cols[c] = pa.array([], pa.int64())
+        return _rd.from_arrow(pa.table(cols)), 0
     t = pa.concat_tables(parts)
     vals = t[value_col].to_numpy(zero_copy_only=False)
     order = np.argsort(vals, kind="stable")

@@ -158,6 +158,11 @@ def exact_global_quantile(ds, col: str, q: float,
 
     Returns (value, n) — (None, 0) when no finite input exists.
     """
+    if not (0.0 <= q <= 1.0):
+        # q<0 would silently return a wrong value through numpy's
+        # negative-index partition; q>1 crashes deep in the refinement
+        raise ValueError(f"exact_global_quantile: q must be in [0, 1], "
+                         f"got {q}")
     n, lo, hi = _scan_stats(ds, col)
     if n == 0:
         return None, 0

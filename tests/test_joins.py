@@ -1039,3 +1039,114 @@ def test_collapse_runs_key_boundary_no_leak(ray_session):
          .iter_batches(batch_size=None, batch_format="pyarrow")
          if b.num_rows]).sort_by([("k", "ascending")])
     assert out["valid_to"].to_pylist() == [None, None]
+
+
+def test_asof_null_timestamps_and_keys_dropped(ray_session):
+    """A null ts or null key on either side drops instead of crashing
+    pandas merge_asof, in BOTH flavors; right int columns stay int64 in
+    every block even when some rows are unmatched (code-review
+    regression batch)."""
+    from rho_contracts_ray.stages.joins import asof_join_partitioned
+
+    left = pa.table({
+        "user_id": pa.array([1, 1, 2, None, 3], pa.int64()),
+        "ts": pa.array([100, 200, 150, 120, None], pa.timestamp("us")),
+        "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+    })
+    right = pa.table({
+        "user_id": pa.array([1, 2, None], pa.int64()),
+        "ts_r": pa.array([90, None, 50], pa.timestamp("us")),
+        "val": pa.array([7, 8, 9], pa.int64()),
+    })
+    out = asof_join(rd.from_arrow(left), right, key="user_id", ts="ts",
+                    value_cols=["val"], right_ts="ts_r") \
+        .to_pandas().sort_values("event_id")
+    # null-ts / null-key left rows dropped; user 2's only right row had
+    # a null ts_r -> unmatched -> val stays NULL and the column is still
+    # integer (nullable), not float
+    assert out["event_id"].tolist() == [10, 11, 12]
+    assert out["val"].tolist()[:2] == [7, 7]
+    assert pd.isna(out["val"].iloc[2])
+    assert str(out["val"].dtype) in ("Int64", "int64")
+
+    out2 = asof_join_partitioned(
+        rd.from_arrow(left), rd.from_arrow(right), key="user_id",
+        ts="ts", value_cols=["val"], right_ts="ts_r", n_buckets=4) \
+        .to_pandas().sort_values("event_id")
+    assert out2["event_id"].tolist() == [10, 11, 12]
+    assert str(out2["val"].dtype) in ("Int64", "int64")
+
+
+def test_broadcast_join_rejects_outer(ray_session):
+    """Per-batch right/full-outer would duplicate unmatched small rows
+    per block — refused loudly with a pointer to bucketed_join."""
+    small = pa.table({"k": pa.array([1], pa.int64())})
+    ds = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64())}))
+    for how in ("outer", "right"):
+        with pytest.raises(ValueError, match="bucketed_join"):
+            broadcast_join(ds, small, ["k"], how=how)
+
+
+def test_window_cumsum_nullable_int_schema_stable(ray_session):
+    """An int64 value column with a null in ONE key's bucket must not
+    flip that bucket's running column to float while other buckets stay
+    int — stable nullable-int64 schema everywhere."""
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "o": pa.array([1, 2, 3, 1, 2], pa.int64()),
+        "v": pa.array([10, None, 5, 7, 8], pa.int64()),
+    })
+    out = window_cumsum(rd.from_arrow(t).repartition(2), "k", ["o"], "v")
+    tab = pa.concat_tables(
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    assert tab.schema.field("running").type == pa.int64()
+    got = {(r["k"], r["o"]): r["running"]
+           for r in tab.to_pylist()}
+    assert got[(1, 1)] == 10 and got[(1, 2)] == 10 and got[(1, 3)] == 15
+    assert got[(2, 1)] == 7 and got[(2, 2)] == 15
+
+
+def test_window_rolling_int_overflow_guard(ray_session):
+    from rho_contracts_ray.stages.joins import window_rolling
+
+    big = (1 << 53)
+    t = pa.table({"k": pa.array([1, 1], pa.int64()),
+                  "o": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([big, big], pa.int64())})
+    with pytest.raises(Exception, match="2\\^53|float64"):
+        window_rolling(rd.from_arrow(t), "k", ["o"], "v", k=2) \
+            .materialize()
+
+
+def test_window_ewma_nan_treated_as_null(ray_session):
+    from rho_contracts_ray.stages.joins import window_ewma
+
+    t = pa.table({"k": pa.array([1, 1, 1], pa.int64()),
+                  "o": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([1.0, float("nan"), 2.0])})
+    out = window_ewma(rd.from_arrow(t), "k", ["o"], "v", alpha=0.5) \
+        .to_pandas().sort_values("o")
+    # the NaN row drops; the scan continues 1.0 -> 1.5 over the rest
+    assert out["o"].tolist() == [1, 3]
+    assert abs(out["ewma"].iloc[1] - 1.5) < 1e-12
+
+
+def test_exact_global_quantile_validates_q(ray_session):
+    from rho_contracts_ray.stages.selection import exact_global_quantile
+
+    ds = rd.from_arrow(pa.table({"v": pa.array([1.0, 2.0])}))
+    for q in (-0.5, 1.5):
+        with pytest.raises(ValueError, match="\\[0, 1\\]"):
+            exact_global_quantile(ds, "v", q)
+
+
+def test_attach_global_ranks_empty_keeps_joined_schema(ray_session):
+    from rho_contracts_ray.stages.rank import attach_global_ranks
+
+    t = pa.table({"id": pa.array([], pa.int64()),
+                  "value": pa.array([], pa.float64())})
+    out, total = attach_global_ranks(rd.from_arrow(t), "value")
+    assert total == 0
+    sch = set(out.materialize().schema().names)
+    assert {"id", "value", "rank", "dense_rank", "cume_cnt"} <= sch
