@@ -90,8 +90,11 @@ def _value_freqs(ds_or_table, col: str) -> dict[str, float]:
         if t is None:
             return {}
     total = pc.sum(t["cnt"]).as_py() or 1
+    # the null category keys as None itself — a string sentinel like
+    # '\\N' would MERGE with a real '\\N' value and understate drift
+    # (e.g. 50% null -> 50% literal '\\N' would read as zero drift)
     return {
-        (k if k is not None else "\\N"): c / total
+        k: c / total
         for k, c in zip(t[col].to_pylist(), t["cnt"].to_pylist())
     }
 

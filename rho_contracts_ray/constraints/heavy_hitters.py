@@ -191,6 +191,10 @@ def heavy_hitters(ds, col: str, phi: float,
     exact = pa.concat_tables(exact_parts)
     g = exact.group_by(["value"]).aggregate([("cnt", "sum")])
     cnt = pc.cast(g["cnt_sum"], pa.int64())
+    # threshold is the FLOAT64 product phi*N — deliberately, because the
+    # SQL oracle's HAVING count >= phi * total computes the identical
+    # double (a frequency EXACTLY on the boundary can fall either side
+    # of the rational phi*N, but both engines fall the same way)
     keep = pc.greater_equal(pc.cast(cnt, pa.float64()), float(thresh))
     out = pa.table({"value": g["value"], "cnt": cnt}).filter(keep)
     return out.sort_by([("value", "ascending")])

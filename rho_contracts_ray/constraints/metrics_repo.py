@@ -68,6 +68,14 @@ class MetricsRepository:
         pq.write_table(
             profile.append_column("run_id", pa.array(
                 [run_id] * profile.num_rows, pa.string())), tmp)
+        # fsync BEFORE the rename (same discipline as state.checkpoint):
+        # os.replace alone can commit a name pointing at data blocks that
+        # never hit disk, leaving a torn record under the final path
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
         os.replace(tmp, path)
         return path
 
@@ -78,8 +86,18 @@ class MetricsRepository:
     def history(self, exclude: Optional[str] = None) -> pa.Table:
         """All recorded profiles as one table (empty-but-typed when no
         runs exist)."""
-        parts = [pq.read_table(self._path(r)) for r in self.run_ids()
-                 if r != exclude]
+        parts = []
+        for r in self.run_ids():
+            if r == exclude:
+                continue
+            try:
+                parts.append(pq.read_table(self._path(r)))
+            except Exception:
+                # a torn record (pre-fsync crash of an older writer)
+                # must not brick every later run — skip it loudly
+                import warnings
+                warnings.warn(f"metrics repo: skipping unreadable record "
+                              f"{r!r}", stacklevel=2)
         if not parts:
             return pa.table({"column": pa.array([], pa.string()),
                              "run_id": pa.array([], pa.string())})

@@ -29,6 +29,9 @@ PARTIAL_SCHEMA = pa.schema([
     ("vmax", pa.float64()),
     ("vsum", pa.float64()),
     ("vsum2", pa.float64()),
+    ("vn", pa.int64()),        # FINITE numeric count (NaN excluded) —
+                               # the mean/std denominator; `count` stays
+                               # the SQL count(col) (non-null incl. NaN)
     ("smin", pa.string()),
     ("smax", pa.string()),
     ("tdigest", pa.binary()),
@@ -60,9 +63,11 @@ class StatsPartialStage:
             vmin = vmax = vsum = vsum2 = None
             smin = smax = None
             td = b""
+            vn = 0
             if is_num:
                 v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
                 v = v[~np.isnan(v)]
+                vn = int(v.size)
                 if v.size:
                     vmin, vmax = float(v.min()), float(v.max())
                     vsum, vsum2 = float(v.sum()), float((v * v).sum())
@@ -80,6 +85,7 @@ class StatsPartialStage:
             hll.add_hashes(stable_hash64(pc.unique(col.drop_null())))
             rows["column"].append(col_name)
             rows["count"].append(n - nulls)
+            rows["vn"].append(vn)
             rows["nulls"].append(nulls)
             rows["vmin"].append(vmin)
             rows["vmax"].append(vmax)
@@ -101,6 +107,7 @@ class ColumnStats:
     vmax: Optional[float] = None
     vsum: float = 0.0
     vsum2: float = 0.0
+    vn: int = 0
     smin: Optional[str] = None
     smax: Optional[str] = None
     tdigest: Optional[TDigest] = None
@@ -108,13 +115,17 @@ class ColumnStats:
 
     @property
     def mean(self) -> Optional[float]:
-        return self.vsum / self.count if self.count and self.vmin is not None else None
+        # denominator = finite count: vsum excludes NaN, so dividing by
+        # the NaN-inclusive count would systematically understate the
+        # mean of any NaN-bearing column
+        return self.vsum / self.vn if self.vn and self.vmin is not None \
+            else None
 
     @property
     def std(self) -> Optional[float]:
-        if not self.count or self.vmin is None:
+        if not self.vn or self.vmin is None:
             return None
-        var = self.vsum2 / self.count - (self.vsum / self.count) ** 2
+        var = self.vsum2 / self.vn - (self.vsum / self.vn) ** 2
         return math.sqrt(max(var, 0.0))
 
     def quantile(self, q: float) -> Optional[float]:
@@ -131,8 +142,10 @@ class ColumnStats:
             "mean": self.mean, "std": self.std,
             "approx_distinct": self.approx_distinct(),
         }
+        from ..stages.agg import quantile_col_name
         for q in quantiles:
-            out[f"p{int(q * 100)}"] = self.quantile(q)
+            # sub-percent-safe labels (0.999 -> p99_9, not a p99 collision)
+            out[quantile_col_name(q)] = self.quantile(q)
         return out
 
 
@@ -143,6 +156,7 @@ def _merge_partials(table: pa.Table) -> dict[str, ColumnStats]:
         s = out.setdefault(c, ColumnStats(c))
         s.count += row["count"]
         s.nulls += row["nulls"]
+        s.vn += row.get("vn") or 0
         if row["vmin"] is not None:
             s.vmin = row["vmin"] if s.vmin is None else min(s.vmin, row["vmin"])
             s.vmax = row["vmax"] if s.vmax is None else max(s.vmax, row["vmax"])
@@ -175,6 +189,7 @@ def merge_partials_table(table: pa.Table) -> pa.Table:
         rows["vmax"].append(s.vmax)
         rows["vsum"].append(s.vsum if s.vmin is not None else None)
         rows["vsum2"].append(s.vsum2 if s.vmin is not None else None)
+        rows["vn"].append(s.vn)
         rows["smin"].append(s.smin)
         rows["smax"].append(s.smax)
         rows["tdigest"].append(s.tdigest.to_bytes() if s.tdigest else b"")

@@ -271,7 +271,17 @@ def suggested_contract(profile: pa.Table):
         dtype, rules = r["dtype"], r["suggestions"].split("; ")
         if dtype == "string":
             if r["domain"] is not None:
-                base = c.oneOf(*r["domain"].split("|"))
+                vals = r["domain"].split("|")
+                # the profile joins the domain with '|' (bit-exact SQL
+                # oracle contract); a domain VALUE containing '|' would
+                # shred into fragments and the contract would reject the
+                # very data it was profiled from — detect via the
+                # distinct count and fall back to c.string
+                if (r.get("n_distinct_capped") is not None
+                        and len(vals) != r["n_distinct_capped"]):
+                    base = c.string
+                else:
+                    base = c.oneOf(*vals)
             else:
                 base = c.string
         elif dtype == "timestamp":

@@ -76,20 +76,11 @@ def unique_violations(ds, cols: Sequence[str], min_count: int = 2,
             col = out[c]
             if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
                 col = pc.if_else(pc.equal(col, _NULL_SENTINEL),
-                                 pa.scalar(None, col.type
-                                           if not isinstance(col, pa.ChunkedArray)
-                                           else col.type), col)
+                                 pa.scalar(None, col.type), col)
             restored.append(col)
         return pa.table(dict(zip(cols, restored))).append_column("cnt", out["cnt"])
 
     return total.map_batches(finish, batch_format="pyarrow")
-
-
-def _collect(ds) -> pa.Table:
-    parts = []
-    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-        parts.append(b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
-    return pa.concat_tables(parts) if parts else None
 
 
 def _unique_violations_hashed(ds, cols: list, min_count: int) -> pa.Table:

@@ -82,13 +82,21 @@ def run_partitioned(
     mgr = CheckpointManager(ckpt_dir)
     done = mgr.completed()
     plan = plan_partitions(fragments, group_size)
-    ran, skipped = [], []
+    plan_pids = {pid for pid, _ in plan}
+    ran, skipped, stale = [], [], []
     for n, (pid, files) in enumerate(plan):
         if max_partitions is not None and len(ran) >= max_partitions:
             break
-        if pid in done:
+        rec = done.get(pid)
+        # a record only counts as done when it covers EXACTLY this plan's
+        # fragments for the pid: a reused ckpt_dir with a changed
+        # fragment set or group_size must re-process, not silently skip
+        # new data while summing stale totals
+        if rec is not None and rec.get("fragments") == files:
             skipped.append(pid)
             continue
+        if rec is not None:
+            stale.append(pid)
         t0 = time.monotonic()
         metrics = partition_fn(pid, files)
         metrics = dict(metrics)
@@ -98,13 +106,19 @@ def run_partitioned(
         mgr.record(pid, metrics)
         done[pid] = metrics
         ran.append(pid)
-    total_rows = sum(d.get("rows", 0) for d in done.values())
-    total_viol = sum(d.get("violations", 0) for d in done.values())
-    return {
+    # totals sum only records belonging to the CURRENT plan — records
+    # left over from a previous layout are reported, never counted
+    current = {pid: d for pid, d in done.items() if pid in plan_pids}
+    total_rows = sum(d.get("rows", 0) for d in current.values())
+    total_viol = sum(d.get("violations", 0) for d in current.values())
+    out = {
         "partitions": len(plan),
         "ran": ran,
         "skipped": skipped,
         "rows": total_rows,
         "violations": total_viol,
-        "records": done,
+        "records": current,
     }
+    if stale:
+        out["reprocessed_stale"] = sorted(stale)
+    return out

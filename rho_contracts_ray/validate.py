@@ -240,6 +240,23 @@ def validate(data, contract, name: Optional[str] = None,
     contract.  Returns a report whose output contains only violation +
     summary rows — the input itself streams through and is never collected."""
     contract = ast.auto_to_contract(contract)
+    if id_cols:
+        # a misspelled id column would silently build row_keys from the
+        # remaining columns (ambiguous violation keys) — check against
+        # the schema up front
+        try:
+            sch = data.schema() if not isinstance(
+                data, (pa.Table, pa.RecordBatch)) else data.schema
+            names = set(sch.base_schema.names
+                        if hasattr(sch, "base_schema") else sch.names)
+        except Exception:
+            names = None
+        if names is not None:
+            missing = [c for c in id_cols if c not in names]
+            if missing:
+                raise ValueError(
+                    f"validate: id_cols {missing} not in the input "
+                    f"schema (columns: {sorted(names)})")
     if isinstance(data, (pa.Table, pa.RecordBatch)):
         stage = ValidatorStage(contract, name, id_cols, capture_limit, fail_fast)
         t = data if isinstance(data, pa.Table) else pa.Table.from_batches([data])
@@ -330,10 +347,18 @@ def filter_valid_quarantine(ds, contract, quarantine_dir: str):
             # rewrites the same file (idempotent), while two DIFFERENT
             # batches that happen to share identical failing rows still
             # get distinct names (hashing only the bad subset would
-            # silently collapse them).  Only two byte-identical whole
-            # input blocks collide — and then their quarantine shards
-            # are identical too.
+            # silently collapse them).  The Ray task id joins the name
+            # so two byte-identical input blocks in DIFFERENT tasks no
+            # longer collapse into one shard (each would undercount the
+            # quarantine) — retries of the SAME task keep the task id,
+            # so idempotency holds.
             digest = hashlib.sha256()
+            try:
+                import ray as _ray
+                _tid = _ray.get_runtime_context().get_task_id() or ""
+            except Exception:
+                _tid = ""
+            digest.update(_tid.encode())
 
             class _HashSink:
                 """File-like: streams IPC bytes straight into the hash —

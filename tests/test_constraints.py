@@ -283,3 +283,52 @@ def test_bloom_filter_one_sided_error():
     assert np.array_equal(b1.bits, bf.bits)
     # empty filter rejects everything
     assert not BloomFilter(10).contains_hashes(members).any()
+
+
+def test_column_stats_nan_excluded_from_mean(ray_session):
+    """A NaN value must not deflate the mean/std (code-review
+    regression: count included NaN while vsum excluded it)."""
+    import ray.data as rd
+
+    from rho_contracts_ray.constraints import column_stats
+
+    t = pa.table({"v": pa.array([1.0, float("nan"), 3.0, None])})
+    s = column_stats(rd.from_arrow(t), ["v"])["v"]
+    assert s.count == 3              # SQL count(col): non-null incl. NaN
+    assert s.mean == 2.0             # finite mean: (1+3)/2
+    assert abs(s.std - 1.0) < 1e-12
+
+
+def test_stats_summary_subpercent_labels(ray_session):
+    import ray.data as rd
+
+    from rho_contracts_ray.constraints import column_stats
+
+    s = column_stats(rd.from_arrow(pa.table({"v": pa.array([1.0, 2.0])})),
+                     ["v"])["v"]
+    out = s.summary(quantiles=(0.99, 0.999))
+    assert "p99" in out and "p99_9" in out    # no silent collision
+
+
+def test_categorical_drift_null_vs_literal_backslash_n(ray_session):
+    """50% null -> 50% literal '\\N' must register as drift, not merge
+    into one category (code-review regression)."""
+    import ray.data as rd
+
+    from rho_contracts_ray.constraints import categorical_drift
+
+    a = rd.from_arrow(pa.table({"c": pa.array(["x", None] * 10)}))
+    b = rd.from_arrow(pa.table({"c": pa.array(["x", "\\N"] * 10)}))
+    rep = categorical_drift(a, b, "c", threshold=0.05)
+    assert rep.statistic >= 0.49 and rep.drifted
+
+
+def test_validate_rejects_missing_id_cols(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from rho_contracts_ray import c, validate
+
+    ds = rd.from_arrow(pa.table({"a": pa.array([1], pa.int64())}))
+    with pytest.raises(ValueError, match="id_cols"):
+        validate(ds, c.object({"a": c.integer}), id_cols=["a", "typo"])

@@ -204,3 +204,28 @@ def test_suite_reads_jsonl_and_csv(ray_session, corpus, tmp_path):
     (jdir / "stray.csv").write_text("a,b\n1,2\n")
     with pytest.raises(ValueError, match="cannot infer format"):
         read_table(str(jdir))
+
+
+def test_checkpoint_stale_records_reprocessed(ray_session, tmp_path):
+    """A reused ckpt_dir whose recorded fragments no longer match the
+    current plan must RE-PROCESS, not silently skip new data while
+    summing stale totals (code-review regression)."""
+    from rho_contracts_ray.state.checkpoint import run_partitioned
+
+    calls = []
+
+    def fn(pid, files):
+        calls.append((pid, tuple(files)))
+        return {"rows": len(files) * 10, "violations": 0}
+
+    ck = str(tmp_path / "ck")
+    s1 = run_partitioned(["a", "b"], fn, ck, group_size=1)
+    assert s1["rows"] == 20 and len(calls) == 2
+    # same dir, DIFFERENT fragment set: b's record matches its new pid
+    # only if the plan aligns; c is new
+    calls.clear()
+    s2 = run_partitioned(["b", "c"], fn, ck, group_size=1)
+    # plan: p00000=[b], p00001=[c]; old p00000=[a] is stale -> re-run
+    assert ("p00000", ("b",)) in calls and ("p00001", ("c",)) in calls
+    assert s2["rows"] == 20                 # b + c only, no stale 'a'
+    assert s2.get("reprocessed_stale") == ["p00000", "p00001"]
