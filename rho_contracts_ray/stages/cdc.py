@@ -92,6 +92,7 @@ def cdc_chunks(ds, text_col: str = "text", id_col: str = "doc_id",
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_pylist()
+        ids_type = batch[id_col].type   # native id type (str ids legal)
         bufs = [(t or "").encode("utf-8") for t in texts]
         lens = np.array([len(b) for b in bufs], np.int64)
         starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
@@ -115,7 +116,8 @@ def cdc_chunks(ds, text_col: str = "text", id_col: str = "doc_id",
                 out_len.append(e - s)
                 out_h.append(hashlib.md5(buf[s:e]).hexdigest())
         return pa.table({
-            id_col: pa.array(out_id, pa.int64()),
+            # native id type (string doc ids are legal)
+            id_col: pa.array(out_id, ids_type),
             "chunk_ix": pa.array(out_ix, pa.int64()),
             "offset": pa.array(out_off, pa.int64()),
             "length": pa.array(out_len, pa.int64()),

@@ -107,6 +107,13 @@ def _gram_bag(ga, gb) -> int:
 
 def _expand_factory(id_col: str, text_col: str, lang_col: str, block: int):
     def expand(t: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(t[id_col].type):
+            # the pair exchange hashes fixed-width ids (the family-wide
+            # contract of every pair operator here); silently parsing a
+            # string id would collapse '007' with '7'
+            raise ValueError(
+                f"fuzzy_dup_pairs: id column {id_col!r} must be integer "
+                f"(got {t[id_col].type}); map string ids to int64 first")
         keep = pc.and_(pc.is_valid(t[text_col]), pc.is_valid(t[lang_col]))
         t = t.filter(keep)
         if t.num_rows == 0:
@@ -200,14 +207,20 @@ def _bucket_factory(id_col: str, text_col: str, lang_col: str, k: int,
                 continue
             ii = np.concatenate(ii_parts)
             jj = np.concatenate(jj_parts)
-            H = _byte_hist(genc)
+            # histogram ONLY the docs that appear in surviving candidate
+            # pairs — a 100k-doc group whose masks leave a handful of
+            # pairs should not pay 100k bincounts + a (g, 256) matrix
+            uniq = np.unique(np.concatenate((ii, jj)))
+            H = _byte_hist([genc[int(u)] for u in uniq])
+            lut = np.zeros(len(genc), np.int64)
+            lut[uniq] = np.arange(uniq.size)
             # byte-bag lower bound: with A = sum|h_a - h_b| and
             # S = len_a - len_b (same parity), max(|A\B|,|B\A|) =
             # (A + |S|) / 2 — one abs pass instead of two clips
             keep_chunks = []
             for s0 in range(0, ii.size, 8192):
                 i_c, j_c = ii[s0:s0 + 8192], jj[s0:s0 + 8192]
-                A = np.abs(H[i_c] - H[j_c]).sum(1)
+                A = np.abs(H[lut[i_c]] - H[lut[j_c]]).sum(1)
                 lb = (A + np.abs(glen[i_c] - glen[j_c])) >> 1
                 keep_chunks.append(lb <= k)
             sel = np.concatenate(keep_chunks) if keep_chunks \

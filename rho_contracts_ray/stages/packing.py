@@ -66,7 +66,18 @@ def pack_sequences(ds, capacity: int, id_col: str = "doc_id",
             toks = batch[tokens_col]
             if isinstance(toks, pa.ChunkedArray):
                 toks = toks.combine_chunks()
+            if toks.null_count:
+                # a null count would cast to int64 MIN and silently
+                # corrupt bin accounting — fail loudly (module rule:
+                # surfaced, never silently dropped)
+                raise ValueError(
+                    f"pack_sequences: {toks.null_count} null values in "
+                    f"tokens_col {tokens_col!r}")
             tokens = toks.to_numpy(zero_copy_only=False).astype(np.int64)
+            if tokens.size and tokens.min() < 0:
+                raise ValueError(
+                    f"pack_sequences: negative token count in "
+                    f"{tokens_col!r}")
         else:
             col = batch[text_col]
             if isinstance(col, pa.ChunkedArray):
@@ -150,7 +161,8 @@ def chunk_documents(ds, max_tokens: int, overlap: int = 0,
                 out_text.append(sep.join(piece))
                 out_n.append(len(piece))
         return pa.table({
-            id_col: pa.array(out_id, pa.int64()),
+            # native id type (string doc ids are legal)
+            id_col: pa.array(out_id, ids_arr.type),
             "chunk_id": pa.array(out_chunk, pa.int64()),
             "chunk_text": pa.array(out_text, pa.string()),
             "n_tokens": pa.array(out_n, pa.int64()),

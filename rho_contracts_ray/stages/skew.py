@@ -81,7 +81,10 @@ def sessionize(ds, key: str, ts: str, gap_seconds: int = 1800,
         # bucketed exchange form: one Arrow sort over the whole bucket,
         # session boundaries = run start OR gap>threshold, ids = segment
         # cumsum — no per-group call (the groupby().map_groups form paid
-        # Ray's sort shuffle plus a Python call per key)
+        # Ray's sort shuffle plus a Python call per key).  Null
+        # timestamps drop: NaT casts to int64 MIN and would overflow the
+        # gap arithmetic into phantom sessions.
+        t = t.filter(pc.is_valid(t[ts]))
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
         starts = _key_run_starts(t, key)
         col = t[ts]
@@ -126,6 +129,8 @@ def session_intervals(ds, key: str, ts: str, gap_seconds: int = 1800,
                          "e_us": pa.array([], pa.int64())})
 
     def body(t: pa.Table) -> pa.Table:
+        # null timestamps drop (NaT -> int64 MIN would overflow gaps)
+        t = t.filter(pc.is_valid(t[ts]))
         if t.num_rows == 0:
             return empty()
         t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
@@ -184,6 +189,10 @@ def max_concurrent_intervals(intervals, s_col: str = "s_us",
                          "n_ev": pa.array([], pa.int64())})
 
     def to_deltas(batch: pa.Table) -> pa.Table:
+        # null interval bounds drop: a null s/e would cast to int64 MIN
+        # and poison every later day's running total
+        batch = batch.filter(pc.and_(pc.is_valid(batch[s_col]),
+                                     pc.is_valid(batch[e_col])))
         s = batch[s_col].to_numpy(zero_copy_only=False).astype(np.int64)
         e = batch[e_col].to_numpy(zero_copy_only=False).astype(np.int64)
         tsv = np.concatenate([s, e])

@@ -38,7 +38,17 @@ def _objective_arrays(t: pa.Table, maximize: Sequence[str],
             a = a.astype(np.int64)
         return a
 
-    cols = [numeric(c) for c in maximize] + [-numeric(c) for c in minimize]
+    def negated(c: str) -> np.ndarray:
+        a = numeric(c)
+        # unsigned negation WRAPS (−uint32(1) == 4294967295, silently
+        # inverting dominance) and bool negation raises — go through a
+        # signed/float dtype first
+        if a.dtype.kind in "ub":
+            a = a.astype(np.int64) if a.dtype.itemsize < 8 \
+                else a.astype(np.float64)
+        return -a
+
+    cols = [numeric(c) for c in maximize] + [negated(c) for c in minimize]
     if not cols:
         raise ValueError("pareto_front: at least one objective column")
     return cols

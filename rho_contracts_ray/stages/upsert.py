@@ -65,6 +65,14 @@ def apply_changeset(base, changes, key_col: str, op_col: str = "op",
         if missing:
             raise ValueError(f"apply_changeset: changeset lacks base "
                              f"columns {missing}")
+        # a null or unknown op would silently re-classify the row (null
+        # -> treated as a BASE row; 'd' -> silent upsert) — fail loudly
+        ok = pc.is_in(t[op_col], value_set=pa.array(["I", "U", "D"]))
+        n_ok = pc.sum(pc.cast(ok, pa.int64())).as_py() or 0
+        if n_ok != t.num_rows:
+            raise ValueError(
+                f"apply_changeset: {t.num_rows - n_ok} change rows have "
+                f"an op outside {{'I','U','D'}} (nulls included)")
         t = _with_kh(t.select(cols + [op_col]), key_col)
         return t.rename_columns(cols + [_OP, _KH]) \
             .select(cols + [_KH, _OP])

@@ -128,3 +128,20 @@ def test_max_concurrent_touching_endpoints_overlap(ray_session):
     # +1 sorts before -1 at ts=100 -> both live at that instant
     assert out["max_concurrent"].to_pylist() == [2]
     assert out["at_us"].to_pylist() == [100]
+
+
+def test_sessionize_null_timestamps_dropped(ray_session):
+    """A null ts must drop (NaT -> int64 MIN overflowed the gap math
+    into phantom sessions) in sessionize AND session_intervals."""
+    from rho_contracts_ray.stages.skew import (session_intervals,
+                                               sessionize)
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([1_000_000, None, 2_000_000], pa.timestamp("us")),
+    })
+    out = sessionize(rd.from_arrow(t), "user_id", "ts",
+                     gap_seconds=1800).to_pandas()
+    assert len(out) == 2 and set(out["session_id"]) == {1}
+    iv = session_intervals(rd.from_arrow(t), "user_id", "ts").to_pandas()
+    assert len(iv) == 1 and iv["s_us"].iloc[0] == 1_000_000

@@ -76,3 +76,19 @@ def test_skyline_block_invariance(ray_session):
         outs.append(o)
     for o in outs[1:]:
         pd.testing.assert_frame_equal(o, outs[0])
+
+
+def test_pareto_minimize_unsigned_and_bool(ray_session):
+    """Unsigned minimize objectives must not wrap under negation (the
+    true minimum was silently dropped); bool must not raise."""
+    from rho_contracts_ray.stages.skyline import pareto_front
+
+    t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                  "price": pa.array([0, 1], pa.uint32()),
+                  "flag": pa.array([True, False])})
+    out = pareto_front(rd.from_arrow(t), maximize=[], minimize=["price"],
+                       keep_cols=["id", "price"]).to_pandas()
+    assert out["id"].tolist() == [1]        # price 0 IS the minimum
+    out2 = pareto_front(rd.from_arrow(t), maximize=[], minimize=["flag"],
+                        keep_cols=["id", "flag"]).to_pandas()
+    assert out2["id"].tolist() == [2]       # False < True

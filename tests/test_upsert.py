@@ -75,3 +75,19 @@ def test_driver_query_matches_oracle(ray_session):
         .sort_values("o_orderkey").reset_index(drop=True)
     pd.testing.assert_frame_equal(got[sorted(got.columns)],
                                   want[sorted(want.columns)])
+
+
+def test_apply_changeset_rejects_bad_ops(ray_session):
+    import pytest
+
+    from rho_contracts_ray.stages.upsert import apply_changeset
+
+    base = pa.table({"k": pa.array([1], pa.int64()),
+                     "v": pa.array([1.0])})
+    for bad in ("d", None):
+        ch = pa.table({"k": pa.array([1], pa.int64()),
+                       "v": pa.array([2.0]),
+                       "op": pa.array([bad], pa.string())})
+        with pytest.raises(Exception, match="op"):
+            apply_changeset(rd.from_arrow(base), rd.from_arrow(ch),
+                            "k").materialize()
